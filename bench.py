@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed end-to-end including result materialization
+(collect()), after one untimed warm-up query to absorb JVM/codegen start-up.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from trough_spark.queries import QUERIES, load_all
+from trough_spark.session import get_spark
+
+HEADLINE = [
+    # relational core
+    "b5_join_multiway",
+    "b6_agg_pricing_summary",
+    "b8_window_functions",
+    "b9_topk_per_group",
+    "b11_subqueries_cte",
+    "a12_fanout_regex",
+    # llm-pipeline operators
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "sim_cosine_pairs",
+    "sim_ann_topk",
+    "text_quality_features",
+    "text_fingerprint",
+    # streaming (batch mode)
+    "stream_tumbling_hourly",
+    "stream_sessionization",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    load_all()
+    spark = get_spark(app_name="trough-spark-bench")
+    spark.sparkContext.setLogLevel("WARN")
+
+    # warm-up: JVM + codegen + parquet footer caches (untimed)
+    QUERIES["b6_agg_pricing_summary"](spark, sf_dir).collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).collect()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline query set wall time",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

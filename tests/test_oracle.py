@@ -1,0 +1,77 @@
+"""Differential oracle: every registered query must match its DuckDB SQL on
+the same parquet tables — the same comparison the driver's correctness gate
+performs (row count + schema + order-insensitive value hash).
+
+Run against sf0.001 by default (fast); set TROUGH_TEST_SF_DIR=/root/testdata/sf0.01
+to reproduce the driver's t2 configuration.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from tests.conftest import SF_ORACLE
+from trough_spark.queries import ORACLE, QUERIES, load_all
+
+load_all()
+
+
+def _duck(sf_dir: str):
+    con = duckdb.connect()
+    for name in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    return con
+
+
+def _canon(v):
+    """Normalize a cell for order-insensitive comparison."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.10g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def _rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_query_matches_oracle(spark, name):
+    sf_dir = SF_ORACLE
+    sdf = QUERIES[name](spark, sf_dir)
+    srows = sdf.collect()
+    scols = sdf.columns
+
+    con = _duck(sf_dir)
+    cur = con.execute(ORACLE[name])
+    dcols = [d[0] for d in cur.description]
+    drows = cur.fetchall()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs oracle {len(drows)}"
+    sset, dset = _rowset(scols, srows), _rowset(dcols, drows)
+    mism = [i for i, (a, b) in enumerate(zip(sset, dset)) if a != b][:5]
+    assert sset == dset, (
+        f"{name}: value mismatch at sorted rows {mism}; "
+        f"spark={[sset[i] for i in mism]} oracle={[dset[i] for i in mism]}"
+    )
+
+
+def test_all_queries_have_entries():
+    assert QUERIES, "no queries registered"
+    missing = set(ORACLE) - set(QUERIES)
+    assert not missing, f"oracle without query: {missing}"

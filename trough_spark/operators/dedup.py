@@ -1,0 +1,205 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Design for 100 TB:
+- Exact dedup is one hash-aggregate on a digest column — the digest (md5) is
+  computed map-side so the shuffle carries 16 bytes + id per row, not the
+  document text.
+- Near-dup NEVER does an unbounded cross join.  Candidate pairs come from
+  equality joins on compact keys (LSH band signatures, shared shingles with a
+  stop-shingle frequency cap), so the pair count is bounded per bucket; the
+  expensive exact measure (Jaccard) runs only on candidates.
+- All hashes are md5-derived (``portable_hash``) so results are reproducible
+  across engines and runs — no JVM-specific hashing in any result.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# ---------------------------------------------------------------------------
+# portable 60-bit hash: identical in Spark, DuckDB, and Python
+#   spark : conv(substr(md5(x), 1, 15), 16, 10)::bigint
+#   duckdb: CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)
+#   python: int(hashlib.md5(x).hexdigest()[:15], 16)
+# ---------------------------------------------------------------------------
+
+
+def portable_hash(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of normalized (lower/trimmed) text."""
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+_SHINGLE_EXPR = (
+    "transform(sequence(1, greatest(size(toks) - {nm1}, 0)), "
+    "i -> concat_ws(' ', slice(toks, i, {n})))"
+)
+
+
+def shingle_table(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, max_doc_freq: int | None = None
+) -> DataFrame:
+    """Exploded distinct (id, shingle) pairs.
+
+    ``max_doc_freq`` drops shingles appearing in more than that many docs
+    ("stop shingles") — the standard cap that keeps the candidate join from
+    exploding on boilerplate at corpus scale.
+    """
+    sh = (
+        df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
+        .select("id", F.explode(F.expr(_SHINGLE_EXPR.format(n=n, nm1=n - 1))).alias("shingle"))
+        .distinct()
+    )
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+        sh = sh.join(freq.filter(F.col("df_") <= max_doc_freq).select("shingle"), "shingle")
+    return sh
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups by content digest.
+
+    Returns (content_hash, n_copies, keep_id) — keep_id is the smallest id,
+    the canonical survivor.  One map-side md5 + one hash aggregate; the
+    shuffle carries digests, never document bodies.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col).alias("id"))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("id").alias("keep_id"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int = 100,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs sharing at least
+    one (non-stop) shingle.
+
+    Scale: the (id, shingle) self-join is an equi-join whose fan-out is capped
+    at ``max_doc_freq`` docs per shingle, so candidate pairs per shingle are
+    bounded regardless of corpus size.  Jaccard comes from integer
+    intersection/size counts — deterministic across engines.
+    """
+    sh = shingle_table(df, id_col, text_col, n, max_doc_freq)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s1 = sizes.select(F.col("id").alias("id1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col("id").alias("id2"), F.col("n_sh").alias("n2"))
+    return (
+        common.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn("jaccard", F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "n_common", "n1", "n2", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_perm: int = 8, n: int = 3
+) -> DataFrame:
+    """MinHash signatures: one row per (id, perm) carrying the min portable
+    hash over the doc's shingle set under permutation ``perm``.
+
+    Scale: shingles × permutations explode map-side; the min is a partial
+    aggregate, so the shuffle carries num_perm longs per doc — independent of
+    document length.
+    """
+    sh = shingle_table(df, id_col, text_col, n)
+    return (
+        sh.select(
+            "id", "shingle", F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm")
+        )
+        .withColumn(
+            "h",
+            portable_hash(F.concat(F.col("shingle"), F.lit("#"), F.col("perm").cast("string"))),
+        )
+        .groupBy("id", "perm")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, rows_per_band: int = 2
+) -> DataFrame:
+    """LSH banding over ``minhash_signatures`` output: hash each band of
+    ``rows_per_band`` consecutive permutations, emit candidate pairs colliding
+    in at least one band.
+
+    Scale: this is the 100 TB near-dup path — pair generation is an equi-join
+    on (band, band_hash); work is proportional to actual collisions, never to
+    the corpus cross product.  Hot buckets (many ids sharing a band hash) are
+    the skew to watch; AQE skew-join splitting covers it, and a bucket-size
+    cap can be added the same way as stop-shingles.
+    """
+    banded = (
+        signatures.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+        .groupBy("id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("perm"), F.col("minhash")))
+                        ),
+                        lambda s: s.getField("minhash").cast("string"),
+                    ),
+                )
+            ).alias("band_hash")
+        )
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """Per-document SimHash over word tokens (portable-hash based).
+
+    Each distinct-token occurrence votes ±1 on each of ``bits`` positions of
+    its hash; the fingerprint sets bit b iff the vote sum is positive.
+    Near-dups cluster by fingerprint equality or small Hamming distance
+    (pairs via banding, as with MinHash).
+
+    Scale: tokens × bits expand map-side; the vote sum is a partial aggregate
+    on (id, bit) — the shuffle is O(docs × bits), independent of doc length.
+    """
+    tok = (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .withColumn("h", portable_hash(F.col("tok")))
+    )
+    votes = (
+        tok.select("id", "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"))
+        .withColumn("vote", F.expr("(shiftright(h, bit) & 1) * 2 - 1"))
+        .groupBy("id", "bit")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return votes.groupBy("id").agg(
+        F.sum(F.expr("CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE 0 END")).alias(
+            "simhash"
+        )
+    )

@@ -1,0 +1,103 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All pure built-in expressions (split/regexp/aggregate) — whole-stage
+codegen'd, zero Python in the row path, embarrassingly parallel at any scale
+(no shuffles except the caller's aggregations).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# deterministic little marker lists for the language-ID heuristic; real
+# pipelines swap in proper n-gram tables — the *shape* (map-side scoring,
+# argmax via greatest/CASE) is what scales.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "los", "que", "de"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; empty/blank text counts 0."""
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def marker_hits(text: Column, markers: list[str]) -> Column:
+    """How many tokens of ``text`` are in ``markers`` (array intersection on
+    the tokenized text — map-side only)."""
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    lit_markers = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(toks, lambda t: F.array_contains(lit_markers, t)))
+
+
+def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document quality features: lengths, token stats, punctuation and
+    stopword ratios, plus a coarse quality bucket.
+
+    The ratio thresholds mirror common pretraining-data filters (C4/Gopher
+    style: too-short docs, low alpha ratio, stopword-free docs are junk).
+    """
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    n_toks = token_count(text)
+    alpha_chars = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    # punct count = total chars minus chars left after deleting punctuation
+    punct_chars = n_chars - F.length(F.regexp_replace(text, r"[!-/:-@\[-`{-~]", ""))
+    stop_hits = marker_hits(text, LANG_MARKERS["en"])
+    avg_tok_len = F.when(n_toks > 0, (F.length(F.regexp_replace(text, r"\s+", "")) / n_toks))
+    quality = (
+        F.when(n_toks < 5, "too_short")
+        .when(alpha_chars / F.greatest(n_chars, F.lit(1)) < 0.6, "low_alpha")
+        .when(stop_hits == 0, "no_stopwords")
+        .otherwise("ok")
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_chars.alias("n_chars"),
+        n_toks.alias("n_tokens"),
+        alpha_chars.alias("n_alpha"),
+        punct_chars.alias("n_punct"),
+        stop_hits.alias("n_stopwords"),
+        F.round(avg_tok_len, 6).alias("avg_token_len"),
+        quality.alias("quality_bucket"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Marker-word language ID: score each candidate language by marker-token
+    hits, predict the argmax.
+
+    Argmax is encoded portably as ``greatest`` over zero-padded
+    ``score||lang`` strings — highest score wins, ties resolve to the
+    lexicographically largest lang; identical semantics in any SQL engine
+    (the oracle mirrors it verbatim)."""
+    text = F.col(text_col)
+    tagged = [
+        F.concat(F.lpad(marker_hits(text, words).cast("string"), 6, "0"), F.lit(lang))
+        for lang, words in sorted(LANG_MARKERS.items())
+    ]
+    best = F.greatest(*tagged)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.substring(best, 7, 10).alias("predicted_lang"),
+        F.substring(best, 1, 6).cast("bigint").alias("marker_score"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic document fingerprint: md5 of case-folded,
+    whitespace-collapsed, punctuation-stripped text — the exact-dedup key
+    robust to trivial formatting differences."""
+    normalized = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", ""), r"\s+", " ")
+    )
+    return df.select(F.col(id_col).alias("id"), F.md5(normalized).alias("fingerprint"))

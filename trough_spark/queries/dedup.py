@@ -1,0 +1,155 @@
+"""Deduplication queries over the `documents` table, with DuckDB oracles.
+
+Each query wires an operator from trough_spark.operators.dedup to the
+synthetic corpus; the oracle re-derives the identical result in pure SQL
+(portable md5-based hashing — see operators/dedup.py docstring).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from trough_spark.operators import dedup as D
+from trough_spark.queries import query
+from trough_spark.tables import load_table as T
+
+# shared oracle CTEs: tokenization + 3-gram shingles, mirroring
+# operators/dedup.py exactly
+_SHINGLES_CTE = r"""
+    toks AS (
+      SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT id, sh FROM (
+        SELECT id, array_to_string(toks[i:i+2], ' ') AS sh
+        FROM toks, UNNEST(generate_series(1, greatest(len(toks) - 2, 0))) AS t(i)
+      )
+    )
+"""
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS keep_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    return D.exact_dedup(T(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    freq AS (SELECT sh, COUNT(*) AS df_ FROM sh GROUP BY sh),
+    kept AS (SELECT sh.id, sh.sh FROM sh JOIN freq USING (sh) WHERE df_ <= 100),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM kept GROUP BY id),
+    common AS (
+      SELECT a.id AS id1, b.id AS id2, COUNT(*) AS n_common
+      FROM kept a JOIN kept b ON a.sh = b.sh AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id1, id2, n_common, s1.n_sh AS n1, s2.n_sh AS n2,
+           ROUND(n_common / (s1.n_sh + s2.n_sh - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes s1 ON s1.id = id1
+    JOIN sizes s2 ON s2.id = id2
+    WHERE n_common / (s1.n_sh + s2.n_sh - n_common) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    return D.ngram_jaccard_pairs(
+        T(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5, max_doc_freq=100
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    hashed AS (
+      SELECT id, perm,
+             CAST(('0x' || substr(md5(sh || '#' || CAST(perm AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM sh, UNNEST(generate_series(0, 7)) AS t(perm)
+    ),
+    minh AS (SELECT id, perm, MIN(h) AS minhash FROM hashed GROUP BY 1, 2),
+    bands AS (
+      SELECT id, perm // 2 AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm)) AS band_hash
+      FROM minh GROUP BY id, perm // 2
+    )
+    SELECT DISTINCT a.id AS id1, b.id AS id2
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    sigs = D.minhash_signatures(T(spark, sf_dir, "documents"), "doc_id", "text", num_perm=8, n=3)
+    return D.minhash_lsh_candidates(sigs, rows_per_band=2)
+
+
+@query(
+    "dedup_minhash_signatures",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    hashed AS (
+      SELECT id, perm,
+             CAST(('0x' || substr(md5(sh || '#' || CAST(perm AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM sh, UNNEST(generate_series(0, 7)) AS t(perm)
+    )
+    SELECT id, perm, MIN(h) AS minhash FROM hashed GROUP BY 1, 2
+    """,
+)
+def dedup_minhash_signatures(spark, sf_dir):
+    return D.minhash_signatures(T(spark, sf_dir, "documents"), "doc_id", "text", num_perm=8, n=3)
+
+
+@query(
+    "dedup_simhash",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id AS id, t.tok
+      FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+           UNNEST(toks) AS t(tok)
+      WHERE length(t.tok) > 0
+    ),
+    hashed AS (
+      SELECT id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM tok
+    ),
+    votes AS (
+      SELECT id, bit, SUM(((h >> bit) & 1) * 2 - 1) AS v
+      FROM hashed, UNNEST(generate_series(0, 31)) AS t(bit)
+      GROUP BY 1, 2
+    )
+    SELECT id, CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT)
+             AS simhash
+    FROM votes GROUP BY id
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    return D.simhash(T(spark, sf_dir, "documents"), "doc_id", "text", bits=32)
+
+
+@query(
+    "dedup_keep_first",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    JOIN (SELECT md5(text) AS h, MIN(doc_id) AS keep_id FROM documents GROUP BY 1) k
+      ON d.doc_id = k.keep_id
+    """,
+)
+def dedup_keep_first(spark, sf_dir):
+    # The materializing form of exact dedup: keep the canonical survivor rows.
+    # Scale: digest groupBy (shuffle of 16-byte keys) + a self-join on doc_id;
+    # at 100 TB the join key is the table's natural partitioning column, so
+    # this co-locates without an extra shuffle when the table is bucketed.
+    d = T(spark, sf_dir, "documents")
+    keep = D.exact_dedup(d, "doc_id", "text").select(F.col("keep_id").alias("doc_id"))
+    return d.join(keep, "doc_id", "left_semi").select("doc_id", "lang", "source")

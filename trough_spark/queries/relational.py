@@ -1,0 +1,550 @@
+"""Relational operator coverage — SURVEY.md §2.B rows B1-B12.
+
+The reference passes any single SQLite SELECT through to the embedded library
+(reference: trough/read.py:58,66); parity here means each SQLite SQL category
+re-expressed as an idiomatic Spark DataFrame plan.  Scale notes per query
+explain why the plan survives 100 TB (pruned scans, broadcast dims, partial
+aggregation, single shuffle per groupBy).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from trough_spark.queries import query
+from trough_spark.tables import load_table as T
+
+DEC = "decimal(12,2)"  # exact for the 2-decimal synthetic money columns
+
+
+# ---------------------------------------------------------------------------
+# B1 + B3: scan, projection, expressions (CASE / CAST / concat / arithmetic)
+# ---------------------------------------------------------------------------
+@query(
+    "b3_projection_expressions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                (1 - CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS net_price,
+           CAST(l_quantity AS BIGINT) AS qty_int,
+           l_returnflag || '/' || l_linestatus AS flag_status,
+           CASE WHEN l_discount >= 0.08 THEN 'deep'
+                WHEN l_discount >= 0.04 THEN 'mid'
+                ELSE 'shallow' END AS discount_band,
+           CAST(l_tax * 100 AS BIGINT) AS tax_pct
+    FROM lineitem
+    WHERE l_orderkey <= 100
+    """,
+)
+def b3_projection_expressions(spark, sf_dir):
+    # Scale: filter + projection both push into the parquet scan (PushedFilters
+    # + pruned ReadSchema); no shuffle at any data size.
+    l = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount").cast(DEC)))
+        .cast("double")
+        .alias("net_price"),
+        F.col("l_quantity").cast("bigint").alias("qty_int"),
+        F.concat_ws("/", "l_returnflag", "l_linestatus").alias("flag_status"),
+        F.when(F.col("l_discount") >= 0.08, "deep")
+        .when(F.col("l_discount") >= 0.04, "mid")
+        .otherwise("shallow")
+        .alias("discount_band"),
+        (F.col("l_tax") * 100).cast("bigint").alias("tax_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B4: filter predicates — =, <, IN, BETWEEN, LIKE, IS NULL, AND/OR
+# ---------------------------------------------------------------------------
+@query(
+    "b4_filter_predicates",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority,
+           CAST(o_totalprice AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderstatus IN ('F', 'O')
+      AND o_totalprice BETWEEN 1000 AND 150000
+      AND o_orderpriority LIKE '%URGENT%'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_custkey IS NOT NULL
+    """,
+)
+def b4_filter_predicates(spark, sf_dir):
+    # Scale: every conjunct is a pushable parquet filter; row-group min/max
+    # stats skip whole row groups — the moral equivalent of trough picking a
+    # single SQLite shard (reference: trough/read.py:74).
+    o = T(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("F", "O")
+        & F.col("o_totalprice").between(1000, 150000)
+        & F.col("o_orderpriority").like("%URGENT%")
+        & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & F.col("o_custkey").isNotNull()
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B5: multi-way join (TPC-H Q5 shape): dims broadcast, one shuffle agg
+# ---------------------------------------------------------------------------
+@query(
+    "b5_join_multiway",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS line_count
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name IN ('ASIA', 'EUROPE')
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1999-01-01'
+    GROUP BY n_name
+    """,
+)
+def b5_join_multiway(spark, sf_dir):
+    # Scale: region/nation/customer are broadcast (dims are tiny relative to
+    # facts at every SF), so the only shuffle is lineitem⋈orders plus the
+    # final partial-agg exchange on n_name.  At 100 TB, lineitem⋈orders is
+    # the one genuinely big join — key-partitioned sort-merge under AQE,
+    # skew-split if an order key is hot.
+    l, o = T(spark, sf_dir, "lineitem"), T(spark, sf_dir, "orders")
+    c, n, r = (T(spark, sf_dir, t) for t in ("customer", "nation", "region"))
+    o = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    dims = (
+        F.broadcast(c)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(
+            F.broadcast(r.filter(F.col("r_name").isin("ASIA", "EUROPE"))),
+            n.n_regionkey == r.r_regionkey,
+        )
+    )
+    net = F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount").cast(DEC))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(net).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B5: outer / semi / anti joins (SQLite spells semi/anti as IN / NOT EXISTS)
+# ---------------------------------------------------------------------------
+@query(
+    "b5_join_outer_semi_anti",
+    oracle="""
+    WITH per_customer AS (
+      SELECT c_custkey, c_mktsegment,
+             (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+      FROM customer
+    )
+    SELECT c_mktsegment AS mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CASE WHEN n_orders = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_without_orders,
+           CAST(SUM(n_orders) AS BIGINT) AS n_orders_total
+    FROM per_customer
+    GROUP BY c_mktsegment
+    """,
+)
+def b5_join_outer_semi_anti(spark, sf_dir):
+    # Left outer join + conditional aggregation covers the semi ("has orders")
+    # and anti ("no orders") cases in one pass.  Scale: orders is pre-aggregated
+    # to one row per custkey BEFORE the join (partial agg shrinks the shuffle),
+    # then joined to customer — never a row explosion.
+    c, o = T(spark, sf_dir, "customer"), T(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    joined = c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left").withColumn(
+        "n_orders", F.coalesce("n_orders", F.lit(0))
+    )
+    return joined.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.when(F.col("n_orders") == 0, 1).otherwise(0)).alias("n_without_orders"),
+        F.sum("n_orders").alias("n_orders_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B6: aggregation sweep (TPC-H Q1 shape) — the flagship
+# ---------------------------------------------------------------------------
+@query(
+    "b6_agg_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(12,2))) *
+                    (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+           SUM(l_quantity) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def b6_agg_pricing_summary(spark, sf_dir):
+    # Scale: classic partial+final hash aggregation — map-side combine reduces
+    # the shuffle to (#groups x #partitions) rows; 6 groups means the exchange
+    # is trivially small at any SF.  Whole-stage codegen covers scan→agg.
+    l = T(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp")
+    )
+    ep = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    tax = F.col("l_tax").cast(DEC)
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(ep).cast("double").alias("sum_base_price"),
+            F.sum(ep * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(ep * (F.lit(1) - disc) * (F.lit(1) + tax)).cast("double").alias("sum_charge"),
+            (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(ep).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(disc).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B6: group_concat / distinct aggregates
+# ---------------------------------------------------------------------------
+@query(
+    "b6_group_concat_distinct",
+    oracle="""
+    SELECT n_name AS nation,
+           COUNT(DISTINCT c_mktsegment) AS n_segments,
+           STRING_AGG(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+           COUNT(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def b6_group_concat_distinct(spark, sf_dir):
+    # SQLite group_concat ≡ sorted collect_set + concat_ws (SURVEY §2.B6).
+    # Scale: collect_set is bounded by segment cardinality (5), not row count;
+    # nation is broadcast.
+    c, n = T(spark, sf_dir, "customer"), T(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+            F.concat_ws(",", F.array_sort(F.collect_set("c_mktsegment"))).alias("segments"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B7: ROLLUP (a Spark superset — SQLite has no grouping sets, SURVEY §2.B7)
+# ---------------------------------------------------------------------------
+@query(
+    "b7_rollup",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def b7_rollup(spark, sf_dir):
+    # Scale: rollup expands each input row to 3 grouping sets map-side, but
+    # partial aggregation still collapses them before the single shuffle.
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B8: window functions — ranking, lag/lead, running frames
+# ---------------------------------------------------------------------------
+@query(
+    "b8_window_functions",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS price,
+           ROW_NUMBER()  OVER w AS rn,
+           RANK()        OVER w AS rnk,
+           DENSE_RANK()  OVER w AS drnk,
+           LAG(o_orderkey)  OVER w AS prev_order,
+           LEAD(o_orderkey) OVER w AS next_order,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_spend
+    FROM orders
+    WHERE o_custkey <= 50
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def b8_window_functions(spark, sf_dir):
+    # Scale: one shuffle on the partition key (o_custkey) serves every window
+    # expression — Catalyst collapses same-spec windows into a single exchange
+    # + sort.  Ordering includes o_orderkey so frames are total-ordered
+    # (deterministic across engines).
+    o = T(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.sum(F.col("o_totalprice").cast(DEC)).over(wsum).cast("double").alias("running_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B9: sort / limit / offset / top-k per group
+# ---------------------------------------------------------------------------
+@query(
+    "b9_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT c_nationkey AS nation_key, c_custkey, c_name,
+             CAST(c_acctbal AS DOUBLE) AS acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rnk
+      FROM customer
+    ) WHERE rnk <= 3
+    """,
+)
+def b9_topk_per_group(spark, sf_dir):
+    # Top-k per group: window + filter.  Scale: Spark pushes a per-partition
+    # top-k (WindowGroupLimit) below the shuffle, so each mapper emits only k
+    # rows per group — this survives arbitrarily large groups.
+    c = T(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.select(
+            F.col("c_nationkey").alias("nation_key"),
+            "c_custkey",
+            "c_name",
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@query(
+    "b9_order_limit_offset",
+    oracle="""
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total_price
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 5
+    """,
+)
+def b9_order_limit_offset(spark, sf_dir):
+    # Scale: ORDER BY + LIMIT compiles to TakeOrderedAndProject — each
+    # partition keeps its top (20+5), only those reach the driver; no global
+    # sort materialization.
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", F.col("o_totalprice").cast("double").alias("total_price"))
+        .offset(5)
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# B10: set operations
+# ---------------------------------------------------------------------------
+@query(
+    "b10_set_ops",
+    oracle="""
+    WITH c_nat AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+         s_nat AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+    SELECT 'union' AS op, nationkey FROM (SELECT nationkey FROM c_nat UNION SELECT nationkey FROM s_nat)
+    UNION ALL
+    SELECT 'intersect' AS op, nationkey FROM (SELECT nationkey FROM c_nat INTERSECT SELECT nationkey FROM s_nat)
+    UNION ALL
+    SELECT 'except' AS op, nationkey FROM (SELECT nationkey FROM c_nat EXCEPT SELECT nationkey FROM s_nat)
+    """,
+)
+def b10_set_ops(spark, sf_dir):
+    # UNION / INTERSECT / EXCEPT with SQLite's distinct semantics
+    # (SURVEY §2.B10).  Scale: inputs are pre-distincted (tiny key domains);
+    # intersect/except become semi/anti joins under Catalyst.
+    c = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey")).distinct()
+    s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey")).distinct()
+    tag = lambda df, op: df.select(F.lit(op).alias("op"), "nationkey")  # noqa: E731
+    return (
+        tag(c.union(s).distinct(), "union")
+        .unionAll(tag(c.intersect(s), "intersect"))
+        .unionAll(tag(c.exceptAll(s).distinct(), "except"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# B11: subqueries & CTEs — scalar, IN, correlated EXISTS
+# ---------------------------------------------------------------------------
+@query(
+    "b11_subqueries_cte",
+    oracle="""
+    WITH big_orders AS (
+      SELECT * FROM orders
+      WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+    )
+    SELECT c_mktsegment AS mktsegment, COUNT(*) AS n_big_orders
+    FROM big_orders
+    JOIN customer ON o_custkey = c_custkey
+    WHERE o_custkey IN (SELECT o_custkey FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 2)
+    GROUP BY c_mktsegment
+    """,
+)
+def b11_subqueries_cte(spark, sf_dir):
+    # SQLite spells these as scalar/IN subqueries; Catalyst rewrites IN to a
+    # left-semi join and the scalar subquery to a broadcast one-row join —
+    # exactly the plan we build explicitly here.
+    o, c = T(spark, sf_dir, "orders"), T(spark, sf_dir, "customer")
+    avg_price = o.agg(F.avg("o_totalprice").alias("a"))
+    repeat_cust = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt")).filter(
+        F.col("cnt") >= 2
+    )
+    big = o.join(F.broadcast(avg_price)).filter(F.col("o_totalprice") > F.col("a"))
+    return (
+        big.join(repeat_cust.select("o_custkey"), "o_custkey", "left_semi")
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(F.count(F.lit(1)).alias("n_big_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# B12: scalar function sweep — strings, dates, conditionals, json
+# ---------------------------------------------------------------------------
+@query(
+    "b12_scalar_functions",
+    oracle="""
+    SELECT p_partkey,
+           LOWER(p_name) AS name_lower,
+           UPPER(p_brand) AS brand_upper,
+           LENGTH(p_name) AS name_len,
+           SUBSTR(p_name, 1, 5) AS name_prefix,
+           REPLACE(p_type, ' ', '_') AS type_snake,
+           TRIM(' x ' || p_brand || ' ') AS brand_wrapped,
+           INSTR(p_name, 'a') AS first_a,
+           COALESCE(NULLIF(p_brand, 'Brand#1'), 'OTHER') AS brand_or_other,
+           ABS(p_size - 25) AS size_dist,
+           CAST(ROUND(CAST(p_retailprice AS DECIMAL(12,2)) / 10, 1) AS DOUBLE) AS price_tenth
+    FROM part
+    WHERE p_partkey <= 150
+    """,
+)
+def b12_scalar_functions(spark, sf_dir):
+    # The SQLite core scalar set (SURVEY §2.B12) mapped 1:1 to pyspark.sql
+    # functions — all JVM-side, whole-stage-codegen'd; zero Python in the row
+    # path at any scale.
+    p = T(spark, sf_dir, "part").filter(F.col("p_partkey") <= 150)
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.trim(F.concat(F.lit(" x "), F.col("p_brand"), F.lit(" "))).alias("brand_wrapped"),
+        F.instr(F.col("p_name"), "a").alias("first_a"),
+        F.coalesce(F.nullif(F.col("p_brand"), F.lit("Brand#1")), F.lit("OTHER")).alias(
+            "brand_or_other"
+        ),
+        F.abs(F.col("p_size") - 25).alias("size_dist"),
+        F.round(F.col("p_retailprice").cast(DEC) / 10, 1).cast("double").alias("price_tenth"),
+    )
+
+
+@query(
+    "b12_datetime_functions",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+           CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS order_month,
+           STRFTIME(MIN(o_orderdate), '%Y-%m-%d') AS first_day,
+           STRFTIME(MAX(o_orderdate), '%Y-%m-%d') AS last_day,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def b12_datetime_functions(spark, sf_dir):
+    # SQLite date/time (`strftime`, `datetime`) → Spark date_format / extract
+    # (SURVEY §2.B12's dialect-shim row); group-by-month is partial-agg
+    # friendly at any scale.
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+            F.month("o_orderdate").cast("bigint").alias("order_month"),
+        )
+        .agg(
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_day"),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_day"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "b12_json_functions",
+    oracle="""
+    SELECT event_type,
+           SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+           MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def b12_json_functions(spark, sf_dir):
+    # SQLite json1 (`json_extract`) → get_json_object (SURVEY §2.B12).
+    # Scale: JSON parse happens map-side before the 5-group aggregation.
+    e = T(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -1,0 +1,90 @@
+"""Similarity-search queries over the `embeddings` table, with DuckDB oracles.
+
+Cosine arithmetic is mirrored exactly: both engines cast float→double per
+element, compute a sequential dot product, and round to 6 decimals BEFORE any
+threshold or ranking decision (see operators/similarity.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from trough_spark.operators import similarity as S
+from trough_spark.queries import query
+from trough_spark.tables import load_table as T
+
+_COS_CTE = """
+    v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings)
+"""
+
+_COS_EXPR = (
+    "list_dot_product(a.e, b.e) / "
+    "(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))"
+)
+
+
+@query(
+    "sim_cosine_pairs",
+    oracle=f"""
+    WITH {_COS_CTE}
+    SELECT id1, id2, ROUND(sim, 6) AS cosine_sim FROM (
+      SELECT a.vec_id AS id1, b.vec_id AS id2, {_COS_EXPR} AS sim
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    ) WHERE ROUND(sim, 6) >= 0.4
+    """,
+)
+def sim_cosine_pairs(spark, sf_dir):
+    # Exact near-dup pairs above 0.4 — the quadratic verifier.  At corpus
+    # scale the same measure runs per-LSH-bucket (sim_srp_buckets below).
+    return S.cosine_pairs(T(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.4)
+
+
+@query(
+    "sim_ann_topk",
+    oracle=f"""
+    WITH {_COS_CTE},
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.qe, v.e) /
+                   (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(v.e, v.e))), 6)
+               AS cosine_sim
+      FROM v JOIN q ON v.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
+def sim_ann_topk(spark, sf_dir):
+    # Brute-force exact top-k: query set broadcast, corpus scanned once,
+    # per-partition top-k below the shuffle (WindowGroupLimit).
+    emb = T(spark, sf_dir, "embeddings")
+    return S.cosine_topk_bruteforce(
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5
+    )
+
+
+@query(
+    "sim_srp_buckets",
+    oracle="""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+    bits AS (
+      SELECT vec_id, j,
+             list_sum(list_transform(generate_series(0, 63),
+                                     i -> e[i + 1] * sin(i + j * 1000))) AS proj
+      FROM v, UNNEST(generate_series(0, 7)) AS t(j)
+    )
+    SELECT vec_id AS id,
+           CAST(SUM(CASE WHEN proj >= 0 THEN (1 << j) ELSE 0 END) AS BIGINT) AS bucket
+    FROM bits GROUP BY vec_id
+    """,
+)
+def sim_srp_buckets(spark, sf_dir):
+    # The ANN scale path: 8-bit sign-random-projection code per vector — a
+    # pure map, no shuffle; candidate generation downstream joins on `bucket`.
+    return S.srp_lsh_buckets(T(spark, sf_dir, "embeddings"), "vec_id", "embedding", n_bits=8, dim=64)

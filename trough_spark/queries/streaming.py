@@ -1,0 +1,89 @@
+"""Batch-mode correctness queries for the streaming pipelines
+(streaming/events.py) — the same logical plans run on the static `events`
+table, so DuckDB can oracle them.  True incremental execution (watermarks,
+state, late data) is asserted in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from trough_spark.queries import query
+from trough_spark.streaming import events as E
+from trough_spark.tables import load_table as T
+
+
+@query(
+    "stream_tumbling_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_hourly(spark, sf_dir):
+    # window('1 hour') is epoch-aligned, identical to date_trunc('hour').
+    return E.tumbling_counts(T(spark, sf_dir, "events"), window="1 hour")
+
+
+@query(
+    "stream_sliding_2h_1h",
+    oracle="""
+    WITH contrib AS (
+      SELECT date_trunc('hour', ts) AS window_start FROM events
+      UNION ALL
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR FROM events
+    )
+    SELECT window_start, COUNT(*) AS n FROM contrib GROUP BY 1
+    """,
+)
+def stream_sliding_2h_1h(spark, sf_dir):
+    # Each event belongs to exactly duration/slide = 2 windows; the oracle
+    # materializes that membership explicitly.
+    return E.sliding_counts(T(spark, sf_dir, "events"), window="2 hours", slide="1 hour")
+
+
+@query(
+    "stream_sessionization",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sess GROUP BY 1, 2
+    """,
+)
+def stream_sessionization(spark, sf_dir):
+    # Batch sessionization: gap-detection via lag + running sum — one shuffle
+    # on user_id serving both window specs.  The streaming path uses
+    # session_window instead (state-bounded); both produce the same sessions
+    # (asserted against each other in tests/test_streaming.py).
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = e.withColumn(
+        "new_session", F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0)
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )

@@ -1,0 +1,97 @@
+"""Text-analysis queries over the `documents` table, with DuckDB oracles.
+
+Note every oracle regexp_replace carries the 'g' flag — DuckDB replaces only
+the first match by default, Spark replaces all.
+"""
+
+from __future__ import annotations
+
+from trough_spark.operators import text as X
+from trough_spark.queries import query
+from trough_spark.tables import load_table as T
+
+_EN = "['the', 'and', 'of', 'to', 'a']"
+
+
+@query(
+    "text_token_count",
+    oracle=r"""
+    SELECT doc_id AS id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS INT) END AS n_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    import pyspark.sql.functions as F
+
+    return d.select(F.col("doc_id").alias("id"), X.token_count(F.col("text")).alias("n_tokens"))
+
+
+@query(
+    "text_quality_features",
+    oracle=rf"""
+    WITH feats AS (
+      SELECT doc_id AS id,
+             CAST(length(text) AS INT) AS n_chars,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS INT) END AS n_tokens,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS INT) AS n_alpha,
+             CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{{-~]', '', 'g')) AS INT)
+               AS n_punct,
+             CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                  t -> list_contains({_EN}, t))) AS INT) AS n_stopwords,
+             length(regexp_replace(text, '\s+', '', 'g')) AS n_nonspace
+      FROM documents
+    )
+    SELECT id, n_chars, n_tokens, n_alpha, n_punct, n_stopwords,
+           ROUND(CASE WHEN n_tokens > 0 THEN n_nonspace / n_tokens END, 6) AS avg_token_len,
+           CASE WHEN n_tokens < 5 THEN 'too_short'
+                WHEN n_alpha / greatest(n_chars, 1) < 0.6 THEN 'low_alpha'
+                WHEN n_stopwords = 0 THEN 'no_stopwords'
+                ELSE 'ok' END AS quality_bucket
+    FROM feats
+    """,
+)
+def text_quality_features(spark, sf_dir):
+    return X.quality_features(T(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_lang_id",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id AS id, lang, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    scored AS (
+      SELECT id, lang,
+        lpad(CAST(len(list_filter(t, x -> list_contains(['der','die','und','das','ist'], x))) AS VARCHAR), 6, '0') || 'de' AS s_de,
+        lpad(CAST(len(list_filter(t, x -> list_contains(['the','and','of','to','a'], x))) AS VARCHAR), 6, '0') || 'en' AS s_en,
+        lpad(CAST(len(list_filter(t, x -> list_contains(['el','la','los','que','de'], x))) AS VARCHAR), 6, '0') || 'es' AS s_es,
+        lpad(CAST(len(list_filter(t, x -> list_contains(['le','la','et','les','des'], x))) AS VARCHAR), 6, '0') || 'fr' AS s_fr,
+        lpad(CAST(len(list_filter(t, x -> list_contains(['的','是','了','在','我'], x))) AS VARCHAR), 6, '0') || 'zh' AS s_zh
+      FROM toks
+    )
+    SELECT id,
+           substr(greatest(s_de, s_en, s_es, s_fr, s_zh), 7) AS predicted_lang,
+           CAST(substr(greatest(s_de, s_en, s_es, s_fr, s_zh), 1, 6) AS BIGINT) AS marker_score
+    FROM scored
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    return X.lang_id(T(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_fingerprint",
+    oracle=r"""
+    SELECT doc_id AS id,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                                   '\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    return X.fingerprint(T(spark, sf_dir, "documents"), "doc_id", "text")

@@ -1,0 +1,245 @@
+"""Coverage for the operators trough implements in its own code —
+SURVEY.md §2.A — re-expressed Spark-first.
+
+The sharding/routing layer (A3/A12/A13) is modeled exactly as the engine
+stores segments: a ``segment_id`` column that is a partition key, so a
+per-segment query is a partition-pruned scan and a regex fan-out is ONE Spark
+query over the matching partitions (the capability upgrade over the
+reference's scatter-only client loop, trough/shell/__init__.py:242-262).
+Here the synthetic tables carry no segment column, so the queries derive one
+deterministically — the pruning behavior on real partitioned storage is
+exercised in tests/test_store.py.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from trough_spark.functions import build_redirect_array, regexp, seed_crawled_status
+from trough_spark.queries import query
+from trough_spark.tables import load_table as T
+
+def _segment():
+    # lazy: Column construction needs an active SparkSession
+    return F.concat(F.lit("seg"), F.lpad((F.col("l_orderkey") % 16).cast("string"), 2, "0"))
+
+
+_SEGMENT_SQL = "'seg' || lpad(CAST(l_orderkey % 16 AS VARCHAR), 2, '0')"
+
+
+# ---------------------------------------------------------------------------
+# A3: segment routing — query exactly one segment (partition pruning)
+# ---------------------------------------------------------------------------
+@query(
+    "a3_segment_routing",
+    oracle=f"""
+    SELECT {_SEGMENT_SQL} AS segment_id,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM lineitem
+    WHERE {_SEGMENT_SQL} = 'seg03'
+    GROUP BY 1
+    """,
+)
+def a3_segment_routing(spark, sf_dir):
+    # reference: trough/read.py:74 resolves ?segment= to one SQLite file; here
+    # the filter on the segment key prunes to one partition directory when the
+    # table is stored partitionBy("segment_id") (see store.py) — same
+    # worst-case-bounded latency argument as README.rst:16-31.
+    l = T(spark, sf_dir, "lineitem").withColumn("segment_id", _segment())
+    return (
+        l.filter(F.col("segment_id") == "seg03")
+        .groupBy("segment_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double").alias(
+                "total_price"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A12 + A13: regex segment lookup + scatter/fan-out read — one Spark query
+# ---------------------------------------------------------------------------
+@query(
+    "a12_fanout_regex",
+    oracle=f"""
+    SELECT segment_id, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+    FROM (SELECT *, {_SEGMENT_SQL} AS segment_id FROM lineitem)
+    WHERE regexp_matches(segment_id, '^seg0[0-5]$')
+    GROUP BY segment_id
+    """,
+)
+def a12_fanout_regex(spark, sf_dir):
+    # reference: client.py:171-188 regex-matches segment ids, then the shell
+    # scatters one HTTP POST per segment with NO merge (shell/__init__.py:242-262).
+    # Spark-first: the regex filter prunes partitions and the per-segment
+    # GROUP BY *is* the fan-out — plus a real global merge the reference
+    # never had.
+    l = T(spark, sf_dir, "lineitem").withColumn("segment_id", _segment())
+    net = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    )
+    return (
+        l.filter(regexp(F.lit("^seg0[0-5]$"), F.col("segment_id")))
+        .groupBy("segment_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(net).cast("double").alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A12b: cross-segment global aggregate — the upgrade over scatter-only
+# ---------------------------------------------------------------------------
+@query(
+    "a12_cross_segment_global",
+    oracle=f"""
+    SELECT COUNT(DISTINCT segment_id) AS n_segments,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM (SELECT *, {_SEGMENT_SQL} AS segment_id FROM lineitem)
+    """,
+)
+def a12_cross_segment_global(spark, sf_dir):
+    l = T(spark, sf_dir, "lineitem").withColumn("segment_id", _segment())
+    return l.agg(
+        F.countDistinct("segment_id").alias("n_segments"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double").alias("total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7: REGEXP(pattern, item) — reference arg order, re.search semantics
+# ---------------------------------------------------------------------------
+@query(
+    "a7_regexp_function",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE COALESCE(regexp_matches(text, 'join .* (scan|merge)'), FALSE)
+      AND lang IN ('en', 'de')
+    """,
+)
+def a7_regexp_function(spark, sf_dir):
+    # reference: trough/sync.py:41-49; rlike is JVM regex — stays codegen'd,
+    # unlike the reference's per-row Python callback into SQLite.
+    d = T(spark, sf_dir, "documents")
+    return d.filter(
+        regexp(F.lit("join .* (scan|merge)"), F.col("text")) & F.col("lang").isin("en", "de")
+    ).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# A8: SEEDCRAWLEDSTATUS — every bucket exercised
+# ---------------------------------------------------------------------------
+_CODE_SQL = """
+    CASE WHEN value > 48 THEN NULL
+         WHEN event_type = 'click' THEN 200
+         WHEN event_type = 'view' THEN 301
+         WHEN event_type = 'error' THEN 404
+         WHEN event_type = 'signup' THEN 0
+         WHEN event_type = 'purchase' THEN -9998
+         ELSE -1 END
+"""
+
+
+@query(
+    "a8_seed_crawled_status",
+    oracle=f"""
+    WITH coded AS (SELECT {_CODE_SQL} AS status_code FROM events)
+    SELECT (CASE WHEN status_code IS NULL THEN 'Not crawled (None)'
+          WHEN status_code >= 300 AND status_code < 400 THEN 'Redirected'
+          WHEN status_code >= 400 THEN 'Crawled (HTTP error ' || CAST(status_code AS VARCHAR) || ')'
+          WHEN status_code > 0 THEN 'Crawled'
+          WHEN status_code IN (0, -5003, -5004) THEN 'Not crawled (queued)'
+          WHEN status_code = -9998 THEN 'Not crawled (blocked by robots)'
+          ELSE 'Not crawled (' || CAST(status_code AS VARCHAR) || ')' END) AS status,
+          COUNT(*) AS n
+    FROM coded
+    GROUP BY 1
+    """,
+)
+def a8_seed_crawled_status(spark, sf_dir):
+    # reference: trough/sync.py:52-70 — a Python per-row callback there; a
+    # CASE chain inside whole-stage codegen here.
+    e = T(spark, sf_dir, "events")
+    code = (
+        F.when(F.col("value") > 48, F.lit(None).cast("int"))
+        .when(F.col("event_type") == "click", 200)
+        .when(F.col("event_type") == "view", 301)
+        .when(F.col("event_type") == "error", 404)
+        .when(F.col("event_type") == "signup", 0)
+        .when(F.col("event_type") == "purchase", -9998)
+        .otherwise(-1)
+    )
+    return (
+        e.select(seed_crawled_status(code).alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A9: BUILDREDIRECTARRAY — JSON accumulator as native array ops
+# ---------------------------------------------------------------------------
+@query(
+    "a9_build_redirect_array",
+    oracle="""
+    WITH coded AS (
+      -- NB: explicit FLOOR — DuckDB's double→bigint cast rounds, Spark's truncates
+      SELECT event_id, user_id, CAST(FLOOR(value) AS BIGINT) % 500 + 100 AS sc
+      FROM events WHERE event_id <= 200
+    )
+    SELECT event_id,
+           '[{"seed":"' || 'https://example.org/u/' || CAST(user_id AS VARCHAR) ||
+           '","status":"' ||
+           (CASE WHEN sc >= 300 AND sc < 400 THEN 'Redirected'
+                 WHEN sc >= 400 THEN 'Crawled (HTTP error ' || CAST(sc AS VARCHAR) || ')'
+                 ELSE 'Crawled' END) ||
+           '"}]' AS redirects
+    FROM coded
+    """,
+)
+def a9_build_redirect_array(spark, sf_dir):
+    # reference: trough/sync.py:72-82.  hop_path 'L' → hop 1, empty input
+    # accumulator; output is the canonical compact JSON of the one-entry array.
+    e = T(spark, sf_dir, "events").filter(F.col("event_id") <= 200)
+    url = F.concat(F.lit("https://example.org/u/"), F.col("user_id").cast("string"))
+    status = (F.floor("value").cast("bigint") % 500 + 100).cast("int")
+    return e.select(
+        "event_id",
+        build_redirect_array(url, status, F.lit("L"), F.lit(None).cast("string")).alias(
+            "redirects"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2: row→JSON projection (the read path's result shape)
+# ---------------------------------------------------------------------------
+@query(
+    "a2_row_to_json",
+    oracle="""
+    SELECT o_orderkey,
+           '{"o_orderkey":' || CAST(o_orderkey AS VARCHAR) ||
+           ',"o_orderstatus":"' || o_orderstatus ||
+           '","o_orderpriority":"' || o_orderpriority || '"}' AS row_json
+    FROM orders
+    WHERE o_orderkey <= 100
+    """,
+)
+def a2_row_to_json(spark, sf_dir):
+    # reference: trough/read.py:33-52 zips cursor.description with each row
+    # into {column: value} dicts.  Spark-first: to_json(struct(...)) — the
+    # JSON serialization happens distributed, not on a single worker.
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 100)
+    return o.select(
+        "o_orderkey",
+        F.to_json(F.struct("o_orderkey", "o_orderstatus", "o_orderpriority")).alias("row_json"),
+    )
