@@ -24,43 +24,103 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql.window import Window
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Sequential-fold dot product of two float arrays (deterministic order)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Sequential dot product of two float arrays (deterministic order).
 
-
-def norm(a: Column) -> Column:
-    return F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+    With ``dim`` known, unroll to an explicit left-associated sum of
+    element_at products — plain codegen'd arithmetic, ~20x faster than the
+    interpreted higher-order ``aggregate`` fold and bit-identical to it
+    (the fold's 0.0 seed is an exact no-op for the first addition).
+    """
+    if dim is None:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-    )
+    terms = [
+        F.element_at(a, i + 1).cast("double") * F.element_at(b, i + 1).cast("double")
+        for i in range(dim)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+def norm(a: Column, dim: int | None = None) -> Column:
+    return F.sqrt(dot(a, a, dim))
+
+
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
 def cosine_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.9
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.9, dim: int | None = None
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above ``threshold``.
 
-    This is the exact quadratic form — appropriate for verification and for
-    bounded partitions; at corpus scale run it per LSH bucket
-    (``srp_lsh_buckets``) instead of globally.
+    Two phases, because the quadratic scoring is exactly where row-at-a-time
+    expression evaluation dies at scale:
+
+    1. **Vectorized prefilter** — ``mapInPandas``: each Arrow batch of the
+       probe side is one numpy matmul against the (broadcast) build-side
+       matrix.  Pairs are kept if the BLAS score clears ``threshold - 1e-6``;
+       the margin is ~7 orders of magnitude above the worst-case difference
+       between pairwise (BLAS) and sequential summation over unit-scale
+       64-dim vectors, so no true pair is ever dropped.
+    2. **Exact rescore** — the handful of surviving candidate pairs joins
+       vectors back and recomputes the sequential-order dot product as a
+       native unrolled expression; the emitted ``cosine_sim`` is therefore
+       bit-identical to a strictly sequential evaluation (what the DuckDB
+       oracle computes) while the heavy O(N²·dim) arithmetic ran in BLAS.
+
+    At corpus scale the build side must be tiled (or the whole operator run
+    per LSH bucket via ``srp_bucketed_pairs``) — a broadcast build side is
+    the deliberate choice for bounded candidate sets.
     """
-    a = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
-    b = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    side = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    build = side.toPandas()
+    if len(build) == 0:
+        return spark.createDataFrame([], "id1 bigint, id2 bigint, cosine_sim double")
+    ids_b = build["id"].to_numpy(np.int64)
+    mat_b = np.stack(build["v"].to_list()).astype(np.float64)
+    norms_b = np.sqrt((mat_b * mat_b).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids_b, mat_b, norms_b))
+    margin = 1e-6
+
+    def prefilter(batches):
+        idsB, matB, normsB = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack(pdf["v"].to_list()).astype(np.float64)
+            idA = pdf["id"].to_numpy(np.int64)
+            nA = np.sqrt((A * A).sum(axis=1))
+            sims = (A @ matB.T) / np.outer(nA, normsB)
+            keep = (sims >= threshold - margin) & (idA[:, None] < idsB[None, :])
+            i, j = np.nonzero(keep)
+            yield pd.DataFrame({"id1": idA[i], "id2": idsB[j]})
+
+    cand = side.mapInPandas(prefilter, schema="id1 bigint, id2 bigint")
+    a = side.select(F.col("id").alias("id1"), F.col("v").alias("v1")).withColumn(
+        "n1", norm(F.col("v1"), dim)
+    )
+    b = side.select(F.col("id").alias("id2"), F.col("v").alias("v2")).withColumn(
+        "n2", norm(F.col("v2"), dim)
+    )
     return (
-        a.join(b, F.col("id1") < F.col("id2"))
-        .withColumn("cosine_sim", F.round(cosine(F.col("v1"), F.col("v2")), 6))
+        cand.join(a, "id1")
+        .join(b, "id2")
+        .withColumn(
+            "cosine_sim",
+            F.round(dot(F.col("v1"), F.col("v2"), dim) / (F.col("n1") * F.col("n2")), 6),
+        )
         .filter(F.col("cosine_sim") >= threshold)
         .select("id1", "id2", "cosine_sim")
     )
@@ -72,6 +132,7 @@ def cosine_topk_bruteforce(
     id_col: str,
     vec_col: str,
     k: int = 5,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
@@ -84,7 +145,7 @@ def cosine_topk_bruteforce(
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine_sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn("cosine_sim", F.round(cosine(F.col("qv"), F.col("cv"), dim), 6))
         .select("query_id", "neighbor_id", "cosine_sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))

@@ -37,7 +37,9 @@ _COS_EXPR = (
 def sim_cosine_pairs(spark, sf_dir):
     # Exact near-dup pairs above 0.4 — the quadratic verifier.  At corpus
     # scale the same measure runs per-LSH-bucket (sim_srp_buckets below).
-    return S.cosine_pairs(T(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.4)
+    return S.cosine_pairs(
+        T(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.4, dim=64
+    )
 
 
 @query(
@@ -64,7 +66,7 @@ def sim_ann_topk(spark, sf_dir):
     # per-partition top-k below the shuffle (WindowGroupLimit).
     emb = T(spark, sf_dir, "embeddings")
     return S.cosine_topk_bruteforce(
-        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5, dim=64
     )
 
 
