@@ -1,0 +1,115 @@
+"""Unit tests for the SQLite→Spark dialect shim — one per SURVEY §2.B rewrite."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from trough_spark import dialect
+from trough_spark.dialect import QueryRejected
+
+
+def test_split_statements_string_safe():
+    stmts = dialect.split_statements(
+        "INSERT INTO t VALUES ('a;b');\n-- c;\nSELECT 1; /* x; */ SELECT 2"
+    )
+    assert len(stmts) == 3
+    assert stmts[0] == "INSERT INTO t VALUES ('a;b')"
+
+
+def test_select_gate_accepts_single_select():
+    assert dialect.assert_single_select("SELECT * FROM t") == "SELECT * FROM t"
+    assert dialect.assert_single_select("WITH x AS (SELECT 1) SELECT * FROM x")
+
+
+def test_select_gate_rejects_multi_and_nonselect():
+    # reference: tests/test_read.py:57-74
+    with pytest.raises(QueryRejected):
+        dialect.assert_single_select("SELECT 1; SELECT 2")
+    with pytest.raises(QueryRejected):
+        dialect.assert_single_select("DROP TABLE t")
+    with pytest.raises(QueryRejected):
+        dialect.assert_single_select("INSERT INTO t VALUES (1)")
+
+
+def test_write_gate():
+    # reference: tests/test_write.py:14-36
+    with pytest.raises(QueryRejected):
+        dialect.assert_write_allowed("")
+    with pytest.raises(QueryRejected):
+        dialect.assert_write_allowed("SELECT * FROM t")
+    assert len(dialect.assert_write_allowed("INSERT INTO t VALUES (1); DELETE FROM t")) == 2
+
+
+def test_like_becomes_ilike():
+    assert "ILIKE" in dialect.sqlite_to_spark("SELECT * FROM t WHERE a LIKE 'x%'")
+
+
+def test_glob_translation():
+    out = dialect.sqlite_to_spark("SELECT * FROM t WHERE a GLOB 'ab*c?'")
+    assert "RLIKE" in out and "^ab.*c.$" in out
+    assert dialect.glob_to_regex("a[0-9]b") == "^a[0-9]b$"
+
+
+def test_regexp_operator_and_function():
+    assert "RLIKE" in dialect.sqlite_to_spark("SELECT * FROM t WHERE a REGEXP 'x'")
+    out = dialect.sqlite_to_spark("SELECT * FROM t WHERE REGEXP('x', a)")
+    assert "RLIKE" in out  # function form: REGEXP(pattern, item) → item RLIKE pattern
+
+
+def test_seedcrawledstatus_expansion():
+    out = dialect.sqlite_to_spark("SELECT SEEDCRAWLEDSTATUS(code) FROM t")
+    assert "CASE WHEN" in out and "Redirected" in out and "blocked by robots" in out
+
+
+def test_group_concat_and_total():
+    out = dialect.sqlite_to_spark("SELECT group_concat(a), total(b) FROM t")
+    assert "concat_ws(',', collect_list(a))" in out
+    assert "coalesce(sum(CAST(b AS DOUBLE)), 0.0d)" in out
+    out2 = dialect.sqlite_to_spark("SELECT group_concat(a, '|') FROM t")
+    assert "concat_ws('|', collect_list(a))" in out2
+
+
+def test_datetime_family():
+    assert "current_timestamp()" in dialect.sqlite_to_spark("SELECT datetime('now')")
+    out = dialect.sqlite_to_spark("SELECT strftime('%Y-%m-%d', c) FROM t")
+    assert "date_format(CAST(c AS TIMESTAMP), 'yyyy-MM-dd')" in out
+    out = dialect.sqlite_to_spark("SELECT datetime(c, '+1 day') FROM t")
+    assert "INTERVAL +1 DAY" in out
+    assert "2440587.5" in dialect.sqlite_to_spark("SELECT julianday(c) FROM t")
+
+
+def test_scalar_min_max_and_trim():
+    out = dialect.sqlite_to_spark("SELECT min(a, b), max(a, b, c) FROM t")
+    assert "least(a, b)" in out and "greatest(a, b, c)" in out
+    # 1-arg stays an aggregate
+    assert "min(a)" in dialect.sqlite_to_spark("SELECT min(a) FROM t")
+    assert "trim(BOTH 'x' FROM a)" in dialect.sqlite_to_spark("SELECT trim(a, 'x') FROM t")
+
+
+def test_double_quoted_identifiers():
+    assert "`my col`" in dialect.sqlite_to_spark('SELECT "my col" FROM t')
+    assert "`br`" in dialect.sqlite_to_spark("SELECT [br] FROM t")
+
+
+def test_nested_function_rewrites():
+    out = dialect.sqlite_to_spark("SELECT ifnull(group_concat(a), printf('%d', 0)) FROM t")
+    assert "coalesce(concat_ws(',', collect_list(a)), format_string('%d', 0))" in out
+
+
+def test_sql_value_encoding():
+    # reference client.py:110-131 semantics
+    assert dialect.sql_value(None) == "null"
+    assert dialect.sql_value(True) == "1" and dialect.sql_value(False) == "0"
+    assert dialect.sql_value(5) == "5"
+    assert dialect.sql_value("o'brien") == "'o''brien'"
+    assert dialect.sql_value(dt.datetime(2024, 1, 2, 3, 4, 5)).startswith("timestamp'")
+    assert dialect.interpolate("SELECT * FROM t WHERE a = %s AND b = %s", ["x", 2]).endswith(
+        "a = 'x' AND b = 2"
+    )
+
+
+def test_isnull_notnull():
+    assert "IS NULL" in dialect.sqlite_to_spark("SELECT * FROM t WHERE a ISNULL")
+    assert "IS NOT NULL" in dialect.sqlite_to_spark("SELECT * FROM t WHERE a NOTNULL")

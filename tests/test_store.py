@@ -1,0 +1,167 @@
+"""SegmentStore lifecycle tests — the reference test suite's golden cases
+re-asserted against the Spark-native store (SURVEY §5, FIXTURES.md F1-F3, F6)."""
+
+from __future__ import annotations
+
+import pytest
+
+from trough_spark.dialect import QueryRejected
+from trough_spark.store import SegmentStore, parse_create_table, parse_schema_sql
+
+F1_DDL = "CREATE TABLE test (id INTEGER PRIMARY KEY AUTOINCREMENT, test varchar(4));"
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return SegmentStore(spark, str(tmp_path / "store"))
+
+
+def test_ddl_parsing_types_and_autoincrement():
+    ts = parse_create_table(
+        "CREATE TABLE t (id INTEGER PRIMARY KEY AUTOINCREMENT, name TEXT, "
+        "score REAL, blob_col BLOB, flag BOOLEAN, created DATETIME, "
+        "UNIQUE (name))"
+    )
+    types = dict((n, t.simpleString()) for n, t in ts.fields)
+    assert types == {
+        "id": "bigint",
+        "name": "string",
+        "score": "double",
+        "blob_col": "binary",
+        "flag": "boolean",
+        "created": "timestamp",
+    }
+    assert ts.autoincrement_col == "id"
+
+
+def test_schema_validation_rejects_garbage():
+    # reference: tests/wsgi/test_segment_manager.py:165-169
+    with pytest.raises(QueryRejected):
+        parse_schema_sql("bad", "create create table table blah blah blah")
+
+
+def test_schema_registry_crud(store):
+    # reference: segment_manager.py:54-114 + FIXTURES F3
+    assert store.list_schemas() == ["default"]
+    assert store.get_schema_sql("default") == ""
+    created = store.set_schema("schema1", "create table foo (bar varchar(100));")
+    assert created is True
+    assert store.set_schema("schema1", "create table foo (bar varchar(100));") is False
+    assert store.get_schema_sql("schema1") == "create table foo (bar varchar(100));"
+    with pytest.raises(QueryRejected):
+        store.set_schema("bad id!", "create table x (y text);")
+    assert store.get_schema_sql("nope") is None
+
+
+def test_f1_golden_roundtrip(store):
+    """The canonical reference fixture: empty read → [], one insert →
+    [{'id': 1, 'test': 'test'}] (reference tests/test_read.py:36,56)."""
+    store.set_schema("test1", F1_DDL)
+    store.provision("seg1", "test1")
+    assert store.read("seg1", "SELECT * FROM test") == []
+    store.write("seg1", "INSERT INTO test (test) VALUES ('test');")
+    assert store.read("seg1", "select * from test") == [{"id": 1, "test": "test"}]
+    # autoincrement continues
+    store.write("seg1", "INSERT INTO test (test) VALUES ('two');")
+    rows = store.read("seg1", "select * from test order by id")
+    assert rows == [{"id": 1, "test": "test"}, {"id": 2, "test": "two"}]
+
+
+def test_read_gate_and_write_gate(store):
+    store.set_schema("test1", F1_DDL)
+    store.provision("seg1", "test1")
+    with pytest.raises(QueryRejected):  # reference tests/test_read.py:57-74
+        store.read("seg1", "DROP TABLE test;")
+    with pytest.raises(QueryRejected):  # reference tests/test_write.py:24-36
+        store.write("seg1", "SELECT * FROM test;")
+    with pytest.raises(QueryRejected):
+        store.write("seg1", "")
+
+
+def test_f2_promotion_fixture(store):
+    # reference: tests/wsgi/test_segment_manager.py:279-322
+    store.set_schema("schema1", "create table foo (bar varchar(100));")
+    store.provision("promo", "schema1")
+    store.write("promo", "INSERT INTO foo (bar) VALUES ('testing segment promotion');")
+    assert store.read("promo", "select * from foo") == [{"bar": "testing segment promotion"}]
+    result = store.promote("promo")
+    assert result["segment"] == "promo" and result["remote_paths"]
+
+
+def test_parameter_binding(store):
+    store.set_schema("test1", F1_DDL)
+    store.provision("segp", "test1")
+    store.write("segp", "INSERT INTO test (test) VALUES ('o''x');")
+    rows = store.read("segp", "SELECT * FROM test WHERE test = %s", ["o'x"])
+    assert rows == [{"id": 1, "test": "o'x"}]
+
+
+def test_update_delete_partition_rewrite(store):
+    store.set_schema("s", "create table kv (k INTEGER, v TEXT);")
+    store.provision("seg_ud", "s")
+    store.write("seg_ud", "INSERT INTO kv (k, v) VALUES (1, 'a'), (2, 'b'), (3, 'c');")
+    store.write("seg_ud", "UPDATE kv SET v = 'B' WHERE k = 2;")
+    store.write("seg_ud", "DELETE FROM kv WHERE k = 3;")
+    rows = store.read("seg_ud", "SELECT * FROM kv ORDER BY k")
+    assert rows == [{"k": 1, "v": "a"}, {"k": 2, "v": "B"}]
+
+
+def test_write_path_ddl(store):
+    store.provision("seg_ddl", "default")
+    store.write("seg_ddl", "CREATE TABLE extra (x INTEGER); INSERT INTO extra (x) VALUES (7);")
+    assert store.read("seg_ddl", "SELECT * FROM extra") == [{"x": 7}]
+    store.write("seg_ddl", "DROP TABLE extra;")
+    with pytest.raises(Exception):
+        store.read("seg_ddl", "SELECT * FROM extra")
+
+
+def test_multi_segment_isolation_and_fanout(store):
+    # FIXTURES F6: same schema, many segments; fan-out = one Spark query
+    store.set_schema("s", "create table kv (k INTEGER, v TEXT);")
+    for i in range(4):
+        store.provision(f"seg{i:02d}", "s")
+        store.write(f"seg{i:02d}", f"INSERT INTO kv (k, v) VALUES ({i}, 'v{i}');")
+    # per-segment isolation
+    assert store.read("seg02", "SELECT * FROM kv") == [{"k": 2, "v": "v2"}]
+    # regex lookup (A13)
+    assert store.segments_matching(r"seg0[12]") == ["seg01", "seg02"]
+    # fan-out with global merge (A12 upgrade)
+    df = store.read_many_df(r"seg0\d", "SELECT segment_id, k FROM kv ORDER BY k")
+    rows = [r.asDict() for r in df.collect()]
+    assert [r["k"] for r in rows] == [0, 1, 2, 3]
+    agg = store.read_many_df(r"seg0\d", "SELECT count(*) AS n, sum(k) AS s FROM kv").collect()
+    assert agg[0]["n"] == 4 and agg[0]["s"] == 6
+
+
+def test_delete_segment(store):
+    store.set_schema("s", "create table kv (k INTEGER);")
+    store.provision("seg_del", "s")
+    store.write("seg_del", "INSERT INTO kv (k) VALUES (1);")
+    store.delete_segment("seg_del")
+    assert "seg_del" not in store.list_segments()
+    with pytest.raises(KeyError):
+        store.read("seg_del", "SELECT * FROM kv")
+
+
+def test_seed_statements_replayed_on_provision(store):
+    # reference: schema with DDL + seed INSERT (tests/wsgi:65-66)
+    store.set_schema("seeded", F1_DDL + "INSERT INTO test (test) VALUES ('test');")
+    store.provision("seg_seed", "seeded")
+    assert store.read("seg_seed", "SELECT * FROM test") == [{"id": 1, "test": "test"}]
+    # provision is idempotent: no double seeding
+    store.provision("seg_seed", "seeded")
+    assert len(store.read("seg_seed", "SELECT * FROM test")) == 1
+
+
+def test_sqlite_dialect_on_read_path(store):
+    store.set_schema("s", "create table kv (k INTEGER, v TEXT);")
+    store.provision("seg_dialect", "s")
+    store.write("seg_dialect", "INSERT INTO kv (k, v) VALUES (1, 'Apple'), (2, 'banana');")
+    # LIKE is case-insensitive in SQLite
+    rows = store.read("seg_dialect", "SELECT k FROM kv WHERE v LIKE 'APPLE'")
+    assert rows == [{"k": 1}]
+    # GLOB is case-sensitive
+    assert store.read("seg_dialect", "SELECT k FROM kv WHERE v GLOB 'ban*'") == [{"k": 2}]
+    # group_concat
+    rows = store.read("seg_dialect", "SELECT group_concat(v) AS vs FROM kv")
+    assert rows[0]["vs"] in ("Apple,banana", "banana,Apple")

@@ -1,0 +1,477 @@
+"""SQLite → Spark SQL dialect shim (SURVEY.md §7.2 step 3).
+
+The reference passes raw SQL strings to the embedded SQLite library
+(reference: trough/read.py:66, trough/write.py:40), so its per-shard query
+language IS the SQLite dialect.  This module makes Spark SQL accept that
+dialect: a lightweight tokenizer plus token-level rewrites.  No sqlglot /
+sqlparse in the environment — the tokenizer below covers SQL lexical
+structure (strings, quoted identifiers, comments, parens) which is all the
+rewrites need; full parsing stays where it belongs, in Catalyst.
+
+Covered rewrites (SURVEY.md §2.B):
+- A1 SELECT gate (single statement, SELECT/VALUES/WITH only) — read.py:54-67
+- LIKE → ILIKE (SQLite LIKE is ASCII-case-insensitive)
+- GLOB 'pat' → RLIKE anchored-regex translation
+- REGEXP operator passthrough → RLIKE (same operand order)
+- function-call rewrites: the reference's three registered functions inlined
+  natively, group_concat, total, ifnull-family, datetime/strftime/julianday,
+  printf, quote, char/unicode, zeroblob, scalar min/max → least/greatest,
+  2-arg trim family, random()
+- double-quoted identifiers → backticks
+- A10 literal encoder (client.py:110-131) + A11 printf-style templating
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import re
+
+from trough_spark.functions import SQL_EXPANSIONS
+
+# ---------------------------------------------------------------------------
+# tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+      (?P<space>\s+)
+    | (?P<comment>--[^\n]*|/\*.*?\*/)
+    | (?P<string>'(?:[^']|'')*')
+    | (?P<dquote>"(?:[^"]|"")*")
+    | (?P<bquote>`(?:[^`]|``)*`)
+    | (?P<bracket>\[[^\]]*\])
+    | (?P<number>\d+\.?\d*(?:[eE][+-]?\d+)?|\.\d+)
+    | (?P<param>\?|:\w+|%s)
+    | (?P<word>[A-Za-z_][A-Za-z_0-9$]*)
+    | (?P<op><=|>=|<>|!=|\|\||==|[-+*/%<>=(),.;&|~])
+    """,
+    re.VERBOSE | re.DOTALL,
+)
+
+
+class Token:
+    __slots__ = ("kind", "text")
+
+    def __init__(self, kind: str, text: str):
+        self.kind = kind
+        self.text = text
+
+    def __repr__(self):  # pragma: no cover
+        return f"Token({self.kind!r}, {self.text!r})"
+
+
+def tokenize(sql: str) -> list[Token]:
+    out: list[Token] = []
+    pos = 0
+    while pos < len(sql):
+        m = _TOKEN_RE.match(sql, pos)
+        if not m:
+            # unknown char: keep as op so round-tripping never loses text
+            out.append(Token("op", sql[pos]))
+            pos += 1
+            continue
+        kind = m.lastgroup or "op"
+        out.append(Token(kind, m.group()))
+        pos = m.end()
+    return out
+
+
+def render(tokens: list[Token]) -> str:
+    return "".join(t.text for t in tokens)
+
+
+def _significant(tokens: list[Token]):
+    """Indices of non-space/comment tokens."""
+    return [i for i, t in enumerate(tokens) if t.kind not in ("space", "comment")]
+
+
+# ---------------------------------------------------------------------------
+# statement splitting & classification
+# ---------------------------------------------------------------------------
+
+
+def split_statements(script: str) -> list[str]:
+    """Split a SQL script on top-level semicolons (string/comment-safe)."""
+    tokens = tokenize(script)
+    stmts: list[str] = []
+    cur: list[Token] = []
+    for t in tokens:
+        if t.kind == "op" and t.text == ";":
+            text = render(cur).strip()
+            if text:
+                stmts.append(text)
+            cur = []
+        else:
+            cur.append(t)
+    text = render(cur).strip()
+    if text:
+        stmts.append(text)
+    return stmts
+
+
+def statement_type(sql: str) -> str:
+    """First significant keyword, uppercased ('' when blank)."""
+    for t in tokenize(sql):
+        if t.kind == "word":
+            return t.text.upper()
+        if t.kind not in ("space", "comment"):
+            return ""
+    return ""
+
+
+class QueryRejected(ValueError):
+    """Raised by the gates — mirrors the reference's read/write refusals
+    (trough/read.py:58-62, trough/write.py:27-37)."""
+
+
+def assert_single_select(sql: str) -> str:
+    """A1: the read path accepts exactly one SELECT-ish statement
+    (reference: trough/read.py:54-62)."""
+    stmts = split_statements(sql)
+    if len(stmts) != 1:
+        raise QueryRejected(
+            "QUERY REJECTED: exactly one query per request, please (reference read.py:59)"
+        )
+    if statement_type(stmts[0]) not in ("SELECT", "WITH", "VALUES"):
+        raise QueryRejected(
+            "QUERY REJECTED: only SELECT queries are allowed on the read path "
+            "(reference read.py:61)"
+        )
+    return stmts[0]
+
+
+def assert_write_allowed(script: str) -> list[str]:
+    """Write-path gate (reference: trough/write.py:27-37): empty scripts and
+    SELECT statements are refused."""
+    stmts = split_statements(script)
+    if not stmts:
+        raise QueryRejected("QUERY REJECTED: empty script (reference write.py:28)")
+    for s in stmts:
+        if statement_type(s) == "SELECT":
+            raise QueryRejected(
+                "QUERY REJECTED: cannot write SELECT statements (reference write.py:33)"
+            )
+    return stmts
+
+
+# ---------------------------------------------------------------------------
+# GLOB → regex
+# ---------------------------------------------------------------------------
+
+
+def glob_to_regex(pattern: str) -> str:
+    """Translate a SQLite GLOB pattern into an anchored Java regex."""
+    out = ["^"]
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        elif ch == "[":
+            j = pattern.find("]", i + 1)
+            if j == -1:
+                out.append(re.escape(ch))
+            else:
+                body = pattern[i + 1 : j]
+                if body.startswith("^"):
+                    body = "^" + body[1:]
+                out.append("[" + body + "]")
+                i = j
+        else:
+            out.append(re.escape(ch))
+        i += 1
+    out.append("$")
+    return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# strftime format translation
+# ---------------------------------------------------------------------------
+
+_STRFTIME_MAP = {
+    "%Y": "yyyy",
+    "%m": "MM",
+    "%d": "dd",
+    "%H": "HH",
+    "%M": "mm",
+    "%S": "ss",
+    "%f": "ss.SSS",
+    "%j": "DDD",
+    "%%": "%",
+}
+
+
+def strftime_format_to_spark(fmt: str) -> str:
+    out = []
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            token = fmt[i : i + 2]
+            if token in _STRFTIME_MAP:
+                out.append(_STRFTIME_MAP[token])
+                i += 2
+                continue
+        out.append(fmt[i])
+        i += 1
+    return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# function-call rewrites
+# ---------------------------------------------------------------------------
+
+
+def _fn_strftime(args: list[str]) -> str:
+    fmt = args[0].strip()
+    rest = args[1] if len(args) > 1 else "current_timestamp()"
+    if fmt.startswith("'") and fmt.endswith("'"):
+        inner = fmt[1:-1]
+        if inner == "%s":
+            return f"CAST(unix_timestamp(CAST({rest} AS TIMESTAMP)) AS STRING)"
+        if inner == "%w":
+            return f"CAST(dayofweek(CAST({rest} AS TIMESTAMP)) - 1 AS STRING)"
+        return f"date_format(CAST({rest} AS TIMESTAMP), '{strftime_format_to_spark(inner)}')"
+    # non-literal format: can't translate statically
+    return f"date_format(CAST({rest} AS TIMESTAMP), {fmt})"
+
+
+def _fn_datetime(args: list[str]) -> str:
+    if len(args) == 1 and args[0].strip().lower() in ("'now'", "current_timestamp"):
+        return "current_timestamp()"
+    base = f"CAST({args[0]} AS TIMESTAMP)"
+    for mod in args[1:]:
+        m = mod.strip().lower().strip("'")
+        mm = re.match(r"([+-]?\d+)\s+(second|minute|hour|day|month|year)s?", m)
+        if mm:
+            base = f"({base} + INTERVAL {mm.group(1)} {mm.group(2).upper()})"
+        elif m == "start of day":
+            base = f"date_trunc('DAY', {base})"
+        elif m == "start of month":
+            base = f"date_trunc('MONTH', {base})"
+        elif m == "start of year":
+            base = f"date_trunc('YEAR', {base})"
+        elif m == "localtime" or m == "utc":
+            pass  # engine runs in UTC; localtime is a deployment concern
+    return base
+
+
+def _fn_glob(args: list[str]) -> str:
+    # SQLite glob(pattern, item); translate literal patterns to regex
+    pat = args[0].strip()
+    if pat.startswith("'") and pat.endswith("'"):
+        rx = glob_to_regex(pat[1:-1].replace("''", "'")).replace("'", "''").replace("\\", "\\\\")
+        return f"({args[1]} RLIKE '{rx}')"
+    return f"({args[1]} RLIKE {pat})"
+
+
+_FN_REWRITES: dict[str, object] = {
+    **SQL_EXPANSIONS,
+    "group_concat": lambda a: (
+        f"concat_ws({a[1] if len(a) > 1 else chr(39) + ',' + chr(39)}, collect_list({a[0]}))"
+    ),
+    "total": lambda a: f"coalesce(sum(CAST({a[0]} AS DOUBLE)), 0.0d)",
+    "printf": lambda a: f"format_string({', '.join(a)})",
+    "quote": lambda a: f"concat('\\'', replace(CAST({a[0]} AS STRING), '\\'', '\\'\\''), '\\'')",
+    "zeroblob": lambda a: f"unhex(repeat('00', {a[0]}))",
+    "char": lambda a: "concat(" + ", ".join(f"chr({x})" for x in a) + ")",
+    "unicode": lambda a: f"ascii({a[0]})",
+    "random": lambda a: "CAST((rand() - 0.5) * 18446744073709551616 AS BIGINT)",
+    "randomblob": lambda a: f"unhex(repeat('00', {a[0]}))",  # deterministic stub, documented
+    "likelihood": lambda a: f"({a[0]})",
+    "likely": lambda a: f"({a[0]})",
+    "unlikely": lambda a: f"({a[0]})",
+    "min": lambda a: f"least({', '.join(a)})" if len(a) > 1 else None,
+    "max": lambda a: f"greatest({', '.join(a)})" if len(a) > 1 else None,
+    "trim": lambda a: f"trim(BOTH {a[1]} FROM {a[0]})" if len(a) > 1 else None,
+    "ltrim": lambda a: f"trim(LEADING {a[1]} FROM {a[0]})" if len(a) > 1 else None,
+    "rtrim": lambda a: f"trim(TRAILING {a[1]} FROM {a[0]})" if len(a) > 1 else None,
+    "substr": lambda a: f"substr({', '.join(a)})",
+    "julianday": lambda a: (
+        f"(unix_micros(CAST({a[0]} AS TIMESTAMP)) / 86400000000.0d + 2440587.5d)"
+    ),
+    "date": lambda a: f"to_date(CAST({a[0]} AS TIMESTAMP))" if a and a[0].strip().lower() != "'now'" else "current_date()",
+    "time": lambda a: (
+        f"date_format(CAST({a[0]} AS TIMESTAMP), 'HH:mm:ss')"
+        if a and a[0].strip().lower() != "'now'"
+        else "date_format(current_timestamp(), 'HH:mm:ss')"
+    ),
+    "datetime": _fn_datetime,
+    "strftime": _fn_strftime,
+    "ifnull": lambda a: f"coalesce({', '.join(a)})",
+    "json_extract": lambda a: f"get_json_object({a[0]}, {a[1]})",
+    "json_array_length": lambda a: f"size(from_json({a[0]}, 'array<string>'))",
+    "glob": _fn_glob,
+    "instr": lambda a: f"instr({', '.join(a)})",
+    "typeof": lambda a: (
+        f"(CASE typeof({a[0]}) "
+        "WHEN 'tinyint' THEN 'integer' WHEN 'smallint' THEN 'integer' "
+        "WHEN 'int' THEN 'integer' WHEN 'bigint' THEN 'integer' "
+        "WHEN 'float' THEN 'real' WHEN 'double' THEN 'real' "
+        "WHEN 'string' THEN 'text' WHEN 'binary' THEN 'blob' "
+        f"WHEN 'void' THEN 'null' ELSE typeof({a[0]}) END)"
+    ),
+}
+
+
+def _find_call_args(tokens: list[Token], open_idx: int) -> tuple[list[list[Token]], int]:
+    """Given index of '(' token, return top-level comma-separated arg token
+    lists and the index of the matching ')'."""
+    depth = 0
+    args: list[list[Token]] = []
+    cur: list[Token] = []
+    i = open_idx
+    while i < len(tokens):
+        t = tokens[i]
+        if t.kind == "op" and t.text == "(":
+            depth += 1
+            if depth > 1:
+                cur.append(t)
+        elif t.kind == "op" and t.text == ")":
+            depth -= 1
+            if depth == 0:
+                if cur or args:
+                    args.append(cur)
+                return args, i
+            cur.append(t)
+        elif t.kind == "op" and t.text == "," and depth == 1:
+            args.append(cur)
+            cur = []
+        else:
+            cur.append(t)
+        i += 1
+    raise QueryRejected("unbalanced parentheses in SQL")
+
+
+def _rewrite_functions(sql: str) -> str:
+    """Innermost-first rewrite of registered function calls."""
+    changed = True
+    guard = 0
+    while changed and guard < 1000:
+        guard += 1
+        changed = False
+        tokens = tokenize(sql)
+        sig = _significant(tokens)
+        for si, ti in enumerate(sig):
+            t = tokens[ti]
+            if t.kind != "word":
+                continue
+            fn = t.text.lower()
+            if fn not in _FN_REWRITES:
+                continue
+            # must be a call: next significant token is '('
+            if si + 1 >= len(sig):
+                continue
+            nxt = tokens[sig[si + 1]]
+            if not (nxt.kind == "op" and nxt.text == "("):
+                continue
+            args_tokens, close_idx = _find_call_args(tokens, sig[si + 1])
+            arg_strs = [render(a).strip() for a in args_tokens]
+            # skip if any arg still contains a rewritable call (innermost first)
+            inner = False
+            for a in args_tokens:
+                for at in a:
+                    if at.kind == "word" and at.text.lower() in _FN_REWRITES:
+                        inner = True
+            if inner:
+                continue
+            rewriter = _FN_REWRITES[fn]
+            replacement = rewriter(arg_strs)  # type: ignore[operator]
+            if replacement is None:
+                continue
+            sql = render(tokens[:ti]) + replacement + render(tokens[close_idx + 1 :])
+            changed = True
+            break
+    return sql
+
+
+# ---------------------------------------------------------------------------
+# operator-level rewrites (LIKE, GLOB, REGEXP, double quotes)
+# ---------------------------------------------------------------------------
+
+
+def _rewrite_operators(sql: str) -> str:
+    tokens = tokenize(sql)
+    out: list[Token] = []
+    sig = _significant(tokens)
+    sigset = {i: n for n, i in enumerate(sig)}
+    for i, t in enumerate(tokens):
+        if t.kind == "dquote":
+            # SQLite double-quoted identifier → Spark backtick identifier
+            inner = t.text[1:-1].replace('""', '"').replace("`", "``")
+            out.append(Token("bquote", f"`{inner}`"))
+            continue
+        if t.kind == "bracket":
+            inner = t.text[1:-1].replace("`", "``")
+            out.append(Token("bquote", f"`{inner}`"))
+            continue
+        if t.kind == "word":
+            up = t.text.upper()
+            if up == "LIKE":
+                out.append(Token("word", "ILIKE"))
+                continue
+            if up == "REGEXP":
+                out.append(Token("word", "RLIKE"))
+                continue
+            if up == "GLOB":
+                # x GLOB 'pat' → x RLIKE '<regex>' when pattern is a literal
+                n = sigset.get(i)
+                if n is not None and n + 1 < len(sig):
+                    pat_tok = tokens[sig[n + 1]]
+                    if pat_tok.kind == "string":
+                        pat = pat_tok.text[1:-1].replace("''", "'")
+                        regex = glob_to_regex(pat).replace("'", "''").replace("\\", "\\\\")
+                        pat_tok.kind = "string"
+                        pat_tok.text = f"'{regex}'"
+                        out.append(Token("word", "RLIKE"))
+                        continue
+                out.append(Token("word", "RLIKE"))
+                continue
+            if up == "ISNULL":
+                out.append(Token("word", "IS NULL"))
+                continue
+            if up == "NOTNULL":
+                out.append(Token("word", "IS NOT NULL"))
+                continue
+            if up == "AUTOINCREMENT":
+                out.append(Token("comment", "/*autoincrement*/"))
+                continue
+        out.append(t)
+    return render(out)
+
+
+def sqlite_to_spark(sql: str) -> str:
+    """Translate one SQLite SELECT (or expression-bearing statement) into
+    Spark SQL."""
+    return _rewrite_functions(_rewrite_operators(sql))
+
+
+# ---------------------------------------------------------------------------
+# A10/A11: literal encoding + printf templating (reference client.py:110-131)
+# ---------------------------------------------------------------------------
+
+
+def sql_value(x) -> str:
+    if x is None:
+        return "null"
+    if isinstance(x, bool):  # before int: bool is an int subclass
+        return "1" if x else "0"
+    if isinstance(x, _dt.datetime):
+        return f"timestamp'{x.isoformat(sep=' ')}'"
+    if isinstance(x, _dt.date):
+        return f"date'{x.isoformat()}'"
+    if isinstance(x, (int, float)):
+        return str(x)
+    if isinstance(x, bytes):
+        return f"X'{x.hex()}'"
+    if isinstance(x, str):
+        return "'%s'" % x.replace("'", "''")
+    raise ValueError(f"don't know how to make an sql value from {x!r} ({type(x)})")
+
+
+def interpolate(sql_tmpl: str, values=()) -> str:
+    """printf-style parameter binding, reference client.py:239,261."""
+    if not values:
+        return sql_tmpl
+    return sql_tmpl % tuple(sql_value(v) for v in values)

@@ -1,0 +1,676 @@
+"""SegmentStore — trough's data lifecycle on partitioned Parquet.
+
+Reference model: a segment is one SQLite file, provisioned from a registered
+DDL schema, written via SQL scripts, promoted to HDFS, queried one segment per
+request (reference: trough/sync.py:179-253, trough/write.py:23-44,
+trough/read.py:54-94).
+
+Spark-first model (SURVEY.md §7.1): every schema table is stored at
+``root/tables/<table>/segment_id=<seg>/*.parquet`` — a Hive-partitioned
+layout, so:
+
+- a per-segment read is a statically pruned single-directory scan (the same
+  worst-case-bounded-latency argument as the reference, README.rst:16-31);
+- a regex fan-out is ONE Spark query over the matching partitions, with real
+  cross-segment merge (upgrade over the reference's scatter-only shell);
+- a write script is one atomic commit per statement batch (Spark's file
+  commit protocol replaces the reference's ``._COPYING_`` + rename dance,
+  sync.py:1130-1146);
+- promotion is a no-op that reports the durable path — data is already on
+  the cluster FS at commit (the whole stale-sync/promotion machinery of
+  sync.py collapses, SURVEY.md §4.3).
+
+Deliberately NOT ported: RethinkDB registry, heartbeats, elections, write
+locks, consistent-hash assignment, GC (SURVEY.md §4.3) — Spark + the cluster
+filesystem provide those invariants.
+
+Concurrency: one writer per segment, matching the reference's write-lock
+semantics (trough/write.py:55-57) — enforced here by construction (the
+engine is driver-coordinated) rather than by a lock table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, Row, SparkSession
+
+from trough_spark import dialect
+from trough_spark.dialect import QueryRejected
+
+# ---------------------------------------------------------------------------
+# SQLite DDL → Spark schema (type affinity, reference model SURVEY §1.2)
+# ---------------------------------------------------------------------------
+
+_AFFINITY = (
+    ("INT", T.LongType()),
+    ("CHAR", T.StringType()),
+    ("CLOB", T.StringType()),
+    ("TEXT", T.StringType()),
+    ("BLOB", T.BinaryType()),
+    ("REAL", T.DoubleType()),
+    ("FLOA", T.DoubleType()),
+    ("DOUB", T.DoubleType()),
+    ("BOOL", T.BooleanType()),
+    ("DATETIME", T.TimestampType()),
+    ("DATE", T.DateType()),
+    ("TIMESTAMP", T.TimestampType()),
+    ("DECIMAL", T.DoubleType()),
+    ("NUMERIC", T.DoubleType()),
+)
+
+
+def sqlite_type_to_spark(decl: str) -> T.DataType:
+    u = decl.upper()
+    # order matters: DATETIME before DATE, INT wins per SQLite affinity rule 1
+    for key, typ in (("DATETIME", T.TimestampType()), ("TIMESTAMP", T.TimestampType())):
+        if key in u:
+            return typ
+    for key, typ in _AFFINITY:
+        if key in u:
+            return typ
+    if not u.strip():
+        return T.StringType()
+    return T.StringType()  # SQLite: anything else has, effectively, no affinity
+
+
+@dataclass
+class TableSchema:
+    name: str
+    fields: list[tuple[str, T.DataType]]
+    autoincrement_col: str | None = None
+
+    def struct(self) -> T.StructType:
+        return T.StructType([T.StructField(n, t, True) for n, t in self.fields])
+
+
+@dataclass
+class Schema:
+    """A named schema: raw SQL text + parsed tables, mirroring the reference's
+    schema registry entries {id, sql} (trough/sync.py:152-164)."""
+
+    id: str
+    sql: str
+    tables: dict[str, TableSchema] = field(default_factory=dict)
+    seed_statements: list[str] = field(default_factory=list)
+
+
+_CREATE_RE = re.compile(
+    r"^\s*CREATE\s+(?:TEMP(?:ORARY)?\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<name>[\w\"\[\]`]+)\s*\(",
+    re.IGNORECASE,
+)
+
+_CONSTRAINT_WORDS = ("PRIMARY", "UNIQUE", "CHECK", "FOREIGN", "CONSTRAINT")
+
+
+def _unquote(ident: str) -> str:
+    ident = ident.strip()
+    if ident[:1] in "\"'`[":
+        return ident[1:-1]
+    return ident
+
+
+def parse_create_table(stmt: str) -> TableSchema:
+    m = _CREATE_RE.match(stmt)
+    if not m:
+        raise QueryRejected(f"not a CREATE TABLE statement: {stmt[:80]!r}")
+    name = _unquote(m.group("name"))
+    open_idx = stmt.index("(", m.end() - 1)
+    tokens = dialect.tokenize(stmt)
+    # find the token index of that '('
+    pos = 0
+    open_tok = None
+    for i, t in enumerate(tokens):
+        if pos <= open_idx < pos + len(t.text) and t.kind == "op" and t.text == "(":
+            open_tok = i
+            break
+        pos += len(t.text)
+    assert open_tok is not None
+    coldefs, _ = dialect._find_call_args(tokens, open_tok)
+    fields: list[tuple[str, T.DataType]] = []
+    auto_col = None
+    for coldef in coldefs:
+        sig = [t for t in coldef if t.kind not in ("space", "comment")]
+        if not sig:
+            continue
+        first = sig[0]
+        if first.kind == "word" and first.text.upper() in _CONSTRAINT_WORDS:
+            continue  # table-level constraint
+        col = _unquote(first.text)
+        decl = dialect.render(coldef[1:]) if len(coldef) > 1 else ""
+        decl_u = decl.upper()
+        typ = sqlite_type_to_spark(decl.split("PRIMARY")[0] if "PRIMARY" in decl_u else decl)
+        if "AUTOINCREMENT" in decl_u or (
+            "INTEGER" in decl_u and "PRIMARY" in decl_u and "KEY" in decl_u
+        ):
+            auto_col = col
+            typ = T.LongType()
+        fields.append((col, typ))
+    return TableSchema(name=name, fields=fields, autoincrement_col=auto_col)
+
+
+def parse_schema_sql(schema_id: str, sql: str) -> Schema:
+    """Parse a registered schema's DDL script: CREATE TABLE statements define
+    tables; other DML (seed INSERTs, reference tests/wsgi:65-66) is kept and
+    replayed at provision time.  Raises QueryRejected on invalid DDL —
+    replacing the reference's validate-by-executing-in-:memory:-SQLite
+    (trough/sync.py:749-756)."""
+    schema = Schema(id=schema_id, sql=sql)
+    for stmt in dialect.split_statements(sql):
+        kind = dialect.statement_type(stmt)
+        if kind == "CREATE":
+            up = stmt.upper()
+            if re.search(r"\bTABLE\b", up):
+                ts = parse_create_table(stmt)
+                schema.tables[ts.name] = ts
+            elif re.search(r"\bINDEX\b|\bTRIGGER\b|\bVIEW\b", up):
+                # indexes are a no-op (Parquet stats + pruning replace them);
+                # views/triggers recorded but not yet materialized
+                schema.seed_statements.append(stmt)
+            else:
+                raise QueryRejected(f"invalid schema sql: {stmt[:80]!r}")
+        elif kind in ("INSERT", "UPDATE", "DELETE"):
+            schema.seed_statements.append(stmt)
+        elif kind == "":
+            continue
+        else:
+            raise QueryRejected(f"invalid schema sql statement type {kind}: {stmt[:80]!r}")
+    return schema
+
+
+# ---------------------------------------------------------------------------
+# the store
+# ---------------------------------------------------------------------------
+
+_DEFAULT_SCHEMA = Schema(id="default", sql="")
+
+
+class SegmentStore:
+    """Segment lifecycle + query routing over partitioned Parquet.
+
+    API mirrors the reference's segment-manager + read/write services
+    (trough/wsgi/segment_manager.py:8-130, read.py, write.py).
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        os.makedirs(f"{self.root}/tables", exist_ok=True)
+        self._registry_path = f"{self.root}/_meta.json"
+        self._meta = self._load_meta()
+        # per-(segment, table) auto-increment high-water marks, lazily
+        # initialized from storage (segments are small by design)
+        self._hwm: dict[tuple[str, str], int] = {}
+
+    # -- metadata ----------------------------------------------------------
+
+    def _load_meta(self) -> dict:
+        if os.path.exists(self._registry_path):
+            with open(self._registry_path) as f:
+                return json.load(f)
+        return {"schemas": {"default": ""}, "segments": {}}
+
+    def _save_meta(self) -> None:
+        tmp = self._registry_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._meta, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._registry_path)  # atomic, like the reference's
+        # _COPYING_ + mv publish (sync.py:1130-1146)
+
+    # -- schema registry (A26; wsgi/segment_manager.py:54-114) --------------
+
+    def list_schemas(self) -> list[str]:
+        return sorted(self._meta["schemas"])
+
+    def get_schema_sql(self, schema_id: str) -> str | None:
+        return self._meta["schemas"].get(schema_id)
+
+    def set_schema(self, schema_id: str, sql: str) -> bool:
+        """Register/replace a named schema.  Returns True if created, False
+        if updated.  Raises QueryRejected on invalid id or SQL (the
+        reference's 400 contract, segment_manager.py:70-101)."""
+        if not re.fullmatch(r"[a-zA-Z0-9_-]+", schema_id):
+            raise QueryRejected(
+                "schema id must match ^[a-zA-Z0-9_-]+$ (reference segment_manager.py:77)"
+            )
+        parse_schema_sql(schema_id, sql)  # validation
+        created = schema_id not in self._meta["schemas"]
+        self._meta["schemas"][schema_id] = sql
+        self._save_meta()
+        return created
+
+    def schema(self, schema_id: str) -> Schema:
+        sql = self.get_schema_sql(schema_id)
+        if sql is None:
+            raise KeyError(f"no such schema {schema_id!r}")
+        return parse_schema_sql(schema_id, sql)
+
+    # -- segments ----------------------------------------------------------
+
+    def list_segments(self) -> list[str]:
+        return sorted(self._meta["segments"])
+
+    def readable_segments(self) -> list[dict]:
+        return [
+            {"segment": seg, "schema": info["schema"]}
+            for seg, info in sorted(self._meta["segments"].items())
+        ]
+
+    def segments_matching(self, regex: str) -> list[str]:
+        """A13: regex segment lookup (reference client.py:171-188)."""
+        pat = re.compile(regex)
+        return [s for s in self.list_segments() if pat.search(s)]
+
+    def provision(self, segment_id: str, schema_id: str = "default") -> dict:
+        """Create-or-get a writable segment (A21; reference
+        sync.py:673-725,1049-1110 minus all node/lock choreography)."""
+        schema = self.schema(schema_id)
+        existing = self._meta["segments"].get(segment_id)
+        if existing is None:
+            self._meta["segments"][segment_id] = {
+                "schema": schema_id,
+                "tables": sorted(schema.tables),
+            }
+            self._save_meta()
+            if schema.seed_statements:
+                self.write(segment_id, ";\n".join(schema.seed_statements))
+        return {
+            "segment": segment_id,
+            "schema": schema_id,
+            "write_url": f"trough-spark://{self.root}#{segment_id}",
+        }
+
+    def _segment_info(self, segment_id: str) -> dict:
+        info = self._meta["segments"].get(segment_id)
+        if info is None:
+            raise KeyError(f"segment {segment_id!r} not provisioned")
+        return info
+
+    def _table_path(self, table: str) -> str:
+        return f"{self.root}/tables/{table}"
+
+    def _partition_path(self, table: str, segment_id: str) -> str:
+        return f"{self._table_path(table)}/segment_id={segment_id}"
+
+    def _table_schema(self, segment_id: str, table: str) -> TableSchema:
+        info = self._segment_info(segment_id)
+        schema = self.schema(info["schema"])
+        # tables created later via write-path DDL live in the segment info
+        if table in schema.tables:
+            return schema.tables[table]
+        extra = info.get("extra_tables", {})
+        if table in extra:
+            return _tableschema_from_json(extra[table])
+        raise KeyError(f"no table {table!r} in segment {segment_id!r}")
+
+    def _segment_tables(self, segment_id: str) -> list[str]:
+        info = self._segment_info(segment_id)
+        return sorted(set(info.get("tables", [])) | set(info.get("extra_tables", {})))
+
+    # -- write path (A5; reference write.py:23-44) ---------------------------
+
+    def write(self, segment_id: str, sql_script: str) -> None:
+        """Execute a SQL script against one segment.
+
+        INSERTs are batched per table and committed as ONE append per table
+        (the statement batch ≡ the reference's one-transaction-per-POST,
+        write.py:39); UPDATE/DELETE rewrite the single affected partition —
+        faithful to the reference's file-grained mutation model
+        (SURVEY.md §2.B16)."""
+        stmts = dialect.assert_write_allowed(sql_script)
+        self._segment_info(segment_id)
+        pending: dict[str, list[Row]] = {}
+        for stmt in stmts:
+            kind = dialect.statement_type(stmt)
+            if kind == "INSERT":
+                table, rows = self._parse_insert(segment_id, stmt)
+                pending.setdefault(table, []).extend(rows)
+            elif kind in ("UPDATE", "DELETE"):
+                self._flush_inserts(segment_id, pending)
+                self._rewrite_partition(segment_id, stmt, kind)
+            elif kind == "CREATE":
+                self._flush_inserts(segment_id, pending)
+                self._write_path_create(segment_id, stmt)
+            elif kind == "DROP":
+                self._flush_inserts(segment_id, pending)
+                self._write_path_drop(segment_id, stmt)
+            elif kind in ("BEGIN", "COMMIT", "END", "PRAGMA", "VACUUM", "ANALYZE"):
+                continue  # transaction framing is implicit; pragmas are no-ops
+            else:
+                raise QueryRejected(f"unsupported write statement: {stmt[:80]!r}")
+        self._flush_inserts(segment_id, pending)
+
+    def _parse_insert(self, segment_id: str, stmt: str) -> tuple[str, list[Row]]:
+        m = re.match(
+            r"^\s*INSERT\s+(?:OR\s+(?:REPLACE|IGNORE)\s+)?INTO\s+(?P<name>[\w\"\[\]`]+)"
+            r"\s*(?:\((?P<cols>[^)]*)\))?\s*VALUES\s*(?P<rest>.+)$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise QueryRejected(f"unsupported INSERT form: {stmt[:80]!r}")
+        table = _unquote(m.group("name"))
+        ts = self._table_schema(segment_id, table)
+        declared = [n for n, _ in ts.fields]
+        cols = (
+            [_unquote(c) for c in m.group("cols").split(",")] if m.group("cols") else declared
+        )
+        tuples = self._parse_values(m.group("rest"))
+        rows = []
+        for tup in tuples:
+            if len(tup) != len(cols):
+                raise QueryRejected(
+                    f"INSERT arity mismatch: {len(tup)} values for {len(cols)} columns"
+                )
+            d = dict(zip(cols, tup))
+            if ts.autoincrement_col and ts.autoincrement_col not in d:
+                d[ts.autoincrement_col] = self._next_id(segment_id, table, ts)
+            rows.append(Row(**{n: _coerce(d.get(n), t) for n, t in ts.fields}))
+        return table, rows
+
+    def _parse_values(self, rest: str):
+        """Parse VALUES (..),(..) literal tuples via the dialect tokenizer."""
+        tokens = [
+            t for t in dialect.tokenize(rest) if t.kind not in ("space", "comment")
+        ]
+        tuples = []
+        i = 0
+        while i < len(tokens):
+            t = tokens[i]
+            if t.kind == "op" and t.text == "(":
+                args, close = dialect._find_call_args(tokens, i)
+                tuples.append([_literal([*a]) for a in args])
+                i = close + 1
+            else:
+                i += 1
+        return tuples
+
+    def _next_id(self, segment_id: str, table: str, ts: TableSchema) -> int:
+        """AUTOINCREMENT emulation (SURVEY §7.4 #2): per-segment high-water
+        mark, initialized from storage.  Safe because segments are
+        single-writer by design (reference write lock, write.py:55-57)."""
+        key = (segment_id, table)
+        if key not in self._hwm:
+            path = self._partition_path(table, segment_id)
+            if os.path.isdir(path):
+                df = self.spark.read.parquet(path)
+                mx = df.agg(F.max(ts.autoincrement_col)).collect()[0][0]
+                self._hwm[key] = int(mx or 0)
+            else:
+                self._hwm[key] = 0
+        self._hwm[key] += 1
+        return self._hwm[key]
+
+    def _flush_inserts(self, segment_id: str, pending: dict[str, list[Row]]) -> None:
+        for table, rows in pending.items():
+            if not rows:
+                continue
+            ts = self._table_schema(segment_id, table)
+            df = self.spark.createDataFrame(rows, ts.struct())
+            df.write.mode("append").parquet(self._partition_path(table, segment_id))
+        pending.clear()
+
+    def _rewrite_partition(self, segment_id: str, stmt: str, kind: str) -> None:
+        """UPDATE/DELETE = read-modify-overwrite of ONE segment partition —
+        bounded work by construction, the whole point of trough-style
+        segments (SURVEY §2.B16)."""
+        if kind == "DELETE":
+            m = re.match(
+                r"^\s*DELETE\s+FROM\s+(?P<name>[\w\"\[\]`]+)\s*(?:WHERE\s+(?P<where>.+))?$",
+                stmt,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not m:
+                raise QueryRejected(f"unsupported DELETE form: {stmt[:80]!r}")
+            table = _unquote(m.group("name"))
+            cond = m.group("where")
+            df = self._read_partition(segment_id, table)
+            out = df.filter(f"NOT ({dialect.sqlite_to_spark(cond)})") if cond else df.limit(0)
+        else:
+            m = re.match(
+                r"^\s*UPDATE\s+(?P<name>[\w\"\[\]`]+)\s+SET\s+(?P<sets>.+?)"
+                r"(?:\s+WHERE\s+(?P<where>.+))?$",
+                stmt,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not m:
+                raise QueryRejected(f"unsupported UPDATE form: {stmt[:80]!r}")
+            table = _unquote(m.group("name"))
+            df = self._read_partition(segment_id, table)
+            cond = dialect.sqlite_to_spark(m.group("where")) if m.group("where") else "true"
+            assignments = _split_assignments(m.group("sets"))
+            out = df
+            for col, expr in assignments:
+                out = out.withColumn(
+                    col,
+                    F.when(F.expr(cond), F.expr(dialect.sqlite_to_spark(expr))).otherwise(
+                        F.col(col)
+                    ),
+                )
+        self._overwrite_partition(segment_id, table, out)
+
+    def _overwrite_partition(self, segment_id: str, table: str, df: DataFrame) -> None:
+        ts = self._table_schema(segment_id, table)
+        aligned = df.select([F.col(n).cast(t) for n, t in ts.fields])
+        path = self._partition_path(table, segment_id)
+        tmp = f"{self.root}/_staging/{table}/segment_id={segment_id}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        aligned.write.mode("overwrite").parquet(tmp)
+        # atomic-ish swap (single filesystem rename pair); on a cluster FS
+        # this is Delta's job — documented upgrade path
+        bak = path + "._old"
+        shutil.rmtree(bak, ignore_errors=True)
+        if os.path.isdir(path):
+            os.replace(path, bak)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        shutil.move(tmp, path)
+        shutil.rmtree(bak, ignore_errors=True)
+
+    def _write_path_create(self, segment_id: str, stmt: str) -> None:
+        up = stmt.upper()
+        if re.search(r"\bINDEX\b", up):
+            return  # indexes → Parquet stats + pruning (SURVEY §2.B14)
+        if not re.search(r"\bTABLE\b", up):
+            raise QueryRejected(f"unsupported CREATE on write path: {stmt[:80]!r}")
+        ts = parse_create_table(stmt)
+        info = self._segment_info(segment_id)
+        info.setdefault("extra_tables", {})[ts.name] = _tableschema_to_json(ts)
+        self._save_meta()
+
+    def _write_path_drop(self, segment_id: str, stmt: str) -> None:
+        m = re.match(
+            r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>[\w\"\[\]`]+)\s*$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if not m:
+            return  # DROP INDEX etc: no-op
+        table = _unquote(m.group("name"))
+        info = self._segment_info(segment_id)
+        info.get("extra_tables", {}).pop(table, None)
+        if table in info.get("tables", []):
+            info["tables"].remove(table)
+        self._save_meta()
+        shutil.rmtree(self._partition_path(table, segment_id), ignore_errors=True)
+
+    # -- read path (A1-A3; reference read.py:54-94) --------------------------
+
+    def _read_partition(self, segment_id: str, table: str) -> DataFrame:
+        ts = self._table_schema(segment_id, table)
+        path = self._partition_path(table, segment_id)
+        if not os.path.isdir(path):
+            return self.spark.createDataFrame([], ts.struct())
+        return self.spark.read.schema(ts.struct()).parquet(path)
+
+    def read_df(self, segment_id: str, sql: str) -> DataFrame:
+        """One SELECT against one segment → DataFrame.  The table views are
+        partition-pruned scans of exactly one directory."""
+        stmt = dialect.assert_single_select(sql)
+        spark_sql = dialect.sqlite_to_spark(stmt)
+        for table in self._segment_tables(segment_id):
+            self._read_partition(segment_id, table).createOrReplaceTempView(table)
+        return self.spark.sql(spark_sql)
+
+    def read(self, segment_id: str, sql: str, values=()) -> list[dict]:
+        """A2: rows as a JSON-ready list of {column: value} dicts
+        (reference read.py:33-52) with A10/A11 parameter binding."""
+        bound = dialect.interpolate(sql, values)
+        return [r.asDict(recursive=True) for r in self.read_df(segment_id, bound).collect()]
+
+    def read_many_df(self, segment_regex: str, sql: str) -> DataFrame:
+        """A12/A13: regex fan-out as ONE Spark query.  Each matching segment's
+        partition is unioned with its segment_id — Catalyst sees a single
+        plan, so global ORDER BY / GROUP BY / joins across segments work
+        (the reference's shell could only scatter and concatenate,
+        shell/__init__.py:242-262)."""
+        stmt = dialect.assert_single_select(sql)
+        spark_sql = dialect.sqlite_to_spark(stmt)
+        segs = self.segments_matching(segment_regex)
+        if not segs:
+            raise KeyError(f"no segments match {segment_regex!r}")
+        tables = set()
+        for seg in segs:
+            tables.update(self._segment_tables(seg))
+        for table in tables:
+            parts = []
+            for seg in segs:
+                if table in self._segment_tables(seg):
+                    parts.append(
+                        self._read_partition(seg, table).withColumn("segment_id", F.lit(seg))
+                    )
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+            df.createOrReplaceTempView(table)
+        return self.spark.sql(spark_sql)
+
+    # -- promotion / deletion (A20, A22) -------------------------------------
+
+    def promote(self, segment_id: str) -> dict:
+        """A20: in the reference this uploads the SQLite file to HDFS
+        (sync.py:1112-1188).  Here every committed write is already durable
+        under the store root — promotion just reports the paths."""
+        info = self._segment_info(segment_id)
+        return {
+            "segment": segment_id,
+            "remote_paths": [
+                self._partition_path(t, segment_id) for t in self._segment_tables(segment_id)
+            ],
+            "schema": info["schema"],
+        }
+
+    def delete_segment(self, segment_id: str) -> None:
+        """A22 (reference sync.py:439-509, segment_manager.py:117-128)."""
+        tables = self._segment_tables(segment_id)
+        for t in tables:
+            shutil.rmtree(self._partition_path(t, segment_id), ignore_errors=True)
+        del self._meta["segments"][segment_id]
+        self._save_meta()
+        self._hwm = {k: v for k, v in self._hwm.items() if k[0] != segment_id}
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _tableschema_to_json(ts: TableSchema) -> dict:
+    return {
+        "name": ts.name,
+        "fields": [[n, t.simpleString()] for n, t in ts.fields],
+        "autoincrement_col": ts.autoincrement_col,
+    }
+
+
+def _tableschema_from_json(d: dict) -> TableSchema:
+    from pyspark.sql.types import _parse_datatype_string
+
+    return TableSchema(
+        name=d["name"],
+        fields=[(n, _parse_datatype_string(t)) for n, t in d["fields"]],
+        autoincrement_col=d.get("autoincrement_col"),
+    )
+
+
+def _literal(tokens) -> object:
+    """Evaluate a literal token list from a VALUES tuple."""
+    sig = [t for t in tokens if t.kind not in ("space", "comment")]
+    if not sig:
+        raise QueryRejected("empty value in VALUES tuple")
+    neg = False
+    if sig[0].kind == "op" and sig[0].text in ("-", "+"):
+        neg = sig[0].text == "-"
+        sig = sig[1:]
+    t = sig[0]
+    if t.kind == "string":
+        return t.text[1:-1].replace("''", "'")
+    if t.kind == "number":
+        v = float(t.text) if ("." in t.text or "e" in t.text.lower()) else int(t.text)
+        return -v if neg else v
+    if t.kind == "word":
+        w = t.text.upper()
+        if w == "NULL":
+            return None
+        if w == "TRUE":
+            return True
+        if w == "FALSE":
+            return False
+        if w == "X" and len(sig) > 1 and sig[1].kind == "string":
+            return bytes.fromhex(sig[1].text[1:-1])
+        if w in ("CURRENT_TIMESTAMP", "DATETIME", "DATE", "TIMESTAMP"):
+            raise QueryRejected(
+                f"non-literal VALUES expression not supported: {dialect.render(tokens)!r}"
+            )
+    raise QueryRejected(f"unsupported literal in VALUES: {dialect.render(tokens)!r}")
+
+
+def _coerce(v, typ: T.DataType):
+    if v is None:
+        return None
+    if isinstance(typ, T.LongType):
+        return int(v)
+    if isinstance(typ, T.DoubleType):
+        return float(v)
+    if isinstance(typ, T.StringType):
+        return str(v)
+    if isinstance(typ, T.BooleanType):
+        return bool(v)
+    if isinstance(typ, T.BinaryType):
+        return v if isinstance(v, (bytes, bytearray)) else str(v).encode()
+    if isinstance(typ, (T.TimestampType, T.DateType)):
+        import datetime as dt
+
+        if isinstance(v, str):
+            parsed = dt.datetime.fromisoformat(v)
+            return parsed.date() if isinstance(typ, T.DateType) else parsed
+        return v
+    return v
+
+
+def _split_assignments(sets: str) -> list[tuple[str, str]]:
+    """Split 'a = expr, b = expr' on top-level commas."""
+    tokens = dialect.tokenize(sets)
+    parts: list[list] = [[]]
+    depth = 0
+    for t in tokens:
+        if t.kind == "op" and t.text == "(":
+            depth += 1
+        elif t.kind == "op" and t.text == ")":
+            depth -= 1
+        if t.kind == "op" and t.text == "," and depth == 0:
+            parts.append([])
+        else:
+            parts[-1].append(t)
+    out = []
+    for part in parts:
+        text = dialect.render(part)
+        col, _, expr = text.partition("=")
+        out.append((_unquote(col.strip()), expr.strip()))
+    return out
