@@ -1,0 +1,94 @@
+"""Client facade, PEP-249 adapter, and shell tests (SURVEY §2.A29, §2.C)."""
+
+from __future__ import annotations
+
+import io
+
+import pytest
+
+from trough_spark.client import TroughClient
+from trough_spark.dbapi import ProgrammingError, TroughConnection, TroughCursor
+from trough_spark.shell import TroughShell, table_format
+
+F1_DDL = "CREATE TABLE test (id INTEGER PRIMARY KEY AUTOINCREMENT, test varchar(4));"
+
+
+@pytest.fixture()
+def client(spark, tmp_path):
+    c = TroughClient(spark, str(tmp_path / "store"))
+    c.register_schema("test1", F1_DDL)
+    return c
+
+
+def test_client_write_read_roundtrip(client):
+    # mirrors reference client usage: write with template values, read back
+    client.write("seg1", "INSERT INTO test (test) VALUES (%s);", ["test"], schema_id="test1")
+    assert client.read("seg1", "SELECT * FROM test") == [{"id": 1, "test": "test"}]
+    assert client.readable_segments() == [{"segment": "seg1", "schema": "test1"}]
+
+
+def test_client_read_many(client):
+    for i in range(3):
+        client.write(f"m{i}", "INSERT INTO test (test) VALUES (%s);", [f"v{i}"], schema_id="test1")
+    rows = client.read_many(r"^m\d$", "SELECT segment_id, test FROM test ORDER BY segment_id")
+    assert [r["test"] for r in rows] == ["v0", "v1", "v2"]
+
+
+def test_dbapi_execute_fetch(client):
+    conn = TroughConnection(client, "dbseg", "test1")
+    client.store.provision("dbseg", "test1")
+    cur = conn.cursor()
+    cur.execute("INSERT INTO test (test) VALUES (%s)", ["abc"])
+    cur.execute("SELECT * FROM test")
+    assert [d[0] for d in cur.description] == ["id", "test"]
+    assert cur.fetchone() == (1, "abc")
+    assert cur.fetchone() is None
+    cur.execute("SELECT * FROM test")
+    assert cur.fetchall() == [(1, "abc")]
+    assert cur.rowcount == 1
+
+
+def test_dbapi_executemany_fixed(client):
+    # the reference's executemany is broken (db_api.py:98-105); ours works
+    client.store.provision("dbseg2", "test1")
+    cur = TroughConnection(client, "dbseg2", "test1").cursor()
+    cur.executemany("INSERT INTO test (test) VALUES (%s)", [["a"], ["b"], ["c"]])
+    cur.execute("SELECT count(*) AS n FROM test")
+    assert cur.fetchone() == (3,)
+    with pytest.raises(ProgrammingError):
+        cur.executemany("SELECT * FROM test", [[]])
+
+
+def test_dbapi_rejects_bad_read(client):
+    client.store.provision("dbseg3", "test1")
+    cur = TroughCursor(client, "dbseg3", "test1")
+    with pytest.raises(ProgrammingError):
+        cur.execute("select 1; select 2")
+
+
+def test_shell_flow(client):
+    out = io.StringIO()
+    shell = TroughShell(client, out=out)
+    for i in range(2):
+        client.write(f"sh{i}", "INSERT INTO test (test) VALUES (%s);", [f"s{i}"], schema_id="test1")
+    assert shell.do_line("CONNECT MATCHING ^sh")
+    assert shell.do_line("SHOW CONNECTIONS")
+    assert shell.do_line("SELECT * FROM test")
+    assert shell.do_line("GLOBAL SELECT count(*) AS n FROM test")
+    assert shell.do_line("SHOW SEGMENTS")
+    assert shell.do_line("FORMAT json")
+    assert shell.do_line("SELECT id FROM test")
+    assert not shell.do_line("QUIT")
+    text = out.getvalue()
+    assert "results from segment sh0" in text
+    assert "results from segment sh1" in text
+    assert "total rows: 2" in text  # scatter presentation
+    assert '"n": 2' in text or "| 2 " in text  # global merge counted both segments
+
+
+def test_table_format_column_ordering():
+    # reference ordering: id first, then by width desc, alpha tiebreak
+    rows = [{"zz": "wide-value-here", "id": 1, "aa": "x"}]
+    rendered = table_format(rows)
+    header = rendered.splitlines()[1]
+    assert header.index("id") < header.index("zz") < header.index("aa")

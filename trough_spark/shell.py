@@ -1,0 +1,187 @@
+"""Interactive shell (reference: trough/shell/__init__.py:36-474).
+
+Commands mirrored from the reference REPL:
+
+  CONNECT <segment> [<segment> ...]     connect to specific segments
+  CONNECT MATCHING <regex>              connect to all segments matching
+  SHOW TABLES | SCHEMAS | SEGMENTS | CONNECTIONS | CREATE TABLE <t>
+  FORMAT table|json|raw                 result rendering
+  SELECT ...                            fan-out to all connected segments
+  PROMOTE <segment>                     flush/publish (already durable here)
+  HELP / QUIT
+
+The reference scatters SELECTs with asyncio and prints each segment's rows
+separately with only a total row count (shell/__init__.py:236-262); this
+shell does the same presentation, but through ONE Spark query — and because
+it is one query, `SELECT ... GLOBAL` runs the statement with true
+cross-segment semantics (global ORDER BY/GROUP BY), which the reference
+could not do.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+from trough_spark.client import TroughClient
+from trough_spark.dialect import QueryRejected
+
+
+def table_format(dictlist: list[dict]) -> str:
+    """ASCII table with the reference's column ordering: 'id' first, then by
+    max content width, alphabetical tiebreak (shell/__init__.py:66-100)."""
+    if not dictlist:
+        return "(no rows)"
+    cols = list(dictlist[0].keys())
+    widths = {c: max(len(str(c)), *(len(str(r.get(c))) for r in dictlist)) for c in cols}
+    cols.sort(key=lambda c: (c != "id", -widths[c], c))
+    sep = "+" + "+".join("-" * (widths[c] + 2) for c in cols) + "+"
+    lines = [sep, "|" + "|".join(f" {c:<{widths[c]}} " for c in cols) + "|", sep]
+    for r in dictlist:
+        lines.append("|" + "|".join(f" {str(r.get(c)):<{widths[c]}} " for c in cols) + "|")
+    lines.append(sep)
+    return "\n".join(lines)
+
+
+class TroughShell:
+    def __init__(self, client: TroughClient, out=sys.stdout):
+        self.client = client
+        self.out = out
+        self.connections: list[str] = []
+        self.format = "table"
+
+    def emit(self, text: str) -> None:
+        print(text, file=self.out)
+
+    def render(self, rows: list[dict]) -> None:
+        if self.format == "table":
+            self.emit(table_format(rows))
+        elif self.format == "json":
+            self.emit(json.dumps(rows, indent=2, default=str))
+        else:
+            for r in rows:
+                self.emit(str(tuple(r.values())))
+
+    # -- commands ------------------------------------------------------------
+
+    def do_connect(self, arg: str) -> None:
+        parts = arg.split()
+        if parts and parts[0].upper() == "MATCHING":
+            segs = self.client.readable_segments_matching(" ".join(parts[1:]))
+        else:
+            segs = parts
+        self.connections = list(dict.fromkeys(segs))
+        self.emit(f"connected to {len(self.connections)} segment(s): {', '.join(self.connections)}")
+
+    def do_show(self, arg: str) -> None:
+        up = arg.strip().upper()
+        if up == "SCHEMAS":
+            self.render([{"schema": s} for s in self.client.schemas()])
+        elif up == "SEGMENTS":
+            self.render(self.client.readable_segments())
+        elif up == "CONNECTIONS":
+            self.render([{"segment": s} for s in self.connections])
+        elif up == "TABLES":
+            # reference rewrites to sqlite_master (shell/__init__.py:149-155);
+            # here the segment's catalog is authoritative
+            for seg in self.connections:
+                tables = self.client.store._segment_tables(seg)
+                self.emit(f"+++++ tables in segment {seg} +++++")
+                self.render([{"name": t} for t in tables])
+        elif up.startswith("CREATE TABLE"):
+            name = arg.split()[-1]
+            for seg in self.connections:
+                ts = self.client.store._table_schema(seg, name)
+                cols = ", ".join(f"{n} {t.simpleString()}" for n, t in ts.fields)
+                self.emit(f"CREATE TABLE {name} ({cols})")
+                break
+        else:
+            self.emit("usage: SHOW TABLES|SCHEMAS|SEGMENTS|CONNECTIONS|CREATE TABLE <t>")
+
+    def do_select(self, stmt: str, global_merge: bool = False) -> None:
+        if not self.connections:
+            self.emit("not connected — use CONNECT <segment...>")
+            return
+        try:
+            if global_merge:
+                regex = "^(" + "|".join(self.connections) + ")$"
+                rows = self.client.read_many(regex, stmt)
+                self.render(rows)
+                self.emit(f"total rows: {len(rows)}")
+                return
+            total = 0
+            for seg in self.connections:
+                rows = self.client.read(seg, stmt)
+                self.emit(f"+++++ results from segment {seg} +++++")
+                self.render(rows)
+                total += len(rows)
+            self.emit(f"total rows: {total}")
+        except QueryRejected as e:
+            self.emit(f"error: {e}")
+
+    def do_line(self, line: str) -> bool:
+        """Process one input line; returns False to exit."""
+        line = line.strip().rstrip(";")
+        if not line:
+            return True
+        word, _, rest = line.partition(" ")
+        cmd = word.upper()
+        if cmd in ("QUIT", "EXIT"):
+            return False
+        if cmd == "CONNECT":
+            self.do_connect(rest)
+        elif cmd == "SHOW":
+            self.do_show(rest)
+        elif cmd == "FORMAT":
+            if rest.lower() in ("table", "json", "raw"):
+                self.format = rest.lower()
+                self.emit(f"format set to {self.format}")
+            else:
+                self.emit("usage: FORMAT table|json|raw")
+        elif cmd == "PROMOTE":
+            self.emit(json.dumps(self.client.promote(rest.strip()), default=str))
+        elif cmd == "REGISTER":
+            # REGISTER SCHEMA <id> <sql...>
+            sub = rest.split(None, 2)
+            if len(sub) == 3 and sub[0].upper() == "SCHEMA":
+                self.client.register_schema(sub[1], sub[2])
+                self.emit(f"schema {sub[1]} registered")
+            else:
+                self.emit("usage: REGISTER SCHEMA <id> <ddl sql>")
+        elif cmd in ("SELECT", "WITH"):
+            self.do_select(line)
+        elif cmd == "GLOBAL":
+            self.do_select(rest, global_merge=True)
+        elif cmd == "HELP":
+            self.emit(__doc__ or "")
+        else:
+            self.emit(f"unrecognized command {word!r} — HELP for help")
+        return True
+
+    def repl(self, prompt: str = "trough> ") -> None:  # pragma: no cover
+        while True:
+            try:
+                line = input(prompt)
+            except (EOFError, KeyboardInterrupt):
+                break
+            if not self.do_line(line):
+                break
+
+
+def main() -> None:  # pragma: no cover
+    import argparse
+
+    from trough_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(description="trough-spark shell")
+    ap.add_argument("--root", default="/tmp/trough_spark_store")
+    ap.add_argument("segments", nargs="*")
+    args = ap.parse_args()
+    shell = TroughShell(TroughClient(get_spark(app_name="trough-shell"), args.root))
+    if args.segments:
+        shell.do_connect(" ".join(args.segments))
+    shell.repl()
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()
