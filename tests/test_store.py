@@ -165,3 +165,69 @@ def test_sqlite_dialect_on_read_path(store):
     # group_concat
     rows = store.read("seg_dialect", "SELECT group_concat(v) AS vs FROM kv")
     assert rows[0]["vs"] in ("Apple,banana", "banana,Apple")
+
+
+def test_insert_or_replace_and_ignore(store):
+    store.set_schema("pk", "create table kv (k INTEGER PRIMARY KEY, v TEXT);")
+    store.provision("seg_up", "pk")
+    store.write("seg_up", "INSERT INTO kv (k, v) VALUES (1, 'a'), (2, 'b');")
+    store.write("seg_up", "INSERT OR REPLACE INTO kv (k, v) VALUES (2, 'B2'), (3, 'c');")
+    rows = store.read("seg_up", "SELECT * FROM kv ORDER BY k")
+    assert rows == [{"k": 1, "v": "a"}, {"k": 2, "v": "B2"}, {"k": 3, "v": "c"}]
+    store.write("seg_up", "INSERT OR IGNORE INTO kv (k, v) VALUES (3, 'XX'), (4, 'd');")
+    rows = store.read("seg_up", "SELECT * FROM kv ORDER BY k")
+    assert rows == [
+        {"k": 1, "v": "a"}, {"k": 2, "v": "B2"}, {"k": 3, "v": "c"}, {"k": 4, "v": "d"},
+    ]
+    # bare REPLACE INTO is SQLite's alias for INSERT OR REPLACE
+    store.write("seg_up", "REPLACE INTO kv (k, v) VALUES (1, 'A9');")
+    assert store.read("seg_up", "SELECT v FROM kv WHERE k = 1") == [{"v": "A9"}]
+
+
+def test_insert_select(store):
+    store.set_schema("s2", "create table src (x INTEGER); create table dst (x INTEGER);")
+    store.provision("seg_is", "s2")
+    store.write("seg_is", "INSERT INTO src (x) VALUES (1), (2), (3);")
+    store.write("seg_is", "INSERT INTO dst (x) SELECT x * 10 FROM src WHERE x >= 2;")
+    assert store.read("seg_is", "SELECT * FROM dst ORDER BY x") == [{"x": 20}, {"x": 30}]
+
+
+def test_insert_select_autoincrement(store):
+    store.set_schema(
+        "s3",
+        "create table src (v TEXT);"
+        "create table dst (id INTEGER PRIMARY KEY AUTOINCREMENT, v TEXT);",
+    )
+    store.provision("seg_isa", "s3")
+    store.write("seg_isa", "INSERT INTO src (v) VALUES ('a'), ('b');")
+    store.write("seg_isa", "INSERT INTO dst (v) VALUES ('seed');")
+    store.write("seg_isa", "INSERT INTO dst (v) SELECT v FROM src;")
+    rows = store.read("seg_isa", "SELECT id, v FROM dst ORDER BY id")
+    assert [r["id"] for r in rows] == [1, 2, 3]
+
+
+def test_alter_table(store):
+    store.set_schema("s4", "create table t (a INTEGER);")
+    store.provision("seg_alt", "s4")
+    store.write("seg_alt", "INSERT INTO t (a) VALUES (1);")
+    store.write("seg_alt", "ALTER TABLE t ADD COLUMN b TEXT;")
+    assert store.read("seg_alt", "SELECT * FROM t") == [{"a": 1, "b": None}]
+    store.write("seg_alt", "INSERT INTO t (a, b) VALUES (2, 'x');")
+    store.write("seg_alt", "ALTER TABLE t RENAME COLUMN b TO c;")
+    rows = store.read("seg_alt", "SELECT * FROM t ORDER BY a")
+    assert rows == [{"a": 1, "c": None}, {"a": 2, "c": "x"}]
+    store.write("seg_alt", "ALTER TABLE t RENAME TO t2;")
+    assert store.read("seg_alt", "SELECT count(*) AS n FROM t2") == [{"n": 2}]
+    # per-segment divergence: other segments are untouched
+    store.provision("seg_alt2", "s4")
+    store.write("seg_alt2", "INSERT INTO t (a) VALUES (9);")
+    assert store.read("seg_alt2", "SELECT * FROM t") == [{"a": 9}]
+
+
+def test_write_script_prevalidation(store):
+    store.set_schema("s5", "create table t (a INTEGER);")
+    store.provision("seg_pre", "s5")
+    # the garbage statement is rejected BEFORE the insert runs
+    with pytest.raises(QueryRejected):
+        store.write("seg_pre", "INSERT INTO t (a) VALUES (1); FROBNICATE t;")
+    assert store.read("seg_pre", "SELECT * FROM t") == []

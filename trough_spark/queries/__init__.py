@@ -42,6 +42,7 @@ def load_all() -> None:
     """Import every query module so registration side-effects run."""
     from trough_spark.queries import (  # noqa: F401
         dedup,
+        extensions,
         relational,
         similarity,
         streaming,

@@ -548,3 +548,153 @@ def b12_json_functions(spark, sf_dir):
         F.max(k).alias("max_k"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B5: theta join + cross join (SQLite nested-loop surface, SURVEY §2.B5)
+# ---------------------------------------------------------------------------
+@query(
+    "b5_theta_cross_join",
+    oracle="""
+    SELECT s_suppkey, COUNT(*) AS n_parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS price_sum
+    FROM supplier JOIN part ON p_size > s_suppkey AND p_size <= s_suppkey + 10
+    GROUP BY s_suppkey
+    """,
+)
+def b5_theta_cross_join(spark, sf_dir):
+    # Theta (range) join: Catalyst executes small-side broadcast nested loop.
+    # Scale note: theta joins over TWO big tables are inherently quadratic —
+    # the engine keeps them legal but the scale path is banding the range
+    # into equi-join buckets (as the dedup operators do).
+    s, p = T(spark, sf_dir, "supplier"), T(spark, sf_dir, "part")
+    return (
+        F.broadcast(s)
+        .join(p, (p.p_size > s.s_suppkey) & (p.p_size <= s.s_suppkey + 10))
+        .groupBy("s_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.col("p_retailprice").cast(DEC)).cast("double").alias("price_sum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B6: HAVING
+# ---------------------------------------------------------------------------
+@query(
+    "b6_having",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 3 AND SUM(CAST(o_totalprice AS DECIMAL(12,2))) > 300000
+    """,
+)
+def b6_having(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    spend_dec = F.sum(F.col("o_totalprice").cast(DEC))
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            spend_dec.cast("double").alias("spend"),
+            spend_dec.alias("_spend_dec"),
+        )
+        .filter((F.col("n_orders") >= 3) & (F.col("_spend_dec") > 300000))
+        .drop("_spend_dec")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B8: RANGE frames (value-based windows)
+# ---------------------------------------------------------------------------
+@query(
+    "b8_range_frames",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(o_totalprice AS DOUBLE) AS price,
+           COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                          RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS n_within_1k
+    FROM orders
+    WHERE o_orderkey <= 500
+    """,
+)
+def b8_range_frames(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice").rangeBetween(-1000, 1000)
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.count(F.lit(1)).over(w).alias("n_within_1k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B9: NULLS FIRST/LAST ordering
+# ---------------------------------------------------------------------------
+@query(
+    "b9_nulls_ordering",
+    oracle="""
+    SELECT p_partkey, NULLIF(p_brand, 'Brand#1') AS brand_or_null
+    FROM part
+    WHERE p_partkey <= 60
+    ORDER BY NULLIF(p_brand, 'Brand#1') DESC NULLS FIRST, p_partkey
+    LIMIT 30
+    """,
+)
+def b9_nulls_ordering(spark, sf_dir):
+    p = T(spark, sf_dir, "part").filter(F.col("p_partkey") <= 60)
+    brand = F.nullif(F.col("p_brand"), F.lit("Brand#1"))
+    return (
+        p.select("p_partkey", brand.alias("brand_or_null"))
+        .orderBy(F.col("brand_or_null").desc_nulls_first(), F.col("p_partkey"))
+        .limit(30)
+    )
+
+
+# ---------------------------------------------------------------------------
+# B11: correlated EXISTS / NOT EXISTS → semi/anti joins
+# ---------------------------------------------------------------------------
+@query(
+    "b11_exists_anti",
+    oracle="""
+    SELECT n_name AS nation,
+           (SELECT COUNT(*) FROM customer c
+            WHERE c.c_nationkey = n.n_nationkey
+              AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority = '1-URGENT')) AS with_urgent,
+           (SELECT COUNT(*) FROM customer c
+            WHERE c.c_nationkey = n.n_nationkey
+              AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS no_orders
+    FROM nation n
+    """,
+)
+def b11_exists_anti(spark, sf_dir):
+    # EXISTS/NOT EXISTS are SQLite's spelling of semi/anti joins
+    # (SURVEY §2.B5/B11); built explicitly as left_semi / left_anti here.
+    c, o, n = (T(spark, sf_dir, t) for t in ("customer", "orders", "nation"))
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    with_urgent = (
+        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi")
+        .groupBy(F.col("c_nationkey").alias("nk_u"))
+        .agg(F.count(F.lit(1)).alias("with_urgent"))
+    )
+    no_orders = (
+        c.join(o.select("o_custkey"), c.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nk_n"))
+        .agg(F.count(F.lit(1)).alias("no_orders"))
+    )
+    return (
+        n.join(with_urgent, n.n_nationkey == F.col("nk_u"), "left")
+        .join(no_orders, n.n_nationkey == F.col("nk_n"), "left")
+        .select(
+            F.col("n_name").alias("nation"),
+            F.coalesce("with_urgent", F.lit(0)).alias("with_urgent"),
+            F.coalesce("no_orders", F.lit(0)).alias("no_orders"),
+        )
+    )

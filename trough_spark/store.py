@@ -85,6 +85,7 @@ class TableSchema:
     name: str
     fields: list[tuple[str, T.DataType]]
     autoincrement_col: str | None = None
+    primary_key: list[str] = field(default_factory=list)
 
     def struct(self) -> T.StructType:
         return T.StructType([T.StructField(n, t, True) for n, t in self.fields])
@@ -136,24 +137,33 @@ def parse_create_table(stmt: str) -> TableSchema:
     coldefs, _ = dialect._find_call_args(tokens, open_tok)
     fields: list[tuple[str, T.DataType]] = []
     auto_col = None
+    pk: list[str] = []
     for coldef in coldefs:
         sig = [t for t in coldef if t.kind not in ("space", "comment")]
         if not sig:
             continue
         first = sig[0]
         if first.kind == "word" and first.text.upper() in _CONSTRAINT_WORDS:
-            continue  # table-level constraint
+            # table-level constraint; extract PRIMARY KEY (col, ...)
+            text_u = dialect.render(coldef).upper()
+            if "PRIMARY" in text_u and "KEY" in text_u:
+                m2 = re.search(r"\(([^)]*)\)", dialect.render(coldef))
+                if m2:
+                    pk.extend(_unquote(c.strip()) for c in m2.group(1).split(","))
+            continue
         col = _unquote(first.text)
         decl = dialect.render(coldef[1:]) if len(coldef) > 1 else ""
         decl_u = decl.upper()
         typ = sqlite_type_to_spark(decl.split("PRIMARY")[0] if "PRIMARY" in decl_u else decl)
+        if "PRIMARY" in decl_u and "KEY" in decl_u:
+            pk.append(col)
         if "AUTOINCREMENT" in decl_u or (
             "INTEGER" in decl_u and "PRIMARY" in decl_u and "KEY" in decl_u
         ):
             auto_col = col
             typ = T.LongType()
         fields.append((col, typ))
-    return TableSchema(name=name, fields=fields, autoincrement_col=auto_col)
+    return TableSchema(name=name, fields=fields, autoincrement_col=auto_col, primary_key=pk)
 
 
 def parse_schema_sql(schema_id: str, sql: str) -> Schema:
@@ -301,13 +311,14 @@ class SegmentStore:
 
     def _table_schema(self, segment_id: str, table: str) -> TableSchema:
         info = self._segment_info(segment_id)
-        schema = self.schema(info["schema"])
-        # tables created later via write-path DDL live in the segment info
-        if table in schema.tables:
-            return schema.tables[table]
+        # per-segment overrides (write-path DDL, ALTER) take precedence over
+        # the shared registered schema
         extra = info.get("extra_tables", {})
         if table in extra:
             return _tableschema_from_json(extra[table])
+        schema = self.schema(info["schema"])
+        if table in schema.tables:
+            return schema.tables[table]
         raise KeyError(f"no table {table!r} in segment {segment_id!r}")
 
     def _segment_tables(self, segment_id: str) -> list[str]:
@@ -326,12 +337,27 @@ class SegmentStore:
         (SURVEY.md §2.B16)."""
         stmts = dialect.assert_write_allowed(sql_script)
         self._segment_info(segment_id)
+        # pre-validation pass: reject unknown/unsupported statement forms
+        # BEFORE any mutation, approximating the reference's all-or-nothing
+        # transaction (write.py:39); runtime failures mid-script remain
+        # possible and are documented as a divergence
+        supported = {
+            "INSERT", "UPDATE", "DELETE", "CREATE", "DROP", "ALTER",
+            "BEGIN", "COMMIT", "END", "PRAGMA", "VACUUM", "ANALYZE", "REPLACE",
+        }
+        for stmt in stmts:
+            kind = dialect.statement_type(stmt)
+            if kind not in supported:
+                raise QueryRejected(f"unsupported write statement: {stmt[:80]!r}")
+            if kind == "INSERT" or kind == "REPLACE":
+                self._match_insert(stmt)  # raises on unsupported INSERT form
         pending: dict[str, list[Row]] = {}
         for stmt in stmts:
             kind = dialect.statement_type(stmt)
-            if kind == "INSERT":
-                table, rows = self._parse_insert(segment_id, stmt)
-                pending.setdefault(table, []).extend(rows)
+            if kind in ("INSERT", "REPLACE"):
+                handled = self._execute_insert(segment_id, stmt, pending)
+                if handled:
+                    continue
             elif kind in ("UPDATE", "DELETE"):
                 self._flush_inserts(segment_id, pending)
                 self._rewrite_partition(segment_id, stmt, kind)
@@ -341,39 +367,113 @@ class SegmentStore:
             elif kind == "DROP":
                 self._flush_inserts(segment_id, pending)
                 self._write_path_drop(segment_id, stmt)
-            elif kind in ("BEGIN", "COMMIT", "END", "PRAGMA", "VACUUM", "ANALYZE"):
-                continue  # transaction framing is implicit; pragmas are no-ops
+            elif kind == "ALTER":
+                self._flush_inserts(segment_id, pending)
+                self._write_path_alter(segment_id, stmt)
             else:
-                raise QueryRejected(f"unsupported write statement: {stmt[:80]!r}")
+                continue  # txn framing / pragmas are implicit no-ops
         self._flush_inserts(segment_id, pending)
 
-    def _parse_insert(self, segment_id: str, stmt: str) -> tuple[str, list[Row]]:
-        m = re.match(
-            r"^\s*INSERT\s+(?:OR\s+(?:REPLACE|IGNORE)\s+)?INTO\s+(?P<name>[\w\"\[\]`]+)"
-            r"\s*(?:\((?P<cols>[^)]*)\))?\s*VALUES\s*(?P<rest>.+)$",
-            stmt,
-            re.IGNORECASE | re.DOTALL,
-        )
+    _INSERT_RE = re.compile(
+        r"^\s*(?:INSERT\s+(?:OR\s+(?P<mode>REPLACE|IGNORE)\s+)?|(?P<replace>REPLACE\s+))"
+        r"INTO\s+(?P<name>[\w\"\[\]`]+)"
+        r"\s*(?:\((?P<cols>[^)]*)\))?\s*(?P<body>VALUES\s*.+|SELECT\s+.+|WITH\s+.+)$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _match_insert(self, stmt: str) -> re.Match:
+        m = self._INSERT_RE.match(stmt)
         if not m:
             raise QueryRejected(f"unsupported INSERT form: {stmt[:80]!r}")
+        return m
+
+    def _execute_insert(self, segment_id: str, stmt: str, pending: dict) -> bool:
+        """Execute one INSERT.  Plain VALUES-inserts batch into ``pending``
+        (returns True); upserts and INSERT..SELECT flush and run immediately."""
+        m = self._match_insert(stmt)
+        mode = (m.group("mode") or ("REPLACE" if m.group("replace") else "")).upper() or None
         table = _unquote(m.group("name"))
         ts = self._table_schema(segment_id, table)
         declared = [n for n, _ in ts.fields]
         cols = (
             [_unquote(c) for c in m.group("cols").split(",")] if m.group("cols") else declared
         )
-        tuples = self._parse_values(m.group("rest"))
-        rows = []
-        for tup in tuples:
-            if len(tup) != len(cols):
-                raise QueryRejected(
-                    f"INSERT arity mismatch: {len(tup)} values for {len(cols)} columns"
-                )
-            d = dict(zip(cols, tup))
-            if ts.autoincrement_col and ts.autoincrement_col not in d:
-                d[ts.autoincrement_col] = self._next_id(segment_id, table, ts)
-            rows.append(Row(**{n: _coerce(d.get(n), t) for n, t in ts.fields}))
-        return table, rows
+        body = m.group("body")
+        if body.upper().startswith("VALUES"):
+            tuples = self._parse_values(body[len("VALUES") :])
+            rows = []
+            for tup in tuples:
+                if len(tup) != len(cols):
+                    raise QueryRejected(
+                        f"INSERT arity mismatch: {len(tup)} values for {len(cols)} columns"
+                    )
+                d = dict(zip(cols, tup))
+                if ts.autoincrement_col and ts.autoincrement_col not in d:
+                    d[ts.autoincrement_col] = self._next_id(segment_id, table, ts)
+                rows.append(Row(**{n: _coerce(d.get(n), t) for n, t in ts.fields}))
+            if mode is None or not ts.primary_key:
+                # SQLite: OR REPLACE/IGNORE without a pk/unique constraint is
+                # a plain insert
+                pending.setdefault(table, []).extend(rows)
+                return True
+            self._flush_inserts(segment_id, pending)
+            df = self.spark.createDataFrame(rows, ts.struct())
+            self._upsert(segment_id, table, ts, df, mode)
+            return False
+        # INSERT INTO ... SELECT: evaluate the query against this segment's
+        # tables through the read path, then append/upsert
+        self._flush_inserts(segment_id, pending)
+        src = self.read_df(segment_id, body)
+        if len(src.columns) != len(cols):
+            raise QueryRejected(
+                f"INSERT..SELECT arity mismatch: {len(src.columns)} vs {len(cols)}"
+            )
+        src = src.toDF(*cols)
+        missing = [n for n in declared if n not in cols]
+        if ts.autoincrement_col in missing:
+            # assign sequential ids continuing from the high-water mark
+            from pyspark.sql.window import Window as W
+
+            base = self._next_id(segment_id, table, ts) - 1
+            self._hwm[(segment_id, table)] = base  # _next_id consumed one; rewind
+            w = W.orderBy(F.monotonically_increasing_id())
+            src = src.withColumn(ts.autoincrement_col, F.row_number().over(w) + base)
+            self._hwm[(segment_id, table)] = base + src.count()
+            missing = [n for n in missing if n != ts.autoincrement_col]
+        for n in missing:
+            src = src.withColumn(n, F.lit(None))
+        aligned = src.select([F.col(n).cast(t) for n, t in ts.fields])
+        if mode is None or not ts.primary_key:
+            aligned.write.mode("append").parquet(self._partition_path(table, segment_id))
+        else:
+            self._upsert(segment_id, table, ts, aligned, mode)
+        return False
+
+    def _upsert(self, segment_id: str, table: str, ts: TableSchema, new: DataFrame, mode: str) -> None:
+        """INSERT OR REPLACE / OR IGNORE with the declared primary key
+        (SURVEY §2.B15).  REPLACE = existing rows with matching pk are
+        superseded; IGNORE = incoming rows with an existing pk are dropped.
+        Both are one single-partition rewrite/append — bounded work."""
+        existing = self._read_partition(segment_id, table)
+        pk = ts.primary_key
+        if mode == "REPLACE":
+            keys = new.select(*pk).distinct()
+            kept = existing.join(keys, pk, "left_anti")
+            self._overwrite_partition(segment_id, table, kept.unionByName(new))
+        elif mode == "IGNORE":
+            fresh = new.join(existing.select(*pk).distinct(), pk, "left_anti")
+            # also dedup within the incoming batch itself (first wins)
+            from pyspark.sql.window import Window as W
+
+            wn = W.partitionBy(*pk).orderBy(F.monotonically_increasing_id())
+            fresh = (
+                fresh.withColumn("_rn", F.row_number().over(wn))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            fresh.write.mode("append").parquet(self._partition_path(table, segment_id))
+        else:  # pragma: no cover
+            raise QueryRejected(f"unknown upsert mode {mode!r}")
 
     def _parse_values(self, rest: str):
         """Parse VALUES (..),(..) literal tuples via the dialect tokenizer."""
@@ -484,6 +584,69 @@ class SegmentStore:
         info.setdefault("extra_tables", {})[ts.name] = _tableschema_to_json(ts)
         self._save_meta()
 
+    def _write_path_alter(self, segment_id: str, stmt: str) -> None:
+        """SQLite ALTER TABLE surface (SURVEY §2.B14): ADD COLUMN,
+        RENAME TO, RENAME COLUMN, DROP COLUMN.  Schema changes land in the
+        per-segment override (different segments may diverge, exactly like
+        per-file SQLite schemas in the reference)."""
+        m = re.match(
+            r"^\s*ALTER\s+TABLE\s+(?P<name>[\w\"\[\]`]+)\s+(?P<rest>.+)$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise QueryRejected(f"unsupported ALTER form: {stmt[:80]!r}")
+        table = _unquote(m.group("name"))
+        ts = self._table_schema(segment_id, table)
+        rest = m.group("rest").strip()
+        ru = rest.upper()
+        info = self._segment_info(segment_id)
+        if ru.startswith("ADD"):
+            body = re.sub(r"^ADD\s+(COLUMN\s+)?", "", rest, flags=re.IGNORECASE)
+            parts = body.split(None, 1)
+            col = _unquote(parts[0])
+            typ = sqlite_type_to_spark(parts[1] if len(parts) > 1 else "")
+            ts.fields.append((col, typ))
+        elif ru.startswith("RENAME TO"):
+            new_name = _unquote(rest[len("RENAME TO") :].strip())
+            old_path = self._partition_path(table, segment_id)
+            ts.name = new_name
+            info.setdefault("extra_tables", {})[new_name] = _tableschema_to_json(ts)
+            info.get("extra_tables", {}).pop(table, None)
+            if table in info.get("tables", []):
+                info["tables"].remove(table)
+            if os.path.isdir(old_path):
+                new_path = self._partition_path(new_name, segment_id)
+                os.makedirs(os.path.dirname(new_path), exist_ok=True)
+                shutil.move(old_path, new_path)
+            self._save_meta()
+            return
+        elif ru.startswith("RENAME COLUMN") or ru.startswith("RENAME"):
+            mm = re.match(r"RENAME\s+(?:COLUMN\s+)?(\S+)\s+TO\s+(\S+)", rest, re.IGNORECASE)
+            if not mm:
+                raise QueryRejected(f"unsupported ALTER form: {stmt[:80]!r}")
+            old, new = _unquote(mm.group(1)), _unquote(mm.group(2))
+            # read with the PRE-rename declared schema (fills missing columns
+            # with nulls across mixed-generation files), then rewrite
+            df = self._read_partition(segment_id, table).withColumnRenamed(old, new)
+            ts.fields = [(new if n == old else n, t) for n, t in ts.fields]
+            if os.path.isdir(self._partition_path(table, segment_id)):
+                info.setdefault("extra_tables", {})[table] = _tableschema_to_json(ts)
+                self._save_meta()
+                self._overwrite_partition(segment_id, table, df)
+                return
+        elif ru.startswith("DROP"):
+            col = _unquote(re.sub(r"^DROP\s+(COLUMN\s+)?", "", rest, flags=re.IGNORECASE).strip())
+            ts.fields = [(n, t) for n, t in ts.fields if n != col]
+        else:
+            raise QueryRejected(f"unsupported ALTER form: {stmt[:80]!r}")
+        info.setdefault("extra_tables", {})[table] = _tableschema_to_json(ts)
+        self._save_meta()
+
+    def _read_partition_raw(self, segment_id: str, table: str) -> DataFrame:
+        path = self._partition_path(table, segment_id)
+        return self.spark.read.parquet(path)
+
     def _write_path_drop(self, segment_id: str, stmt: str) -> None:
         m = re.match(
             r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>[\w\"\[\]`]+)\s*$",
@@ -586,6 +749,7 @@ def _tableschema_to_json(ts: TableSchema) -> dict:
         "name": ts.name,
         "fields": [[n, t.simpleString()] for n, t in ts.fields],
         "autoincrement_col": ts.autoincrement_col,
+        "primary_key": ts.primary_key,
     }
 
 
@@ -596,6 +760,7 @@ def _tableschema_from_json(d: dict) -> TableSchema:
         name=d["name"],
         fields=[(n, _parse_datatype_string(t)) for n, t in d["fields"]],
         autoincrement_col=d.get("autoincrement_col"),
+        primary_key=d.get("primary_key", []),
     )
 
 
