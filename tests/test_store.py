@@ -231,3 +231,23 @@ def test_write_script_prevalidation(store):
     with pytest.raises(QueryRejected):
         store.write("seg_pre", "INSERT INTO t (a) VALUES (1); FROBNICATE t;")
     assert store.read("seg_pre", "SELECT * FROM t") == []
+
+
+def test_fanout_partition_pruning_plan(store):
+    """The fan-out read must be ONE partition-discovered scan with a
+    PartitionFilters entry — not a union of per-segment reads — and an
+    equality segment filter must prune to a single directory."""
+    store.set_schema("s", "create table kv (k INTEGER, v TEXT);")
+    for i in range(6):
+        store.provision(f"pp{i}", "s")
+        store.write(f"pp{i}", f"INSERT INTO kv (k, v) VALUES ({i}, 'v');")
+    df = store.read_many_df(r"pp[0-3]", "SELECT count(*) AS n FROM kv")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan
+    assert df.collect()[0]["n"] == 4
+    # equality prune: one partition read
+    whole = store.table_df("kv")
+    pruned = whole.filter("segment_id = 'pp2'")
+    pplan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in pplan and "pp2" in pplan
+    assert pruned.count() == 1

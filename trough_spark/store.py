@@ -687,9 +687,27 @@ class SegmentStore:
         bound = dialect.interpolate(sql, values)
         return [r.asDict(recursive=True) for r in self.read_df(segment_id, bound).collect()]
 
+    def table_df(self, table: str, reference_segment: str | None = None) -> DataFrame:
+        """The bulk-analytics surface: the WHOLE partitioned table as one
+        DataFrame with its ``segment_id`` partition column, via Hive
+        partition discovery.  One scan node regardless of segment count —
+        at 10k+ segments this is what keeps plans flat (an explicit union
+        per segment would not survive scale).  Filters on ``segment_id``
+        prune to matching directories (PartitionFilters), reproducing the
+        reference's worst-case-bounded routing as a pure plan property."""
+        path = self._table_path(table)
+        if reference_segment is None:
+            candidates = [s for s in self.list_segments() if table in self._segment_tables(s)]
+            if not candidates:
+                raise KeyError(f"no segment has table {table!r}")
+            reference_segment = candidates[0]
+        ts = self._table_schema(reference_segment, table)
+        schema = ts.struct().add("segment_id", T.StringType())
+        return self.spark.read.schema(schema).option("basePath", path).parquet(path)
+
     def read_many_df(self, segment_regex: str, sql: str) -> DataFrame:
-        """A12/A13: regex fan-out as ONE Spark query.  Each matching segment's
-        partition is unioned with its segment_id — Catalyst sees a single
+        """A12/A13: regex fan-out as ONE Spark query over the partitioned
+        table with a pruning filter on segment_id — Catalyst sees a single
         plan, so global ORDER BY / GROUP BY / joins across segments work
         (the reference's shell could only scatter and concatenate,
         shell/__init__.py:242-262)."""
@@ -702,16 +720,10 @@ class SegmentStore:
         for seg in segs:
             tables.update(self._segment_tables(seg))
         for table in tables:
-            parts = []
-            for seg in segs:
-                if table in self._segment_tables(seg):
-                    parts.append(
-                        self._read_partition(seg, table).withColumn("segment_id", F.lit(seg))
-                    )
-            df = parts[0]
-            for p in parts[1:]:
-                df = df.unionByName(p)
-            df.createOrReplaceTempView(table)
+            with_table = [s for s in segs if table in self._segment_tables(s)]
+            df = self.table_df(table, reference_segment=with_table[0])
+            # rlike has re.search semantics, matching A13 (client.py:181)
+            df.filter(F.col("segment_id").rlike(segment_regex)).createOrReplaceTempView(table)
         return self.spark.sql(spark_sql)
 
     # -- promotion / deletion (A20, A22) -------------------------------------
