@@ -251,3 +251,67 @@ def test_fanout_partition_pruning_plan(store):
     pplan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in pplan and "pp2" in pplan
     assert pruned.count() == 1
+
+
+def test_create_view_and_drop_view(store):
+    store.set_schema("s", "create table kv (k INTEGER, v TEXT);")
+    store.provision("seg_v", "s")
+    store.write("seg_v", "INSERT INTO kv (k, v) VALUES (1, 'a'), (2, 'b'), (3, 'c');")
+    store.write("seg_v", "CREATE VIEW big AS SELECT k, upper(v) AS vu FROM kv WHERE k >= 2;")
+    rows = store.read("seg_v", "SELECT * FROM big ORDER BY k")
+    assert rows == [{"k": 2, "vu": "B"}, {"k": 3, "vu": "C"}]
+    # view tracks underlying writes
+    store.write("seg_v", "INSERT INTO kv (k, v) VALUES (4, 'd');")
+    assert len(store.read("seg_v", "SELECT * FROM big")) == 3
+    store.write("seg_v", "DROP VIEW big;")
+    with pytest.raises(Exception):
+        store.read("seg_v", "SELECT * FROM big")
+
+
+def test_recursive_cte_counter(store):
+    store.provision("seg_rc", "default")
+    rows = store.read(
+        "seg_rc",
+        "WITH RECURSIVE cnt(x) AS (SELECT 1 UNION ALL SELECT x + 1 FROM cnt WHERE x < 10) "
+        "SELECT sum(x) AS s, count(*) AS n FROM cnt",
+    )
+    assert rows == [{"s": 55, "n": 10}]
+
+
+def test_recursive_cte_graph_closure(store):
+    # transitive closure with UNION (distinct) termination on a cyclic graph
+    store.set_schema("g", "create table edge (src INTEGER, dst INTEGER);")
+    store.provision("seg_g", "g")
+    store.write("seg_g", "INSERT INTO edge (src, dst) VALUES (1,2),(2,3),(3,1),(3,4);")
+    rows = store.read(
+        "seg_g",
+        "WITH RECURSIVE reach(node) AS ("
+        "  SELECT 1 UNION SELECT e.dst FROM edge e JOIN reach r ON e.src = r.node"
+        ") SELECT node FROM reach ORDER BY node",
+    )
+    assert [r["node"] for r in rows] == [1, 2, 3, 4]
+
+
+def test_raw_sql_udf_fallback(store, spark):
+    # B13: the three reference functions are registered for un-shimmed SQL
+    store.provision("seg_udf", "default")
+    row = spark.sql(
+        "SELECT REGEXP('^a', 'abc') AS r, SEEDCRAWLEDSTATUS(301) AS s, "
+        "BUILDREDIRECTARRAY('http://x', 302, 'LL', NULL) AS b"
+    ).collect()[0]
+    assert row["r"] is True
+    assert row["s"] == "Redirected"
+    import json as _json
+
+    assert _json.loads(row["b"]) == [None, {"seed": "http://x", "status": "Redirected"}]
+
+
+def test_no_cross_segment_view_leak(store):
+    # a table existing only in segment A must not resolve when reading B
+    store.set_schema("sa", "create table only_a (x INTEGER);")
+    store.provision("seg_a", "sa")
+    store.write("seg_a", "INSERT INTO only_a (x) VALUES (1);")
+    store.provision("seg_b", "default")
+    assert store.read("seg_a", "SELECT * FROM only_a") == [{"x": 1}]
+    with pytest.raises(Exception):
+        store.read("seg_b", "SELECT * FROM only_a")

@@ -212,9 +212,18 @@ class SegmentStore:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root.rstrip("/")
+        # register the reference's three SQL functions for un-shimmed SQL,
+        # mirroring setup_connection (trough/read.py:64 → sync.py:84-86)
+        from trough_spark.functions import register_all
+
+        register_all(spark)
         os.makedirs(f"{self.root}/tables", exist_ok=True)
         self._registry_path = f"{self.root}/_meta.json"
         self._meta = self._load_meta()
+        # temp-view names this store registered in the session catalog; stale
+        # entries are dropped before each read so one segment's tables/views
+        # can never resolve inside another segment's query
+        self._registered_names: set[str] = set()
         # per-(segment, table) auto-increment high-water marks, lazily
         # initialized from storage (segments are small by design)
         self._hwm: dict[tuple[str, str], int] = {}
@@ -577,6 +586,19 @@ class SegmentStore:
         up = stmt.upper()
         if re.search(r"\bINDEX\b", up):
             return  # indexes → Parquet stats + pruning (SURVEY §2.B14)
+        if re.search(r"\bVIEW\b", up):
+            m = re.match(
+                r"^\s*CREATE\s+(?:TEMP(?:ORARY)?\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+                r"(?P<name>[\w\"\[\]`]+)\s+AS\s+(?P<body>.+)$",
+                stmt,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not m:
+                raise QueryRejected(f"unsupported CREATE VIEW form: {stmt[:80]!r}")
+            info = self._segment_info(segment_id)
+            info.setdefault("views", {})[_unquote(m.group("name"))] = m.group("body")
+            self._save_meta()
+            return
         if not re.search(r"\bTABLE\b", up):
             raise QueryRejected(f"unsupported CREATE on write path: {stmt[:80]!r}")
         ts = parse_create_table(stmt)
@@ -648,6 +670,16 @@ class SegmentStore:
         return self.spark.read.parquet(path)
 
     def _write_path_drop(self, segment_id: str, stmt: str) -> None:
+        vm = re.match(
+            r"^\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?(?P<name>[\w\"\[\]`]+)\s*$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if vm:
+            info = self._segment_info(segment_id)
+            info.get("views", {}).pop(_unquote(vm.group("name")), None)
+            self._save_meta()
+            return
         m = re.match(
             r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>[\w\"\[\]`]+)\s*$",
             stmt,
@@ -676,10 +708,55 @@ class SegmentStore:
         """One SELECT against one segment → DataFrame.  The table views are
         partition-pruned scans of exactly one directory."""
         stmt = dialect.assert_single_select(sql)
-        spark_sql = dialect.sqlite_to_spark(stmt)
+        info = self._segment_info(segment_id)
+        current = set(self._segment_tables(segment_id)) | set(info.get("views", {}))
+        for stale in self._registered_names - current:
+            self.spark.catalog.dropTempView(stale)
+        self._registered_names -= self._registered_names - current
         for table in self._segment_tables(segment_id):
             self._read_partition(segment_id, table).createOrReplaceTempView(table)
-        return self.spark.sql(spark_sql)
+            self._registered_names.add(table)
+        for vname, vsql in info.get("views", {}).items():
+            self.spark.sql(dialect.sqlite_to_spark(vsql)).createOrReplaceTempView(vname)
+            self._registered_names.add(vname)
+        rec = _parse_recursive_cte(stmt)
+        if rec is not None:
+            return self._execute_recursive(rec)
+        return self.spark.sql(dialect.sqlite_to_spark(stmt))
+
+    def _execute_recursive(self, rec: "RecursiveCTE") -> DataFrame:
+        """WITH RECURSIVE via driver-side fixpoint iteration (SURVEY §2.B11:
+        Spark SQL has no recursive CTE; the plan is an iterated union).
+        Each step is one small Spark job over the frontier; depth is bounded.
+        Scale note: recursion depth — not data size — bounds the loop; each
+        iteration's frontier is distributed as usual."""
+        base = self.spark.sql(dialect.sqlite_to_spark(rec.base_sql))
+        if rec.cols:
+            base = base.toDF(*rec.cols)
+        acc = base.distinct() if not rec.union_all else base
+        frontier = acc
+        for _ in range(rec.max_iterations):
+            frontier.createOrReplaceTempView(rec.name)
+            step = self.spark.sql(dialect.sqlite_to_spark(rec.step_sql))
+            if rec.cols:
+                step = step.toDF(*rec.cols)
+            if rec.union_all:
+                if step.isEmpty():
+                    break
+                acc = acc.unionByName(step)
+                frontier = step
+            else:
+                new = step.distinct().exceptAll(acc)
+                if new.isEmpty():
+                    break
+                acc = acc.unionByName(new)
+                frontier = new
+        else:
+            raise QueryRejected(
+                f"recursive CTE exceeded {rec.max_iterations} iterations"
+            )
+        acc.createOrReplaceTempView(rec.name)
+        return self.spark.sql(dialect.sqlite_to_spark(rec.outer_sql))
 
     def read(self, segment_id: str, sql: str, values=()) -> list[dict]:
         """A2: rows as a JSON-ready list of {column: value} dicts
@@ -749,6 +826,107 @@ class SegmentStore:
         del self._meta["segments"][segment_id]
         self._save_meta()
         self._hwm = {k: v for k, v in self._hwm.items() if k[0] != segment_id}
+
+
+# ---------------------------------------------------------------------------
+# WITH RECURSIVE (SURVEY §2.B11: Spark has no recursive CTE; the engine
+# executes it as a driver-coordinated fixpoint of distributed steps)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class RecursiveCTE:
+    name: str
+    cols: list[str]
+    base_sql: str
+    step_sql: str
+    outer_sql: str
+    union_all: bool
+    max_iterations: int = 200
+
+
+def _parse_recursive_cte(sql: str) -> RecursiveCTE | None:
+    tokens = dialect.tokenize(sql)
+    sig = [i for i, t in enumerate(tokens) if t.kind not in ("space", "comment")]
+    words = [tokens[i] for i in sig]
+    if len(words) < 2 or words[0].text.upper() != "WITH" or words[1].text.upper() != "RECURSIVE":
+        return None
+    pos = 2
+    name = _unquote(words[pos].text)
+    pos += 1
+    cols: list[str] = []
+    if pos < len(words) and words[pos].text == "(":
+        args, close_sig = _find_sig_args(words, pos)
+        cols = [_unquote(dialect.render(a).strip()) for a in args]
+        pos = close_sig + 1
+    if pos >= len(words) or words[pos].text.upper() != "AS":
+        raise QueryRejected(f"unsupported WITH RECURSIVE form: {sql[:80]!r}")
+    pos += 1
+    if pos >= len(words) or words[pos].text != "(":
+        raise QueryRejected(f"unsupported WITH RECURSIVE form: {sql[:80]!r}")
+    body_args, close_sig = _find_sig_args(words, pos)
+    if len(body_args) != 1:
+        raise QueryRejected("unsupported WITH RECURSIVE form (top-level comma in body)")
+    body = body_args[0]
+    outer_sql = dialect.render(
+        tokens[sig[close_sig + 1] :] if close_sig + 1 < len(words) else []
+    ).strip()
+    if not outer_sql:
+        raise QueryRejected("WITH RECURSIVE without an outer SELECT")
+    # split body at the LAST top-level UNION [ALL]
+    depth = 0
+    split_at = None
+    union_all = False
+    for i, t in enumerate(body):
+        if t.text == "(":
+            depth += 1
+        elif t.text == ")":
+            depth -= 1
+        elif depth == 0 and t.kind == "word" and t.text.upper() == "UNION":
+            split_at = i
+            union_all = i + 1 < len(body) and body[i + 1].text.upper() == "ALL"
+    if split_at is None:
+        raise QueryRejected("WITH RECURSIVE body must be 'base UNION [ALL] step'")
+    # body tokens come from the significant list (whitespace dropped):
+    # re-render with single spaces — safe, literals are single tokens
+    base_sql = " ".join(t.text for t in body[:split_at]).strip()
+    step_sql = " ".join(t.text for t in body[split_at + (2 if union_all else 1) :]).strip()
+    return RecursiveCTE(
+        name=name,
+        cols=cols,
+        base_sql=base_sql,
+        step_sql=step_sql,
+        outer_sql=outer_sql,
+        union_all=union_all,
+    )
+
+
+def _find_sig_args(words, open_pos):
+    """Like dialect._find_call_args but over a significant-token list;
+    returns (args, index_of_close) in significant-token coordinates."""
+    depth = 0
+    args, cur = [], []
+    i = open_pos
+    while i < len(words):
+        t = words[i]
+        if t.text == "(":
+            depth += 1
+            if depth > 1:
+                cur.append(t)
+        elif t.text == ")":
+            depth -= 1
+            if depth == 0:
+                if cur or args:
+                    args.append(cur)
+                return args, i
+            cur.append(t)
+        elif t.text == "," and depth == 1:
+            args.append(cur)
+            cur = []
+        else:
+            cur.append(t)
+        i += 1
+    raise QueryRejected("unbalanced parentheses in SQL")
 
 
 # ---------------------------------------------------------------------------
