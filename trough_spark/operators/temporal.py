@@ -1,0 +1,108 @@
+"""Temporal join operators Spark lacks as built-ins: as-of join (point-in-
+time correctness) and interval/range join.
+
+As-of join — the union+window technique, NOT a pandas merge_asof:
+tag both sides, union them, and take per-key ``last(right_value ignorenulls)``
+over (time, side) ordering.  Cost: ONE shuffle on the key — the same price as
+any equi-join — with no row explosion and no Python.  A merge_asof via
+applyInPandas would force the same shuffle AND serialize every row through
+Arrow; the union+window form stays entirely in Tungsten.
+
+Interval join — banding: intervals are exploded to the fixed-width buckets
+they overlap, points map to their bucket, and the join is an equi-join on
+(key, bucket) with a residual range predicate.  This bounds the pair work to
+per-bucket occupancy (the standard trick to keep range joins off the
+quadratic nested-loop path at scale).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    value_cols: list[str],
+    tolerance_before: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right.on <= left.on`` within the same ``by`` group (ties: the right row
+    at an equal timestamp matches).
+
+    ``right`` must be unique per (by, on) — pre-aggregate if not.
+    Returns all left columns plus ``value_cols`` from the matched right row
+    (NULL when no right row precedes the left row).
+    """
+    lcols = left.columns
+    l_tagged = left.select(
+        *lcols, F.lit(1).alias("_side"), *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols]
+    )
+    r_tagged = right.select(
+        F.col(by),
+        F.col(on),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in (by, on)],
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    ).select(*lcols, "_side", *[f"_r_{c}" for c in value_cols])
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *lcols,
+        "_side",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(c + "_asof")
+            for c in value_cols
+        ],
+        F.last(F.when(F.col("_side") == 0, F.col(on)), ignorenulls=True).over(w).alias("_asof_ts"),
+    )
+    out = carried.filter(F.col("_side") == 1).drop("_side")
+    if tolerance_before is not None:
+        within = F.col(on) - F.expr(f"INTERVAL {tolerance_before}") <= F.col("_asof_ts")
+        out = out.select(
+            *lcols,
+            *[
+                F.when(within, F.col(c + "_asof")).alias(c + "_asof")
+                for c in value_cols
+            ],
+        )
+    else:
+        out = out.drop("_asof_ts")
+    return out
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Join each point to the intervals containing it ([start, end], same
+    key), via bucket banding + residual predicate.  ``bucket_width`` is in
+    the column's native units; choose it near the median interval length so
+    each interval explodes to O(1) buckets."""
+    ivl = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                (F.col(start_col) / bucket_width).cast("long"),
+                (F.col(end_col) / bucket_width).cast("long"),
+            )
+        ),
+    )
+    pts = points.withColumn("_bucket", (F.col(point_col) / bucket_width).cast("long"))
+    joined = pts.join(ivl, [key, "_bucket"]).filter(
+        (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) <= F.col(end_col))
+    )
+    return joined.drop("_bucket")

@@ -101,3 +101,36 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.regexp_replace(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", ""), r"\s+", " ")
     )
     return df.select(F.col(id_col).alias("id"), F.md5(normalized).alias("fingerprint"))
+
+
+def tf_idf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-(document, term) TF-IDF over whitespace tokens.
+
+    tf = term count / doc token count; idf = ln(N / doc_freq).
+    Scale: one explode + two partial-aggregates (term counts per doc, doc
+    freq per term) + a broadcast of the (small) per-term idf table.  The
+    score is rounded to 6 decimals at the boundary.
+    """
+    tok = (
+        df.select(F.col(id_col).alias("id"), F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("term"))
+        .filter(F.length("term") > 0)
+    )
+    term_counts = tok.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tc"))
+    doc_lens = tok.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    doc_freq = term_counts.groupBy("term").agg(F.count(F.lit(1)).alias("df_"))
+    n_docs = df.select(F.col(id_col)).distinct().count()
+    return (
+        term_counts.join(doc_lens, "id")
+        .join(F.broadcast(doc_freq), "term")
+        .select(
+            "id",
+            "term",
+            F.col("tc").alias("term_count"),
+            F.round(
+                (F.col("tc") / F.col("dl")) * F.log(F.lit(float(n_docs)) / F.col("df_")),
+                6,
+            ).alias("tfidf"),
+        )
+    )

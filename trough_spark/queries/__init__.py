@@ -46,6 +46,7 @@ def load_all() -> None:
         relational,
         similarity,
         streaming,
+        temporal,
         text,
         trough_ops,
     )

@@ -1,0 +1,78 @@
+"""As-of and interval join queries over `events`, oracled against DuckDB's
+native ASOF JOIN / inequality joins."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from trough_spark.operators import temporal as TP
+from trough_spark.queries import query
+from trough_spark.tables import load_table as T
+
+
+@query(
+    "asof_join_last_signup",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    signups AS (
+      SELECT user_id, ts, MAX(value) AS value
+      FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+    )
+    SELECT l.event_id, l.user_id, l.ts, r.value AS value_asof
+    FROM purchases l
+    ASOF LEFT JOIN signups r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_join_last_signup(spark, sf_dir):
+    # Point-in-time join: for every purchase, the user's most recent signup
+    # value at-or-before the purchase.  One shuffle on user_id (union+window
+    # technique, operators/temporal.py) vs DuckDB's native ASOF JOIN.
+    e = T(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    signups = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    return TP.asof_join(purchases, signups, on="ts", by="user_id", value_cols=["value"])
+
+
+@query(
+    "interval_join_sessions",
+    oracle="""
+    WITH intervals AS (
+      SELECT user_id, epoch_us(ts) AS start_us, epoch_us(ts) + 600000000 AS end_us,
+             event_id AS anchor_id
+      FROM events WHERE event_type = 'signup'
+    ),
+    points AS (
+      SELECT user_id, epoch_us(ts) AS p_us, event_id FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id, i.anchor_id
+    FROM points p JOIN intervals i
+      ON p.user_id = i.user_id AND p.p_us >= i.start_us AND p.p_us <= i.end_us
+    """,
+)
+def interval_join_sessions(spark, sf_dir):
+    # Which clicks land within 10 minutes after each signup — banded interval
+    # join (bucket width = interval length), per-bucket bounded work.
+    e = T(spark, sf_dir, "events")
+    intervals = (
+        e.filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("start_us"),
+            (F.unix_micros("ts") + 600_000_000).alias("end_us"),
+            F.col("event_id").alias("anchor_id"),
+        )
+    )
+    points = (
+        e.filter(F.col("event_type") == "click")
+        .select("user_id", F.unix_micros("ts").alias("p_us"), "event_id")
+    )
+    return TP.interval_join(
+        points, intervals, key="user_id", point_col="p_us",
+        start_col="start_us", end_col="end_us", bucket_width=600_000_000,
+    ).select("event_id", "user_id", "anchor_id")

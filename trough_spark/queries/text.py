@@ -6,6 +6,8 @@ the first match by default, Spark replaces all.
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
+
 from trough_spark.operators import text as X
 from trough_spark.queries import query
 from trough_spark.tables import load_table as T
@@ -95,3 +97,38 @@ def text_lang_id(spark, sf_dir):
 )
 def text_fingerprint(spark, sf_dir):
     return X.fingerprint(T(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id AS id, t.term
+      FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+           UNNEST(toks) AS t(term)
+      WHERE length(t.term) > 0
+    ),
+    tc AS (SELECT id, term, COUNT(*) AS tcnt FROM tok GROUP BY 1, 2),
+    dl AS (SELECT id, COUNT(*) AS dlen FROM tok GROUP BY 1),
+    df AS (SELECT term, COUNT(*) AS dfreq FROM tc GROUP BY 1),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM documents),
+    scored AS (
+      SELECT tc.id, tc.term, tc.tcnt AS term_count,
+             ROUND((tcnt / dlen) * ln(CAST(nd AS DOUBLE) / dfreq), 6) AS tfidf
+      FROM tc JOIN dl USING (id) JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT id, term, term_count, tfidf, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY tfidf DESC, term) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5 AND id < 200
+    """,
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    scored = X.tf_idf(T(spark, sf_dir, "documents"), "doc_id", "text")
+    w = W.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter((F.col("rnk") <= 5) & (F.col("id") < 200))
+    )
