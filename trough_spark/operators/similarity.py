@@ -141,11 +141,19 @@ def cosine_topk_bruteforce(
     final top-k per query is a WindowGroupLimit — each partition emits only k
     candidates per query before the exchange.
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # norms precomputed per side (O(N+Q)); the per-pair work is one dot
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).withColumn(
+        "qn", norm(F.col("qv"), dim)
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")).withColumn(
+        "cn", norm(F.col("cv"), dim)
+    )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine_sim", F.round(cosine(F.col("qv"), F.col("cv"), dim), 6))
+        .withColumn(
+            "cosine_sim",
+            F.round(dot(F.col("qv"), F.col("cv"), dim) / (F.col("qn") * F.col("cn")), 6),
+        )
         .select("query_id", "neighbor_id", "cosine_sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))

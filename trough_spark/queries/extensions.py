@@ -36,3 +36,34 @@ def stream_session_window_native(spark, sf_dir):
     # The streaming-native gap-session operator run in batch mode; its
     # stream/batch consistency is asserted in tests/test_streaming.py.
     return E.session_windows(T(spark, sf_dir, "events"), gap="30 minutes")
+
+
+@query(
+    "skew_salted_aggregation",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           SUM(CAST(l_quantity AS BIGINT)) AS total_qty,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def skew_salted_aggregation(spark, sf_dir):
+    # Two-phase salted aggregation over a deliberately low-cardinality key
+    # (3 groups = maximal skew): identical results to the plain GROUP BY
+    # oracle, but the hot keys spread over 16 reducers in phase 1
+    # (operators/skew.py).
+    from trough_spark.operators.skew import salted_agg
+
+    l = T(spark, sf_dir, "lineitem")
+    return salted_agg(
+        l,
+        ["l_returnflag"],
+        {
+            "n": (F.count(F.lit(1)), F.sum),
+            "total_qty": (F.sum(F.col("l_quantity").cast("bigint")), F.sum),
+            "max_price": (F.max(F.col("l_extendedprice").cast("double")), F.max),
+        },
+        n_salts=16,
+    )
