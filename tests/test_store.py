@@ -315,3 +315,31 @@ def test_no_cross_segment_view_leak(store):
     assert store.read("seg_a", "SELECT * FROM only_a") == [{"x": 1}]
     with pytest.raises(Exception):
         store.read("seg_b", "SELECT * FROM only_a")
+
+
+def test_bulk_load_lineitem_segments(store, spark):
+    """FIXTURES F6 at table scale: bulk-load lineitem sliced into 16
+    segments with one partitioned write, then per-segment + fan-out reads."""
+    import pyspark.sql.functions as F
+
+    from trough_spark.tables import load_table
+
+    l = load_table(spark, "/root/testdata/sf0.001", "lineitem").withColumn(
+        "seg", F.concat(F.lit("bulk"), F.lpad((F.col("l_orderkey") % 16).cast("string"), 2, "0"))
+    )
+    segs = store.bulk_load("lineitem", l, "seg")
+    assert len(segs) == 16 and segs[0] == "bulk00"
+    # per-segment read is pruned and correct
+    one = store.read("bulk03", "SELECT count(*) AS n FROM lineitem")
+    direct = l.filter("seg = 'bulk03'").count()
+    assert one == [{"n": direct}]
+    # fan-out aggregate equals the whole table
+    total = store.read_many_df(r"^bulk", "SELECT count(*) AS n FROM lineitem").collect()
+    assert total[0]["n"] == 6000
+    # sqlite dialect still applies on bulk-loaded segments
+    rows = store.read(
+        "bulk03",
+        "SELECT l_returnflag, count(*) AS n FROM lineitem "
+        "WHERE l_returnflag LIKE 'a' GROUP BY l_returnflag",
+    )
+    assert rows and rows[0]["l_returnflag"] == "A"

@@ -803,6 +803,35 @@ class SegmentStore:
             df.filter(F.col("segment_id").rlike(segment_regex)).createOrReplaceTempView(table)
         return self.spark.sql(spark_sql)
 
+    def bulk_load(self, table: str, df: DataFrame, segment_col: str) -> list[str]:
+        """The 100 TB ingest path: land an entire DataFrame into many
+        segments in ONE partitioned write (``partitionBy(segment_id)``),
+        instead of per-segment INSERT scripts.  This is how a bulk migration
+        or ETL job feeds the store — the write shuffles once on the segment
+        key and commits atomically via the file commit protocol (replacing
+        the reference's per-segment provision→POST→promote loop,
+        sync.py:673-1188).
+
+        Returns the list of segment ids that received data."""
+        data = df.withColumnRenamed(segment_col, "segment_id")
+        fields = [(f.name, f.dataType) for f in data.schema.fields if f.name != "segment_id"]
+        ts = TableSchema(name=table, fields=fields)
+        segs = [r["segment_id"] for r in data.select("segment_id").distinct().collect()]
+        for seg in segs:
+            self._meta["segments"].setdefault(seg, {"schema": "default", "tables": []})
+            self._meta["segments"][seg].setdefault("extra_tables", {})[table] = (
+                _tableschema_to_json(ts)
+            )
+        self._save_meta()
+        (
+            data.select(*[n for n, _ in fields], "segment_id")
+            .repartition("segment_id")
+            .write.partitionBy("segment_id")
+            .mode("append")
+            .parquet(self._table_path(table))
+        )
+        return sorted(segs)
+
     # -- promotion / deletion (A20, A22) -------------------------------------
 
     def promote(self, segment_id: str) -> dict:
