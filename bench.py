@@ -40,6 +40,10 @@ HEADLINE = [
     # streaming (batch mode)
     "stream_tumbling_hourly",
     "stream_sessionization",
+    # temporal + skew operators
+    "asof_join_last_signup",
+    "text_tfidf_top_terms",
+    "skew_salted_aggregation",
 ]
 
 

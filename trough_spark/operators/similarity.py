@@ -196,20 +196,33 @@ def srp_bucketed_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.9, n_bits: int = 8,
     dim: int = 64,
 ) -> DataFrame:
-    """ANN near-dup pairs: exact cosine applied only within LSH buckets."""
-    with_bucket = df.join(
-        srp_lsh_buckets(df, id_col, vec_col, n_bits, dim),
-        F.col(id_col) == F.col("id"),
-    ).drop("id")
+    """ANN near-dup pairs: exact cosine applied only within LSH buckets —
+    the scale path's end-to-end shape.  Bucket codes are computed inline
+    (one map pass), the pair join is an equi-join on the bucket key, and the
+    per-pair cosine uses precomputed norms + the unrolled dot."""
+    code = None
+    for j in range(n_bits):
+        bit = srp_projection_bit(F.col(vec_col), j, dim) * (2**j)
+        code = bit if code is None else code + bit
+    with_bucket = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        code.cast("bigint").alias("bucket"),
+    ).withColumn("n", norm(F.col("v"), dim))
     a = with_bucket.select(
-        F.col("bucket").alias("bk"), F.col(id_col).alias("id1"), F.col(vec_col).alias("v1")
+        F.col("bucket").alias("bk"), F.col("id").alias("id1"),
+        F.col("v").alias("v1"), F.col("n").alias("n1"),
     )
     b = with_bucket.select(
-        F.col("bucket").alias("bk2"), F.col(id_col).alias("id2"), F.col(vec_col).alias("v2")
+        F.col("bucket").alias("bk2"), F.col("id").alias("id2"),
+        F.col("v").alias("v2"), F.col("n").alias("n2"),
     )
     return (
         a.join(b, (F.col("bk") == F.col("bk2")) & (F.col("id1") < F.col("id2")))
-        .withColumn("cosine_sim", F.round(cosine(F.col("v1"), F.col("v2")), 6))
+        .withColumn(
+            "cosine_sim",
+            F.round(dot(F.col("v1"), F.col("v2"), dim) / (F.col("n1") * F.col("n2")), 6),
+        )
         .filter(F.col("cosine_sim") >= threshold)
         .select("id1", "id2", "cosine_sim")
     )

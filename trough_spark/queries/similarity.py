@@ -90,3 +90,35 @@ def sim_srp_buckets(spark, sf_dir):
     # The ANN scale path: 8-bit sign-random-projection code per vector — a
     # pure map, no shuffle; candidate generation downstream joins on `bucket`.
     return S.srp_lsh_buckets(T(spark, sf_dir, "embeddings"), "vec_id", "embedding", n_bits=8, dim=64)
+
+
+@query(
+    "sim_srp_bucketed_pairs",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+    bits AS (
+      SELECT vec_id, j,
+             list_sum(list_transform(generate_series(0, 63),
+                                     i -> e[i + 1] * sin(i + j * 1000))) AS proj
+      FROM v, UNNEST(generate_series(0, 7)) AS t(j)
+    ),
+    buckets AS (
+      SELECT vec_id AS id,
+             CAST(SUM(CASE WHEN proj >= 0 THEN (1 << j) ELSE 0 END) AS BIGINT) AS bucket
+      FROM bits GROUP BY vec_id
+    ),
+    tagged AS (SELECT b.id, b.bucket, v.e FROM buckets b JOIN v ON v.vec_id = b.id)
+    SELECT id1, id2, ROUND(sim, 6) AS cosine_sim FROM (
+      SELECT a.id AS id1, b.id AS id2, {_COS_EXPR} AS sim
+      FROM tagged a JOIN tagged b ON a.bucket = b.bucket AND a.id < b.id
+    ) WHERE ROUND(sim, 6) >= 0.2
+    """,
+)
+def sim_srp_bucketed_pairs(spark, sf_dir):
+    # End-to-end ANN scale path: exact cosine evaluated ONLY within SRP-LSH
+    # buckets — pair work proportional to bucket occupancy, never N².
+    return S.srp_bucketed_pairs(
+        T(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        threshold=0.2, n_bits=8, dim=64,
+    )
