@@ -109,24 +109,43 @@ def ngram_jaccard_pairs(
     )
 
 
+# universal-hash family over a Mersenne-prime field: perm_j(h) =
+# (A_j * h31 + B_j) mod (2^31 - 1), with h31 = base md5 hash folded to 31
+# bits.  ONE md5 per shingle (not one per shingle×perm); the A/B constants
+# are small enough that a_j * h31 stays under 2^62 — no bigint overflow in
+# either engine (DuckDB errors on overflow; Spark wraps — so staying in
+# range is a correctness requirement, not a style choice).
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1
+MINHASH_A = [1_000_003, 999_983, 888_887, 777_767, 666_667, 555_557, 444_443, 333_337]
+MINHASH_B = [12_345, 54_321, 192_837, 918_273, 112_358, 853_211, 272_727, 727_272]
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_perm: int = 8, n: int = 3
 ) -> DataFrame:
-    """MinHash signatures: one row per (id, perm) carrying the min portable
-    hash over the doc's shingle set under permutation ``perm``.
+    """MinHash signatures: one row per (id, perm) carrying the min permuted
+    hash over the doc's shingle set.
 
-    Scale: shingles × permutations explode map-side; the min is a partial
-    aggregate, so the shuffle carries num_perm longs per doc — independent of
-    document length.
+    Scale: ONE md5 per distinct shingle; permutations are cheap modular
+    arithmetic applied map-side; the min is a partial aggregate, so the
+    shuffle carries num_perm longs per doc — independent of doc length.
     """
-    sh = shingle_table(df, id_col, text_col, n)
+    assert num_perm <= len(MINHASH_A)
+    sh = shingle_table(df, id_col, text_col, n).withColumn(
+        "h31", portable_hash(F.col("shingle")) % MINHASH_PRIME
+    )
     return (
         sh.select(
-            "id", "shingle", F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm")
+            "id", "h31", F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm")
         )
         .withColumn(
             "h",
-            portable_hash(F.concat(F.col("shingle"), F.lit("#"), F.col("perm").cast("string"))),
+            (
+                F.element_at(F.array(*[F.lit(a) for a in MINHASH_A]), F.col("perm") + 1)
+                * F.col("h31")
+                + F.element_at(F.array(*[F.lit(b) for b in MINHASH_B]), F.col("perm") + 1)
+            )
+            % MINHASH_PRIME,
         )
         .groupBy("id", "perm")
         .agg(F.min("h").alias("minhash"))

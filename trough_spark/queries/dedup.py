@@ -15,6 +15,19 @@ from trough_spark.tables import load_table as T
 
 # shared oracle CTEs: tokenization + 3-gram shingles, mirroring
 # operators/dedup.py exactly
+_A = "[1000003, 999983, 888887, 777767, 666667, 555557, 444443, 333337]"
+_B = "[12345, 54321, 192837, 918273, 112358, 853211, 272727, 727272]"
+_MINHASH_CTE = rf"""
+    h31 AS (
+      SELECT id, CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) % 2147483647 AS h31
+      FROM sh
+    ),
+    hashed AS (
+      SELECT id, perm,
+             ({_A}[perm + 1] * h31 + {_B}[perm + 1]) % 2147483647 AS h
+      FROM h31, UNNEST(generate_series(0, 7)) AS t(perm)
+    )
+"""
 _SHINGLES_CTE = r"""
     toks AS (
       SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\s+') AS toks
@@ -73,11 +86,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     "dedup_minhash_lsh",
     oracle=f"""
     WITH {_SHINGLES_CTE},
-    hashed AS (
-      SELECT id, perm,
-             CAST(('0x' || substr(md5(sh || '#' || CAST(perm AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-      FROM sh, UNNEST(generate_series(0, 7)) AS t(perm)
-    ),
+    {_MINHASH_CTE},
     minh AS (SELECT id, perm, MIN(h) AS minhash FROM hashed GROUP BY 1, 2),
     bands AS (
       SELECT id, perm // 2 AS band,
@@ -98,11 +107,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     "dedup_minhash_signatures",
     oracle=f"""
     WITH {_SHINGLES_CTE},
-    hashed AS (
-      SELECT id, perm,
-             CAST(('0x' || substr(md5(sh || '#' || CAST(perm AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-      FROM sh, UNNEST(generate_series(0, 7)) AS t(perm)
-    )
+    {_MINHASH_CTE}
     SELECT id, perm, MIN(h) AS minhash FROM hashed GROUP BY 1, 2
     """,
 )
