@@ -1,0 +1,104 @@
+"""Property-based tests (hypothesis) for the dialect shim's pure functions —
+beyond the reference's golden-only strategy (SURVEY §5)."""
+
+from __future__ import annotations
+
+import re
+import sqlite3
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from trough_spark import dialect
+
+# -- tokenizer roundtrip ------------------------------------------------------
+
+sqlish = st.text(
+    alphabet=st.sampled_from(list("abcXYZ0189_ '\"`.,;()*=<>%|-+/\n\t[]:?")), max_size=200
+)
+
+
+@given(sqlish)
+@settings(max_examples=300, deadline=None)
+def test_tokenize_render_roundtrip(s):
+    assert dialect.render(dialect.tokenize(s)) == s
+
+
+# -- statement splitting ------------------------------------------------------
+
+
+@given(st.lists(st.sampled_from(["SELECT 1", "INSERT INTO t VALUES ('a;b')",
+                                 "UPDATE t SET x = ';' WHERE 1", "-- note;\nSELECT 2"]),
+                min_size=1, max_size=6))
+@settings(max_examples=100, deadline=None)
+def test_split_statement_count(stmts):
+    script = ";\n".join(stmts) + ";"
+    assert len(dialect.split_statements(script)) == len(stmts)
+
+
+# -- GLOB translation vs real SQLite ------------------------------------------
+
+glob_pat = st.text(alphabet=st.sampled_from(list("ab?*[]x-")), max_size=8)
+subject = st.text(alphabet=st.sampled_from(list("abx-")), max_size=8)
+
+
+@given(glob_pat, subject)
+@settings(max_examples=300, deadline=None)
+def test_glob_matches_sqlite(pattern, s):
+    conn = sqlite3.connect(":memory:")
+    try:
+        expected = bool(
+            conn.execute("SELECT ? GLOB ?", (s, pattern)).fetchone()[0]
+        )
+    except sqlite3.Error:
+        return  # invalid pattern in sqlite: nothing to compare
+    finally:
+        conn.close()
+    try:
+        got = re.fullmatch(dialect.glob_to_regex(pattern)[1:-1], s) is not None
+    except re.error:
+        # sqlite tolerates some malformed classes we translate strictly;
+        # only a mismatch on a VALID regex is a failure
+        return
+    assert got == expected, f"GLOB {pattern!r} on {s!r}"
+
+
+# -- literal encoder vs real SQLite -------------------------------------------
+
+
+@given(
+    st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(-2**62, 2**62),
+        # NUL excluded: python's sqlite3 driver rejects queries containing
+        # it (the reference's HTTP-SQL path has the identical limitation)
+        st.text(max_size=40).filter(lambda s: "\x00" not in s),
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_sql_value_roundtrip_sqlite(v):
+    """Encoded literals must evaluate back to the original value in SQLite
+    (booleans become 0/1, the reference's own encoding, client.py:116-117)."""
+    lit = dialect.sql_value(v)
+    if lit.startswith("timestamp'") or lit.startswith("date'"):
+        return
+    conn = sqlite3.connect(":memory:")
+    got = conn.execute(f"SELECT {lit}").fetchone()[0]
+    conn.close()
+    if v is None:
+        assert got is None
+    elif isinstance(v, bool):
+        assert got == int(v)
+    else:
+        assert got == v
+
+
+# -- strftime format mapping --------------------------------------------------
+
+
+@given(st.sampled_from(["%Y", "%m", "%d", "%H", "%M", "%S", "%Y-%m-%d", "%H:%M:%S", "%Y/%m"]))
+@settings(max_examples=50, deadline=None)
+def test_strftime_map_structure(fmt):
+    out = dialect.strftime_format_to_spark(fmt)
+    assert "%" not in out  # every directive translated

@@ -1,0 +1,130 @@
+"""Differential dialect fidelity: the same SQLite SELECTs executed by real
+SQLite (stdlib, the reference's actual engine — trough/read.py:63-66) and by
+the engine's dialect-shimmed read path, over identical data.
+
+This is the reference-parity harness SURVEY §5 prescribes: if SQLite and
+trough_spark disagree on a query's result, the dialect shim is wrong.
+"""
+
+from __future__ import annotations
+
+import math
+import sqlite3
+
+import pytest
+
+from trough_spark.sources.sqlite import import_sqlite_segment
+from trough_spark.store import SegmentStore
+
+ROWS = [
+    (1, "Apple", 3.5, 10, "2024-01-15 10:30:00"),
+    (2, "banana", 1.25, None, "2024-02-20 08:00:00"),
+    (3, "Cherry pie", 7.0, 4, "2024-03-05 23:59:59"),
+    (4, "apple tart", 2.5, 10, "2024-01-15 11:00:00"),
+    (5, None, 0.0, 2, None),
+    (6, "date", 4.75, 7, "2024-06-30 12:00:00"),
+]
+
+# every query must be a single SELECT both engines accept (after the shim)
+QUERIES = [
+    "SELECT id, name FROM items WHERE name LIKE 'apple%' ORDER BY id",
+    "SELECT id FROM items WHERE name GLOB 'a*' ORDER BY id",
+    "SELECT id FROM items WHERE name LIKE '%PIE%' ORDER BY id",
+    "SELECT count(*) AS n, total(qty) AS t FROM items",
+    "SELECT coalesce(name, 'unknown') AS nm FROM items ORDER BY id",
+    "SELECT id, CASE WHEN price > 3 THEN 'pricey' ELSE 'cheap' END AS band "
+    "FROM items ORDER BY id",
+    "SELECT upper(name) AS u, lower(name) AS l, length(name) AS ln "
+    "FROM items WHERE id = 3",
+    "SELECT substr(name, 1, 3) AS pre, replace(name, 'a', '@') AS rep "
+    "FROM items WHERE id = 1",
+    "SELECT id FROM items WHERE qty IS NULL",
+    "SELECT id FROM items WHERE qty NOTNULL AND price < 3 ORDER BY id",
+    "SELECT qty, count(*) AS n FROM items WHERE qty IS NOT NULL "
+    "GROUP BY qty HAVING count(*) > 1 ORDER BY qty",
+    "SELECT group_concat(name) AS names FROM "
+    "(SELECT name FROM items WHERE name LIKE 'a%' ORDER BY name)",
+    "SELECT min(price, 3.0) AS m1, max(price, 3.0) AS m2 FROM items WHERE id = 1",
+    "SELECT ifnull(qty, -1) AS q FROM items ORDER BY id",
+    "SELECT id FROM items WHERE id IN (SELECT id FROM items WHERE price > 3) ORDER BY id",
+    "SELECT id FROM items i WHERE EXISTS "
+    "(SELECT 1 FROM items j WHERE j.qty = i.qty AND j.id != i.id) ORDER BY id",
+    "SELECT id FROM items WHERE price BETWEEN 1 AND 5 ORDER BY id",
+    "SELECT nullif(qty, 10) AS q FROM items ORDER BY id",
+    "SELECT abs(-price) AS p, round(price, 0) AS r FROM items WHERE id = 3",
+    "SELECT strftime('%Y-%m', ts) AS ym FROM items WHERE id = 1",
+    "SELECT id, row_number() OVER (ORDER BY price DESC, id) AS rn "
+    "FROM items ORDER BY id",
+    "SELECT id, sum(price) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING "
+    "AND CURRENT ROW) AS running FROM items ORDER BY id",
+    "SELECT name FROM items WHERE name REGEXP '^[ab]' ORDER BY id",
+    "SELECT id FROM items WHERE id > 4 UNION SELECT id FROM items WHERE id < 2 ",
+    "SELECT id FROM items WHERE qty = 10 INTERSECT SELECT id FROM items WHERE price > 3",
+    "SELECT id FROM items EXCEPT SELECT id FROM items WHERE price > 2 ",
+    "WITH pricey AS (SELECT * FROM items WHERE price >= 2.5) "
+    "SELECT count(*) AS n, min(id) AS first_id FROM pricey",
+]
+
+DDL = (
+    "CREATE TABLE items (id INTEGER PRIMARY KEY, name TEXT, price REAL, "
+    "qty INTEGER, ts DATETIME)"
+)
+
+
+def _regexp(pattern, item):
+    import re
+
+    if item is None:
+        return False
+    return re.search(pattern, item) is not None
+
+
+@pytest.fixture(scope="module")
+def engines(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("diff")
+    db_path = str(tmp / "seg.sqlite")
+    conn = sqlite3.connect(db_path)
+    conn.create_function("REGEXP", 2, _regexp)  # as the reference registers it
+    conn.execute(DDL)
+    conn.executemany("INSERT INTO items VALUES (?, ?, ?, ?, ?)", ROWS)
+    conn.commit()
+
+    store = SegmentStore(spark, str(tmp / "store"))
+    store.set_schema("items_schema", DDL + ";")
+    store.provision("diffseg", "items_schema")
+    placeholders = []
+    for r in ROWS:
+        vals = ", ".join(
+            "NULL" if v is None else (f"'{v}'" if isinstance(v, str) else str(v))
+            for v in r
+        )
+        placeholders.append(f"INSERT INTO items (id, name, price, qty, ts) VALUES ({vals})")
+    store.write("diffseg", ";\n".join(placeholders))
+    yield conn, store
+    conn.close()
+
+
+def _canon(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        return round(v, 9)
+    if isinstance(v, int) and not isinstance(v, bool):
+        return v
+    return str(v)
+
+
+@pytest.mark.parametrize("sql", QUERIES)
+def test_sqlite_vs_engine(engines, sql):
+    conn, store = engines
+    expected = [tuple(_canon(v) for v in row) for row in conn.execute(sql).fetchall()]
+    got_rows = store.read("diffseg", sql)
+    got = [tuple(_canon(v) for v in r.values()) for r in got_rows]
+    # unordered queries: compare as multisets
+    if "ORDER BY" in sql.upper().rsplit(")", 1)[-1]:
+        assert got == expected, f"ordered mismatch for {sql!r}"
+    else:
+        assert sorted(map(repr, got)) == sorted(map(repr, expected)), (
+            f"row-set mismatch for {sql!r}: {got} vs {expected}"
+        )
+    assert not (math.nan in got and math.nan not in expected)
