@@ -92,3 +92,26 @@ def test_table_format_column_ordering():
     rendered = table_format(rows)
     header = rendered.splitlines()[1]
     assert header.index("id") < header.index("zz") < header.index("aa")
+
+
+def test_shell_infile_and_shred(client, tmp_path):
+    import io
+
+    out = io.StringIO()
+    shell = TroughShell(client, out=out)
+    client.store.provision("inf1", "test1")
+    script = tmp_path / "load.sql"
+    script.write_text("INSERT INTO test (test) VALUES ('x1');\nINSERT INTO test (test) VALUES ('x2');")
+    assert shell.do_line("CONNECT inf1")
+    assert shell.do_line(f"INFILE {script}")
+    assert client.read("inf1", "SELECT count(*) AS n FROM test") == [{"n": 2}]
+    # INFILE refuses multi-segment connections (reference :345-347)
+    client.store.provision("inf2", "test1")
+    assert shell.do_line("CONNECT inf1 inf2")
+    assert shell.do_line(f"INFILE {script}")
+    assert "multiple segments not supported" in out.getvalue()
+    # SHRED SEGMENT (reference :380-403)
+    assert shell.do_line("SHRED SEGMENT inf1 inf2")
+    assert client.readable_segments_matching("^inf") == []
+    assert shell.do_line("SHRED SEGMENT nope")
+    assert "no such segment" in out.getvalue()

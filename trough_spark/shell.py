@@ -140,6 +140,34 @@ class TroughShell:
                 self.emit("usage: FORMAT table|json|raw")
         elif cmd == "PROMOTE":
             self.emit(json.dumps(self.client.promote(rest.strip()), default=str))
+        elif cmd == "INFILE":
+            # reference shell/__init__.py:329-351: execute a SQL script file
+            # against the single connected segment
+            if len(self.connections) != 1:
+                self.emit(
+                    "not connected to exactly one segment"
+                    if not self.connections
+                    else "writing to multiple segments not supported"
+                )
+            else:
+                try:
+                    with open(rest.strip()) as infile:
+                        self.client.store.write(self.connections[0], infile.read())
+                    self.emit("OK")
+                except (OSError, QueryRejected) as e:
+                    self.emit(f"error: {e}")
+        elif cmd == "SHRED":
+            # reference shell/__init__.py:380-403: SHRED SEGMENT id [id...]
+            args = rest.split()
+            if not args or args[0].upper() != "SEGMENT" or len(args) < 2:
+                self.emit("usage: SHRED SEGMENT segment_id [segment_id...]")
+            else:
+                for seg in args[1:]:
+                    try:
+                        self.client.delete_segment(seg)
+                        self.emit(f"shredded {seg}")
+                    except KeyError:
+                        self.emit(f"no such segment {seg!r}")
         elif cmd == "REGISTER":
             # REGISTER SCHEMA <id> <sql...>
             sub = rest.split(None, 2)
