@@ -71,10 +71,12 @@ def cosine_pairs(
        between pairwise (BLAS) and sequential summation over unit-scale
        64-dim vectors, so no true pair is ever dropped.
     2. **Exact rescore** — the handful of surviving candidate pairs joins
-       vectors back and recomputes the sequential-order dot product as a
-       native unrolled expression; the emitted ``cosine_sim`` is therefore
-       bit-identical to a strictly sequential evaluation (what the DuckDB
-       oracle computes) while the heavy O(N²·dim) arithmetic ran in BLAS.
+       vectors back and recomputes the sequential-order dot product (the
+       fold form — candidate counts are tiny, and the small expression
+       avoids JIT-compiling a giant unrolled chain); the emitted
+       ``cosine_sim`` is therefore bit-identical to a strictly sequential
+       evaluation (what the DuckDB oracle computes) while the heavy
+       O(N²·dim) arithmetic ran in BLAS.
 
     At corpus scale the build side must be tiled (or the whole operator run
     per LSH bucket via ``srp_bucketed_pairs``) — a broadcast build side is
@@ -108,18 +110,20 @@ def cosine_pairs(
             yield pd.DataFrame({"id1": idA[i], "id2": idsB[j]})
 
     cand = side.mapInPandas(prefilter, schema="id1 bigint, id2 bigint")
+    # exact rescore uses the small fold expression: candidate counts are
+    # tiny, and avoiding the unrolled form skips its multi-second JIT cost
     a = side.select(F.col("id").alias("id1"), F.col("v").alias("v1")).withColumn(
-        "n1", norm(F.col("v1"), dim)
+        "n1", norm(F.col("v1"))
     )
     b = side.select(F.col("id").alias("id2"), F.col("v").alias("v2")).withColumn(
-        "n2", norm(F.col("v2"), dim)
+        "n2", norm(F.col("v2"))
     )
     return (
         cand.join(a, "id1")
         .join(b, "id2")
         .withColumn(
             "cosine_sim",
-            F.round(dot(F.col("v1"), F.col("v2"), dim) / (F.col("n1") * F.col("n2")), 6),
+            F.round(dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 6),
         )
         .filter(F.col("cosine_sim") >= threshold)
         .select("id1", "id2", "cosine_sim")
@@ -136,23 +140,70 @@ def cosine_topk_bruteforce(
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
-    Scale: the query set is broadcast (it is small by definition of the API),
-    so the corpus is scanned exactly once with no shuffle of vectors; the
-    final top-k per query is a WindowGroupLimit — each partition emits only k
-    candidates per query before the exchange.
+    Scale: the query set is broadcast (it is small by definition of the
+    API), so the corpus is scanned exactly once with no shuffle of vectors.
+    Phase 1 scores every (corpus row, query) in a numpy matmul per Arrow
+    batch, keeping per-partition top (k + slack) candidates per query with a
+    1e-6 margin; phase 2 exact-rescores candidates sequentially and ranks on
+    the rounded exact score — identical output to full exact scoring.
     """
-    # norms precomputed per side (O(N+Q)); the per-pair work is one dot
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    # phase 1 — vectorized candidate generation: queries broadcast as a
+    # numpy matrix; each corpus Arrow batch scores against ALL queries in
+    # one matmul and keeps rows whose approx score could reach the top-k
+    # (per-partition top (k + slack) per query; the 1e-6 margin dwarfs
+    # BLAS-vs-sequential rounding, so no true neighbor is ever lost)
+    qpdf = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).toPandas()
+    if len(qpdf) == 0:
+        return spark.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, cosine_sim double, rnk int"
+        )
+    q_ids = qpdf["query_id"].to_numpy(np.int64)
+    q_mat = np.stack(qpdf["qv"].to_list()).astype(np.float64)
+    q_norms = np.sqrt((q_mat * q_mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_norms))
+    slack = max(2 * k, k + 8)
+
+    def prefilter(batches):
+        idsQ, matQ, normsQ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.stack(pdf["cv"].to_list()).astype(np.float64)
+            idC = pdf["neighbor_id"].to_numpy(np.int64)
+            nC = np.sqrt((C * C).sum(axis=1))
+            sims = (C @ matQ.T) / np.outer(nC, normsQ)  # (batch, Q)
+            sims[idC[:, None] == idsQ[None, :]] = -np.inf
+            out_q, out_n = [], []
+            for j in range(len(idsQ)):
+                col = sims[:, j]
+                if len(col) > slack:
+                    thresh = np.partition(col, -slack)[-slack] - 1e-6
+                else:
+                    thresh = -np.inf
+                keep = np.nonzero(col >= thresh)[0]
+                out_q.append(np.full(len(keep), idsQ[j]))
+                out_n.append(idC[keep])
+            yield pd.DataFrame(
+                {"query_id": np.concatenate(out_q), "neighbor_id": np.concatenate(out_n)}
+            )
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    cand = c.mapInPandas(prefilter, schema="query_id bigint, neighbor_id bigint")
+    # phase 2 — exact sequential-order rescore of the few candidates
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).withColumn(
-        "qn", norm(F.col("qv"), dim)
+        "qn", norm(F.col("qv"))
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")).withColumn(
-        "cn", norm(F.col("cv"), dim)
-    )
+    cn = c.withColumn("cn", norm(F.col("cv")))
     scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        cand.join(F.broadcast(q), "query_id")
+        .join(cn, "neighbor_id")
         .withColumn(
             "cosine_sim",
-            F.round(dot(F.col("qv"), F.col("cv"), dim) / (F.col("qn") * F.col("cn")), 6),
+            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6),
         )
         .select("query_id", "neighbor_id", "cosine_sim")
     )
