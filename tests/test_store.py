@@ -343,3 +343,16 @@ def test_bulk_load_lineitem_segments(store, spark):
         "WHERE l_returnflag LIKE 'a' GROUP BY l_returnflag",
     )
     assert rows and rows[0]["l_returnflag"] == "A"
+
+
+def test_sqlite_master_view(store):
+    # reference rewrites SHOW TABLES to sqlite_master (shell:149-155);
+    # applications can query it directly per segment
+    store.set_schema("sm", "create table kv (k INTEGER, v TEXT);")
+    store.provision("seg_sm", "sm")
+    store.write("seg_sm", "CREATE VIEW vv AS SELECT k FROM kv;")
+    rows = store.read(
+        "seg_sm", "SELECT type, name, sql FROM sqlite_master ORDER BY type, name"
+    )
+    assert [(r["type"], r["name"]) for r in rows] == [("table", "kv"), ("view", "vv")]
+    assert rows[0]["sql"] == "CREATE TABLE kv (k INTEGER, v TEXT)"

@@ -719,10 +719,42 @@ class SegmentStore:
         for vname, vsql in info.get("views", {}).items():
             self.spark.sql(dialect.sqlite_to_spark(vsql)).createOrReplaceTempView(vname)
             self._registered_names.add(vname)
+        self._register_sqlite_master(segment_id)
         rec = _parse_recursive_cte(stmt)
         if rec is not None:
             return self._execute_recursive(rec)
         return self.spark.sql(dialect.sqlite_to_spark(stmt))
+
+    def _register_sqlite_master(self, segment_id: str) -> None:
+        """Synthetic ``sqlite_master`` per segment: the reference's shell
+        rewrites SHOW TABLES to sqlite_master queries
+        (shell/__init__.py:149-155) and applications query it directly, so
+        the catalog is exposed with the same shape (type, name, tbl_name,
+        rootpage, sql)."""
+        info = self._segment_info(segment_id)
+        rows = []
+        for table in self._segment_tables(segment_id):
+            ts = self._table_schema(segment_id, table)
+            cols = ", ".join(f"{n} {_sqlite_decl(t)}" for n, t in ts.fields)
+            rows.append(
+                Row(
+                    type="table",
+                    name=table,
+                    tbl_name=table,
+                    rootpage=0,
+                    sql=f"CREATE TABLE {table} ({cols})",
+                )
+            )
+        for vname, vsql in info.get("views", {}).items():
+            rows.append(
+                Row(
+                    type="view", name=vname, tbl_name=vname, rootpage=0,
+                    sql=f"CREATE VIEW {vname} AS {vsql}",
+                )
+            )
+        schema = "type string, name string, tbl_name string, rootpage bigint, sql string"
+        self.spark.createDataFrame(rows, schema).createOrReplaceTempView("sqlite_master")
+        self._registered_names.add("sqlite_master")
 
     def _execute_recursive(self, rec: "RecursiveCTE") -> DataFrame:
         """WITH RECURSIVE via driver-side fixpoint iteration (SURVEY §2.B11:
@@ -1013,6 +1045,22 @@ def _literal(tokens) -> object:
                 f"non-literal VALUES expression not supported: {dialect.render(tokens)!r}"
             )
     raise QueryRejected(f"unsupported literal in VALUES: {dialect.render(tokens)!r}")
+
+
+def _sqlite_decl(typ: T.DataType) -> str:
+    if isinstance(typ, T.LongType):
+        return "INTEGER"
+    if isinstance(typ, T.DoubleType):
+        return "REAL"
+    if isinstance(typ, T.BinaryType):
+        return "BLOB"
+    if isinstance(typ, T.BooleanType):
+        return "BOOLEAN"
+    if isinstance(typ, T.TimestampType):
+        return "DATETIME"
+    if isinstance(typ, T.DateType):
+        return "DATE"
+    return "TEXT"
 
 
 def _coerce(v, typ: T.DataType):
