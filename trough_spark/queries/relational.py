@@ -698,3 +698,32 @@ def b11_exists_anti(spark, sf_dir):
             F.coalesce("no_orders", F.lit(0)).alias("no_orders"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# B6+: exact percentiles (interpolated) — analytics staple beyond SQLite
+# ---------------------------------------------------------------------------
+@query(
+    "b6_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_extendedprice, 0.25) AS p25_price,
+           quantile_cont(l_extendedprice, 0.95) AS p95_price,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def b6_percentiles(spark, sf_dir):
+    # Spark's exact `percentile` and DuckDB's quantile_cont share the same
+    # linear-interpolation definition — verified bit-identical.  At 100 TB
+    # swap to approx_percentile with a documented error bound; the exact
+    # form is the correctness baseline.
+    l = T(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.expr("percentile(l_extendedprice, 0.25)").alias("p25_price"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95_price"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -87,3 +87,52 @@ def stream_sessionization(spark, sf_dir):
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+@query(
+    "stream_funnel_conversion",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT s.user_id,
+             CAST(SUM(CASE WHEN e.event_type = 'purchase' AND e.ts >= s.signup_ts
+                           THEN 1 ELSE 0 END) AS BIGINT) AS purchases_after
+      FROM s LEFT JOIN events e ON e.user_id = s.user_id
+      GROUP BY s.user_id
+    )
+    SELECT COUNT(*) AS n_signup_users,
+           CAST(SUM(CASE WHEN purchases_after > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+           ROUND(SUM(CASE WHEN purchases_after > 0 THEN 1 ELSE 0 END) / COUNT(*), 6)
+             AS conversion_rate
+    FROM conv
+    """,
+)
+def stream_funnel_conversion(spark, sf_dir):
+    # Funnel: of users who signed up, how many purchased at-or-after their
+    # first signup.  One shuffle on user_id serves both aggregates; the
+    # signup-time dim is joined back without row explosion.
+    e = T(spark, sf_dir, "events")
+    s = e.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("signup_ts")
+    )
+    conv = (
+        s.join(e, "user_id", "left")
+        .groupBy(s.user_id)
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("signup_ts")), 1
+                ).otherwise(0)
+            ).alias("purchases_after")
+        )
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_signup_users"),
+        F.sum(F.when(F.col("purchases_after") > 0, 1).otherwise(0)).alias("n_converted"),
+        F.round(
+            F.sum(F.when(F.col("purchases_after") > 0, 1).otherwise(0)) / F.count(F.lit(1)), 6
+        ).alias("conversion_rate"),
+    )

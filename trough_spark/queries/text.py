@@ -132,3 +132,32 @@ def text_tfidf_top_terms(spark, sf_dir):
         scored.withColumn("rnk", F.row_number().over(w))
         .filter((F.col("rnk") <= 5) & (F.col("id") < 200))
     )
+
+
+@query(
+    "text_top_terms",
+    oracle=r"""
+    WITH tok AS (
+      SELECT t.term
+      FROM (SELECT string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+           UNNEST(toks) AS t(term)
+      WHERE length(t.term) > 0
+    )
+    SELECT term, COUNT(*) AS n FROM tok
+    GROUP BY term ORDER BY n DESC, term LIMIT 20
+    """,
+)
+def text_top_terms(spark, sf_dir):
+    # Corpus heavy hitters: explode + partial-agg count + TakeOrdered top-k.
+    # At 100 TB the same shape holds (shuffle carries term partial counts);
+    # sketch variants (count-min) slot in when exactness isn't required.
+    d = T(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term")
+    ).filter(F.length("term") > 0)
+    return (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(20)
+    )
