@@ -93,3 +93,30 @@ def test_watermark_drops_late_rows(spark, tmp_path):
 
     assert dt.datetime(2024, 1, 1, 10, 0) in emitted
     assert dt.datetime(2024, 1, 1, 13, 0) not in emitted
+
+
+def test_foreachbatch_sink_into_segment_store(spark, tmp_path, event_dir):
+    """Streaming → store: each micro-batch lands as an atomic partitioned
+    append; per-segment reads see the accumulated stream."""
+    import pyspark.sql.functions as F
+
+    from trough_spark.store import SegmentStore
+
+    store = SegmentStore(spark, str(tmp_path / "stream_store"))
+    stream = E.read_event_stream(spark, event_dir, max_files_per_trigger=1)
+    enriched = stream.withColumn(
+        "segment_id", F.concat(F.lit("u"), (F.col("user_id") % 4).cast("string"))
+    )
+    q = (
+        E.write_to_segments(enriched, store, "events_in", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    segs = store.list_segments()
+    assert sorted(segs) == ["u0", "u1", "u2", "u3"]
+    total = store.read_many_df("^u", "SELECT count(*) AS n FROM events_in").collect()
+    assert total[0]["n"] == 1000
+    one = store.read("u2", "SELECT count(*) AS n FROM events_in")
+    direct = load_table(spark, SF, "events").filter("user_id % 4 = 2").count()
+    assert one == [{"n": direct}]

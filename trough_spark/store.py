@@ -835,6 +835,32 @@ class SegmentStore:
             df.filter(F.col("segment_id").rlike(segment_regex)).createOrReplaceTempView(table)
         return self.spark.sql(spark_sql)
 
+    def append_dataframe(
+        self, table: str, df: DataFrame, segment_col: str = "segment_id"
+    ) -> None:
+        """Append a (micro-)batch carrying a segment column — the
+        foreachBatch streaming sink target (streaming/events.py
+        write_to_segments) and the incremental sibling of ``bulk_load``.
+        One partitioned append per call ≡ one atomic commit per trigger."""
+        data = df.withColumnRenamed(segment_col, "segment_id")
+        fields = [(f.name, f.dataType) for f in data.schema.fields if f.name != "segment_id"]
+        ts = TableSchema(name=table, fields=fields)
+        segs = [r["segment_id"] for r in data.select("segment_id").distinct().collect()]
+        changed = False
+        for seg in segs:
+            info = self._meta["segments"].setdefault(seg, {"schema": "default", "tables": []})
+            if table not in info.setdefault("extra_tables", {}):
+                info["extra_tables"][table] = _tableschema_to_json(ts)
+                changed = True
+        if changed:
+            self._save_meta()
+        (
+            data.select(*[n for n, _ in fields], "segment_id")
+            .write.partitionBy("segment_id")
+            .mode("append")
+            .parquet(self._table_path(table))
+        )
+
     def bulk_load(self, table: str, df: DataFrame, segment_col: str) -> list[str]:
         """The 100 TB ingest path: land an entire DataFrame into many
         segments in ONE partitioned write (``partitionBy(segment_id)``),
