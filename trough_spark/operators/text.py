@@ -134,3 +134,19 @@ def tf_idf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ).alias("tfidf"),
         )
     )
+
+
+# GPT-2-style pretokenizer shape: contraction suffixes, space-prefixed word /
+# number / punctuation runs.  Compatible between Java regex and DuckDB's RE2.
+BPE_ISH_PATTERN = r"'(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """BPE-style pretokenization (regex runs, not whitespace) — the token
+    accounting used by training-data pipelines.  Pure regexp_extract_all,
+    map-side only."""
+    return F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    return F.size(bpe_ish_tokens(text))

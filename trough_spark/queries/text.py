@@ -13,6 +13,8 @@ from trough_spark.queries import query
 from trough_spark.tables import load_table as T
 
 _EN = "['the', 'and', 'of', 'to', 'a']"
+# BPE pattern for DuckDB SQL literal (single quotes doubled)
+X_BPE_SQL = "''(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
 
 
 @query(
@@ -160,4 +162,25 @@ def text_top_terms(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("term"))
         .limit(20)
+    )
+
+
+@query(
+    "text_bpe_token_count",
+    oracle=rf"""
+    SELECT doc_id AS id,
+           CAST(len(regexp_extract_all(text, '{X_BPE_SQL}')) AS INT) AS n_bpe_tokens,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS INT) END AS n_ws_tokens
+    FROM documents
+    """,
+)
+def text_bpe_token_count(spark, sf_dir):
+    # whitespace count vs BPE-ish pretokenizer count side by side — the two
+    # token accountings a data pipeline reports
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").alias("id"),
+        X.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+        X.token_count(F.col("text")).alias("n_ws_tokens"),
     )
