@@ -113,3 +113,16 @@ def test_sql_value_encoding():
 def test_isnull_notnull():
     assert "IS NULL" in dialect.sqlite_to_spark("SELECT * FROM t WHERE a ISNULL")
     assert "IS NOT NULL" in dialect.sqlite_to_spark("SELECT * FROM t WHERE a NOTNULL")
+
+
+def test_cast_type_mapping():
+    out = dialect.sqlite_to_spark("SELECT CAST(a AS TEXT), CAST(b AS INTEGER) FROM t")
+    assert "AS STRING" in out and "AS BIGINT" in out
+    out = dialect.sqlite_to_spark("SELECT CAST(x AS REAL) FROM t WHERE CAST(y AS BLOB) IS NULL")
+    assert "AS DOUBLE" in out and "AS BINARY" in out
+    # aliases must NOT be rewritten
+    out = dialect.sqlite_to_spark("SELECT a AS TEXT FROM t")
+    assert "AS TEXT" in out
+    # nested expressions inside CAST
+    out = dialect.sqlite_to_spark("SELECT CAST(substr(a, 1, 2) AS TEXT) FROM t")
+    assert "AS STRING" in out

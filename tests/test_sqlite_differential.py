@@ -63,6 +63,8 @@ QUERIES = [
     "SELECT id FROM items EXCEPT SELECT id FROM items WHERE price > 2 ",
     "WITH pricey AS (SELECT * FROM items WHERE price >= 2.5) "
     "SELECT count(*) AS n, min(id) AS first_id FROM pricey",
+    "SELECT CAST(price AS INTEGER) AS ip, CAST(id AS TEXT) AS sid "
+    "FROM items WHERE id <= 3 ORDER BY id",
 ]
 
 DDL = (

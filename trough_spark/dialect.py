@@ -391,8 +391,57 @@ def _rewrite_functions(sql: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+_CAST_TYPE_MAP = {
+    "TEXT": "STRING",
+    "CHAR": "STRING",
+    "VARCHAR": "STRING",
+    "CLOB": "STRING",
+    "REAL": "DOUBLE",
+    "FLOA": "DOUBLE",
+    "NUMERIC": "DOUBLE",
+    "INTEGER": "BIGINT",
+    "INT": "BIGINT",
+    "BLOB": "BINARY",
+    "DATETIME": "TIMESTAMP",
+}
+
+
+def _rewrite_cast_types(tokens: list[Token]) -> None:
+    """CAST(x AS TEXT/INTEGER/REAL/BLOB/...) — SQLite type names mapped to
+    Spark types (same affinity table as the DDL parser).  In-place."""
+    sig = _significant(tokens)
+    for n, i in enumerate(sig):
+        t = tokens[i]
+        if t.kind == "word" and t.text.upper() == "AS" and n + 1 < len(sig):
+            nxt = tokens[sig[n + 1]]
+            if nxt.kind == "word":
+                mapped = _CAST_TYPE_MAP.get(nxt.text.upper())
+                # only rewrite in a CAST context: previous tokens contain an
+                # unclosed CAST( — approximate by checking the nearest
+                # significant word before the expression start
+                if mapped and _in_cast_context(tokens, sig, n):
+                    nxt.text = mapped
+
+
+def _in_cast_context(tokens: list[Token], sig: list[int], as_pos: int) -> bool:
+    depth = 0
+    for n in range(as_pos - 1, -1, -1):
+        t = tokens[sig[n]]
+        if t.kind == "op" and t.text == ")":
+            depth += 1
+        elif t.kind == "op" and t.text == "(":
+            if depth == 0:
+                # the word before this '(' must be CAST
+                return n > 0 and tokens[sig[n - 1]].kind == "word" and tokens[
+                    sig[n - 1]
+                ].text.upper() == "CAST"
+            depth -= 1
+    return False
+
+
 def _rewrite_operators(sql: str) -> str:
     tokens = tokenize(sql)
+    _rewrite_cast_types(tokens)
     out: list[Token] = []
     sig = _significant(tokens)
     sigset = {i: n for n, i in enumerate(sig)}

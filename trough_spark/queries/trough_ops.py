@@ -243,3 +243,37 @@ def a2_row_to_json(spark, sf_dir):
         "o_orderkey",
         F.to_json(F.struct("o_orderkey", "o_orderstatus", "o_orderpriority")).alias("row_json"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B3/B4/B12 through the dialect shim itself: a SQLite-dialect query string is
+# translated by dialect.sqlite_to_spark and executed — putting the shim under
+# the driver's correctness gate, not just pytest
+# ---------------------------------------------------------------------------
+@query(
+    "b12_dialect_shim_roundtrip",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS un,
+           substr(p_type, 1, 4) AS t4,
+           coalesce(nullif(p_brand, 'Brand#1'), 'OTHER') AS b,
+           -- FLOOR: SQLite/Spark CAST(real AS int) truncates, DuckDB rounds
+           CAST(FLOOR(p_retailprice) AS BIGINT) AS ip
+    FROM part
+    WHERE lower(p_name) LIKE lower('%BOLT%')
+      AND regexp_matches(p_brand, '^Brand#1.*$')
+    """,
+)
+def b12_dialect_shim_roundtrip(spark, sf_dir):
+    from trough_spark.dialect import sqlite_to_spark
+    from trough_spark.tables import register_views
+
+    register_views(spark, sf_dir, ["part"])
+    sqlite_sql = (
+        "SELECT p_partkey, upper(p_name) AS un, substr(p_type, 1, 4) AS t4, "
+        "ifnull(nullif(p_brand, 'Brand#1'), 'OTHER') AS b, "
+        "CAST(p_retailprice AS INTEGER) AS ip "
+        "FROM part "
+        "WHERE p_name LIKE '%BOLT%' AND p_brand GLOB 'Brand#1*'"
+    )
+    return spark.sql(sqlite_to_spark(sqlite_sql))
