@@ -65,6 +65,10 @@ QUERIES = [
     "SELECT count(*) AS n, min(id) AS first_id FROM pricey",
     "SELECT CAST(price AS INTEGER) AS ip, CAST(id AS TEXT) AS sid "
     "FROM items WHERE id <= 3 ORDER BY id",
+    "SELECT datetime(ts, '+1 day') AS d FROM items WHERE id = 1",
+    "SELECT datetime(ts, 'start of month') AS som FROM items WHERE id = 3",
+    "SELECT CAST(julianday(ts) AS INTEGER) AS jd FROM items WHERE id = 1",
+    "SELECT printf('%d-%s', id, ifnull(name, 'x')) AS lbl FROM items ORDER BY id",
 ]
 
 DDL = (
