@@ -356,3 +356,39 @@ def test_sqlite_master_view(store):
     )
     assert [(r["type"], r["name"]) for r in rows] == [("table", "kv"), ("view", "vv")]
     assert rows[0]["sql"] == "CREATE TABLE kv (k INTEGER, v TEXT)"
+
+
+def test_write_script_rollback_on_failure(store):
+    """B17: a script failing mid-execution leaves the segment exactly as it
+    was — appends removed, overwrites restored, metadata reverted."""
+    store.set_schema("tx", "create table kv (k INTEGER, v TEXT);")
+    store.provision("seg_tx", "tx")
+    store.write("seg_tx", "INSERT INTO kv (k, v) VALUES (1, 'a'), (2, 'b');")
+    before = store.read("seg_tx", "SELECT * FROM kv ORDER BY k")
+
+    # INSERT succeeds, then UPDATE references a bogus column -> runtime error
+    with pytest.raises(Exception):
+        store.write(
+            "seg_tx",
+            "INSERT INTO kv (k, v) VALUES (3, 'c');"
+            "UPDATE kv SET nope = 'x' WHERE k = 1;",
+        )
+    assert store.read("seg_tx", "SELECT * FROM kv ORDER BY k") == before
+
+    # UPDATE succeeds (partition overwritten), then failure -> overwrite undone
+    with pytest.raises(Exception):
+        store.write(
+            "seg_tx",
+            "UPDATE kv SET v = 'CHANGED' WHERE k = 1;"
+            "DELETE FROM missing_table;",
+        )
+    assert store.read("seg_tx", "SELECT * FROM kv ORDER BY k") == before
+
+    # DDL rolled back too: CREATE TABLE then failure -> table gone from meta
+    with pytest.raises(Exception):
+        store.write("seg_tx", "CREATE TABLE t2 (x INTEGER); DELETE FROM missing_table;")
+    with pytest.raises(Exception):
+        store.read("seg_tx", "SELECT * FROM t2")
+    # and the store still works after rollbacks
+    store.write("seg_tx", "INSERT INTO kv (k, v) VALUES (3, 'c');")
+    assert len(store.read("seg_tx", "SELECT * FROM kv")) == 3

@@ -202,6 +202,60 @@ def parse_schema_sql(schema_id: str, sql: str) -> Schema:
 _DEFAULT_SCHEMA = Schema(id="default", sql="")
 
 
+class _WriteTxn:
+    """Script-level rollback journal, giving the write path the reference's
+    all-or-nothing transaction semantics (BEGIN…COMMIT per POST,
+    trough/write.py:39).  Before the first mutation of each partition the
+    file listing is snapshotted (appends are rolled back by deleting files
+    not in the snapshot); partition overwrites keep their `._old` backup
+    until commit; the metadata dict and auto-increment marks are restored
+    wholesale on rollback."""
+
+    def __init__(self, store: "SegmentStore"):
+        self.store = store
+        self.snapshots: dict[str, set[str] | None] = {}
+        self.overwrites: list[tuple[str, str]] = []  # (live_path, backup_path)
+        self.moves: list[tuple[str, str]] = []  # (src, dst) dir renames
+        self.meta_before = json.loads(json.dumps(store._meta))
+        self.hwm_before = dict(store._hwm)
+
+    def before_append(self, path: str) -> None:
+        if path not in self.snapshots:
+            self.snapshots[path] = set(os.listdir(path)) if os.path.isdir(path) else None
+
+    def register_overwrite(self, path: str, bak: str) -> None:
+        # NB: the pre-overwrite snapshot must already have been taken
+        # (before_append is idempotent and called before the swap)
+        self.overwrites.append((path, bak))
+
+    def commit(self) -> None:
+        for _, bak in self.overwrites:
+            shutil.rmtree(bak, ignore_errors=True)
+
+    def record_move(self, src: str, dst: str) -> None:
+        self.moves.append((src, dst))
+
+    def rollback(self) -> None:
+        # undo renames newest-first, then overwrites, then appends
+        for src, dst in reversed(self.moves):
+            if os.path.isdir(dst) and not os.path.isdir(src):
+                os.replace(dst, src)
+        for path, bak in reversed(self.overwrites):
+            if os.path.isdir(bak):
+                shutil.rmtree(path, ignore_errors=True)
+                os.replace(bak, path)
+        for path, before in self.snapshots.items():
+            if before is None:
+                shutil.rmtree(path, ignore_errors=True)
+            elif os.path.isdir(path):
+                for name in set(os.listdir(path)) - before:
+                    full = os.path.join(path, name)
+                    (shutil.rmtree if os.path.isdir(full) else os.remove)(full)
+        self.store._meta = self.meta_before
+        self.store._save_meta()
+        self.store._hwm = self.hwm_before
+
+
 class SegmentStore:
     """Segment lifecycle + query routing over partitioned Parquet.
 
@@ -227,6 +281,7 @@ class SegmentStore:
         # per-(segment, table) auto-increment high-water marks, lazily
         # initialized from storage (segments are small by design)
         self._hwm: dict[tuple[str, str], int] = {}
+        self._active_txn: _WriteTxn | None = None
 
     # -- metadata ----------------------------------------------------------
 
@@ -361,27 +416,36 @@ class SegmentStore:
             if kind == "INSERT" or kind == "REPLACE":
                 self._match_insert(stmt)  # raises on unsupported INSERT form
         pending: dict[str, list[Row]] = {}
-        for stmt in stmts:
-            kind = dialect.statement_type(stmt)
-            if kind in ("INSERT", "REPLACE"):
-                handled = self._execute_insert(segment_id, stmt, pending)
-                if handled:
-                    continue
-            elif kind in ("UPDATE", "DELETE"):
-                self._flush_inserts(segment_id, pending)
-                self._rewrite_partition(segment_id, stmt, kind)
-            elif kind == "CREATE":
-                self._flush_inserts(segment_id, pending)
-                self._write_path_create(segment_id, stmt)
-            elif kind == "DROP":
-                self._flush_inserts(segment_id, pending)
-                self._write_path_drop(segment_id, stmt)
-            elif kind == "ALTER":
-                self._flush_inserts(segment_id, pending)
-                self._write_path_alter(segment_id, stmt)
-            else:
-                continue  # txn framing / pragmas are implicit no-ops
-        self._flush_inserts(segment_id, pending)
+        self._active_txn = _WriteTxn(self)
+        try:
+            for stmt in stmts:
+                kind = dialect.statement_type(stmt)
+                if kind in ("INSERT", "REPLACE"):
+                    handled = self._execute_insert(segment_id, stmt, pending)
+                    if handled:
+                        continue
+                elif kind in ("UPDATE", "DELETE"):
+                    self._flush_inserts(segment_id, pending)
+                    self._rewrite_partition(segment_id, stmt, kind)
+                elif kind == "CREATE":
+                    self._flush_inserts(segment_id, pending)
+                    self._write_path_create(segment_id, stmt)
+                elif kind == "DROP":
+                    self._flush_inserts(segment_id, pending)
+                    self._write_path_drop(segment_id, stmt)
+                elif kind == "ALTER":
+                    self._flush_inserts(segment_id, pending)
+                    self._write_path_alter(segment_id, stmt)
+                else:
+                    continue  # txn framing / pragmas are implicit no-ops
+            self._flush_inserts(segment_id, pending)
+        except BaseException:
+            self._active_txn.rollback()
+            raise
+        else:
+            self._active_txn.commit()
+        finally:
+            self._active_txn = None
 
     _INSERT_RE = re.compile(
         r"^\s*(?:INSERT\s+(?:OR\s+(?P<mode>REPLACE|IGNORE)\s+)?|(?P<replace>REPLACE\s+))"
@@ -453,7 +517,10 @@ class SegmentStore:
             src = src.withColumn(n, F.lit(None))
         aligned = src.select([F.col(n).cast(t) for n, t in ts.fields])
         if mode is None or not ts.primary_key:
-            aligned.write.mode("append").parquet(self._partition_path(table, segment_id))
+            path = self._partition_path(table, segment_id)
+            if self._active_txn is not None:
+                self._active_txn.before_append(path)
+            aligned.write.mode("append").parquet(path)
         else:
             self._upsert(segment_id, table, ts, aligned, mode)
         return False
@@ -480,7 +547,10 @@ class SegmentStore:
                 .filter(F.col("_rn") == 1)
                 .drop("_rn")
             )
-            fresh.write.mode("append").parquet(self._partition_path(table, segment_id))
+            path = self._partition_path(table, segment_id)
+            if self._active_txn is not None:
+                self._active_txn.before_append(path)
+            fresh.write.mode("append").parquet(path)
         else:  # pragma: no cover
             raise QueryRejected(f"unknown upsert mode {mode!r}")
 
@@ -523,7 +593,10 @@ class SegmentStore:
                 continue
             ts = self._table_schema(segment_id, table)
             df = self.spark.createDataFrame(rows, ts.struct())
-            df.write.mode("append").parquet(self._partition_path(table, segment_id))
+            path = self._partition_path(table, segment_id)
+            if self._active_txn is not None:
+                self._active_txn.before_append(path)
+            df.write.mode("append").parquet(path)
         pending.clear()
 
     def _rewrite_partition(self, segment_id: str, stmt: str, kind: str) -> None:
@@ -575,12 +648,17 @@ class SegmentStore:
         # atomic-ish swap (single filesystem rename pair); on a cluster FS
         # this is Delta's job — documented upgrade path
         bak = path + "._old"
+        if self._active_txn is not None:
+            self._active_txn.before_append(path)  # pre-swap snapshot
         shutil.rmtree(bak, ignore_errors=True)
         if os.path.isdir(path):
             os.replace(path, bak)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         shutil.move(tmp, path)
-        shutil.rmtree(bak, ignore_errors=True)
+        if self._active_txn is not None and os.path.isdir(bak):
+            self._active_txn.register_overwrite(path, bak)
+        else:
+            shutil.rmtree(bak, ignore_errors=True)
 
     def _write_path_create(self, segment_id: str, stmt: str) -> None:
         up = stmt.upper()
@@ -641,6 +719,8 @@ class SegmentStore:
                 new_path = self._partition_path(new_name, segment_id)
                 os.makedirs(os.path.dirname(new_path), exist_ok=True)
                 shutil.move(old_path, new_path)
+                if self._active_txn is not None:
+                    self._active_txn.record_move(old_path, new_path)
             self._save_meta()
             return
         elif ru.startswith("RENAME COLUMN") or ru.startswith("RENAME"):
@@ -693,7 +773,15 @@ class SegmentStore:
         if table in info.get("tables", []):
             info["tables"].remove(table)
         self._save_meta()
-        shutil.rmtree(self._partition_path(table, segment_id), ignore_errors=True)
+        path = self._partition_path(table, segment_id)
+        if self._active_txn is not None and os.path.isdir(path):
+            self._active_txn.before_append(path)  # pre-drop snapshot
+            bak = path + "._dropped"
+            shutil.rmtree(bak, ignore_errors=True)
+            os.replace(path, bak)
+            self._active_txn.register_overwrite(path, bak)
+        else:
+            shutil.rmtree(path, ignore_errors=True)
 
     # -- read path (A1-A3; reference read.py:54-94) --------------------------
 
