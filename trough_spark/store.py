@@ -402,9 +402,9 @@ class SegmentStore:
         stmts = dialect.assert_write_allowed(sql_script)
         self._segment_info(segment_id)
         # pre-validation pass: reject unknown/unsupported statement forms
-        # BEFORE any mutation, approximating the reference's all-or-nothing
-        # transaction (write.py:39); runtime failures mid-script remain
-        # possible and are documented as a divergence
+        # BEFORE any mutation; runtime failures mid-script roll back via
+        # _WriteTxn below — together these give the reference's
+        # all-or-nothing script transaction (write.py:39)
         supported = {
             "INSERT", "UPDATE", "DELETE", "CREATE", "DROP", "ALTER",
             "BEGIN", "COMMIT", "END", "PRAGMA", "VACUUM", "ANALYZE", "REPLACE",
