@@ -115,3 +115,12 @@ def test_shell_infile_and_shred(client, tmp_path):
     assert client.readable_segments_matching("^inf") == []
     assert shell.do_line("SHRED SEGMENT nope")
     assert "no such segment" in out.getvalue()
+
+
+def test_dbapi_lastrowid(client):
+    client.store.provision("dblast", "test1")
+    cur = TroughConnection(client, "dblast", "test1").cursor()
+    cur.execute("INSERT INTO test (test) VALUES (%s)", ["a"])
+    assert cur.lastrowid == 1
+    cur.execute("INSERT INTO test (test) VALUES (%s)", ["b"])
+    assert cur.lastrowid == 2

@@ -69,6 +69,9 @@ QUERIES = [
     "SELECT datetime(ts, 'start of month') AS som FROM items WHERE id = 3",
     "SELECT CAST(julianday(ts) AS INTEGER) AS jd FROM items WHERE id = 1",
     "SELECT printf('%d-%s', id, ifnull(name, 'x')) AS lbl FROM items ORDER BY id",
+    "SELECT round(log(100.0), 6) AS lg, round(log(2, 8.0), 6) AS lg2 FROM items WHERE id = 1",
+    "SELECT trunc(price) AS tp, round(sqrt(qty), 6) AS sq, pow(2, id) AS p "
+    "FROM items WHERE id = 1",
 ]
 
 DDL = (

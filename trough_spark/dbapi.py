@@ -35,6 +35,7 @@ class TroughCursor:
         self.description = None
         self.rowcount = -1
         self.arraysize = 1
+        self.lastrowid = None  # last AUTOINCREMENT id assigned by a write
 
     # -- execution -----------------------------------------------------------
 
@@ -54,6 +55,14 @@ class TroughCursor:
                 self.description = None
                 self._rows = []
                 self.rowcount = -1
+                # expose the latest autoincrement high-water mark, if the
+                # write touched exactly one autoincremented table
+                hwm = [
+                    v
+                    for (seg, _), v in self._client.store._hwm.items()
+                    if seg == self._segment
+                ]
+                self.lastrowid = max(hwm) if len(hwm) == 1 else self.lastrowid
             self._pos = 0
         except QueryRejected as e:
             raise ProgrammingError(str(e)) from e

@@ -300,6 +300,15 @@ _FN_REWRITES: dict[str, object] = {
     "datetime": _fn_datetime,
     "strftime": _fn_strftime,
     "ifnull": lambda a: f"coalesce({', '.join(a)})",
+    # SQLite math (3.35+): log(X) is BASE-10 (Spark's log is natural!);
+    # log(B, X) is explicit-base in both
+    "log": lambda a: f"log10({a[0]})" if len(a) == 1 else f"log({a[0]}, {a[1]})",
+    "log10": lambda a: f"log10({a[0]})",
+    "log2": lambda a: f"log2({a[0]})",
+    # numeric trunc-toward-zero (Spark's trunc is date-only)
+    "trunc": lambda a: (
+        f"CAST(CAST({a[0]} AS BIGINT) AS DOUBLE)" if len(a) == 1 else None
+    ),
     "json_extract": lambda a: f"get_json_object({a[0]}, {a[1]})",
     "json_array_length": lambda a: f"size(from_json({a[0]}, 'array<string>'))",
     "glob": _fn_glob,
