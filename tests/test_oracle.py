@@ -75,3 +75,18 @@ def test_all_queries_have_entries():
     assert QUERIES, "no queries registered"
     missing = set(ORACLE) - set(QUERIES)
     assert not missing, f"oracle without query: {missing}"
+
+
+def test_jaccard_size_pruning_lossless(spark):
+    """prune_by_size must be result-identical to the unpruned form (it only
+    removes mathematically-impossible pairs)."""
+    from trough_spark.operators.dedup import ngram_jaccard_pairs
+    from trough_spark.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    base = {(r["id1"], r["id2"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.3).collect()}
+    pruned = {(r["id1"], r["id2"]): r["jaccard"]
+              for r in ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.3,
+                                           prune_by_size=True).collect()}
+    assert base == pruned and base

@@ -81,6 +81,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int = 100,
+    prune_by_size: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs sharing at least
     one (non-stop) shingle.
@@ -92,9 +93,28 @@ def ngram_jaccard_pairs(
     """
     sh = shingle_table(df, id_col, text_col, n, max_doc_freq)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    if prune_by_size:
+        # size-ratio pruning inside the candidate join: jaccard <=
+        # min(n1,n2)/max(n1,n2), so pairs with min < threshold*max can never
+        # pass — lossless.  Pays off on length-heterogeneous corpora; on
+        # uniform-length docs (this synthetic set) it prunes nothing and the
+        # extra broadcast attach costs ~45%, hence opt-in.
+        src = sh.join(F.broadcast(sizes), "id")
+        extra = lambda a, b: (  # noqa: E731
+            (F.col("a.n_sh") >= threshold * F.col("b.n_sh"))
+            & (F.col("b.n_sh") >= threshold * F.col("a.n_sh"))
+        )
+    else:
+        src = sh
+        extra = lambda a, b: F.lit(True)  # noqa: E731
+    a, b = src.alias("a"), src.alias("b")
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id"))
+            & extra(a, b),
+        )
         .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
