@@ -43,7 +43,7 @@ def stream_session_window_native(spark, sf_dir):
     oracle="""
     SELECT l_returnflag,
            COUNT(*) AS n,
-           SUM(CAST(l_quantity AS BIGINT)) AS total_qty,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
            CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price
     FROM lineitem
     GROUP BY l_returnflag

@@ -531,7 +531,7 @@ def b12_datetime_functions(spark, sf_dir):
     "b12_json_functions",
     oracle="""
     SELECT event_type,
-           SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
            MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k,
            COUNT(*) AS n
     FROM events
