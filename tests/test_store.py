@@ -106,6 +106,31 @@ def test_update_delete_partition_rewrite(store):
     assert rows == [{"k": 1, "v": "a"}, {"k": 2, "v": "B"}]
 
 
+def test_update_pre_row_semantics(store):
+    """SQLite evaluates the WHERE and every SET expression against the
+    PRE-update row: a SET that satisfies-then-breaks its own WHERE must not
+    stop later assignments, and `SET a=b, b=a` must swap (verified against
+    stdlib sqlite3)."""
+    store.set_schema("us", "create table jobs (id INTEGER, status TEXT, ts INTEGER);")
+    store.provision("seg_us", "us")
+    store.write(
+        "seg_us",
+        "INSERT INTO jobs (id, status, ts) VALUES (1, 'pending', 0), (2, 'done', 5);",
+    )
+    # first assignment flips status away from 'pending'; ts=99 must still apply
+    store.write("seg_us", "UPDATE jobs SET status = 'done', ts = 99 WHERE status = 'pending';")
+    assert store.read("seg_us", "SELECT * FROM jobs ORDER BY id") == [
+        {"id": 1, "status": "done", "ts": 99},
+        {"id": 2, "status": "done", "ts": 5},
+    ]
+    store.write(
+        "seg_us",
+        "CREATE TABLE p (a INTEGER, b INTEGER); INSERT INTO p (a, b) VALUES (1, 2);",
+    )
+    store.write("seg_us", "UPDATE p SET a = b, b = a;")
+    assert store.read("seg_us", "SELECT * FROM p") == [{"a": 2, "b": 1}]
+
+
 def test_write_path_ddl(store):
     store.provision("seg_ddl", "default")
     store.write("seg_ddl", "CREATE TABLE extra (x INTEGER); INSERT INTO extra (x) VALUES (7);")

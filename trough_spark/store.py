@@ -628,14 +628,24 @@ class SegmentStore:
             df = self._read_partition(segment_id, table)
             cond = dialect.sqlite_to_spark(m.group("where")) if m.group("where") else "true"
             assignments = _split_assignments(m.group("sets"))
-            out = df
+            # SQLite evaluates the WHERE and every SET expression against the
+            # PRE-update row (sqlite3 UPDATE docs); a single select() gives
+            # exactly that — all exprs reference the input df's columns, so
+            # no assignment can observe another's result or flip the mask.
+            sets = {}
             for col, expr in assignments:
-                out = out.withColumn(
-                    col,
-                    F.when(F.expr(cond), F.expr(dialect.sqlite_to_spark(expr))).otherwise(
-                        F.col(col)
-                    ),
-                )
+                if col.lower() not in {c.lower() for c in df.columns}:
+                    raise QueryRejected(f"no such column: {col}")
+                sets[col.lower()] = dialect.sqlite_to_spark(expr)
+            mask = F.expr(cond)
+            out = df.select(
+                [
+                    F.when(mask, F.expr(sets[n.lower()])).otherwise(F.col(n)).alias(n)
+                    if n.lower() in sets
+                    else F.col(n)
+                    for n in df.columns
+                ]
+            )
         self._overwrite_partition(segment_id, table, out)
 
     def _overwrite_partition(self, segment_id: str, table: str, df: DataFrame) -> None:
