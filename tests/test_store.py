@@ -156,6 +156,14 @@ def test_multi_segment_isolation_and_fanout(store):
     assert [r["k"] for r in rows] == [0, 1, 2, 3]
     agg = store.read_many_df(r"seg0\d", "SELECT count(*) AS n, sum(k) AS s FROM kv").collect()
     assert agg[0]["n"] == 4 and agg[0]["s"] == 6
+    # a fan-out view must NOT leak into a later single-segment read: a
+    # segment WITHOUT kv cannot resolve the cross-segment view left behind
+    store.set_schema("empty", "create table other (x INTEGER);")
+    store.provision("seg_nokv", "empty")
+    with pytest.raises(Exception):
+        store.read("seg_nokv", "SELECT * FROM kv")
+    # and a segment WITH kv sees only its own rows again
+    assert store.read("seg03", "SELECT * FROM kv") == [{"k": 3, "v": "v3"}]
 
 
 def test_delete_segment(store):

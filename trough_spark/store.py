@@ -886,6 +886,7 @@ class SegmentStore:
                 f"recursive CTE exceeded {rec.max_iterations} iterations"
             )
         acc.createOrReplaceTempView(rec.name)
+        self._registered_names.add(rec.name)  # swept by the next read_df
         return self.spark.sql(dialect.sqlite_to_spark(rec.outer_sql))
 
     def read(self, segment_id: str, sql: str, values=()) -> list[dict]:
@@ -931,6 +932,10 @@ class SegmentStore:
             df = self.table_df(table, reference_segment=with_table[0])
             # rlike has re.search semantics, matching A13 (client.py:181)
             df.filter(F.col("segment_id").rlike(segment_regex)).createOrReplaceTempView(table)
+            # track for read_df's stale-view sweep — otherwise a later
+            # single-segment read can silently resolve these cross-segment
+            # views and leak rows across the per-segment isolation boundary
+            self._registered_names.add(table)
         return self.spark.sql(spark_sql)
 
     def append_dataframe(
