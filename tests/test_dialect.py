@@ -98,6 +98,21 @@ def test_nested_function_rewrites():
     assert "coalesce(concat_ws(',', collect_list(a)), format_string('%d', 0))" in out
 
 
+def test_identity_args_do_not_block_outer_rewrites():
+    """Regression: an arg containing substr/instr/1-arg min must not keep
+    the ENCLOSING call untranslated (innermost-first used to deadlock)."""
+    out = dialect.sqlite_to_spark("SELECT group_concat(substr(x, 1, 1)) FROM t")
+    assert "collect_list(substr(x, 1, 1))" in out
+    # SQLite 1-arg log is base-10 even when its arg is an identity call
+    out = dialect.sqlite_to_spark("SELECT log(substr(x, 1, 3)) FROM t")
+    assert "log10(substr(x, 1, 3))" in out
+    out = dialect.sqlite_to_spark("SELECT total(min(a)) FROM t")
+    assert "sum(CAST(min(a) AS DOUBLE))" in out
+    # typeof's template mentions typeof — must expand exactly once
+    out = dialect.sqlite_to_spark("SELECT typeof(x) FROM t")
+    assert out.count("CASE typeof") == 1
+
+
 def test_sql_value_encoding():
     # reference client.py:110-131 semantics
     assert dialect.sql_value(None) == "null"

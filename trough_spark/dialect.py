@@ -287,7 +287,6 @@ _FN_REWRITES: dict[str, object] = {
     "trim": lambda a: f"trim(BOTH {a[1]} FROM {a[0]})" if len(a) > 1 else None,
     "ltrim": lambda a: f"trim(LEADING {a[1]} FROM {a[0]})" if len(a) > 1 else None,
     "rtrim": lambda a: f"trim(TRAILING {a[1]} FROM {a[0]})" if len(a) > 1 else None,
-    "substr": lambda a: f"substr({', '.join(a)})",
     "julianday": lambda a: (
         f"(unix_micros(CAST({a[0]} AS TIMESTAMP)) / 86400000000.0d + 2440587.5d)"
     ),
@@ -303,8 +302,6 @@ _FN_REWRITES: dict[str, object] = {
     # SQLite math (3.35+): log(X) is BASE-10 (Spark's log is natural!);
     # log(B, X) is explicit-base in both
     "log": lambda a: f"log10({a[0]})" if len(a) == 1 else f"log({a[0]}, {a[1]})",
-    "log10": lambda a: f"log10({a[0]})",
-    "log2": lambda a: f"log2({a[0]})",
     # numeric trunc-toward-zero (Spark's trunc is date-only)
     "trunc": lambda a: (
         f"CAST(CAST({a[0]} AS BIGINT) AS DOUBLE)" if len(a) == 1 else None
@@ -312,7 +309,6 @@ _FN_REWRITES: dict[str, object] = {
     "json_extract": lambda a: f"get_json_object({a[0]}, {a[1]})",
     "json_array_length": lambda a: f"size(from_json({a[0]}, 'array<string>'))",
     "glob": _fn_glob,
-    "instr": lambda a: f"instr({', '.join(a)})",
     "typeof": lambda a: (
         f"(CASE typeof({a[0]}) "
         "WHEN 'tinyint' THEN 'integer' WHEN 'smallint' THEN 'integer' "
@@ -354,45 +350,39 @@ def _find_call_args(tokens: list[Token], open_idx: int) -> tuple[list[list[Token
 
 
 def _rewrite_functions(sql: str) -> str:
-    """Innermost-first rewrite of registered function calls."""
-    changed = True
-    guard = 0
-    while changed and guard < 1000:
-        guard += 1
-        changed = False
-        tokens = tokenize(sql)
-        sig = _significant(tokens)
-        for si, ti in enumerate(sig):
-            t = tokens[ti]
-            if t.kind != "word":
+    """Innermost-first rewrite of registered function calls in ONE recursive
+    pass: each call's arguments are rewritten before the call itself, a
+    rewriter returning None keeps the (argument-rewritten) call text as-is,
+    and replacement text is emitted verbatim — never re-scanned.  So
+    identity or None results can neither block enclosing rewrites (e.g.
+    group_concat(substr(x,1,1))) nor prevent termination, and templates
+    whose output mentions a registered name (typeof) expand exactly once."""
+    return _rewrite_call_tokens(tokenize(sql))
+
+
+def _rewrite_call_tokens(tokens: list[Token]) -> str:
+    out: list[str] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if t.kind == "word" and t.text.lower() in _FN_REWRITES:
+            j = i + 1
+            while j < n and tokens[j].kind in ("space", "comment"):
+                j += 1
+            if j < n and tokens[j].kind == "op" and tokens[j].text == "(":
+                args_tokens, close_idx = _find_call_args(tokens, j)
+                arg_strs = [_rewrite_call_tokens(a).strip() for a in args_tokens]
+                rewriter = _FN_REWRITES[t.text.lower()]
+                replacement = rewriter(arg_strs)  # type: ignore[operator]
+                if replacement is None:
+                    replacement = f"{t.text}({', '.join(arg_strs)})"
+                out.append(replacement)
+                i = close_idx + 1
                 continue
-            fn = t.text.lower()
-            if fn not in _FN_REWRITES:
-                continue
-            # must be a call: next significant token is '('
-            if si + 1 >= len(sig):
-                continue
-            nxt = tokens[sig[si + 1]]
-            if not (nxt.kind == "op" and nxt.text == "("):
-                continue
-            args_tokens, close_idx = _find_call_args(tokens, sig[si + 1])
-            arg_strs = [render(a).strip() for a in args_tokens]
-            # skip if any arg still contains a rewritable call (innermost first)
-            inner = False
-            for a in args_tokens:
-                for at in a:
-                    if at.kind == "word" and at.text.lower() in _FN_REWRITES:
-                        inner = True
-            if inner:
-                continue
-            rewriter = _FN_REWRITES[fn]
-            replacement = rewriter(arg_strs)  # type: ignore[operator]
-            if replacement is None:
-                continue
-            sql = render(tokens[:ti]) + replacement + render(tokens[close_idx + 1 :])
-            changed = True
-            break
-    return sql
+        out.append(t.text)
+        i += 1
+    return "".join(out)
 
 
 # ---------------------------------------------------------------------------
