@@ -57,19 +57,31 @@ def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
 
 
 def cosine_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.9, dim: int | None = None
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    dim: int | None = None,
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs above ``threshold``.
+    """Embedding-cosine near-duplicate pairs above ``threshold`` (exact).
 
     Two phases, because the quadratic scoring is exactly where row-at-a-time
     expression evaluation dies at scale:
 
-    1. **Vectorized prefilter** — ``mapInPandas``: each Arrow batch of the
-       probe side is one numpy matmul against the (broadcast) build-side
-       matrix.  Pairs are kept if the BLAS score clears ``threshold - 1e-6``;
-       the margin is ~7 orders of magnitude above the worst-case difference
-       between pairwise (BLAS) and sequential summation over unit-scale
-       64-dim vectors, so no true pair is ever dropped.
+    1. **Blocked vectorized prefilter** — a distributed block nested-loop:
+       rows hash into ``n_blocks`` blocks; every unordered block pair
+       (i <= j) is one ``applyInPandas`` group whose comparisons run as a
+       single numpy matmul (block i rows × block j rows, full self-matmul
+       when i == j).  Each unordered row pair lands in exactly one group, so
+       candidates need no dedup.  Shuffle volume is O(N · n_blocks) vectors
+       and comparisons O(N²/n_blocks) per group — no driver collect, no
+       corpus broadcast; size ``n_blocks`` ~ sqrt(parallelism) so groups fit
+       executor memory at the target scale.  Pairs are kept if the BLAS
+       score clears ``threshold - 1e-6``; the margin is ~7 orders of
+       magnitude above the worst-case difference between pairwise (BLAS)
+       and sequential summation over unit-scale 64-dim vectors, so no true
+       pair is ever dropped.
     2. **Exact rescore** — the handful of surviving candidate pairs joins
        vectors back and recomputes the sequential-order dot product (the
        fold form — candidate counts are tiny, and the small expression
@@ -78,38 +90,52 @@ def cosine_pairs(
        evaluation (what the DuckDB oracle computes) while the heavy
        O(N²·dim) arithmetic ran in BLAS.
 
-    At corpus scale the build side must be tiled (or the whole operator run
-    per LSH bucket via ``srp_bucketed_pairs``) — a broadcast build side is
-    the deliberate choice for bounded candidate sets.
+    For approximate-but-cheaper candidates at corpus scale, run the same
+    measure per LSH bucket instead (``srp_bucketed_pairs``).
     """
     import numpy as np
     import pandas as pd
 
-    spark = df.sparkSession
     side = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    build = side.toPandas()
-    if len(build) == 0:
-        return spark.createDataFrame([], "id1 bigint, id2 bigint, cosine_sim double")
-    ids_b = build["id"].to_numpy(np.int64)
-    mat_b = np.stack(build["v"].to_list()).astype(np.float64)
-    norms_b = np.sqrt((mat_b * mat_b).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids_b, mat_b, norms_b))
     margin = 1e-6
+    nb = n_blocks
+    with_blk = side.withColumn("blk", F.pmod(F.hash(F.col("id")), F.lit(nb)).cast("int"))
+    # every row joins each block-pair group it participates in: key
+    # (min(blk,j), max(blk,j)) for j in 0..nb-1 — nb distinct keys per row
+    group_keys = F.array(
+        *[
+            F.least(F.col("blk"), F.lit(j)) * nb + F.greatest(F.col("blk"), F.lit(j))
+            for j in range(nb)
+        ]
+    )
+    replicated = with_blk.withColumn("g", F.explode(group_keys))
 
-    def prefilter(batches):
-        idsB, matB, normsB = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            A = np.stack(pdf["v"].to_list()).astype(np.float64)
-            idA = pdf["id"].to_numpy(np.int64)
-            nA = np.sqrt((A * A).sum(axis=1))
-            sims = (A @ matB.T) / np.outer(nA, normsB)
-            keep = (sims >= threshold - margin) & (idA[:, None] < idsB[None, :])
-            i, j = np.nonzero(keep)
-            yield pd.DataFrame({"id1": idA[i], "id2": idsB[j]})
+    def score_block_pair(pdf):
+        g = int(pdf["g"].iloc[0])
+        bi, bj = divmod(g, nb)
+        ids = pdf["id"].to_numpy(np.int64)
+        M = np.stack(pdf["v"].to_list()).astype(np.float64)
+        nrm = np.sqrt((M * M).sum(axis=1))
+        empty = np.array([], dtype=np.int64)
+        if bi == bj:
+            sims = (M @ M.T) / np.outer(nrm, nrm)
+            keep = (sims >= threshold - margin) & (ids[:, None] < ids[None, :])
+            r, c = np.nonzero(keep)
+            return pd.DataFrame({"id1": ids[r], "id2": ids[c]})
+        am = pdf["blk"].to_numpy() == bi
+        if not am.any() or am.all():
+            return pd.DataFrame({"id1": empty, "id2": empty})
+        A, Bm = M[am], M[~am]
+        idA, idB = ids[am], ids[~am]
+        sims = (A @ Bm.T) / np.outer(nrm[am], nrm[~am])
+        r, c = np.nonzero(sims >= threshold - margin)
+        lo = np.minimum(idA[r], idB[c])
+        hi = np.maximum(idA[r], idB[c])
+        return pd.DataFrame({"id1": lo, "id2": hi})
 
-    cand = side.mapInPandas(prefilter, schema="id1 bigint, id2 bigint")
+    cand = replicated.groupBy("g").applyInPandas(
+        score_block_pair, schema="id1 bigint, id2 bigint"
+    )
     # exact rescore uses the small fold expression: candidate counts are
     # tiny, and avoiding the unrolled form skips its multi-second JIT cost
     a = side.select(F.col("id").alias("id1"), F.col("v").alias("v1")).withColumn(
