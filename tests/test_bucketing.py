@@ -60,3 +60,20 @@ def test_unbucketed_join_does_shuffle(bucketed):
         assert plan_has_shuffle(plain)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+
+
+def test_b5_join_multiway_broadcasts_only_true_dims(spark):
+    """The fact-scale customer table must NOT carry a broadcast hint: with
+    auto-broadcast disabled, the only BroadcastHashJoins left are the hinted
+    dim joins (region into nation, the 25-row dim chain into customer), and
+    lineitem ⋈ orders ⋈ customer runs as shuffle sort-merge joins."""
+    from trough_spark.queries.relational import b5_join_multiway
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = b5_join_multiway(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("BroadcastHashJoin") <= 2, plan
+        assert "SortMergeJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")

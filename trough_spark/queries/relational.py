@@ -114,29 +114,29 @@ def b4_filter_predicates(spark, sf_dir):
     """,
 )
 def b5_join_multiway(spark, sf_dir):
-    # Scale: region/nation/customer are broadcast (dims are tiny relative to
-    # facts at every SF), so the only shuffle is lineitem⋈orders plus the
-    # final partial-agg exchange on n_name.  At 100 TB, lineitem⋈orders is
-    # the one genuinely big join — key-partitioned sort-merge under AQE,
-    # skew-split if an order key is hot.
+    # Scale: only the TRUE dims (region: 5 rows, nation: 25 rows) carry
+    # broadcast hints — customer is fact-scale (~15% of orders rows), so a
+    # forced broadcast would OOM executors at 100×.  Customer picks up
+    # nation/region map-side via the broadcast dim, then joins the
+    # lineitem⋈orders chain as a key-partitioned shuffle join under AQE
+    # (skew-split if a key is hot; AQE may still downgrade to broadcast at
+    # tiny SFs where customer measures under the threshold — that's the
+    # point of leaving the decision to the runtime).
     l, o = T(spark, sf_dir, "lineitem"), T(spark, sf_dir, "orders")
     c, n, r = (T(spark, sf_dir, t) for t in ("customer", "nation", "region"))
     o = o.filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
     )
-    dims = (
-        F.broadcast(c)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(
-            F.broadcast(r.filter(F.col("r_name").isin("ASIA", "EUROPE"))),
-            n.n_regionkey == r.r_regionkey,
-        )
+    dims = n.join(
+        F.broadcast(r.filter(F.col("r_name").isin("ASIA", "EUROPE"))),
+        n.n_regionkey == r.r_regionkey,
     )
+    cust = c.join(F.broadcast(dims), c.c_nationkey == n.n_nationkey)
     net = F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount").cast(DEC))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.sum(net).cast("double").alias("revenue"),
