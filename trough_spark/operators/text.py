@@ -108,8 +108,12 @@ def tf_idf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     tf = term count / doc token count; idf = ln(N / doc_freq).
     Scale: one explode + two partial-aggregates (term counts per doc, doc
-    freq per term) + a broadcast of the (small) per-term idf table.  The
-    score is rounded to 6 decimals at the boundary.
+    freq per term).  The idf join on ``term`` carries NO broadcast hint —
+    vocabulary is unbounded at corpus scale, so AQE/threshold decides.
+    N is folded in as a one-row aggregate via cross join (a broadcast
+    nested-loop of exactly one row), keeping the whole operator a single
+    lazy job with no eager driver action.  The score is rounded to 6
+    decimals at the boundary.
     """
     tok = (
         df.select(F.col(id_col).alias("id"), F.explode(
@@ -120,16 +124,21 @@ def tf_idf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     term_counts = tok.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tc"))
     doc_lens = tok.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
     doc_freq = term_counts.groupBy("term").agg(F.count(F.lit(1)).alias("df_"))
-    n_docs = df.select(F.col(id_col)).distinct().count()
+    n_docs = (
+        df.select(F.col(id_col).alias("id"))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("double").alias("n_docs_"))
+    )
     return (
         term_counts.join(doc_lens, "id")
-        .join(F.broadcast(doc_freq), "term")
+        .join(doc_freq, "term")
+        .crossJoin(n_docs)
         .select(
             "id",
             "term",
             F.col("tc").alias("term_count"),
             F.round(
-                (F.col("tc") / F.col("dl")) * F.log(F.lit(float(n_docs)) / F.col("df_")),
+                (F.col("tc") / F.col("dl")) * F.log(F.col("n_docs_") / F.col("df_")),
                 6,
             ).alias("tfidf"),
         )
