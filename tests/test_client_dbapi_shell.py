@@ -124,3 +124,12 @@ def test_dbapi_lastrowid(client):
     assert cur.lastrowid == 1
     cur.execute("INSERT INTO test (test) VALUES (%s)", ["b"])
     assert cur.lastrowid == 2
+    # regression: a SECOND autoincremented table must not freeze lastrowid
+    cur.execute("CREATE TABLE t2 (id INTEGER PRIMARY KEY AUTOINCREMENT, v TEXT)")
+    cur.execute("INSERT INTO t2 (v) VALUES (%s)", ["x"])
+    assert cur.lastrowid == 1
+    cur.execute("INSERT INTO test (test) VALUES (%s)", ["c"])
+    assert cur.lastrowid == 3
+    # a statement that assigns no id leaves lastrowid unchanged (sqlite3)
+    cur.execute("DELETE FROM t2 WHERE v = 'x'")
+    assert cur.lastrowid == 3

@@ -90,3 +90,25 @@ def test_jaccard_size_pruning_lossless(spark):
               for r in ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.3,
                                            prune_by_size=True).collect()}
     assert base == pruned and base
+
+
+def test_lsh_bucket_cap_off_is_lossless(spark):
+    """max_bucket_size=None (default) and an above-occupancy cap both yield
+    the exact uncapped pair set; a tiny cap yields a strict subset."""
+    from trough_spark.operators.dedup import minhash_lsh_candidates, minhash_signatures
+    from trough_spark.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sigs = minhash_signatures(d, "doc_id", "text").cache()
+    base = {(r["id1"], r["id2"]) for r in minhash_lsh_candidates(sigs).collect()}
+    huge = {
+        (r["id1"], r["id2"])
+        for r in minhash_lsh_candidates(sigs, max_bucket_size=10**9).collect()
+    }
+    capped = {
+        (r["id1"], r["id2"])
+        for r in minhash_lsh_candidates(sigs, max_bucket_size=2).collect()
+    }
+    sigs.unpersist()
+    assert base and huge == base
+    assert capped <= base

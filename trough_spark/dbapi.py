@@ -55,14 +55,12 @@ class TroughCursor:
                 self.description = None
                 self._rows = []
                 self.rowcount = -1
-                # expose the latest autoincrement high-water mark, if the
-                # write touched exactly one autoincremented table
-                hwm = [
-                    v
-                    for (seg, _), v in self._client.store._hwm.items()
-                    if seg == self._segment
-                ]
-                self.lastrowid = max(hwm) if len(hwm) == 1 else self.lastrowid
+                # the store records the last autoincrement id it actually
+                # assigned in this segment (sqlite3 lastrowid semantics:
+                # unchanged by statements that assign none)
+                la = self._client.store._last_auto.get(self._segment)
+                if la is not None:
+                    self.lastrowid = la
             self._pos = 0
         except QueryRejected as e:
             raise ProgrammingError(str(e)) from e

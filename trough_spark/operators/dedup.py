@@ -173,7 +173,7 @@ def minhash_signatures(
 
 
 def minhash_lsh_candidates(
-    signatures: DataFrame, rows_per_band: int = 2
+    signatures: DataFrame, rows_per_band: int = 2, max_bucket_size: int | None = None
 ) -> DataFrame:
     """LSH banding over ``minhash_signatures`` output: hash each band of
     ``rows_per_band`` consecutive permutations, emit candidate pairs colliding
@@ -182,8 +182,17 @@ def minhash_lsh_candidates(
     Scale: this is the 100 TB near-dup path — pair generation is an equi-join
     on (band, band_hash); work is proportional to actual collisions, never to
     the corpus cross product.  Hot buckets (many ids sharing a band hash) are
-    the skew to watch; AQE skew-join splitting covers it, and a bucket-size
-    cap can be added the same way as stop-shingles.
+    the skew to watch: AQE skew-join splitting covers moderate skew, and
+    ``max_bucket_size`` caps the adversarial case (a degenerate band value
+    shared by millions of docs would otherwise emit O(bucket²) pairs).  The
+    cap drops WHOLE buckets above the limit before the self-join, mirroring
+    the stop-shingle cap in ``ngram_jaccard_pairs``.
+
+    Recall note: with the cap on, a pair is lost only if EVERY band it
+    collides in is over the cap — near-dup pairs in ordinary corpora collide
+    in multiple bands, so recall loss is confined to pathological
+    near-constant content (which is usually exact-dup territory anyway).
+    ``max_bucket_size=None`` (default) is lossless.
     """
     banded = (
         signatures.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
@@ -202,6 +211,17 @@ def minhash_lsh_candidates(
             ).alias("band_hash")
         )
     )
+    if max_bucket_size is not None:
+        from pyspark.sql.window import Window
+
+        # bucket occupancy via a window on the SAME key as the join — the
+        # count reuses the join's hash partitioning, no extra shuffle stage
+        w = Window.partitionBy("band", "band_hash")
+        banded = (
+            banded.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bucket_n") <= max_bucket_size)
+            .drop("_bucket_n")
+        )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

@@ -218,6 +218,7 @@ class _WriteTxn:
         self.moves: list[tuple[str, str]] = []  # (src, dst) dir renames
         self.meta_before = json.loads(json.dumps(store._meta))
         self.hwm_before = dict(store._hwm)
+        self.last_auto_before = dict(store._last_auto)
 
     def before_append(self, path: str) -> None:
         if path not in self.snapshots:
@@ -254,6 +255,7 @@ class _WriteTxn:
         self.store._meta = self.meta_before
         self.store._save_meta()
         self.store._hwm = self.hwm_before
+        self.store._last_auto = self.last_auto_before
 
 
 class SegmentStore:
@@ -281,6 +283,10 @@ class SegmentStore:
         # per-(segment, table) auto-increment high-water marks, lazily
         # initialized from storage (segments are small by design)
         self._hwm: dict[tuple[str, str], int] = {}
+        # per-segment id of the LAST autoincrement value actually assigned —
+        # the Cursor.lastrowid source (inferring it from _hwm goes stale as
+        # soon as a second autoincremented table gets a high-water mark)
+        self._last_auto: dict[str, int] = {}
         self._active_txn: _WriteTxn | None = None
 
     # -- metadata ----------------------------------------------------------
@@ -507,11 +513,19 @@ class SegmentStore:
             # assign sequential ids continuing from the high-water mark
             from pyspark.sql.window import Window as W
 
+            la_prev = self._last_auto.get(segment_id)
             base = self._next_id(segment_id, table, ts) - 1
             self._hwm[(segment_id, table)] = base  # _next_id consumed one; rewind
             w = W.orderBy(F.monotonically_increasing_id())
             src = src.withColumn(ts.autoincrement_col, F.row_number().over(w) + base)
-            self._hwm[(segment_id, table)] = base + src.count()
+            cnt = src.count()
+            self._hwm[(segment_id, table)] = base + cnt
+            if cnt:
+                self._last_auto[segment_id] = base + cnt
+            elif la_prev is None:
+                self._last_auto.pop(segment_id, None)
+            else:
+                self._last_auto[segment_id] = la_prev
             missing = [n for n in missing if n != ts.autoincrement_col]
         for n in missing:
             src = src.withColumn(n, F.lit(None))
@@ -585,6 +599,7 @@ class SegmentStore:
             else:
                 self._hwm[key] = 0
         self._hwm[key] += 1
+        self._last_auto[segment_id] = self._hwm[key]
         return self._hwm[key]
 
     def _flush_inserts(self, segment_id: str, pending: dict[str, list[Row]]) -> None:
@@ -1016,6 +1031,7 @@ class SegmentStore:
         del self._meta["segments"][segment_id]
         self._save_meta()
         self._hwm = {k: v for k, v in self._hwm.items() if k[0] != segment_id}
+        self._last_auto.pop(segment_id, None)
 
 
 # ---------------------------------------------------------------------------
