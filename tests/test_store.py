@@ -425,3 +425,37 @@ def test_write_script_rollback_on_failure(store):
     # and the store still works after rollbacks
     store.write("seg_tx", "INSERT INTO kv (k, v) VALUES (3, 'c');")
     assert len(store.read("seg_tx", "SELECT * FROM kv")) == 3
+
+
+def test_cross_process_write_lock(store, spark):
+    """A6/write-lock parity (reference write.py:55-57): a second writer on
+    the same root is blocked while the lock is held, stale locks from dead
+    processes are stolen, and the lock is released after every write."""
+    import json
+    import os
+
+    from trough_spark.store import WriteLockError
+
+    store.set_schema("s", "create table kv (k INTEGER);")
+    store.provision("seg_lk", "s")
+    store.write("seg_lk", "INSERT INTO kv (k) VALUES (1);")  # lock released after
+
+    lock_path = os.path.join(store.root, "_locks", "segment-seg_lk.lock")
+    assert not os.path.exists(lock_path)
+
+    # simulate a LIVE foreign holder (our own pid is alive)
+    os.makedirs(os.path.dirname(lock_path), exist_ok=True)
+    with open(lock_path, "w") as f:
+        json.dump({"pid": os.getpid(), "host": __import__("socket").gethostname()}, f)
+    other = SegmentStore(spark, store.root)
+    other.lock_timeout = 0.3
+    with pytest.raises(WriteLockError):
+        other.write("seg_lk", "INSERT INTO kv (k) VALUES (2);")
+    assert store.read("seg_lk", "SELECT count(*) AS n FROM kv") == [{"n": 1}]
+
+    # a DEAD holder's lock is stolen and the write proceeds
+    with open(lock_path, "w") as f:
+        json.dump({"pid": 2**22 + 12345, "host": __import__("socket").gethostname()}, f)
+    other.write("seg_lk", "INSERT INTO kv (k) VALUES (3);")
+    assert not os.path.exists(lock_path)
+    assert store.read("seg_lk", "SELECT count(*) AS n FROM kv") == [{"n": 2}]

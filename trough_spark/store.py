@@ -31,10 +31,13 @@ engine is driver-coordinated) rather than by a lock table.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import re
 import shutil
+import socket
+import time
 from dataclasses import dataclass, field
 
 import pyspark.sql.functions as F
@@ -202,6 +205,11 @@ def parse_schema_sql(schema_id: str, sql: str) -> Schema:
 _DEFAULT_SCHEMA = Schema(id="default", sql="")
 
 
+class WriteLockError(RuntimeError):
+    """Another process holds the segment's write lock (the reference's
+    one-writer-per-segment rule, trough/write.py:55-57 / sync.py:130-145)."""
+
+
 class _WriteTxn:
     """Script-level rollback journal, giving the write path the reference's
     all-or-nothing transaction semantics (BEGIN…COMMIT per POST,
@@ -297,12 +305,69 @@ class SegmentStore:
                 return json.load(f)
         return {"schemas": {"default": ""}, "segments": {}}
 
+    lock_timeout: float = 10.0  # seconds an acquirer waits before failing
+
+    @contextlib.contextmanager
+    def _file_lock(self, name: str, timeout: float | None = None):
+        """O_EXCL lockfile under the store root — the cross-PROCESS half of
+        the reference's single-writer guarantee (trough/write.py:55-57);
+        within one process the store is single-writer by construction.
+        Stale locks from dead local processes are stolen; a live holder
+        fails the acquirer with WriteLockError after ``timeout``.  Re-entrant
+        per store instance (write() holds the segment lock while _save_meta
+        takes the meta lock — different names, no deadlock).  On a cluster
+        filesystem this is Delta/metastore territory — documented upgrade."""
+        os.makedirs(os.path.join(self.root, "_locks"), exist_ok=True)
+        path = os.path.join(self.root, "_locks", f"{name}.lock")
+        deadline = time.monotonic() + (self.lock_timeout if timeout is None else timeout)
+        while True:
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(
+                    fd,
+                    json.dumps({"pid": os.getpid(), "host": socket.gethostname()}).encode(),
+                )
+                os.close(fd)
+                break
+            except FileExistsError:
+                stale = False
+                holder = None
+                try:
+                    with open(path) as f:
+                        holder = json.load(f)
+                    if holder.get("host") == socket.gethostname():
+                        os.kill(int(holder["pid"]), 0)  # raises if dead
+                except ProcessLookupError:
+                    stale = True  # local holder is dead
+                except PermissionError:
+                    pass  # alive, not ours
+                except (ValueError, KeyError, OSError):
+                    # unreadable content may be a holder BETWEEN creat and
+                    # write — only steal after a grace period
+                    with contextlib.suppress(OSError):
+                        stale = time.time() - os.path.getmtime(path) > 1.0
+                if stale:
+                    with contextlib.suppress(FileNotFoundError):
+                        os.remove(path)
+                    continue
+                if time.monotonic() >= deadline:
+                    raise WriteLockError(
+                        f"write lock {name!r} held by {holder!r}"
+                    ) from None
+                time.sleep(0.05)
+        try:
+            yield
+        finally:
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(path)
+
     def _save_meta(self) -> None:
-        tmp = self._registry_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(self._meta, f, indent=1, sort_keys=True)
-        os.replace(tmp, self._registry_path)  # atomic, like the reference's
-        # _COPYING_ + mv publish (sync.py:1130-1146)
+        with self._file_lock("_meta"):
+            tmp = self._registry_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(self._meta, f, indent=1, sort_keys=True)
+            os.replace(tmp, self._registry_path)  # atomic, like the reference's
+            # _COPYING_ + mv publish (sync.py:1130-1146)
 
     # -- schema registry (A26; wsgi/segment_manager.py:54-114) --------------
 
@@ -422,6 +487,8 @@ class SegmentStore:
             if kind == "INSERT" or kind == "REPLACE":
                 self._match_insert(stmt)  # raises on unsupported INSERT form
         pending: dict[str, list[Row]] = {}
+        lock = self._file_lock(f"segment-{segment_id}")
+        lock.__enter__()
         self._active_txn = _WriteTxn(self)
         try:
             for stmt in stmts:
@@ -452,6 +519,7 @@ class SegmentStore:
             self._active_txn.commit()
         finally:
             self._active_txn = None
+            lock.__exit__(None, None, None)
 
     _INSERT_RE = re.compile(
         r"^\s*(?:INSERT\s+(?:OR\s+(?P<mode>REPLACE|IGNORE)\s+)?|(?P<replace>REPLACE\s+))"
