@@ -73,3 +73,62 @@ def test_provision_write_read_delete_flow(api):
 
     assert api.delete_segment("segA")[0] == 204
     assert api.delete_segment("segA")[0] == 404  # already gone (reference :117-128)
+
+
+def test_http_round_trip(api):
+    """The full reference workflow over REAL HTTP: put schema → provision →
+    write → read → delete (reference wsgi/segment_manager.py endpoints +
+    read.py/write.py services), via urllib against wsgiref servers."""
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from trough_spark.wsgi import read_app, segment_manager_app, serve, write_app
+
+    servers = [
+        serve(segment_manager_app(api)),
+        serve(read_app(api)),
+        serve(write_app(api)),
+    ]
+    mgr, rd, wr = (f"http://127.0.0.1:{s.server_port}" for s in servers)
+    threads = [threading.Thread(target=s.serve_forever, daemon=True) for s in servers]
+    for t in threads:
+        t.start()
+
+    def call(url, data=None, method=None):
+        req = urllib.request.Request(
+            url, data=data.encode() if isinstance(data, str) else data, method=method
+        )
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, resp.read().decode()
+
+    try:
+        ddl = "create table kv (id INTEGER PRIMARY KEY AUTOINCREMENT, v TEXT);"
+        status, _ = call(f"{mgr}/schema/s1/sql", data=ddl, method="PUT")
+        assert status == 201
+        status, body = call(f"{mgr}/schema", method="GET")
+        assert status == 200 and "s1" in json.loads(body)
+        status, body = call(
+            f"{mgr}/provision", data=json.dumps({"segment": "web1", "schema": "s1"})
+        )
+        assert status == 200 and json.loads(body)["segment"] == "web1"
+        # deprecated POST / returns the write url as plain text
+        status, body = call(f"{mgr}/", data="web1")
+        assert status == 200 and "web1" in body
+
+        status, body = call(f"{wr}/?segment=web1", data="INSERT INTO kv (v) VALUES ('hello');")
+        assert (status, body) == (200, "OK\n")
+        status, body = call(f"{rd}/?segment=web1", data="SELECT * FROM kv")
+        assert status == 200 and json.loads(body) == [{"id": 1, "v": "hello"}]
+
+        status, body = call(f"{mgr}/promote", data=json.dumps({"segment": "web1"}))
+        assert status == 200 and json.loads(body)["segment"] == "web1"
+        status, _ = call(f"{mgr}/segment/web1", method="DELETE")
+        assert status == 204
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            call(f"{mgr}/segment/web1", method="DELETE")
+        assert ei.value.code == 404
+    finally:
+        for s in servers:
+            s.shutdown()
+            s.server_close()
