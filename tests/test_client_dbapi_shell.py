@@ -133,3 +133,49 @@ def test_dbapi_lastrowid(client):
     # a statement that assigns no id leaves lastrowid unchanged (sqlite3)
     cur.execute("DELETE FROM t2 WHERE v = 'x'")
     assert cur.lastrowid == 3
+
+
+def test_shell_pretty_format_and_pager(client):
+    import io as _io
+
+    out = _io.StringIO()
+    shell = TroughShell(client, out=out)
+    client.store.provision("fmt1", "test1")
+    client.write("fmt1", "INSERT INTO test (test) VALUES ('x')")
+    shell.do_line("CONNECT fmt1")
+    assert shell.do_line("FORMAT pretty")
+    shell.do_line("SELECT id, test FROM test")
+    text = out.getvalue()
+    assert '"id": 1' in text and '"test": "x"' in text  # indented json
+    # json format is COMPACT (reference display(): pretty is the indented one)
+    out2 = _io.StringIO()
+    shell2 = TroughShell(client, out=out2)
+    shell2.do_line("CONNECT fmt1")
+    shell2.do_line("FORMAT json")
+    shell2.do_line("SELECT id FROM test")
+    assert '[{"id": 1}]' in out2.getvalue()
+    # pager: tty-gated off under test harness, but the plumbing must route
+    # emit() through the pipe when active
+    shell2.use_pager = True
+    captured = []
+
+    class _Pipe:
+        def write(self, s):
+            captured.append(s)
+
+        def flush(self):
+            pass
+
+    import contextlib as _ctx
+
+    @_ctx.contextmanager
+    def fake_pager():
+        shell2.pager_pipe = _Pipe()
+        try:
+            yield
+        finally:
+            shell2.pager_pipe = None
+
+    shell2.pager = fake_pager
+    shell2.do_line("SELECT id FROM test")
+    assert any('{"id": 1}' in s for s in captured)

@@ -72,6 +72,10 @@ QUERIES = [
     "SELECT round(log(100.0), 6) AS lg, round(log(2, 8.0), 6) AS lg2 FROM items WHERE id = 1",
     "SELECT trunc(price) AS tp, round(sqrt(qty), 6) AS sq, pow(2, id) AS p "
     "FROM items WHERE id = 1",
+    # LIKE case folding agrees across engines throughout the ASCII range
+    "SELECT id FROM items WHERE name LIKE 'APPLE%' ORDER BY id",
+    "SELECT id FROM items WHERE name LIKE '%Pie' ORDER BY id",
+    "SELECT id FROM items WHERE name LIKE 'cHeRrY%' ORDER BY id",
 ]
 
 DDL = (
@@ -137,3 +141,26 @@ def test_sqlite_vs_engine(engines, sql):
             f"row-set mismatch for {sql!r}: {got} vs {expected}"
         )
     assert not (math.nan in got and math.nan not in expected)
+
+
+def test_like_case_sensitivity_modes(engines):
+    """LIKE parity: default LIKE folds case identically for ASCII (above);
+    PRAGMA case_sensitive_like = ON turns folding OFF in both engines.
+    KNOWN DIVERGENCE (documented in dialect.py): default-mode folding is
+    ASCII-only in SQLite but full-Unicode in Spark ILIKE — 'Éclair' LIKE
+    'é%' differs; case-sensitive mode has no such caveat."""
+    import trough_spark.dialect as dialect
+
+    conn, store = engines
+    q = "SELECT id FROM items WHERE name LIKE 'apple%' ORDER BY id"
+    assert [r["id"] for r in store.read("diffseg", q)] == [1, 4]
+    conn.execute("PRAGMA case_sensitive_like = ON")
+    store.write("diffseg", "PRAGMA case_sensitive_like = ON")
+    try:
+        expected = [row[0] for row in conn.execute(q).fetchall()]
+        assert expected == [4]  # 'Apple' no longer matches
+        assert [r["id"] for r in store.read("diffseg", q)] == expected
+    finally:
+        conn.execute("PRAGMA case_sensitive_like = OFF")
+        store.write("diffseg", "PRAGMA case_sensitive_like = OFF")
+        assert dialect.case_sensitive_like is False

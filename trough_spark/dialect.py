@@ -10,7 +10,14 @@ rewrites need; full parsing stays where it belongs, in Catalyst.
 
 Covered rewrites (SURVEY.md §2.B):
 - A1 SELECT gate (single statement, SELECT/VALUES/WITH only) — read.py:54-67
-- LIKE → ILIKE (SQLite LIKE is ASCII-case-insensitive)
+- LIKE → ILIKE (SQLite LIKE is case-insensitive by default).  KNOWN
+  DIVERGENCE: SQLite folds ASCII letters only, Spark ILIKE folds full
+  Unicode — 'É' LIKE 'é' is false in SQLite, true here; ASCII-range
+  patterns (the overwhelmingly common case) behave identically.  For exact
+  case-sensitive matching both engines agree: use
+  ``PRAGMA case_sensitive_like = ON`` (honored by the write path /
+  ``set_case_sensitive_like``), which keeps LIKE untranslated — Spark LIKE
+  is precisely SQLite's case_sensitive_like=ON semantics.
 - GLOB 'pat' → RLIKE anchored-regex translation
 - REGEXP operator passthrough → RLIKE (same operand order)
 - function-call rewrites: the reference's three registered functions inlined
@@ -117,6 +124,17 @@ def statement_type(sql: str) -> str:
         if t.kind not in ("space", "comment"):
             return ""
     return ""
+
+
+# SQLite's PRAGMA case_sensitive_like, session-global (one Spark driver ==
+# one connection's scope for our purposes): when True, LIKE stays LIKE
+# (case-sensitive — identical semantics in both engines, no Unicode caveat).
+case_sensitive_like = False
+
+
+def set_case_sensitive_like(on: bool) -> None:
+    global case_sensitive_like
+    case_sensitive_like = bool(on)
 
 
 class QueryRejected(ValueError):
@@ -457,7 +475,7 @@ def _rewrite_operators(sql: str) -> str:
         if t.kind == "word":
             up = t.text.upper()
             if up == "LIKE":
-                out.append(Token("word", "ILIKE"))
+                out.append(Token("word", "LIKE" if case_sensitive_like else "ILIKE"))
                 continue
             if up == "REGEXP":
                 out.append(Token("word", "RLIKE"))

@@ -5,7 +5,8 @@ Commands mirrored from the reference REPL:
   CONNECT <segment> [<segment> ...]     connect to specific segments
   CONNECT MATCHING <regex>              connect to all segments matching
   SHOW TABLES | SCHEMAS | SEGMENTS | CONNECTIONS | CREATE TABLE <t>
-  FORMAT table|json|raw                 result rendering
+  FORMAT table|json|pretty|raw          result rendering
+  (query output pipes through $PAGER — less -nFSX — on a tty)
   SELECT ...                            fan-out to all connected segments
   PROMOTE <segment>                     flush/publish (already durable here)
   HELP / QUIT
@@ -20,7 +21,11 @@ could not do.
 
 from __future__ import annotations
 
+import contextlib
+import io
 import json
+import os
+import subprocess
 import sys
 
 from trough_spark.client import TroughClient
@@ -49,15 +54,44 @@ class TroughShell:
         self.out = out
         self.connections: list[str] = []
         self.format = "table"
+        # pager only makes sense on a real terminal (reference pipes query
+        # display through $PAGER unconditionally; here it is tty-gated so
+        # scripted/test use stays plain)
+        self.use_pager = out is sys.stdout and sys.stdout.isatty()
+        self.pager_pipe = None
 
     def emit(self, text: str) -> None:
-        print(text, file=self.out)
+        print(text, file=self.pager_pipe or self.out)
+
+    @contextlib.contextmanager
+    def pager(self):
+        """Reference shell/__init__.py:289-307: query output pipes through
+        $PAGER (default ``less -nFSX``); reentrant; BrokenPipeError (user
+        quit the pager) is swallowed."""
+        if self.pager_pipe is not None or not self.use_pager:
+            yield
+            return
+        cmd = os.environ.get("PAGER") or "/usr/bin/less -nFSX"
+        try:
+            with subprocess.Popen(cmd, shell=True, stdin=subprocess.PIPE) as proc:
+                with io.TextIOWrapper(proc.stdin, errors="backslashreplace") as pipe:
+                    self.pager_pipe = pipe
+                    yield
+                proc.wait()
+        except BrokenPipeError:
+            pass  # user quit the pager
+        finally:
+            self.pager_pipe = None
 
     def render(self, rows: list[dict]) -> None:
+        # reference display(): table → ascii, pretty → indented json,
+        # json → compact json (shell/__init__.py:107-121); raw is ours
         if self.format == "table":
             self.emit(table_format(rows))
-        elif self.format == "json":
+        elif self.format == "pretty":
             self.emit(json.dumps(rows, indent=2, default=str))
+        elif self.format == "json":
+            self.emit(json.dumps(rows, default=str))
         else:
             for r in rows:
                 self.emit(str(tuple(r.values())))
@@ -103,19 +137,20 @@ class TroughShell:
             self.emit("not connected — use CONNECT <segment...>")
             return
         try:
-            if global_merge:
-                regex = "^(" + "|".join(self.connections) + ")$"
-                rows = self.client.read_many(regex, stmt)
-                self.render(rows)
-                self.emit(f"total rows: {len(rows)}")
-                return
-            total = 0
-            for seg in self.connections:
-                rows = self.client.read(seg, stmt)
-                self.emit(f"+++++ results from segment {seg} +++++")
-                self.render(rows)
-                total += len(rows)
-            self.emit(f"total rows: {total}")
+            with self.pager():
+                if global_merge:
+                    regex = "^(" + "|".join(self.connections) + ")$"
+                    rows = self.client.read_many(regex, stmt)
+                    self.render(rows)
+                    self.emit(f"total rows: {len(rows)}")
+                    return
+                total = 0
+                for seg in self.connections:
+                    rows = self.client.read(seg, stmt)
+                    self.emit(f"+++++ results from segment {seg} +++++")
+                    self.render(rows)
+                    total += len(rows)
+                self.emit(f"total rows: {total}")
         except QueryRejected as e:
             self.emit(f"error: {e}")
 
@@ -133,11 +168,11 @@ class TroughShell:
         elif cmd == "SHOW":
             self.do_show(rest)
         elif cmd == "FORMAT":
-            if rest.lower() in ("table", "json", "raw"):
+            if rest.lower() in ("table", "json", "pretty", "raw"):
                 self.format = rest.lower()
                 self.emit(f"format set to {self.format}")
             else:
-                self.emit("usage: FORMAT table|json|raw")
+                self.emit("usage: FORMAT table|json|pretty|raw")
         elif cmd == "PROMOTE":
             self.emit(json.dumps(self.client.promote(rest.strip()), default=str))
         elif cmd == "INFILE":

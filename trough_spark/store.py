@@ -509,8 +509,19 @@ class SegmentStore:
                 elif kind == "ALTER":
                     self._flush_inserts(segment_id, pending)
                     self._write_path_alter(segment_id, stmt)
+                elif kind == "PRAGMA":
+                    # case_sensitive_like is honored (dialect.py LIKE note);
+                    # other pragmas are implicit no-ops like the reference's
+                    # per-connection tuning pragmas
+                    m = re.match(
+                        r"^\s*PRAGMA\s+case_sensitive_like\s*=\s*(\w+)", stmt, re.IGNORECASE
+                    )
+                    if m:
+                        dialect.set_case_sensitive_like(
+                            m.group(1).lower() in ("1", "on", "true", "yes")
+                        )
                 else:
-                    continue  # txn framing / pragmas are implicit no-ops
+                    continue  # txn framing / other pragmas are implicit no-ops
             self._flush_inserts(segment_id, pending)
         except BaseException:
             self._active_txn.rollback()
