@@ -589,15 +589,37 @@ class SegmentStore:
         src = src.toDF(*cols)
         missing = [n for n in declared if n not in cols]
         if ts.autoincrement_col in missing:
-            # assign sequential ids continuing from the high-water mark
+            # Assign sequential ids continuing from the high-water mark.
+            # Scale note: ids are assigned per input partition (window keyed
+            # by spark_partition_id, so each partition numbers its own rows in
+            # parallel) plus a cumulative base offset computed from one tiny
+            # per-partition count — no global single-reducer sort.  The
+            # offset map is one entry per partition; fine as a literal map
+            # for any realistic partition count.
             from pyspark.sql.window import Window as W
 
             la_prev = self._last_auto.get(segment_id)
             base = self._next_id(segment_id, table, ts) - 1
             self._hwm[(segment_id, table)] = base  # _next_id consumed one; rewind
-            w = W.orderBy(F.monotonically_increasing_id())
-            src = src.withColumn(ts.autoincrement_col, F.row_number().over(w) + base)
-            cnt = src.count()
+            src = _cached = src.withColumn("_pid", F.spark_partition_id()).persist()
+            counts = {r[0]: r[1] for r in src.groupBy("_pid").count().collect()}
+            offsets, acc = {}, 0
+            for pid in sorted(counts):
+                offsets[pid] = acc
+                acc += counts[pid]
+            cnt = acc
+            w = W.partitionBy("_pid").orderBy(F.monotonically_increasing_id())
+            off = (
+                F.element_at(
+                    F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+                    F.col("_pid"),
+                )
+                if offsets
+                else F.lit(0)
+            )
+            src = src.withColumn(
+                ts.autoincrement_col, F.row_number().over(w) + off + F.lit(base)
+            ).drop("_pid")
             self._hwm[(segment_id, table)] = base + cnt
             if cnt:
                 self._last_auto[segment_id] = base + cnt
@@ -606,16 +628,22 @@ class SegmentStore:
             else:
                 self._last_auto[segment_id] = la_prev
             missing = [n for n in missing if n != ts.autoincrement_col]
+        else:
+            _cached = None
         for n in missing:
             src = src.withColumn(n, F.lit(None))
         aligned = src.select([F.col(n).cast(t) for n, t in ts.fields])
-        if mode is None or not ts.primary_key:
-            path = self._partition_path(table, segment_id)
-            if self._active_txn is not None:
-                self._active_txn.before_append(path)
-            aligned.write.mode("append").parquet(path)
-        else:
-            self._upsert(segment_id, table, ts, aligned, mode)
+        try:
+            if mode is None or not ts.primary_key:
+                path = self._partition_path(table, segment_id)
+                if self._active_txn is not None:
+                    self._active_txn.before_append(path)
+                aligned.write.mode("append").parquet(path)
+            else:
+                self._upsert(segment_id, table, ts, aligned, mode)
+        finally:
+            if _cached is not None:
+                _cached.unpersist()
         return False
 
     def _upsert(self, segment_id: str, table: str, ts: TableSchema, new: DataFrame, mode: str) -> None:
