@@ -635,6 +635,72 @@ def b8_range_frames(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# B8: GROUPS frames + EXCLUDE (dense_rank composition — Spark lacks both)
+# ---------------------------------------------------------------------------
+@query(
+    "b8_groups_frames",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS band,
+             CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec,
+             DENSE_RANK() OVER (PARTITION BY o_orderstatus
+                                ORDER BY CAST(FLOOR(o_totalprice / 50000) AS BIGINT)) AS g
+      FROM orders WHERE o_orderkey <= 500
+    )
+    SELECT o_orderkey, o_orderstatus, band,
+           CAST(SUM(price_dec) OVER (PARTITION BY o_orderstatus ORDER BY g
+                RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS band_sum,
+           COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY g
+                RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS band_n,
+           COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY g
+                RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS n_nbr,
+           CAST(SUM(price_dec) OVER (PARTITION BY o_orderstatus ORDER BY g
+                RANGE BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE TIES) AS DOUBLE)
+             AS run_excl_ties
+    FROM t
+    """,
+)
+def b8_groups_frames(spark, sf_dir):
+    """GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING (+ EXCLUDE GROUP / TIES)
+    over price bands.  Spark has no GROUPS frame; `operators.windows`
+    composes it as dense_rank + RANGE — the DuckDB oracle uses the same
+    identity because DuckDB lacks GROUPS too (SQLite window.c defines the
+    semantics both reproduce).  One shuffle: every window shares the
+    o_orderstatus partitioning."""
+    from trough_spark.operators import windows as GW
+
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    t = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("band"),
+        F.col("o_totalprice").cast(DEC).alias("price_dec"),
+    )
+    t = GW.groups_frame(
+        t, "o_orderstatus", "band", "price_dec", 1, 1,
+        out_sum="_band_sum_dec", out_count="band_n",
+    )
+    t = GW.groups_frame(
+        t, "o_orderstatus", "band", "price_dec", 1, 1, exclude=GW.GROUP,
+        out_sum="_drop1", out_count="n_nbr",
+    )
+    t = GW.groups_frame(
+        t, "o_orderstatus", "band", "price_dec", 1, 0, exclude=GW.TIES,
+        out_sum="_ret_dec", out_count="_drop2",
+    )
+    return t.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "band",
+        F.col("_band_sum_dec").cast("double").alias("band_sum"),
+        "band_n",
+        "n_nbr",
+        F.col("_ret_dec").cast("double").alias("run_excl_ties"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # B9: NULLS FIRST/LAST ordering
 # ---------------------------------------------------------------------------
 @query(
