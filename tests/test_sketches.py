@@ -1,0 +1,101 @@
+"""Sketch operator guarantees: HLL error bound + mergeability, CMS
+upper-bound property."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from trough_spark.operators import sketches as SK
+
+
+def test_hll_estimate_within_bound(spark):
+    # 2000 distinct values; m=256 registers → relative error ~1.04/sqrt(m) ≈ 6.5%
+    df = spark.range(2000).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+    est = SK.hll_estimate(df, "k", p=8).collect()[0]["est_distinct"]
+    assert abs(est - 2000) / 2000 < 0.25, est
+
+
+def test_hll_duplicates_do_not_inflate(spark):
+    base = spark.range(500).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+    dup = base.unionAll(base).unionAll(base)
+    e1 = SK.hll_estimate(base, "k").collect()[0]["est_distinct"]
+    e3 = SK.hll_estimate(dup, "k").collect()[0]["est_distinct"]
+    assert e1 == e3
+
+
+def test_hll_registers_merge_by_max(spark):
+    """Partial register vectors from two halves merge by max() into exactly
+    the whole-input registers — the property that makes HLL shuffle-free."""
+    df = spark.range(1000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k"),
+        (F.col("id") % 2).alias("half"),
+    )
+    whole = {
+        r["bucket"]: r["r"] for r in SK.hll_registers(df, "k").collect()
+    }
+    parts = SK.hll_registers(df, "k", group_by="half")
+    merged = {
+        r["bucket"]: r["mx"]
+        for r in parts.groupBy("bucket").agg(F.max("r").alias("mx")).collect()
+    }
+    assert merged == whole
+
+
+def test_hll_grouped_matches_per_group(spark):
+    df = spark.range(600).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k"),
+        F.when(F.col("id") < 400, "a").otherwise("b").alias("g"),
+    )
+    grouped = {
+        r["g"]: r["est_distinct"]
+        for r in SK.hll_estimate(df, "k", group_by="g").collect()
+    }
+    for g, n in (("a", 400), ("b", 200)):
+        solo = SK.hll_estimate(df.filter(F.col("g") == g), "k").collect()[0][
+            "est_distinct"
+        ]
+        assert grouped[g] == solo, (g, grouped[g], solo)
+        assert abs(grouped[g] - n) / n < 0.35, (g, grouped[g])
+
+
+def test_cms_upper_bound_and_accuracy(spark):
+    # skewed counts: key_i occurs (i % 37) + 1 times
+    df = spark.range(3000).select(
+        F.concat(F.lit("u"), (F.col("id") % 200)).alias("k")
+    )
+    truth = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    sketch = SK.cms_build(df, "k")
+    est = {
+        r["k"]: r["est_count"]
+        for r in SK.cms_lookup(sketch, df.select("k").distinct(), "k").collect()
+    }
+    assert set(est) == set(truth)
+    for k, n in truth.items():
+        assert est[k] >= n, (k, est[k], n)  # CMS never underestimates
+    # with 200 keys in 3x256 buckets, most estimates should be exact
+    exact = sum(1 for k in truth if est[k] == truth[k])
+    assert exact >= 150, exact
+
+
+def test_cms_weighted_counts(spark):
+    df = spark.range(100).select(
+        F.concat(F.lit("w"), (F.col("id") % 10)).alias("k"),
+        F.lit(5).cast("bigint").alias("wt"),
+    )
+    sketch = SK.cms_build(df, "k", weight=F.col("wt"))
+    est = {
+        r["k"]: r["est_count"]
+        for r in SK.cms_lookup(sketch, df.select("k").distinct(), "k").collect()
+    }
+    for k, v in est.items():
+        assert v >= 50, (k, v)
+
+
+def test_cms_sketch_size_is_constant(spark):
+    df = spark.range(5000).select(F.concat(F.lit("s"), F.col("id")).alias("k"))
+    sketch = SK.cms_build(df, "k", depth=3, width=64)
+    assert sketch.count() <= 3 * 64

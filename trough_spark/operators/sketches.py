@@ -1,0 +1,261 @@
+"""Cardinality / frequency sketches: HyperLogLog and count-min.
+
+The canonical 100 TB answers to "how many distinct X" and "how often does
+each hot key occur" when exact answers would shuffle the full key set:
+both sketches reduce to a **map-side-combinable aggregate over a
+constant-size state** (m registers / d*w cells), so a 1000-executor scan
+merges partial sketches for free inside partial aggregation — no key
+shuffle, no driver state.
+
+Determinism contract (required by the DuckDB oracle gate): every hash is
+md5-derived (`dedup.portable_hash`, 60-bit), all bucket/rank math is pure
+integer bit arithmetic (shifts/masks + exact `length(bin(w))` instead of
+floating log2), and register sums are carried in DECIMAL(38,0) so neither
+engine rounds or overflows.  The only floats are the final estimate
+expressions, computed from identical exact inputs and rounded before
+output.
+
+Reference parity: the reference engine has no sketches (SQLite's
+count(distinct) is exact and single-node; /root/reference/trough/read.py
+passes it through) — these are part of the training-data-pipeline surface
+this engine adds beyond the reference.
+
+HLL: Flajolet et al., "HyperLogLog: the analysis of a near-optimal
+cardinality estimation algorithm" (AofA 2007) — alpha_m bias constant and
+the small-range linear-counting correction.
+Count-min: Cormode & Muthukrishnan, "An improved data stream summary: the
+count-min sketch and its applications" (J. Algorithms 2005).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from trough_spark.operators.dedup import portable_hash
+
+HASH_BITS = 60  # portable_hash yields values in [0, 2^60)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+def hll_alpha(m: int) -> float:
+    """Bias-correction constant alpha_m (HLL paper, section 4)."""
+    if m <= 16:
+        return 0.673
+    if m <= 32:
+        return 0.697
+    if m <= 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(
+    df: DataFrame, col, group_by=None, p: int = 7
+) -> DataFrame:
+    """Dense HLL register vector: one row per (group,) bucket in [0, 2^p),
+    column ``r`` = max rank (0 for never-hit buckets).
+
+    The aggregate is max() — associative and commutative, so Spark computes
+    per-partition partial maxima map-side and shuffles at most
+    groups x 2^p rows regardless of input size.  Never-hit buckets are
+    restored by a broadcast join against ``spark.range(2^p)`` so the
+    estimate formula sees all m registers.
+    """
+    m = 1 << p
+    v = F.col(col) if isinstance(col, str) else col
+    gb = [group_by] if isinstance(group_by, str) else list(group_by or [])
+    h = portable_hash(v.cast("string"))
+    wbits = HASH_BITS - p
+    df = df.where(v.isNotNull()).select(
+        *gb,
+        h.bitwiseAND(F.lit(m - 1)).alias("bucket"),
+        F.shiftright(h, p).alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits + 1) - F.length(F.bin(F.col("w")))
+    )
+    hit = df.select(*gb, "bucket", rho.alias("rho")).groupBy(*gb, "bucket").agg(
+        F.max("rho").alias("r")
+    )
+    buckets = df.sparkSession.range(m).withColumnRenamed("id", "bucket")
+    if gb:
+        groups = df.select(*gb).distinct()
+        full = groups.crossJoin(F.broadcast(buckets))
+    else:
+        full = buckets
+    return (
+        full.join(hit, [*gb, "bucket"], "left")
+        .select(*gb, "bucket", F.coalesce(F.col("r"), F.lit(0)).alias("r"))
+    )
+
+
+def hll_estimate(
+    df: DataFrame, col, group_by=None, p: int = 7, out: str = "est_distinct"
+) -> DataFrame:
+    """Distinct-count estimate per group, rounded to 3 decimals.
+
+    Register sum is exact: each register contributes 2^(HASH_BITS - r) as a
+    DECIMAL(38,0) (max m * 2^60 ~ 1.5e20, well inside 38 digits), and the
+    raw estimate alpha * m^2 * 2^60 / S divides exact quantities.  The
+    small-range linear-counting correction m * ln(m / V) applies when the
+    raw estimate is under 2.5m and empty registers remain.
+    """
+    m = 1 << p
+    gb = [group_by] if isinstance(group_by, str) else list(group_by or [])
+    regs = hll_registers(df, col, group_by=group_by, p=p)
+    # shiftleft's Python wrapper takes only int literals; the SQL form
+    # accepts a column-valued shift amount
+    term = F.expr(f"CAST(shiftleft(1L, {HASH_BITS} - r) AS DECIMAL(38,0))")
+    agg = regs.groupBy(*gb).agg(
+        F.sum(term).alias("_s"),
+        F.sum(F.when(F.col("r") == 0, 1).otherwise(0)).alias("_v"),
+    )
+    scale = float(m) * float(m) * float(1 << HASH_BITS) * hll_alpha(m)
+    raw = F.lit(scale) / F.col("_s").cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("_v") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("_v").cast("double")),
+    ).otherwise(raw)
+    return agg.select(*gb, F.round(est, 3).alias(out))
+
+
+def hll_oracle_sql(
+    source_sql: str, col: str, group_by: str | None = None, p: int = 7
+) -> str:
+    """DuckDB SQL computing the identical estimate (same hash, same exact
+    integer register math) for the driver's oracle gate."""
+    m = 1 << p
+    wbits = HASH_BITS - p
+    alpha = hll_alpha(m)
+    scale = float(m) * float(m) * float(1 << HASH_BITS) * alpha
+    gcol = group_by
+    gsel = f"{gcol}, " if gcol else ""
+    gby = f"GROUP BY {gcol}" if gcol else ""
+    gjoin = f"CROSS JOIN (SELECT DISTINCT {gcol} FROM hashed) g" if gcol else ""
+    gcond = f"AND h.{gcol} = b.{gcol}" if gcol else ""
+    bsel = f"g.{gcol}, " if gcol else ""
+    return f"""
+    WITH src AS ({source_sql}),
+    hashed AS (
+      SELECT {gsel}
+             CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM src WHERE {col} IS NOT NULL
+    ),
+    ranked AS (
+      SELECT {gsel} h & {m - 1} AS bucket,
+             CASE WHEN (h >> {p}) = 0 THEN {wbits + 1}
+                  ELSE {wbits + 1} - length(bin(h >> {p})) END AS rho
+      FROM hashed
+    ),
+    hit AS (
+      SELECT {gsel} bucket, MAX(rho) AS r FROM ranked GROUP BY {gsel} bucket
+    ),
+    buckets AS (
+      SELECT {bsel} t.range AS bucket FROM range({m}) t {gjoin}
+    ),
+    regs AS (
+      SELECT {('b.' + gcol + ', ') if gcol else ''} b.bucket,
+             COALESCE(h.r, 0) AS r
+      FROM buckets b LEFT JOIN hit h ON h.bucket = b.bucket {gcond}
+    ),
+    agg AS (
+      SELECT {gsel}
+             SUM(CAST((1::BIGINT << ({HASH_BITS} - r)) AS DECIMAL(38,0))) AS s,
+             SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS v
+      FROM regs {gby}
+    )
+    SELECT {gsel}
+           ROUND(CASE WHEN ({scale!r} / CAST(s AS DOUBLE)) <= {2.5 * m}
+                       AND v > 0
+                      THEN {float(m)!r} * ln({float(m)!r} / CAST(v AS DOUBLE))
+                      ELSE {scale!r} / CAST(s AS DOUBLE) END, 3) AS est_distinct
+    FROM agg
+    """
+
+
+# ---------------------------------------------------------------------------
+# Count-min
+# ---------------------------------------------------------------------------
+def cms_build(
+    df: DataFrame,
+    key,
+    depth: int = 3,
+    width: int = 256,
+    weight: Column | None = None,
+) -> DataFrame:
+    """Count-min sketch as a DataFrame of (row, bucket, cnt): depth
+    independent md5 hash rows, each folding every key occurrence into
+    ``width`` counters.
+
+    Output is depth x width rows no matter the input size — a groupBy whose
+    partial aggregation does all the work map-side.  Sketches from
+    different inputs union+re-aggregate to merge.
+    """
+    k = (F.col(key) if isinstance(key, str) else key).cast("string")
+    w = weight if weight is not None else F.lit(1).cast("bigint")
+    rows = df.where(k.isNotNull()).select(
+        k.alias("_k"), w.alias("_w"), F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
+    )
+    bucket = portable_hash(
+        F.concat(F.col("row").cast("string"), F.lit(":"), F.col("_k"))
+    ).bitwiseAND(F.lit(width - 1))
+    return (
+        rows.select("row", bucket.alias("bucket"), "_w")
+        .groupBy("row", "bucket")
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key: str,
+    depth: int = 3,
+    width: int = 256,
+    out: str = "est_count",
+) -> DataFrame:
+    """Point-query estimates: for each key, min over its depth counters —
+    an upper bound on the true count (classic CMS guarantee).  The sketch
+    is depth*width rows, so the join side is always broadcast."""
+    probes = keys.select(
+        F.col(key),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+    )
+    bucket = portable_hash(
+        F.concat(F.col("row").cast("string"), F.lit(":"), F.col(key).cast("string"))
+    ).bitwiseAND(F.lit(width - 1))
+    probes = probes.select(F.col(key), "row", bucket.alias("bucket"))
+    joined = probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+    return joined.groupBy(key).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out)
+    )
+
+
+def cms_oracle_sql(
+    source_sql: str, key: str, depth: int = 3, width: int = 256
+) -> str:
+    """DuckDB SQL producing identical (key, est_count) pairs for every
+    distinct key in the source."""
+    return f"""
+    WITH src AS ({source_sql}),
+    occ AS (
+      SELECT CAST({key} AS VARCHAR) AS k FROM src WHERE {key} IS NOT NULL
+    ),
+    probes AS (
+      SELECT k, t.range AS row,
+             CAST(('0x' || substr(md5(CAST(t.range AS VARCHAR) || ':' || k), 1, 15))
+                  AS BIGINT) & {width - 1} AS bucket
+      FROM occ CROSS JOIN range({depth}) t
+    ),
+    sketch AS (
+      SELECT row, bucket, COUNT(*) AS cnt FROM probes GROUP BY row, bucket
+    ),
+    key_probes AS (
+      SELECT DISTINCT k, row, bucket FROM probes
+    )
+    SELECT kp.k AS {key}, MIN(s.cnt) AS est_count
+    FROM key_probes kp JOIN sketch s ON s.row = kp.row AND s.bucket = kp.bucket
+    GROUP BY kp.k
+    """

@@ -45,6 +45,7 @@ def load_all() -> None:
         extensions,
         relational,
         similarity,
+        sketches,
         streaming,
         temporal,
         text,

@@ -1,0 +1,86 @@
+"""Sketch queries: HLL distinct estimates and count-min heavy hitters.
+
+Both estimates are deterministic (md5 hashes, exact integer register math)
+so the DuckDB oracle reproduces them bit-for-bit — see
+`operators/sketches.py` for the construction and the scale rationale
+(constant-size, map-side-combinable aggregation state).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from trough_spark.operators import sketches as SK
+from trough_spark.queries import query
+from trough_spark.tables import load_table as T
+
+
+@query(
+    "sketch_hll_distinct",
+    oracle="""
+    WITH est AS ({hll}),
+    exact AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY event_type
+    )
+    SELECT est.event_type, est.est_distinct, exact.n_exact
+    FROM est JOIN exact ON est.event_type = exact.event_type
+    """.format(
+        hll=SK.hll_oracle_sql(
+            "SELECT event_type, user_id FROM events", "user_id", group_by="event_type"
+        )
+    ),
+)
+def sketch_hll_distinct(spark, sf_dir):
+    """Per-event-type distinct-user estimate (HLL, p=7 → 128 registers)
+    next to the exact distinct count.  At 100 TB the HLL column costs one
+    scan with constant aggregation state per group; the exact column is the
+    expensive dedup it replaces (kept here to show the error)."""
+    ev = T(spark, sf_dir, "events").select("event_type", "user_id")
+    est = SK.hll_estimate(ev, "user_id", group_by="event_type")
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct(F.col("user_id")).alias("n_exact")
+    )
+    return est.join(exact, "event_type")
+
+
+@query(
+    "sketch_countmin_heavy_hitters",
+    oracle="""
+    WITH est AS ({cms}),
+    truth AS (
+      SELECT CAST(user_id AS VARCHAR) AS user_key, COUNT(*) AS true_count
+      FROM events WHERE user_id IS NOT NULL GROUP BY CAST(user_id AS VARCHAR)
+    )
+    SELECT est.user_key, est.est_count, truth.true_count
+    FROM est JOIN truth ON est.user_key = truth.user_key
+    ORDER BY est.est_count DESC, est.user_key
+    LIMIT 25
+    """.format(
+        cms=SK.cms_oracle_sql(
+            "SELECT CAST(user_id AS VARCHAR) AS user_key FROM events", "user_key"
+        )
+    ),
+)
+def sketch_countmin_heavy_hitters(spark, sf_dir):
+    """Top-25 heaviest users by count-min estimate (d=3, w=256), with the
+    true count alongside (CMS estimates are upper bounds; collisions show
+    as est > true).  Sketch is depth x width = 768 cells regardless of
+    input size, built by one map-side-combinable aggregation and broadcast
+    for lookup."""
+    ev = T(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("user_key")
+    )
+    sketch = SK.cms_build(ev, "user_key")
+    keys = ev.where(F.col("user_key").isNotNull()).distinct()
+    est = SK.cms_lookup(sketch, keys, "user_key")
+    truth = (
+        ev.where(F.col("user_key").isNotNull())
+        .groupBy("user_key")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    return (
+        est.join(truth, "user_key")
+        .orderBy(F.col("est_count").desc(), "user_key")
+        .limit(25)
+    )
