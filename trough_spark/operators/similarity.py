@@ -303,3 +303,118 @@ def srp_bucketed_pairs(
         .filter(F.col("cosine_sim") >= threshold)
         .select("id1", "id2", "cosine_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: centroid assignment + probed exact rescore
+# ---------------------------------------------------------------------------
+def ivf_assign(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    dim: int = 64,
+) -> DataFrame:
+    """Assign every vector to its nearest centroid by cosine → the inverted
+    lists of an IVF index: (id, vec, cid, centroid_sim).
+
+    ``centroids`` is a small (id, vec) DataFrame — broadcast, so assignment
+    is a pure map computing N x k scores followed by a struct-min partial
+    aggregation (one shuffle of ~1 row per vector).  Similarities are
+    rounded to 6 decimals BEFORE the argmin and ties break on the lower
+    centroid id, so the assignment is reproducible across engines.
+
+    Centroid choice is pluggable (any deterministic selection or an
+    externally trained k-means); determinism of the *index build* only
+    requires the centroid set itself be deterministic.
+    """
+    c = F.broadcast(
+        centroids.select(
+            F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec")
+        )
+    )
+    scored = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).crossJoin(c)
+    sim = F.round(cosine(F.col("v"), F.col("_cvec"), dim), 6)
+    # min(struct) keeps the best (highest-sim, lowest-cid) centroid and the
+    # vector itself rides along — comparison never reaches it because
+    # (-sim, cid) is already unique per vector
+    best = (
+        scored.select(
+            "id",
+            F.struct(
+                (-sim).alias("ns"), F.col("_cid").alias("cid"), F.col("v").alias("v")
+            ).alias("s"),
+        )
+        .groupBy("id")
+        .agg(F.min("s").alias("s"))
+    )
+    return best.select(
+        "id",
+        F.col("s.cid").alias("cid"),
+        (-F.col("s.ns")).alias("centroid_sim"),
+        F.col("s.v").alias("v"),
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k neighbors per query via IVF probing: score each
+    query against the (broadcast) centroids, visit only the ``nprobe``
+    nearest inverted lists, and exact-rescore the candidates there.
+
+    Scale shape: the candidate join is an equi-join on the centroid id —
+    the inverted lists are the shuffle partitions, so per-query work is
+    proportional to the probed lists' occupancy, never O(N).  The final
+    top-k is a WindowGroupLimit per query (partial top-k below the
+    shuffle).  Recall < 1.0 by construction; raise ``nprobe`` (or train
+    better centroids) to trade cost for recall against the exact
+    ``cosine_topk_bruteforce`` baseline.
+    """
+    from pyspark.sql import Window as W
+
+    lists = ivf_assign(corpus, id_col, vec_col, centroids, dim=dim)
+    c = F.broadcast(
+        centroids.select(
+            F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec")
+        )
+    )
+    qscored = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .crossJoin(c)
+        .select(
+            "query_id",
+            "qv",
+            F.col("_cid").alias("cid"),
+            F.round(cosine(F.col("qv"), F.col("_cvec"), dim), 6).alias("csim"),
+        )
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("cid"))
+    probes = (
+        qscored.withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= nprobe)
+        .select("query_id", "qv", "cid")
+    )
+    cand = probes.join(lists, "cid").filter(F.col("id") != F.col("query_id"))
+    rescored = cand.select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        F.round(cosine(F.col("qv"), F.col("v"), dim), 6).alias("cosine_sim"),
+    )
+    wk = W.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rnk")
+    )

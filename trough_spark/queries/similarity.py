@@ -122,3 +122,123 @@ def sim_srp_bucketed_pairs(spark, sf_dir):
         T(spark, sf_dir, "embeddings"), "vec_id", "embedding",
         threshold=0.2, n_bits=8, dim=64,
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN: probed inverted lists + exact rescore, and its recall vs exact
+# ---------------------------------------------------------------------------
+def _pairsim(a_vec: str, b_vec: str) -> str:
+    return (
+        f"ROUND(list_dot_product({a_vec}, {b_vec}) / "
+        f"(sqrt(list_dot_product({a_vec}, {a_vec})) * "
+        f"sqrt(list_dot_product({b_vec}, {b_vec}))), 6)"
+    )
+
+
+_IVF_CTES = f"""
+    {_COS_CTE},
+    cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 16),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT a.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                 ORDER BY {_pairsim('a.e', 'c.ce')} DESC, c.cid) AS rn
+        FROM v a CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, cid FROM (
+        SELECT q.query_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY {_pairsim('q.qe', 'c.ce')} DESC, c.cid) AS rn
+        FROM q CROSS JOIN cent c
+      ) WHERE rn <= 4
+    ),
+    ivf_scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id, {_pairsim('q.qe', 'v.e')} AS cosine_sim
+      FROM probes p
+      JOIN assign a ON a.cid = p.cid
+      JOIN q ON q.query_id = p.query_id
+      JOIN v ON v.vec_id = a.vec_id
+      WHERE a.vec_id != p.query_id
+    ),
+    ivf_topk AS (
+      SELECT query_id, neighbor_id, cosine_sim, rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine_sim DESC, neighbor_id) AS rnk
+        FROM ivf_scored
+      ) WHERE rnk <= 5
+    )
+"""
+
+
+@query(
+    "sim_ivf_topk",
+    oracle=f"""
+    WITH {_IVF_CTES}
+    SELECT query_id, neighbor_id, cosine_sim, rnk FROM ivf_topk
+    """,
+)
+def sim_ivf_topk(spark, sf_dir):
+    # IVF index path: 16 deterministic seed centroids, nprobe=4 lists per
+    # query, exact cosine only on probed candidates.  Per-query cost is the
+    # probed lists' occupancy (~nprobe/k_lists of the corpus), not O(N) —
+    # the scan-everything brute force stays as the recall baseline.
+    emb = T(spark, sf_dir, "embeddings")
+    return S.ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        "vec_id",
+        "embedding",
+        centroids=emb.filter(F.col("vec_id") < 16),
+        k=5,
+        nprobe=4,
+        dim=64,
+    )
+
+
+@query(
+    "sim_ivf_recall",
+    oracle=f"""
+    WITH {_IVF_CTES},
+    exact_scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id, {_pairsim('q.qe', 'v.e')} AS cosine_sim
+      FROM v JOIN q ON v.vec_id != q.query_id
+    ),
+    exact_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine_sim DESC, neighbor_id) AS rnk
+        FROM exact_scored
+      ) WHERE rnk <= 5
+    )
+    SELECT e.query_id,
+           CAST(COUNT(i.neighbor_id) AS BIGINT) AS hits,
+           ROUND(COUNT(i.neighbor_id) / 5.0, 3) AS recall_at_5
+    FROM exact_topk e
+    LEFT JOIN ivf_topk i
+      ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def sim_ivf_recall(spark, sf_dir):
+    # Accuracy meter for the IVF path: per-query recall@5 against the exact
+    # brute-force top-5.  At scale only the (cheap) IVF side grows; the
+    # exact side is a sampled audit you run on a small query set.
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    cents = emb.filter(F.col("vec_id") < 16)
+    ivf = S.ivf_topk(
+        emb, queries, "vec_id", "embedding", centroids=cents, k=5, nprobe=4, dim=64
+    ).select("query_id", "neighbor_id")
+    exact = S.cosine_topk_bruteforce(
+        emb, queries, "vec_id", "embedding", k=5, dim=64
+    ).select("query_id", "neighbor_id")
+    hits = exact.join(ivf.withColumn("_hit", F.lit(1)), ["query_id", "neighbor_id"], "left")
+    return hits.groupBy("query_id").agg(
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint").alias("hits"),
+        F.round(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.lit(5.0), 3
+        ).alias("recall_at_5"),
+    )
