@@ -1,0 +1,99 @@
+"""Connected components over candidate-pair graphs → dedup clusters.
+
+The missing last step of near-duplicate removal: LSH/Jaccard stages emit
+*pairs*, but retention decisions need *clusters* (a dup group is the
+transitive closure of its pairs — A~B, B~C must collapse to one kept doc
+even if A~C was never emitted).  `connected_components` computes the
+closure with iterative min-label propagation on DataFrames:
+
+    comp(v) ← min(comp(v), min over neighbors comp(u))   until fixpoint
+
+Each round is one equi-join (messages along edges) + one groupBy-min
+(partial-aggregated map-side), with `localCheckpoint` truncating the plan
+so lineage doesn't grow with rounds.  Rounds needed = graph diameter —
+for dedup graphs (small dense cliques) that's 2-3; for adversarially long
+chains the round count grows and the alternating large-star/small-star
+algorithm (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC 2014) halves it — noted as the upgrade path, not needed for
+dup-cluster shapes.
+
+Label arithmetic is integer min over doc ids, so results are engine-exact;
+the DuckDB oracle computes the same closure with WITH RECURSIVE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src: str = "id1",
+    dst: str = "id2",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, comp) for every node, comp = min node id reachable through
+    ``edges`` (undirected).  Converges in diameter rounds; stops early via
+    an emptiness probe on the changed-label set.  ``max_iter`` bounds
+    adversarial chains — on hitting it the labeling is still a valid
+    partial merge (over-segmented, never wrongly merged).
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    e = e.localCheckpoint(eager=True)
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("comp")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        msgs = e.join(
+            labels.select(F.col("id").alias("b"), "comp"), "b"
+        ).select(F.col("a").alias("id"), "comp")
+        new = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.select("id", F.col("comp").alias("nc"))
+            .join(labels, "id")
+            .filter(F.col("nc") != F.col("comp"))
+        )
+        done = changed.isEmpty()
+        labels = new
+        if done:
+            break
+    return labels
+
+
+def keep_canonical(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str = "id",
+) -> DataFrame:
+    """Per-document retention verdict from a component labeling: canonical
+    (kept) doc = the minimum id of its cluster.  Returns the docs' id column
+    plus (canonical_id, cluster_size, is_canonical).  One broadcast-or-
+    shuffle join on id + one small aggregate on comp."""
+    comp = components.select(
+        F.col("id").alias(id_col), F.col("comp").alias("canonical_id")
+    )
+    sizes = components.groupBy("comp").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    ).select(F.col("comp").alias("canonical_id"), "cluster_size")
+    return (
+        docs.select(id_col)
+        .join(comp, id_col)
+        .join(sizes, "canonical_id")
+        .select(
+            id_col,
+            "canonical_id",
+            "cluster_size",
+            F.when(F.col(id_col) == F.col("canonical_id"), 1)
+            .otherwise(0)
+            .alias("is_canonical"),
+        )
+    )

@@ -158,3 +158,58 @@ def dedup_keep_first(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     keep = D.exact_dedup(d, "doc_id", "text").select(F.col("keep_id").alias("doc_id"))
     return d.join(keep, "doc_id", "left_semi").select("doc_id", "lang", "source")
+
+
+_LSH_PAIRS_CTE = f"""
+    {_SHINGLES_CTE},
+    {_MINHASH_CTE},
+    minh AS (SELECT id, perm, MIN(h) AS minhash FROM hashed GROUP BY 1, 2),
+    bands AS (
+      SELECT id, perm // 2 AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm)) AS band_hash
+      FROM minh GROUP BY id, perm // 2
+    ),
+    pairs AS (
+      SELECT DISTINCT a.id AS id1, b.id AS id2
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id
+    )
+"""
+
+
+@query(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE {_LSH_PAIRS_CTE},
+    edges AS (
+      SELECT id1 AS a, id2 AS b FROM pairs
+      UNION ALL
+      SELECT id2 AS a, id1 AS b FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.id = e.b
+    ),
+    comp AS (SELECT id AS doc_id, MIN(lbl) AS canonical_id FROM reach GROUP BY id),
+    sizes AS (SELECT canonical_id, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
+    SELECT c.doc_id, c.canonical_id, s.cluster_size,
+           CASE WHEN c.doc_id = c.canonical_id THEN 1 ELSE 0 END AS is_canonical
+    FROM comp c JOIN sizes s USING (canonical_id)
+    """,
+)
+def dedup_connected_components(spark, sf_dir):
+    """Near-dup clusters: MinHash-LSH candidate pairs closed under
+    transitivity (min-label propagation, `operators/graph.py`), then one
+    kept doc per cluster.  The oracle computes the same closure with a
+    recursive CTE.  This is the retention decision a pair list alone cannot
+    make — A~B, B~C collapse to one canonical doc even without an A~C pair."""
+    from trough_spark.operators import graph as G
+
+    docs = T(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, "doc_id", "text", num_perm=8, n=3)
+    pairs = D.minhash_lsh_candidates(sigs, rows_per_band=2)
+    comp = G.connected_components(
+        docs.select("doc_id"), pairs, id_col="doc_id"
+    )
+    return G.keep_canonical(docs.select("doc_id"), comp, id_col="doc_id")
