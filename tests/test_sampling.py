@@ -1,0 +1,82 @@
+"""Sampling/split/packing invariants: partition-layout independence,
+fraction accuracy, disjoint exhaustive splits, packing arithmetic."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from trough_spark.operators import sampling as SA
+
+
+def test_hash_sample_stable_under_repartition(spark):
+    df = spark.range(2000).select(F.col("id"))
+    a = {r["id"] for r in SA.hash_sample(df, "id", 0.3).collect()}
+    b = {r["id"] for r in SA.hash_sample(df.repartition(13), "id", 0.3).collect()}
+    c = {r["id"] for r in SA.hash_sample(df.coalesce(1), "id", 0.3).collect()}
+    assert a == b == c
+    assert abs(len(a) / 2000 - 0.3) < 0.05
+
+
+def test_hash_sample_fraction_edges(spark):
+    df = spark.range(100)
+    assert SA.hash_sample(df, "id", 0.0).count() == 0
+    assert SA.hash_sample(df, "id", 1.0).count() == 100
+    with pytest.raises(ValueError):
+        SA.hash_sample(df, "id", 1.5)
+
+
+def test_hash_sample_salt_decorrelates(spark):
+    df = spark.range(1000)
+    a = {r["id"] for r in SA.hash_sample(df, "id", 0.5, salt="s1").collect()}
+    b = {r["id"] for r in SA.hash_sample(df, "id", 0.5, salt="s2").collect()}
+    overlap = len(a & b) / max(len(a), 1)
+    assert 0.3 < overlap < 0.7  # independent 50% samples overlap ~50%
+
+
+def test_hash_split_disjoint_exhaustive_proportional(spark):
+    df = spark.range(5000)
+    out = SA.hash_split(df, "id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == 5000  # exhaustive, disjoint by construction
+    assert abs(counts["train"] / 5000 - 0.8) < 0.03
+    assert abs(counts["val"] / 5000 - 0.1) < 0.03
+    assert abs(counts["test"] / 5000 - 0.1) < 0.03
+    with pytest.raises(ValueError):
+        SA.hash_split(df, "id", {"a": 0.5, "b": 0.2})
+
+
+def test_stratified_sample_per_stratum(spark):
+    df = spark.range(4000).select(
+        "id", F.when(F.col("id") % 2 == 0, "big").otherwise("small").alias("g")
+    )
+    out = SA.stratified_sample(df, "id", "g", {"big": 0.1, "small": 0.9})
+    counts = {r["g"]: r["n"] for r in out.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert abs(counts["big"] / 2000 - 0.1) < 0.04
+    assert abs(counts["small"] / 2000 - 0.9) < 0.04
+
+
+def test_stratified_default_fraction_drops_unknown(spark):
+    df = spark.range(100).select("id", F.lit("other").alias("g"))
+    assert SA.stratified_sample(df, "id", "g", {"known": 1.0}).count() == 0
+
+
+def test_pack_sequences_arithmetic(spark):
+    rows = [(i, "g", 100) for i in range(10)]  # 10 docs x 100 tokens, budget 256
+    df = spark.createDataFrame(rows, "doc_id bigint, g string, n bigint")
+    out = {
+        r["doc_id"]: (r["bin_id"], r["bin_offset"])
+        for r in SA.pack_sequences(df, "doc_id", "n", 256, partition_by="g").collect()
+    }
+    # cumsum before doc i is 100*i → bin floor(100i/256), offset 100i mod 256
+    for i in range(10):
+        assert out[i] == (100 * i // 256, 100 * i % 256), (i, out[i])
+
+
+def test_pack_sequences_partitions_independent(spark):
+    rows = [(1, "a", 50), (2, "a", 50), (1, "b", 50), (2, "b", 50)]
+    df = spark.createDataFrame(rows, "doc_id bigint, g string, n bigint")
+    out = SA.pack_sequences(df, "doc_id", "n", 64, partition_by="g").collect()
+    for r in out:
+        expect = (0, 0) if r["doc_id"] == 1 else (0, 50)
+        assert (r["bin_id"], r["bin_offset"]) == expect

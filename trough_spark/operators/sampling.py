@@ -1,0 +1,145 @@
+"""Deterministic sampling, dataset splits, and sequence packing.
+
+Training-pipeline plumbing that must be *reproducible across runs, engines,
+and cluster sizes* — which rules out `df.sample()` (seeded per-partition
+RNG: the result changes whenever partitioning does).  Everything here keys
+off `portable_hash(key || ':' || salt)`, a pure map over each row:
+
+- no shuffle, no state, no dependence on row order or partition layout;
+- the same row lands in the same split/sample on every engine (the DuckDB
+  oracles replay the identical hash arithmetic);
+- salts decorrelate independent decisions (a doc's split assignment is
+  independent of any sampling decision made with a different salt).
+
+Fractions compare the 60-bit hash against `floor(fraction * 2^60)` in pure
+integer arithmetic — no float thresholds anywhere.
+
+Sequence packing (`pack_sequences`) assigns documents to fixed token-budget
+bins by a running cumulative sum within each partition key — streaming
+first-fit in document order.  A bin may overflow by at most one document
+(standard for training-data packing, where the tokenizer later truncates or
+bridges); the win is that packing parallelizes perfectly across the
+partition key with ONE window shuffle and zero Python.
+
+The reference has no sampling surface (SQLite's ORDER BY random() is
+nondeterministic by design); this extends the engine for pipeline use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from trough_spark.operators.dedup import portable_hash
+
+HASH_SPACE = 1 << 60  # portable_hash range
+
+
+def _key_hash(key: Column, salt: str) -> Column:
+    return portable_hash(F.concat(key.cast("string"), F.lit(":" + salt)))
+
+
+def hash_threshold(fraction: float) -> int:
+    """Integer cutoff: keep rows with hash < floor(fraction * 2^60)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return int(fraction * HASH_SPACE)
+
+
+def hash_sample(
+    df: DataFrame, key, fraction: float, salt: str = "sample"
+) -> DataFrame:
+    """Deterministic Bernoulli(fraction) sample keyed on ``key``: a pure
+    map-side filter, stable under any repartitioning."""
+    k = F.col(key) if isinstance(key, str) else key
+    return df.where(_key_hash(k, salt) < F.lit(hash_threshold(fraction)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "strata",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each stratum value gets its own
+    keep-fraction (e.g. downsample dominant languages, keep the tail).
+    Still a pure map — the per-stratum threshold is a CASE expression."""
+    k = F.col(key) if isinstance(key, str) else key
+    thr = F.lit(hash_threshold(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(strata_col) == value, F.lit(hash_threshold(frac))
+        ).otherwise(thr)
+    return df.where(_key_hash(k, salt) < thr)
+
+
+def hash_split(
+    df: DataFrame,
+    key,
+    weights: dict[str, float],
+    salt: str = "split",
+    out: str = "split",
+) -> DataFrame:
+    """Disjoint deterministic dataset split (train/val/test...): the hash
+    space is carved into contiguous ranges proportional to ``weights``
+    (which must sum to ~1; the last named split absorbs rounding).  Every
+    row gets exactly one label, reproducibly."""
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    k = F.col(key) if isinstance(key, str) else key
+    h = _key_hash(k, salt)
+    names = list(weights)
+    expr = F.lit(names[-1])
+    acc = 0.0
+    bounds = []
+    for name in names[:-1]:
+        acc += weights[name]
+        bounds.append((name, hash_threshold(acc)))
+    for name, bound in reversed(bounds):
+        expr = F.when(h < F.lit(bound), F.lit(name)).otherwise(expr)
+    return df.withColumn(out, expr)
+
+
+def split_bounds(weights: dict[str, float]) -> list[tuple[str, int]]:
+    """(name, upper_bound) pairs for ``hash_split`` — exported so oracle SQL
+    can be generated from the identical integer cutoffs."""
+    names = list(weights)
+    acc, bounds = 0.0, []
+    for name in names[:-1]:
+        acc += weights[name]
+        bounds.append((name, hash_threshold(acc)))
+    return bounds
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    partition_by: str | None = None,
+    order_by: str | None = None,
+) -> DataFrame:
+    """Streaming first-fit sequence packing: in ``order_by`` order (default
+    ``id_col``) within each ``partition_by`` group, documents fill bins of
+    ``budget`` tokens; a document whose preceding cumulative sum has crossed
+    a bin boundary starts in the next bin position.
+
+    bin_id = floor(preceding_cumsum / budget); bin_offset = preceding_cumsum
+    - bin_id * budget.  A bin can exceed ``budget`` by at most one document
+    (bounded overflow — the tokenizer-side bridge/truncate handles it).
+    ONE window shuffle on the partition key; pure integer arithmetic.
+    """
+    ob = order_by or id_col
+    pb = [partition_by] if partition_by else []
+    w = W.partitionBy(*pb).orderBy(ob).rowsBetween(W.unboundedPreceding, -1)
+    prev = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    return df.select(
+        *pb,
+        id_col,
+        tokens_col,
+        F.floor(prev / budget).cast("bigint").alias("bin_id"),
+        (prev - F.floor(prev / budget) * budget).cast("bigint").alias("bin_offset"),
+    )

@@ -44,6 +44,7 @@ def load_all() -> None:
         dedup,
         extensions,
         relational,
+        sampling,
         similarity,
         sketches,
         streaming,

@@ -1,0 +1,111 @@
+"""Sampling / split / packing queries — deterministic pipeline plumbing
+with oracles generated from the SAME integer thresholds the operators use
+(`operators/sampling.py`)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from trough_spark.operators import sampling as SA
+from trough_spark.operators import text as X
+from trough_spark.queries import query
+from trough_spark.tables import load_table as T
+
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_STRATA_FRACTIONS = {"en": 0.25, "zh": 0.5, "es": 0.5, "de": 0.5, "fr": 0.5}
+
+
+def _sql_hash(key_expr: str, salt: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST({key_expr} AS VARCHAR) || ':{salt}'), 1, 15)) "
+        f"AS BIGINT)"
+    )
+
+
+def _split_case() -> str:
+    h = _sql_hash("doc_id", "split")
+    clauses = "".join(
+        f"WHEN {h} < {bound} THEN '{name}' "
+        for name, bound in SA.split_bounds(_SPLIT_WEIGHTS)
+    )
+    last = list(_SPLIT_WEIGHTS)[-1]
+    return f"CASE {clauses}ELSE '{last}' END"
+
+
+@query(
+    "sample_hash_split",
+    oracle=f"""
+    SELECT doc_id, {_split_case()} AS split
+    FROM documents
+    """,
+)
+def sample_hash_split(spark, sf_dir):
+    """Reproducible train/val/test assignment (80/10/10) keyed on doc_id —
+    a pure map; the same doc lands in the same split on any cluster layout,
+    unlike seeded df.sample()."""
+    docs = T(spark, sf_dir, "documents").select("doc_id")
+    return SA.hash_split(docs, "doc_id", _SPLIT_WEIGHTS)
+
+
+def _strata_case() -> str:
+    clauses = "".join(
+        f"WHEN lang = '{v}' THEN {SA.hash_threshold(f)} "
+        for v, f in sorted(_STRATA_FRACTIONS.items())
+    )
+    return f"CASE {clauses}ELSE 0 END"
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_sql_hash("doc_id", "strata")} < {_strata_case()}
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Language-rebalancing sample: downsample dominant 'en' to 25%, keep
+    50% of the tail languages — per-stratum deterministic thresholds, still
+    a shuffle-free map-side filter."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "lang")
+    return SA.stratified_sample(
+        docs, "doc_id", "lang", _STRATA_FRACTIONS, default_fraction=0.0
+    )
+
+
+@query(
+    "pack_sequences",
+    oracle=r"""
+    WITH toks AS (
+      SELECT lang, doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+             END AS n_tokens
+      FROM documents
+    ),
+    cum AS (
+      SELECT lang, doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+      FROM toks
+    )
+    SELECT lang, doc_id, n_tokens,
+           CAST(prev // 512 AS BIGINT) AS bin_id,
+           CAST(prev - (prev // 512) * 512 AS BIGINT) AS bin_offset
+    FROM cum
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    """Sequence packing into 512-token bins, parallel per language: one
+    window shuffle on the partition key, integer-only running sums.  At
+    100 TB the partition key (shard/lang/source) bounds every window state
+    and the packing scales with executor count."""
+    docs = T(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        "doc_id",
+        X.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+    return SA.pack_sequences(
+        toks, "doc_id", "n_tokens", budget=512, partition_by="lang"
+    )
