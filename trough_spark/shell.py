@@ -25,6 +25,7 @@ import contextlib
 import io
 import json
 import os
+import re
 import subprocess
 import sys
 
@@ -59,6 +60,31 @@ class TroughShell:
         # scripted/test use stays plain)
         self.use_pager = out is sys.stdout and sys.stdout.isatty()
         self.pager_pipe = None
+
+    def do_infile_data(self, segment_id: str, path: str, table: str) -> int:
+        """INFILE <path> INTO <table>: load a parquet/csv/jsonl data file
+        into the connected segment.  Schema autodetection: parquet and JSON
+        carry their own schema; CSV infers from header + content.  The
+        table is registered on the segment if new (append_dataframe).
+        Returns the row count loaded."""
+        if not os.path.exists(path):
+            raise OSError(f"no such file: {path}")
+        store = self.client.store
+        spark = store.spark
+        ext = os.path.splitext(path)[1].lower()
+        if ext in (".parquet", ".pq"):
+            df = spark.read.parquet(path)
+        elif ext == ".csv":
+            df = spark.read.option("header", True).option("inferSchema", True).csv(path)
+        elif ext in (".json", ".jsonl", ".ndjson"):
+            df = spark.read.json(path)
+        else:
+            raise QueryRejected(f"unsupported data file type: {path!r}")
+        from pyspark.sql import functions as F
+
+        n = df.count()
+        store.append_dataframe(table, df.withColumn("segment_id", F.lit(segment_id)))
+        return n
 
     def emit(self, text: str) -> None:
         print(text, file=self.pager_pipe or self.out)
@@ -177,7 +203,10 @@ class TroughShell:
             self.emit(json.dumps(self.client.promote(rest.strip()), default=str))
         elif cmd == "INFILE":
             # reference shell/__init__.py:329-351: execute a SQL script file
-            # against the single connected segment
+            # against the single connected segment.  Extension: `INFILE
+            # <path> INTO <table>` loads a data file (parquet/csv/jsonl)
+            # with schema autodetected by the Spark reader; the table is
+            # registered on the segment if it doesn't exist yet.
             if len(self.connections) != 1:
                 self.emit(
                     "not connected to exactly one segment"
@@ -185,10 +214,15 @@ class TroughShell:
                     else "writing to multiple segments not supported"
                 )
             else:
+                m = re.match(r"^\s*(\S+)\s+INTO\s+(\w+)\s*$", rest, re.IGNORECASE)
                 try:
-                    with open(rest.strip()) as infile:
-                        self.client.store.write(self.connections[0], infile.read())
-                    self.emit("OK")
+                    if m:
+                        n = self.do_infile_data(self.connections[0], m.group(1), m.group(2))
+                        self.emit(f"OK ({n} rows into {m.group(2)})")
+                    else:
+                        with open(rest.strip()) as infile:
+                            self.client.store.write(self.connections[0], infile.read())
+                        self.emit("OK")
                 except (OSError, QueryRejected) as e:
                     self.emit(f"error: {e}")
         elif cmd == "SHRED":

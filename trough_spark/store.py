@@ -545,6 +545,13 @@ class SegmentStore:
             raise QueryRejected(f"unsupported INSERT form: {stmt[:80]!r}")
         return m
 
+    _ON_CONFLICT_RE = re.compile(
+        r"\bON\s+CONFLICT\s*(?:\((?P<cc>[^)]*)\))?\s*DO\s+"
+        r"(?:(?P<nothing>NOTHING)|UPDATE\s+SET\s+(?P<sets>.+?))"
+        r"(?:\s+WHERE\s+(?P<where>.+))?$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
     def _execute_insert(self, segment_id: str, stmt: str, pending: dict) -> bool:
         """Execute one INSERT.  Plain VALUES-inserts batch into ``pending``
         (returns True); upserts and INSERT..SELECT flush and run immediately."""
@@ -557,6 +564,36 @@ class SegmentStore:
             [_unquote(c) for c in m.group("cols").split(",")] if m.group("cols") else declared
         )
         body = m.group("body")
+        # SQLite upsert clause (INSERT ... ON CONFLICT ... DO NOTHING /
+        # DO UPDATE SET ...): peel it off the body before VALUES parsing
+        conflict = None
+        if body.upper().startswith("VALUES"):
+            mc = self._ON_CONFLICT_RE.search(body)
+            if mc:
+                conflict = mc
+                body = body[: mc.start()]
+        if conflict is not None:
+            if mode is not None:
+                raise QueryRejected(
+                    "INSERT OR ... cannot be combined with ON CONFLICT"
+                )
+            if not ts.primary_key:
+                # SQLite: upsert without a uniqueness constraint is an error
+                raise QueryRejected(
+                    f"ON CONFLICT on table {table!r} with no PRIMARY KEY"
+                )
+            cc = conflict.group("cc")
+            if cc is not None:
+                target = sorted(_unquote(c.strip()).lower() for c in cc.split(","))
+                if target != sorted(c.lower() for c in ts.primary_key):
+                    raise QueryRejected(
+                        "ON CONFLICT target must be the PRIMARY KEY "
+                        f"({', '.join(ts.primary_key)})"
+                    )
+            elif conflict.group("nothing") is None:
+                raise QueryRejected(
+                    "ON CONFLICT ... DO UPDATE requires an explicit conflict target"
+                )
         if body.upper().startswith("VALUES"):
             tuples = self._parse_values(body[len("VALUES") :])
             rows = []
@@ -569,6 +606,20 @@ class SegmentStore:
                 if ts.autoincrement_col and ts.autoincrement_col not in d:
                     d[ts.autoincrement_col] = self._next_id(segment_id, table, ts)
                 rows.append(Row(**{n: _coerce(d.get(n), t) for n, t in ts.fields}))
+            if conflict is not None:
+                self._flush_inserts(segment_id, pending)
+                df = self.spark.createDataFrame(rows, ts.struct())
+                if conflict.group("nothing"):
+                    self._upsert(segment_id, table, ts, df, "IGNORE")
+                else:
+                    sets = {
+                        c.lower(): e
+                        for c, e in _split_assignments(conflict.group("sets"))
+                    }
+                    self._upsert_update(
+                        segment_id, table, ts, df, sets, conflict.group("where")
+                    )
+                return False
             if mode is None or not ts.primary_key:
                 # SQLite: OR REPLACE/IGNORE without a pk/unique constraint is
                 # a plain insert
@@ -674,6 +725,177 @@ class SegmentStore:
             fresh.write.mode("append").parquet(path)
         else:  # pragma: no cover
             raise QueryRejected(f"unknown upsert mode {mode!r}")
+
+    @staticmethod
+    def _dedupe_last(df: DataFrame, keys: list[str]) -> DataFrame:
+        """Keep the last occurrence per key in input order (SQLite applies
+        conflicting rows sequentially; batchwise, last wins)."""
+        from pyspark.sql.window import Window as W
+
+        wn = W.partitionBy(*keys).orderBy(F.monotonically_increasing_id().desc())
+        return (
+            df.withColumn("_rn", F.row_number().over(wn))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def _upsert_update(
+        self,
+        segment_id: str,
+        table: str,
+        ts: TableSchema,
+        new: DataFrame,
+        sets: dict[str, str],
+        where: str | None,
+    ) -> None:
+        """INSERT ... ON CONFLICT(pk) DO UPDATE SET ... [WHERE ...]
+        (SQLite upsert, sqlite.org/lang_upsert.html): conflicting rows
+        update the existing row via SET expressions that may reference
+        ``excluded.col`` (the incoming value) and bare/table-qualified
+        columns (the existing pre-update row); non-conflicting rows insert.
+
+        One bounded partition rewrite, like every segment mutation.
+        Divergence (documented): duplicate conflict keys inside one
+        statement collapse to the LAST row before applying — SQLite applies
+        them sequentially, so a self-referencing SET (x = x + excluded.x)
+        would accumulate there; here it applies once.
+        """
+        declared = {n.lower() for n, _ in ts.fields}
+        pk_lower = {k.lower() for k in ts.primary_key}
+        for c in sets:
+            if c not in declared:
+                raise QueryRejected(f"no such column: {c}")
+            if c in pk_lower:
+                raise QueryRejected("updating the conflict-target key is unsupported")
+
+        def rw(expr: str) -> str:
+            e = re.sub(r"\bexcluded\s*\.\s*(\w+)", r"_exc_\1", expr, flags=re.IGNORECASE)
+            e = re.sub(
+                rf"\b{re.escape(table)}\s*\.\s*(\w+)", r"\1", e, flags=re.IGNORECASE
+            )
+            return dialect.sqlite_to_spark(e)
+
+        existing = self._read_partition(segment_id, table)
+        new = self._dedupe_last(new, ts.primary_key)
+        src = new.select(
+            *[F.col(n).alias(f"_exc_{n}") for n, _ in ts.fields],
+            F.lit(1).alias("_exc__hit"),
+        )
+        joined = existing.join(
+            src,
+            [F.col(k) == F.col(f"_exc_{k}") for k in ts.primary_key],
+            "left",
+        )
+        mask = F.col("_exc__hit").isNotNull()
+        if where:
+            mask = mask & F.expr(rw(where))
+        updated = joined.select(
+            [
+                F.when(mask, F.expr(rw(sets[n.lower()]))).otherwise(F.col(n)).alias(n)
+                if n.lower() in sets
+                else F.col(n)
+                for n, _ in ts.fields
+            ]
+        )
+        inserts = new.join(
+            existing.select(*ts.primary_key).distinct(), ts.primary_key, "left_anti"
+        ).select([F.col(n).cast(t) for n, t in ts.fields])
+        self._overwrite_partition(segment_id, table, updated.unionByName(inserts))
+
+    def merge(
+        self,
+        segment_id: str,
+        table: str,
+        source: DataFrame,
+        on: list[str] | None = None,
+        when_matched: str | dict = "update",
+        when_not_matched: str = "insert",
+    ) -> dict:
+        """Delta-style MERGE INTO for the segment store: upsert a DataFrame
+        into one segment's table in a single bounded partition rewrite.
+
+        ``on`` defaults to the table's PRIMARY KEY.  ``when_matched`` is
+        "update" (every non-key source column replaces the target's),
+        "ignore" (keep the target row), or a dict of {column: SQL expression}
+        where expressions may reference ``source.col`` and ``target.col``
+        (e.g. {"cnt": "target.cnt + source.cnt"}).  ``when_not_matched`` is
+        "insert" or "ignore".  Source columns may be a subset of the table's
+        — unreferenced columns keep their target value on update and insert
+        as NULL.  Duplicate keys in the source collapse to the last row.
+
+        Returns {"matched": n, "inserted": n}.  The reference has no MERGE
+        (SQLite gained upsert, not MERGE); this is the batch-ETL surface a
+        pipeline needs to land incremental corrections.  At scale the same
+        plan applies per segment partition — each rewrite is bounded by
+        segment size, the store's core invariant (store.py module docs).
+        """
+        ts = self._table_schema(segment_id, table)
+        keys = [k for k in (on or ts.primary_key)]
+        if not keys:
+            raise QueryRejected("merge requires key columns (no PRIMARY KEY)")
+        declared = {n.lower(): n for n, _ in ts.fields}
+        for k in keys:
+            if k.lower() not in declared:
+                raise QueryRejected(f"no such key column: {k}")
+        src_cols = [c for c in source.columns if c.lower() in declared]
+        if not set(k.lower() for k in keys) <= {c.lower() for c in src_cols}:
+            raise QueryRejected("source must carry every key column")
+
+        if when_matched == "update":
+            sets = {
+                c.lower(): f"source.{c}" for c in src_cols if c.lower() not in
+                {k.lower() for k in keys}
+            }
+        elif when_matched == "ignore":
+            sets = {}
+        elif isinstance(when_matched, dict):
+            sets = {c.lower(): e for c, e in when_matched.items()}
+        else:
+            raise QueryRejected(f"bad when_matched: {when_matched!r}")
+        if when_not_matched not in ("insert", "ignore"):
+            raise QueryRejected(f"bad when_not_matched: {when_not_matched!r}")
+
+        def rw(expr: str) -> str:
+            e = re.sub(r"\bsource\s*\.\s*(\w+)", r"_src_\1", expr, flags=re.IGNORECASE)
+            e = re.sub(r"\btarget\s*\.\s*(\w+)", r"\1", e, flags=re.IGNORECASE)
+            return e
+
+        with self._file_lock(f"segment-{segment_id}"):
+            existing = self._read_partition(segment_id, table)
+            src = self._dedupe_last(source.select(*src_cols), keys)
+            matched = src.join(
+                existing.select(*keys).distinct(), keys, "left_semi"
+            ).count()
+            inserted = 0
+            renamed = src.select(
+                *[F.col(c).alias(f"_src_{c}") for c in src_cols],
+                F.lit(1).alias("_src__hit"),
+            )
+            joined = existing.join(
+                renamed,
+                [F.col(k) == F.col(f"_src_{k}") for k in keys],
+                "left",
+            )
+            mask = F.col("_src__hit").isNotNull()
+            out = joined.select(
+                [
+                    F.when(mask, F.expr(rw(sets[n.lower()]))).otherwise(F.col(n)).alias(n)
+                    if n.lower() in sets
+                    else F.col(n)
+                    for n, _ in ts.fields
+                ]
+            )
+            if when_not_matched == "insert":
+                fresh = src.join(existing.select(*keys).distinct(), keys, "left_anti")
+                inserted = fresh.count()
+                for n, _ in ts.fields:
+                    if n not in fresh.columns:
+                        fresh = fresh.withColumn(n, F.lit(None))
+                out = out.unionByName(
+                    fresh.select([F.col(n).cast(t) for n, t in ts.fields])
+                )
+            self._overwrite_partition(segment_id, table, out)
+        return {"matched": matched, "inserted": inserted}
 
     def _parse_values(self, rest: str):
         """Parse VALUES (..),(..) literal tuples via the dialect tokenizer."""
