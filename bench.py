@@ -46,6 +46,17 @@ HEADLINE = [
     "skew_salted_aggregation",
 ]
 
+# round-2+ additions, timed under "queries_extra" (not in the headline sum)
+EXTRA = [
+    "b8_groups_frames",
+    "sketch_hll_distinct",
+    "sketch_countmin_heavy_hitters",
+    "sim_ivf_topk",
+    "dedup_connected_components",
+    "sample_hash_split",
+    "pack_sequences",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -67,6 +78,16 @@ def main() -> None:
         QUERIES[name](spark, sf_dir).collect()
         warm[name] = round(time.perf_counter() - t0, 3)
 
+    # operators added after the round-1 baseline: timed separately so the
+    # headline `value` stays comparable round-over-round
+    extra: dict[str, float] = {}
+    for name in EXTRA:
+        if name not in QUERIES:
+            continue
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).collect()
+        extra[name] = round(time.perf_counter() - t0, 3)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -76,6 +97,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "queries_warm": warm,
+                "queries_extra": extra,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -44,8 +44,19 @@ def connected_components(
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     e = e.localCheckpoint(eager=True)
-    labels = nodes.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("comp")
+    # only edge-touching nodes can ever change label — iterate over that
+    # (usually much smaller) set and re-attach isolated nodes at the end.
+    # In a dedup graph the touched set is the near-dup docs, a sliver of
+    # the corpus, so every propagation round works on O(dups), not O(docs).
+    all_nodes = nodes.select(F.col(id_col).alias("id"))
+    touched = all_nodes.join(
+        e.select(F.col("a").alias("id")).distinct(), "id", "left_semi"
+    )
+    isolated = all_nodes.join(touched, "id", "left_anti").select(
+        "id", F.col("id").alias("comp")
+    )
+    labels = touched.select(
+        "id", F.col("id").alias("comp")
     ).localCheckpoint(eager=True)
     for _ in range(max_iter):
         msgs = e.join(
@@ -66,7 +77,7 @@ def connected_components(
         labels = new
         if done:
             break
-    return labels
+    return labels.unionByName(isolated)
 
 
 def keep_canonical(

@@ -313,38 +313,80 @@ def ivf_assign(
     id_col: str,
     vec_col: str,
     centroids: DataFrame,
-    dim: int = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     """Assign every vector to its nearest centroid by cosine → the inverted
-    lists of an IVF index: (id, vec, cid, centroid_sim).
+    lists of an IVF index: (id, cid, centroid_sim, v, vn).
 
-    ``centroids`` is a small (id, vec) DataFrame — broadcast, so assignment
-    is a pure map computing N x k scores followed by a struct-min partial
-    aggregation (one shuffle of ~1 row per vector).  Similarities are
-    rounded to 6 decimals BEFORE the argmin and ties break on the lower
-    centroid id, so the assignment is reproducible across engines.
+    Two-phase, like ``cosine_topk_bruteforce``: phase 1 scores each Arrow
+    batch of vectors against the broadcast centroid matrix in ONE numpy
+    matmul (the BLAS shape that also wins on a 1000-executor scan — no
+    join, no shuffle, k-way scoring fused per batch) and keeps every
+    centroid within 2e-6 of the batch-row maximum; phase 2 exact-rescores
+    those ~1 candidate(s) per vector with the sequential fold and picks the
+    argmax on the ROUNDED score with ties to the lower centroid id — so the
+    assignment is bit-reproducible across engines while the hot loop stays
+    vectorized.  One struct-min shuffle of ~1 row per vector.
 
     Centroid choice is pluggable (any deterministic selection or an
-    externally trained k-means); determinism of the *index build* only
-    requires the centroid set itself be deterministic.
+    externally trained k-means); determinism of the index build only
+    requires the centroid set itself be deterministic.  ``dim`` is accepted
+    for API symmetry; scoring derives width from the data.
     """
-    c = F.broadcast(
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    cpdf = centroids.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    ).toPandas()
+    c_ids = cpdf["cid"].to_numpy(np.int64)
+    c_mat = np.stack(cpdf["cv"].to_list()).astype(np.float64)
+    c_norms = np.sqrt((c_mat * c_mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((c_ids, c_mat, c_norms))
+
+    def prefilter(batches):
+        idsC, matC, normsC = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["v"].to_list()).astype(np.float64)
+            nV = np.sqrt((V * V).sum(axis=1))
+            sims = (V @ matC.T) / np.outer(nV, normsC)  # (batch, k)
+            best = sims.max(axis=1)
+            rows, cids = np.nonzero(sims >= (best[:, None] - 2e-6))
+            out = pdf.iloc[rows][["id", "v"]].reset_index(drop=True)
+            out["cid"] = idsC[cids]
+            yield out
+
+    src = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cand = src.mapInPandas(
+        prefilter, schema=f"id bigint, v {src.schema['v'].dataType.simpleString()}, cid bigint"
+    )
+    cents = F.broadcast(
         centroids.select(
-            F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec")
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("_cvec"),
+            norm(F.col(vec_col)).alias("_cn"),
         )
     )
-    scored = corpus.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    ).crossJoin(c)
-    sim = F.round(cosine(F.col("v"), F.col("_cvec"), dim), 6)
-    # min(struct) keeps the best (highest-sim, lowest-cid) centroid and the
-    # vector itself rides along — comparison never reaches it because
-    # (-sim, cid) is already unique per vector
+    scored = cand.join(cents, "cid").select(
+        "id",
+        "v",
+        "cid",
+        norm(F.col("v")).alias("vn"),
+        F.round(
+            dot(F.col("v"), F.col("_cvec")) / (norm(F.col("v")) * F.col("_cn")), 6
+        ).alias("sim"),
+    )
     best = (
         scored.select(
             "id",
             F.struct(
-                (-sim).alias("ns"), F.col("_cid").alias("cid"), F.col("v").alias("v")
+                (-F.col("sim")).alias("ns"),
+                F.col("cid").alias("cid"),
+                F.col("v").alias("v"),
+                F.col("vn").alias("vn"),
             ).alias("s"),
         )
         .groupBy("id")
@@ -355,6 +397,7 @@ def ivf_assign(
         F.col("s.cid").alias("cid"),
         (-F.col("s.ns")).alias("centroid_sim"),
         F.col("s.v").alias("v"),
+        F.col("s.vn").alias("vn"),
     )
 
 
@@ -366,7 +409,7 @@ def ivf_topk(
     centroids: DataFrame,
     k: int = 5,
     nprobe: int = 4,
-    dim: int = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k neighbors per query via IVF probing: score each
     query against the (broadcast) centroids, visit only the ``nprobe``
@@ -374,41 +417,53 @@ def ivf_topk(
 
     Scale shape: the candidate join is an equi-join on the centroid id —
     the inverted lists are the shuffle partitions, so per-query work is
-    proportional to the probed lists' occupancy, never O(N).  The final
-    top-k is a WindowGroupLimit per query (partial top-k below the
-    shuffle).  Recall < 1.0 by construction; raise ``nprobe`` (or train
-    better centroids) to trade cost for recall against the exact
-    ``cosine_topk_bruteforce`` baseline.
+    proportional to the probed lists' occupancy, never O(N).  Probe scoring
+    is queries x centroids (both small) with the exact sequential fold; the
+    candidate rescore reuses the norms precomputed by ``ivf_assign``.  The
+    final top-k is a WindowGroupLimit per query.  Recall < 1.0 by
+    construction; raise ``nprobe`` (or train better centroids) to trade
+    cost for recall against the exact ``cosine_topk_bruteforce`` baseline.
     """
     from pyspark.sql import Window as W
 
     lists = ivf_assign(corpus, id_col, vec_col, centroids, dim=dim)
     c = F.broadcast(
         centroids.select(
-            F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec")
+            F.col(id_col).alias("_cid"),
+            F.col(vec_col).alias("_cvec"),
+            norm(F.col(vec_col)).alias("_cn"),
         )
     )
     qscored = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            norm(F.col(vec_col)).alias("qn"),
+        )
         .crossJoin(c)
         .select(
             "query_id",
             "qv",
+            "qn",
             F.col("_cid").alias("cid"),
-            F.round(cosine(F.col("qv"), F.col("_cvec"), dim), 6).alias("csim"),
+            F.round(
+                dot(F.col("qv"), F.col("_cvec")) / (F.col("qn") * F.col("_cn")), 6
+            ).alias("csim"),
         )
     )
     wq = W.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("cid"))
     probes = (
         qscored.withColumn("_pr", F.row_number().over(wq))
         .filter(F.col("_pr") <= nprobe)
-        .select("query_id", "qv", "cid")
+        .select("query_id", "qv", "qn", "cid")
     )
     cand = probes.join(lists, "cid").filter(F.col("id") != F.col("query_id"))
     rescored = cand.select(
         "query_id",
         F.col("id").alias("neighbor_id"),
-        F.round(cosine(F.col("qv"), F.col("v"), dim), 6).alias("cosine_sim"),
+        F.round(
+            dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("vn")), 6
+        ).alias("cosine_sim"),
     )
     wk = W.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
