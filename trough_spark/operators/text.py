@@ -159,3 +159,140 @@ def bpe_ish_tokens(text: Column) -> Column:
 
 def bpe_ish_token_count(text: Column) -> Column:
     return F.size(bpe_ish_tokens(text))
+
+
+# ---------------------------------------------------------------------------
+# Corpus-statistics quality signals: boilerplate, contamination, unigram LM
+# ---------------------------------------------------------------------------
+def boilerplate_ratio(
+    df,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_pct: int | None = None,
+    min_docs: int | None = None,
+):
+    """Per-document boilerplate share: the fraction of a doc's distinct
+    n-gram shingles that recur across the corpus (CCNet-style
+    repeated-content detection at n-gram granularity).  A shingle is
+    boilerplate when its doc frequency reaches ``min_docs`` documents
+    (absolute), or ``max_pct`` percent of the corpus (relative) — exactly
+    one must be given.  Returns (id, n_shingles, n_boiler,
+    boilerplate_ratio).
+
+    Scale: shingle doc-frequency is one partial-aggregated groupBy on the
+    shingle key; the corpus size (relative mode) folds in via a one-row
+    broadcast cross join — no eager driver action.  All decisions are
+    integer compares; only the final ratio is a rounded double."""
+    from trough_spark.operators.dedup import shingle_table
+
+    if (max_pct is None) == (min_docs is None):
+        raise ValueError("give exactly one of max_pct / min_docs")
+    sh = shingle_table(df, id_col, text_col, n=n)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_cnt"))
+    if min_docs is not None:
+        freq = freq.select(
+            "shingle", (F.col("df_cnt") >= F.lit(min_docs)).alias("is_boiler")
+        )
+    else:
+        n_docs = df.select(F.countDistinct(F.col(id_col)).alias("_nd"))
+        freq = freq.crossJoin(F.broadcast(n_docs)).select(
+            "shingle",
+            (F.col("df_cnt") * 100 >= F.lit(max_pct) * F.col("_nd")).alias("is_boiler"),
+        )
+    per_doc = (
+        sh.join(freq, "shingle")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("is_boiler"), 1).otherwise(0)).alias("n_boiler"),
+        )
+    )
+    return per_doc.select(
+        "id",
+        "n_shingles",
+        F.col("n_boiler").cast("bigint").alias("n_boiler"),
+        F.round(F.col("n_boiler") / F.col("n_shingles"), 4).alias("boilerplate_ratio"),
+    )
+
+
+def contamination(
+    corpus, benchmark, id_col: str, text_col: str, n: int = 3
+):
+    """Benchmark-contamination score per corpus document: the fraction of
+    the doc's distinct n-gram shingles that also occur anywhere in the
+    ``benchmark`` set — the standard pre-training leak check run before a
+    corpus ships.  Returns (id, n_shingles, n_overlap, contamination).
+
+    Scale: the benchmark shingle set is distinct-reduced and usually small
+    (benchmarks are), so the membership probe is a broadcast-able semi
+    join on the shingle key; corpus-side work is one shingle explode +
+    one groupBy per doc."""
+    from trough_spark.operators.dedup import shingle_table
+
+    doc_sh = shingle_table(corpus, id_col, text_col, n=n)
+    bench_sh = (
+        shingle_table(benchmark, id_col, text_col, n=n)
+        .select("shingle")
+        .distinct()
+    )
+    hits = doc_sh.join(bench_sh, "shingle", "left_semi").groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    per_doc = doc_sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    return (
+        per_doc.join(hits, "id", "left")
+        .select(
+            "id",
+            "n_shingles",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            F.round(
+                F.coalesce(F.col("n_overlap"), F.lit(0)) / F.col("n_shingles"), 4
+            ).alias("contamination"),
+        )
+    )
+
+
+def unigram_logprob(df, id_col: str, text_col: str):
+    """Per-document mean unigram log10-probability under the corpus's own
+    unigram distribution — the classic cheap LM quality score (gibberish
+    and off-distribution docs score low).  Returns (id, n_tokens,
+    mean_logprob).
+
+    Determinism: each token's log-probability is quantized to an integer
+    (round(log10(cnt/total) * 1e6) — verified bit-equal between Spark and
+    DuckDB across the full count range), so the per-doc aggregate is an
+    exact BIGINT sum that no float-accumulation order can perturb; one
+    double division at the end, rounded to 4.
+
+    Scale: two shuffles (corpus term counts, per-doc term counts), both
+    partial-aggregated; corpus total folds in as a one-row broadcast."""
+    from trough_spark.operators.dedup import tokens
+
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).where(F.col("tok") != "")
+    tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.select(F.count(F.lit(1)).alias("_total"))
+    qlog = cnt.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.round(
+            F.log10(F.col("cnt").cast("double") / F.col("_total")) * 1000000, 0
+        ).cast("bigint").alias("qlog"),
+    )
+    return (
+        tf.join(qlog, "tok")
+        .groupBy("id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("qlog")).alias("_s"),
+        )
+        .select(
+            "id",
+            "n_tokens",
+            F.round(
+                F.col("_s").cast("double") / F.col("n_tokens") / 1000000.0, 4
+            ).alias("mean_logprob"),
+        )
+    )

@@ -184,3 +184,112 @@ def text_bpe_token_count(spark, sf_dir):
         X.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
         X.token_count(F.col("text")).alias("n_ws_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-statistics quality: boilerplate share, contamination, unigram LM
+# ---------------------------------------------------------------------------
+_SH_CTE = r"""
+    toks AS (
+      SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT id, sh FROM (
+        SELECT id, array_to_string(toks[i:i+2], ' ') AS sh
+        FROM toks, UNNEST(generate_series(1, greatest(len(toks) - 2, 0))) AS t(i)
+      )
+    )
+"""
+
+
+@query(
+    "text_boilerplate_ratio",
+    oracle=f"""
+    WITH {_SH_CTE},
+    freq AS (SELECT sh, COUNT(*) AS df_cnt FROM sh GROUP BY sh),
+    flag AS (SELECT sh, (df_cnt >= 5) AS is_boiler FROM freq)
+    SELECT s.id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN fl.is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+           ROUND(CAST(SUM(CASE WHEN fl.is_boiler THEN 1 ELSE 0 END) AS BIGINT) /
+                 CAST(COUNT(*) AS DOUBLE), 4) AS boilerplate_ratio
+    FROM sh s JOIN flag fl ON fl.sh = s.sh
+    GROUP BY s.id
+    """,
+)
+def text_boilerplate_ratio(spark, sf_dir):
+    """Share of each doc's 3-gram shingles recurring in >=5 documents
+    (CCNet-style repeated-content signal at n-gram granularity — this
+    corpus has no newlines, so 'lines' are n-grams).  Integer compares
+    decide boilerplate; one rounded double at the end."""
+    return X.boilerplate_ratio(
+        T(spark, sf_dir, "documents"), "doc_id", "text", n=3, min_docs=5
+    )
+
+
+@query(
+    "text_contamination",
+    oracle=f"""
+    WITH {_SH_CTE},
+    bench AS (SELECT DISTINCT sh FROM sh WHERE id < 25),
+    corp AS (SELECT id, sh FROM sh WHERE id >= 25),
+    hits AS (
+      SELECT c.id, COUNT(*) AS n_overlap
+      FROM corp c JOIN bench b ON b.sh = c.sh GROUP BY c.id
+    ),
+    per AS (SELECT id, COUNT(*) AS n_shingles FROM corp GROUP BY id)
+    SELECT p.id, p.n_shingles,
+           COALESCE(h.n_overlap, 0) AS n_overlap,
+           ROUND(COALESCE(h.n_overlap, 0) / CAST(p.n_shingles AS DOUBLE), 4)
+             AS contamination
+    FROM per p LEFT JOIN hits h ON h.id = p.id
+    """,
+)
+def text_contamination(spark, sf_dir):
+    """Benchmark-leak check: docs 0-24 stand in as the benchmark set; every
+    other doc is scored by the fraction of its distinct 3-gram shingles
+    found anywhere in the benchmark.  The benchmark shingle set is small →
+    broadcast semi join on the shingle key."""
+    docs = T(spark, sf_dir, "documents")
+    return X.contamination(
+        docs.filter(F.col("doc_id") >= 25),
+        docs.filter(F.col("doc_id") < 25),
+        "doc_id",
+        "text",
+        n=3,
+    )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle=r"""
+    WITH tk AS (
+      SELECT id, tok FROM (
+        SELECT doc_id AS id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ),
+    tf AS (SELECT id, tok, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+    cnt AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS total FROM tk),
+    q AS (
+      SELECT tok,
+             CAST(ROUND(log10(CAST(cnt AS DOUBLE) / total) * 1000000, 0) AS BIGINT)
+               AS qlog
+      FROM cnt CROSS JOIN tot
+    )
+    SELECT tf.id,
+           CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(tf.tf * q.qlog) AS DOUBLE) /
+                 CAST(SUM(tf.tf) AS BIGINT) / 1000000.0, 4) AS mean_logprob
+    FROM tf JOIN q ON q.tok = tf.tok
+    GROUP BY tf.id
+    """,
+)
+def text_unigram_logprob(spark, sf_dir):
+    """Mean unigram log10-probability per doc under the corpus's own
+    unigram LM — the classic cheap quality score.  Token log-probs quantize
+    to exact BIGINTs (engine-verified), so aggregation is order-proof."""
+    return X.unigram_logprob(T(spark, sf_dir, "documents"), "doc_id", "text")
