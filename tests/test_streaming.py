@@ -120,3 +120,69 @@ def test_foreachbatch_sink_into_segment_store(spark, tmp_path, event_dir):
     one = store.read("u2", "SELECT count(*) AS n FROM events_in")
     direct = load_table(spark, SF, "events").filter("user_id % 4 = 2").count()
     assert one == [{"n": direct}]
+
+
+def test_stream_stream_join_matches_batch(spark, event_dir, tmp_path):
+    """Watermarked stream-stream interval join produces exactly the batch
+    join's pairs (inner join + availableNow drains all state)."""
+    stream = E.read_event_stream(spark, event_dir)
+    joined = E.correlate_events(stream)
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM ssj_out").collect()
+    batch = E.correlate_events(load_table(spark, SF, "events")).collect()
+    key = lambda r: (r["user_id"], r["left_ts"], r["right_ts"], r["delay_min"])
+    assert sorted(map(key, got)) == sorted(map(key, batch))
+    assert got, "no joined pairs"
+
+
+def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark removes an event_id arriving again in a
+    later micro-batch (within the watermark horizon)."""
+    path = str(tmp_path / "dup_in")
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+        (2, "2024-01-01 10:01:00", 2, "view", 1.0, "{}"),
+    ]
+    dup = [
+        (1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),  # same event again
+        (3, "2024-01-01 10:02:00", 3, "click", 1.0, "{}"),
+    ]
+    for i, batch in enumerate([rows, dup]):
+        spark.createDataFrame(
+            batch,
+            "event_id bigint, ts string, user_id bigint, event_type string, value double, props string",
+        ).selectExpr(
+            "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "event_type", "value", "props"
+        ).write.mode("append").parquet(path + f"/f{i}")
+    src = (
+        spark.readStream.schema(E.EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path + "/*")
+    )
+    out = E.dedup_stream(src, watermark="10 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ids = sorted(r["event_id"] for r in spark.sql("SELECT * FROM dedup_out").collect())
+    assert ids == [1, 2, 3], ids
+
+
+def test_dedup_stream_batch_mode(spark):
+    df = load_table(spark, SF, "events")
+    doubled = df.unionAll(df)
+    assert E.dedup_stream(doubled).count() == df.count()

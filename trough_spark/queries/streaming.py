@@ -136,3 +136,23 @@ def stream_funnel_conversion(spark, sf_dir):
             F.sum(F.when(F.col("purchases_after") > 0, 1).otherwise(0)) / F.count(F.lit(1)), 6
         ).alias("conversion_rate"),
     )
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    WITH l AS (SELECT user_id, ts AS left_ts FROM events WHERE event_type = 'signup'),
+    r AS (SELECT user_id AS r_user, ts AS right_ts FROM events WHERE event_type = 'purchase')
+    SELECT l.user_id, l.left_ts, r.right_ts,
+           (epoch_us(r.right_ts) - epoch_us(l.left_ts)) // 60000000 AS delay_min
+    FROM l JOIN r ON r.r_user = l.user_id
+     AND r.right_ts >= l.left_ts
+     AND r.right_ts <= l.left_ts + INTERVAL 2 HOUR
+    """,
+)
+def stream_stream_join(spark, sf_dir):
+    """Batch twin of the watermarked stream-stream interval join
+    (signup→purchase attribution within 2 hours).  The streaming run — with
+    join-state expiry driven by both watermarks — executes in
+    tests/test_streaming.py on the same builder."""
+    return E.correlate_events(T(spark, sf_dir, "events"))

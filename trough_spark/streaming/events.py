@@ -95,3 +95,61 @@ def write_to_segments(
         store.append_dataframe(table, batch_df)
 
     return stream.writeStream.foreachBatch(_sink).option("checkpointLocation", checkpoint)
+
+
+def correlate_events(
+    events: DataFrame,
+    left_type: str = "signup",
+    right_type: str = "purchase",
+    within: str = "2 hours",
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """Stream-stream interval join: pair each ``right_type`` event with the
+    same user's ``left_type`` events that happened within ``within`` before
+    it (signup→purchase attribution).
+
+    Streaming: both sides carry watermarks and the join predicate bounds
+    event-time distance, so Spark can expire join state once the watermark
+    passes — state is O(events inside the interval), the canonical bounded
+    stream-stream join.  Batch: the identical plan is a plain interval
+    join.  Output: user_id, left_ts, right_ts, delay_min.
+    """
+    lhs = events.filter(F.col("event_type") == left_type).select(
+        F.col("user_id"), F.col("ts").alias("left_ts")
+    )
+    rhs = events.filter(F.col("event_type") == right_type).select(
+        F.col("user_id").alias("r_user"), F.col("ts").alias("right_ts")
+    )
+    if events.isStreaming:
+        lhs = lhs.withWatermark("left_ts", watermark)
+        rhs = rhs.withWatermark("right_ts", watermark)
+    cond = (
+        (F.col("user_id") == F.col("r_user"))
+        & (F.col("right_ts") >= F.col("left_ts"))
+        & (F.col("right_ts") <= F.col("left_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return (
+        lhs.join(rhs, cond)
+        .select(
+            "user_id",
+            "left_ts",
+            "right_ts",
+            # exact integer floor-division on microseconds — float division
+            # or a double→bigint cast would round differently across engines
+            F.expr(
+                "(unix_micros(right_ts) - unix_micros(left_ts)) div 60000000"
+            ).alias("delay_min"),
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "4 hours") -> DataFrame:
+    """Streaming exact dedup on event_id: ``dropDuplicatesWithinWatermark``
+    keeps state only until the watermark passes an id's event time — the
+    unbounded-state footgun of plain dropDuplicates on a stream, solved.
+    Batch: plain dropDuplicates (the backfill semantics)."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return events.dropDuplicates(["event_id"])
