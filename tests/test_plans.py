@@ -1,0 +1,70 @@
+"""Plan-shape assertions for the round-2 operators: shuffle counts and
+map-only guarantees that must hold for the 100 TB story (a regression that
+adds an Exchange here is a scale bug even if results stay correct)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from trough_spark.operators import sampling as SA
+from trough_spark.operators import sketches as SK
+
+
+def _exchanges(df) -> int:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.count("Exchange")
+
+
+def test_hash_sample_is_map_only(spark):
+    df = spark.range(1000).select(F.col("id"))
+    assert _exchanges(SA.hash_sample(df, "id", 0.5)) == 0
+
+
+def test_hash_split_is_map_only(spark):
+    df = spark.range(1000)
+    out = SA.hash_split(df, "id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert _exchanges(out) == 0
+
+
+def test_stratified_sample_is_map_only(spark):
+    df = spark.range(1000).select("id", (F.col("id") % 3).cast("string").alias("g"))
+    out = SA.stratified_sample(df, "id", "g", {"0": 0.5, "1": 0.1, "2": 0.9})
+    assert _exchanges(out) == 0
+
+
+def test_pack_sequences_single_shuffle(spark):
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 4).alias("g"), F.lit(100).alias("n")
+    )
+    out = SA.pack_sequences(df, "id", "n", 256, partition_by="g")
+    assert _exchanges(out) == 1  # exactly the window shuffle
+
+
+def test_cms_build_single_shuffle_partial_agg(spark):
+    df = spark.range(5000).select((F.col("id") % 50).cast("string").alias("k"))
+    sketch = SK.cms_build(df, "k")
+    plan = sketch._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # one shuffle to d x w cells
+    assert "partial" in plan.lower()  # map-side combine before it
+
+
+def test_simhash_pairs_full_recall_within_hamming(spark):
+    """Pigeonhole property live: two docs whose fingerprints differ by <= 3
+    bits must be emitted as a pair."""
+    from trough_spark.operators import dedup as D
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4).strip()
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " lambda"), (3, "totally different words entirely")],
+        "doc_id bigint, text string",
+    )
+    fp = {r["id"]: r["simhash"] for r in D.simhash(df, "doc_id", "text").collect()}
+    pairs = {
+        (r["id1"], r["id2"])
+        for r in D.simhash_pairs(df, "doc_id", "text").collect()
+    }
+    ham12 = bin(fp[1] ^ fp[2]).count("1")
+    if ham12 <= 3:
+        assert (1, 2) in pairs
+    for (a, b) in pairs:
+        assert bin(fp[a] ^ fp[b]).count("1") <= 3

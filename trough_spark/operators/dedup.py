@@ -262,3 +262,57 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
             "simhash"
         )
     )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup candidate pairs from SimHash fingerprints: band the
+    fingerprint into ``bands`` equal bit-slices, equi-join on any identical
+    slice, verify with exact Hamming distance <= ``max_hamming``.
+
+    Pigeonhole guarantee: with ``max_hamming < bands``, any qualifying pair
+    differs in fewer bits than there are bands, so at least one band is
+    identical — candidate generation has FULL recall while comparisons stay
+    proportional to band-bucket occupancy (the MinHash-LSH shape, but on one
+    64-bit integer per doc instead of a signature vector — the cheapest
+    near-dup join there is at corpus scale).
+
+    Returns (id1, id2, hamming).
+    """
+    if bits % bands:
+        raise ValueError("bits must divide evenly into bands")
+    width = bits // bands
+    fp = simhash(df, id_col, text_col, bits=bits)
+    banded = fp.select(
+        "id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.expr(f"shiftright(simhash, band * {width}) & {(1 << width) - 1}"),
+    )
+    a = banded.select(
+        F.col("band").alias("b1"), F.col("band_val").alias("v1"),
+        F.col("id").alias("id1"), F.col("simhash").alias("s1"),
+    )
+    b = banded.select(
+        F.col("band").alias("b2"), F.col("band_val").alias("v2"),
+        F.col("id").alias("id2"), F.col("simhash").alias("s2"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("b1") == F.col("b2"))
+            & (F.col("v1") == F.col("v2"))
+            & (F.col("id1") < F.col("id2")),
+        )
+        .select("id1", "id2", F.expr("bit_count(s1 ^ s2)").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -213,3 +213,47 @@ def dedup_connected_components(spark, sf_dir):
         docs.select("doc_id"), pairs, id_col="doc_id"
     )
     return G.keep_canonical(docs.select("doc_id"), comp, id_col="doc_id")
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id AS id, t.tok
+      FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+           UNNEST(toks) AS t(tok)
+      WHERE length(t.tok) > 0
+    ),
+    hashed AS (
+      SELECT id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM tok
+    ),
+    votes AS (
+      SELECT id, bit, SUM(((h >> bit) & 1) * 2 - 1) AS v
+      FROM hashed, UNNEST(generate_series(0, 31)) AS t(bit)
+      GROUP BY 1, 2
+    ),
+    fp AS (
+      SELECT id, CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT)
+               AS simhash
+      FROM votes GROUP BY id
+    ),
+    banded AS (
+      SELECT id, simhash, t.band, (simhash >> (t.band * 8)) & 255 AS band_val
+      FROM fp, UNNEST(generate_series(0, 3)) AS t(band)
+    )
+    SELECT DISTINCT a.id AS id1, b.id AS id2,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.band_val = b.band_val AND a.id < b.id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: band the 32-bit fingerprint into 4 slices,
+    equi-join on any identical slice (pigeonhole: Hamming <= 3 guarantees a
+    shared band → full recall), verify exact bit_count(xor) distance.  The
+    cheapest near-dup join shape at corpus scale: one integer per doc."""
+    return D.simhash_pairs(
+        T(spark, sf_dir, "documents"), "doc_id", "text",
+        bits=32, bands=4, max_hamming=3,
+    )
