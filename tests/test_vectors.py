@@ -1,0 +1,70 @@
+"""Vector ops: int8 quantization bounds/fidelity, deterministic k-means
+update invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from trough_spark.operators import vectors as V
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_quantize_bounds_and_zero_vector(spark):
+    df = _emb(spark, [(1, [1.0, -2.0, 0.5]), (2, [0.0, 0.0, 0.0])])
+    out = {(r["id"], r["pos"]): r["q"] for r in V.quantize_embeddings(df, "vec_id", "embedding").collect()}
+    assert out[(1, 1)] == -127  # the max-magnitude component hits the rail
+    assert out[(1, 0)] == 64  # round(1.0 * 127 / 2.0) = round(63.5) = 64
+    assert out[(1, 2)] == 32  # round(31.75) = 32
+    assert out[(2, 0)] == out[(2, 1)] == out[(2, 2)] == 0
+    assert all(-127 <= v <= 127 for v in out.values())
+
+
+def test_quantization_error_bounded_by_half_step(spark):
+    df = _emb(spark, [(1, [0.3, -0.7, 0.11, 0.999]), (2, [5.0, -5.0, 2.5, 0.01])])
+    for r in V.quantization_error(df, "vec_id", "embedding").collect():
+        # per-component error of symmetric int8 is <= amax/254 (+ grid slop)
+        assert r["mean_abs_err"] <= r["amax"] / 254 + 2e-6, r
+
+
+def test_kmeans_update_partitions_all_vectors(spark):
+    rows = [(i, [float(i % 4), float((i * 7) % 5), 1.0]) for i in range(40)]
+    df = _emb(spark, rows)
+    cents = df.filter(F.col("vec_id") < 3)
+    out = V.kmeans_update_step(df, "vec_id", "embedding", cents).collect()
+    # flat rows: every (cid) has dim entries; member counts sum to N per dim
+    by_pos = {}
+    for r in out:
+        by_pos.setdefault(r["pos"], 0)
+        by_pos[r["pos"]] += r["n_members"]
+    assert set(by_pos.values()) == {40}
+    assert {r["pos"] for r in out} == {0, 1, 2}
+
+
+def test_kmeans_singleton_cluster_reproduces_vector(spark):
+    # two far-apart directions; each centroid captures itself
+    df = _emb(spark, [(0, [1.0, 0.0]), (1, [0.0, 1.0])])
+    out = {
+        (r["cid"], r["pos"]): (r["val"], r["n_members"])
+        for r in V.kmeans_update_step(df, "vec_id", "embedding", df).collect()
+    }
+    assert out[(0, 0)] == (1.0, 1)
+    assert out[(0, 1)] == (0.0, 1)
+    assert out[(1, 0)] == (0.0, 1)
+    assert out[(1, 1)] == (1.0, 1)
+
+
+def test_kmeans_update_is_deterministic_across_layouts(spark):
+    rows = [(i, [float((i * 3) % 7) - 3, float((i * 11) % 13) / 6]) for i in range(60)]
+    df = _emb(spark, rows)
+    cents = df.filter(F.col("vec_id") < 4)
+    a = sorted(map(tuple, V.kmeans_update_step(df, "vec_id", "embedding", cents).collect()))
+    b = sorted(
+        map(
+            tuple,
+            V.kmeans_update_step(df.repartition(17), "vec_id", "embedding", cents).collect(),
+        )
+    )
+    assert a == b

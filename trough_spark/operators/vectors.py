@@ -1,0 +1,167 @@
+"""Vector storage/training ops: int8 quantization and a deterministic
+k-means (Lloyd) update step.
+
+Both matter at 100 TB and both are built to survive the cross-engine hash
+gate, which float arithmetic normally breaks two ways: (a) array columns
+render differently across engines, so outputs here are FLAT (id, pos,
+value) rows; (b) distributed float sums are order-dependent, so every
+aggregate runs over integers — embeddings are quantized onto an exact
+integer grid first, summed as BIGINTs (order-proof), and only divided once
+at the end.
+
+- ``quantize_embeddings``: symmetric per-vector int8 quantization
+  (q = round(127 * x / max|x|)), the standard 4x storage/bandwidth cut for
+  embedding tables; plus per-vector reconstruction error so the quality
+  cost is measurable, not assumed.
+- ``kmeans_update_step``: one Lloyd iteration — assign each vector to its
+  nearest current centroid (exact rounded cosine, ties to lower cid), then
+  recompute each centroid as the mean of its members on a 1e-6 integer
+  grid.  Per-dimension sums shuffle O(N x dim) BIGINTs with full map-side
+  partial aggregation; run it a handful of times offline to train the IVF
+  index (`similarity.ivf_topk` consumes the centroids).  A float mean
+  would be nondeterministic under Spark's aggregation order; the quantized
+  mean is exact, so training is reproducible run-to-run AND engine-to-
+  engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from trough_spark.operators.similarity import dot, norm
+
+QSCALE = 1_000_000  # 1e-6 grid for exact integer vector sums
+
+
+def quantize_embeddings(
+    df: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Flat int8 quantization: (id, pos, q) with q = round(127 * x / amax)
+    per vector (amax = max absolute component; all-zero vectors emit q=0).
+    Pure map + one posexplode — no shuffle."""
+    amax = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))))
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        amax.alias("_amax"),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    )
+    q = F.when(F.col("_amax") == 0, F.lit(0)).otherwise(
+        F.round(F.col("x").cast("double") * 127 / F.col("_amax"), 0)
+    )
+    return exploded.select(
+        "id", "pos", q.cast("int").alias("q")
+    )
+
+
+def quantization_error(
+    df: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Per-vector mean absolute reconstruction error of int8 quantization,
+    on the 1e-6 grid (integer-exact aggregation, one rounded double out):
+    (id, amax, mean_abs_err)."""
+    amax = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))))
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        amax.alias("_amax"),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    )
+    xq = F.when(F.col("_amax") == 0, F.lit(0.0)).otherwise(
+        F.round(F.col("x").cast("double") * 127 / F.col("_amax"), 0)
+        * F.col("_amax")
+        / 127
+    )
+    err_grid = F.abs(
+        F.round(xq * QSCALE, 0) - F.round(F.col("x").cast("double") * QSCALE, 0)
+    ).cast("bigint")
+    per = exploded.select("id", F.col("_amax"), err_grid.alias("e"))
+    return per.groupBy("id", "_amax").agg(
+        F.sum("e").alias("_se"), F.count(F.lit(1)).alias("_n")
+    ).select(
+        "id",
+        F.round(F.col("_amax"), 6).alias("amax"),
+        F.round(F.col("_se").cast("double") / F.col("_n") / QSCALE, 6).alias(
+            "mean_abs_err"
+        ),
+    )
+
+
+def kmeans_update_step(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    dim: int | None = None,
+) -> DataFrame:
+    """One deterministic Lloyd iteration: exact-cosine assignment to the
+    current centroids (rounded to 6, ties to lower cid), then per-dimension
+    means over each cluster computed as exact BIGINT sums on the 1e-6 grid.
+    Returns flat (cid, pos, val, n_members) — val on the same grid, so the
+    output is engine-exact and can be re-assembled into centroid vectors
+    (``F.collect_list`` sorted by pos) for the next iteration or for
+    ``ivf_topk``.  Empty clusters vanish (standard Lloyd; reseed upstream
+    if undesired)."""
+    cents = F.broadcast(
+        centroids.select(
+            F.col(id_col).alias("_cid"),
+            F.col(vec_col).alias("_cvec"),
+            norm(F.col(vec_col)).alias("_cn"),
+        )
+    )
+    scored = (
+        corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            norm(F.col(vec_col)).alias("_vn"),
+        )
+        .crossJoin(cents)
+        .select(
+            "id",
+            "v",
+            F.col("_cid"),
+            F.round(
+                dot(F.col("v"), F.col("_cvec")) / (F.col("_vn") * F.col("_cn")), 6
+            ).alias("_sim"),
+        )
+    )
+    assigned = (
+        scored.select(
+            "id",
+            F.struct(
+                (-F.col("_sim")).alias("ns"), F.col("_cid").alias("cid"), F.col("v").alias("v")
+            ).alias("s"),
+        )
+        .groupBy("id")
+        .agg(F.min("s").alias("s"))
+        .select(F.col("s.cid").alias("cid"), F.col("s.v").alias("v"))
+    )
+    per_dim = assigned.select(
+        "cid", F.posexplode(F.col("v")).alias("pos", "x")
+    ).select(
+        "cid",
+        "pos",
+        F.round(F.col("x").cast("double") * QSCALE, 0).cast("bigint").alias("xq"),
+    )
+    return (
+        per_dim.groupBy("cid", "pos")
+        .agg(F.sum("xq").alias("_sx"), F.count(F.lit(1)).alias("n_members"))
+        .select(
+            "cid",
+            "pos",
+            # FLOOR of the double quotient, not `div`: Spark's integer div
+            # truncates toward zero while DuckDB's // floors — they differ
+            # on negative sums.  The double quotient is safe here: operands
+            # are exact integers < 2^53 and non-integral quotients sit at
+            # least 1/n_members (>> 1 ulp) away from any integer.
+            F.floor(F.col("_sx").cast("double") / F.col("n_members"))
+            .cast("bigint")
+            .alias("val_q"),
+            "n_members",
+        )
+        .select(
+            "cid",
+            "pos",
+            (F.col("val_q").cast("double") / QSCALE).alias("val"),
+            "n_members",
+        )
+    )

@@ -242,3 +242,102 @@ def sim_ivf_recall(spark, sf_dir):
             F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.lit(5.0), 3
         ).alias("recall_at_5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vector ops: int8 quantization + deterministic k-means training step
+# ---------------------------------------------------------------------------
+@query(
+    "vec_quantize_int8",
+    oracle=f"""
+    WITH {_COS_CTE},
+    m AS (
+      SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS amax FROM v
+    )
+    SELECT vec_id AS id, t.pos - 1 AS pos,
+           CAST(CASE WHEN amax = 0 THEN 0
+                     ELSE ROUND(e[t.pos] * 127 / amax, 0) END AS INT) AS q
+    FROM m, UNNEST(generate_series(1, len(e))) AS t(pos)
+    """,
+)
+def vec_quantize_int8(spark, sf_dir):
+    """Symmetric per-vector int8 quantization of the embedding table — the
+    4x storage/bandwidth cut for vector search at scale.  Flat (id, pos, q)
+    output keeps the hash gate engine-neutral (array renderings differ)."""
+    from trough_spark.operators import vectors as V
+
+    return V.quantize_embeddings(T(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+
+
+@query(
+    "vec_quantization_error",
+    oracle=f"""
+    WITH {_COS_CTE},
+    m AS (
+      SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS amax FROM v
+    ),
+    per AS (
+      SELECT vec_id, amax,
+             CAST(abs(
+               ROUND((CASE WHEN amax = 0 THEN 0.0
+                           ELSE ROUND(e[t.pos] * 127 / amax, 0) * amax / 127 END)
+                     * 1000000, 0)
+               - ROUND(e[t.pos] * 1000000, 0)
+             ) AS BIGINT) AS err
+      FROM m, UNNEST(generate_series(1, len(e))) AS t(pos)
+    )
+    SELECT vec_id AS id, ROUND(amax, 6) AS amax,
+           ROUND(CAST(SUM(err) AS DOUBLE) / COUNT(*) / 1000000, 6) AS mean_abs_err
+    FROM per GROUP BY vec_id, amax
+    """,
+)
+def vec_quantization_error(spark, sf_dir):
+    """Mean absolute int8 reconstruction error per vector, measured on the
+    1e-6 grid so the aggregate is an exact BIGINT sum — quantization quality
+    is audited, not assumed."""
+    from trough_spark.operators import vectors as V
+
+    return V.quantization_error(T(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+
+
+@query(
+    "sim_kmeans_update",
+    oracle=f"""
+    WITH {_COS_CTE},
+    cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 16),
+    assign AS (
+      SELECT vec_id, cid, e FROM (
+        SELECT a.vec_id, c.cid, a.e,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                 ORDER BY {{ps}} DESC, c.cid) AS rn
+        FROM v a CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    per_dim AS (
+      SELECT cid, t.pos - 1 AS pos,
+             CAST(ROUND(e[t.pos] * 1000000, 0) AS BIGINT) AS xq
+      FROM assign, UNNEST(generate_series(1, len(e))) AS t(pos)
+    )
+    SELECT cid, pos,
+           CAST(FLOOR(CAST(SUM(xq) AS DOUBLE) / COUNT(*)) AS BIGINT) / 1000000.0 AS val,
+           COUNT(*) AS n_members
+    FROM per_dim GROUP BY cid, pos
+    """.format(
+        ps=(
+            "ROUND(list_dot_product(a.e, c.ce) / "
+            "(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.ce, c.ce))), 6)"
+        )
+    ),
+)
+def sim_kmeans_update(spark, sf_dir):
+    """One deterministic Lloyd iteration for IVF centroid training: exact
+    rounded-cosine assignment, then per-dimension cluster means as exact
+    BIGINT sums on a 1e-6 grid (float means would be aggregation-order-
+    dependent; these reproduce bit-for-bit anywhere).  Iterate offline and
+    feed the centroids to sim_ivf_topk."""
+    from trough_spark.operators import vectors as V
+
+    emb = T(spark, sf_dir, "embeddings")
+    return V.kmeans_update_step(
+        emb, "vec_id", "embedding", emb.filter(F.col("vec_id") < 16)
+    )
