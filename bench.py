@@ -55,6 +55,7 @@ EXTRA = [
     "dedup_connected_components",
     "sample_hash_split",
     "pack_sequences",
+    "pipeline_curation",
 ]
 
 

@@ -43,6 +43,7 @@ def load_all() -> None:
     from trough_spark.queries import (  # noqa: F401
         dedup,
         extensions,
+        pipeline,
         relational,
         sampling,
         similarity,

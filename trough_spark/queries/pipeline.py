@@ -1,0 +1,142 @@
+"""End-to-end corpus curation: one query composing quality filtering,
+near-dup clustering, contamination screening, and dataset splitting into a
+per-document retention decision — the full pass a training-data pipeline
+runs before shipping a corpus.
+
+Everything is a composition of already-oracled operators (quality
+features, MinHash-LSH + connected components, shingle contamination, hash
+split), so the giant DuckDB oracle below is assembled from the same CTE
+fragments.  At 100 TB each stage keeps its own scale shape (map-side
+quality, banded LSH joins, broadcast benchmark shingles, map-side split);
+the final assembly is a handful of id-keyed joins.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from trough_spark.operators import dedup as D
+from trough_spark.operators import graph as G
+from trough_spark.operators import sampling as SA
+from trough_spark.operators import text as X
+from trough_spark.queries import query
+from trough_spark.queries.dedup import _LSH_PAIRS_CTE
+from trough_spark.queries.sampling import _SPLIT_WEIGHTS, _split_case
+from trough_spark.queries.text import _EN
+from trough_spark.tables import load_table as T
+
+_CONTAMINATION_MAX = 0.1
+
+
+@query(
+    "pipeline_curation",
+    oracle=rf"""
+    WITH RECURSIVE {_LSH_PAIRS_CTE},
+    edges AS (
+      SELECT id1 AS a, id2 AS b FROM pairs
+      UNION ALL
+      SELECT id2 AS a, id1 AS b FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.id = e.b
+    ),
+    comp AS (SELECT id AS doc_id, MIN(lbl) AS canonical_id FROM reach GROUP BY id),
+    feats AS (
+      SELECT doc_id AS id,
+             CAST(length(text) AS INT) AS n_chars,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS INT) END AS n_tokens,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS INT) AS n_alpha,
+             CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                  t -> list_contains({_EN}, t))) AS INT) AS n_stopwords
+      FROM documents
+    ),
+    qual AS (
+      SELECT id,
+             CASE WHEN n_tokens < 5 THEN 'too_short'
+                  WHEN n_alpha / greatest(n_chars, 1) < 0.6 THEN 'low_alpha'
+                  WHEN n_stopwords = 0 THEN 'no_stopwords'
+                  ELSE 'ok' END AS quality_bucket
+      FROM feats
+    ),
+    bench AS (SELECT DISTINCT sh FROM sh WHERE id < 25),
+    corp AS (SELECT id, sh FROM sh WHERE id >= 25),
+    hits AS (
+      SELECT c.id, COUNT(*) AS n_overlap
+      FROM corp c JOIN bench b ON b.sh = c.sh GROUP BY c.id
+    ),
+    per AS (SELECT id, COUNT(*) AS n_shingles FROM corp GROUP BY id),
+    cont AS (
+      SELECT p.id,
+             ROUND(COALESCE(h.n_overlap, 0) / CAST(p.n_shingles AS DOUBLE), 4)
+               AS contamination
+      FROM per p LEFT JOIN hits h ON h.id = p.id
+    ),
+    decided AS (
+      SELECT d.doc_id,
+             CASE WHEN d.doc_id < 25 THEN 'benchmark'
+                  WHEN q.quality_bucket != 'ok' THEN 'drop_quality'
+                  WHEN c.canonical_id != d.doc_id THEN 'drop_duplicate'
+                  WHEN COALESCE(ct.contamination, 0) > {_CONTAMINATION_MAX}
+                    THEN 'drop_contaminated'
+                  ELSE 'keep' END AS decision
+      FROM documents d
+      JOIN qual q ON q.id = d.doc_id
+      JOIN comp c ON c.doc_id = d.doc_id
+      LEFT JOIN cont ct ON ct.id = d.doc_id
+    )
+    SELECT doc_id, decision,
+           CASE WHEN decision = 'keep' THEN {_split_case()} END AS split
+    FROM decided
+    """,
+)
+def pipeline_curation(spark, sf_dir):
+    """Per-document retention decision: benchmark docs (id < 25) are set
+    aside; the rest must pass the C4-style quality gate, be the canonical
+    member of their near-dup cluster, and show <= 10% benchmark-shingle
+    contamination; survivors get a reproducible train/val/test split."""
+    docs = T(spark, sf_dir, "documents")
+    ids = docs.select("doc_id")
+
+    qual = X.quality_features(docs, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "quality_bucket"
+    )
+    sigs = D.minhash_signatures(docs, "doc_id", "text", num_perm=8, n=3)
+    pairs = D.minhash_lsh_candidates(sigs, rows_per_band=2)
+    comp = G.connected_components(ids, pairs, id_col="doc_id").select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("canonical_id")
+    )
+    cont = X.contamination(
+        docs.filter(F.col("doc_id") >= 25),
+        docs.filter(F.col("doc_id") < 25),
+        "doc_id",
+        "text",
+        n=3,
+    ).select(F.col("id").alias("doc_id"), "contamination")
+    split = SA.hash_split(ids, "doc_id", _SPLIT_WEIGHTS).select(
+        "doc_id", F.col("split").alias("_split")
+    )
+
+    decision = (
+        F.when(F.col("doc_id") < 25, "benchmark")
+        .when(F.col("quality_bucket") != "ok", "drop_quality")
+        .when(F.col("canonical_id") != F.col("doc_id"), "drop_duplicate")
+        .when(
+            F.coalesce(F.col("contamination"), F.lit(0.0)) > _CONTAMINATION_MAX,
+            "drop_contaminated",
+        )
+        .otherwise("keep")
+    )
+    return (
+        ids.join(qual, "doc_id")
+        .join(comp, "doc_id")
+        .join(cont, "doc_id", "left")
+        .join(split, "doc_id")
+        .select(
+            "doc_id",
+            decision.alias("decision"),
+            F.when(decision == "keep", F.col("_split")).alias("split"),
+        )
+    )
