@@ -316,3 +316,54 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def incremental_lsh_candidates(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 8,
+    n: int = 3,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Incremental near-dup check: candidate pairs between a NEW batch and
+    the EXISTING corpus only (never corpus x corpus) — the daily-ingest
+    shape, where yesterday's band table is already materialized and today's
+    batch only hashes itself and equi-joins in.
+
+    Returns (new_id, corpus_id).  Work scales with the new batch + its
+    band collisions; re-banding the historical corpus each day is the thing
+    this avoids at 100 TB (persist the banded table, append to it).
+    """
+    def bands(df):
+        sigs = minhash_signatures(df, id_col, text_col, num_perm=num_perm, n=n)
+        return (
+            sigs.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+            .groupBy("id", "band")
+            .agg(
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct(F.col("perm"), F.col("minhash")))
+                            ),
+                            lambda s: s.getField("minhash").cast("string"),
+                        ),
+                    )
+                ).alias("band_hash")
+            )
+        )
+
+    nb = bands(new_docs).select(
+        F.col("id").alias("new_id"), "band", "band_hash"
+    )
+    cb = bands(corpus).select(
+        F.col("id").alias("corpus_id"), "band", "band_hash"
+    )
+    return (
+        nb.join(cb, ["band", "band_hash"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )

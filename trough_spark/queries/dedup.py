@@ -257,3 +257,34 @@ def dedup_simhash_pairs(spark, sf_dir):
         T(spark, sf_dir, "documents"), "doc_id", "text",
         bits=32, bands=4, max_hamming=3,
     )
+
+
+@query(
+    "dedup_incremental",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    {_MINHASH_CTE},
+    minh AS (SELECT id, perm, MIN(h) AS minhash FROM hashed GROUP BY 1, 2),
+    bands AS (
+      SELECT id, perm // 2 AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm)) AS band_hash
+      FROM minh GROUP BY id, perm // 2
+    )
+    SELECT DISTINCT n.id AS new_id, c.id AS corpus_id
+    FROM bands n
+    JOIN bands c ON n.band = c.band AND n.band_hash = c.band_hash
+    WHERE n.id >= 450 AND c.id < 450
+    """,
+)
+def dedup_incremental(spark, sf_dir):
+    """Incremental ingest dedup: today's batch (doc_id >= 450) checked
+    against the existing corpus (doc_id < 450) — band join is new x corpus
+    only, never corpus x corpus; at scale the historical band table is
+    persisted and appended, so daily cost tracks the batch size."""
+    docs = T(spark, sf_dir, "documents")
+    return D.incremental_lsh_candidates(
+        docs.filter(F.col("doc_id") >= 450),
+        docs.filter(F.col("doc_id") < 450),
+        "doc_id",
+        "text",
+    )

@@ -341,3 +341,49 @@ def sim_kmeans_update(spark, sf_dir):
     return V.kmeans_update_step(
         emb, "vec_id", "embedding", emb.filter(F.col("vec_id") < 16)
     )
+
+
+@query(
+    "sim_srp_multiprobe_pairs",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+    bits AS (
+      SELECT vec_id, j,
+             list_sum(list_transform(generate_series(0, 63),
+                                     i -> e[i + 1] * sin(i + j * 1000))) AS proj
+      FROM v, UNNEST(generate_series(0, 7)) AS t(j)
+    ),
+    buckets AS (
+      SELECT vec_id AS id,
+             CAST(SUM(CASE WHEN proj >= 0 THEN (1 << j) ELSE 0 END) AS BIGINT) AS bucket
+      FROM bits GROUP BY vec_id
+    ),
+    tagged AS (SELECT b.id, b.bucket, v.e FROM buckets b JOIN v ON v.vec_id = b.id),
+    probes AS (
+      SELECT id, e,
+             CASE WHEN t.j = 8 THEN bucket
+                  ELSE xor(bucket, CAST((1 << t.j) AS BIGINT)) END AS pb
+      FROM tagged, UNNEST(generate_series(0, 8)) AS t(j)
+    ),
+    cand AS (
+      SELECT DISTINCT p.id AS id1, g.id AS id2
+      FROM probes p JOIN tagged g ON g.bucket = p.pb AND p.id < g.id
+    )
+    SELECT id1, id2, ROUND(sim, 6) AS cosine_sim FROM (
+      SELECT c.id1, c.id2, {_COS_EXPR} AS sim
+      FROM cand c
+      JOIN v a ON a.vec_id = c.id1
+      JOIN v b ON b.vec_id = c.id2
+    ) WHERE ROUND(sim, 6) >= 0.2
+    """,
+)
+def sim_srp_multiprobe_pairs(spark, sf_dir):
+    """Multi-probe SRP pairs (Hamming-1 probing): the recall lever for the
+    LSH scale path — pairs whose 8-bit codes differ in one projection are
+    found via single-bit-flip probes, still as an equi-join on the bucket
+    key (n_bits+1 probe rows per vector, never a cross product)."""
+    return S.srp_multiprobe_pairs(
+        T(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        threshold=0.2, n_bits=8, dim=64,
+    )
