@@ -1352,6 +1352,107 @@ class SegmentStore:
             "schema": info["schema"],
         }
 
+    # -- maintenance: compaction + snapshots ---------------------------------
+
+    def _parquet_files(self, path: str) -> list[str]:
+        out = []
+        for root, _dirs, files in os.walk(path):
+            out.extend(os.path.join(root, f) for f in files if f.endswith(".parquet"))
+        return sorted(out)
+
+    def compact(
+        self,
+        segment_id: str,
+        table: str | None = None,
+        target_files: int = 1,
+        sort_by: list[str] | None = None,
+    ) -> dict:
+        """Small-files maintenance: rewrite a segment's partition(s) into
+        ``target_files`` files, optionally sorted by ``sort_by`` (clustering
+        for scan locality + better min/max pruning).  Every INSERT batch
+        appends a file, so long-lived segments accrete many small files —
+        the classic lakehouse degradation; compaction is the classic cure.
+        Bounded work (one partition), atomic via the same staged swap as
+        UPDATE/DELETE.  Returns {table: {files_before, files_after, rows}}."""
+        report: dict = {}
+        with self._file_lock(f"segment-{segment_id}"):
+            for t in [table] if table else self._segment_tables(segment_id):
+                path = self._partition_path(t, segment_id)
+                before = len(self._parquet_files(path))
+                df = self._read_partition(segment_id, t)
+                rows = df.count()
+                if sort_by:
+                    df = df.repartition(target_files).sortWithinPartitions(*sort_by)
+                else:
+                    df = df.coalesce(max(target_files, 1))
+                self._overwrite_partition(segment_id, t, df)
+                report[t] = {
+                    "files_before": before,
+                    "files_after": len(self._parquet_files(path)),
+                    "rows": rows,
+                }
+        return report
+
+    def _snapshot_root(self, segment_id: str) -> str:
+        return f"{self.root}/_snapshots/{segment_id}"
+
+    def snapshot(self, segment_id: str, tag: str | None = None) -> str:
+        """Create a named point-in-time snapshot of one segment (data files
+        + segment metadata).  Segments are bounded by design, so a snapshot
+        is a bounded file copy; on a cluster FS the same API would be backed
+        by Delta/Iceberg time travel (documented upgrade path, README).
+        Returns the version id."""
+        info = self._segment_info(segment_id)
+        with self._file_lock(f"segment-{segment_id}"):
+            existing = self.list_snapshots(segment_id)
+            version = tag or f"v{len(existing) + 1:04d}"
+            if version in existing:
+                raise QueryRejected(f"snapshot {version!r} already exists")
+            dest = f"{self._snapshot_root(segment_id)}/{version}"
+            os.makedirs(dest, exist_ok=True)
+            manifest = {"segment": dict(info), "tables": {}}
+            for t in self._segment_tables(segment_id):
+                src = self._partition_path(t, segment_id)
+                if os.path.isdir(src):
+                    shutil.copytree(src, f"{dest}/data/{t}")
+                    manifest["tables"][t] = True
+            with open(f"{dest}/manifest.json", "w") as f:
+                json.dump(manifest, f)
+        return version
+
+    def list_snapshots(self, segment_id: str) -> list[str]:
+        root = self._snapshot_root(segment_id)
+        if not os.path.isdir(root):
+            return []
+        return sorted(
+            d for d in os.listdir(root)
+            if os.path.isfile(f"{root}/{d}/manifest.json")
+        )
+
+    def restore(self, segment_id: str, version: str) -> None:
+        """Roll one segment back to a snapshot: data files and segment
+        metadata swap in atomically per table (staged rename, same protocol
+        as partition rewrites); autoincrement high-water marks reset so the
+        next id continues from the restored data."""
+        dest = f"{self._snapshot_root(segment_id)}/{version}"
+        if not os.path.isfile(f"{dest}/manifest.json"):
+            raise KeyError(f"no snapshot {version!r} for segment {segment_id!r}")
+        with open(f"{dest}/manifest.json") as f:
+            manifest = json.load(f)
+        with self._file_lock(f"segment-{segment_id}"):
+            current = set(self._segment_tables(segment_id))
+            for t in current | set(manifest["tables"]):
+                path = self._partition_path(t, segment_id)
+                shutil.rmtree(path, ignore_errors=True)
+                snap = f"{dest}/data/{t}"
+                if t in manifest["tables"] and os.path.isdir(snap):
+                    os.makedirs(os.path.dirname(path), exist_ok=True)
+                    shutil.copytree(snap, path)
+            self._meta["segments"][segment_id] = dict(manifest["segment"])
+            self._save_meta()
+            self._hwm = {k: v for k, v in self._hwm.items() if k[0] != segment_id}
+            self._last_auto.pop(segment_id, None)
+
     def delete_segment(self, segment_id: str) -> None:
         """A22 (reference sync.py:439-509, segment_manager.py:117-128)."""
         tables = self._segment_tables(segment_id)
