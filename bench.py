@@ -56,6 +56,12 @@ EXTRA = [
     "sample_hash_split",
     "pack_sequences",
     "pipeline_curation",
+    "dedup_simhash_pairs",
+    "sim_srp_multiprobe_pairs",
+    "dedup_incremental",
+    "text_unigram_logprob",
+    "stream_stream_join",
+    "sim_kmeans_update",
 ]
 
 
