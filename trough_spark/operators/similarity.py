@@ -281,11 +281,12 @@ def srp_bucketed_pairs(
     for j in range(n_bits):
         bit = srp_projection_bit(F.col(vec_col), j, dim) * (2**j)
         code = bit if code is None else code + bit
+    # fold-form norms/rescore: same JIT-avoidance as srp_multiprobe_pairs
     with_bucket = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         code.cast("bigint").alias("bucket"),
-    ).withColumn("n", norm(F.col("v"), dim))
+    ).withColumn("n", norm(F.col("v")))
     a = with_bucket.select(
         F.col("bucket").alias("bk"), F.col("id").alias("id1"),
         F.col("v").alias("v1"), F.col("n").alias("n1"),
@@ -298,7 +299,7 @@ def srp_bucketed_pairs(
         a.join(b, (F.col("bk") == F.col("bk2")) & (F.col("id1") < F.col("id2")))
         .withColumn(
             "cosine_sim",
-            F.round(dot(F.col("v1"), F.col("v2"), dim) / (F.col("n1") * F.col("n2")), 6),
+            F.round(dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 6),
         )
         .filter(F.col("cosine_sim") >= threshold)
         .select("id1", "id2", "cosine_sim")
@@ -504,11 +505,15 @@ def srp_multiprobe_pairs(
     for j in range(n_bits):
         bit = srp_projection_bit(F.col(vec_col), j, dim) * (2**j)
         code = bit if code is None else code + bit
+    # norms + rescore use the fold form (dim=None): multi-probe candidate
+    # sets are large, and the giant unrolled chain pays a multi-second JIT
+    # that the interpreted fold avoids (measured 9.6s -> 3.4s at sf0.1,
+    # bit-identical output)
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         code.cast("bigint").alias("bucket"),
-    ).withColumn("n", norm(F.col("v"), dim))
+    ).withColumn("n", norm(F.col("v")))
     flips = [F.col("bucket")] + (
         [F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_bits)]
         if probe_hamming == 1
@@ -535,7 +540,7 @@ def srp_multiprobe_pairs(
     return (
         cand.withColumn(
             "cosine_sim",
-            F.round(dot(F.col("v1"), F.col("v2"), dim) / (F.col("n1") * F.col("n2")), 6),
+            F.round(dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 6),
         )
         .filter(F.col("cosine_sim") >= threshold)
         .select("id1", "id2", "cosine_sim")
