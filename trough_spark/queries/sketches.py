@@ -84,3 +84,28 @@ def sketch_countmin_heavy_hitters(spark, sf_dir):
         .orderBy(F.col("est_count").desc(), "user_key")
         .limit(25)
     )
+
+
+@query(
+    "sketch_hll_hourly_users",
+    oracle="""
+    WITH est AS ({hll})
+    SELECT window_start, est_distinct FROM est
+    """.format(
+        hll=SK.hll_oracle_sql(
+            "SELECT date_trunc('hour', ts) AS window_start, user_id FROM events",
+            "user_id",
+            group_by="window_start",
+        )
+    ),
+)
+def sketch_hll_hourly_users(spark, sf_dir):
+    """Distinct users per hour, estimated: the sketch composes with any
+    grouping — here a time window, the shape a streaming dashboard needs
+    (per-window registers merge by max, so this runs identically as a
+    watermarked streaming aggregate).  State is 128 registers per open
+    window instead of the window's full user set."""
+    ev = T(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"), "user_id"
+    )
+    return SK.hll_estimate(ev, "user_id", group_by="window_start")
