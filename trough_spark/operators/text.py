@@ -296,3 +296,70 @@ def unigram_logprob(df, id_col: str, text_col: str):
             ).alias("mean_logprob"),
         )
     )
+
+
+def repetition_ratio(df, id_col: str, text_col: str, n: int = 3):
+    """Within-document repetition (Gopher-style repetition filter): the
+    fraction of a doc's n-gram occurrences that are repeats of an n-gram
+    already seen in the SAME doc — high values mean looping/templated text.
+    Returns (id, n_grams, n_distinct, repetition_ratio).  Pure map +
+    per-doc aggregation; integer counts, one rounded double."""
+    from trough_spark.operators.dedup import tokens
+
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    )
+    grams = toks.select(
+        "id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(toks) - {n - 1}, 0)), "
+                f"i -> concat_ws(' ', slice(toks, i, {n})))"
+            )
+        ).alias("g"),
+    )
+    per = grams.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count_distinct(F.col("g")).alias("n_distinct"),
+    )
+    return per.select(
+        "id",
+        "n_grams",
+        "n_distinct",
+        F.round(
+            (F.col("n_grams") - F.col("n_distinct")) / F.col("n_grams"), 4
+        ).alias("repetition_ratio"),
+    )
+
+
+def source_quality_rollup(
+    df, id_col: str, text_col: str, source_col: str, min_ok_pct: int = 70
+):
+    """Domain/source-level quality decision: aggregate per-document quality
+    buckets up to the source and flag sources whose 'ok' share falls under
+    ``min_ok_pct`` percent — how pipelines derive domain blocklists from
+    document-level signals.  Integer compares decide; returns
+    (source, n_docs, n_ok, ok_pct, verdict)."""
+    feats = quality_features(df, id_col, text_col).select(
+        F.col("id"), F.col("quality_bucket")
+    )
+    src = df.select(F.col(id_col).alias("id"), F.col(source_col).alias("source"))
+    per = (
+        src.join(feats, "id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("quality_bucket") == "ok", 1).otherwise(0)
+            ).cast("bigint").alias("n_ok"),
+        )
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "n_ok",
+        F.round(F.col("n_ok") / F.col("n_docs"), 4).alias("ok_pct"),
+        F.when(
+            F.col("n_ok") * 100 >= F.lit(min_ok_pct) * F.col("n_docs"), "keep"
+        ).otherwise("block").alias("verdict"),
+    )

@@ -293,3 +293,67 @@ def text_unigram_logprob(spark, sf_dir):
     unigram LM — the classic cheap quality score.  Token log-probs quantize
     to exact BIGINTs (engine-verified), so aggregation is order-proof."""
     return X.unigram_logprob(T(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_repetition_ratio",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT id, array_to_string(toks[i:i+2], ' ') AS g
+      FROM toks, UNNEST(generate_series(1, greatest(len(toks) - 2, 0))) AS t(i)
+    )
+    SELECT id, COUNT(*) AS n_grams, COUNT(DISTINCT g) AS n_distinct,
+           ROUND((COUNT(*) - COUNT(DISTINCT g)) / CAST(COUNT(*) AS DOUBLE), 4)
+             AS repetition_ratio
+    FROM grams GROUP BY id
+    """,
+)
+def text_repetition_ratio(spark, sf_dir):
+    """Within-doc 3-gram repetition share (Gopher repetition filter) —
+    complements cross-doc boilerplate: this catches looping/templated text
+    inside one document."""
+    return X.repetition_ratio(T(spark, sf_dir, "documents"), "doc_id", "text", n=3)
+
+
+@query(
+    "text_source_rollup",
+    oracle=rf"""
+    WITH feats AS (
+      SELECT doc_id AS id, source,
+             CAST(length(text) AS INT) AS n_chars,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS INT) END AS n_tokens,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS INT) AS n_alpha,
+             CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                  t -> list_contains({_EN}, t))) AS INT) AS n_stopwords
+      FROM documents
+    ),
+    qual AS (
+      SELECT id, source,
+             CASE WHEN n_tokens < 5 THEN 'too_short'
+                  WHEN n_alpha / greatest(n_chars, 1) < 0.6 THEN 'low_alpha'
+                  WHEN n_stopwords = 0 THEN 'no_stopwords'
+                  ELSE 'ok' END AS quality_bucket
+      FROM feats
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN quality_bucket = 'ok' THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+           ROUND(CAST(SUM(CASE WHEN quality_bucket = 'ok' THEN 1 ELSE 0 END) AS BIGINT)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS ok_pct,
+           CASE WHEN CAST(SUM(CASE WHEN quality_bucket = 'ok' THEN 1 ELSE 0 END) AS BIGINT) * 100
+                     >= 85 * COUNT(*)
+                THEN 'keep' ELSE 'block' END AS verdict
+    FROM qual GROUP BY source
+    """,
+)
+def text_source_rollup(spark, sf_dir):
+    """Source/domain-level quality verdict: per-source share of 'ok' docs
+    with an 85% keep threshold — the way document-level signals become a
+    domain blocklist.  One partial-aggregated groupBy on the source key."""
+    return X.source_quality_rollup(
+        T(spark, sf_dir, "documents"), "doc_id", "text", "source", min_ok_pct=85
+    )
