@@ -64,13 +64,19 @@ def synthesize_media(df: DataFrame, id_col: str, text_col: str, modality: str = 
 
 def _decode_bytes(blob: bytes, real_codec: bool = False):
     """THE STUB: deterministic fake decode.  A real deployment replaces this
-    with PIL.Image.open / soundfile.read; those libs are absent here."""
+    with PIL.Image.open / soundfile.read; those libs are absent here.
+
+    The fake keys off the blob's lowercase HEX rendering (not the raw
+    bytes) so a SQL engine can reproduce it exactly — md5 over arbitrary
+    binary is Python-only, but md5 over the hex string exists everywhere,
+    which is what lets the driver's DuckDB oracle hash-check the decode
+    pipeline instead of settling for a rows-only count."""
     if real_codec:
         raise NotImplementedError(
             "real image/audio codecs (PIL/soundfile/ffmpeg) are not available "
             "in this environment; _decode_bytes runs a deterministic fake"
         )
-    digest = hashlib.md5(blob).digest()
+    digest = hashlib.md5(blob.hex().encode()).digest()
     return digest + blob  # 'pixels' = digest-prefixed payload, deterministic
 
 
@@ -97,7 +103,7 @@ def decode_image_features(df: DataFrame, batch_hint: int | None = None) -> DataF
                         "height": int(meta["height"]),
                         "n_bytes": int(len(blob)),
                         "mean_byte": float(round(pixels.astype(np.float64).mean(), 6)),
-                        "fingerprint": hashlib.md5(bytes(blob)).hexdigest(),
+                        "fingerprint": hashlib.md5(bytes(blob).hex().encode()).hexdigest(),
                     }
                 )
             yield pd.DataFrame(rows)

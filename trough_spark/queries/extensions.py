@@ -1,7 +1,10 @@
-"""Rows-only inventory entries: operators whose semantics are not
-SQL-expressible for the DuckDB oracle (Pandas-UDF kernels, native
-session_window).  The driver records a weaker rows-only check for these;
-their correctness is asserted in the pytest suite instead
+"""Multimodal + native-streaming inventory entries.
+
+The decode kernels run as Arrow mapInPandas with a deterministic hex-keyed
+fake codec, which makes their outputs SQL-expressible — image/audio feature
+queries carry full DuckDB oracles.  Frame sampling emits binary columns
+(engine renderings differ) and native session_window has no SQL twin, so
+those two stay rows-only with pytest assertions instead
 (tests/test_multimodal.py, tests/test_streaming.py).
 """
 
@@ -15,11 +18,65 @@ from trough_spark.streaming import events as E
 from trough_spark.tables import load_table as T
 
 
-@query("multimodal_image_features")  # rows-only: mapInPandas decode kernel
+_MM_SRC = """
+    src AS (
+      SELECT doc_id AS media_id, md5(text) AS chex,
+             CAST(length(text) % 64 + 8 AS INT) AS width,
+             CAST(length(text) % 48 + 8 AS INT) AS height,
+             CAST(length(text) * 10 AS INT) AS duration_ms
+      FROM documents
+    ),
+    bytes AS (
+      SELECT media_id,
+             CAST(('0x' || substr(md5(chex), 2 * i.range + 1, 2)) AS INT) AS db,
+             CAST(('0x' || substr(chex,      2 * i.range + 1, 2)) AS INT) AS cb
+      FROM src, range(16) i
+    )
+"""
+
+
+@query(
+    "multimodal_image_features",
+    oracle=f"""
+    WITH {_MM_SRC},
+    agg AS (SELECT media_id, SUM(db) + SUM(cb) AS sb FROM bytes GROUP BY media_id)
+    SELECT s.media_id, s.width, s.height, CAST(16 AS INT) AS n_bytes,
+           ROUND((a.sb) / 32.0, 6) AS mean_byte,
+           md5(s.chex) AS fingerprint
+    FROM src s JOIN agg a ON a.media_id = s.media_id
+    """,
+)
 def multimodal_image_features(spark, sf_dir):
+    """Image decode + features through the Arrow mapInPandas kernel.  The
+    deterministic fake decode keys off the blob's hex rendering, so the
+    oracle reproduces the 'pixel' statistics exactly (md5-of-hex; see
+    operators/multimodal._decode_bytes) — the decode PIPELINE is
+    hash-verified even though the codec itself is a stub."""
     docs = T(spark, sf_dir, "documents")
     media = M.synthesize_media(docs, "doc_id", "text", modality="image")
     return M.decode_image_features(media)
+
+
+@query(
+    "multimodal_audio_features",
+    oracle=f"""
+    WITH {_MM_SRC},
+    agg AS (
+      SELECT media_id, SUM(db * db) + SUM(cb * cb) AS ssq FROM bytes GROUP BY media_id
+    )
+    SELECT s.media_id, CAST(16000 AS INT) AS sample_rate, s.duration_ms,
+           CAST(16 AS INT) AS n_bytes,
+           ROUND(sqrt((a.ssq) / 32.0), 6) AS rms
+    FROM src s JOIN agg a ON a.media_id = s.media_id
+    """,
+)
+def multimodal_audio_features(spark, sf_dir):
+    """Audio decode + RMS through the same kernel contract, hash-verified
+    like the image path (exact integer sums of 'sample' bytes; one sqrt +
+    round at the boundary)."""
+    docs = T(spark, sf_dir, "documents")
+    media = M.synthesize_media(docs, "doc_id", "text", modality="audio")
+    return M.decode_audio_features(media)
 
 
 @query("multimodal_frame_sample")  # rows-only: executor-side frame explosion
