@@ -68,3 +68,39 @@ def test_simhash_pairs_full_recall_within_hamming(spark):
         assert (1, 2) in pairs
     for (a, b) in pairs:
         assert bin(fp[a] ^ fp[b]).count("1") <= 3
+
+
+def test_bloom_probe_is_map_only(spark):
+    # The probe-side membership check must be a pure map after the tiny
+    # broadcast — an Exchange on the fact side would defeat the prefilter.
+    from trough_spark.operators import bloom as B
+
+    build = spark.range(100).select((F.col("id") * 7).alias("key"))
+    facts = spark.range(5000).select((F.col("id") % 600).alias("key"))
+    bloom = B.bloom_build(build, "key")
+    marked = B.bloom_might_contain(facts, "key", bloom)
+    plan = marked._jdf.queryExecution().executedPlan().toString()
+    # Build side aggregates (1-2 exchanges on <=64 rows is fine); the probe
+    # side must join only via BroadcastExchange — no shuffle exchange may
+    # consume the fact scan.
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    import re
+
+    assert not re.search(r"Exchange hashpartitioning\(key", plan), plan
+
+
+def test_bloom_no_false_negatives(spark):
+    from trough_spark.operators import bloom as B
+
+    build = spark.range(200).select((F.col("id") * 13 + 5).alias("key"))
+    probe = spark.range(3000).select(F.col("id").alias("key"))
+    bloom = B.bloom_build(build, "key", k=4, n_words=32)
+    marked = B.bloom_might_contain(probe, "key", bloom, k=4, n_words=32)
+    members = {r.key for r in build.collect()}
+    rows = marked.collect()
+    for r in rows:
+        if r.key in members:
+            assert r.bloom_pass, f"false negative for {r.key}"
+    # and the filter actually prunes something at this sizing
+    passed = sum(1 for r in rows if r.bloom_pass)
+    assert passed < len(rows)

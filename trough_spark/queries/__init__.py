@@ -41,6 +41,7 @@ def query(name: str, oracle: str | None = None):
 def load_all() -> None:
     """Import every query module so registration side-effects run."""
     from trough_spark.queries import (  # noqa: F401
+        bloom,
         dedup,
         extensions,
         pipeline,
