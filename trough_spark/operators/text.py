@@ -363,3 +363,78 @@ def source_quality_rollup(
             F.col("n_ok") * 100 >= F.lit(min_ok_pct) * F.col("n_docs"), "keep"
         ).otherwise("block").alias("verdict"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing and token-window chunking — training-data prep primitives
+# ---------------------------------------------------------------------------
+PII_PATTERNS = {
+    # Kept to the regex subset Java (Spark) and RE2 (DuckDB) match
+    # identically: literal classes, bounded repeats, \d — no backrefs or
+    # lookaround, so both engines find the same spans.
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\d{3}-\d{3}-\d{4}",
+    "ip": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+}
+# Scrub order matters (an email can contain digits; an IP can look like the
+# tail of a phone) — fixed here and mirrored in the oracle SQL.
+PII_ORDER = ("email", "phone", "ip")
+
+
+def pii_scrub(df, id_col: str, text_col: str):
+    """Count and redact PII spans: (id, n_email, n_phone, n_ip, clean_text).
+    Pure map — regexp_extract_all for counts, chained regexp_replace for
+    redaction; at 100 TB this runs in the scan stage with zero shuffle.
+    Counts are taken BEFORE any replacement so overlapping categories don't
+    eat each other's matches."""
+    text = F.col(text_col)
+    counts = {
+        k: F.size(F.regexp_extract_all(text, F.lit(p), F.lit(0))).alias(f"n_{k}")
+        for k, p in PII_PATTERNS.items()
+    }
+    clean = text
+    for k in PII_ORDER:
+        clean = F.regexp_replace(clean, PII_PATTERNS[k], f"<{k.upper()}>")
+    return df.select(
+        F.col(id_col).alias("id"),
+        *[counts[k] for k in PII_ORDER],
+        clean.alias("clean_text"),
+    )
+
+
+def chunk_tokens(df, id_col: str, text_col: str, window: int = 32, stride: int = 24):
+    """Split each document into token windows of ``window`` tokens with
+    ``stride`` between starts (overlap = window - stride), the standard
+    long-document prep for a fixed-context trainer.  Output is one row per
+    chunk: (id, chunk_idx, n_tokens, chunk_text).
+
+    Pure map + posexplode — no shuffle; chunk count per doc is
+    ceil(max(n - window, 0) / stride) + 1, computed in exact integer
+    arithmetic so the DuckDB oracle reproduces the fan-out bit-for-bit."""
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    # floor((n - window + stride - 1) / stride) + 1; the double division is
+    # exact for these magnitudes so floor() == integer division in both
+    # engines (DuckDB's // on the oracle side).
+    extra = (n - window + stride - 1).cast("double")
+    n_chunks = F.when(n <= window, F.lit(1)).otherwise(
+        F.floor(extra / stride).cast("int") + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * stride + 1, window)),
+    )
+    out = df.select(
+        F.col(id_col).alias("id"),
+        n.alias("_n"),
+        F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+    )
+    n_tok = F.least(F.lit(window), F.col("_n") - F.col("chunk_idx") * stride)
+    return out.select(
+        "id",
+        "chunk_idx",
+        n_tok.cast("bigint").alias("n_tokens"),
+        "chunk_text",
+    )

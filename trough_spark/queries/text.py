@@ -357,3 +357,101 @@ def text_source_rollup(spark, sf_dir):
     return X.source_quality_rollup(
         T(spark, sf_dir, "documents"), "doc_id", "text", "source", min_ok_pct=85
     )
+
+
+_PII_SUFFIX_SQL = (
+    "' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-' "
+    "|| lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' "
+    "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') "
+    "|| ' at 10.' || CAST(doc_id % 200 AS VARCHAR) "
+    "|| '.' || CAST(doc_id % 250 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR)"
+)
+
+
+def _pii_suffix_spark():
+    d = F.col("doc_id")
+    return F.concat(
+        F.lit(" contact user"), d.cast("string"), F.lit("@example.com or 555-"),
+        F.lpad((d % 1000).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad((d % 10000).cast("string"), 4, "0"),
+        F.lit(" at 10."), (d % 200).cast("string"),
+        F.lit("."), (d % 250).cast("string"), F.lit("."), (d % 100).cast("string"),
+    )
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH pii AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN text || {_PII_SUFFIX_SQL} ELSE text END AS t
+      FROM documents
+    )
+    SELECT doc_id AS id,
+           CAST(len(regexp_extract_all(t, '{X.PII_PATTERNS["email"]}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t, '{X.PII_PATTERNS["phone"]}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(t, '{X.PII_PATTERNS["ip"]}')) AS BIGINT) AS n_ip,
+           CAST(length(
+             regexp_replace(regexp_replace(regexp_replace(t,
+               '{X.PII_PATTERNS["email"]}', '<EMAIL>', 'g'),
+               '{X.PII_PATTERNS["phone"]}', '<PHONE>', 'g'),
+               '{X.PII_PATTERNS["ip"]}', '<IP>', 'g')) AS BIGINT) AS clean_len
+    FROM pii
+    """,
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII redaction audit: a third of the docs get deterministic synthetic
+    PII (email + phone + IPv4 derived from doc_id) woven in, then the
+    scrubber counts and redacts every span.  Pure map end-to-end — at
+    100 TB this is a scan-stage transform with zero shuffle; the synthetic
+    injection stands in for real PII the test corpus lacks."""
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.col("text"), _pii_suffix_spark())
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    out = X.pii_scrub(docs, "doc_id", "t")
+    return out.select(
+        "id",
+        F.col("n_email").cast("bigint").alias("n_email"),
+        F.col("n_phone").cast("bigint").alias("n_phone"),
+        F.col("n_ip").cast("bigint").alias("n_ip"),
+        F.length("clean_text").cast("bigint").alias("clean_len"),
+    )
+
+
+@query(
+    "text_chunk_windows",
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk,
+             len(string_split_regex(trim(text), '\\s+')) AS n
+      FROM documents
+    ),
+    counted AS (
+      SELECT doc_id, tk, n,
+             CASE WHEN n <= 32 THEN 1 ELSE CAST((n - 32 + 23) // 24 AS INT) + 1 END AS nc
+      FROM sized
+    ),
+    expanded AS (
+      SELECT doc_id, tk, n,
+             unnest(generate_series(0, CAST(nc - 1 AS BIGINT))) AS i
+      FROM counted
+    )
+    SELECT doc_id AS id, CAST(i AS INT) AS chunk_idx,
+           CAST(LEAST(32, n - i * 24) AS BIGINT) AS n_tokens,
+           array_to_string(tk[i * 24 + 1 : i * 24 + 32], ' ') AS chunk_text
+    FROM expanded
+    """,
+)
+def text_chunk_windows(spark, sf_dir):
+    """Token-window chunking (window=32, stride=24 → 8-token overlap), the
+    long-document prep for a fixed-context trainer.  One posexplode per
+    doc, no shuffle; chunk fan-out is exact integer arithmetic so the
+    oracle reproduces every boundary."""
+    return X.chunk_tokens(
+        T(spark, sf_dir, "documents"), "doc_id", "text", window=32, stride=24
+    )
