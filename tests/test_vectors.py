@@ -68,3 +68,22 @@ def test_kmeans_update_is_deterministic_across_layouts(spark):
         )
     )
     assert a == b
+
+
+def test_kmeans_train_is_deterministic_across_layouts(spark):
+    import random
+
+    random.seed(7)
+    data = [
+        (i, [round(random.uniform(-1, 1), 3) for _ in range(8)]) for i in range(60)
+    ]
+    a = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    b = a.repartition(13, "vec_id")
+    out_a = sorted(
+        map(tuple, V.kmeans_train(a, "vec_id", "embedding", a.filter("vec_id < 4"), 3).collect())
+    )
+    out_b = sorted(
+        map(tuple, V.kmeans_train(b, "vec_id", "embedding", b.filter("vec_id < 4"), 3).collect())
+    )
+    assert out_a == out_b
+    assert sum(r[3] for r in out_a if r[1] == 0) == 60  # every vector assigned

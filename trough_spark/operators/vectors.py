@@ -165,3 +165,86 @@ def kmeans_update_step(
             "n_members",
         )
     )
+
+
+def centroids_from_flat(flat: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Re-assemble flat (cid, pos, val) rows into centroid vectors — sort by
+    pos inside an array_sort'ed struct list, so assembly is deterministic
+    regardless of aggregation order."""
+    return (
+        flat.groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "val"))).alias("_pv"))
+        .select(
+            F.col("cid").alias(id_col),
+            F.transform(F.col("_pv"), lambda s: s["val"]).alias(vec_col),
+        )
+    )
+
+
+def kmeans_train(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    n_iters: int = 2,
+    dim: int | None = None,
+) -> DataFrame:
+    """Full Lloyd training: iterate `kmeans_update_step` ``n_iters`` times
+    from the given seed centroids; returns the final flat (cid, pos, val,
+    n_members) table.  Every iteration is the same one-cross-join +
+    one-groupBy plan; `localCheckpoint(eager)` truncates the lineage each
+    round so the plan doesn't grow with iterations (the standard Spark
+    iterative-algorithm pattern — without it, iteration N replans all N
+    cross joins).  Results are bit-reproducible run-to-run and engine-to-
+    engine because every mean is an exact BIGINT sum on the 1e-6 grid
+    (see module docstring); that is what makes distributed centroid
+    training auditable by a single-node oracle."""
+    if n_iters < 1:
+        raise ValueError("n_iters must be >= 1")
+    cents = centroids.select(F.col(id_col), F.col(vec_col))
+    flat = None
+    for _ in range(n_iters):
+        flat = kmeans_update_step(corpus, id_col, vec_col, cents, dim=dim)
+        flat = flat.localCheckpoint(eager=True)
+        cents = centroids_from_flat(flat, id_col, vec_col)
+    return flat
+
+
+def kmeans_oracle_sql(n_iters: int, k: int, source_cte: str = "v") -> str:
+    """DuckDB CTE chain reproducing ``kmeans_train`` bit-for-bit for a seed
+    of the first ``k`` vec_ids.  Expects a prior CTE ``v(vec_id, e)`` with
+    double-cast embedding lists; ends with ``mean{n_iters}(cid, pos, val,
+    n_members)``."""
+    cos = (
+        "ROUND(list_dot_product(a.e, c.ce) / "
+        "(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.ce, c.ce))), 6)"
+    )
+    parts = [
+        f"cent0 AS (SELECT vec_id AS cid, e AS ce FROM {source_cte} WHERE vec_id < {k})"
+    ]
+    for it in range(1, n_iters + 1):
+        prev = f"cent{it - 1}"
+        parts.append(f"""
+    assign{it} AS (
+      SELECT vec_id, cid, e FROM (
+        SELECT a.vec_id, c.cid, a.e,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                 ORDER BY {cos} DESC, c.cid) AS rn
+        FROM {source_cte} a CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    ),
+    perdim{it} AS (
+      SELECT cid, t.pos - 1 AS pos,
+             CAST(ROUND(e[t.pos] * {QSCALE}, 0) AS BIGINT) AS xq
+      FROM assign{it}, UNNEST(generate_series(1, len(e))) AS t(pos)
+    ),
+    mean{it} AS (
+      SELECT cid, pos,
+             CAST(FLOOR(CAST(SUM(xq) AS DOUBLE) / COUNT(*)) AS BIGINT) / {QSCALE}.0 AS val,
+             COUNT(*) AS n_members
+      FROM perdim{it} GROUP BY cid, pos
+    ),
+    cent{it} AS (
+      SELECT cid, list(val ORDER BY pos) AS ce FROM mean{it} GROUP BY cid
+    )""")
+    return ",\n".join(parts)

@@ -387,3 +387,27 @@ def sim_srp_multiprobe_pairs(spark, sf_dir):
         T(spark, sf_dir, "embeddings"), "vec_id", "embedding",
         threshold=0.2, n_bits=8, dim=64,
     )
+
+
+from trough_spark.operators import vectors as _V  # noqa: E402
+
+
+@query(
+    "sim_kmeans_train",
+    oracle=f"""
+    WITH {_COS_CTE},
+    {_V.kmeans_oracle_sql(2, 8)}
+    SELECT cid, pos, val, n_members FROM mean2
+    """,
+)
+def sim_kmeans_train(spark, sf_dir):
+    """Two full Lloyd iterations from the first-8-vectors seed — the
+    offline IVF centroid-training loop, end to end.  Each iteration is one
+    broadcast cross-join + one integer-grid groupBy; lineage is truncated
+    per round with localCheckpoint so the plan stays constant-size however
+    many iterations run.  Exact integer means make the distributed result
+    reproducible against the single-node oracle."""
+    emb = T(spark, sf_dir, "embeddings")
+    return _V.kmeans_train(
+        emb, "vec_id", "embedding", emb.filter(F.col("vec_id") < 8), n_iters=2, dim=64
+    )
