@@ -62,3 +62,29 @@ def test_keep_canonical(spark):
         3: (1, 3, 0),
         4: (1, 3, 0),
     }
+
+
+def test_star_cc_matches_propagation_on_long_chain(spark):
+    # A 40-node chain is the adversarial case for label propagation
+    # (diameter rounds); star contraction must produce the identical
+    # labeling in O(log n) rounds.
+    from trough_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    nodes = spark.range(50).select(F.col("id"))
+    chain = [(i, i + 1) for i in range(39)]  # 0..39 one component
+    extra = [(45, 47), (47, 49)]  # small component; 40-44,46,48 isolated
+    edges = spark.createDataFrame(chain + extra, "id1 long, id2 long")
+    star = {
+        (r.id, r.comp)
+        for r in connected_components_star(nodes, edges, max_iter=8).collect()
+    }
+    prop = {
+        (r.id, r.comp)
+        for r in connected_components(nodes, edges, max_iter=50).collect()
+    }
+    assert star == prop
+    assert all(c == 0 for i, c in star if i <= 39)
+    assert (49, 45) in star and (44, 44) in star

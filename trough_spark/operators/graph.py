@@ -108,3 +108,84 @@ def keep_canonical(
             .alias("is_canonical"),
         )
     )
+
+
+def connected_components_star(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src: str = "id1",
+    dst: str = "id2",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, comp) via alternating large-star/small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014).  Same
+    contract as `connected_components`, different convergence: label
+    propagation needs diameter rounds, star contraction needs
+    O(log diameter) — the right variant when dup chains are long (page
+    series, boilerplate families) rather than clique-like.
+
+    Each phase is one groupBy-min + one equi-join on the edge list, which
+    SHRINKS monotonically toward the star forest (propagation's edge list
+    never shrinks), so later rounds get cheaper at 100 TB.  Fixpoint is
+    detected exactly (same count + empty anti-join), not by checksum."""
+    e = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+        )
+        .where(F.col("hi") != F.col("lo"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = nodes.select(F.col(id_col).alias("id"))
+    touched = all_nodes.join(
+        e.select(F.col("hi").alias("id"))
+        .unionByName(e.select(F.col("lo").alias("id")))
+        .distinct(),
+        "id",
+        "left_semi",
+    ).localCheckpoint(eager=True)
+    isolated = all_nodes.join(touched, "id", "left_anti").select(
+        "id", F.col("id").alias("comp")
+    )
+    for _ in range(max_iter):
+        # large-star: every neighbor v > u links to min(N(u) ∪ {u})
+        bidir = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(
+            e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        mins = bidir.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            bidir.where(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .where(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+        # small-star: smaller neighbors (and u itself) link to the min
+        smins = large.groupBy("hi").agg(F.min("lo").alias("m"))
+        small = (
+            large.join(smins, "hi")
+            .select(F.col("lo").alias("v"), F.col("m"))
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .unionByName(smins.select(F.col("hi"), F.col("m").alias("lo")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        same = (
+            small.count() == e.count()
+            and small.join(e, ["hi", "lo"], "left_anti").isEmpty()
+        )
+        e = small
+        if same:
+            break
+    comp = e.groupBy("hi").agg(F.min("lo").alias("comp")).select(
+        F.col("hi").alias("id"), "comp"
+    )
+    roots = touched.join(comp, "id", "left_anti").select(
+        "id", F.col("id").alias("comp")
+    )
+    return comp.unionByName(roots).unionByName(isolated)

@@ -288,3 +288,39 @@ def dedup_incremental(spark, sf_dir):
         "doc_id",
         "text",
     )
+
+
+@query(
+    "dedup_cc_star",
+    oracle=f"""
+    WITH RECURSIVE {_LSH_PAIRS_CTE},
+    edges AS (
+      SELECT id1 AS a, id2 AS b FROM pairs
+      UNION ALL
+      SELECT id2 AS a, id1 AS b FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.id = e.b
+    ),
+    comp AS (SELECT id AS doc_id, MIN(lbl) AS canonical_id FROM reach GROUP BY id),
+    sizes AS (SELECT canonical_id, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
+    SELECT c.doc_id, c.canonical_id, s.cluster_size,
+           CASE WHEN c.doc_id = c.canonical_id THEN 1 ELSE 0 END AS is_canonical
+    FROM comp c JOIN sizes s USING (canonical_id)
+    """,
+)
+def dedup_cc_star(spark, sf_dir):
+    """Same dup-cluster closure as dedup_connected_components, computed by
+    alternating large-star/small-star contraction instead of label
+    propagation — O(log diameter) rounds on a monotonically shrinking edge
+    list, the variant that wins when dup chains run long.  Both algorithms
+    must (and do) agree with the recursive-CTE oracle."""
+    from trough_spark.operators import graph as G
+
+    docs = T(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, "doc_id", "text", num_perm=8, n=3)
+    pairs = D.minhash_lsh_candidates(sigs, rows_per_band=2)
+    comp = G.connected_components_star(docs.select("doc_id"), pairs, id_col="doc_id")
+    return G.keep_canonical(docs.select("doc_id"), comp, id_col="doc_id")
