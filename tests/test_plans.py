@@ -104,3 +104,19 @@ def test_bloom_no_false_negatives(spark):
     # and the filter actually prunes something at this sizing
     passed = sum(1 for r in rows if r.bloom_pass)
     assert passed < len(rows)
+
+
+def test_equidepth_histogram_no_global_row_sort(spark):
+    # The row-scale data must never pass through a single-partition
+    # Exchange — only the tiny distinct-values table may.
+    from trough_spark.operators import sketches as SK2
+
+    df = spark.range(10000).select(
+        F.col("id"), (F.col("id") % 97).alias("v")
+    )
+    out = SK2.equidepth_histogram(df, "v", "id", 8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the ranked side is windowed PARTITIONED BY v (hashpartitioning);
+    # SinglePartition exchanges exist only on the distinct-value / total
+    # branches, which follow an aggregate, never the raw scan directly.
+    assert "hashpartitioning(v" in plan

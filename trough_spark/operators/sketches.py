@@ -259,3 +259,82 @@ def cms_oracle_sql(
     FROM key_probes kp JOIN sketch s ON s.row = kp.row AND s.bucket = kp.bucket
     GROUP BY kp.k
     """
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram without a global sort
+# ---------------------------------------------------------------------------
+def equidepth_histogram(
+    df: DataFrame, val_col: str, id_col: str, n_buckets: int = 10
+) -> DataFrame:
+    """Exact equi-depth histogram: every row gets a global rank under the
+    total order (value, id), bucket = (rank-1)*n_buckets DIV total, then
+    per-bucket (n_rows, lo, hi, sum_val).
+
+    The naive form is ntile() over a GLOBAL window — a single-reducer sort
+    that dies at 100 TB.  This one decomposes the rank: (# rows with a
+    strictly smaller value) comes from a cumulative table over DISTINCT
+    values (tiny — windowed on one partition but O(distinct), not O(rows),
+    then broadcast), and the within-value position from a window
+    PARTITIONED BY value (parallel).  Two narrow shuffles, both O(rows)
+    hash-partitioned; nothing global touches row-scale data.  All
+    arithmetic is integer, so the single-node oracle reproduces every
+    bucket boundary exactly."""
+    from pyspark.sql import Window
+
+    rows = df.select(F.col(val_col).alias("v"), F.col(id_col).alias("id")).where(
+        F.col("v").isNotNull()
+    )
+    counts = rows.groupBy("v").agg(F.count(F.lit(1)).alias("_c"))
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = counts.select(
+        "v", F.coalesce(F.sum("_c").over(wv), F.lit(0)).alias("_n_less")
+    )
+    total = counts.agg(F.sum("_c").alias("_total"))
+    win = Window.partitionBy("v").orderBy("id")
+    ranked = (
+        rows.withColumn("_rn", F.row_number().over(win))
+        .join(F.broadcast(cum), "v")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "v",
+            "id",
+            (F.col("_n_less") + F.col("_rn") - 1).alias("_rank0"),
+            "_total",
+        )
+    )
+    bucketed = ranked.select(
+        "v",
+        F.expr(f"CAST((_rank0 * {n_buckets}) DIV _total AS INT)").alias("bucket"),
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.sum(F.col("v").cast("bigint")).alias("sum_val"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def equidepth_oracle_sql(
+    source_sql: str, val: str, id_: str, n_buckets: int = 10
+) -> str:
+    """DuckDB equivalent — the oracle may use the lazy global window (it is
+    single-node anyway); the bucket formula matches bit-for-bit."""
+    return f"""
+    ranked AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY v, id) - 1 AS rank0,
+             COUNT(*) OVER () AS total
+      FROM (SELECT {val} AS v, {id_} AS id FROM ({source_sql}) WHERE {val} IS NOT NULL)
+    ),
+    hist AS (
+      SELECT CAST((rank0 * {n_buckets}) // total AS INT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             MIN(v) AS lo, MAX(v) AS hi,
+             CAST(SUM(CAST(v AS BIGINT)) AS BIGINT) AS sum_val
+      FROM ranked GROUP BY 1
+    )
+    """

@@ -109,3 +109,21 @@ def sketch_hll_hourly_users(spark, sf_dir):
         F.date_trunc("hour", F.col("ts")).alias("window_start"), "user_id"
     )
     return SK.hll_estimate(ev, "user_id", group_by="window_start")
+
+
+@query(
+    "sketch_equidepth_histogram",
+    oracle=f"""
+    WITH {SK.equidepth_oracle_sql("SELECT n_chars, doc_id FROM documents", "n_chars", "doc_id", 10)}
+    SELECT bucket, n_rows, lo, hi, sum_val FROM hist ORDER BY bucket
+    """,
+)
+def sketch_equidepth_histogram(spark, sf_dir):
+    """Exact 10-bucket equi-depth histogram of document lengths — the
+    distribution profile a curation pipeline computes before choosing
+    length cutoffs.  No global sort: global rank decomposes into a
+    broadcast cumulative table over DISTINCT lengths plus a window
+    partitioned by length, so everything row-scale stays hash-partitioned
+    (see operators/sketches.equidepth_histogram)."""
+    docs = T(spark, sf_dir, "documents")
+    return SK.equidepth_histogram(docs, "n_chars", "doc_id", n_buckets=10)
