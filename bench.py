@@ -62,6 +62,13 @@ EXTRA = [
     "text_unigram_logprob",
     "stream_stream_join",
     "sim_kmeans_update",
+    "bloom_semijoin_prune",
+    "text_pii_scrub",
+    "text_chunk_windows",
+    "sim_kmeans_train",
+    "dedup_cc_star",
+    "sketch_equidepth_histogram",
+    "skew_salted_join",
 ]
 
 

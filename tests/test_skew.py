@@ -60,3 +60,37 @@ def test_salted_agg_correct_under_skew(spark):
         .collect()
     }
     assert got == exp
+
+
+def test_salted_join_matches_plain_and_spreads_key(spark):
+    from trough_spark.operators.skew import salted_join
+
+    big = spark.range(20000).select(
+        (F.when(F.col("id") % 10 < 9, 1).otherwise(F.col("id") % 50)).alias("k"),
+        F.col("id").alias("payload"),
+    )  # 90% of rows share k=1
+    small = spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(50)], "k long, name string"
+    )
+    plain = big.join(small, "k").groupBy("k").count()
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        salted = salted_join(big, small, "k", n_salts=8)
+        plan = salted._jdf.queryExecution().executedPlan().toString()
+        assert "_salt" in plan  # join key actually includes the salt
+        got = {(r.k, r["count"]) for r in salted.groupBy("k").count().collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert got == {(r.k, r["count"]) for r in plain.collect()}
+
+
+def test_salted_join_left_keeps_unmatched_once(spark):
+    from trough_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, "a"), (2, "b"), (9, "c")], "k long, v string")
+    small = spark.createDataFrame([(1, "x")], "k long, w string")
+    rows = sorted(
+        (r.k, r.v, r.w) for r in salted_join(big, small, "k", 4, how="left").collect()
+    )
+    assert rows == [(1, "a", "x"), (2, "b", None), (9, "c", None)]

@@ -50,3 +50,36 @@ def salted_agg(
     return partial.groupBy(*key_cols).agg(
         *[final(F.col(f"_p_{name}")).alias(name) for name, (_, final) in aggs.items()]
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: the big side gets a deterministic salt,
+    the small side is replicated ``n_salts``x, and the join key becomes
+    (key, salt) — a hot key's rows land on ``n_salts`` reducers instead of
+    one.  The result set is IDENTICAL to the plain join (every big row
+    still meets every matching small row exactly once, in the one salt
+    partition it picked).
+
+    This is the manual fix for the case AQE skew-splitting can't touch:
+    the 'small' side is too large to broadcast but small enough that an
+    n_salts-fold replication is cheap relative to one straggler reducer.
+    The salt comes from monotonically_increasing_id — deterministic within
+    a plan, no random() (keeps the plan reproducible and re-runnable).
+    Only inner/left joins are safe (a right/full join would see the small
+    side's unmatched rows n_salts times)."""
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left only")
+    b = with_salt(big, n_salts)
+    s = small.crossJoin(
+        F.broadcast(
+            small.sparkSession.range(n_salts).select(F.col("id").cast("int").alias("_salt"))
+        )
+    )
+    out = b.join(s, [key, "_salt"], how)
+    return out.drop("_salt")

@@ -124,3 +124,33 @@ def skew_salted_aggregation(spark, sf_dir):
         },
         n_salts=16,
     )
+
+
+@query(
+    "skew_salted_join",
+    oracle="""
+    SELECT s.s_nationkey,
+           CAST(CAST(SUM(l.l_quantity) AS DOUBLE) AS BIGINT) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey
+    """,
+)
+def skew_salted_join(spark, sf_dir):
+    """Salted fact⋈dim join: lineitem salted 8 ways, supplier replicated
+    8x, joined on (suppkey, salt) — a hot supplier's rows spread over 8
+    reducers instead of one.  The oracle is the PLAIN join (salting must
+    not change the result set).  This is the manual skew tool for the gap
+    AQE can't cover: a probe side too big to broadcast under a skewed
+    build key (see operators/skew.salted_join)."""
+    from trough_spark.operators import skew as K
+
+    li = T(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
+    sup = T(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    joined = K.salted_join(li, sup, "l_suppkey", n_salts=8)
+    return joined.groupBy("s_nationkey").agg(
+        F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
