@@ -69,6 +69,7 @@ EXTRA = [
     "dedup_cc_star",
     "sketch_equidepth_histogram",
     "skew_salted_join",
+    "dedup_span_coverage",
 ]
 
 

@@ -34,9 +34,13 @@ def tokens(text: Column) -> Column:
     return F.split(F.trim(F.lower(text)), r"\s+")
 
 
+# NB: guard short docs explicitly — Spark's sequence(1, stop) runs DESCENDING
+# when stop < 1 (sequence(1, 0) = [1, 0]), so greatest(.., 0) alone would feed
+# slice a start of 0 and blow up on any doc shorter than n tokens.
 _SHINGLE_EXPR = (
-    "transform(sequence(1, greatest(size(toks) - {nm1}, 0)), "
-    "i -> concat_ws(' ', slice(toks, i, {n})))"
+    "if(size(toks) < {n}, array(), "
+    "transform(sequence(1, size(toks) - {nm1}), "
+    "i -> concat_ws(' ', slice(toks, i, {n}))))"
 )
 
 
@@ -366,4 +370,63 @@ def incremental_lsh_candidates(
         nb.join(cb, ["band", "band_hash"])
         .select("new_id", "corpus_id")
         .distinct()
+    )
+
+
+# Same short-doc guard as _SHINGLE_EXPR (sequence(1, 0) is [1, 0] in Spark).
+_HASHED_SPAN_EXPR = (
+    "if(size(toks) < {n}, array(), "
+    "transform(sequence(1, size(toks) - {nm1}), "
+    "i -> cast(conv(substr(md5(concat_ws(' ', slice(toks, i, {n}))), 1, 15), 16, 10) as bigint)))"
+)
+
+
+def duplicated_span_coverage(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8, min_doc_freq: int = 2
+) -> DataFrame:
+    """Per-document duplicated-span coverage: for every document, the count
+    and ppm share of token n-gram positions whose n-gram also appears in at
+    least ``min_doc_freq`` distinct documents.  This is the shingle-granular
+    approximation of exact-substring training-data dedup (Lee et al., 2022):
+    docs with high ``dup_ppm`` are boilerplate-heavy or near-copies and get
+    dropped/trimmed by the curation pipeline.
+
+    Returns (id, n_spans, dup_spans, dup_ppm), one row per doc with >= 1 span.
+
+    Scale: spans are hashed map-side inside a single ``transform`` (the
+    shuffle carries (id, int64) pairs, never span text); span doc-frequency
+    is one hash aggregate; the hot-span set is joined back as a left-semi
+    equi-join on the 8-byte hash.  No cross join, no driver collect, and the
+    per-doc rollup partial-aggregates on id before the final shuffle.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    )
+    pos = base.select(
+        "id", F.explode(F.expr(_HASHED_SPAN_EXPR.format(n=n, nm1=n - 1))).alias("h")
+    )
+    totals = base.select(
+        "id",
+        F.greatest(F.size("toks") - (n - 1), F.lit(0)).cast("bigint").alias("n_spans"),
+    ).filter(F.col("n_spans") > 0)
+    hot = (
+        pos.groupBy("h")
+        .agg(F.count_distinct("id").alias("df_"))
+        .filter(F.col("df_") >= min_doc_freq)
+        .select("h")
+    )
+    dup = (
+        pos.join(hot, "h", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("dup_spans"))
+    )
+    return totals.join(dup, "id", "left").select(
+        "id",
+        "n_spans",
+        F.coalesce(F.col("dup_spans"), F.lit(0)).cast("bigint").alias("dup_spans"),
+        F.round(
+            F.coalesce(F.col("dup_spans"), F.lit(0)) * F.lit(1000000.0) / F.col("n_spans")
+        )
+        .cast("bigint")
+        .alias("dup_ppm"),
     )

@@ -324,3 +324,41 @@ def dedup_cc_star(spark, sf_dir):
     pairs = D.minhash_lsh_candidates(sigs, rows_per_band=2)
     comp = G.connected_components_star(docs.select("doc_id"), pairs, id_col="doc_id")
     return G.keep_canonical(docs.select("doc_id"), comp, id_col="doc_id")
+
+
+@query(
+    "dedup_span_coverage",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ),
+    pos AS (
+      SELECT id,
+             CAST(('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 15)) AS BIGINT) AS h
+      FROM toks, UNNEST(generate_series(1, greatest(len(toks) - 7, 0))) AS s(i)
+    ),
+    hot AS (SELECT h FROM pos GROUP BY h HAVING COUNT(DISTINCT id) >= 2),
+    dup AS (
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS dup_spans
+      FROM pos JOIN hot USING (h) GROUP BY id
+    ),
+    tot AS (
+      SELECT id, CAST(greatest(len(toks) - 7, 0) AS BIGINT) AS n_spans
+      FROM toks WHERE len(toks) > 7
+    )
+    SELECT t.id, t.n_spans,
+           COALESCE(d.dup_spans, CAST(0 AS BIGINT)) AS dup_spans,
+           CAST(ROUND(COALESCE(d.dup_spans, 0) * 1000000.0 / t.n_spans) AS BIGINT) AS dup_ppm
+    FROM tot t LEFT JOIN dup d USING (id)
+    """,
+)
+def dedup_span_coverage(spark, sf_dir):
+    """Duplicated-span coverage per document (shingle-granular exact-substring
+    dedup signal, Lee et al. 2022).  8-token spans are hashed map-side; a span
+    is 'duplicated' if it occurs in >= 2 distinct docs.  dup_ppm is the
+    integer ppm of a doc's span positions that are duplicated — round-then-
+    cast keeps the float bit-identical across engines."""
+    return D.duplicated_span_coverage(
+        T(spark, sf_dir, "documents"), "doc_id", "text", n=8, min_doc_freq=2
+    )
