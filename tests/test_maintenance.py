@@ -82,3 +82,40 @@ def test_duplicate_snapshot_tag_rejected(store):
 def test_restore_unknown_version_raises(store):
     with pytest.raises(KeyError):
         store.restore("seg", "nope")
+
+
+def test_time_travel_read_sees_snapshot_state(store):
+    v1 = store.snapshot("seg")
+    store.write("seg", "DELETE FROM t WHERE id >= 2; INSERT INTO t VALUES (99, 'later');")
+    # live read sees the edit; as_of read sees the snapshot; live is untouched
+    assert {r["id"] for r in store.read("seg", "SELECT id FROM t;")} == {0, 1, 99}
+    old = store.read("seg", "SELECT id, v FROM t ORDER BY id;", as_of=v1)
+    assert [r["id"] for r in old] == [0, 1, 2, 3, 4]
+    assert {r["id"] for r in store.read("seg", "SELECT id FROM t;")} == {0, 1, 99}
+
+
+def test_time_travel_sees_dropped_table_and_old_catalog(store):
+    store.write("seg", "CREATE TABLE extra (k INTEGER); INSERT INTO extra VALUES (7);")
+    v = store.snapshot("seg", tag="with-extra")
+    store.write("seg", "DROP TABLE extra;")
+    with pytest.raises(Exception):
+        store.read("seg", "SELECT k FROM extra;")
+    assert [r["k"] for r in store.read("seg", "SELECT k FROM extra;", as_of=v)] == [7]
+    names = {
+        r["name"]
+        for r in store.read(
+            "seg", "SELECT name FROM sqlite_master WHERE type = 'table';", as_of=v
+        )
+    }
+    assert "extra" in names
+    # live catalog no longer lists it
+    names_live = {
+        r["name"]
+        for r in store.read("seg", "SELECT name FROM sqlite_master WHERE type = 'table';")
+    }
+    assert "extra" not in names_live
+
+
+def test_time_travel_unknown_version_raises(store):
+    with pytest.raises(KeyError):
+        store.read("seg", "SELECT id FROM t;", as_of="nope")

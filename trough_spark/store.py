@@ -445,7 +445,9 @@ class SegmentStore:
         return f"{self._table_path(table)}/segment_id={segment_id}"
 
     def _table_schema(self, segment_id: str, table: str) -> TableSchema:
-        info = self._segment_info(segment_id)
+        return self._table_schema_from_info(self._segment_info(segment_id), table, segment_id)
+
+    def _table_schema_from_info(self, info: dict, table: str, label: str) -> TableSchema:
         # per-segment overrides (write-path DDL, ALTER) take precedence over
         # the shared registered schema
         extra = info.get("extra_tables", {})
@@ -454,7 +456,7 @@ class SegmentStore:
         schema = self.schema(info["schema"])
         if table in schema.tables:
             return schema.tables[table]
-        raise KeyError(f"no table {table!r} in segment {segment_id!r}")
+        raise KeyError(f"no table {table!r} in segment {label!r}")
 
     def _segment_tables(self, segment_id: str) -> list[str]:
         info = self._segment_info(segment_id)
@@ -1146,37 +1148,64 @@ class SegmentStore:
             return self.spark.createDataFrame([], ts.struct())
         return self.spark.read.schema(ts.struct()).parquet(path)
 
-    def read_df(self, segment_id: str, sql: str) -> DataFrame:
+    def read_df(self, segment_id: str, sql: str, as_of: str | None = None) -> DataFrame:
         """One SELECT against one segment → DataFrame.  The table views are
-        partition-pruned scans of exactly one directory."""
+        partition-pruned scans of exactly one directory.
+
+        ``as_of`` names a snapshot version (see ``snapshot``): the query then
+        runs against the snapshot's data files, table set, views, and schema
+        AS OF that point — Delta/Iceberg-style time travel without touching
+        the live segment.  Snapshot files are immutable, so a time-travel
+        reader never races a concurrent writer.  (Named schemas resolve
+        against the current registry; per-segment DDL state is versioned.)"""
         stmt = dialect.assert_single_select(sql)
-        info = self._segment_info(segment_id)
-        current = set(self._segment_tables(segment_id)) | set(info.get("views", {}))
+        if as_of is None:
+            info = self._segment_info(segment_id)
+            tables = self._segment_tables(segment_id)
+
+            def read_tbl(t: str) -> DataFrame:
+                return self._read_partition(segment_id, t)
+
+        else:
+            dest, manifest = self._snapshot_manifest(segment_id, as_of)
+            info = manifest["segment"]
+            tables = sorted(set(info.get("tables", [])) | set(info.get("extra_tables", {})))
+
+            def read_tbl(t: str) -> DataFrame:
+                ts = self._table_schema_from_info(info, t, segment_id)
+                path = f"{dest}/data/{t}"
+                if not os.path.isdir(path):
+                    return self.spark.createDataFrame([], ts.struct())
+                return self.spark.read.schema(ts.struct()).parquet(path)
+
+        current = set(tables) | set(info.get("views", {}))
         for stale in self._registered_names - current:
             self.spark.catalog.dropTempView(stale)
         self._registered_names -= self._registered_names - current
-        for table in self._segment_tables(segment_id):
-            self._read_partition(segment_id, table).createOrReplaceTempView(table)
+        for table in tables:
+            read_tbl(table).createOrReplaceTempView(table)
             self._registered_names.add(table)
         for vname, vsql in info.get("views", {}).items():
             self.spark.sql(dialect.sqlite_to_spark(vsql)).createOrReplaceTempView(vname)
             self._registered_names.add(vname)
-        self._register_sqlite_master(segment_id)
+        self._register_sqlite_master(
+            info, tables, lambda t: self._table_schema_from_info(info, t, segment_id)
+        )
         rec = _parse_recursive_cte(stmt)
         if rec is not None:
             return self._execute_recursive(rec)
         return self.spark.sql(dialect.sqlite_to_spark(stmt))
 
-    def _register_sqlite_master(self, segment_id: str) -> None:
+    def _register_sqlite_master(self, info: dict, tables: list[str], schema_of) -> None:
         """Synthetic ``sqlite_master`` per segment: the reference's shell
         rewrites SHOW TABLES to sqlite_master queries
         (shell/__init__.py:149-155) and applications query it directly, so
         the catalog is exposed with the same shape (type, name, tbl_name,
-        rootpage, sql)."""
-        info = self._segment_info(segment_id)
+        rootpage, sql).  Takes the segment info dict + table list directly
+        so time-travel reads can surface the catalog as of a snapshot."""
         rows = []
-        for table in self._segment_tables(segment_id):
-            ts = self._table_schema(segment_id, table)
+        for table in tables:
+            ts = schema_of(table)
             cols = ", ".join(f"{n} {_sqlite_decl(t)}" for n, t in ts.fields)
             rows.append(
                 Row(
@@ -1233,11 +1262,15 @@ class SegmentStore:
         self._registered_names.add(rec.name)  # swept by the next read_df
         return self.spark.sql(dialect.sqlite_to_spark(rec.outer_sql))
 
-    def read(self, segment_id: str, sql: str, values=()) -> list[dict]:
+    def read(self, segment_id: str, sql: str, values=(), as_of: str | None = None) -> list[dict]:
         """A2: rows as a JSON-ready list of {column: value} dicts
-        (reference read.py:33-52) with A10/A11 parameter binding."""
+        (reference read.py:33-52) with A10/A11 parameter binding.
+        ``as_of`` routes the read to a named snapshot (time travel)."""
         bound = dialect.interpolate(sql, values)
-        return [r.asDict(recursive=True) for r in self.read_df(segment_id, bound).collect()]
+        return [
+            r.asDict(recursive=True)
+            for r in self.read_df(segment_id, bound, as_of=as_of).collect()
+        ]
 
     def table_df(self, table: str, reference_segment: str | None = None) -> DataFrame:
         """The bulk-analytics surface: the WHOLE partitioned table as one
@@ -1420,6 +1453,13 @@ class SegmentStore:
                 json.dump(manifest, f)
         return version
 
+    def _snapshot_manifest(self, segment_id: str, version: str) -> tuple[str, dict]:
+        dest = f"{self._snapshot_root(segment_id)}/{version}"
+        if not os.path.isfile(f"{dest}/manifest.json"):
+            raise KeyError(f"no snapshot {version!r} for segment {segment_id!r}")
+        with open(f"{dest}/manifest.json") as f:
+            return dest, json.load(f)
+
     def list_snapshots(self, segment_id: str) -> list[str]:
         root = self._snapshot_root(segment_id)
         if not os.path.isdir(root):
@@ -1434,11 +1474,7 @@ class SegmentStore:
         metadata swap in atomically per table (staged rename, same protocol
         as partition rewrites); autoincrement high-water marks reset so the
         next id continues from the restored data."""
-        dest = f"{self._snapshot_root(segment_id)}/{version}"
-        if not os.path.isfile(f"{dest}/manifest.json"):
-            raise KeyError(f"no snapshot {version!r} for segment {segment_id!r}")
-        with open(f"{dest}/manifest.json") as f:
-            manifest = json.load(f)
+        dest, manifest = self._snapshot_manifest(segment_id, version)
         with self._file_lock(f"segment-{segment_id}"):
             current = set(self._segment_tables(segment_id))
             for t in current | set(manifest["tables"]):
