@@ -70,6 +70,7 @@ EXTRA = [
     "sketch_equidepth_histogram",
     "skew_salted_join",
     "dedup_span_coverage",
+    "text_bm25_search",
 ]
 
 

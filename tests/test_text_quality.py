@@ -62,3 +62,25 @@ def test_unigram_logprob_rare_tokens_score_lower(spark):
     )
     out = {r["id"]: r["mean_logprob"] for r in X.unigram_logprob(df, "doc_id", "text").collect()}
     assert out[2] < out[1]
+
+
+def test_bm25_ranks_rare_term_density_higher(spark):
+    from trough_spark.operators.text import bm25_topk
+
+    filler = " ".join(["common"] * 20)
+    docs = spark.createDataFrame(
+        [
+            (1, "needle needle needle " + filler),
+            (2, "needle " + filler),
+            (3, filler),
+            (4, "needle " + filler + " " + filler),  # same tf as 2, longer doc
+        ],
+        "doc_id long, text string",
+    )
+    got = bm25_topk(docs, "doc_id", "text", ["needle"], k=10).collect()
+    ids = [r.id for r in got]
+    assert ids[0] == 1  # highest tf wins
+    assert set(ids) == {1, 2, 4}  # doc 3 has no query term
+    scores = {r.id: r.score_micro for r in got}
+    assert scores[2] > scores[4]  # equal tf: length normalization penalizes 4
+    assert all(r.n_terms_hit == 1 for r in got)

@@ -438,3 +438,65 @@ def chunk_tokens(df, id_col: str, text_col: str, window: int = 32, stride: int =
         n_tok.cast("bigint").alias("n_tokens"),
         "chunk_text",
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+) -> DataFrame:
+    """BM25 keyword search: top-``k`` documents for a bag of query ``terms``
+    (Robertson/Sparck Jones weighting, Lucene-style idf).
+
+    Returns (id, n_terms_hit, score_micro) — the score is quantized to
+    integer micro-units PER TERM before summing, so the aggregate is an
+    integer sum (order-proof and bit-identical across engines); ties at the
+    cutoff break by id.
+
+    Scale: the corpus is scanned once; tokens are filtered to the query
+    vocabulary map-side, so the shuffled tf table is O(docs × |terms|), not
+    O(tokens).  Document-frequency and the (N, avgdl) scalars are one-row /
+    |terms|-row broadcasts; the final top-k is a TakeOrderedAndProject, not
+    a global sort.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("toks"),
+    )
+    lens = base.select("id", F.size("toks").alias("dl"))
+    tf = (
+        base.select("id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(list(terms)))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df_") + F.lit(0.5)) / (F.col("df_") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tfn = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
+    )
+    contrib = F.round(idf * tfn * F.lit(1000000.0)).cast("bigint")
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(lens, "id")
+        .crossJoin(F.broadcast(stats))
+        .select("id", contrib.alias("c"))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+            F.sum("c").alias("score_micro"),
+        )
+    )
+    return scored.orderBy(F.col("score_micro").desc(), "id").limit(k)

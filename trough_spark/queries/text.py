@@ -455,3 +455,64 @@ def text_chunk_windows(spark, sf_dir):
     return X.chunk_tokens(
         T(spark, sf_dir, "documents"), "doc_id", "text", window=32, stride=24
     )
+
+
+_BM25_TERMS = ["spark", "hash", "window", "merge"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+# SQL literals interpolated via repr() of the exact Python doubles Spark uses
+# (F.lit(k1 + 1.0) etc.) so both engines parse bit-identical constants; the
+# e0 suffix forces DuckDB to read them as DOUBLE, not DECIMAL.
+_BM25_SQL = f"""
+    WITH base AS (
+      SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    lens AS (SELECT id, CAST(len(toks) AS INT) AS dl FROM base),
+    tf AS (
+      SELECT id, t.term, COUNT(*) AS tf
+      FROM base, UNNEST(toks) AS t(term)
+      WHERE t.term IN ({", ".join("'" + t + "'" for t in _BM25_TERMS)})
+      GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df_ FROM tf GROUP BY 1),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl
+      FROM lens
+    ),
+    contrib AS (
+      SELECT tf.id,
+             CAST(ROUND(
+               ln((n_docs - df_ + 5e-1) / (df_ + 5e-1) + 1e0)
+               * ((tf * {_BM25_K1 + 1.0!r}e0) /
+                  (tf + {_BM25_K1!r}e0 *
+                   ({1.0 - _BM25_B!r}e0 + {_BM25_B!r}e0 * dl
+                    / (CAST(sum_dl AS DOUBLE) / n_docs))))
+               * 1e6) AS BIGINT) AS c
+      FROM tf
+      JOIN dfreq USING (term)
+      JOIN lens ON lens.id = tf.id
+      CROSS JOIN stats
+    )
+    SELECT id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+           CAST(SUM(c) AS BIGINT) AS score_micro
+    FROM contrib GROUP BY id
+    ORDER BY score_micro DESC, id LIMIT 20
+"""
+
+
+@query("text_bm25_search", oracle=_BM25_SQL)
+def text_bm25_search(spark, sf_dir):
+    """BM25 keyword retrieval over documents (top-20 for a 4-term query).
+    Per-term score contributions are quantized to integer micro-units before
+    the per-doc sum, so ranking is an integer order in both engines; ties at
+    the cutoff break by doc id (see operators/text.bm25_topk)."""
+    return X.bm25_topk(
+        T(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        _BM25_TERMS,
+        k1=_BM25_K1,
+        b=_BM25_B,
+        k=20,
+    )
