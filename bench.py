@@ -71,6 +71,7 @@ EXTRA = [
     "skew_salted_join",
     "dedup_span_coverage",
     "text_bm25_search",
+    "sample_mix_rebalance",
 ]
 
 

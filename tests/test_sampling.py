@@ -80,3 +80,24 @@ def test_pack_sequences_partitions_independent(spark):
     for r in out:
         expect = (0, 0) if r["doc_id"] == 1 else (0, 50)
         assert (r["bin_id"], r["bin_offset"]) == expect
+
+
+def test_mix_rebalance_respects_budget_and_determinism(spark):
+    from trough_spark.operators.sampling import mix_rebalance
+
+    rows = [(i, "a" if i < 800 else ("b" if i < 900 else "c")) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # target 50/25/25 but 'c' has only 100 rows -> budget = 100/0.25 = 400
+    weights = {"a": 0.5, "b": 0.25, "c": 0.25}
+    kept = mix_rebalance(df, "doc_id", "source", weights)
+    rates = {r.source: r.rate_ppm for r in kept.select("source", "rate_ppm").distinct().collect()}
+    assert rates["c"] == 1000000  # scarcest stratum fully kept
+    assert rates["a"] == 250000  # 400 * 0.5 / 800
+    assert rates["b"] == 1000000  # 400 * 0.25 / 100 capped at 1
+    # deterministic: same keep-set on rerun
+    ids1 = {r.doc_id for r in kept.collect()}
+    ids2 = {r.doc_id for r in mix_rebalance(df, "doc_id", "source", weights).collect()}
+    assert ids1 == ids2
+    # dropped-stratum rows vanish
+    kept_partial = mix_rebalance(df, "doc_id", "source", {"a": 0.7, "b": 0.3})
+    assert kept_partial.where(F.col("source") == "c").count() == 0

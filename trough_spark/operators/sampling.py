@@ -143,3 +143,48 @@ def pack_sequences(
         F.floor(prev / budget).cast("bigint").alias("bin_id"),
         (prev - F.floor(prev / budget) * budget).cast("bigint").alias("bin_offset"),
     )
+
+
+def mix_rebalance(
+    df: DataFrame,
+    key,
+    strata_col: str,
+    target_weights: dict[str, float],
+    salt: str = "mix",
+) -> DataFrame:
+    """Corpus mixture rebalancing (DoReMi-style static mixing): downsample
+    each stratum so the output approaches ``target_weights`` proportions,
+    keeping as many rows as the scarcest stratum allows.
+
+    The budget is ``min_s(n_s / w_s)`` — the largest output size at which no
+    stratum is oversubscribed; each stratum then keeps ``budget * w_s``
+    rows in expectation via a deterministic per-key hash filter.  Rows whose
+    stratum has no target weight are dropped.
+
+    Everything is in-plan: the per-stratum counts are one tiny aggregate,
+    the (weights, rates) tables are broadcast, and the keep decision is a
+    pure map over the fact rows — no driver collect, stable under any
+    repartitioning.  Returns the kept rows plus ``rate_ppm`` (the stratum's
+    acceptance rate in parts-per-million)."""
+    k = F.col(key) if isinstance(key, str) else key
+    spark = df.sparkSession
+    w = spark.createDataFrame(
+        [(s, float(v)) for s, v in sorted(target_weights.items())],
+        f"{strata_col} string, w double",
+    )
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_avail"))
+    cw = counts.join(F.broadcast(w), strata_col)
+    budget = cw.agg(F.min(F.col("n_avail") / F.col("w")).alias("budget"))
+    rates = cw.crossJoin(F.broadcast(budget)).select(
+        strata_col,
+        "n_avail",
+        F.least(
+            F.lit(1000000).cast("bigint"),
+            F.round(
+                F.col("budget") * F.col("w") / F.col("n_avail") * F.lit(1000000.0)
+            ).cast("bigint"),
+        ).alias("rate_ppm"),
+    )
+    return df.join(F.broadcast(rates.drop("n_avail")), strata_col).where(
+        _key_hash(k, salt) % F.lit(1000000) < F.col("rate_ppm")
+    )

@@ -109,3 +109,77 @@ def pack_sequences(spark, sf_dir):
     return SA.pack_sequences(
         toks, "doc_id", "n_tokens", budget=512, partition_by="lang"
     )
+
+
+# DoReMi-ish target mix: concentrate on 5 "high-quality" sources, keep a
+# long tail.  Weights sum to 1; literals interpolated via repr()+e0 so both
+# engines parse bit-identical doubles.
+_MIX_WEIGHTS = {
+    **{f"src{i}": 0.1 for i in range(5)},
+    **{f"src{i}": 0.06 for i in range(5, 10)},
+    **{f"src{i}": 0.02 for i in range(10, 20)},
+}
+
+
+def _mix_oracle() -> str:
+    values = ", ".join(
+        f"('{s}', {float(v)!r}e0)" for s, v in sorted(_MIX_WEIGHTS.items())
+    )
+    h = _sql_hash("d.doc_id", "mix")
+    return f"""
+    WITH w(source, w) AS (VALUES {values}),
+    counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_avail FROM documents GROUP BY 1
+    ),
+    cw AS (SELECT c.source, c.n_avail, w.w FROM counts c JOIN w USING (source)),
+    budget AS (SELECT MIN(n_avail / w) AS budget FROM cw),
+    rates AS (
+      SELECT source, n_avail,
+             LEAST(CAST(1000000 AS BIGINT),
+                   CAST(ROUND(budget * w / n_avail * 1e6) AS BIGINT)) AS rate_ppm
+      FROM cw CROSS JOIN budget
+    ),
+    kept AS (
+      SELECT d.source FROM documents d JOIN rates r USING (source)
+      WHERE {h} % 1000000 < r.rate_ppm
+    )
+    SELECT r.source, r.n_avail, r.rate_ppm,
+           CAST(COALESCE(k.n, 0) AS BIGINT) AS n_kept
+    FROM rates r
+    LEFT JOIN (SELECT source, COUNT(*) AS n FROM kept GROUP BY 1) k USING (source)
+    """
+
+
+@query("sample_mix_rebalance", oracle=_mix_oracle())
+def sample_mix_rebalance(spark, sf_dir):
+    """Static corpus mixing: acceptance rates derived in-plan from target
+    weights + observed per-source counts (budget = min_s n_s/w_s), applied
+    as a deterministic hash filter; reports per-source plan vs achieved.
+    See operators/sampling.mix_rebalance."""
+    docs = T(spark, sf_dir, "documents")
+    kept = SA.mix_rebalance(docs, "doc_id", "source", _MIX_WEIGHTS)
+    achieved = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept")
+    )
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_avail"))
+    w = spark.createDataFrame(
+        [(s, float(v)) for s, v in sorted(_MIX_WEIGHTS.items())], "source string, w double"
+    )
+    cw = counts.join(F.broadcast(w), "source")
+    budget = cw.agg(F.min(F.col("n_avail") / F.col("w")).alias("budget"))
+    rates = cw.crossJoin(F.broadcast(budget)).select(
+        "source",
+        F.col("n_avail").cast("bigint").alias("n_avail"),
+        F.least(
+            F.lit(1000000).cast("bigint"),
+            F.round(
+                F.col("budget") * F.col("w") / F.col("n_avail") * F.lit(1000000.0)
+            ).cast("bigint"),
+        ).alias("rate_ppm"),
+    )
+    return rates.join(achieved, "source", "left").select(
+        "source",
+        "n_avail",
+        "rate_ppm",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+    )
