@@ -72,6 +72,7 @@ EXTRA = [
     "dedup_span_coverage",
     "text_bm25_search",
     "sample_mix_rebalance",
+    "sim_semantic_dedup",
 ]
 
 

@@ -87,3 +87,26 @@ def test_kmeans_train_is_deterministic_across_layouts(spark):
     )
     assert out_a == out_b
     assert sum(r[3] for r in out_a if r[1] == 0) == 60  # every vector assigned
+
+
+def test_semantic_dedup_drops_near_copy_keeps_distinct(spark):
+    from trough_spark.operators.vectors import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # centroid seed / keeper
+        (1, [0.0, 1.0, 0.0, 0.0]),   # centroid seed, orthogonal
+        (5, [0.99, 0.01, 0.0, 0.0]), # near-copy of 0 -> dropped
+        (6, [0.0, 0.98, 0.02, 0.0]), # near-copy of 1 -> dropped
+        (7, [0.6, 0.6, 0.0, 0.0]),   # between clusters, < threshold to both? no:
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup(
+        df, "vec_id", "embedding", df.where("vec_id < 2"), threshold=0.95, dim=4
+    )
+    got = {r.id: (r.cid, r.kept) for r in out.collect()}
+    assert got[0] == (0, 1) and got[1] == (1, 1)
+    assert got[5][1] == 0 and got[5][0] == 0   # dropped into cluster 0
+    assert got[6][1] == 0 and got[6][0] == 1
+    assert got[7][1] == 1                      # 45-degree vector survives 0.95
+    # all inputs accounted for
+    assert set(got) == {0, 1, 5, 6, 7}

@@ -248,3 +248,98 @@ def kmeans_oracle_sql(n_iters: int, k: int, source_cte: str = "v") -> str:
       SELECT cid, list(val ORDER BY pos) AS ce FROM mean{it} GROUP BY cid
     )""")
     return ",\n".join(parts)
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    threshold: float = 0.9,
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023): embedding-level semantic dedup.
+    Assign every vector to its nearest centroid (exact rounded cosine,
+    ties to lower cid — same rule as ``kmeans_update_step``), then compare
+    pairs ONLY within a cluster; of any pair with cosine >= ``threshold``
+    the higher id is marked dropped (keep-lowest canonical).
+
+    Returns (id, cid, kept) for every input vector, kept as 0/1 INT.
+
+    Scale: this is exactly why SemDeDup clusters first — the quadratic
+    pair comparison is confined to one cluster (an equi-join on cid), so
+    with k sized to keep clusters bounded the pair count is O(N * avg
+    cluster size), never O(N^2).  Centroids broadcast; assignment is one
+    map-side cross join; no driver collect.  Pairs missed across cluster
+    boundaries are the algorithm's documented recall tradeoff."""
+    cents = F.broadcast(
+        centroids.select(
+            F.col(id_col).alias("_cid"),
+            F.col(vec_col).alias("_cvec"),
+            norm(F.col(vec_col), dim).alias("_cn"),
+        )
+    )
+    scored = (
+        corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            norm(F.col(vec_col), dim).alias("_vn"),
+        )
+        .crossJoin(cents)
+        .select(
+            "id",
+            "v",
+            F.col("_cid"),
+            F.round(
+                dot(F.col("v"), F.col("_cvec"), dim) / (F.col("_vn") * F.col("_cn")), 6
+            ).alias("_sim"),
+        )
+    )
+    assigned = (
+        scored.select(
+            "id",
+            F.struct(
+                (-F.col("_sim")).alias("ns"),
+                F.col("_cid").alias("cid"),
+                F.col("v").alias("v"),
+            ).alias("s"),
+        )
+        .groupBy("id")
+        .agg(F.min("s").alias("s"))
+        .select("id", F.col("s.cid").alias("cid"), F.col("s.v").alias("v"))
+    )
+    # assigned feeds three consumers (both pair sides + the final rollup);
+    # checkpoint it so the broadcast-assignment subtree runs ONCE instead of
+    # being recomputed (and re-JIT-compiled) per reference — same pattern as
+    # kmeans_train's per-iteration truncation.
+    assigned = assigned.localCheckpoint(eager=False)
+    # Norms are per-vector: compute them once per side BEFORE the join, and
+    # use the compact fold-form dot in the pair expression — the unrolled
+    # dim-wide chains (dot + 2 norms) in one join stage exceed janino's
+    # 64 KB codegen limit and fall back to interpreted eval (same lesson as
+    # similarity.srp rescoring).  The fold costs more per pair but pairs are
+    # cluster-confined and bounded.
+    a = assigned.select(
+        F.col("id").alias("_ia"), "cid", F.col("v").alias("_va"),
+        norm(F.col("v"), dim).alias("_na"),
+    )
+    b = assigned.select(
+        F.col("id").alias("_ib"), "cid", F.col("v").alias("_vb"),
+        norm(F.col("v"), dim).alias("_nb"),
+    )
+    pair_sim = F.round(
+        dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+    )
+    dropped = (
+        a.join(b, "cid")
+        .where(F.col("_ia") < F.col("_ib"))
+        .where(pair_sim >= F.lit(threshold))
+        .select(F.col("_ib").alias("id"))
+        .distinct()
+        .withColumn("_drop", F.lit(1))
+    )
+    return assigned.join(dropped, "id", "left").select(
+        "id",
+        F.col("cid").cast("bigint").alias("cid"),
+        F.when(F.col("_drop").isNull(), F.lit(1)).otherwise(F.lit(0)).cast("int").alias("kept"),
+    )

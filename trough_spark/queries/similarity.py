@@ -411,3 +411,49 @@ def sim_kmeans_train(spark, sf_dir):
     return _V.kmeans_train(
         emb, "vec_id", "embedding", emb.filter(F.col("vec_id") < 8), n_iters=2, dim=64
     )
+
+
+_SEM_COS_AB = (
+    "ROUND(list_dot_product(a.e, b.e) / "
+    "(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)"
+)
+_SEM_COS_AC = (
+    "ROUND(list_dot_product(a.e, c.ce) / "
+    "(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.ce, c.ce))), 6)"
+)
+
+
+@query(
+    "sim_semantic_dedup",
+    oracle=f"""
+    WITH {_COS_CTE},
+    cent0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+    assign AS (
+      SELECT vec_id, cid, e FROM (
+        SELECT a.vec_id, c.cid, a.e,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                 ORDER BY {_SEM_COS_AC} DESC, c.cid) AS rn
+        FROM v a CROSS JOIN cent0 c
+      ) WHERE rn = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id AS id
+      FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE {_SEM_COS_AB} >= 4e-1
+    )
+    SELECT s.vec_id AS id, CAST(s.cid AS BIGINT) AS cid,
+           CAST(CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+    FROM assign s LEFT JOIN dropped d ON d.id = s.vec_id
+    """,
+)
+def sim_semantic_dedup(spark, sf_dir):
+    """SemDeDup: cluster-confined embedding dedup (assign to 8 seed
+    centroids, within-cluster cosine >= 0.4 pairs, keep-lowest canonical).
+    The quadratic comparison never leaves a cluster — the scale story that
+    makes semantic dedup feasible on web corpora.  See
+    operators/vectors.semantic_dedup."""
+    emb = T(spark, sf_dir, "embeddings")
+    return _V.semantic_dedup(
+        emb, "vec_id", "embedding", emb.filter(F.col("vec_id") < 8),
+        threshold=0.4, dim=64,
+    )
