@@ -73,6 +73,7 @@ EXTRA = [
     "text_bm25_search",
     "sample_mix_rebalance",
     "sim_semantic_dedup",
+    "stream_cohort_retention",
 ]
 
 

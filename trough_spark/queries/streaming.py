@@ -156,3 +156,52 @@ def stream_stream_join(spark, sf_dir):
     join-state expiry driven by both watermarks — executes in
     tests/test_streaming.py on the same builder."""
     return E.correlate_events(T(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_cohort_retention",
+    oracle="""
+    WITH cohort AS (
+      SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_day
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS active_day FROM events
+    )
+    SELECT CAST(c.cohort_day AS DATE) AS cohort_day,
+           CAST(datediff('day', c.cohort_day, a.active_day) AS BIGINT) AS day_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM cohort c JOIN activity a USING (user_id)
+    WHERE a.active_day >= c.cohort_day
+    GROUP BY 1, 2
+    """,
+)
+def stream_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-signup day, counted
+    on each later day they were active (day_offset 0 = signup day).  The
+    classic product-analytics rollup.
+
+    Scale: cohorts and activity are both per-user aggregates (map-side
+    partial + one shuffle on user_id each); joining them on user_id reuses
+    that key, and the final matrix is tiny (days x offsets).  Integer day
+    arithmetic keeps the result engine-exact."""
+    ev = T(spark, sf_dir, "events")
+    cohort = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.date_trunc("day", F.col("ts"))).alias("cohort_day"))
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("active_day")
+    ).distinct()
+    return (
+        cohort.join(activity, "user_id")
+        .where(F.col("active_day") >= F.col("cohort_day"))
+        .groupBy(
+            F.to_date("cohort_day").alias("cohort_day"),
+            F.datediff(F.to_date("active_day"), F.to_date("cohort_day"))
+            .cast("bigint")
+            .alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+    )
