@@ -98,21 +98,50 @@ def _significant(tokens: list[Token]):
 
 
 def split_statements(script: str) -> list[str]:
-    """Split a SQL script on top-level semicolons (string/comment-safe)."""
+    """Split a SQL script on top-level semicolons (string/comment-safe).
+
+    ``CREATE TRIGGER ... BEGIN stmt; stmt; END`` is one statement: inside a
+    trigger body, semicolons separate body statements and the statement only
+    ends at the semicolon following ``END`` (sqlite3 lexer rule)."""
     tokens = tokenize(script)
     stmts: list[str] = []
     cur: list[Token] = []
+    sig_words: list[str] = []  # leading significant words of cur, uppercased
+    in_trigger = False
+
+    def flush() -> None:
+        nonlocal cur, sig_words, in_trigger
+        text = render(cur).strip()
+        if text:
+            stmts.append(text)
+        cur = []
+        sig_words = []
+        in_trigger = False
+
     for t in tokens:
         if t.kind == "op" and t.text == ";":
-            text = render(cur).strip()
-            if text:
-                stmts.append(text)
-            cur = []
+            if in_trigger:
+                last = next(
+                    (
+                        x
+                        for x in reversed(cur)
+                        if x.kind not in ("space", "comment")
+                    ),
+                    None,
+                )
+                if last is not None and last.kind == "word" and last.text.upper() == "END":
+                    flush()
+                else:
+                    cur.append(t)  # body-internal separator
+                continue
+            flush()
         else:
             cur.append(t)
-    text = render(cur).strip()
-    if text:
-        stmts.append(text)
+            if not in_trigger and t.kind == "word" and len(sig_words) < 3:
+                sig_words.append(t.text.upper())
+                if sig_words[0] == "CREATE" and "TRIGGER" in sig_words:
+                    in_trigger = True
+    flush()
     return stmts
 
 
