@@ -145,6 +145,40 @@ def pack_sequences(
     )
 
 
+def group_cap(
+    df: DataFrame,
+    key,
+    group_col: str,
+    cap: int,
+    salt: str = "cap",
+) -> DataFrame:
+    """Per-group frequency cap (web-corpus curation's "at most N documents
+    per host/source"): within each ``group_col`` value keep the ``cap``
+    rows with the smallest deterministic hash — an unbiased, reproducible
+    per-group random sample of fixed size, unlike "first N seen" (which
+    depends on scan order).
+
+    ONE window shuffle on the group key; ties in the 60-bit hash are broken
+    by the key itself so the kept set is total-order deterministic.  Groups
+    at or under the cap pass through untouched.  Skew note: a pathological
+    hot group concentrates on one task; for web corpora the per-host row
+    count is already bounded by upstream crawl politeness, and AQE's skew
+    split handles the residual (the window itself is per-group, so salting
+    would change semantics).
+
+    Returns the kept rows plus ``grp_rank`` (1-based position in the
+    group's hash order) so callers can audit which rows made the cut.
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    k = F.col(key) if isinstance(key, str) else key
+    w = W.partitionBy(group_col).orderBy(_key_hash(k, salt).asc(), k.asc())
+    return (
+        df.withColumn("grp_rank", F.row_number().over(w))
+        .where(F.col("grp_rank") <= cap)
+    )
+
+
 def mix_rebalance(
     df: DataFrame,
     key,

@@ -106,3 +106,56 @@ def interval_join(
         (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) <= F.col(end_col))
     )
     return joined.drop("_bucket")
+
+
+def multigrain_rollup(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    grains: tuple[str, ...] = ("minute", "hour", "day"),
+) -> DataFrame:
+    """Hypertable-style continuous aggregate: event counts and value sums at
+    several time granularities in one pass (TimescaleDB's multi-level
+    continuous aggregates; the reference has no time-series surface at all).
+
+    Scale shape: the input shuffles ONCE, at the finest grain; every coarser
+    grain re-aggregates the previous level's already-tiny output (minute
+    rows -> hour rows -> day rows).  That cascade is exact because the
+    partial states (COUNT, DECIMAL SUM) are associative — unlike a GROUPING
+    SETS plan, which expands every input row once per grain before the
+    shuffle (grains x the scan volume at 100 TB).
+
+    Output: (grain, bucket_start, n_events, total_value), the union of all
+    levels.  ``grains`` must be ordered finest-first and each must be a
+    valid date_trunc unit.
+    """
+    finest, *coarser = grains
+    level = (
+        df.select(
+            F.date_trunc(finest, F.col(ts_col)).alias("bucket_start"),
+            F.col(value_col).cast("decimal(12,2)").alias("_v"),
+        )
+        .groupBy("bucket_start")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("_v").alias("_sum"))
+    )
+    levels = [level.select(F.lit(finest).alias("grain"), "bucket_start", "n_events", "_sum")]
+    for g in coarser:
+        level = (
+            level.select(
+                F.date_trunc(g, F.col("bucket_start")).alias("bucket_start"),
+                "n_events",
+                "_sum",
+            )
+            .groupBy("bucket_start")
+            .agg(F.sum("n_events").alias("n_events"), F.sum("_sum").alias("_sum"))
+        )
+        levels.append(level.select(F.lit(g).alias("grain"), "bucket_start", "n_events", "_sum"))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.select(
+        "grain",
+        "bucket_start",
+        "n_events",
+        F.col("_sum").cast("double").alias("total_value"),
+    )

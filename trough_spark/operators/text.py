@@ -500,3 +500,62 @@ def bm25_topk(
         )
     )
     return scored.orderBy(F.col("score_micro").desc(), "id").limit(k)
+
+
+def hashed_classifier(
+    df,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 1 << 18,
+    weight_range: int = 1_000_000,
+):
+    """In-plan linear text classifier (the fastText/quality-classifier
+    inference shape used to score web corpora): tokens hash into
+    ``n_buckets`` feature buckets, each bucket carries a fixed weight, and a
+    document's score is the mean bucket weight over its tokens.
+
+    The weight table is *implicit* — weight(b) = (b * 2654435761) mod
+    (2*R+1) - R, a Knuth multiplicative mix mapping each bucket to a
+    deterministic integer in [-R, R].  Real deployments broadcast trained
+    weights instead; the arithmetic shape (hash -> weight -> mean -> sign)
+    and the plan are identical, and the implicit table keeps the operator
+    oracle-checkable with zero side inputs.
+
+    Scale: inference is a PURE MAP — tokenize, transform tokens to weights,
+    aggregate the sum with higher-order functions, all inside one projection
+    with no explode, no shuffle, no Python.  Per-doc cost is O(tokens);
+    100 TB of documents parallelizes perfectly.  Integer sums only; the one
+    division is quantized (micro-units) before the sign decision, so ranking
+    and labels are bit-stable across engines.
+
+    Returns (id, n_tokens, margin_micro, label): margin_micro = round(
+    sum(w)/n * 1e6 / R) — the mean weight in micro-units of R — and label =
+    'keep' iff margin_micro > 0 ('drop' otherwise, including empty docs).
+    """
+    mod = 2 * weight_range + 1
+    # per-token weight, entirely in SQL expression land (runs per array slot)
+    w_expr = (
+        f"aggregate(filter(split(trim(lower({text_col})), '\\\\s+'), t -> t != ''), "
+        f"cast(0 as bigint), (acc, t) -> acc + "
+        f"((conv(substring(md5(t), 1, 15), 16, 10) % {n_buckets}) * 2654435761 "
+        f"% {mod} - {weight_range}))"
+    )
+    n_expr = f"size(filter(split(trim(lower({text_col})), '\\\\s+'), t -> t != ''))"
+    out = df.select(
+        F.col(id_col).alias("id"),
+        F.expr(n_expr).cast("bigint").alias("n_tokens"),
+        F.expr(w_expr).alias("_sum"),
+    ).select(
+        "id",
+        "n_tokens",
+        F.when(F.col("n_tokens") > 0,
+               F.round(F.col("_sum") / F.col("n_tokens") / weight_range * 1_000_000, 0)
+               .cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint")).alias("margin_micro"),
+    ).select(
+        "id",
+        "n_tokens",
+        "margin_micro",
+        F.when(F.col("margin_micro") > 0, "keep").otherwise("drop").alias("label"),
+    )
+    return out
