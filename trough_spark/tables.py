@@ -29,14 +29,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects; read it
-        # as raw nanos and truncate to microseconds with exact integer
-        # division (a double division would lose precision above 2^53 ns).
+        # events.ts has shipped as both parquet TIMESTAMP(NANOS) (which Spark
+        # only reads with nanosAsLong=true, yielding a BIGINT of raw nanos)
+        # and plain timestamp[us].  Branch on the schema that actually loads
+        # so either testdata vintage works:
+        #   LongType      -> truncate nanos to micros with exact integer
+        #                    division (double division loses precision >2^53)
+        #   timestamp_ntz -> cast to session-TZ timestamp for a stable type
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         import pyspark.sql.functions as F
+        from pyspark.sql.types import LongType
 
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
