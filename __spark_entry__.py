@@ -21,15 +21,85 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["b5_join_multiway"](spark, "/root/testdata/sf0.001")
 
 
+# The driver samples a prefix of the registry when it can't run everything,
+# so order queries by how much a fresh correctness row is worth: first the
+# §2.A trough-operator oracles that have never been driver-sampled, then
+# every events-reading query (loader fixed this round — greens need
+# re-proving), then one representative per §2.B row, then the LLM-pipeline
+# operators (all hash-green in round 2).
+_SAMPLE_PRIORITY = [
+    # §2.A — never driver-sampled in rounds 1-2
+    "a2_row_to_json",
+    "a7_regexp_function",
+    "a8_seed_crawled_status",
+    "a9_build_redirect_array",
+    "a12_cross_segment_global",
+    "b12_dialect_shim_roundtrip",
+    "a3_segment_routing",
+    "a12_fanout_regex",
+    # events-reading queries — broken by the r2 loader bug, fixed now
+    "stream_tumbling_hourly",
+    "stream_sliding_2h_1h",
+    "stream_sessionization",
+    "stream_funnel_conversion",
+    "stream_stream_join",
+    "stream_cohort_retention",
+    "stream_session_window_native",
+    "sketch_hll_distinct",
+    "sketch_hll_hourly_users",
+    "sketch_countmin_heavy_hitters",
+    "sketch_equidepth_histogram",
+    "asof_join_last_signup",
+    "interval_join_sessions",
+    "b12_json_functions",
+    # §2.B representatives
+    "b3_projection_expressions",
+    "b4_filter_predicates",
+    "b5_join_multiway",
+    "b5_join_outer_semi_anti",
+    "b5_theta_cross_join",
+    "b6_agg_pricing_summary",
+    "b6_having",
+    "b6_percentiles",
+    "b6_group_concat_distinct",
+    "b7_rollup",
+    "b8_window_functions",
+    "b8_range_frames",
+    "b8_groups_frames",
+    "b9_topk_per_group",
+    "b9_nulls_ordering",
+    "b9_order_limit_offset",
+    "b10_set_ops",
+    "b11_subqueries_cte",
+    "b11_exists_anti",
+    "b12_scalar_functions",
+    "b12_datetime_functions",
+    # LLM-pipeline flagships
+    "dedup_minhash_lsh",
+    "dedup_exact",
+    "sim_cosine_pairs",
+    "sim_ivf_topk",
+    "text_tfidf_top_terms",
+    "pipeline_curation",
+    "bloom_semijoin_prune",
+]
+
+
+def _ordered(mapping: dict) -> dict:
+    head = {k: mapping[k] for k in _SAMPLE_PRIORITY if k in mapping}
+    tail = {k: v for k, v in mapping.items() if k not in head}
+    return {**head, **tail}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from trough_spark.queries import QUERIES, load_all
 
     load_all()
-    return dict(QUERIES)
+    return _ordered(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     from trough_spark.queries import ORACLE, load_all
 
     load_all()
-    return dict(ORACLE)
+    return _ordered(ORACLE)
