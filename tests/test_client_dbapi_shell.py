@@ -133,6 +133,12 @@ def test_dbapi_lastrowid(client):
     # a statement that assigns no id leaves lastrowid unchanged (sqlite3)
     cur.execute("DELETE FROM t2 WHERE v = 'x'")
     assert cur.lastrowid == 3
+    # sqlite: an EXPLICIT id on the autoincrement column becomes lastrowid
+    # and advances the sequence past it
+    cur.execute("INSERT INTO t2 (id, v) VALUES (%s, %s)", [100, "y"])
+    assert cur.lastrowid == 100
+    cur.execute("INSERT INTO t2 (v) VALUES (%s)", ["z"])
+    assert cur.lastrowid == 101
 
 
 def test_shell_pretty_format_and_pager(client):

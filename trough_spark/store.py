@@ -607,6 +607,18 @@ class SegmentStore:
                 d = dict(zip(cols, tup))
                 if ts.autoincrement_col and ts.autoincrement_col not in d:
                     d[ts.autoincrement_col] = self._next_id(segment_id, table, ts)
+                elif ts.autoincrement_col and d.get(ts.autoincrement_col) is not None:
+                    # sqlite: an EXPLICIT id on an autoincrement column both
+                    # becomes lastrowid and advances the sequence past it
+                    try:
+                        explicit = int(d[ts.autoincrement_col])
+                    except (TypeError, ValueError):
+                        explicit = None
+                    if explicit is not None:
+                        key = (segment_id, table)
+                        self._init_hwm(key, table, ts)
+                        self._hwm[key] = max(self._hwm[key], explicit)
+                        self._last_auto[segment_id] = explicit
                 rows.append(Row(**{n: _coerce(d.get(n), t) for n, t in ts.fields}))
             if conflict is not None:
                 self._flush_inserts(segment_id, pending)
@@ -916,19 +928,23 @@ class SegmentStore:
                 i += 1
         return tuples
 
-    def _next_id(self, segment_id: str, table: str, ts: TableSchema) -> int:
-        """AUTOINCREMENT emulation (SURVEY §7.4 #2): per-segment high-water
-        mark, initialized from storage.  Safe because segments are
-        single-writer by design (reference write lock, write.py:55-57)."""
-        key = (segment_id, table)
+    def _init_hwm(self, key: tuple[str, str], table: str, ts: TableSchema) -> None:
+        """Lazily seed the autoincrement high-water mark from storage."""
         if key not in self._hwm:
-            path = self._partition_path(table, segment_id)
+            path = self._partition_path(table, key[0])
             if os.path.isdir(path):
                 df = self.spark.read.parquet(path)
                 mx = df.agg(F.max(ts.autoincrement_col)).collect()[0][0]
                 self._hwm[key] = int(mx or 0)
             else:
                 self._hwm[key] = 0
+
+    def _next_id(self, segment_id: str, table: str, ts: TableSchema) -> int:
+        """AUTOINCREMENT emulation (SURVEY §7.4 #2): per-segment high-water
+        mark, initialized from storage.  Safe because segments are
+        single-writer by design (reference write lock, write.py:55-57)."""
+        key = (segment_id, table)
+        self._init_hwm(key, table, ts)
         self._hwm[key] += 1
         self._last_auto[segment_id] = self._hwm[key]
         return self._hwm[key]
