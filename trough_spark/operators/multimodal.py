@@ -62,29 +62,81 @@ def synthesize_media(df: DataFrame, id_col: str, text_col: str, modality: str = 
     )
 
 
-def _decode_bytes(blob: bytes, real_codec: bool = False):
-    """THE STUB: deterministic fake decode.  A real deployment replaces this
-    with PIL.Image.open / soundfile.read; those libs are absent here.
+def _decode_bytes(blob: bytes):
+    """THE DEFAULT (fake) CODEC: deterministic fake decode used when no real
+    codec is plugged in — the decode libs (PIL/soundfile/ffmpeg) are absent
+    in this environment.
 
     The fake keys off the blob's lowercase HEX rendering (not the raw
     bytes) so a SQL engine can reproduce it exactly — md5 over arbitrary
     binary is Python-only, but md5 over the hex string exists everywhere,
     which is what lets the driver's DuckDB oracle hash-check the decode
     pipeline instead of settling for a rows-only count."""
-    if real_codec:
-        raise NotImplementedError(
-            "real image/audio codecs (PIL/soundfile/ffmpeg) are not available "
-            "in this environment; _decode_bytes runs a deterministic fake"
-        )
     digest = hashlib.md5(blob.hex().encode()).digest()
     return digest + blob  # 'pixels' = digest-prefixed payload, deterministic
 
 
-def decode_image_features(df: DataFrame, batch_hint: int | None = None) -> DataFrame:
+# -- real codec hooks ---------------------------------------------------------
+#
+# Each operator below takes a ``codec`` callable ``bytes -> np.ndarray`` (flat
+# sample/pixel array).  The callable is captured in the mapInPandas closure,
+# so it is cloudpickled to every executor — a module-global registry would
+# silently reset to the default when the worker re-imports this module, which
+# is why the hook is an argument, not mutable global state.
+
+
+def fake_codec(blob: bytes):
+    """Default: the deterministic fake, as a flat uint8 array."""
+    import numpy as np
+
+    return np.frombuffer(_decode_bytes(blob), dtype=np.uint8)
+
+
+def pil_image_codec(blob: bytes):
+    """Real image decode via Pillow -> flat uint8 pixel array.  Import-gated:
+    raises NotImplementedError (with the real cause chained) when Pillow is
+    not installed, so a misconfigured cluster fails loudly, not wrongly."""
+    try:
+        import io
+
+        import numpy as np
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - exercised only without PIL
+        raise NotImplementedError(
+            "pil_image_codec requires Pillow; install it on the executors or "
+            "use the default deterministic fake codec"
+        ) from e
+    img = Image.open(io.BytesIO(blob))
+    return np.asarray(img).reshape(-1).astype(np.uint8)
+
+
+def soundfile_audio_codec(blob: bytes):
+    """Real audio decode via soundfile -> flat float64 sample array in
+    [-1, 1].  Import-gated like ``pil_image_codec``."""
+    try:
+        import io
+
+        import numpy as np
+        import soundfile as sf
+    except ImportError as e:  # pragma: no cover - exercised only without lib
+        raise NotImplementedError(
+            "soundfile_audio_codec requires soundfile; install it on the "
+            "executors or use the default deterministic fake codec"
+        ) from e
+    data, _rate = sf.read(io.BytesIO(blob))
+    return np.asarray(data, dtype=np.float64).reshape(-1)
+
+
+def decode_image_features(
+    df: DataFrame, batch_hint: int | None = None, codec=None
+) -> DataFrame:
     """Image decode + feature extraction over ``MEDIA_SCHEMA`` rows.
 
     One Arrow batch in → one pandas frame of features out; the blob column
-    never materializes driver-side."""
+    never materializes driver-side.  ``codec`` is ``bytes -> flat uint8
+    ndarray`` (e.g. ``pil_image_codec``); defaults to the deterministic fake.
+    """
+    codec = codec or fake_codec
 
     def kernel(batches):
         import numpy as np
@@ -95,7 +147,7 @@ def decode_image_features(df: DataFrame, batch_hint: int | None = None) -> DataF
                 continue
             rows = []
             for media_id, blob, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
-                pixels = np.frombuffer(_decode_bytes(bytes(blob)), dtype=np.uint8)
+                pixels = np.asarray(codec(bytes(blob)))
                 rows.append(
                     {
                         "media_id": int(media_id),
@@ -113,8 +165,10 @@ def decode_image_features(df: DataFrame, batch_hint: int | None = None) -> DataF
     )
 
 
-def decode_audio_features(df: DataFrame) -> DataFrame:
-    """Audio decode stub → per-clip RMS etc.  Same plumbing contract."""
+def decode_audio_features(df: DataFrame, codec=None) -> DataFrame:
+    """Audio decode → per-clip RMS etc.  Same plumbing contract; ``codec`` is
+    ``bytes -> flat sample ndarray`` (e.g. ``soundfile_audio_codec``)."""
+    codec = codec or fake_codec
 
     def kernel(batches):
         import numpy as np
@@ -125,9 +179,7 @@ def decode_audio_features(df: DataFrame) -> DataFrame:
                 continue
             rows = []
             for media_id, blob, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
-                samples = np.frombuffer(_decode_bytes(bytes(blob)), dtype=np.uint8).astype(
-                    np.float64
-                )
+                samples = np.asarray(codec(bytes(blob))).astype(np.float64)
                 rows.append(
                     {
                         "media_id": int(media_id),
@@ -142,12 +194,17 @@ def decode_audio_features(df: DataFrame) -> DataFrame:
     return df.select("media_id", "content", "meta").mapInPandas(kernel, schema=AUDIO_FEATURES_SCHEMA)
 
 
-def sample_frames(df: DataFrame, every_n: int = 4, max_frames: int = 8) -> DataFrame:
-    """Video frame sampling stub: explode each blob into every_n-th 'frame'
-    (fixed-size byte slices standing in for decoded frames).  The row
-    explosion happens inside the executor — the driver never sees frames."""
+def sample_frames(
+    df: DataFrame, every_n: int = 4, max_frames: int = 8, codec=None
+) -> DataFrame:
+    """Video frame sampling: explode each blob into every_n-th 'frame'
+    (fixed-size byte slices of the decoded stream; a real ffmpeg codec would
+    return actual frames).  The row explosion happens inside the executor —
+    the driver never sees frames."""
+    codec = codec or fake_codec
 
     def kernel(batches):
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
@@ -155,7 +212,7 @@ def sample_frames(df: DataFrame, every_n: int = 4, max_frames: int = 8) -> DataF
                 continue
             rows = []
             for media_id, blob in zip(pdf["media_id"], pdf["content"]):
-                data = _decode_bytes(bytes(blob))
+                data = np.asarray(codec(bytes(blob))).astype(np.uint8).tobytes()
                 frame_size = max(4, len(data) // 16)
                 frames = [
                     data[i * frame_size : (i + 1) * frame_size]
