@@ -74,14 +74,14 @@ _SAMPLE_PRIORITY = [
     "b11_exists_anti",
     "b12_scalar_functions",
     "b12_datetime_functions",
-    # LLM-pipeline flagships
-    "dedup_minhash_lsh",
-    "dedup_exact",
-    "sim_cosine_pairs",
-    "sim_ivf_topk",
-    "text_tfidf_top_terms",
-    "pipeline_curation",
-    "bloom_semijoin_prune",
+    # round-3 additions — first driver rows needed
+    "b7_cube_grouping_sets",
+    "b6_pivot_priority",
+    "dedup_fuzzy_levenshtein",
+    "text_surt_canonicalize",
+    "text_outlier_mad",
+    "events_attribution_touch",
+    "layout_zorder_key",
 ]
 
 

@@ -430,3 +430,54 @@ def duplicated_span_coverage(
         .cast("bigint")
         .alias("dup_ppm"),
     )
+
+
+def fuzzy_levenshtein_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_distance: int = 2,
+    block: Column | None = None,
+) -> DataFrame:
+    """Blocked edit-distance candidate pairs: (id_a, id_b, dist) for all
+    pairs in the same block whose Levenshtein distance <= ``max_distance``.
+
+    Entity-resolution shape: an all-pairs Levenshtein join is O(N^2) string
+    comparisons — never viable at corpus scale.  The standard answer is
+    BLOCKING: an equi-join on a cheap key that (almost) all true matches
+    share, confining the quadratic to within-block candidates.  The default
+    block key is the first whitespace token (documented recall tradeoff —
+    matches whose FIRST token was edited are missed; callers pass a stronger
+    domain key via ``block`` when they have one, e.g. a phonetic code or a
+    sorted-neighborhood window key).
+
+    A length-difference pre-filter (|len(a) - len(b)| <= k, a trivial lower
+    bound on edit distance) runs BEFORE the Levenshtein evaluation so the
+    expensive O(len^2) dynamic program only touches length-plausible pairs.
+
+    Scale: one shuffle on the block key; within-block pairing is the only
+    quadratic and its size is governed by the caller's key choice.  The
+    distance evaluation is the built-in JVM levenshtein — no Python path.
+    """
+    key = block if block is not None else F.split(F.trim(F.lower(F.col(text_col))), r"\s+")[0]
+    t = df.select(
+        F.col(id_col).alias("id"),
+        F.lower(F.trim(F.col(text_col))).alias("name"),
+        key.alias("blk"),
+        F.length(F.lower(F.trim(F.col(text_col)))).alias("ln"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.abs(F.col("a.ln") - F.col("b.ln")) <= max_distance),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.levenshtein(F.col("a.name"), F.col("b.name")).alias("dist"),
+        )
+        .filter(F.col("dist") <= max_distance)
+    )

@@ -559,3 +559,43 @@ def hashed_classifier(
         F.when(F.col("margin_micro") > 0, "keep").otherwise("drop").alias("label"),
     )
     return out
+
+
+def surt_canonicalize(df: DataFrame, url_col: str) -> DataFrame:
+    """URL canonicalization to SURT (Sort-friendly URI Reordering Transform)
+    form — the web-archive key format (host labels reversed so one domain's
+    captures sort together; reference context: trough stores crawl data).
+
+    Canonicalization steps, all JVM-side expressions:
+    - scheme dropped, host lowercased, leading ``www.`` stripped;
+    - tracking query params (``utm_*``, ``fbclid``, ``gclid``) removed;
+    - surviving query params sorted (SURT requires a canonical param order);
+    - SURT key = reversed host labels joined by ',' + ')' + path [+ '?' + qs].
+
+    Scale: pure per-row expressions — no shuffle, no UDF; the SURT key is
+    exactly what you'd range-partition 100 TB of captures by (per-domain
+    locality) before any host-level aggregate.
+
+    Output: (url, host, surt).
+    """
+    url = F.col(url_col)
+    host_raw = F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
+    host = F.regexp_replace(host_raw, r"^www\.", "")
+    path = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    qs_raw = F.regexp_extract(url, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(qs_raw, "&"),
+        lambda p: ~(
+            p.startswith("utm_") | p.startswith("fbclid=") | p.startswith("gclid=") | (p == "")
+        ),
+    )
+    qs = F.array_join(F.array_sort(params), "&")
+    rev_host = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    surt = F.concat(
+        rev_host,
+        F.lit(")"),
+        path,
+        F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
+    )
+    return df.withColumn("host", host).withColumn("surt", surt)

@@ -362,3 +362,28 @@ def dedup_span_coverage(spark, sf_dir):
     return D.duplicated_span_coverage(
         T(spark, sf_dir, "documents"), "doc_id", "text", n=8, min_doc_freq=2
     )
+
+
+@query(
+    "dedup_fuzzy_levenshtein",
+    oracle="""
+    WITH t AS (
+      SELECT p_partkey AS id,
+             lower(trim(p_name)) AS name,
+             string_split_regex(trim(lower(p_name)), '\\s+')[1] AS blk,
+             length(lower(trim(p_name))) AS ln
+      FROM part
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           levenshtein(a.name, b.name) AS dist
+    FROM t a
+    JOIN t b ON a.blk = b.blk AND a.id < b.id AND abs(a.ln - b.ln) <= 2
+    WHERE levenshtein(a.name, b.name) <= 2
+    """,
+)
+def dedup_fuzzy_levenshtein(spark, sf_dir):
+    # Blocked edit-distance join over part names (64 distinct 2-word names
+    # at sf0.01 — dense within-block candidates).
+    return D.fuzzy_levenshtein_pairs(
+        T(spark, sf_dir, "part"), "p_partkey", "p_name", max_distance=2
+    )

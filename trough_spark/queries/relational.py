@@ -793,3 +793,132 @@ def b6_percentiles(spark, sf_dir):
         F.expr("percentile(l_extendedprice, 0.95)").alias("p95_price"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B7 (completion): CUBE + GROUPING SETS with grouping markers
+# ---------------------------------------------------------------------------
+@query(
+    "b7_cube_grouping_sets",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, '<all>')   AS status,
+           COALESCE(o_orderpriority, '<all>') AS priority,
+           GROUPING(o_orderstatus)            AS g_status,
+           GROUPING(o_orderpriority)          AS g_priority,
+           COUNT(*)                           AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def b7_cube_grouping_sets(spark, sf_dir):
+    # Scale: CUBE expands each row to 4 grouping sets map-side, but partial
+    # aggregation collapses them before the single shuffle — same exchange
+    # count as a plain groupBy.  GROUPING() markers (not the coalesced
+    # label) are what disambiguate a real '<all>' value from a rollup row.
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "g_status",
+            "g_priority",
+            "n_orders",
+            "total",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B6 (completion): PIVOT — wide per-category aggregates
+# ---------------------------------------------------------------------------
+@query(
+    "b6_pivot_priority",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT')  AS p1_urgent,
+           COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH')    AS p2_high,
+           COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM')  AS p3_medium,
+           COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p4_notspec,
+           COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW')     AS p5_low
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def b6_pivot_priority(spark, sf_dir):
+    # Scale: the pivot VALUE LIST is fixed, so Spark skips the extra
+    # distinct-collect job it would otherwise run to discover columns —
+    # at 100 TB that discovery pass is a full scan you don't want.  The
+    # pivot itself is a normal partial-agg groupBy: one shuffle.
+    o = T(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy(F.col("o_orderstatus").alias("status"))
+        .pivot(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        )
+        .agg(F.count(F.lit(1)))
+    )
+    renames = {
+        "1-URGENT": "p1_urgent",
+        "2-HIGH": "p2_high",
+        "3-MEDIUM": "p3_medium",
+        "4-NOT SPECIFIED": "p4_notspec",
+        "5-LOW": "p5_low",
+    }
+    out = pivoted
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    # pivot leaves NULL where a (status, priority) cell has no rows; the
+    # FILTER oracle produces 0 — align on 0
+    return out.select(
+        "status",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in renames.values()],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data layout: Z-order clustering key (operators/layout.py)
+# ---------------------------------------------------------------------------
+def _zorder_oracle() -> str:
+    from trough_spark.operators.layout import zvalue_sql
+
+    return f"""
+    WITH d AS (
+      SELECT o_orderkey,
+             CAST(o_custkey & 65535 AS BIGINT) AS x,
+             CAST(floor(o_totalprice) AS BIGINT) & 65535 AS y
+      FROM orders
+    )
+    SELECT o_orderkey, x, y, {zvalue_sql('x', 'y')} AS z
+    FROM d
+    ORDER BY z, o_orderkey
+    LIMIT 50
+    """
+
+
+@query("layout_zorder_key", oracle=_zorder_oracle())
+def layout_zorder_key(spark, sf_dir):
+    """Morton keys for orders on (custkey, price) — first 50 in z order.
+    The full layout op is layout.zorder_repartition (range partition + sort
+    by this key); the query pins the key computation bit-for-bit."""
+    from trough_spark.operators.layout import zvalue
+
+    o = T(spark, sf_dir, "orders")
+    d = o.select(
+        "o_orderkey",
+        F.col("o_custkey").cast("bigint").bitwiseAND(F.lit(65535)).alias("x"),
+        F.floor("o_totalprice").cast("bigint").bitwiseAND(F.lit(65535)).alias("y"),
+    )
+    return (
+        d.select("o_orderkey", "x", "y", zvalue(F.col("x"), F.col("y")).alias("z"))
+        .orderBy("z", "o_orderkey")
+        .limit(50)
+    )

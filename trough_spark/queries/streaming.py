@@ -205,3 +205,53 @@ def stream_cohort_retention(spark, sf_dir):
         )
         .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
     )
+
+
+@query(
+    "events_attribution_touch",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT user_id,
+           MIN(CASE WHEN rn_a = 1 THEN event_type END) AS first_touch,
+           MIN(CASE WHEN rn_d = 1 THEN event_type END) AS last_touch,
+           COUNT(*) AS n_events,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+    FROM ranked
+    GROUP BY user_id
+    """,
+)
+def events_attribution_touch(spark, sf_dir):
+    """First-/last-touch attribution per user: which event type opened the
+    journey, which closed it, and whether the user ever converted.
+
+    Scale: both row_number specs share the partition key, so Catalyst plans
+    ONE exchange on user_id (two sorts reuse it), and the follow-on groupBy
+    on the same key needs no further shuffle.  Ordering includes event_id so
+    same-timestamp events rank deterministically."""
+    e = T(spark, sf_dir, "events")
+    w_a = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_d = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.select(
+            "user_id",
+            "event_type",
+            F.row_number().over(w_a).alias("rn_a"),
+            F.row_number().over(w_d).alias("rn_d"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("rn_a") == 1, F.col("event_type"))).alias("first_touch"),
+            F.min(F.when(F.col("rn_d") == 1, F.col("event_type"))).alias("last_touch"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted"),
+        )
+    )

@@ -516,3 +516,104 @@ def text_bm25_search(spark, sf_dir):
         b=_BM25_B,
         k=20,
     )
+
+
+@query(
+    "text_surt_canonicalize",
+    oracle=r"""
+    WITH urls AS (
+      SELECT doc_id,
+             'https://WWW.' || source || '.Example.COM/docs/' || doc_id
+               || '?utm_source=feed&ref=' || lang || '&id=' || doc_id AS url
+      FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, url,
+             regexp_replace(
+               lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+               '^www\.', '') AS host,
+             CASE WHEN regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) = ''
+                  THEN '/'
+                  ELSE regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1)
+             END AS path,
+             array_to_string(list_sort(list_filter(
+               string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+               p -> NOT (p LIKE 'utm\_%' ESCAPE '\' OR p LIKE 'fbclid=%'
+                         OR p LIKE 'gclid=%' OR p = ''))), '&') AS qs
+      FROM urls
+    )
+    SELECT doc_id, url, host,
+           array_to_string(list_reverse(string_split(host, '.')), ',')
+             || ')' || path || CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS surt
+    FROM parts
+    """,
+)
+def text_surt_canonicalize(spark, sf_dir):
+    """SURT canonicalization over synthesized per-doc URLs (the documents
+    table carries no real URLs; the synthesis exercises every rule: mixed
+    case, www prefix, tracking params, param reordering)."""
+    docs = T(spark, sf_dir, "documents")
+    with_url = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://WWW."),
+            F.col("source"),
+            F.lit(".Example.COM/docs/"),
+            F.col("doc_id"),
+            F.lit("?utm_source=feed&ref="),
+            F.col("lang"),
+            F.lit("&id="),
+            F.col("doc_id"),
+        ).alias("url"),
+    )
+    return X.surt_canonicalize(with_url, "url").select("doc_id", "url", "host", "surt")
+
+
+@query(
+    "text_outlier_mad",
+    oracle="""
+    WITH d AS (SELECT source, CAST(n_chars AS DOUBLE) AS x FROM documents),
+    med AS (SELECT source, median(x) AS med FROM d GROUP BY source),
+    j AS (SELECT d.source, x, med FROM d JOIN med USING (source)),
+    mad AS (SELECT source, median(abs(x - med)) AS mad FROM j GROUP BY source)
+    SELECT j.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN abs(x - med) > 4.4478 * mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           ROUND(MIN(med), 6) AS med,
+           ROUND(MIN(mad), 6) AS mad
+    FROM j JOIN mad USING (source)
+    GROUP BY j.source
+    """,
+)
+def text_outlier_mad(spark, sf_dir):
+    """Robust per-source outlier counts on document length: median absolute
+    deviation with the 1.4826 normal-consistency factor (|x - med| >
+    3*1.4826*mad flags a doc).  Robust stats are the right data-quality
+    screen at corpus scale — a handful of 100 MB pathological docs shifts a
+    mean+stddev fence, never a median+MAD fence.
+
+    Scale: exact medians need two passes (med, then MAD) — each one shuffle
+    keyed by source; the per-source median tables are tiny and broadcast
+    back.  At 100 TB swap F.median for approx_percentile(x, 0.5, eps) and
+    the same plan becomes single-digit-error one-pass-per-stat."""
+    d = T(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("double").alias("x")
+    )
+    med = d.groupBy("source").agg(F.median("x").alias("med"))
+    j = d.join(F.broadcast(med), "source")
+    mad = j.groupBy("source").agg(F.median(F.abs(F.col("x") - F.col("med"))).alias("mad"))
+    return (
+        j.join(F.broadcast(mad), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("x") - F.col("med")) > 4.4478 * F.col("mad"), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+            F.round(F.min("med"), 6).alias("med"),
+            F.round(F.min("mad"), 6).alias("mad"),
+        )
+    )
