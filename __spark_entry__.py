@@ -52,9 +52,9 @@ _SAMPLE_PRIORITY = [
     "asof_join_last_signup",
     "interval_join_sessions",
     "b12_json_functions",
-    # §2.B representatives
-    "b3_projection_expressions",
-    "b4_filter_predicates",
+    # §2.B representatives (b3/b4 are double-green r1+r2; ceded to PQ)
+    "vec_pq_encode",
+    "vec_pq_adc_topk",
     "b5_join_multiway",
     "b5_join_outer_semi_anti",
     "b5_theta_cross_join",

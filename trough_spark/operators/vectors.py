@@ -343,3 +343,117 @@ def semantic_dedup(
         F.col("cid").cast("bigint").alias("cid"),
         F.when(F.col("_drop").isNull(), F.lit(1)).otherwise(F.lit(0)).cast("int").alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): m-subspace codebook compression + ADC search
+# ---------------------------------------------------------------------------
+#
+# Why at 100 TB: a 64-dim float32 embedding is 256 bytes; its PQ code at
+# m=4 subspaces is 4 bytes — a 64x cut in what an ANN scan reads.  Encoding
+# is a broadcast-codebook argmin (one map-side pass); ADC search never
+# touches vectors at all, just sums m table lookups per code.  This is the
+# IVF-PQ pairing every billion-vector index uses (IVF confines the scan,
+# PQ shrinks it).
+#
+# Determinism (hash-gate): distances are rounded to integer MICRO-units
+# before any argmin or sum, so assignment ties and distance totals are
+# integer decisions in both engines.
+
+
+def pq_split(df: DataFrame, id_col: str, vec_col: str, m: int, dim: int) -> DataFrame:
+    """Slice each vector into m contiguous subvectors: (id, sub_id, sv).
+    Pure projection + inline explode of m static slices — no shuffle."""
+    width = dim // m
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub_id"),
+                F.slice(F.col(vec_col), s * width + 1, width).alias("sv"),
+            )
+            for s in range(m)
+        ]
+    )
+    return df.select(F.col(id_col).alias("id"), F.inline(subs))
+
+
+def _l2_micro(a, b, width: int):
+    """Squared L2 distance in integer micro-units (exact-enough grid for
+    stable argmin/sum decisions cross-engine)."""
+    d2 = dot(a, a, width) - 2 * dot(a, b, width) + dot(b, b, width)
+    return F.round(d2 * QSCALE, 0).cast("bigint")
+
+
+def pq_encode(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: DataFrame,
+    m: int,
+    dim: int,
+) -> DataFrame:
+    """Encode each vector as m codebook indices: (id, sub_id, code).
+
+    ``codebooks`` is flat (code, sub_id, cv).  Assignment is argmin of the
+    micro-quantized squared L2, ties to the lower code id.  The codebook
+    table (k*m rows) broadcasts; encoding is map-side against it — the only
+    shuffle is the per-(id, sub_id) argmin combine, which partial-aggregates.
+    """
+    width = dim // m
+    sub = pq_split(corpus, id_col, vec_col, m, dim)
+    cb = F.broadcast(
+        codebooks.select(
+            F.col("code"), F.col("sub_id").alias("_csub"), F.col("cv")
+        )
+    )
+    scored = sub.join(cb, sub["sub_id"] == cb["_csub"]).select(
+        "id",
+        "sub_id",
+        F.struct(
+            _l2_micro(F.col("sv"), F.col("cv"), width).alias("dmicro"),
+            F.col("code").alias("code"),
+        ).alias("s"),
+    )
+    return (
+        scored.groupBy("id", "sub_id")
+        .agg(F.min("s").alias("s"))
+        .select("id", "sub_id", F.col("s.code").alias("code"))
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    query_sub: DataFrame,
+    k: int,
+    m: int,
+    width: int,
+) -> DataFrame:
+    """Asymmetric-distance top-k: distances from a query to every encoded
+    vector using only codes + a precomputed per-(sub_id, code) lookup table.
+
+    ``query_sub`` is the query's own (sub_id, qv) slices (1 row per
+    subspace, stays in-plan — no driver collect).  The distance table is
+    k*m rows, broadcast; the scan is codes ⋈ table (map-side) + one integer
+    groupBy sum, then TakeOrdered(k).  Total bytes read scale with CODES,
+    not vectors — the entire point of PQ."""
+    dtab = F.broadcast(
+        codebooks.join(
+            query_sub.select(F.col("sub_id").alias("_qsub"), F.col("qv")),
+            codebooks["sub_id"] == F.col("_qsub"),
+        ).select(
+            F.col("sub_id").alias("_dsub"),
+            F.col("code").alias("_dcode"),
+            _l2_micro(F.col("qv"), F.col("cv"), width).alias("dmicro"),
+        )
+    )
+    return (
+        codes.join(
+            dtab,
+            (codes["sub_id"] == F.col("_dsub")) & (codes["code"] == F.col("_dcode")),
+        )
+        .groupBy("id")
+        .agg(F.sum("dmicro").alias("adc_dist_micro"))
+        .orderBy("adc_dist_micro", "id")
+        .limit(k)
+    )

@@ -457,3 +457,83 @@ def sim_semantic_dedup(spark, sf_dir):
         emb, "vec_id", "embedding", emb.filter(F.col("vec_id") < 8),
         threshold=0.4, dim=64,
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: encode + ADC search (operators/vectors.py)
+# ---------------------------------------------------------------------------
+_PQ_CTE = f"""
+    {_COS_CTE.strip().rstrip()},
+    sub AS (
+      SELECT vec_id AS id, s AS sub_id, e[(s*16+1):((s+1)*16)] AS sv
+      FROM v, UNNEST(generate_series(0, 3)) AS t(s)
+    ),
+    cb AS (SELECT id AS code, sub_id, sv AS cv FROM sub WHERE id < 8),
+    dist AS (
+      SELECT sub.id, sub.sub_id, cb.code,
+             CAST(ROUND((list_dot_product(sv, sv) - 2 * list_dot_product(sv, cv)
+                         + list_dot_product(cv, cv)) * 1000000, 0) AS BIGINT) AS dmicro
+      FROM sub JOIN cb USING (sub_id)
+    ),
+    enc AS (
+      SELECT id, sub_id, code FROM (
+        SELECT id, sub_id, code,
+               ROW_NUMBER() OVER (PARTITION BY id, sub_id
+                                  ORDER BY dmicro, code) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    )
+"""
+
+
+def _pq_frames(spark, sf_dir):
+    from trough_spark.operators import vectors as V
+
+    emb = T(spark, sf_dir, "embeddings")
+    cb = V.pq_split(emb.filter(F.col("vec_id") < 8), "vec_id", "embedding", 4, 64).select(
+        F.col("id").alias("code"), "sub_id", F.col("sv").alias("cv")
+    )
+    return emb, cb
+
+
+@query("vec_pq_encode", oracle=f"WITH {_PQ_CTE} SELECT id, sub_id, code FROM enc")
+def vec_pq_encode(spark, sf_dir):
+    """PQ encoding: each 64-dim vector -> 4 codebook indices (codebook = the
+    first-8 vectors' subvectors, the same deterministic seed the k-means
+    queries use).  256 bytes -> 4 bytes per vector; see operators/vectors
+    PQ section for the scale rationale."""
+    from trough_spark.operators import vectors as V
+
+    emb, cb = _pq_frames(spark, sf_dir)
+    return V.pq_encode(emb, "vec_id", "embedding", cb, m=4, dim=64)
+
+
+@query(
+    "vec_pq_adc_topk",
+    oracle=f"""
+    WITH {_PQ_CTE},
+    q AS (SELECT sub_id, sv AS qv FROM sub WHERE id = 0),
+    dtab AS (
+      SELECT cb.sub_id, cb.code,
+             CAST(ROUND((list_dot_product(qv, qv) - 2 * list_dot_product(qv, cv)
+                         + list_dot_product(cv, cv)) * 1000000, 0) AS BIGINT) AS dmicro
+      FROM cb JOIN q USING (sub_id)
+    )
+    SELECT enc.id, SUM(dtab.dmicro) AS adc_dist_micro
+    FROM enc JOIN dtab ON enc.sub_id = dtab.sub_id AND enc.code = dtab.code
+    GROUP BY enc.id
+    ORDER BY adc_dist_micro, enc.id
+    LIMIT 20
+    """,
+)
+def vec_pq_adc_topk(spark, sf_dir):
+    """ADC top-20 for query vec_id=0 over PQ codes only — the scan reads
+    4-byte codes plus a broadcast 32-row lookup table, never the vectors."""
+    from trough_spark.operators import vectors as V
+
+    emb, cb = _pq_frames(spark, sf_dir)
+    codes = V.pq_encode(emb, "vec_id", "embedding", cb, m=4, dim=64)
+    qsub = V.pq_split(
+        emb.filter(F.col("vec_id") == 0), "vec_id", "embedding", 4, 64
+    ).select("sub_id", F.col("sv").alias("qv"))
+    return V.pq_adc_topk(codes, cb, qsub, k=20, m=4, width=16)
