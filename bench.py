@@ -74,6 +74,16 @@ EXTRA = [
     "sample_mix_rebalance",
     "sim_semantic_dedup",
     "stream_cohort_retention",
+    # round-3 additions
+    "b7_cube_grouping_sets",
+    "b6_pivot_priority",
+    "dedup_fuzzy_levenshtein",
+    "text_surt_canonicalize",
+    "text_outlier_mad",
+    "events_attribution_touch",
+    "layout_zorder_key",
+    "vec_pq_encode",
+    "vec_pq_adc_topk",
 ]
 
 

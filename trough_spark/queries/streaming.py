@@ -255,3 +255,22 @@ def events_attribution_touch(spark, sf_dir):
             ).alias("converted"),
         )
     )
+
+
+@query(
+    "stream_dedup_ids",
+    oracle="""
+    SELECT DISTINCT event_id, ts, user_id, event_type, value, props
+    FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+    """,
+)
+def stream_dedup_ids(spark, sf_dir):
+    """Batch-mode contract of the streaming deduplicator (streaming/events.py
+    dedup_stream): replaying a doubled feed yields each event exactly once.
+    In streaming mode the same operator is dropDuplicatesWithinWatermark —
+    state expires as the watermark passes, so the dedup table never grows
+    unboundedly (the 100 TB requirement for replayed/at-least-once feeds)."""
+    from trough_spark.streaming import events as E
+
+    e = T(spark, sf_dir, "events")
+    return E.dedup_stream(e.unionAll(e))
