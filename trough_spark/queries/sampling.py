@@ -183,3 +183,35 @@ def sample_mix_rebalance(spark, sf_dir):
         "rate_ppm",
         F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
     )
+
+
+@query(
+    "sample_bottom_k_per_group",
+    oracle="""
+    SELECT source, doc_id, rnk FROM (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5('bk:' || doc_id), doc_id) AS rnk
+      FROM documents
+    ) WHERE rnk <= 10
+    """,
+)
+def sample_bottom_k_per_group(spark, sf_dir):
+    """Bounded per-group sample: the 10 'bottom-k by salted hash' docs per
+    source.  Hash-order bottom-k IS distributed reservoir sampling done
+    right — deterministic (rerunnable on retries, unlike rand()), uniform,
+    and mergeable: at 100 TB each partition keeps its local bottom-k and
+    the combine keeps the global bottom-k, so the shuffle carries k rows
+    per group per partition, never the group.  One window shuffle here;
+    swap row_number for a partial TakeOrdered per group when k*groups is
+    huge."""
+    from pyspark.sql import Window as W
+
+    d = T(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("bk:"), F.col("doc_id").cast("string"))), "doc_id"
+    )
+    return (
+        d.select("source", "doc_id", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 10)
+    )

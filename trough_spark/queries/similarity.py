@@ -537,3 +537,51 @@ def vec_pq_adc_topk(spark, sf_dir):
         emb.filter(F.col("vec_id") == 0), "vec_id", "embedding", 4, 64
     ).select("sub_id", F.col("sv").alias("qv"))
     return V.pq_adc_topk(codes, cb, qsub, k=20, m=4, width=16)
+
+
+@query(
+    "sim_matryoshka_topk",
+    oracle=f"""
+    WITH {_COS_CTE},
+    t AS (SELECT vec_id, e[1:16] AS e16 FROM v),
+    q AS (SELECT e16 AS q16 FROM t WHERE vec_id = 0)
+    SELECT vec_id,
+           CAST(ROUND(list_dot_product(e16, q16) /
+                (sqrt(list_dot_product(e16, e16)) * sqrt(list_dot_product(q16, q16)))
+                * 1000000, 0) AS BIGINT) AS cos_micro
+    FROM t, q
+    WHERE vec_id <> 0
+    ORDER BY cos_micro DESC, vec_id
+    LIMIT 20
+    """,
+)
+def sim_matryoshka_topk(spark, sf_dir):
+    """Matryoshka-truncated retrieval: top-20 by cosine on the FIRST 16 of
+    64 dims.  Nested-subspace embeddings let the first-stage scan read a
+    4x-smaller prefix of every vector (same bytes win as quantization,
+    composable with it) and rerank survivors at full width — at 100 TB the
+    candidate scan is the cost, so prefix width is the main lever.  Pure
+    projection + broadcast of the single query row; micro-rounded cosine so
+    the ranking is an integer decision in both engines."""
+    from trough_spark.operators.similarity import dot, norm
+
+    emb = T(spark, sf_dir, "embeddings")
+    t = emb.select("vec_id", F.slice("embedding", 1, 16).alias("e16"))
+    q = F.broadcast(t.filter(F.col("vec_id") == 0).select(F.col("e16").alias("q16")))
+    return (
+        t.filter(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            F.round(
+                dot(F.col("e16"), F.col("q16"), 16)
+                / (norm(F.col("e16"), 16) * norm(F.col("q16"), 16))
+                * 1_000_000,
+                0,
+            )
+            .cast("bigint")
+            .alias("cos_micro"),
+        )
+        .orderBy(F.desc("cos_micro"), "vec_id")
+        .limit(20)
+    )
