@@ -120,3 +120,58 @@ def test_equidepth_histogram_no_global_row_sort(spark):
     # SinglePartition exchanges exist only on the distinct-value / total
     # branches, which follow an aggregate, never the raw scan directly.
     assert "hashpartitioning(v" in plan
+
+
+def test_surt_canonicalize_is_map_only(spark):
+    from trough_spark.operators import text as X
+
+    df = spark.createDataFrame(
+        [(1, "https://WWW.A.Example.COM/x?utm_source=f&b=2&a=1")], "id bigint, url string"
+    )
+    assert _exchanges(X.surt_canonicalize(df, "url")) == 0
+
+
+def test_zvalue_is_map_only_and_codegen(spark):
+    from trough_spark.operators import layout as L
+
+    df = spark.range(1000).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") % 37).alias("y")
+    )
+    out = df.select(L.zvalue(F.col("x"), F.col("y")).alias("z"))
+    assert _exchanges(out) == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.lstrip().startswith("*(")  # whole-stage codegen'd project
+
+
+def test_pq_encode_single_shuffle_broadcast_codebook(spark):
+    """Encoding = broadcast codebook join + one argmin combine shuffle; a
+    shuffled codebook join here would be a scale bug."""
+    from trough_spark.operators import vectors as V
+
+    emb = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.array([(F.col("id") * (i + 1) % 97).cast("float") for i in range(8)]).alias("v"),
+    )
+    cb = V.pq_split(emb.filter(F.col("vec_id") < 4), "vec_id", "v", 2, 8).select(
+        F.col("id").alias("code"), "sub_id", F.col("sv").alias("cv")
+    )
+    codes = V.pq_encode(emb, "vec_id", "v", cb, m=2, dim=8)
+    plan = codes._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # shuffles: the argmin groupBy (+ possibly one broadcast-side exchange,
+    # which moves k*m rows, not data) — the corpus itself shuffles once
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_fuzzy_pairs_no_cartesian(spark):
+    """The blocked join must plan as an equi-join on the block key, never a
+    cartesian/nested-loop over the corpus."""
+    from trough_spark.operators import dedup as D
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i % 5} name{i}") for i in range(100)], "id bigint, name string"
+    )
+    out = D.fuzzy_levenshtein_pairs(df, "id", "name", max_distance=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
