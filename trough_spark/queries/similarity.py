@@ -585,3 +585,83 @@ def sim_matryoshka_topk(spark, sf_dir):
         .orderBy(F.desc("cos_micro"), "vec_id")
         .limit(20)
     )
+
+
+@query(
+    "vec_pq_recall",
+    oracle=f"""
+    WITH {_PQ_CTE},
+    q0 AS (SELECT e FROM v WHERE vec_id = 0),
+    qsub AS (SELECT sub_id, sv AS qv FROM sub WHERE id = 0),
+    dtab AS (
+      SELECT cb.sub_id, cb.code,
+             CAST(ROUND((list_dot_product(qv, qv) - 2 * list_dot_product(qv, cv)
+                         + list_dot_product(cv, cv)) * 1000000, 0) AS BIGINT) AS dmicro
+      FROM cb JOIN qsub USING (sub_id)
+    ),
+    adc AS (
+      SELECT enc.id, SUM(dtab.dmicro) AS d
+      FROM enc JOIN dtab ON enc.sub_id = dtab.sub_id AND enc.code = dtab.code
+      WHERE enc.id <> 0
+      GROUP BY enc.id ORDER BY d, enc.id LIMIT 20
+    ),
+    exact AS (
+      SELECT vec_id FROM (
+        SELECT b.vec_id,
+               CAST(ROUND((list_dot_product(b.e, b.e)
+                           - 2 * list_dot_product(q0.e, b.e)
+                           + list_dot_product(q0.e, q0.e)) * 1000000, 0) AS BIGINT) AS d,
+               ROW_NUMBER() OVER (ORDER BY
+                 CAST(ROUND((list_dot_product(b.e, b.e)
+                             - 2 * list_dot_product(q0.e, b.e)
+                             + list_dot_product(q0.e, q0.e)) * 1000000, 0) AS BIGINT),
+                 b.vec_id) AS rnk
+        FROM v b, q0
+        WHERE b.vec_id <> 0
+      ) WHERE rnk <= 20
+    )
+    SELECT CAST(SUM(CASE WHEN a.id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS hits,
+           ROUND(SUM(CASE WHEN a.id IS NULL THEN 0 ELSE 1 END) / 20.0, 3) AS recall_at_20
+    FROM exact e LEFT JOIN adc a ON a.id = e.vec_id
+    """,
+)
+def vec_pq_recall(spark, sf_dir):
+    """Accuracy meter for PQ: recall@20 of the 4-byte-code ADC search
+    against exact full-width L2 for query vec 0.  Same audit pattern as
+    sim_ivf_recall — at scale only the cheap (code-scan) side grows; the
+    exact side is a sampled audit.  Quantization quality is measured, not
+    assumed."""
+    from trough_spark.operators import vectors as V
+    from trough_spark.operators.similarity import dot
+
+    emb, cb = _pq_frames(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") != 0)
+    codes = V.pq_encode(corpus, "vec_id", "embedding", cb, m=4, dim=64)
+    qsub = V.pq_split(
+        emb.filter(F.col("vec_id") == 0), "vec_id", "embedding", 4, 64
+    ).select("sub_id", F.col("sv").alias("qv"))
+    adc = V.pq_adc_topk(codes, cb, qsub, k=20, m=4, width=16)
+    q0 = F.broadcast(emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe")))
+    b, q = F.col("embedding"), F.col("qe")
+    d_micro = (
+        F.round((dot(b, b, 64) - 2 * dot(q, b, 64) + dot(q, q, 64)) * 1_000_000, 0)
+        .cast("bigint")
+        .alias("d")
+    )
+    exact = (
+        corpus.crossJoin(q0)
+        .select("vec_id", d_micro)
+        .orderBy("d", "vec_id")
+        .limit(20)
+    )
+    joined = exact.join(
+        adc.select(F.col("id"), F.lit(1).alias("_hit")),
+        exact["vec_id"] == F.col("id"),
+        "left",
+    )
+    return joined.agg(
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint").alias("hits"),
+        F.round(F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.lit(20.0), 3).alias(
+            "recall_at_20"
+        ),
+    )
