@@ -56,20 +56,20 @@ _SAMPLE_PRIORITY = [
     "vec_pq_encode",
     "vec_pq_adc_topk",
     "b5_join_multiway",
-    "b5_join_outer_semi_anti",
+    "sample_bottom_k_per_group",
     "b5_theta_cross_join",
     "b6_agg_pricing_summary",
     "b6_having",
     "b6_percentiles",
-    "b6_group_concat_distinct",
+    "sim_matryoshka_topk",
     "b7_rollup",
     "b8_window_functions",
     "b8_range_frames",
     "b8_groups_frames",
     "b9_topk_per_group",
     "b9_nulls_ordering",
-    "b9_order_limit_offset",
-    "b10_set_ops",
+    "vec_pq_recall",
+    "stream_dedup_ids",
     "b11_subqueries_cte",
     "b11_exists_anti",
     "b12_scalar_functions",
