@@ -45,19 +45,30 @@ _SHINGLE_EXPR = (
 
 
 def shingle_table(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, max_doc_freq: int | None = None
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_doc_freq: int | None = None,
+    dedupe: bool = True,
 ) -> DataFrame:
-    """Exploded distinct (id, shingle) pairs.
+    """Exploded (id, shingle) pairs, distinct by default.
 
     ``max_doc_freq`` drops shingles appearing in more than that many docs
     ("stop shingles") — the standard cap that keeps the candidate join from
     exploding on boilerplate at corpus scale.
+
+    ``dedupe=False`` skips the distinct — a whole shuffle of the exploded
+    shingle table.  Only valid for duplicate-insensitive consumers (MIN/MAX
+    aggregates, e.g. minhash); anything that COUNTS shingles needs the
+    distinct, so the doc-frequency cap requires it.
     """
-    sh = (
-        df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
-        .select("id", F.explode(F.expr(_SHINGLE_EXPR.format(n=n, nm1=n - 1))).alias("shingle"))
-        .distinct()
+    assert dedupe or max_doc_freq is None, "max_doc_freq counts need dedupe=True"
+    sh = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")).select(
+        "id", F.explode(F.expr(_SHINGLE_EXPR.format(n=n, nm1=n - 1))).alias("shingle")
     )
+    if dedupe:
+        sh = sh.distinct()
     if max_doc_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
         sh = sh.join(freq.filter(F.col("df_") <= max_doc_freq).select("shingle"), "shingle")
@@ -155,7 +166,10 @@ def minhash_signatures(
     shuffle carries num_perm longs per doc — independent of doc length.
     """
     assert num_perm <= len(MINHASH_A)
-    sh = shingle_table(df, id_col, text_col, n).withColumn(
+    # dedupe=False: MIN is duplicate-insensitive, so the distinct's full
+    # shuffle of the exploded shingle table buys nothing here (signatures
+    # are bit-identical either way)
+    sh = shingle_table(df, id_col, text_col, n, dedupe=False).withColumn(
         "h31", portable_hash(F.col("shingle")) % MINHASH_PRIME
     )
     return (
