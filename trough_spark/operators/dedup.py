@@ -70,8 +70,18 @@ def shingle_table(
     if dedupe:
         sh = sh.distinct()
     if max_doc_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
-        sh = sh.join(freq.filter(F.col("df_") <= max_doc_freq).select("shingle"), "shingle")
+        # doc-frequency cap as a WINDOW on shingle, not agg+join-back: one
+        # exchange by shingle that the downstream candidate self-join then
+        # reuses (same subtree -> ReusedExchange, already sorted for SMJ) —
+        # two fewer shuffles of the exploded table than the agg+join form
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("_df", F.count(F.lit(1)).over(w))
+            .filter(F.col("_df") <= max_doc_freq)
+            .drop("_df")
+        )
     return sh
 
 
