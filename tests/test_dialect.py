@@ -141,3 +141,8 @@ def test_cast_type_mapping():
     # nested expressions inside CAST
     out = dialect.sqlite_to_spark("SELECT CAST(substr(a, 1, 2) AS TEXT) FROM t")
     assert "AS STRING" in out
+
+
+def test_iif_rewrites_to_if():
+    out = dialect.sqlite_to_spark("SELECT iif(a > 1, 'big', 'small') FROM t")
+    assert "if(a > 1, 'big', 'small')" in out.replace("  ", " ")

@@ -459,3 +459,17 @@ def test_cross_process_write_lock(store, spark):
     other.write("seg_lk", "INSERT INTO kv (k) VALUES (3);")
     assert not os.path.exists(lock_path)
     assert store.read("seg_lk", "SELECT count(*) AS n FROM kv") == [{"n": 2}]
+
+
+def test_last_insert_rowid_and_iif(store):
+    store.set_schema("test1", F1_DDL)
+    store.provision("lrid", "test1")
+    # fresh connection semantics: 0 before any insert
+    assert store.read("lrid", "SELECT last_insert_rowid() AS v") == [{"v": 0}]
+    store.write("lrid", "INSERT INTO test (test) VALUES ('a');")
+    store.write("lrid", "INSERT INTO test (test) VALUES ('b');")
+    assert store.read("lrid", "SELECT last_insert_rowid() AS v") == [{"v": 2}]
+    rows = store.read(
+        "lrid", "SELECT iif(id = last_insert_rowid(), 'latest', 'older') AS tag FROM test ORDER BY id"
+    )
+    assert [r["tag"] for r in rows] == ["older", "latest"]

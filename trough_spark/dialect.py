@@ -354,6 +354,8 @@ _FN_REWRITES: dict[str, object] = {
         f"CAST(CAST({a[0]} AS BIGINT) AS DOUBLE)" if len(a) == 1 else None
     ),
     "json_extract": lambda a: f"get_json_object({a[0]}, {a[1]})",
+    # SQLite 3.32+: iif(cond, a, b) — Spark spells it if()
+    "iif": lambda a: f"if({', '.join(a)})",
     "json_array_length": lambda a: f"size(from_json({a[0]}, 'array<string>'))",
     "glob": _fn_glob,
     "typeof": lambda a: (

@@ -1207,6 +1207,14 @@ class SegmentStore:
         self._register_sqlite_master(
             info, tables, lambda t: self._table_schema_from_info(info, t, segment_id)
         )
+        # last_insert_rowid() is connection state, not SQL — substitute the
+        # segment's last assigned autoincrement id (0 before any insert,
+        # matching a fresh sqlite3 connection)
+        stmt = re.sub(
+            r"(?i)\blast_insert_rowid\s*\(\s*\)",
+            str(self._last_auto.get(segment_id, 0)),
+            stmt,
+        )
         rec = _parse_recursive_cte(stmt)
         if rec is not None:
             return self._execute_recursive(rec)
