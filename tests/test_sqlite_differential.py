@@ -76,6 +76,11 @@ QUERIES = [
     "SELECT id FROM items WHERE name LIKE 'APPLE%' ORDER BY id",
     "SELECT id FROM items WHERE name LIKE '%Pie' ORDER BY id",
     "SELECT id FROM items WHERE name LIKE 'cHeRrY%' ORDER BY id",
+    # SQLite 3.32+ iif
+    "SELECT id, iif(price > 3, 'pricey', 'cheap') AS band FROM items ORDER BY id",
+    "SELECT iif(qty IS NULL, -1, qty) AS q FROM items ORDER BY id",
+    "SELECT instr(name, 'pp') AS pos FROM items WHERE id = 1",
+    "SELECT hex(substr(name, 1, 2)) AS h FROM items WHERE id = 2",
 ]
 
 DDL = (
