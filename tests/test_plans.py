@@ -175,3 +175,29 @@ def test_fuzzy_pairs_no_cartesian(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "Join" in plan
+
+
+def test_no_query_plans_cartesian_or_row_python(spark):
+    """Fleet-wide plan hygiene: no registered query may plan a cartesian
+    product or a row-at-a-time Python eval (BatchEvalPython) — the two
+    plan nodes that silently turn a 100 TB job into a forever job.  Arrow
+    batch nodes (ArrowEvalPython / mapInPandas / FlatMapGroupsInPandas)
+    are the sanctioned Python paths and remain allowed."""
+    from trough_spark.queries import QUERIES, load_all
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    offenders = {}
+    for name, fn in QUERIES.items():
+        plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        flags = [
+            f
+            for f, marker in (
+                ("cartesian", "CartesianProduct"),
+                ("row-python-udf", "BatchEvalPython"),
+            )
+            if marker in plan
+        ]
+        if flags:
+            offenders[name] = flags
+    assert not offenders, f"scale-hostile plan nodes: {offenders}"
