@@ -102,3 +102,53 @@ def test_sql_value_roundtrip_sqlite(v):
 def test_strftime_map_structure(fmt):
     out = dialect.strftime_format_to_spark(fmt)
     assert "%" not in out  # every directive translated
+
+
+@given(st.integers(0, 65535), st.integers(0, 65535))
+@settings(max_examples=200, deadline=None)
+def test_morton_interleave_bijective(x, y):
+    """zvalue's bit interleave must be exactly invertible — a collision
+    would silently merge unrelated (x, y) cells in the layout."""
+    z = 0
+    for i in range(16):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    rx = ry = 0
+    for i in range(16):
+        rx |= ((z >> (2 * i)) & 1) << i
+        ry |= ((z >> (2 * i + 1)) & 1) << i
+    assert (rx, ry) == (x, y)
+
+
+_URL_CHARS = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-._", min_size=1, max_size=8
+)
+
+
+@given(
+    st.lists(_URL_CHARS, min_size=1, max_size=4),
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b", "utm_source", "utm_x", "ref", "id"]), _URL_CHARS),
+        max_size=4,
+    ),
+)
+@settings(max_examples=30, deadline=None)
+def test_surt_canonicalize_idempotent_host_and_params(spark, labels, params):
+    """Canonicalization must be a projection: applying it to a URL built
+    from an already-canonical SURT host yields the same host, and tracking
+    params never survive."""
+    from trough_spark.operators.text import surt_canonicalize
+
+    host = ".".join(labels)
+    qs = "&".join(f"{k}={v}" for k, v in params)
+    url = f"https://WWW.{host}/p?{qs}" if qs else f"https://WWW.{host}/p"
+    df = spark.createDataFrame([(1, url)], "id bigint, url string")
+    row = surt_canonicalize(df, "url").collect()[0]
+    assert not row["host"].startswith("www.") or host.lower().startswith("www.")
+    assert "utm_" not in row["surt"]
+    # idempotence on the host: re-canonicalizing a URL rebuilt from the
+    # canonical host changes nothing
+    df2 = spark.createDataFrame([(1, f"https://{row['host']}/p?{qs}")], "id bigint, url string")
+    row2 = surt_canonicalize(df2, "url").collect()[0]
+    assert row2["host"] == row["host"]
+    assert row2["surt"] == row["surt"]

@@ -617,3 +617,25 @@ def text_outlier_mad(spark, sf_dir):
             F.round(F.min("mad"), 6).alias("mad"),
         )
     )
+
+
+@query(
+    "text_quality_ntile",
+    oracle="""
+    SELECT doc_id, source,
+           NTILE(10) OVER (PARTITION BY source
+                           ORDER BY n_chars, doc_id) AS len_decile
+    FROM documents
+    """,
+)
+def text_quality_ntile(spark, sf_dir):
+    """Per-source quantile normalization: decile-rank document length within
+    its source.  Raw quality scores aren't comparable across sources (a
+    'long' webpage and a 'long' paper differ 100x); rank-normalizing within
+    source is the standard fix before mixing corpora.  One window shuffle on
+    source; deterministic via the doc_id tiebreak."""
+    from pyspark.sql import Window as W
+
+    d = T(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    return d.select("doc_id", "source", F.ntile(10).over(w).alias("len_decile"))
