@@ -505,3 +505,36 @@ def fuzzy_levenshtein_pairs(
         )
         .filter(F.col("dist") <= max_distance)
     )
+
+
+def minhash_jaccard_estimate(
+    signatures: DataFrame, candidates: DataFrame, num_perm: int = 8
+) -> DataFrame:
+    """Estimated Jaccard for candidate pairs from signatures alone:
+    fraction of permutations whose minhash agrees (the unbiased MinHash
+    estimator).  This is the VERIFY stage of the LSH pipeline at corpus
+    scale — candidates are checked against num_perm longs per doc, never
+    the raw text, so verification cost is independent of document length.
+
+    ``candidates`` is (id1, id2) (e.g. ``minhash_lsh_candidates`` output).
+    Returns (id1, id2, n_agree, est_jaccard).  Exact integer agreement
+    counts; the estimate is the one float, derived once at the end.
+    """
+    s1 = signatures.select(
+        F.col("id").alias("id1"), F.col("perm"), F.col("minhash").alias("m1")
+    )
+    s2 = signatures.select(
+        F.col("id").alias("id2"), F.col("perm"), F.col("minhash").alias("m2")
+    )
+    return (
+        candidates.join(s1, "id1")
+        .join(s2, ["id2", "perm"])
+        .groupBy("id1", "id2")
+        .agg(F.sum(F.when(F.col("m1") == F.col("m2"), 1).otherwise(0)).alias("n_agree"))
+        .select(
+            "id1",
+            "id2",
+            "n_agree",
+            F.round(F.col("n_agree") / F.lit(float(num_perm)), 6).alias("est_jaccard"),
+        )
+    )

@@ -401,3 +401,41 @@ def dedup_fuzzy_levenshtein(spark, sf_dir):
     )
     blk = F.element_at(F.split(F.trim(F.lower(F.col("p_name"))), r"\s+"), -1)
     return D.fuzzy_levenshtein_pairs(names, "id", "p_name", max_distance=2, block=blk)
+
+
+@query(
+    "dedup_minhash_verify",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    {_MINHASH_CTE},
+    minh AS (SELECT id, perm, MIN(h) AS minhash FROM hashed GROUP BY 1, 2),
+    bands AS (
+      SELECT id, perm // 2 AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm)) AS band_hash
+      FROM minh GROUP BY id, perm // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id1, b.id AS id2
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id
+    )
+    SELECT c.id1, c.id2,
+           CAST(SUM(CASE WHEN s1.minhash = s2.minhash THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_agree,
+           ROUND(SUM(CASE WHEN s1.minhash = s2.minhash THEN 1 ELSE 0 END) / 8.0, 6)
+             AS est_jaccard
+    FROM cand c
+    JOIN minh s1 ON s1.id = c.id1
+    JOIN minh s2 ON s2.id = c.id2 AND s2.perm = s1.perm
+    GROUP BY c.id1, c.id2
+    """,
+)
+def dedup_minhash_verify(spark, sf_dir):
+    """The LSH pipeline's verify stage: signature-only Jaccard estimates
+    for every banded candidate pair — document bodies are never touched
+    after signing, so verification is O(candidates x num_perm) longs
+    regardless of document size."""
+    docs = T(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, "doc_id", "text", num_perm=8, n=3)
+    cand = D.minhash_lsh_candidates(sigs, rows_per_band=2)
+    return D.minhash_jaccard_estimate(sigs, cand, num_perm=8)
