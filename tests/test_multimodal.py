@@ -129,3 +129,27 @@ def test_missing_codec_lib_fails_loudly():
         pytest.skip("Pillow installed; the loud-failure path needs it absent")
     with pytest.raises(NotImplementedError):
         M.pil_image_codec(b"\x89PNG\r\n")
+
+
+def test_resize_images_deterministic_shape(media):
+    out = {r["media_id"]: r for r in M.resize_images(media, 8, 8).collect()}
+    assert len(out) == 50
+    for r in out.values():
+        assert r["n_bytes"] == 64 and len(r["resized"]) == 64
+        assert 0.0 <= r["mean_byte"] <= 255.0
+    again = {r["media_id"]: r for r in M.resize_images(media, 8, 8).collect()}
+    assert out == again
+
+
+def test_resize_images_nearest_neighbor_exact(spark):
+    """Pin the sampling rule: resized[i] == pixels[floor(i*n/t)]."""
+    import numpy as np
+
+    blob = bytes(range(100))
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(blob), (10, 10, 0, 0, "raw"))], M.MEDIA_SCHEMA
+    )
+    raw_codec = lambda b: np.frombuffer(b, dtype=np.uint8)  # noqa: E731
+    row = M.resize_images(df, 4, 4, codec=raw_codec).collect()[0]
+    expect = bytes([(i * 100) // 16 for i in range(16)])
+    assert bytes(row["resized"]) == expect

@@ -231,3 +231,55 @@ def sample_frames(
             yield pd.DataFrame(rows)
 
     return df.select("media_id", "content").mapInPandas(kernel, schema=FRAME_SAMPLE_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "media_id bigint, out_width int, out_height int, n_bytes int, "
+    "mean_byte double, resized binary"
+)
+
+
+def resize_images(
+    df: DataFrame, out_width: int = 8, out_height: int = 8, codec=None
+) -> DataFrame:
+    """Image resize over ``MEDIA_SCHEMA`` rows: decode via ``codec``, nearest-
+    neighbor downsample the flat pixel stream to out_width*out_height, emit
+    the resized bytes + summary stats.
+
+    With a real codec (``pil_image_codec``) this is thumbnailing for vision-
+    model preprocessing; with the default fake it is the same plumbing over
+    the deterministic payload, so schema/batching/partitioning are tested
+    even without decode libs.  Scale notes as decode_image_features: Arrow
+    batches in and out, blob never driver-side, stateless kernel (safe under
+    task retry/speculation)."""
+    codec = codec or fake_codec
+    n_out = out_width * out_height
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for media_id, blob in zip(pdf["media_id"], pdf["content"]):
+                px = np.asarray(codec(bytes(blob))).astype(np.uint8)
+                if px.size == 0:
+                    px = np.zeros(1, dtype=np.uint8)
+                # nearest-neighbor over the flat stream: index floor(i*n/t)
+                idx = (np.arange(n_out) * px.size) // n_out
+                resized = px[idx]
+                rows.append(
+                    {
+                        "media_id": int(media_id),
+                        "out_width": out_width,
+                        "out_height": out_height,
+                        "n_bytes": int(resized.size),
+                        "mean_byte": float(round(resized.astype(np.float64).mean(), 6)),
+                        "resized": resized.tobytes(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "content").mapInPandas(kernel, schema=RESIZE_SCHEMA)

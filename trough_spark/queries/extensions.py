@@ -154,3 +154,36 @@ def skew_salted_join(spark, sf_dir):
         F.sum("l_quantity").cast("bigint").alias("sum_qty"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id AS media_id, md5(md5(text)) || md5(text) AS ph
+      FROM documents
+    ),
+    b AS (
+      SELECT media_id, i,
+             CAST(('0x' || substr(ph, ((i * 32) // 25) * 2 + 1, 2)) AS INT) AS v
+      FROM p, UNNEST(generate_series(0, 24)) AS t(i)
+    )
+    SELECT media_id,
+           CAST(5 AS INT) AS out_width,
+           CAST(5 AS INT) AS out_height,
+           CAST(25 AS INT) AS n_bytes,
+           ROUND(AVG(v), 6) AS mean_byte
+    FROM b
+    GROUP BY media_id
+    """,
+)
+def multimodal_resize(spark, sf_dir):
+    """Nearest-neighbor thumbnail resize through the Arrow kernel (5x5 from
+    the 32-byte fake payload; a real deployment passes pil_image_codec).
+    The oracle re-derives every sampled byte from the payload's hex
+    rendering, so even the RESIZE kernel is hash-checked, not rows-only."""
+    docs = T(spark, sf_dir, "documents")
+    media = M.synthesize_media(docs, "doc_id", "text")
+    return M.resize_images(media, 5, 5).select(
+        "media_id", "out_width", "out_height", "n_bytes", "mean_byte"
+    )
