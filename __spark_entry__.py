@@ -58,12 +58,12 @@ _SAMPLE_PRIORITY = [
     "b5_join_multiway",
     "sample_bottom_k_per_group",
     "b5_theta_cross_join",
-    "b6_agg_pricing_summary",
+    "dedup_minhash_verify",
     "b6_having",
     "b6_percentiles",
     "sim_matryoshka_topk",
-    "b7_rollup",
-    "b8_window_functions",
+    "multimodal_resize",
+    "text_quality_ntile",
     "b8_range_frames",
     "b8_groups_frames",
     "b9_topk_per_group",
