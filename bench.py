@@ -84,6 +84,13 @@ EXTRA = [
     "layout_zorder_key",
     "vec_pq_encode",
     "vec_pq_adc_topk",
+    "vec_pq_recall",
+    "sample_bottom_k_per_group",
+    "sim_matryoshka_topk",
+    "stream_dedup_ids",
+    "dedup_minhash_verify",
+    "multimodal_resize",
+    "text_quality_ntile",
 ]
 
 
