@@ -149,6 +149,7 @@ def connected_components_star(
     isolated = all_nodes.join(touched, "id", "left_anti").select(
         "id", F.col("id").alias("comp")
     )
+    prev_n = e.count()
     for _ in range(max_iter):
         # large-star: every neighbor v > u links to min(N(u) ∪ {u})
         bidir = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(
@@ -157,12 +158,15 @@ def connected_components_star(
         mins = bidir.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m")
         )
+        # checkpointed: consumed twice below (smins + the join) — without
+        # this the whole large-star subtree recomputes per consumer
         large = (
             bidir.where(F.col("v") > F.col("u"))
             .join(mins, "u")
             .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
             .where(F.col("hi") != F.col("lo"))
             .distinct()
+            .localCheckpoint(eager=True)
         )
         # small-star: smaller neighbors (and u itself) link to the min
         smins = large.groupBy("hi").agg(F.min("lo").alias("m"))
@@ -175,10 +179,11 @@ def connected_components_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        same = (
-            small.count() == e.count()
-            and small.join(e, ["hi", "lo"], "left_anti").isEmpty()
-        )
+        n = small.count()
+        # counts short-circuit the (more expensive) exact anti-join check;
+        # prev_n is carried forward so the old edge list is never recounted
+        same = n == prev_n and small.join(e, ["hi", "lo"], "left_anti").isEmpty()
+        prev_n = n
         e = small
         if same:
             break
