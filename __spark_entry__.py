@@ -23,12 +23,28 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver samples a prefix of the registry when it can't run everything,
 # so order queries by how much a fresh correctness row is worth: first the
-# §2.A trough-operator oracles that have never been driver-sampled, then
-# every events-reading query (loader fixed this round — greens need
-# re-proving), then one representative per §2.B row, then the LLM-pipeline
-# operators (all hash-green in round 2).
+# eight vector/similarity queries that have NEVER been driver-sampled in
+# rounds 1-3 (the scale flagships — IVF, SemDeDup, k-means, quantization),
+# then this round's fixes (PQ ADC integer-grid rework, session-window
+# oracle, frame-sample oracle), then one representative per §2 row, then
+# the already-multi-green remainder.
 _SAMPLE_PRIORITY = [
-    # §2.A — never driver-sampled in rounds 1-2
+    # never driver-sampled in rounds 1-3 (VERDICT r3 item 3)
+    "sim_ivf_topk",
+    "sim_ivf_recall",
+    "sim_kmeans_update",
+    "sim_kmeans_train",
+    "sim_semantic_dedup",
+    "sim_srp_multiprobe_pairs",
+    "vec_quantize_int8",
+    "vec_quantization_error",
+    # round-4 reworks — fresh green rows needed
+    "vec_pq_adc_topk",
+    "vec_pq_encode",
+    "vec_pq_recall",
+    "stream_session_window_native",
+    "multimodal_frame_sample",
+    # §2.A (driver-green r3; keep one early row each)
     "a2_row_to_json",
     "a7_regexp_function",
     "a8_seed_crawled_status",
@@ -37,14 +53,13 @@ _SAMPLE_PRIORITY = [
     "b12_dialect_shim_roundtrip",
     "a3_segment_routing",
     "a12_fanout_regex",
-    # events-reading queries — broken by the r2 loader bug, fixed now
+    # events-reading queries
     "stream_tumbling_hourly",
     "stream_sliding_2h_1h",
     "stream_sessionization",
     "stream_funnel_conversion",
     "stream_stream_join",
     "stream_cohort_retention",
-    "stream_session_window_native",
     "sketch_hll_distinct",
     "sketch_hll_hourly_users",
     "sketch_countmin_heavy_hitters",
@@ -52,9 +67,7 @@ _SAMPLE_PRIORITY = [
     "asof_join_last_signup",
     "interval_join_sessions",
     "b12_json_functions",
-    # §2.B representatives (b3/b4 are double-green r1+r2; ceded to PQ)
-    "vec_pq_encode",
-    "vec_pq_adc_topk",
+    # §2.B representatives
     "b5_join_multiway",
     "sample_bottom_k_per_group",
     "b5_theta_cross_join",
@@ -68,13 +81,11 @@ _SAMPLE_PRIORITY = [
     "b8_groups_frames",
     "b9_topk_per_group",
     "b9_nulls_ordering",
-    "vec_pq_recall",
     "stream_dedup_ids",
     "b11_subqueries_cte",
     "b11_exists_anti",
     "b12_scalar_functions",
     "b12_datetime_functions",
-    # round-3 additions — first driver rows needed
     "b7_cube_grouping_sets",
     "b6_pivot_priority",
     "dedup_fuzzy_levenshtein",

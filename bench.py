@@ -125,6 +125,10 @@ def main() -> None:
         extra[name] = round(time.perf_counter() - t0, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # The driver tail-captures only ~2 KB of stdout and parses the LAST JSON
+    # line; the extras dict (40+ entries) goes on its own EARLIER line so the
+    # canonical line below stays small enough to survive the capture.
+    print(json.dumps({"queries_extra": extra}))
     print(
         json.dumps(
             {
@@ -133,7 +137,6 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "queries_warm": warm,
-                "queries_extra": extra,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

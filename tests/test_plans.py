@@ -4,6 +4,9 @@ adds an Exchange here is a scale bug even if results stay correct)."""
 
 from __future__ import annotations
 
+import os
+
+import pytest
 from pyspark.sql import functions as F
 
 from trough_spark.operators import sampling as SA
@@ -177,6 +180,10 @@ def test_fuzzy_pairs_no_cartesian(spark):
     assert "Join" in plan
 
 
+@pytest.mark.skipif(
+    not os.path.isdir("/root/testdata/sf0.001"),
+    reason="driver testdata not present on this machine",
+)
 def test_no_query_plans_cartesian_or_row_python(spark):
     """Fleet-wide plan hygiene: no registered query may plan a cartesian
     product or a row-at-a-time Python eval (BatchEvalPython) — the two

@@ -473,3 +473,11 @@ def test_last_insert_rowid_and_iif(store):
         "lrid", "SELECT iif(id = last_insert_rowid(), 'latest', 'older') AS tag FROM test ORDER BY id"
     )
     assert [r["tag"] for r in rows] == ["older", "latest"]
+    # literal-aware: an occurrence INSIDE a string literal is data, not SQL
+    rows = store.read("lrid", "SELECT 'last_insert_rowid()' AS s")
+    assert rows == [{"s": "last_insert_rowid()"}]
+    # write path: VALUES referencing last_insert_rowid() sees the id as of
+    # the previous statement (sqlite3 connection semantics)
+    store.write("lrid", "INSERT INTO test (test) SELECT 'ref ' || last_insert_rowid();")
+    rows = store.read("lrid", "SELECT test FROM test WHERE id = 3")
+    assert rows == [{"test": "ref 2"}]

@@ -222,9 +222,25 @@ def glob_to_regex(pattern: str) -> str:
                 out.append(re.escape(ch))
             else:
                 body = pattern[i + 1 : j]
+                neg = ""
                 if body.startswith("^"):
-                    body = "^" + body[1:]
-                out.append("[" + body + "]")
+                    neg, body = "^", body[1:]
+                # Re-emit the class member by member: genuine a-z ranges
+                # survive, every other character is escaped.  A verbatim
+                # body would let literal '-'/'~'/'&' runs form set-ops
+                # ("[a--~]" is set difference to future Python, "&&" is
+                # intersection to Java) — escaping makes them literal in
+                # both engines.
+                members = []
+                k = 0
+                while k < len(body):
+                    if k + 2 <= len(body) - 1 and body[k + 1] == "-" and body[k] <= body[k + 2]:
+                        members.append(re.escape(body[k]) + "-" + re.escape(body[k + 2]))
+                        k += 3
+                    else:
+                        members.append(re.escape(body[k]))
+                        k += 1
+                out.append("[" + neg + "".join(members) + "]")
                 i = j
         else:
             out.append(re.escape(ch))

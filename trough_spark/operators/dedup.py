@@ -63,7 +63,10 @@ def shingle_table(
     aggregates, e.g. minhash); anything that COUNTS shingles needs the
     distinct, so the doc-frequency cap requires it.
     """
-    assert dedupe or max_doc_freq is None, "max_doc_freq counts need dedupe=True"
+    if not dedupe and max_doc_freq is not None:
+        # must survive python -O: with dedupe off the window would count
+        # occurrences, not document frequencies, silently changing results
+        raise ValueError("max_doc_freq counts need dedupe=True")
     sh = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")).select(
         "id", F.explode(F.expr(_SHINGLE_EXPR.format(n=n, nm1=n - 1))).alias("shingle")
     )

@@ -377,11 +377,26 @@ def pq_split(df: DataFrame, id_col: str, vec_col: str, m: int, dim: int) -> Data
     return df.select(F.col(id_col).alias("id"), F.inline(subs))
 
 
+#: element grid for PQ distances: each coordinate snaps to round(x * 1000),
+#: so a squared-L2 distance lands on an exact integer 1e-6 grid.  Every
+#: product and partial sum is an integer < 2^53 — exact in IEEE float64 no
+#: matter the summation order, hence bit-identical across engines (the
+#: round-3 hash fail was summation-order ULP noise at the ROUND boundary).
+PQ_GRID = 1000
+
+
 def _l2_micro(a, b, width: int):
-    """Squared L2 distance in integer micro-units (exact-enough grid for
-    stable argmin/sum decisions cross-engine)."""
-    d2 = dot(a, a, width) - 2 * dot(a, b, width) + dot(b, b, width)
-    return F.round(d2 * QSCALE, 0).cast("bigint")
+    """Squared L2 distance in EXACT integer micro-units.
+
+    Both input arrays are first quantized onto the PQ_GRID (1e-3) element
+    grid; the d2 identity then only ever adds/multiplies integers, so the
+    result is order-independent and reproducible in any engine that does
+    float64 arithmetic (same pattern as kmeans_update_step's integer-grid
+    means above)."""
+    qa = F.transform(a, lambda x: F.round(x.cast("double") * PQ_GRID, 0))
+    qb = F.transform(b, lambda x: F.round(x.cast("double") * PQ_GRID, 0))
+    d2 = dot(qa, qa, width) - 2 * dot(qa, qb, width) + dot(qb, qb, width)
+    return d2.cast("bigint")
 
 
 def pq_encode(

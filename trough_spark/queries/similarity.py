@@ -465,14 +465,15 @@ def sim_semantic_dedup(spark, sf_dir):
 _PQ_CTE = f"""
     {_COS_CTE.strip().rstrip()},
     sub AS (
-      SELECT vec_id AS id, s AS sub_id, e[(s*16+1):((s+1)*16)] AS sv
+      SELECT vec_id AS id, s AS sub_id,
+             list_transform(e[(s*16+1):((s+1)*16)], x -> ROUND(x * 1000, 0)) AS sv
       FROM v, UNNEST(generate_series(0, 3)) AS t(s)
     ),
     cb AS (SELECT id AS code, sub_id, sv AS cv FROM sub WHERE id < 8),
     dist AS (
       SELECT sub.id, sub.sub_id, cb.code,
-             CAST(ROUND((list_dot_product(sv, sv) - 2 * list_dot_product(sv, cv)
-                         + list_dot_product(cv, cv)) * 1000000, 0) AS BIGINT) AS dmicro
+             CAST(list_dot_product(sv, sv) - 2 * list_dot_product(sv, cv)
+                  + list_dot_product(cv, cv) AS BIGINT) AS dmicro
       FROM sub JOIN cb USING (sub_id)
     ),
     enc AS (
@@ -515,8 +516,8 @@ def vec_pq_encode(spark, sf_dir):
     q AS (SELECT sub_id, sv AS qv FROM sub WHERE id = 0),
     dtab AS (
       SELECT cb.sub_id, cb.code,
-             CAST(ROUND((list_dot_product(qv, qv) - 2 * list_dot_product(qv, cv)
-                         + list_dot_product(cv, cv)) * 1000000, 0) AS BIGINT) AS dmicro
+             CAST(list_dot_product(qv, qv) - 2 * list_dot_product(qv, cv)
+                  + list_dot_product(cv, cv) AS BIGINT) AS dmicro
       FROM cb JOIN q USING (sub_id)
     )
     SELECT enc.id, SUM(dtab.dmicro) AS adc_dist_micro
@@ -595,8 +596,8 @@ def sim_matryoshka_topk(spark, sf_dir):
     qsub AS (SELECT sub_id, sv AS qv FROM sub WHERE id = 0),
     dtab AS (
       SELECT cb.sub_id, cb.code,
-             CAST(ROUND((list_dot_product(qv, qv) - 2 * list_dot_product(qv, cv)
-                         + list_dot_product(cv, cv)) * 1000000, 0) AS BIGINT) AS dmicro
+             CAST(list_dot_product(qv, qv) - 2 * list_dot_product(qv, cv)
+                  + list_dot_product(cv, cv) AS BIGINT) AS dmicro
       FROM cb JOIN qsub USING (sub_id)
     ),
     adc AS (

@@ -205,6 +205,39 @@ def parse_schema_sql(schema_id: str, sql: str) -> Schema:
 _DEFAULT_SCHEMA = Schema(id="default", sql="")
 
 
+_LAST_ROWID_RE = re.compile(r"(?i)\blast_insert_rowid\s*\(\s*\)")
+
+
+def _sub_last_insert_rowid(stmt: str, value: int) -> str:
+    """Replace ``last_insert_rowid()`` with ``value`` — but only OUTSIDE
+    string/identifier literals, so a quoted occurrence (e.g. a logged SQL
+    fragment stored as data) survives untouched.  Walks the statement
+    segment-by-segment: quoted runs (``'...'`` with ``''`` escapes, ``"..."``
+    likewise) are copied verbatim, unquoted runs get the regex."""
+    out: list[str] = []
+    i, n = 0, len(stmt)
+    while i < n:
+        ch = stmt[i]
+        if ch in ("'", '"'):
+            j = i + 1
+            while j < n:
+                if stmt[j] == ch:
+                    if j + 1 < n and stmt[j + 1] == ch:  # doubled-quote escape
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(stmt[i : min(j + 1, n)])
+            i = j + 1
+        else:
+            j = i
+            while j < n and stmt[j] not in ("'", '"'):
+                j += 1
+            out.append(_LAST_ROWID_RE.sub(str(value), stmt[i:j]))
+            i = j
+    return "".join(out)
+
+
 class WriteLockError(RuntimeError):
     """Another process holds the segment's write lock (the reference's
     one-writer-per-segment rule, trough/write.py:55-57 / sync.py:130-145)."""
@@ -494,6 +527,13 @@ class SegmentStore:
         self._active_txn = _WriteTxn(self)
         try:
             for stmt in stmts:
+                # same connection-state substitution the read path does, so
+                # INSERT ... VALUES (last_insert_rowid()) works mid-script
+                # with the value as of the PREVIOUS statement (sqlite3
+                # semantics); literal-aware, quoted occurrences untouched
+                stmt = _sub_last_insert_rowid(
+                    stmt, self._last_auto.get(segment_id, 0)
+                )
                 kind = dialect.statement_type(stmt)
                 if kind in ("INSERT", "REPLACE"):
                     handled = self._execute_insert(segment_id, stmt, pending)
@@ -1209,12 +1249,9 @@ class SegmentStore:
         )
         # last_insert_rowid() is connection state, not SQL — substitute the
         # segment's last assigned autoincrement id (0 before any insert,
-        # matching a fresh sqlite3 connection)
-        stmt = re.sub(
-            r"(?i)\blast_insert_rowid\s*\(\s*\)",
-            str(self._last_auto.get(segment_id, 0)),
-            stmt,
-        )
+        # matching a fresh sqlite3 connection); literal-aware so quoted
+        # occurrences inside string data are left alone
+        stmt = _sub_last_insert_rowid(stmt, self._last_auto.get(segment_id, 0))
         rec = _parse_recursive_cte(stmt)
         if rec is not None:
             return self._execute_recursive(rec)
