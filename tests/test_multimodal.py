@@ -84,44 +84,142 @@ def _have(mod):
         return False
 
 
-@pytest.mark.skipif(not _have("PIL"), reason="Pillow not installed")
-def test_pil_codec_real_decode(spark):
-    """Real-codec path: encode a tiny PNG with Pillow, decode through the
-    Spark pipeline, and check the pixel mean is the true pixel mean."""
-    import io
+def _encode_png(px, color_type, filter_type=0):
+    """Minimal stdlib PNG encoder (test fixture builder): 8-bit,
+    non-interlaced, one filter type for every scanline — real PNG bytes any
+    conforming decoder must accept."""
+    import struct
+    import zlib
 
+    h, w = px.shape[0], px.shape[1]
+    channels = 1 if px.ndim == 2 else px.shape[2]
+    stride = w * channels
+    flat = bytes(px.reshape(h, stride).astype("uint8").tobytes())
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        row = flat[y * stride : (y + 1) * stride]
+        raw.append(filter_type)
+        if filter_type == 0:
+            raw += row
+        elif filter_type == 1:  # Sub
+            raw += bytes(
+                (row[i] - (row[i - channels] if i >= channels else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif filter_type == 2:  # Up
+            raw += bytes((row[i] - prev[i]) & 0xFF for i in range(stride))
+        elif filter_type == 3:  # Average
+            raw += bytes(
+                (row[i] - (((row[i - channels] if i >= channels else 0) + prev[i]) >> 1)) & 0xFF
+                for i in range(stride)
+            )
+        elif filter_type == 4:  # Paeth
+            def paeth(a, b, c):
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+            raw += bytes(
+                (
+                    row[i]
+                    - paeth(
+                        row[i - channels] if i >= channels else 0,
+                        prev[i],
+                        prev[i - channels] if i >= channels else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        prev = row
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(">I", zlib.crc32(body))
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _encode_wav(samples16, rate=16000):
+    """Stdlib 16-bit PCM WAV encoder (test fixture builder)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(samples16.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_png_codec_real_decode(spark):
+    """Real-codec path, always on: a genuinely encoded PNG decoded through
+    the Spark pipeline with the stdlib codec yields the true pixel mean.
+    Cross-checked against Pillow when it is installed."""
     import numpy as np
-    from PIL import Image
 
     px = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
-    buf = io.BytesIO()
-    Image.fromarray(px, "RGB").save(buf, format="PNG")
-    blob = buf.getvalue()
+    blob = _encode_png(px, color_type=2)
     df = spark.createDataFrame(
         [(1, "image", bytearray(blob), (4, 4, 0, 0, "png"))],
         M.MEDIA_SCHEMA,
     )
-    row = M.decode_image_features(df, codec=M.pil_image_codec).collect()[0]
+    row = M.decode_image_features(df, codec=M.png_image_codec).collect()[0]
     assert row["mean_byte"] == float(round(px.astype(np.float64).mean(), 6))
+    if _have("PIL"):
+        pil_row = M.decode_image_features(df, codec=M.pil_image_codec).collect()[0]
+        assert pil_row["mean_byte"] == row["mean_byte"]
 
 
-@pytest.mark.skipif(not _have("soundfile"), reason="soundfile not installed")
-def test_soundfile_codec_real_decode(spark):
-    import io
-
+def test_png_codec_filters_and_color_types():
+    """The stdlib decoder round-trips every scanline filter (0-4) and every
+    supported color type against real encoded bytes."""
     import numpy as np
-    import soundfile as sf
 
-    samples = np.sin(np.linspace(0, 2 * np.pi, 1600)).astype(np.float64)
-    buf = io.BytesIO()
-    sf.write(buf, samples, 16000, format="WAV")
+    rng = np.random.RandomState(7)
+    shapes = {0: (6, 5), 2: (6, 5, 3), 4: (6, 5, 2), 6: (6, 5, 4)}
+    for color_type, shape in shapes.items():
+        px = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        for filt in range(5):
+            got = M.png_image_codec(_encode_png(px, color_type, filt))
+            assert np.array_equal(got, px.reshape(-1)), (color_type, filt)
+    if _have("PIL"):
+        import io
+
+        from PIL import Image
+
+        px = rng.randint(0, 256, size=(6, 5, 3), dtype=np.uint8)
+        for filt in range(5):
+            img = Image.open(io.BytesIO(_encode_png(px, 2, filt)))
+            assert np.array_equal(np.asarray(img).reshape(-1), px.reshape(-1))
+
+
+def test_wav_codec_real_decode(spark):
+    """Real-codec audio path, always on: stdlib-encoded 16-bit PCM WAV
+    decoded through the Spark pipeline gives the signal's true RMS.
+    Cross-checked against soundfile when it is installed."""
+    import numpy as np
+
+    samples = np.sin(np.linspace(0, 2 * np.pi, 1600))
+    blob = _encode_wav(np.round(samples * 32767.0))
     df = spark.createDataFrame(
-        [(1, "audio", bytearray(buf.getvalue()), (0, 0, 16000, 100, "wav"))],
+        [(1, "audio", bytearray(blob), (0, 0, 16000, 100, "wav"))],
         M.MEDIA_SCHEMA,
     )
-    row = M.decode_audio_features(df, codec=M.soundfile_audio_codec).collect()[0]
-    expect = float(round(float(np.sqrt((samples**2).mean())), 6))
+    row = M.decode_audio_features(df, codec=M.wav_audio_codec).collect()[0]
+    expect = float(np.sqrt((samples**2).mean()))
     assert abs(row["rms"] - expect) < 1e-3  # WAV is 16-bit quantized
+    if _have("soundfile"):
+        sf_row = M.decode_audio_features(df, codec=M.soundfile_audio_codec).collect()[0]
+        assert abs(sf_row["rms"] - row["rms"]) < 1e-6
 
 
 def test_missing_codec_lib_fails_loudly():

@@ -56,6 +56,25 @@ def test_session_windows_stream(spark, event_dir, tmp_path):
     assert sum(r["n_events"] for r in rows) == 1000
 
 
+def test_session_window_native_matches_lag_sessionization(spark):
+    """Differential: the native session_window operator (batch mode) and the
+    LAG-gap batch sessionization derive the SAME session set — same
+    (user_id, session_start, n_events) triples — so the native op can share
+    the lag-based SQL oracle."""
+    from trough_spark.queries import QUERIES, load_all
+
+    load_all()
+    native = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in QUERIES["stream_session_window_native"](spark, SF).collect()
+    }
+    lag_based = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in QUERIES["stream_sessionization"](spark, SF).collect()
+    }
+    assert native == lag_based
+
+
 def test_sliding_stream_matches_batch(spark, event_dir, tmp_path):
     stream = E.read_event_stream(spark, event_dir)
     got = _run_stream(spark, E.sliding_counts(stream), tmp_path, "sliding_out")

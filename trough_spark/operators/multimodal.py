@@ -110,6 +110,102 @@ def pil_image_codec(blob: bytes):
     return np.asarray(img).reshape(-1).astype(np.uint8)
 
 
+def png_image_codec(blob: bytes):
+    """REAL PNG decode using only the standard library (zlib + struct) —
+    the zero-dependency real-codec path, so CI proves the codec contract
+    against genuinely encoded bytes even where Pillow is absent.
+
+    Supports the common archive shape: 8-bit, non-interlaced, grey / RGB /
+    grey+alpha / RGBA, all five scanline filters.  Anything fancier
+    (palette, 16-bit, interlaced) should go through ``pil_image_codec``."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if blob[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG stream")
+    ihdr = None
+    idat = []
+    pos = 8
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack(">I", blob[pos : pos + 4])
+        ctype = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG stream missing IHDR/IDAT")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or color not in (0, 2, 4, 6):
+        raise ValueError(
+            "png_image_codec supports 8-bit non-interlaced grey/RGB/LA/RGBA; "
+            "use pil_image_codec for palette/16-bit/interlaced streams"
+        )
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    out = bytearray()
+    prev = bytearray(stride)
+    for y in range(h):
+        off = y * (stride + 1)
+        f = raw[off]
+        row = bytearray(raw[off + 1 : off + 1 + stride])
+        if f == 1:  # Sub
+            for i in range(channels, stride):
+                row[i] = (row[i] + row[i - channels]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = row[i - channels] if i >= channels else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif f != 0:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out += row
+        prev = row
+    return np.frombuffer(bytes(out), dtype=np.uint8)
+
+
+def wav_audio_codec(blob: bytes):
+    """REAL WAV/PCM decode using only the standard library (wave) -> flat
+    float64 samples in [-1, 1] — the zero-dependency real-codec path for
+    audio, mirroring ``png_image_codec``.  Compressed containers (flac/ogg/
+    mp3) go through ``soundfile_audio_codec``."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(blob)) as wf:
+        width = wf.getsampwidth()
+        data = wf.readframes(wf.getnframes())
+    if width == 2:
+        return np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    if width == 1:  # 8-bit WAV is unsigned
+        return (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    if width == 4:
+        return np.frombuffer(data, dtype="<i4").astype(np.float64) / 2147483648.0
+    raise ValueError(f"unsupported WAV sample width {width}")
+
+
 def soundfile_audio_codec(blob: bytes):
     """Real audio decode via soundfile -> flat float64 sample array in
     [-1, 1].  Import-gated like ``pil_image_codec``."""

@@ -1,11 +1,11 @@
 """Multimodal + native-streaming inventory entries.
 
 The decode kernels run as Arrow mapInPandas with a deterministic hex-keyed
-fake codec, which makes their outputs SQL-expressible — image/audio feature
-queries carry full DuckDB oracles.  Frame sampling emits binary columns
-(engine renderings differ) and native session_window has no SQL twin, so
-those two stay rows-only with pytest assertions instead
-(tests/test_multimodal.py, tests/test_streaming.py).
+fake codec, which makes their outputs SQL-expressible — every multimodal
+query carries a full DuckDB oracle (frame sampling emits frame hex, which
+both engines render identically).  Native session_window has no SQL twin
+either, but its sessions provably equal the LAG-gap derivation
+(tests/test_streaming.py), so it shares that SQL as its oracle.
 """
 
 from __future__ import annotations
@@ -79,20 +79,74 @@ def multimodal_audio_features(spark, sf_dir):
     return M.decode_audio_features(media)
 
 
-@query("multimodal_frame_sample")  # rows-only: executor-side frame explosion
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id AS media_id, md5(text) AS chex
+      FROM documents WHERE doc_id < 100
+    ),
+    d AS (SELECT media_id, md5(chex) || chex AS datahex FROM src),
+    f AS (
+      SELECT media_id, CAST(i.range * 2 AS INT) AS frame_index,
+             substr(datahex, i.range * 2 * 8 + 1, 8) AS frame_hex
+      FROM d, range(4) i
+    )
+    SELECT media_id, frame_index, CAST(4 AS INT) AS frame_len, frame_hex FROM f
+    """,
+)
 def multimodal_frame_sample(spark, sf_dir):
-    docs = T(spark, sf_dir, "documents").limit(100)
+    """Video frame sampling through the executor-side explosion kernel,
+    hash-verified: the fake codec's decoded stream is md5(hex(blob))+blob,
+    so every sampled frame is a fixed hex substring the oracle re-derives
+    (32-byte stream, 4-byte frames, every 2nd frame, cap 4 — indices
+    0/2/4/6 at hex offsets idx*8).  Binary stays executor-side; the query
+    emits the frame's hex rendering, comparable across engines."""
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     media = M.synthesize_media(docs, "doc_id", "text", modality="video")
     return M.sample_frames(media, every_n=2, max_frames=4).select(
-        "media_id", "frame_index", F.length("frame_bytes").alias("frame_len")
+        "media_id",
+        "frame_index",
+        F.length("frame_bytes").cast("int").alias("frame_len"),
+        F.lower(F.hex("frame_bytes")).alias("frame_hex"),
     )
 
 
-@query("stream_session_window_native")  # rows-only: native session_window op
+@query(
+    "stream_session_window_native",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
 def stream_session_window_native(spark, sf_dir):
-    # The streaming-native gap-session operator run in batch mode; its
-    # stream/batch consistency is asserted in tests/test_streaming.py.
-    return E.session_windows(T(spark, sf_dir, "events"), gap="30 minutes")
+    # The streaming-native gap-session operator run in batch mode.  The
+    # oracle is the LAG-based gap derivation (same SQL family as the
+    # stream_sessionization oracle): session_window's merge rule — an event
+    # lands in the open session iff it falls strictly inside
+    # [start, last_ts + gap) — produces exactly the sessions the
+    # "gap > 30 min starts a new session" recurrence does, so the two are
+    # hash-comparable on (user_id, session_start, n_events).  session_end
+    # is excluded: session_window defines it as last_ts + gap, the batch
+    # derivation as max(ts) — both valid, not comparable.
+    # Stream-vs-batch and native-vs-lag equalities are also asserted in
+    # tests/test_streaming.py.
+    return E.session_windows(T(spark, sf_dir, "events"), gap="30 minutes").select(
+        "user_id", "session_start", "n_events"
+    )
 
 
 @query(
