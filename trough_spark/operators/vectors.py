@@ -313,26 +313,49 @@ def semantic_dedup(
     # being recomputed (and re-JIT-compiled) per reference — same pattern as
     # kmeans_train's per-iteration truncation.
     assigned = assigned.localCheckpoint(eager=False)
-    # Norms are per-vector: compute them once per side BEFORE the join, and
-    # use the compact fold-form dot in the pair expression — the unrolled
-    # dim-wide chains (dot + 2 norms) in one join stage exceed janino's
-    # 64 KB codegen limit and fall back to interpreted eval (same lesson as
-    # similarity.srp rescoring).  The fold costs more per pair but pairs are
-    # cluster-confined and bounded.
+    # Within-cluster pairing is two-phase, same as cosine_pairs: the
+    # O(cluster²·dim) arithmetic runs as ONE numpy matmul per cluster
+    # (Arrow applyInPandas — BLAS, not 25M row-at-a-time fold evals), with
+    # a 1e-6 margin so summation-order noise can't drop a true pair; the
+    # few survivors are rescored with the sequential fold dot, so emitted
+    # decisions stay bit-identical to the strictly sequential evaluation
+    # the DuckDB oracle computes.  Group size = cluster size, which k is
+    # sized to bound (SemDeDup's own contract); a pathological giant
+    # cluster would compose with cosine_pairs' block scheme instead.
+    import numpy as np
+    import pandas as pd
+
+    margin = 1e-6
+
+    def cluster_candidates(pdf):
+        ids = pdf["id"].to_numpy(np.int64)
+        if len(ids) < 2:
+            e = np.array([], dtype=np.int64)
+            return pd.DataFrame({"_ia": e, "_ib": e})
+        M = np.stack(pdf["v"].to_list()).astype(np.float64)
+        nrm = np.sqrt((M * M).sum(axis=1))
+        sims = (M @ M.T) / np.outer(nrm, nrm)
+        keep = (sims >= threshold - margin) & (ids[:, None] < ids[None, :])
+        r, c = np.nonzero(keep)
+        return pd.DataFrame({"_ia": ids[r], "_ib": ids[c]})
+
+    cand = assigned.groupBy("cid").applyInPandas(
+        cluster_candidates, schema="_ia bigint, _ib bigint"
+    )
     a = assigned.select(
-        F.col("id").alias("_ia"), "cid", F.col("v").alias("_va"),
+        F.col("id").alias("_ia"), F.col("v").alias("_va"),
         norm(F.col("v"), dim).alias("_na"),
     )
     b = assigned.select(
-        F.col("id").alias("_ib"), "cid", F.col("v").alias("_vb"),
+        F.col("id").alias("_ib"), F.col("v").alias("_vb"),
         norm(F.col("v"), dim).alias("_nb"),
     )
     pair_sim = F.round(
         dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
     )
     dropped = (
-        a.join(b, "cid")
-        .where(F.col("_ia") < F.col("_ib"))
+        cand.join(a, "_ia")
+        .join(b, "_ib")
         .where(pair_sim >= F.lit(threshold))
         .select(F.col("_ib").alias("id"))
         .distinct()
@@ -385,18 +408,31 @@ def pq_split(df: DataFrame, id_col: str, vec_col: str, m: int, dim: int) -> Data
 PQ_GRID = 1000
 
 
-def _l2_micro(a, b, width: int):
-    """Squared L2 distance in EXACT integer micro-units.
+def qgrid(vec: Column) -> Column:
+    """Quantize a float vector onto the PQ_GRID element grid (one transform
+    per ROW, evaluated in a projection before any join fans the row out —
+    the per-PAIR distance then does no rounding at all)."""
+    return F.transform(vec, lambda x: F.round(x.cast("double") * PQ_GRID, 0))
 
-    Both input arrays are first quantized onto the PQ_GRID (1e-3) element
-    grid; the d2 identity then only ever adds/multiplies integers, so the
-    result is order-independent and reproducible in any engine that does
-    float64 arithmetic (same pattern as kmeans_update_step's integer-grid
-    means above)."""
-    qa = F.transform(a, lambda x: F.round(x.cast("double") * PQ_GRID, 0))
-    qb = F.transform(b, lambda x: F.round(x.cast("double") * PQ_GRID, 0))
-    d2 = dot(qa, qa, width) - 2 * dot(qa, qb, width) + dot(qb, qb, width)
-    return d2.cast("bigint")
+
+def _l2_micro(a, b, width: int):
+    """Squared L2 distance between two ALREADY grid-quantized vectors
+    (see ``qgrid``), in EXACT integer micro-units.
+
+    Unrolled Σ(a_i-b_i)² over element_at — plain codegen'd arithmetic.
+    Every coordinate is an integer ≤ ~PQ_GRID, so every product and
+    partial sum is an integer < 2^53: order-independent and
+    bit-reproducible in any engine doing float64 arithmetic (same pattern
+    as kmeans_update_step's integer-grid means above; the oracle computes
+    the algebraically identical Σqa²-2Σqaqb+Σqb² on the same grid)."""
+    terms = []
+    for i in range(width):
+        d = F.element_at(a, i + 1) - F.element_at(b, i + 1)
+        terms.append(d * d)
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("bigint")
 
 
 def pq_encode(
@@ -415,10 +451,15 @@ def pq_encode(
     shuffle is the per-(id, sub_id) argmin combine, which partial-aggregates.
     """
     width = dim // m
-    sub = pq_split(corpus, id_col, vec_col, m, dim)
+    # quantize once per (id, sub_id) ROW in a projection below the join —
+    # the 8-way codebook fan-out then reuses the integer arrays instead of
+    # re-rounding every coordinate per candidate pair
+    sub = pq_split(corpus, id_col, vec_col, m, dim).select(
+        "id", "sub_id", qgrid(F.col("sv")).alias("sv")
+    )
     cb = F.broadcast(
         codebooks.select(
-            F.col("code"), F.col("sub_id").alias("_csub"), F.col("cv")
+            F.col("code"), F.col("sub_id").alias("_csub"), qgrid(F.col("cv")).alias("cv")
         )
     )
     scored = sub.join(cb, sub["sub_id"] == cb["_csub"]).select(
@@ -459,7 +500,8 @@ def pq_adc_topk(
         ).select(
             F.col("sub_id").alias("_dsub"),
             F.col("code").alias("_dcode"),
-            _l2_micro(F.col("qv"), F.col("cv"), width).alias("dmicro"),
+            # k*m rows total — quantizing inline here is negligible
+            _l2_micro(qgrid(F.col("qv")), qgrid(F.col("cv")), width).alias("dmicro"),
         )
     )
     return (
