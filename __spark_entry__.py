@@ -38,12 +38,15 @@ _SAMPLE_PRIORITY = [
     "sim_srp_multiprobe_pairs",
     "vec_quantize_int8",
     "vec_quantization_error",
-    # round-4 reworks — fresh green rows needed
+    # round-4 reworks + new operators — fresh green rows needed
     "vec_pq_adc_topk",
     "vec_pq_encode",
     "vec_pq_recall",
     "stream_session_window_native",
     "multimodal_frame_sample",
+    "vec_ivfpq_search",
+    "sim_incremental_ann",
+    "text_html_strip",
     # §2.A (driver-green r3; keep one early row each)
     "a2_row_to_json",
     "a7_regexp_function",

@@ -91,6 +91,10 @@ EXTRA = [
     "dedup_minhash_verify",
     "multimodal_resize",
     "text_quality_ntile",
+    # round 4
+    "vec_ivfpq_search",
+    "sim_incremental_ann",
+    "text_html_strip",
 ]
 
 

@@ -134,6 +134,20 @@ def test_surt_canonicalize_is_map_only(spark):
     assert _exchanges(X.surt_canonicalize(df, "url")) == 0
 
 
+def test_html_strip_is_map_only_and_correct(spark):
+    from trough_spark.operators import text as X
+
+    df = spark.createDataFrame(
+        [(1, '<html><head><style>p{color:red}</style></head>'
+             '<body><!-- note --><p  class="x">Hello &amp;\n <b>world</b>'
+             '&nbsp;&lt;3</p><script>var x = "<p>";</script></body></html>')],
+        "id bigint, html string",
+    )
+    out = df.select("id", X.html_strip(F.col("html")).alias("t"))
+    assert _exchanges(out) == 0
+    assert out.collect()[0]["t"] == "Hello & world <3"
+
+
 def test_zvalue_is_map_only_and_codegen(spark):
     from trough_spark.operators import layout as L
 

@@ -545,3 +545,64 @@ def srp_multiprobe_pairs(
         .filter(F.col("cosine_sim") >= threshold)
         .select("id1", "id2", "cosine_sim")
     )
+
+
+def srp_incremental_topk(
+    corpus: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_bits: int = 8,
+    dim: int = 64,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Daily-ingest ANN: each NEW vector retrieves its top-k nearest
+    indexed CORPUS vectors through shared SRP-LSH buckets — the join is
+    new x corpus, never corpus x corpus (mirror of dedup.incremental_lsh
+    for embeddings).
+
+    Scale shape: both sides bucket with the same pure-map SRP code; the
+    candidate join is an equi-join on the bucket key, so per-new-vector
+    work is that bucket's corpus occupancy (~N/2^n_bits), and a day's
+    ingest costs O(|new| x bucket size) regardless of corpus history.
+    Exact rescore on candidates (fold-form dot, rounded before ranking);
+    top-k per new id via WindowGroupLimit.  A new vector whose bucket has
+    no corpus members yields no rows — the documented LSH recall
+    trade-off; raise n_bits' probe radius (srp_multiprobe) to buy recall.
+
+    Returns (new_id, corpus_id, cosine_sim, rnk), rnk 1..k by (cosine
+    DESC, corpus_id).
+    """
+    from pyspark.sql.window import Window
+
+    def with_bucket(df, id_alias):
+        code = None
+        for j in range(n_bits):
+            bit = srp_projection_bit(F.col(vec_col), j, dim) * (2**j)
+            code = bit if code is None else code + bit
+        return df.select(
+            F.col(id_col).alias(id_alias),
+            F.col(vec_col).alias(f"_v_{id_alias}"),
+            code.cast("bigint").alias("bucket"),
+        ).withColumn(f"_n_{id_alias}", norm(F.col(f"_v_{id_alias}")))
+
+    nb = with_bucket(new, "new_id")
+    cb = with_bucket(corpus, "corpus_id")
+    rescored = nb.join(cb, "bucket").select(
+        "new_id",
+        "corpus_id",
+        F.round(
+            dot(F.col("_v_new_id"), F.col("_v_corpus_id"))
+            / (F.col("_n_new_id") * F.col("_n_corpus_id")),
+            6,
+        ).alias("cosine_sim"),
+    ).filter(F.col("cosine_sim") >= threshold)
+    w = Window.partitionBy("new_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("corpus_id")
+    )
+    return (
+        rescored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("new_id", "corpus_id", "cosine_sim", "rnk")
+    )

@@ -599,3 +599,33 @@ def surt_canonicalize(df: DataFrame, url_col: str) -> DataFrame:
         F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
     )
     return df.withColumn("host", host).withColumn("surt", surt)
+
+
+def html_strip(col: Column) -> Column:
+    """Strip HTML down to text: drop script/style blocks and comments, then
+    tags, decode the common entities, and collapse whitespace runs — the
+    first transform every web-crawl pipeline applies before any quality or
+    dedup stage.
+
+    Pure native regexp chain (map-only, zero shuffle, whole-stage codegen).
+    Patterns deliberately avoid backreferences so the SAME expressions run
+    under Java regex (Spark) and RE2 (DuckDB oracle) with identical
+    semantics.  This is the fast-path 95% strip; a DOM-accurate extractor
+    (trafilatura-class) would slot in as a mapInPandas kernel like the
+    multimodal codecs."""
+    s = F.regexp_replace(col, r"(?is)<script[^>]*>.*?</script>", " ")
+    s = F.regexp_replace(s, r"(?is)<style[^>]*>.*?</style>", " ")
+    s = F.regexp_replace(s, r"(?s)<!--.*?-->", " ")
+    s = F.regexp_replace(s, r"<[^>]+>", " ")
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", "\""),
+        ("&#39;", "'"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),  # last, so "&amp;lt;" decodes to the literal "&lt;"
+    ):
+        s = F.regexp_replace(s, ent, ch)
+    # explicit class, not \s: Java regex counts \x0B as whitespace, RE2
+    # does not — the explicit class behaves identically in both engines
+    return F.trim(F.regexp_replace(s, r"[ \t\r\n\f]+", " "))

@@ -514,3 +514,75 @@ def pq_adc_topk(
         .orderBy("adc_dist_micro", "id")
         .limit(k)
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    query: DataFrame,
+    k: int = 20,
+    nprobe: int = 4,
+    m: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF+PQ search — the billion-vector index pairing, composed end to
+    end: IVF confines the scan to ``nprobe`` inverted lists, PQ shrinks
+    what that scan reads to m-byte codes + a broadcast distance table.
+
+    Shape at 100 TB: centroid assignment is the one map-side pass
+    ``ivf_assign`` already does (broadcast centroid matrix, BLAS batch
+    scoring); codes come from ``pq_encode`` (broadcast codebook argmin) —
+    both are INDEX-BUILD work amortized over every query.  Per query, the
+    probed-list candidate set is an equi-join on the centroid id, the ADC
+    scan reads codes only (semi-join on id), and the result is one integer
+    groupBy-sum + TakeOrdered(k).  Nothing driver-side, nothing O(N).
+
+    Determinism: probe selection uses the rounded cosine with ties to the
+    lower centroid id (same rule as ``ivf_topk``); distances are the
+    integer-grid ADC micro-units (see ``_l2_micro``) — both engine-exact.
+    """
+    from pyspark.sql.window import Window
+
+    from trough_spark.operators.similarity import ivf_assign
+
+    width = dim // m
+    lists = ivf_assign(corpus, id_col, vec_col, centroids).select("id", "cid")
+    cents = F.broadcast(
+        centroids.select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("_cvec"),
+            norm(F.col(vec_col)).alias("_cn"),
+        )
+    )
+    q = query.select(
+        F.col(id_col).alias("_qid"),
+        F.col(vec_col).alias("_qv"),
+        norm(F.col(vec_col)).alias("_qn"),
+    )
+    qscored = q.crossJoin(cents).select(
+        "cid",
+        F.round(
+            dot(F.col("_qv"), F.col("_cvec")) / (F.col("_qn") * F.col("_cn")), 6
+        ).alias("csim"),
+    )
+    # k_lists rows for one query — the single-partition window is fine
+    wq = Window.orderBy(F.col("csim").desc(), F.col("cid"))
+    probes = (
+        qscored.withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= nprobe)
+        .select("cid")
+    )
+    cand = (
+        lists.join(F.broadcast(probes), "cid")
+        .join(query.select(F.col(id_col).alias("id")), "id", "left_anti")
+        .select("id")
+    )
+    codes = pq_encode(corpus, id_col, vec_col, codebooks, m=m, dim=dim)
+    cand_codes = codes.join(cand, "id", "left_semi")
+    qsub = pq_split(query, id_col, vec_col, m, dim).select(
+        "sub_id", F.col("sv").alias("qv")
+    )
+    return pq_adc_topk(cand_codes, codebooks, qsub, k=k, m=m, width=width)

@@ -666,3 +666,121 @@ def vec_pq_recall(spark, sf_dir):
             "recall_at_20"
         ),
     )
+
+
+@query(
+    "sim_incremental_ann",
+    oracle="""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+    bits AS (
+      SELECT vec_id, j,
+             list_sum(list_transform(generate_series(0, 63),
+                                     i -> e[i + 1] * sin(i + j * 1000))) AS proj
+      FROM v, UNNEST(generate_series(0, 7)) AS t(j)
+    ),
+    buckets AS (
+      SELECT vec_id AS id,
+             CAST(SUM(CASE WHEN proj >= 0 THEN (1 << j) ELSE 0 END) AS BIGINT) AS bucket
+      FROM bits GROUP BY vec_id
+    ),
+    tagged AS (SELECT b.id, b.bucket, v.e FROM buckets b JOIN v ON v.vec_id = b.id),
+    newv AS (SELECT * FROM tagged WHERE id % 20 = 0),
+    corp AS (SELECT * FROM tagged WHERE id % 20 <> 0),
+    scored AS (
+      SELECT n.id AS new_id, c.id AS corpus_id,
+             ROUND(list_dot_product(n.e, c.e) /
+                   (sqrt(list_dot_product(n.e, n.e)) *
+                    sqrt(list_dot_product(c.e, c.e))), 6) AS cosine_sim
+      FROM newv n JOIN corp c ON n.bucket = c.bucket
+    )
+    SELECT new_id, corpus_id, cosine_sim, CAST(rnk AS BIGINT) AS rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY new_id
+                  ORDER BY cosine_sim DESC, corpus_id) AS rnk
+      FROM scored WHERE cosine_sim >= 0
+    ) WHERE rnk <= 3
+    """,
+)
+def sim_incremental_ann(spark, sf_dir):
+    """Daily-ingest ANN: the 5% 'new' slice (vec_id % 20 = 0) retrieves
+    top-3 corpus neighbors through shared SRP buckets — a new x corpus
+    equi-join on the bucket key, never corpus x corpus.  The embedding twin
+    of dedup_incremental: a day's ingest costs O(|new| x bucket occupancy)
+    no matter how large the indexed corpus has grown.  See
+    operators/similarity.srp_incremental_topk."""
+    emb = T(spark, sf_dir, "embeddings")
+    return S.srp_incremental_topk(
+        emb.filter(F.col("vec_id") % 20 != 0),
+        emb.filter(F.col("vec_id") % 20 == 0),
+        "vec_id",
+        "embedding",
+        k=3,
+        n_bits=8,
+        dim=64,
+        threshold=0.0,
+    )
+
+
+@query(
+    "vec_ivfpq_search",
+    oracle=f"""
+    WITH {_PQ_CTE},
+    icent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 16),
+    iq AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+    iprobes AS (
+      SELECT cid FROM (
+        SELECT c.cid,
+               ROW_NUMBER() OVER (ORDER BY {_pairsim('iq.qe', 'c.ce')} DESC, c.cid) AS rn
+        FROM icent c, iq
+      ) WHERE rn <= 4
+    ),
+    iassign AS (
+      SELECT vec_id, cid FROM (
+        SELECT a.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                 ORDER BY {_pairsim('a.e', 'c.ce')} DESC, c.cid) AS rn
+        FROM v a CROSS JOIN icent c
+      ) WHERE rn = 1
+    ),
+    icand AS (
+      SELECT vec_id FROM iassign
+      WHERE cid IN (SELECT cid FROM iprobes) AND vec_id <> 0
+    ),
+    q AS (SELECT sub_id, sv AS qv FROM sub WHERE id = 0),
+    dtab AS (
+      SELECT cb.sub_id, cb.code,
+             CAST(list_dot_product(qv, qv) - 2 * list_dot_product(qv, cv)
+                  + list_dot_product(cv, cv) AS BIGINT) AS dmicro
+      FROM cb JOIN q USING (sub_id)
+    )
+    SELECT enc.id, SUM(dtab.dmicro) AS adc_dist_micro
+    FROM enc
+    JOIN dtab ON enc.sub_id = dtab.sub_id AND enc.code = dtab.code
+    JOIN icand ON icand.vec_id = enc.id
+    GROUP BY enc.id
+    ORDER BY adc_dist_micro, enc.id
+    LIMIT 20
+    """,
+)
+def vec_ivfpq_search(spark, sf_dir):
+    """IVF+PQ composed — the billion-vector index pairing end to end: the
+    query probes its nprobe=4 nearest of 16 IVF lists, and ONLY those
+    lists' 4-byte PQ codes are scanned with integer-grid ADC distances.
+    Per-query bytes = (probed fraction of corpus) x (code size), the
+    multiplicative win neither piece achieves alone.  See
+    operators/vectors.ivfpq_topk."""
+    from trough_spark.operators import vectors as V
+
+    emb, cbk = _pq_frames(spark, sf_dir)
+    return V.ivfpq_topk(
+        emb,
+        "vec_id",
+        "embedding",
+        centroids=emb.filter(F.col("vec_id") < 16),
+        codebooks=cbk,
+        query=emb.filter(F.col("vec_id") == 0),
+        k=20,
+        nprobe=4,
+        m=4,
+        dim=64,
+    )

@@ -639,3 +639,50 @@ def text_quality_ntile(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     w = W.partitionBy("source").orderBy("n_chars", "doc_id")
     return d.select("doc_id", "source", F.ntile(10).over(w).alias("len_decile"))
+
+
+@query(
+    "text_html_strip",
+    oracle=r"""
+    WITH src AS (
+      SELECT doc_id,
+             '<html><body><p class="d">' || text ||
+             ' &amp; more</p><script>var x = 1;</script><!-- c --></body></html>'
+               AS html
+      FROM documents
+    ),
+    s1 AS (SELECT doc_id, regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM src),
+    s2 AS (SELECT doc_id, regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+    s3 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
+    s4 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM s3),
+    s5 AS (SELECT doc_id, regexp_replace(t, '&lt;', '<', 'g') AS t FROM s4),
+    s6 AS (SELECT doc_id, regexp_replace(t, '&gt;', '>', 'g') AS t FROM s5),
+    s7 AS (SELECT doc_id, regexp_replace(t, '&quot;', '"', 'g') AS t FROM s6),
+    s8 AS (SELECT doc_id, regexp_replace(t, '&#39;', '''', 'g') AS t FROM s7),
+    s9 AS (SELECT doc_id, regexp_replace(t, '&nbsp;', ' ', 'g') AS t FROM s8),
+    s10 AS (SELECT doc_id, regexp_replace(t, '&amp;', '&', 'g') AS t FROM s9),
+    fin AS (SELECT doc_id, trim(regexp_replace(t, '[ ' || chr(9) || chr(13) || chr(10) || chr(12) || ']+', ' ', 'g')) AS stripped FROM s10)
+    SELECT doc_id, CAST(length(stripped) AS INT) AS n_chars, md5(stripped) AS stripped_md5
+    FROM fin
+    """,
+)
+def text_html_strip(spark, sf_dir):
+    """HTML-to-text boilerplate strip — the first transform of every
+    web-crawl pipeline: drop script/style/comment blocks, then tags, decode
+    the common entities, collapse whitespace.  Map-only native regexp chain
+    (zero shuffle; asserted in test_plans) — at 100 TB this runs inside the
+    scan stage at I/O speed.  Documents are wrapped in a deterministic HTML
+    shell so the strip is exercised end to end; the md5 of the recovered
+    text is the hash-gate evidence both engines stripped identically."""
+    docs = T(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><body><p class="d">'),
+        F.col("text"),
+        F.lit(' &amp; more</p><script>var x = 1;</script><!-- c --></body></html>'),
+    )
+    stripped = X.html_strip(html)
+    return docs.select(
+        "doc_id",
+        F.length(stripped).cast("int").alias("n_chars"),
+        F.md5(stripped).alias("stripped_md5"),
+    )
