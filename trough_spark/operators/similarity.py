@@ -505,40 +505,46 @@ def srp_multiprobe_pairs(
     for j in range(n_bits):
         bit = srp_projection_bit(F.col(vec_col), j, dim) * (2**j)
         code = bit if code is None else code + bit
-    # norms + rescore use the fold form (dim=None): multi-probe candidate
-    # sets are large, and the giant unrolled chain pays a multi-second JIT
-    # that the interpreted fold avoids (measured 9.6s -> 3.4s at sf0.1,
-    # bit-identical output)
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        code.cast("bigint").alias("bucket"),
-    ).withColumn("n", norm(F.col("v")))
+    # Candidate generation runs on (id, bucket) PAIRS ONLY — the 9-way
+    # probe explosion, bucket join, and pair dedup never carry the 64-float
+    # vectors (previously the probes side shuffled every vector n_bits+1
+    # times and the dedup reshuffled them again).  Vectors re-attach by two
+    # id equi-joins on the deduped pair list, whose sides also skip the SRP
+    # code computation entirely.  Norms + rescore use the fold form
+    # (dim=None): multi-probe candidate sets are large, and the giant
+    # unrolled chain pays a multi-second JIT that the interpreted fold
+    # avoids (measured 9.6s -> 3.4s at sf0.1, bit-identical output).
+    buckets = df.select(
+        F.col(id_col).alias("id"), code.cast("bigint").alias("bucket")
+    )
     flips = [F.col("bucket")] + (
         [F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_bits)]
         if probe_hamming == 1
         else []
     )
-    probes = base.select(
-        F.col("id").alias("id1"),
-        F.col("v").alias("v1"),
-        F.col("n").alias("n1"),
-        F.explode(F.array(*flips)).alias("pb"),
+    probes = buckets.select(
+        F.col("id").alias("id1"), F.explode(F.array(*flips)).alias("pb")
     )
-    target = base.select(
-        F.col("bucket").alias("pb"),
-        F.col("id").alias("id2"),
-        F.col("v").alias("v2"),
-        F.col("n").alias("n2"),
-    )
+    target = buckets.select(F.col("bucket").alias("pb"), F.col("id").alias("id2"))
     cand = (
         probes.join(target, "pb")
         .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2", "v1", "n1", "v2", "n2")
+        .select("id1", "id2")
         .dropDuplicates(["id1", "id2"])
     )
+    side = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
+        "n", norm(F.col("v"))
+    )
+    a = side.select(
+        F.col("id").alias("id1"), F.col("v").alias("v1"), F.col("n").alias("n1")
+    )
+    b = side.select(
+        F.col("id").alias("id2"), F.col("v").alias("v2"), F.col("n").alias("n2")
+    )
     return (
-        cand.withColumn(
+        cand.join(a, "id1")
+        .join(b, "id2")
+        .withColumn(
             "cosine_sim",
             F.round(dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 6),
         )
