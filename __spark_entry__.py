@@ -47,6 +47,9 @@ _SAMPLE_PRIORITY = [
     "vec_ivfpq_search",
     "sim_incremental_ann",
     "text_html_strip",
+    "sample_group_cap",
+    "events_multigrain_rollup",
+    "text_classifier_score",
     # §2.A (driver-green r3; keep one early row each)
     "a2_row_to_json",
     "a7_regexp_function",

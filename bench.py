@@ -95,6 +95,9 @@ EXTRA = [
     "vec_ivfpq_search",
     "sim_incremental_ann",
     "text_html_strip",
+    "sample_group_cap",
+    "events_multigrain_rollup",
+    "text_classifier_score",
 ]
 
 

@@ -534,11 +534,15 @@ def hashed_classifier(
     """
     mod = 2 * weight_range + 1
     # per-token weight, entirely in SQL expression land (runs per array slot)
+    # the conv() result MUST be cast to bigint before any arithmetic:
+    # conv returns a STRING, and string-vs-int math promotes to DOUBLE,
+    # which silently rounds the 60-bit hash (exact only to 2^53) and
+    # assigns some tokens to the wrong bucket
     w_expr = (
         f"aggregate(filter(split(trim(lower({text_col})), '\\\\s+'), t -> t != ''), "
         f"cast(0 as bigint), (acc, t) -> acc + "
-        f"((conv(substring(md5(t), 1, 15), 16, 10) % {n_buckets}) * 2654435761 "
-        f"% {mod} - {weight_range}))"
+        f"((cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint) % {n_buckets}) "
+        f"* 2654435761 % {mod} - {weight_range}))"
     )
     n_expr = f"size(filter(split(trim(lower({text_col})), '\\\\s+'), t -> t != ''))"
     out = df.select(

@@ -215,3 +215,24 @@ def sample_bottom_k_per_group(spark, sf_dir):
         d.select("source", "doc_id", F.row_number().over(w).alias("rnk"))
         .filter(F.col("rnk") <= 10)
     )
+
+
+@query(
+    "sample_group_cap",
+    oracle=f"""
+    SELECT doc_id, source, grp_rank FROM (
+      SELECT doc_id, source,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY {_sql_hash("doc_id", "cap")}, doc_id) AS INT) AS grp_rank
+      FROM documents
+    ) WHERE grp_rank <= 20
+    """,
+)
+def sample_group_cap(spark, sf_dir):
+    """Per-source frequency cap — web curation's "at most N docs per host":
+    within each source keep the 20 rows with the smallest deterministic
+    hash, an unbiased fixed-size per-group sample independent of scan
+    order.  One window shuffle on the group key (operators/sampling
+    .group_cap)."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source")
+    return SA.group_cap(docs, "doc_id", "source", cap=20)

@@ -76,3 +76,44 @@ def interval_join_sessions(spark, sf_dir):
         points, intervals, key="user_id", point_col="p_us",
         start_col="start_us", end_col="end_us", bucket_width=600_000_000,
     ).select("event_id", "user_id", "anchor_id")
+
+
+@query(
+    "events_multigrain_rollup",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('minute', ts) AS bucket_start,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             SUM(CAST(value AS DECIMAL(12,2))) AS s
+      FROM events GROUP BY 1
+    ),
+    h AS (
+      SELECT date_trunc('hour', bucket_start) AS bucket_start,
+             CAST(SUM(n_events) AS BIGINT) AS n_events, SUM(s) AS s
+      FROM m GROUP BY 1
+    ),
+    d AS (
+      SELECT date_trunc('day', bucket_start) AS bucket_start,
+             CAST(SUM(n_events) AS BIGINT) AS n_events, SUM(s) AS s
+      FROM h GROUP BY 1
+    )
+    SELECT 'minute' AS grain, bucket_start, n_events, CAST(s AS DOUBLE) AS total_value FROM m
+    UNION ALL
+    SELECT 'hour', bucket_start, n_events, CAST(s AS DOUBLE) FROM h
+    UNION ALL
+    SELECT 'day', bucket_start, n_events, CAST(s AS DOUBLE) FROM d
+    """,
+)
+def events_multigrain_rollup(spark, sf_dir):
+    """Hypertable-style continuous aggregate: minute/hour/day counts and
+    value sums in ONE pass — the input shuffles once at the finest grain
+    and every coarser level re-aggregates the previous level's tiny output
+    (exact: COUNT and DECIMAL SUM are associative).  A GROUPING SETS plan
+    would instead expand every input row once per grain before the
+    shuffle — grains x scan volume at 100 TB.  See
+    operators/temporal.multigrain_rollup."""
+    from trough_spark.operators.temporal import multigrain_rollup
+
+    return multigrain_rollup(
+        T(spark, sf_dir, "events"), "ts", "value", grains=("minute", "hour", "day")
+    )

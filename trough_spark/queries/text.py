@@ -686,3 +686,41 @@ def text_html_strip(spark, sf_dir):
         F.length(stripped).cast("int").alias("n_chars"),
         F.md5(stripped).alias("stripped_md5"),
     )
+
+
+@query(
+    "text_classifier_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         t -> t != '') AS tk
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(len(tk) AS BIGINT) AS n_tokens,
+             CAST(list_sum(list_transform(tk, t ->
+               (CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 262144)
+               * 2654435761 % 2000001 - 1000000)) AS BIGINT) AS s
+      FROM toks
+    )
+    SELECT doc_id AS id, n_tokens,
+           CASE WHEN n_tokens > 0
+                THEN CAST(ROUND(s / n_tokens / 1000000 * 1000000, 0) AS BIGINT)
+                ELSE 0 END AS margin_micro,
+           CASE WHEN n_tokens > 0 AND
+                     CAST(ROUND(s / n_tokens / 1000000 * 1000000, 0) AS BIGINT) > 0
+                THEN 'keep' ELSE 'drop' END AS label
+    FROM scored
+    """,
+)
+def text_classifier_score(spark, sf_dir):
+    """In-plan linear classifier inference — the fastText/quality-scorer
+    shape every corpus filter runs: tokens hash to feature buckets, bucket
+    weights sum, the mean decides keep/drop.  A PURE MAP (higher-order
+    array fold, no explode, no shuffle, no Python); real deployments swap
+    the implicit Knuth-mix weight table for broadcast trained weights with
+    the identical plan.  See operators/text.hashed_classifier."""
+    docs = T(spark, sf_dir, "documents")
+    return X.hashed_classifier(docs, "doc_id", "text")
