@@ -169,7 +169,8 @@ MINHASH_B = [12_345, 54_321, 192_837, 918_273, 112_358, 853_211, 272_727, 727_27
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, num_perm: int = 8, n: int = 3
+    df: DataFrame, id_col: str, text_col: str, num_perm: int = 8, n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signatures: one row per (id, perm) carrying the min permuted
     hash over the doc's shingle set.
@@ -177,12 +178,20 @@ def minhash_signatures(
     Scale: ONE md5 per distinct shingle; permutations are cheap modular
     arithmetic applied map-side; the min is a partial aggregate, so the
     shuffle carries num_perm longs per doc — independent of doc length.
+
+    ``shingles``: a prebuilt (id, shingle) table to reuse instead of
+    re-tokenizing ``df`` — MIN is duplicate-insensitive, so deduped or not,
+    signatures are bit-identical.  Pipelines that also need shingles for
+    contamination/Jaccard share ONE tokenize+explode pass of the corpus
+    this way (at 100 TB the text scan is the cost; see pipeline_curation).
     """
     assert num_perm <= len(MINHASH_A)
     # dedupe=False: MIN is duplicate-insensitive, so the distinct's full
     # shuffle of the exploded shingle table buys nothing here (signatures
     # are bit-identical either way)
-    sh = shingle_table(df, id_col, text_col, n, dedupe=False).withColumn(
+    if shingles is None:
+        shingles = shingle_table(df, id_col, text_col, n, dedupe=False)
+    sh = shingles.withColumn(
         "h31", portable_hash(F.col("shingle")) % MINHASH_PRIME
     )
     return (

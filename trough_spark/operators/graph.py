@@ -58,6 +58,20 @@ def connected_components(
     labels = touched.select(
         "id", F.col("id").alias("comp")
     ).localCheckpoint(eager=True)
+
+    def _label_sum(frame) -> object:
+        # decimal(38,0): exact at any scale (1e12 nodes x 1e12 max id
+        # overflows int64; decimal sums never lose a unit)
+        return frame.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    # Fixpoint test is an EXACT aggregate, not a join: labels only ever
+    # DECREASE (min-propagation), so sum(comp) is strictly monotone until
+    # convergence and equal sums <=> identical labelings.  One map-side
+    # partial-aggregated scan of the checkpointed frame per round replaces
+    # the old per-round join + isEmpty probe (a shuffle per round gone).
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         msgs = e.join(
             labels.select(F.col("id").alias("b"), "comp"), "b"
@@ -68,15 +82,11 @@ def connected_components(
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.select("id", F.col("comp").alias("nc"))
-            .join(labels, "id")
-            .filter(F.col("nc") != F.col("comp"))
-        )
-        done = changed.isEmpty()
+        cur_sum = _label_sum(new)
         labels = new
-        if done:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.unionByName(isolated)
 
 

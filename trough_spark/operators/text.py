@@ -217,7 +217,8 @@ def boilerplate_ratio(
 
 
 def contamination(
-    corpus, benchmark, id_col: str, text_col: str, n: int = 3
+    corpus, benchmark, id_col: str, text_col: str, n: int = 3,
+    corpus_shingles=None, benchmark_shingles=None,
 ):
     """Benchmark-contamination score per corpus document: the fraction of
     the doc's distinct n-gram shingles that also occur anywhere in the
@@ -227,15 +228,23 @@ def contamination(
     Scale: the benchmark shingle set is distinct-reduced and usually small
     (benchmarks are), so the membership probe is a broadcast-able semi
     join on the shingle key; corpus-side work is one shingle explode +
-    one groupBy per doc."""
+    one groupBy per doc.
+
+    ``corpus_shingles``/``benchmark_shingles``: prebuilt PER-DOC-DISTINCT
+    (id, shingle) tables to reuse instead of re-tokenizing — lets a
+    pipeline share one shingle pass across dedup + contamination stages."""
     from trough_spark.operators.dedup import shingle_table
 
-    doc_sh = shingle_table(corpus, id_col, text_col, n=n)
-    bench_sh = (
-        shingle_table(benchmark, id_col, text_col, n=n)
-        .select("shingle")
-        .distinct()
+    doc_sh = (
+        corpus_shingles
+        if corpus_shingles is not None
+        else shingle_table(corpus, id_col, text_col, n=n)
     )
+    bench_sh = (
+        benchmark_shingles
+        if benchmark_shingles is not None
+        else shingle_table(benchmark, id_col, text_col, n=n)
+    ).select("shingle").distinct()
     hits = doc_sh.join(bench_sh, "shingle", "left_semi").groupBy("id").agg(
         F.count(F.lit(1)).alias("n_overlap")
     )

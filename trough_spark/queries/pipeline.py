@@ -103,7 +103,14 @@ def pipeline_curation(spark, sf_dir):
     qual = X.quality_features(docs, "doc_id", "text").select(
         F.col("id").alias("doc_id"), "quality_bucket"
     )
-    sigs = D.minhash_signatures(docs, "doc_id", "text", num_perm=8, n=3)
+    # ONE tokenize+explode+dedup pass of the corpus feeds BOTH the minhash
+    # stage (MIN is duplicate-insensitive, so the deduped table is
+    # bit-identical input) and the contamination stage (which needs the
+    # per-doc-distinct set anyway) — at 100 TB the text scan is the cost,
+    # and this halves it.  Checkpointed so the pass executes once, not once
+    # per consumer; the oracle's shared `sh` CTE mirrors the reuse.
+    sh = D.shingle_table(docs, "doc_id", "text", n=3).localCheckpoint(eager=False)
+    sigs = D.minhash_signatures(docs, "doc_id", "text", num_perm=8, n=3, shingles=sh)
     pairs = D.minhash_lsh_candidates(sigs, rows_per_band=2)
     comp = G.connected_components(ids, pairs, id_col="doc_id").select(
         F.col("id").alias("doc_id"), F.col("comp").alias("canonical_id")
@@ -114,6 +121,8 @@ def pipeline_curation(spark, sf_dir):
         "doc_id",
         "text",
         n=3,
+        corpus_shingles=sh.filter(F.col("id") >= 25),
+        benchmark_shingles=sh.filter(F.col("id") < 25),
     ).select(F.col("id").alias("doc_id"), "contamination")
     split = SA.hash_split(ids, "doc_id", _SPLIT_WEIGHTS).select(
         "doc_id", F.col("split").alias("_split")
