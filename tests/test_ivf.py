@@ -88,3 +88,74 @@ def test_ivf_candidates_only_from_probed_lists(spark, emb):
     probed = {q: {cid for _, cid in sorted(v)[:2]} for q, v in per_q.items()}
     for r in out:
         assert assign[r["neighbor_id"]] in probed[r["query_id"]], r
+
+
+def test_ivfpq_full_probe_equals_plain_adc(spark, emb):
+    """nprobe == number of lists ⇒ the IVF stage prunes nothing, so IVF+PQ
+    must return exactly what the plain (all-codes) ADC top-k returns over
+    the same corpus minus the query vector."""
+    from trough_spark.operators import vectors as V
+
+    cb = V.pq_split(emb.filter(F.col("vec_id") < 8), "vec_id", "embedding", 4, 64).select(
+        F.col("id").alias("code"), "sub_id", F.col("sv").alias("cv")
+    )
+    query = emb.filter(F.col("vec_id") == 0)
+    full = V.ivfpq_topk(
+        emb, "vec_id", "embedding",
+        centroids=emb.filter(F.col("vec_id") < 16), codebooks=cb, query=query,
+        k=10, nprobe=16, m=4, dim=64,
+    )
+    corpus = emb.filter(F.col("vec_id") != 0)
+    codes = V.pq_encode(corpus, "vec_id", "embedding", cb, m=4, dim=64)
+    qsub = V.pq_split(query, "vec_id", "embedding", 4, 64).select(
+        "sub_id", F.col("sv").alias("qv")
+    )
+    plain = V.pq_adc_topk(codes, cb, qsub, k=10, m=4, width=16)
+    assert [tuple(r) for r in full.collect()] == [tuple(r) for r in plain.collect()]
+
+
+def test_ivfpq_candidates_are_probe_subset(spark, emb):
+    """With nprobe < lists, every returned id must belong to a probed
+    inverted list (no candidate can leak in from an unprobed list)."""
+    from trough_spark.operators import vectors as V
+    from trough_spark.operators.similarity import cosine
+
+    cents = emb.filter(F.col("vec_id") < 16)
+    cb = V.pq_split(emb.filter(F.col("vec_id") < 8), "vec_id", "embedding", 4, 64).select(
+        F.col("id").alias("code"), "sub_id", F.col("sv").alias("cv")
+    )
+    query = emb.filter(F.col("vec_id") == 0)
+    out = V.ivfpq_topk(
+        emb, "vec_id", "embedding", centroids=cents, codebooks=cb, query=query,
+        k=10, nprobe=2, m=4, dim=64,
+    )
+    got_ids = {r["id"] for r in out.collect()}
+    lists = S.ivf_assign(emb, "vec_id", "embedding", cents, dim=64).select("id", "cid")
+    # recompute the 2 probed lists independently
+    c = cents.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    qscored = (
+        query.select(F.col("embedding").alias("qv"))
+        .crossJoin(c)
+        .select("cid", F.round(cosine(F.col("qv"), F.col("cv"), 64), 6).alias("s"))
+        .collect()
+    )
+    probed = {r["cid"] for r in sorted(qscored, key=lambda r: (-r["s"], r["cid"]))[:2]}
+    member = {r["id"] for r in lists.collect() if r["cid"] in probed}
+    assert got_ids <= member and 0 not in got_ids
+
+
+def test_srp_incremental_never_joins_corpus_to_itself(spark, emb):
+    """Every (new_id, corpus_id) pair crosses the partition boundary, ranks
+    are dense from 1, and per-new-vector result counts never exceed k."""
+    from trough_spark.operators.similarity import srp_incremental_topk
+
+    new = emb.filter(F.col("vec_id") % 20 == 0)
+    corpus = emb.filter(F.col("vec_id") % 20 != 0)
+    out = srp_incremental_topk(corpus, new, "vec_id", "embedding", k=3).collect()
+    assert out, "bucketed retrieval returned nothing"
+    by_new = {}
+    for r in out:
+        assert r["new_id"] % 20 == 0 and r["corpus_id"] % 20 != 0
+        by_new.setdefault(r["new_id"], []).append(r["rnk"])
+    for ranks in by_new.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)) and len(ranks) <= 3

@@ -101,3 +101,44 @@ def test_mix_rebalance_respects_budget_and_determinism(spark):
     # dropped-stratum rows vanish
     kept_partial = mix_rebalance(df, "doc_id", "source", {"a": 0.7, "b": 0.3})
     assert kept_partial.where(F.col("source") == "c").count() == 0
+
+
+def test_group_cap_caps_and_is_scan_order_independent(spark):
+    from trough_spark.operators import sampling as SA
+
+    rows = [(i, f"s{i % 3}") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    out = SA.group_cap(df, "doc_id", "source", cap=7)
+    got = out.collect()
+    per = {}
+    for r in got:
+        per.setdefault(r["source"], set()).add(r["doc_id"])
+    assert all(len(v) == 7 for v in per.values())
+    # the kept SET is a function of the data, not the scan order
+    shuffled = spark.createDataFrame(list(reversed(rows)), "doc_id bigint, source string")
+    got2 = SA.group_cap(shuffled.repartition(7), "doc_id", "source", cap=7).collect()
+    assert {(r["doc_id"], r["source"]) for r in got} == {
+        (r["doc_id"], r["source"]) for r in got2
+    }
+    with pytest.raises(ValueError):
+        SA.group_cap(df, "doc_id", "source", cap=0)
+
+
+def test_multigrain_rollup_levels_are_consistent(spark):
+    """Each grain's totals must re-aggregate exactly to the coarser grain's
+    (associative partial states), and the finest grain must equal a direct
+    group-by of the input."""
+    from trough_spark.operators.temporal import multigrain_rollup
+    from trough_spark.tables import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    out = multigrain_rollup(events, "ts", "value").collect()
+    by_grain = {}
+    for r in out:
+        by_grain.setdefault(r["grain"], []).append(r)
+    totals = {
+        g: (sum(r["n_events"] for r in rs), round(sum(r["total_value"] for r in rs), 2))
+        for g, rs in by_grain.items()
+    }
+    assert totals["minute"] == totals["hour"] == totals["day"]
+    assert totals["minute"][0] == events.count()
