@@ -222,3 +222,17 @@ def test_no_query_plans_cartesian_or_row_python(spark):
         if flags:
             offenders[name] = flags
     assert not offenders, f"scale-hostile plan nodes: {offenders}"
+
+
+def test_hashed_classifier_is_map_only(spark):
+    """Classifier inference must stay a pure map — one projection, no
+    explode, no shuffle, no Python eval (the 100 TB corpus-scoring claim)."""
+    from trough_spark.operators import text as X
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "")], "doc_id bigint, text string"
+    )
+    out = X.hashed_classifier(df, "doc_id", "text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert _exchanges(out) == 0
+    assert "Generate" not in plan and "BatchEvalPython" not in plan

@@ -152,3 +152,27 @@ def test_surt_canonicalize_idempotent_host_and_params(spark, labels, params):
     row2 = surt_canonicalize(df2, "url").collect()[0]
     assert row2["host"] == row["host"]
     assert row2["surt"] == row["surt"]
+
+
+@given(
+    h=st.integers(min_value=1, max_value=9),
+    w=st.integers(min_value=1, max_value=9),
+    color=st.sampled_from([0, 2, 4, 6]),
+    filt=st.integers(min_value=0, max_value=4),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_codec_roundtrip_property(h, w, color, filt, seed):
+    """Any 8-bit image encoded with any scanline filter decodes back to the
+    exact pixel bytes (the stdlib codec is a REAL decoder, not a fake)."""
+    import numpy as np
+
+    from tests.test_multimodal import _encode_png
+    from trough_spark.operators.multimodal import png_image_codec
+
+    rng = np.random.RandomState(seed)
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+    shape = (h, w) if channels == 1 else (h, w, channels)
+    px = rng.randint(0, 256, size=shape, dtype=np.uint8)
+    got = png_image_codec(_encode_png(px, color, filt))
+    assert np.array_equal(got, px.reshape(-1))
