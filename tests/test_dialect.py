@@ -110,7 +110,7 @@ def test_identity_args_do_not_block_outer_rewrites():
     assert "sum(CAST(min(a) AS DOUBLE))" in out
     # typeof's template mentions typeof — must expand exactly once
     out = dialect.sqlite_to_spark("SELECT typeof(x) FROM t")
-    assert out.count("CASE typeof") == 1
+    assert out.count("CASE WHEN typeof") == 1
 
 
 def test_sql_value_encoding():

@@ -58,6 +58,18 @@ QUERIES = [
     "SELECT id, sum(price) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING "
     "AND CURRENT ROW) AS running FROM items ORDER BY id",
     "SELECT name FROM items WHERE name REGEXP '^[ab]' ORDER BY id",
+    # round-4 parity additions: function-form like/glob, date modifiers,
+    # SQLite numeric-prefix CAST, typeof
+    "SELECT like('apple%', name) AS v FROM items ORDER BY id",
+    "SELECT glob('[Aa]*', name) AS v FROM items ORDER BY id",
+    "SELECT date(ts, '+1 day') AS v FROM items WHERE id = 1",
+    "SELECT date(ts, 'start of month') AS v FROM items WHERE id = 3",
+    "SELECT date(ts, '+2 months', 'start of month') AS v FROM items WHERE id = 1",
+    "SELECT CAST(name AS INTEGER) AS v FROM items ORDER BY id",
+    "SELECT CAST(price AS INTEGER) AS v FROM items ORDER BY id",
+    "SELECT CAST(ts AS INTEGER) AS v FROM items ORDER BY id",
+    "SELECT typeof(price) AS v FROM items WHERE id = 1",
+    "SELECT typeof(name) AS v FROM items WHERE id = 1",
     "SELECT id FROM items WHERE id > 4 UNION SELECT id FROM items WHERE id < 2 ",
     "SELECT id FROM items WHERE qty = 10 INTERSECT SELECT id FROM items WHERE price > 3",
     "SELECT id FROM items EXCEPT SELECT id FROM items WHERE price > 2 ",

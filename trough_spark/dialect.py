@@ -303,7 +303,10 @@ def _fn_strftime(args: list[str]) -> str:
 def _fn_datetime(args: list[str]) -> str:
     if len(args) == 1 and args[0].strip().lower() in ("'now'", "current_timestamp"):
         return "current_timestamp()"
-    base = f"CAST({args[0]} AS TIMESTAMP)"
+    if args and args[0].strip().lower() in ("'now'", "current_timestamp"):
+        base = "current_timestamp()"
+    else:
+        base = f"CAST({args[0]} AS TIMESTAMP)"
     for mod in args[1:]:
         m = mod.strip().lower().strip("'")
         mm = re.match(r"([+-]?\d+)\s+(second|minute|hour|day|month|year)s?", m)
@@ -321,12 +324,77 @@ def _fn_datetime(args: list[str]) -> str:
 
 
 def _fn_glob(args: list[str]) -> str:
-    # SQLite glob(pattern, item); translate literal patterns to regex
+    # SQLite glob(pattern, item) returns 0/1, not a boolean; translate
+    # literal patterns to regex
     pat = args[0].strip()
     if pat.startswith("'") and pat.endswith("'"):
         rx = glob_to_regex(pat[1:-1].replace("''", "'")).replace("'", "''").replace("\\", "\\\\")
-        return f"({args[1]} RLIKE '{rx}')"
-    return f"({args[1]} RLIKE {pat})"
+        return f"CAST({args[1]} RLIKE '{rx}' AS INT)"
+    return f"CAST({args[1]} RLIKE {pat} AS INT)"
+
+
+def _fn_like(args: list[str]) -> str | None:
+    # SQLite like(PATTERN, ITEM [, ESCAPE]) — note the reversed operand
+    # order vs the infix form, the 0/1 integer result, and the default
+    # ASCII case folding (PRAGMA case_sensitive_like turns it off)
+    if len(args) not in (2, 3):
+        return None
+    op = "LIKE" if case_sensitive_like else "ILIKE"
+    esc = f" ESCAPE {args[2]}" if len(args) == 3 else ""
+    return f"CAST(({args[1]} {op} {args[0]}{esc}) AS INT)"
+
+
+def _fn_cast(args: list[str]) -> str | None:
+    """SQLite CAST semantics for numeric targets: a TEXT value converts by
+    taking the longest numeric PREFIX (``'12abc'`` → 12, no prefix → 0),
+    never by erroring — while Spark's ANSI cast throws.  The expression
+    arrives as one argument ``<expr> AS <sparktype>`` (types already mapped
+    by _rewrite_cast_types); only BIGINT/DOUBLE targets are rewritten, the
+    rest keep Spark-native casts."""
+    if len(args) != 1:
+        return None
+    arg = args[0]
+    low = arg.lower()
+    depth = 0
+    pos = -1
+    i = 0
+    while i < len(arg):
+        c = arg[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "'":
+            j = i + 1
+            while j < len(arg):
+                if arg[j] == "'":
+                    if j + 1 < len(arg) and arg[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            i = j
+        elif depth == 0 and low.startswith(" as ", i):
+            pos = i
+        i += 1
+    if pos < 0:
+        return None
+    expr = arg[:pos].strip()
+    typ = arg[pos + 4 :].strip().upper()
+    if typ == "BIGINT":
+        return (
+            f"(CASE WHEN ({expr}) IS NULL THEN CAST(NULL AS BIGINT) "
+            f"ELSE CAST(coalesce(nullif(regexp_extract(trim(CAST(({expr}) AS STRING)), "
+            f"'^[+-]?[0-9]+', 0), ''), '0') AS BIGINT) END)"
+        )
+    if typ == "DOUBLE":
+        return (
+            f"(CASE WHEN ({expr}) IS NULL THEN CAST(NULL AS DOUBLE) "
+            f"ELSE CAST(coalesce(nullif(regexp_extract(trim(CAST(({expr}) AS STRING)), "
+            f"'^[+-]?([0-9]+(\\\\.[0-9]*)?|\\\\.[0-9]+)([eE][+-]?[0-9]+)?', 0), ''), '0') "
+            f"AS DOUBLE) END)"
+        )
+    return None
 
 
 _FN_REWRITES: dict[str, object] = {
@@ -353,11 +421,17 @@ _FN_REWRITES: dict[str, object] = {
     "julianday": lambda a: (
         f"(unix_micros(CAST({a[0]} AS TIMESTAMP)) / 86400000000.0d + 2440587.5d)"
     ),
-    "date": lambda a: f"to_date(CAST({a[0]} AS TIMESTAMP))" if a and a[0].strip().lower() != "'now'" else "current_date()",
+    # date/time accept the same modifier tail datetime does ('+N day',
+    # 'start of month', ...) — delegate, then project down
+    "date": lambda a: (
+        "current_date()"
+        if not a or (len(a) == 1 and a[0].strip().lower() == "'now'")
+        else f"to_date({_fn_datetime(a)})"
+    ),
     "time": lambda a: (
-        f"date_format(CAST({a[0]} AS TIMESTAMP), 'HH:mm:ss')"
-        if a and a[0].strip().lower() != "'now'"
-        else "date_format(current_timestamp(), 'HH:mm:ss')"
+        "date_format(current_timestamp(), 'HH:mm:ss')"
+        if not a or (len(a) == 1 and a[0].strip().lower() == "'now'")
+        else f"date_format({_fn_datetime(a)}, 'HH:mm:ss')"
     ),
     "datetime": _fn_datetime,
     "strftime": _fn_strftime,
@@ -374,13 +448,16 @@ _FN_REWRITES: dict[str, object] = {
     "iif": lambda a: f"if({', '.join(a)})",
     "json_array_length": lambda a: f"size(from_json({a[0]}, 'array<string>'))",
     "glob": _fn_glob,
+    "like": _fn_like,
+    "cast": _fn_cast,
     "typeof": lambda a: (
-        f"(CASE typeof({a[0]}) "
-        "WHEN 'tinyint' THEN 'integer' WHEN 'smallint' THEN 'integer' "
-        "WHEN 'int' THEN 'integer' WHEN 'bigint' THEN 'integer' "
-        "WHEN 'float' THEN 'real' WHEN 'double' THEN 'real' "
-        "WHEN 'string' THEN 'text' WHEN 'binary' THEN 'blob' "
-        f"WHEN 'void' THEN 'null' ELSE typeof({a[0]}) END)"
+        f"(CASE WHEN typeof({a[0]}) IN ('tinyint', 'smallint', 'int', 'bigint') "
+        "THEN 'integer' "
+        f"WHEN typeof({a[0]}) IN ('float', 'double') "
+        f"OR typeof({a[0]}) LIKE 'decimal%' THEN 'real' "
+        f"WHEN typeof({a[0]}) = 'string' THEN 'text' "
+        f"WHEN typeof({a[0]}) = 'binary' THEN 'blob' "
+        f"WHEN typeof({a[0]}) = 'void' THEN 'null' ELSE typeof({a[0]}) END)"
     ),
 }
 
@@ -503,6 +580,15 @@ def _in_cast_context(tokens: list[Token], sig: list[int], as_pos: int) -> bool:
     return False
 
 
+#: keywords after which a LIKE/GLOB/REGEXP word starts a NEW expression
+#: (so `like(` there is a function call, not the infix operator)
+_EXPR_LEAD_KEYWORDS = {
+    "SELECT", "FROM", "WHERE", "GROUP", "BY", "HAVING", "ORDER", "LIMIT",
+    "OFFSET", "AND", "OR", "WHEN", "THEN", "ELSE", "CASE", "ON", "JOIN",
+    "IN", "ALL", "DISTINCT", "SET", "VALUES", "AS", "RETURNING",
+}
+
+
 def _rewrite_operators(sql: str) -> str:
     tokens = tokenize(sql)
     _rewrite_cast_types(tokens)
@@ -521,13 +607,46 @@ def _rewrite_operators(sql: str) -> str:
             continue
         if t.kind == "word":
             up = t.text.upper()
-            if up == "LIKE":
+
+            def _is_call(idx: int) -> bool:
+                # function-call position (`like(...)` / `glob(...)`): leave
+                # the word for _rewrite_functions, which knows SQLite's
+                # reversed (pattern, item) argument order and 0/1 result.
+                # `x LIKE ('a%')` also puts '(' next, so additionally
+                # require that the word does NOT follow an expression end
+                # (identifier / literal / closing paren) — that's the infix
+                # operator context.
+                n = sigset.get(idx)
+                if n is None or n + 1 >= len(sig):
+                    return False
+                nxt = tokens[sig[n + 1]]
+                if not (nxt.kind == "op" and nxt.text == "("):
+                    return False
+                k = n - 1
+                while (
+                    k >= 0
+                    and tokens[sig[k]].kind == "word"
+                    and tokens[sig[k]].text.upper() == "NOT"
+                ):
+                    k -= 1
+                if k < 0:
+                    return True
+                p = tokens[sig[k]]
+                if p.kind in ("string", "number", "dquote", "bracket", "bquote"):
+                    return False  # expression end -> infix
+                if p.kind == "op" and p.text == ")":
+                    return False
+                if p.kind == "word" and p.text.upper() not in _EXPR_LEAD_KEYWORDS:
+                    return False  # a bare identifier -> infix
+                return True
+
+            if up == "LIKE" and not _is_call(i):
                 out.append(Token("word", "LIKE" if case_sensitive_like else "ILIKE"))
                 continue
-            if up == "REGEXP":
+            if up == "REGEXP" and not _is_call(i):
                 out.append(Token("word", "RLIKE"))
                 continue
-            if up == "GLOB":
+            if up == "GLOB" and not _is_call(i):
                 # x GLOB 'pat' → x RLIKE '<regex>' when pattern is a literal
                 n = sigset.get(i)
                 if n is not None and n + 1 < len(sig):
