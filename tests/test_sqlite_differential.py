@@ -70,6 +70,15 @@ QUERIES = [
     "SELECT CAST(ts AS INTEGER) AS v FROM items ORDER BY id",
     "SELECT typeof(price) AS v FROM items WHERE id = 1",
     "SELECT typeof(name) AS v FROM items WHERE id = 1",
+    "SELECT format('%s/%d', name, id) AS v FROM items WHERE id = 1",
+    "SELECT name FROM items ORDER BY name COLLATE NOCASE, id",
+    "SELECT id FROM items WHERE name = 'APPLE' COLLATE NOCASE",
+    "SELECT 7 / 2 AS a, 7.0 / 2 AS b, 0.1 + 0.2 AS c",
+    "SELECT json('[1, 2]') AS v",
+    "SELECT json_valid(name) AS v FROM items ORDER BY id",
+    "SELECT json_type('[7]') AS a, json_type('1.5') AS b, json_type('9') AS c",
+    "SELECT json_object('n', id) AS v FROM items WHERE id = 2",
+    "SELECT json_array(id, qty) AS v FROM items WHERE id = 1",
     "SELECT id FROM items WHERE id > 4 UNION SELECT id FROM items WHERE id < 2 ",
     "SELECT id FROM items WHERE qty = 10 INTERSECT SELECT id FROM items WHERE price > 3",
     "SELECT id FROM items EXCEPT SELECT id FROM items WHERE price > 2 ",

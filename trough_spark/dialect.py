@@ -404,6 +404,30 @@ _FN_REWRITES: dict[str, object] = {
     ),
     "total": lambda a: f"coalesce(sum(CAST({a[0]} AS DOUBLE)), 0.0d)",
     "printf": lambda a: f"format_string({', '.join(a)})",
+    "format": lambda a: f"format_string({', '.join(a)})",  # SQLite 3.38 alias
+    # JSON family: Spark's get_json_object both validates and canonicalizes
+    # (minified Jackson output == SQLite's json() canonical form).  KNOWN
+    # DIVERGENCE (dynamic typing): extracted scalars come back as TEXT and
+    # json_array coerces mixed-type elements to a common Spark type.
+    "json": lambda a: f"get_json_object({a[0]}, '$')",
+    "json_valid": lambda a: (
+        # coalesce: NULL input is 0 (this sqlite3 lineage), not NULL
+        f"CAST(coalesce(get_json_object({a[0]}, '$') IS NOT NULL "
+        f"OR trim({a[0]}) = 'null', false) AS INT)"
+    ),
+    "json_type": lambda a: (
+        f"(CASE WHEN trim({a[0]}) = 'null' THEN 'null' "
+        f"WHEN get_json_object({a[0]}, '$') IS NULL THEN NULL "
+        f"WHEN left(ltrim({a[0]}), 1) = '{{' THEN 'object' "
+        f"WHEN left(ltrim({a[0]}), 1) = '[' THEN 'array' "
+        f"WHEN left(ltrim({a[0]}), 1) = '\"' THEN 'text' "
+        f"WHEN trim({a[0]}) = 'true' THEN 'true' "
+        f"WHEN trim({a[0]}) = 'false' THEN 'false' "
+        f"WHEN trim({a[0]}) RLIKE '^-?[0-9]+$' THEN 'integer' "
+        "ELSE 'real' END)"
+    ),
+    "json_object": lambda a: f"to_json(named_struct({', '.join(a)}))",
+    "json_array": lambda a: f"to_json(array({', '.join(a)}))",
     "quote": lambda a: f"concat('\\'', replace(CAST({a[0]} AS STRING), '\\'', '\\'\\''), '\\'')",
     "zeroblob": lambda a: f"unhex(repeat('00', {a[0]}))",
     "char": lambda a: "concat(" + ", ".join(f"chr({x})" for x in a) + ")",
@@ -601,6 +625,30 @@ def _rewrite_operators(sql: str) -> str:
             inner = t.text[1:-1].replace('""', '"').replace("`", "``")
             out.append(Token("bquote", f"`{inner}`"))
             continue
+        if t.kind == "number":
+            low = t.text.lower()
+            if "x" not in low and ("." in low or "e" in low):
+                # SQLite fractional literals are REAL; Spark would parse
+                # them as DECIMAL (0.1 + 0.2 = 0.3 exactly — wrong dialect)
+                out.append(Token("number", t.text + "d"))
+                continue
+            n = sigset.get(i)
+            if n is not None and n + 2 < len(sig):
+                op_tok, rhs = tokens[sig[n + 1]], tokens[sig[n + 2]]
+                if (
+                    op_tok.kind == "op"
+                    and op_tok.text == "/"
+                    and rhs.kind == "number"
+                    and "." not in rhs.text
+                    and "e" not in rhs.text.lower()
+                ):
+                    # SQLite int/int is INTEGER division (trunc toward 0);
+                    # rewrite the literal-literal case, the only one
+                    # decidable statically (column typing is dynamic)
+                    op_tok.kind = "word"
+                    op_tok.text = " div "
+            out.append(t)
+            continue
         if t.kind == "bracket":
             inner = t.text[1:-1].replace("`", "``")
             out.append(Token("bquote", f"`{inner}`"))
@@ -659,6 +707,24 @@ def _rewrite_operators(sql: str) -> str:
                         out.append(Token("word", "RLIKE"))
                         continue
                 out.append(Token("word", "RLIKE"))
+                continue
+            if up == "COLLATE":
+                # SQLite collation names → Spark 4 collations.  KNOWN
+                # DIVERGENCE: NOCASE folds ASCII only in SQLite, full
+                # Unicode in UTF8_LCASE (same class as the ILIKE note).
+                # RTRIM (trailing-space-insensitive) has no Spark twin and
+                # maps to binary.
+                n = sigset.get(i)
+                if n is not None and n + 1 < len(sig):
+                    name_tok = tokens[sig[n + 1]]
+                    mapped = {
+                        "NOCASE": "UTF8_LCASE",
+                        "BINARY": "UTF8_BINARY",
+                        "RTRIM": "UTF8_BINARY",
+                    }.get(name_tok.text.upper())
+                    if mapped:
+                        name_tok.text = mapped
+                out.append(t)
                 continue
             if up == "ISNULL":
                 out.append(Token("word", "IS NULL"))
