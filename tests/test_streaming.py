@@ -94,7 +94,10 @@ def test_watermark_drops_late_rows(spark, tmp_path):
          (2, "2024-01-01 13:00:00", 1, "click", 1.0, "{}")],
         "event_id bigint, ts_s string, user_id bigint, event_type string, value double, props string",
     ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "user_id", "event_type", "value", "props")
-    on_time.write.mode("overwrite").parquet(path + "/batch1")
+    # ONE part file: with maxFilesPerTrigger=1, two files would make the
+    # processing order (and thus which rows beat the advancing watermark)
+    # nondeterministic — the exact flake this test exists to pin down
+    on_time.coalesce(1).write.mode("overwrite").parquet(path + "/batch1")
 
     stream = (
         spark.readStream.schema(E.EVENT_SCHEMA).option("maxFilesPerTrigger", 1).parquet(path + "/batch1")

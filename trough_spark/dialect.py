@@ -20,12 +20,32 @@ Covered rewrites (SURVEY.md §2.B):
   is precisely SQLite's case_sensitive_like=ON semantics.
 - GLOB 'pat' → RLIKE anchored-regex translation
 - REGEXP operator passthrough → RLIKE (same operand order)
+- function-call forms like(P, X [, E]) / glob(P, X) — SQLite's REVERSED
+  operand order, 0/1 integer results; infix rewriting skips call positions
+  via expression-context detection
 - function-call rewrites: the reference's three registered functions inlined
-  natively, group_concat, total, ifnull-family, datetime/strftime/julianday,
-  printf, quote, char/unicode, zeroblob, scalar min/max → least/greatest,
-  2-arg trim family, random()
+  natively, group_concat, total, ifnull-family, datetime/strftime/julianday
+  (date/time/datetime all take the modifier tail: '+N unit',
+  'start of day/month/year'), printf/format, quote, char/unicode, zeroblob,
+  scalar min/max → least/greatest, 2-arg trim family, random(), typeof,
+  json()/json_valid/json_type/json_object/json_array
+- CAST to INTEGER/REAL follows SQLite's numeric-prefix conversion
+  ('12abc' → 12, junk → 0, NULL preserved) instead of ANSI erroring
+- fractional literals typed as REAL (Spark would make them DECIMAL:
+  0.1 + 0.2 must be 0.30000000000000004, not 0.3); integer-literal
+  division is integer division (7/2 = 3).  KNOWN DIVERGENCE: division of
+  integer-typed COLUMNS stays float (SQLite decides by runtime type,
+  which a statically-typed plan cannot)
+- COLLATE NOCASE/BINARY/RTRIM → Spark 4 collations (UTF8_LCASE /
+  UTF8_BINARY; NOCASE folds full Unicode here, ASCII-only in SQLite —
+  same divergence class as ILIKE)
 - double-quoted identifiers → backticks
 - A10 literal encoder (client.py:110-131) + A11 printf-style templating
+
+KNOWN DIVERGENCES from dynamic typing (fundamental, documented): mixed-type
+comparisons (1 = '1' is 0 in SQLite, true here), json_extract scalar
+results come back as TEXT, json_array over mixed-type arguments coerces to
+one Spark type.
 """
 
 from __future__ import annotations
