@@ -50,6 +50,7 @@ _SAMPLE_PRIORITY = [
     "sample_group_cap",
     "events_multigrain_rollup",
     "text_classifier_score",
+    "dedup_chunk_rewrite",
     # §2.A (driver-green r3; keep one early row each)
     "a2_row_to_json",
     "a7_regexp_function",

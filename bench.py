@@ -98,6 +98,7 @@ EXTRA = [
     "sample_group_cap",
     "events_multigrain_rollup",
     "text_classifier_score",
+    "dedup_chunk_rewrite",
 ]
 
 

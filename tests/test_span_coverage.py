@@ -39,3 +39,36 @@ def test_partial_overlap_counts_only_shared_spans(spark):
     # 12 tokens -> 5 spans each; spans starting at positions 1-2 are shared.
     assert got[1] == (5, 2, 400000)
     assert got[2] == (5, 2, 400000)
+
+
+def test_chunk_rewrite_keeps_first_occurrence_and_drops_full_dups(spark):
+    from trough_spark.operators.dedup import chunk_dedup_rewrite
+
+    a = " ".join(f"a{i}" for i in range(6))  # one 3-token-chunk pair at chunk=3
+    b = " ".join(f"b{i}" for i in range(3))
+    docs = spark.createDataFrame(
+        [
+            (1, a),            # 2 chunks, both first occurrences
+            (2, a),            # full duplicate of doc 1 -> dropped from output
+            (3, a + " " + b),  # first 2 chunks lose to doc 1, last survives
+            (4, b),            # loses its only chunk to doc 3 (id 3 < 4) -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.id: (r.n_chunks, r.kept_chunks, r.kept_ppm)
+        for r in chunk_dedup_rewrite(docs, "doc_id", "text", chunk=3).collect()
+    }
+    assert got == {1: (2, 2, 1000000), 3: (3, 1, 333333)}
+
+
+def test_chunk_rewrite_unique_corpus_is_untouched(spark):
+    from trough_spark.operators.dedup import chunk_dedup_rewrite
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{i}_{j}" for j in range(7))) for i in range(5)],
+        "doc_id long, text string",
+    )
+    rows = chunk_dedup_rewrite(docs, "doc_id", "text", chunk=4).collect()
+    assert len(rows) == 5
+    assert all(r.kept_ppm == 1000000 and r.n_chunks == r.kept_chunks == 2 for r in rows)

@@ -550,3 +550,73 @@ def minhash_jaccard_estimate(
             F.round(F.col("n_agree") / F.lit(float(num_perm)), 6).alias("est_jaccard"),
         )
     )
+
+
+def chunk_dedup_rewrite(
+    df: DataFrame, id_col: str, text_col: str, chunk: int = 20
+) -> DataFrame:
+    """Corpus-wide exact-chunk dedup WITH rewrite (the remove side of
+    exact-substring training-data dedup, Lee et al. 2022): split every
+    document into fixed-size token chunks, keep only the corpus-wide FIRST
+    occurrence of each distinct chunk (lexicographic min (id, idx)), and
+    re-emit each document with its duplicated chunks removed.
+
+    Complements ``duplicated_span_coverage`` (which only MEASURES overlap):
+    this operator produces the deduplicated corpus a training pipeline
+    actually ships.  The reference has no such operator (its relational
+    surface is SQLite pass-through, trough/read.py:66); this is a §2.D
+    training-pipeline extension.
+
+    Returns (id, n_chunks, kept_chunks, kept_ppm, kept_hash) where
+    ``kept_hash`` is md5 of the rewritten text — a compact, hashable stand-in
+    for the rewritten corpus (the full text path is the same plan minus the
+    final md5).  Documents whose every chunk loses (full duplicates of an
+    earlier doc) are dropped from the output — they have no rewritten text.
+
+    Scale: chunk text is hashed map-side and immediately dropped — the
+    winner aggregate and the membership join shuffle only (id, idx, 16-byte
+    md5) triples, and the kept-index rollup shuffles bare ints.  The
+    rewritten text is RE-SLICED from the document row after an id-keyed
+    join, so no shuffle ever carries document bodies.  Winner selection is a
+    partial-aggregating MIN over a 12-byte struct; every join is an
+    equi-join (hash or id), no cross product.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    )
+    # (id, idx, h): md5 of the idx-th chunk, computed map-side
+    chunks = base.select(
+        "id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(toks) / {chunk}.0) as int) - 1), "
+                f"i -> md5(concat_ws(' ', slice(toks, i * {chunk} + 1, {chunk}))))"
+            )
+        ).alias("idx", "h"),
+    )
+    winners = chunks.groupBy("h").agg(
+        F.min(F.struct("id", "idx")).alias("w")
+    )
+    kept_idx = (
+        chunks.join(winners, "h")
+        .filter((F.col("id") == F.col("w.id")) & (F.col("idx") == F.col("w.idx")))
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("idx")).alias("kept"))
+    )
+    return (
+        base.select("id", "toks", F.expr(f"cast(ceil(size(toks) / {chunk}.0) as bigint)").alias("n_chunks"))
+        .join(kept_idx, "id")
+        .select(
+            "id",
+            "n_chunks",
+            F.size("kept").cast("bigint").alias("kept_chunks"),
+            F.round(F.size("kept") * F.lit(1000000.0) / F.col("n_chunks"))
+            .cast("bigint")
+            .alias("kept_ppm"),
+            F.md5(
+                F.expr(
+                    f"concat_ws(' ', transform(kept, i -> concat_ws(' ', slice(toks, i * {chunk} + 1, {chunk}))))"
+                )
+            ).alias("kept_hash"),
+        )
+    )

@@ -439,3 +439,49 @@ def dedup_minhash_verify(spark, sf_dir):
     sigs = D.minhash_signatures(docs, "doc_id", "text", num_perm=8, n=3)
     cand = D.minhash_lsh_candidates(sigs, rows_per_band=2)
     return D.minhash_jaccard_estimate(sigs, cand, num_perm=8)
+
+
+@query(
+    "dedup_chunk_rewrite",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    chunks AS (
+      SELECT id, i AS idx,
+             md5(array_to_string(toks[(i * 20 + 1):(i * 20 + 20)], ' ')) AS h
+      FROM toks,
+           UNNEST(generate_series(0, CAST(ceil(len(toks) / 20.0) AS BIGINT) - 1)) AS t(i)
+    ),
+    win AS (
+      -- lexicographic min (id, idx); idx < 2^30 so the composite is exact
+      SELECT h, MIN(id * 1073741824 + idx) AS w FROM chunks GROUP BY h
+    ),
+    kept AS (
+      SELECT c.id, c.idx
+      FROM chunks c JOIN win USING (h)
+      WHERE c.id * 1073741824 + c.idx = win.w
+    ),
+    rewritten AS (
+      SELECT k.id,
+             COUNT(*) AS kept_chunks,
+             md5(string_agg(
+               array_to_string(t.toks[(k.idx * 20 + 1):(k.idx * 20 + 20)], ' '),
+               ' ' ORDER BY k.idx)) AS kept_hash
+      FROM kept k JOIN toks t ON t.id = k.id
+      GROUP BY k.id
+    )
+    SELECT t.id,
+           CAST(ceil(len(t.toks) / 20.0) AS BIGINT) AS n_chunks,
+           r.kept_chunks,
+           CAST(ROUND(r.kept_chunks * 1000000.0 / ceil(len(t.toks) / 20.0)) AS BIGINT)
+             AS kept_ppm,
+           r.kept_hash
+    FROM toks t JOIN rewritten r ON r.id = t.id
+    """,
+)
+def dedup_chunk_rewrite(spark, sf_dir):
+    """Exact-chunk keep-first dedup with rewrite (Lee et al. 2022 shape) —
+    the remove side of exact-substring dedup over the documents corpus."""
+    return D.chunk_dedup_rewrite(T(spark, sf_dir, "documents"), "doc_id", "text", chunk=20)
