@@ -51,6 +51,7 @@ _SAMPLE_PRIORITY = [
     "events_multigrain_rollup",
     "text_classifier_score",
     "dedup_chunk_rewrite",
+    "multimodal_phash",
     # §2.A (driver-green r3; keep one early row each)
     "a2_row_to_json",
     "a7_regexp_function",

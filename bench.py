@@ -99,6 +99,7 @@ EXTRA = [
     "events_multigrain_rollup",
     "text_classifier_score",
     "dedup_chunk_rewrite",
+    "multimodal_phash",
 ]
 
 

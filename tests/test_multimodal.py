@@ -251,3 +251,54 @@ def test_resize_images_nearest_neighbor_exact(spark):
     row = M.resize_images(df, 4, 4, codec=raw_codec).collect()[0]
     expect = bytes([(i * 100) // 16 for i in range(16)])
     assert bytes(row["resized"]) == expect
+
+
+def test_phash_bits_follow_pixels_above_mean(spark):
+    def identity_codec(blob):
+        import numpy as np
+
+        return np.frombuffer(blob, dtype=np.uint8)
+
+    # 8 pixels, chunk of high values at the end: bits 4..7 set (p*8 > sum)
+    blob = bytes([0, 0, 0, 0, 200, 200, 200, 200])
+    df = spark.createDataFrame([(1, blob)], "media_id long, content binary")
+    row = M.perceptual_hash(df, bits=8, codec=identity_codec).collect()[0]
+    assert row.n_pixels == 8
+    assert row.phash == 0b11110000
+
+
+def test_phash_pairs_full_recall_vs_bruteforce(spark):
+    def identity_codec(blob):
+        import numpy as np
+
+        return np.frombuffer(blob, dtype=np.uint8)
+
+    # 6 images: 1/2 identical, 3 one-pixel flip of 1 (hamming 1),
+    # 4 a different pattern, 5/6 identical to each other
+    base = bytes([10] * 16 + [250] * 16)
+    near = bytes([10] * 15 + [250] * 17)
+    other = bytes([250, 10] * 16)
+    rows = [(1, base), (2, base), (3, near), (4, other), (5, other[::-1]), (6, other[::-1])]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    hashes = M.perceptual_hash(df, bits=32, codec=identity_codec)
+    got = {
+        (r.id1, r.id2): r.hamming
+        for r in M.phash_hamming_pairs(hashes, bits=32, bands=4, max_hamming=3).collect()
+    }
+
+    # brute force over the collected hashes (6 rows — test-only)
+    hs = {r.media_id: r.phash for r in hashes.collect()}
+    want = {
+        (a, b): bin(hs[a] ^ hs[b]).count("1")
+        for a in hs
+        for b in hs
+        if a < b and bin(hs[a] ^ hs[b]).count("1") <= 3
+    }
+    assert got == want
+    assert got[(1, 2)] == 0  # identical images found
+    assert (1, 3) in got  # one-pixel flip found via pigeonhole banding
+
+
+def test_phash_pairs_rejects_uneven_bands():
+    with pytest.raises(ValueError):
+        M.phash_hamming_pairs(None, bits=32, bands=5)

@@ -241,3 +241,38 @@ def multimodal_resize(spark, sf_dir):
     return M.resize_images(media, 5, 5).select(
         "media_id", "out_width", "out_height", "n_bytes", "mean_byte"
     )
+
+
+@query(
+    "multimodal_phash",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id AS media_id, md5(md5(text)) || md5(text) AS ph
+      FROM documents
+    ),
+    px AS (
+      SELECT media_id, i,
+             CAST(('0x' || substr(ph, i * 2 + 1, 2)) AS BIGINT) AS v
+      FROM p, UNNEST(generate_series(0, 31)) AS t(i)
+    ),
+    tot AS (
+      SELECT media_id, SUM(v) AS s FROM px GROUP BY media_id
+    )
+    SELECT px.media_id,
+           CAST(32 AS INT) AS n_pixels,
+           CAST(COALESCE(SUM(CASE WHEN v * 32 > s THEN (CAST(1 AS BIGINT) << i) END), 0)
+                AS BIGINT) AS phash
+    FROM px JOIN tot USING (media_id)
+    GROUP BY px.media_id
+    """,
+)
+def multimodal_phash(spark, sf_dir):
+    """Perceptual average-hash fingerprints over the synthesized media
+    corpus — the map-only first stage of web-scale image near-dup (pair
+    finding is `phash_hamming_pairs`, a banded equi-join verified in
+    tests/test_multimodal.py).  Bit math is on the integer grid
+    (pixel * n > sum), so the DuckDB oracle re-derives every bit from the
+    payload's hex rendering and the hash check is exact."""
+    docs = T(spark, sf_dir, "documents")
+    media = M.synthesize_media(docs, "doc_id", "text")
+    return M.perceptual_hash(media, bits=32)
