@@ -236,3 +236,36 @@ def test_hashed_classifier_is_map_only(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert _exchanges(out) == 0
     assert "Generate" not in plan and "BatchEvalPython" not in plan
+
+
+def test_phash_fingerprints_are_map_only(spark):
+    from trough_spark.operators import multimodal as M
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(20)], "doc_id long, text string"
+    )
+    media = M.synthesize_media(docs, "doc_id", "text")
+    # the fingerprint stage must be pure map: only the banded pair join
+    # (a separate operator) is allowed to shuffle
+    assert _exchanges(M.perceptual_hash(media)) == 0
+
+
+def test_chunk_rewrite_shuffles_hashes_not_text(spark):
+    from trough_spark.operators.dedup import chunk_dedup_rewrite
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(40))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    df = chunk_dedup_rewrite(docs, "doc_id", "text", chunk=20)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # winner agg + membership join + kept-idx rollup + id-keyed reattach:
+    # a bounded number of exchanges, none carrying chunk text
+    assert plan.count("Exchange") <= 6, plan
+    assert "CartesianProduct" not in plan
+    # every hashpartitioning key is an id or the 16-byte chunk hash — chunk
+    # text exists only inside map-side projections, never as a shuffle key
+    import re as _re
+
+    for m in _re.finditer(r"Exchange hashpartitioning\(([a-zA-Z0-9_#]+)", plan):
+        assert m.group(1).split("#")[0] in {"id", "h", "w"}, m.group(0)
