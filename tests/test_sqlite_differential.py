@@ -102,6 +102,26 @@ QUERIES = [
     "SELECT iif(qty IS NULL, -1, qty) AS q FROM items ORDER BY id",
     "SELECT instr(name, 'pp') AS pos FROM items WHERE id = 1",
     "SELECT hex(substr(name, 1, 2)) AS h FROM items WHERE id = 2",
+    # round-4 session-2 parity additions: arithmetic edge semantics, window
+    # defaults, FILTER aggregates, text/number coercion in ||
+    "SELECT -7 % 3 AS a, 7 % -3 AS b, -7 / 2 AS c",
+    "SELECT substr(name, -3) AS v FROM items WHERE id = 1",
+    "SELECT price || name AS v FROM items WHERE id = 2",
+    "SELECT sum(qty) FILTER (WHERE price > 2) AS s, "
+    "count(*) FILTER (WHERE name IS NULL) AS n FROM items",
+    "SELECT id FROM items ORDER BY qty, id",
+    "SELECT max(name) AS mx, min(name) AS mn FROM items",
+    "SELECT id, lag(price, 1, 0.0) OVER (ORDER BY id) AS lp FROM items ORDER BY id",
+    "SELECT id, ntile(3) OVER (ORDER BY id) AS b FROM items ORDER BY id",
+    "SELECT id, last_value(price) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED "
+    "PRECEDING AND UNBOUNDED FOLLOWING) AS lv FROM items ORDER BY id",
+    "SELECT group_concat(name, '; ') AS v FROM "
+    "(SELECT name FROM items WHERE name IS NOT NULL ORDER BY name)",
+    "SELECT id FROM items ORDER BY price DESC LIMIT -1",
+    "SELECT id FROM items ORDER BY id LIMIT 3 OFFSET 2",
+    "SELECT time(ts) AS t, date(ts) AS d FROM items WHERE id = 1",
+    "SELECT strftime('%H:%M', ts) AS hm FROM items WHERE id = 3",
+    "SELECT count(DISTINCT qty) AS n, count(qty) AS c FROM items",
 ]
 
 DDL = (

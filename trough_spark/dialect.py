@@ -624,6 +624,22 @@ def _in_cast_context(tokens: list[Token], sig: list[int], as_pos: int) -> bool:
     return False
 
 
+def _rewrite_negative_limit(tokens: list[Token]) -> None:
+    """SQLite treats any negative LIMIT as "no limit" (`LIMIT -1` is the
+    idiomatic spelling); Spark rejects negative limits outright.  Rewrite
+    the count to Int.MaxValue — effectively unlimited, and a following
+    OFFSET keeps working.  In-place."""
+    sig = _significant(tokens)
+    for n, i in enumerate(sig):
+        t = tokens[i]
+        if t.kind == "word" and t.text.upper() == "LIMIT" and n + 2 < len(sig):
+            minus, num = tokens[sig[n + 1]], tokens[sig[n + 2]]
+            if minus.kind == "op" and minus.text == "-" and num.kind == "number":
+                minus.text = ""
+                minus.kind = "comment"
+                num.text = "2147483647"
+
+
 #: keywords after which a LIKE/GLOB/REGEXP word starts a NEW expression
 #: (so `like(` there is a function call, not the infix operator)
 _EXPR_LEAD_KEYWORDS = {
@@ -636,6 +652,7 @@ _EXPR_LEAD_KEYWORDS = {
 def _rewrite_operators(sql: str) -> str:
     tokens = tokenize(sql)
     _rewrite_cast_types(tokens)
+    _rewrite_negative_limit(tokens)
     out: list[Token] = []
     sig = _significant(tokens)
     sigset = {i: n for n, i in enumerate(sig)}
