@@ -72,3 +72,40 @@ def test_chunk_rewrite_unique_corpus_is_untouched(spark):
     rows = chunk_dedup_rewrite(docs, "doc_id", "text", chunk=4).collect()
     assert len(rows) == 5
     assert all(r.kept_ppm == 1000000 and r.n_chunks == r.kept_chunks == 2 for r in rows)
+
+
+def test_chunk_rewrite_every_distinct_chunk_survives_exactly_once(spark):
+    # Invariant: the kept chunks across the whole corpus are exactly the
+    # distinct chunks, each surviving once — on a seeded corpus with heavy
+    # repetition across and within documents.
+    import random
+
+    from trough_spark.operators.dedup import chunk_dedup_rewrite, tokens
+    import pyspark.sql.functions as F
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    chunk = 4
+
+    out = chunk_dedup_rewrite(df, "doc_id", "text", chunk=chunk)
+    kept_total = out.agg(F.sum("kept_chunks")).collect()[0][0]
+
+    distinct_chunks = (
+        df.select(F.col("doc_id"), tokens(F.col("text")).alias("toks"))
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, cast(ceil(size(toks) / {chunk}.0) as int) - 1), "
+                    f"i -> concat_ws(' ', slice(toks, i * {chunk} + 1, {chunk})))"
+                )
+            ).alias("ch")
+        )
+        .distinct()
+        .count()
+    )
+    assert kept_total == distinct_chunks
