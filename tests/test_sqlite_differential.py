@@ -122,6 +122,20 @@ QUERIES = [
     "SELECT time(ts) AS t, date(ts) AS d FROM items WHERE id = 1",
     "SELECT strftime('%H:%M', ts) AS hm FROM items WHERE id = 3",
     "SELECT count(DISTINCT qty) AS n, count(qty) AS c FROM items",
+    # three-valued logic, positional ORDER BY, ESCAPE, CASE-operand form,
+    # and round-half-away-from-zero
+    "SELECT id FROM items WHERE id NOT IN (SELECT qty FROM items)",
+    "SELECT id FROM items WHERE id IN (SELECT qty FROM items) ORDER BY id",
+    "SELECT id, name FROM items WHERE name IS NOT NULL ORDER BY 2, 1",
+    "SELECT id FROM items WHERE name LIKE 'a!%%' ESCAPE '!' ORDER BY id",
+    "SELECT id, CASE name WHEN 'date' THEN 'd' WHEN 'Apple' THEN 'a' "
+    "ELSE '?' END AS tag FROM items ORDER BY id",
+    "SELECT round(2.5) AS a, round(3.5) AS b, round(-2.5) AS c",
+    "SELECT round(price * 2) AS v FROM items ORDER BY id",
+    "SELECT a.id, b.id AS other FROM items a JOIN items b ON b.id = a.id + 1 "
+    "WHERE a.id <= 2 ORDER BY a.id",
+    "SELECT i.id FROM items i LEFT JOIN items j ON j.qty = i.qty AND j.id < i.id "
+    "WHERE j.id IS NULL ORDER BY i.id",
 ]
 
 DDL = (
