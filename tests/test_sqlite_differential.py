@@ -136,6 +136,14 @@ QUERIES = [
     "WHERE a.id <= 2 ORDER BY a.id",
     "SELECT i.id FROM items i LEFT JOIN items j ON j.qty = i.qty AND j.id < i.id "
     "WHERE j.id IS NULL ORDER BY i.id",
+    # remaining SQLite core functions the shim maps
+    "SELECT quote(name) AS v FROM items WHERE id = 3",
+    "SELECT unicode(name) AS v FROM items WHERE id = 1",
+    "SELECT char(72, 105) AS v",
+    "SELECT sign(price - 3) AS v FROM items ORDER BY id",
+    "SELECT likelihood(price > 2, 0.5) AS v FROM items ORDER BY id",
+    "SELECT likely(qty IS NULL) AS a, unlikely(qty IS NULL) AS b "
+    "FROM items ORDER BY id",
 ]
 
 DDL = (

@@ -417,6 +417,31 @@ def _fn_cast(args: list[str]) -> str | None:
     return None
 
 
+_BOOL_SHAPE_WORDS = {"IS", "IN", "LIKE", "GLOB", "REGEXP", "BETWEEN", "EXISTS", "NOT", "AND", "OR"}
+
+
+def _passthrough_hint(arg: str) -> str:
+    """likely()/unlikely()/likelihood() are planner hints that return their
+    argument unchanged — but in SQLite a comparison argument is already an
+    INTEGER 0/1, while the stripped Spark expression would stay BOOLEAN.
+    Cast to INT when the argument's top level is boolean-shaped; pass
+    non-boolean arguments (e.g. likelihood(price, 0.5)) through untouched."""
+    depth = 0
+    boolish = False
+    toks = tokenize(arg)
+    for t in (toks[i] for i in _significant(toks)):
+        if t.kind == "op" and t.text == "(":
+            depth += 1
+        elif t.kind == "op" and t.text == ")":
+            depth -= 1
+        elif depth == 0:
+            if t.kind == "op" and t.text in {"=", "==", "<", ">", "<=", ">=", "!=", "<>"}:
+                boolish = True
+            elif t.kind == "word" and t.text.upper() in _BOOL_SHAPE_WORDS:
+                boolish = True
+    return f"CAST(({arg}) AS INT)" if boolish else f"({arg})"
+
+
 _FN_REWRITES: dict[str, object] = {
     **SQL_EXPANSIONS,
     "group_concat": lambda a: (
@@ -454,9 +479,9 @@ _FN_REWRITES: dict[str, object] = {
     "unicode": lambda a: f"ascii({a[0]})",
     "random": lambda a: "CAST((rand() - 0.5) * 18446744073709551616 AS BIGINT)",
     "randomblob": lambda a: f"unhex(repeat('00', {a[0]}))",  # deterministic stub, documented
-    "likelihood": lambda a: f"({a[0]})",
-    "likely": lambda a: f"({a[0]})",
-    "unlikely": lambda a: f"({a[0]})",
+    "likelihood": lambda a: _passthrough_hint(a[0]),
+    "likely": lambda a: _passthrough_hint(a[0]),
+    "unlikely": lambda a: _passthrough_hint(a[0]),
     "min": lambda a: f"least({', '.join(a)})" if len(a) > 1 else None,
     "max": lambda a: f"greatest({', '.join(a)})" if len(a) > 1 else None,
     "trim": lambda a: f"trim(BOTH {a[1]} FROM {a[0]})" if len(a) > 1 else None,
