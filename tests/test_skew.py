@@ -94,3 +94,18 @@ def test_salted_join_left_keeps_unmatched_once(spark):
         (r.k, r.v, r.w) for r in salted_join(big, small, "k", 4, how="left").collect()
     )
     assert rows == [(1, "a", "x"), (2, "b", None), (9, "c", None)]
+
+
+def test_chunk_rewrite_survives_pathological_hot_chunk(spark):
+    # Adversarial skew: 600 identical single-chunk docs -> ONE chunk hash
+    # carries every row. The winner aggregate partial-aggregates map-side
+    # and only doc 0 survives with its chunk.
+    from trough_spark.operators.dedup import chunk_dedup_rewrite
+
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate line repeated everywhere") for i in range(600)],
+        "doc_id long, text string",
+    )
+    rows = chunk_dedup_rewrite(docs, "doc_id", "text", chunk=20).collect()
+    assert len(rows) == 1
+    assert rows[0].id == 0 and rows[0].kept_chunks == 1
