@@ -52,6 +52,7 @@ _SAMPLE_PRIORITY = [
     "text_classifier_score",
     "dedup_chunk_rewrite",
     "multimodal_phash",
+    "sketch_kmv_quantiles",
     # §2.A (driver-green r3; keep one early row each)
     "a2_row_to_json",
     "a7_regexp_function",

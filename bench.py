@@ -100,6 +100,7 @@ EXTRA = [
     "text_classifier_score",
     "dedup_chunk_rewrite",
     "multimodal_phash",
+    "sketch_kmv_quantiles",
 ]
 
 

@@ -99,3 +99,61 @@ def test_cms_sketch_size_is_constant(spark):
     df = spark.range(5000).select(F.concat(F.lit("s"), F.col("id")).alias("k"))
     sketch = SK.cms_build(df, "k", depth=3, width=64)
     assert sketch.count() <= 3 * 64
+
+
+def test_kmv_sample_is_mergeable_and_deterministic(spark):
+    # bottom-k of the union == bottom-k of the two halves' bottom-k's —
+    # the property that makes KMV a sketch (per-partition combine is merge)
+    import pyspark.sql.functions as F
+
+    from trough_spark.operators.sketches import kmv_sample
+
+    df = spark.range(0, 2000).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    k = 64
+    whole = {r.kmv_h for r in kmv_sample(df, F.col("id"), k=k).collect()}
+    lo = kmv_sample(df.filter("id < 1000"), F.col("id"), k=k)
+    hi = kmv_sample(df.filter("id >= 1000"), F.col("id"), k=k)
+    merged = {
+        r.kmv_h
+        for r in lo.unionByName(hi).orderBy("kmv_h").limit(k).collect()
+    }
+    assert whole == merged and len(whole) == k
+    # deterministic across runs
+    again = {r.kmv_h for r in kmv_sample(df, F.col("id"), k=k).collect()}
+    assert whole == again
+
+
+def test_kmv_quantiles_monotone_and_bounded(spark):
+    import pyspark.sql.functions as F
+
+    from trough_spark.operators.sketches import kmv_quantiles
+
+    df = spark.range(0, 5000).select(F.col("id"), (F.col("id") % 997).cast("double").alias("v"))
+    rows = sorted(
+        kmv_quantiles(df, F.col("id"), "v", k=128, n_buckets=10).collect(),
+        key=lambda r: r.q,
+    )
+    assert [r.q for r in rows] == list(range(11))
+    bounds = [r.boundary for r in rows]
+    assert bounds == sorted(bounds)  # monotone deciles
+    assert all(0 <= b <= 996 for b in bounds)
+    # the KMV distinct estimate should land within 35% of the truth (5000
+    # distinct keys, k=128 -> stderr ~ 1/sqrt(k-2) ~ 9%)
+    est = rows[0].est_ndv
+    assert 0.65 * 5000 <= est <= 1.35 * 5000
+
+
+def test_kmv_plan_is_partial_topk(spark):
+    import pyspark.sql.functions as F
+
+    from trough_spark.operators.sketches import kmv_sample
+
+    df = spark.range(0, 10000).select(F.col("id"), F.col("id").alias("v"))
+    plan = (
+        kmv_sample(df, F.col("id"), k=32)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # per-partition top-k merge, not a global sort: the sketch shape
+    assert "TakeOrderedAndProject" in plan, plan

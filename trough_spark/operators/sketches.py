@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.sql.window import Window
+
 from trough_spark.operators.dedup import portable_hash
 
 HASH_BITS = 60  # portable_hash yields values in [0, 2^60)
@@ -338,3 +340,64 @@ def equidepth_oracle_sql(
       FROM ranked GROUP BY 1
     )
     """
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) bottom-k sketch
+# ---------------------------------------------------------------------------
+def kmv_sample(df: DataFrame, key: Column, k: int = 256) -> DataFrame:
+    """The k rows whose 60-bit portable hash of ``key`` is smallest — the
+    classic KMV / bottom-k sketch (Bar-Yossef et al. 2002; Beyer et al.
+    2007).  Deterministic (md5-keyed), MERGEABLE (the bottom-k of a union
+    is the bottom-k of the per-partition bottom-k's), and tiny: k rows
+    stand in for the whole table.
+
+    Scale: Spark plans ORDER BY h LIMIT k as per-partition top-k
+    (TakeOrdered) — every partition forwards at most k (hash, row) pairs
+    to one merger, no full sort, no full shuffle.  That per-partition
+    combine IS the sketch merge, which is why the same operator serves a
+    1000-executor scan: 1000 × k rows cross the wire, not the corpus.
+    """
+    return df.select(portable_hash(key.cast("string")).alias("kmv_h"), "*").orderBy(
+        "kmv_h"
+    ).limit(k)
+
+
+def kmv_quantiles(
+    df: DataFrame, key: Column, value_col: str, k: int = 256, n_buckets: int = 10
+) -> DataFrame:
+    """Approximate quantile boundaries of ``value_col`` from a KMV bottom-k
+    sample: boundary q (0..n_buckets) is the sample's exact order statistic
+    at rank round(q * (n-1) / n_buckets) + 1.  The k-th smallest hash also
+    yields the KMV distinct-count estimate (k-1) / (h_k / 2^60), carried on
+    every row (rounded to 3 decimals; exact integer-and-hash derived, so
+    cross-engine deterministic).
+
+    Returns (q, boundary, est_ndv) with n_buckets+1 rows.  Unlike the exact
+    equi-depth histogram (full-data ntile) this costs one bounded-size
+    top-k regardless of table size — the 100 TB answer for "roughly where
+    are the deciles".
+    """
+    sample = kmv_sample(df, key, k=k).select("kmv_h", F.col(value_col).alias("v"))
+    ranked = sample.select(
+        "v",
+        "kmv_h",
+        F.row_number().over(Window.orderBy("v", "kmv_h")).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.max("kmv_h").over(Window.partitionBy()).alias("hk"),
+    )
+    qs = df.sparkSession.range(0, n_buckets + 1).select(F.col("id").cast("int").alias("q"))
+    return (
+        qs.crossJoin(F.broadcast(ranked))
+        .filter(
+            F.col("r")
+            == F.expr(f"(2 * q * (n - 1) + {n_buckets}) div (2 * {n_buckets}) + 1")
+        )
+        .select(
+            "q",
+            F.col("v").alias("boundary"),
+            F.round(
+                (F.lit(float(k - 1))) / (F.col("hk") / F.lit(float(1 << 60))), 3
+            ).alias("est_ndv"),
+        )
+    )

@@ -127,3 +127,39 @@ def sketch_equidepth_histogram(spark, sf_dir):
     (see operators/sketches.equidepth_histogram)."""
     docs = T(spark, sf_dir, "documents")
     return SK.equidepth_histogram(docs, "n_chars", "doc_id", n_buckets=10)
+
+
+@query(
+    "sketch_kmv_quantiles",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(('0x' || substr(md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)), 1, 15))
+               AS BIGINT) AS kmv_h,
+             l_extendedprice AS v
+      FROM lineitem
+    ),
+    sample AS (SELECT * FROM h ORDER BY kmv_h LIMIT 256),
+    ranked AS (
+      SELECT v, kmv_h,
+             ROW_NUMBER() OVER (ORDER BY v, kmv_h) AS r,
+             COUNT(*) OVER () AS n,
+             MAX(kmv_h) OVER () AS hk
+      FROM sample
+    )
+    SELECT q, v AS boundary,
+           ROUND(255.0 / (hk / 1152921504606846976.0), 3) AS est_ndv
+    FROM ranked, UNNEST(generate_series(0, 10)) AS t(q)
+    WHERE r = (2 * q * (n - 1) + 10) // 20 + 1
+    """,
+)
+def sketch_kmv_quantiles(spark, sf_dir):
+    """KMV bottom-k sketch over lineitem prices: 11 decile boundaries +
+    distinct-key estimate from a 256-row deterministic sample.  The
+    mergeable answer to "where are the quantiles" at 100 TB — per-partition
+    top-k combine, k rows cross the wire instead of the corpus (vs the
+    exact full-data equi-depth histogram, sketch_equidepth_histogram)."""
+    li = T(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long").alias("k"),
+        "l_extendedprice",
+    )
+    return SK.kmv_quantiles(li, F.col("k"), "l_extendedprice", k=256, n_buckets=10)
