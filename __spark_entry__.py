@@ -53,6 +53,7 @@ _SAMPLE_PRIORITY = [
     "dedup_chunk_rewrite",
     "multimodal_phash",
     "sketch_kmv_quantiles",
+    "sketch_source_overlap",
     # §2.A (driver-green r3; keep one early row each)
     "a2_row_to_json",
     "a7_regexp_function",

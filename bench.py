@@ -101,6 +101,7 @@ EXTRA = [
     "dedup_chunk_rewrite",
     "multimodal_phash",
     "sketch_kmv_quantiles",
+    "sketch_source_overlap",
 ]
 
 

@@ -157,3 +157,32 @@ def test_kmv_plan_is_partial_topk(spark):
     )
     # per-partition top-k merge, not a global sort: the sketch shape
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_source_overlap_estimate_tracks_true_jaccard(spark):
+    import pyspark.sql.functions as F
+
+    from trough_spark.operators.sketches import (
+        source_minhash_signature,
+        source_overlap_estimate,
+    )
+
+    # A = 0..1499, B = 1000..2499 -> |A∩B| = 500, |A∪B| = 2500, J = 0.2
+    # C = 0..1499 (identical to A) -> J(A,C) = 1.0
+    rows = (
+        [("A", i) for i in range(1500)]
+        + [("B", i) for i in range(1000, 2500)]
+        + [("C", i) for i in range(1500)]
+    )
+    df = spark.createDataFrame(rows, "src string, k long")
+    sig = source_minhash_signature(df, "src", F.col("k"), n_buckets=64)
+    got = {
+        (r.grp_a, r.grp_b): r
+        for r in source_overlap_estimate(sig, n_buckets=64).collect()
+    }
+    assert got[("A", "C")].est_jaccard == 1.0
+    ab = got[("A", "B")]
+    assert ab.n_common_buckets == 64
+    # stderr ~ sqrt(J(1-J)/64) ~ 0.05; allow 3 sigma
+    assert abs(ab.est_jaccard - 0.2) < 0.15
+    assert abs(got[("B", "C")].est_jaccard - 0.2) < 0.15

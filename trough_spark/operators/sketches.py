@@ -401,3 +401,64 @@ def kmv_quantiles(
             ).alias("est_ndv"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# One-permutation MinHash source signatures → cross-corpus overlap
+# ---------------------------------------------------------------------------
+def source_minhash_signature(
+    df: DataFrame, group_col: str, key: Column, n_buckets: int = 64
+) -> DataFrame:
+    """One-permutation MinHash signature per group (Li et al. 2012): hash
+    every key once, route it to bucket ``h % n_buckets``, keep the MIN hash
+    per (group, bucket).  One GROUP BY with a MIN aggregate — fully
+    map-side-combinable, constant state per group, the cleanest possible
+    shape for a 100 TB scan.
+
+    Returns (group, bucket, minh); groups with an empty bucket simply have
+    no row for it (small corpora), which the estimator treats as
+    uninformative.
+    """
+    h = portable_hash(key.cast("string"))
+    return (
+        df.select(F.col(group_col).alias("grp"), h.alias("h"))
+        .withColumn("bucket", (F.col("h") % n_buckets).cast("int"))
+        .groupBy("grp", "bucket")
+        .agg(F.min("h").alias("minh"))
+    )
+
+
+def source_overlap_estimate(signatures: DataFrame, n_buckets: int = 64) -> DataFrame:
+    """Pairwise content-overlap (Jaccard) estimates BETWEEN groups from
+    their one-permutation MinHash signatures alone: the estimate is the
+    fraction of buckets (populated on both sides) whose minima agree.
+
+    This answers "how much does source A overlap source B" for cross-corpus
+    dedup planning without ever joining the corpora — the comparison is
+    n_groups² × n_buckets integers, independent of corpus size.
+
+    Returns (grp_a, grp_b, n_common_buckets, n_match, est_jaccard),
+    grp_a < grp_b.
+    """
+    a = signatures.select(
+        F.col("grp").alias("grp_a"), "bucket", F.col("minh").alias("ma")
+    )
+    b = signatures.select(
+        F.col("grp").alias("grp_b"), "bucket", F.col("minh").alias("mb")
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("grp_a") < F.col("grp_b"))
+        .groupBy("grp_a", "grp_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common_buckets"),
+            F.sum(F.when(F.col("ma") == F.col("mb"), 1).otherwise(0)).alias("n_match"),
+        )
+        .select(
+            "grp_a",
+            "grp_b",
+            "n_common_buckets",
+            "n_match",
+            F.round(F.col("n_match") / F.col("n_common_buckets"), 6).alias("est_jaccard"),
+        )
+    )

@@ -163,3 +163,36 @@ def sketch_kmv_quantiles(spark, sf_dir):
         "l_extendedprice",
     )
     return SK.kmv_quantiles(li, F.col("k"), "l_extendedprice", k=256, n_buckets=10)
+
+
+@query(
+    "sketch_source_overlap",
+    oracle="""
+    WITH h AS (
+      SELECT source AS grp,
+             CAST(('0x' || substr(md5(md5(text)), 1, 15)) AS BIGINT) AS h
+      FROM documents
+    ),
+    sig AS (
+      SELECT grp, CAST(h % 64 AS INT) AS bucket, MIN(h) AS minh
+      FROM h GROUP BY 1, 2
+    )
+    SELECT a.grp AS grp_a, b.grp AS grp_b,
+           COUNT(*) AS n_common_buckets,
+           SUM(CASE WHEN a.minh = b.minh THEN 1 ELSE 0 END) AS n_match,
+           ROUND(SUM(CASE WHEN a.minh = b.minh THEN 1 ELSE 0 END)
+                 / COUNT(*), 6) AS est_jaccard
+    FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.grp < b.grp
+    GROUP BY 1, 2
+    """,
+)
+def sketch_source_overlap(spark, sf_dir):
+    """Cross-source content-overlap estimates from one-permutation MinHash
+    signatures over content hashes — n_sources^2 x 64 integers compared,
+    never a corpus join.  Keys off md5(text) so byte-identical documents
+    are the overlap unit (the cross-source dedup planning question)."""
+    docs = T(spark, sf_dir, "documents")
+    sig = SK.source_minhash_signature(
+        docs, "source", F.md5(F.col("text")), n_buckets=64
+    )
+    return SK.source_overlap_estimate(sig, n_buckets=64)
