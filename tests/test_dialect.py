@@ -146,3 +146,18 @@ def test_cast_type_mapping():
 def test_iif_rewrites_to_if():
     out = dialect.sqlite_to_spark("SELECT iif(a > 1, 'big', 'small') FROM t")
     assert "if(a > 1, 'big', 'small')" in out.replace("  ", " ")
+
+
+def test_modern_sqlite_function_mappings(spark):
+    # SQLite 3.38-3.44 additions: this container's sqlite3 (3.40) cannot run
+    # them, so the mapping is pinned here and executed on Spark directly.
+    out = dialect.sqlite_to_spark("SELECT concat('a', NULL, 'b') AS v")
+    assert "concat_ws(''," in out
+    # concat skips NULLs (SQLite semantics), unlike Spark's native concat
+    assert spark.sql(out).collect()[0].v == "ab"
+
+    out = dialect.sqlite_to_spark("SELECT unixepoch('2024-01-15 10:30:00') AS v")
+    assert spark.sql(out).collect()[0].v == 1705314600
+
+    out = dialect.sqlite_to_spark("SELECT string_agg(c, ',') AS v FROM (SELECT 'x' AS c UNION ALL SELECT 'y' ORDER BY c)")
+    assert "collect_list" in out

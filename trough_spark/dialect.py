@@ -479,6 +479,19 @@ _FN_REWRITES: dict[str, object] = {
     "unicode": lambda a: f"ascii({a[0]})",
     "random": lambda a: "CAST((rand() - 0.5) * 18446744073709551616 AS BIGINT)",
     "randomblob": lambda a: f"unhex(repeat('00', {a[0]}))",  # deterministic stub, documented
+    # SQLite 3.38-3.44 additions (this container's sqlite3 is 3.40, so the
+    # differential harness can't execute all of them — translation-level
+    # tests in test_dialect.py pin the mappings):
+    # concat skips NULLs (returns '' when all args are NULL) — concat_ws('')
+    # has exactly those semantics; Spark's own concat would return NULL.
+    "concat": lambda a: f"concat_ws('', {', '.join(a)})",
+    # string_agg(x, sep) is the 3.44 alias for 2-arg group_concat
+    "string_agg": lambda a: f"concat_ws({a[1]}, collect_list({a[0]}))",
+    "unixepoch": lambda a: (
+        "unix_seconds(current_timestamp())"
+        if not a or (len(a) == 1 and a[0].strip().lower() == "'now'")
+        else f"unix_seconds({_fn_datetime(a)})"
+    ),
     "likelihood": lambda a: _passthrough_hint(a[0]),
     "likely": lambda a: _passthrough_hint(a[0]),
     "unlikely": lambda a: _passthrough_hint(a[0]),
