@@ -54,6 +54,7 @@ _SAMPLE_PRIORITY = [
     "multimodal_phash",
     "sketch_kmv_quantiles",
     "sketch_source_overlap",
+    "text_hashed_embedding",
     # §2.A (driver-green r3; keep one early row each)
     "a2_row_to_json",
     "a7_regexp_function",

@@ -102,6 +102,7 @@ EXTRA = [
     "multimodal_phash",
     "sketch_kmv_quantiles",
     "sketch_source_overlap",
+    "text_hashed_embedding",
 ]
 
 

@@ -84,3 +84,25 @@ def test_bm25_ranks_rare_term_density_higher(spark):
     scores = {r.id: r.score_micro for r in got}
     assert scores[2] > scores[4]  # equal tf: length normalization penalizes 4
     assert all(r.n_terms_hit == 1 for r in got)
+
+
+def test_hashed_embedding_deterministic_and_count_exact(spark):
+    from trough_spark.operators.text import hashed_embedding
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha alpha alpha"),      # one token x3 -> one dim, |w| = 3
+            (2, "alpha alpha alpha"),      # identical doc -> identical vector
+            (3, "beta gamma delta beta"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = hashed_embedding(docs, "doc_id", "text", dims=64).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.id, set()).add((r.dim, r.weight))
+    assert by_id[1] == by_id[2]
+    assert len(by_id[1]) == 1 and abs(next(iter(by_id[1]))[1]) == 3
+    # doc 3: beta x2 + gamma + delta -> per-dim weights sum of signed counts
+    assert sum(abs(w) for _, w in by_id[3]) <= 4
+    assert all(0 <= d < 64 for d, _ in by_id[3])

@@ -642,3 +642,39 @@ def html_strip(col: Column) -> Column:
     # explicit class, not \s: Java regex counts \x0B as whitespace, RE2
     # does not — the explicit class behaves identically in both engines
     return F.trim(F.regexp_replace(s, r"[ \t\r\n\f]+", " "))
+
+
+def hashed_embedding(
+    df: DataFrame, id_col: str, text_col: str, dims: int = 64
+) -> DataFrame:
+    """Feature-hashing ("hashing trick", Weinberger et al. 2009) document
+    embedding: every token is routed to dimension ``portable_hash(tok) %
+    dims`` with sign taken from the next hash bit, and the per-dimension
+    signed counts form a sparse integer vector.  The cheapest text->vector
+    bridge there is — no vocabulary, no model, integer-exact (so
+    cross-engine hash-checkable), and unbiased as an inner-product sketch.
+
+    Returns the sparse long form (id, dim, weight), nonzero entries only —
+    the natural input for the cosine/ANN operators after normalization.
+
+    Scale: explode + one partial-aggregating groupBy on (id, dim); the
+    shuffle carries (id, int, int) triples, never tokens.
+    """
+    from trough_spark.operators.dedup import portable_hash, tokens
+
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).filter(F.col("tok") != "")
+    h = portable_hash(F.col("tok"))
+    return (
+        tok.select(
+            "id",
+            (h % dims).cast("int").alias("dim"),
+            # sign bit taken high above the bucket bits, so it is
+            # independent of dim for any dims < 2^32
+            F.when(F.shiftright(h, 32) % 2 == 1, 1).otherwise(-1).alias("sgn"),
+        )
+        .groupBy("id", "dim")
+        .agg(F.sum("sgn").cast("bigint").alias("weight"))
+        .filter(F.col("weight") != 0)
+    )

@@ -724,3 +724,31 @@ def text_classifier_score(spark, sf_dir):
     the identical plan.  See operators/text.hashed_classifier."""
     docs = T(spark, sf_dir, "documents")
     return X.hashed_classifier(docs, "doc_id", "text")
+
+
+@query(
+    "text_hashed_embedding",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id AS id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents
+    ),
+    h AS (
+      SELECT id,
+             CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS hv
+      FROM tok WHERE tok != ''
+    )
+    SELECT id,
+           CAST(hv % 64 AS INT) AS dim,
+           CAST(SUM(CASE WHEN (hv // 4294967296) % 2 = 1 THEN 1 ELSE -1 END)
+                AS BIGINT) AS weight
+    FROM h
+    GROUP BY 1, 2
+    HAVING SUM(CASE WHEN (hv // 4294967296) % 2 = 1 THEN 1 ELSE -1 END) != 0
+    """,
+)
+def text_hashed_embedding(spark, sf_dir):
+    """Feature-hashing document embeddings (sparse long form) — the
+    vocabulary-free text->vector bridge feeding the cosine/ANN stack."""
+    docs = T(spark, sf_dir, "documents")
+    return X.hashed_embedding(docs, "doc_id", "text", dims=64)
