@@ -55,6 +55,7 @@ _SAMPLE_PRIORITY = [
     "sketch_kmv_quantiles",
     "sketch_source_overlap",
     "text_hashed_embedding",
+    "text_hashed_ann_topk",
     # §2.A (driver-green r3; keep one early row each)
     "a2_row_to_json",
     "a7_regexp_function",

@@ -103,6 +103,7 @@ EXTRA = [
     "sketch_kmv_quantiles",
     "sketch_source_overlap",
     "text_hashed_embedding",
+    "text_hashed_ann_topk",
 ]
 
 

@@ -678,3 +678,56 @@ def hashed_embedding(
         .agg(F.sum("sgn").cast("bigint").alias("weight"))
         .filter(F.col("weight") != 0)
     )
+
+
+def hashed_cosine_topk(
+    emb: DataFrame, query_id: int, k: int = 20
+) -> DataFrame:
+    """Top-k documents most similar to ``query_id`` by cosine over sparse
+    hashed embeddings (``hashed_embedding`` long-form output) — nearest
+    neighbors from raw text alone, no embedding model anywhere.
+
+    The dot product is a sparse equi-join on dim against the BROADCAST
+    query vector (<= dims rows by construction), norms are one partial
+    aggregate, and the ranking is TakeOrdered top-k.  cosine = dot /
+    sqrt(|q|^2 * |d|^2) uses only IEEE-correctly-rounded ops (sqrt,
+    divide) over exact integers, so the micro-rounded score is
+    cross-engine deterministic.
+
+    Returns (id, dot, norm2, cos_micro) ordered by similarity.
+    """
+    qv = emb.filter(F.col("id") == query_id).select(
+        "dim", F.col("weight").alias("qw")
+    )
+    norms = emb.groupBy("id").agg(
+        F.sum(F.col("weight") * F.col("weight")).alias("norm2")
+    )
+    qnorm = F.broadcast(
+        norms.filter(F.col("id") == query_id).select(
+            F.col("norm2").alias("qnorm2")
+        )
+    )
+    dots = (
+        emb.filter(F.col("id") != query_id)
+        .join(F.broadcast(qv), "dim")
+        .groupBy("id")
+        .agg(F.sum(F.col("weight") * F.col("qw")).alias("dot"))
+    )
+    return (
+        dots.join(norms, "id")
+        .crossJoin(qnorm)
+        .select(
+            "id",
+            "dot",
+            "norm2",
+            F.round(
+                F.col("dot")
+                / F.sqrt((F.col("norm2") * F.col("qnorm2")).cast("double"))
+                * F.lit(1000000.0)
+            )
+            .cast("bigint")
+            .alias("cos_micro"),
+        )
+        .orderBy(F.desc("cos_micro"), F.asc("id"))
+        .limit(k)
+    )

@@ -752,3 +752,46 @@ def text_hashed_embedding(spark, sf_dir):
     vocabulary-free text->vector bridge feeding the cosine/ANN stack."""
     docs = T(spark, sf_dir, "documents")
     return X.hashed_embedding(docs, "doc_id", "text", dims=64)
+
+
+@query(
+    "text_hashed_ann_topk",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id AS id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents
+    ),
+    h AS (
+      SELECT id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS hv
+      FROM tok WHERE tok != ''
+    ),
+    emb AS (
+      SELECT id, CAST(hv % 64 AS INT) AS dim,
+             CAST(SUM(CASE WHEN (hv // 4294967296) % 2 = 1 THEN 1 ELSE -1 END)
+                  AS BIGINT) AS w
+      FROM h GROUP BY 1, 2
+      HAVING SUM(CASE WHEN (hv // 4294967296) % 2 = 1 THEN 1 ELSE -1 END) != 0
+    ),
+    norms AS (SELECT id, SUM(w * w) AS norm2 FROM emb GROUP BY id),
+    qv AS (SELECT dim, w AS qw FROM emb WHERE id = 0),
+    qn AS (SELECT norm2 AS qnorm2 FROM norms WHERE id = 0),
+    dots AS (
+      SELECT e.id, SUM(e.w * q.qw) AS dot
+      FROM emb e JOIN qv q USING (dim) WHERE e.id != 0 GROUP BY e.id
+    )
+    SELECT d.id, d.dot, n.norm2,
+           CAST(ROUND(d.dot / sqrt(CAST(n.norm2 * qn.qnorm2 AS DOUBLE)) * 1000000.0)
+                AS BIGINT) AS cos_micro
+    FROM dots d JOIN norms n USING (id), qn
+    ORDER BY cos_micro DESC, d.id ASC
+    LIMIT 20
+    """,
+)
+def text_hashed_ann_topk(spark, sf_dir):
+    """Nearest neighbors of doc 0 from raw text alone: feature-hashed
+    embeddings -> broadcast sparse dot product -> TakeOrdered top-k.  Only
+    IEEE-exact float ops (sqrt, divide) touch the integer dot/norms, so the
+    micro-rounded cosine hash-matches the oracle."""
+    docs = T(spark, sf_dir, "documents")
+    emb = X.hashed_embedding(docs, "doc_id", "text", dims=64)
+    return X.hashed_cosine_topk(emb, query_id=0, k=20)
