@@ -136,6 +136,12 @@ QUERIES = [
     "WHERE a.id <= 2 ORDER BY a.id",
     "SELECT i.id FROM items i LEFT JOIN items j ON j.qty = i.qty AND j.id < i.id "
     "WHERE j.id IS NULL ORDER BY i.id",
+    # arithmetic edge semantics: division/modulo by zero are NULL, substr
+    # position 0 consumes one length unit
+    "SELECT id / 0 AS a, id % 0 AS b, 1.5 / 0 AS c FROM items WHERE id = 1",
+    "SELECT substr(name, 0, 3) AS v FROM items ORDER BY id",
+    "SELECT substr(name, 0) AS v FROM items WHERE id = 1",
+    "SELECT min(qty) AS mn, max(qty) AS mx, count(*) AS n FROM items WHERE id > 99",
     # remaining SQLite core functions the shim maps
     "SELECT quote(name) AS v FROM items WHERE id = 3",
     "SELECT unicode(name) AS v FROM items WHERE id = 1",

@@ -479,6 +479,21 @@ _FN_REWRITES: dict[str, object] = {
     "unicode": lambda a: f"ascii({a[0]})",
     "random": lambda a: "CAST((rand() - 0.5) * 18446744073709551616 AS BIGINT)",
     "randomblob": lambda a: f"unhex(repeat('00', {a[0]}))",  # deterministic stub, documented
+    # substr quirk: position 0 addresses the nonexistent character just
+    # before the string, so substr(x, 0, L) yields only L-1 characters;
+    # Spark treats 0 as 1 and would yield L.  Rewrite the literal-0 form
+    # (the only statically decidable case; 2-arg substr(x, 0) agrees
+    # already — both engines return the whole string).
+    "substr": lambda a: (
+        f"substring({a[0]}, 1, ({a[2]}) - 1)"
+        if len(a) == 3 and a[1].strip() == "0"
+        else None
+    ),
+    "substring": lambda a: (
+        f"substring({a[0]}, 1, ({a[2]}) - 1)"
+        if len(a) == 3 and a[1].strip() == "0"
+        else None
+    ),
     # SQLite 3.38-3.44 additions (this container's sqlite3 is 3.40, so the
     # differential harness can't execute all of them — translation-level
     # tests in test_dialect.py pin the mappings):
