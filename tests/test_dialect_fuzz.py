@@ -1,0 +1,164 @@
+"""Grammar-based differential fuzzing of the dialect shim: randomly
+generated SELECTs (seeded, reproducible) executed by real SQLite AND the
+shimmed engine over identical data, results compared row-for-row.
+
+The grammar is integer/NULL-focused on purpose: it exercises operator
+precedence, CASE/iif nesting, three-valued logic, and NULL propagation —
+the places hand-written differential cases have gaps.  Floating division
+is excluded: SQLite's `/` is integer division when both operands carry
+INTEGER affinity, which is dynamically typed information a static
+translator cannot see (documented in SURVEY.md as the known divergence).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sqlite3
+
+import pytest
+
+from trough_spark.store import SegmentStore
+
+ROWS = [
+    (1, 10, 3, "apple"),
+    (2, None, -4, "Banana split"),
+    (3, 7, 0, None),
+    (4, None, 25, ""),
+    (5, 2, 7, "date"),
+]
+DDL = "CREATE TABLE nums (id INTEGER PRIMARY KEY, a INTEGER, b INTEGER, s TEXT)"
+
+N_QUERIES = int(os.environ.get("TROUGH_FUZZ_N", "60"))
+SEED = int(os.environ.get("TROUGH_FUZZ_SEED", "20260814"))
+
+
+def _expr(rng: random.Random, depth: int) -> str:
+    if depth <= 0:
+        return rng.choice(["a", "b", "id", str(rng.randint(-9, 9))])
+    kind = rng.randrange(9)
+    e1, e2 = _expr(rng, depth - 1), _expr(rng, depth - 1)
+    if kind == 0:
+        return f"({e1} + {e2})"
+    if kind == 1:
+        return f"({e1} - {e2})"
+    if kind == 2:
+        return f"({e1} * {e2})"
+    if kind == 3:
+        return f"abs({e1})"
+    if kind == 4:
+        return f"coalesce({e1}, {e2})"
+    if kind == 5:
+        return f"{rng.choice(['min', 'max'])}({e1}, {e2})"
+    if kind == 6:
+        return f"(CASE WHEN {_pred(rng, depth - 1)} THEN {e1} ELSE {e2} END)"
+    if kind == 7:
+        return f"iif({_pred(rng, depth - 1)}, {e1}, {e2})"
+    return f"({e1} % {rng.randint(1, 5)})"
+
+
+def _sexpr(rng: random.Random, depth: int) -> str:
+    """String-valued expression.  Int and string worlds never mix: SQLite
+    compares across types by type ordering (INTEGER < TEXT always), which is
+    dynamic-typing semantics a static translator cannot reproduce."""
+    if depth <= 0:
+        return rng.choice(["s", "'ap'", "'zz'", "''", "'Ban'"])
+    kind = rng.randrange(6)
+    e1, e2 = _sexpr(rng, depth - 1), _sexpr(rng, depth - 1)
+    if kind == 0:
+        return f"upper({e1})"
+    if kind == 1:
+        return f"lower({e1})"
+    if kind == 2:
+        return f"substr({e1}, {rng.randint(0, 3)}, {rng.randint(1, 4)})"
+    if kind == 3:
+        return f"replace({e1}, 'a', 'z')"
+    if kind == 4:
+        return f"({e1} || {e2})"
+    return f"coalesce({e1}, {e2})"
+
+
+def _pred(rng: random.Random, depth: int) -> str:
+    if depth <= 0:
+        op = rng.choice(["=", "<", ">", "<=", ">=", "!=", "<>"])
+        return f"{_expr(rng, 0)} {op} {_expr(rng, 0)}"
+    kind = rng.randrange(5)
+    if kind == 0:
+        return f"({_pred(rng, depth - 1)} AND {_pred(rng, depth - 1)})"
+    if kind == 1:
+        return f"({_pred(rng, depth - 1)} OR {_pred(rng, depth - 1)})"
+    if kind == 2:
+        return f"(NOT {_pred(rng, depth - 1)})"
+    if kind == 3:
+        return f"{rng.choice([_expr, _sexpr])(rng, depth - 1)} IS NULL"
+    if kind == 4 and rng.random() < 0.5:
+        op = rng.choice(["=", "<", ">", "!="])
+        return f"{_sexpr(rng, depth - 1)} {op} {_sexpr(rng, depth - 1)}"
+    op = rng.choice(["=", "<", ">", "<=", ">=", "!="])
+    return f"{_expr(rng, depth - 1)} {op} {_expr(rng, depth - 1)}"
+
+
+def _queries() -> list[str]:
+    rng = random.Random(SEED)
+    out = []
+    for _ in range(N_QUERIES):
+        shape = rng.random()
+        if shape < 0.15:
+            # whole-table aggregate
+            inner = _expr(rng, rng.randint(0, 2))
+            aggs = ", ".join(
+                f"{rng.choice(['sum', 'count', 'min', 'max', 'avg', 'total'])}({inner}) AS c{i}"
+                for i in range(rng.randint(1, 2))
+            )
+            where = f" WHERE {_pred(rng, 1)}" if rng.random() < 0.5 else ""
+            out.append(f"SELECT 0 AS id, {aggs} FROM nums{where}")
+            continue
+        if shape < 0.3:
+            # grouped aggregate (b is never NULL; a exercises the NULL group)
+            g = rng.choice(["a", "b"])
+            out.append(
+                f"SELECT {g} AS id, count(*) AS c0, "
+                f"{rng.choice(['sum', 'min', 'max'])}({_expr(rng, 1)}) AS c1 "
+                f"FROM nums GROUP BY {g} ORDER BY {g}"
+            )
+            continue
+        n_cols = rng.randint(1, 3)
+        cols = ", ".join(
+            f"{rng.choice([_expr, _expr, _sexpr])(rng, rng.randint(1, 3))} AS c{i}"
+            for i in range(n_cols)
+        )
+        where = f" WHERE {_pred(rng, rng.randint(1, 2))}" if rng.random() < 0.6 else ""
+        out.append(f"SELECT id, {cols} FROM nums{where} ORDER BY id")
+    return out
+
+
+@pytest.fixture(scope="module")
+def engines(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("fuzz")
+    conn = sqlite3.connect(":memory:")
+    conn.execute(DDL)
+    conn.executemany("INSERT INTO nums VALUES (?, ?, ?, ?)", ROWS)
+    store = SegmentStore(spark, str(tmp / "store"))
+    store.set_schema("nums_schema", DDL + ";")
+    store.provision("fuzzseg", "nums_schema")
+    inserts = ";\n".join(
+        "INSERT INTO nums (id, a, b, s) VALUES (%s)"
+        % ", ".join(
+            "NULL" if v is None else (f"'{v}'" if isinstance(v, str) else str(v))
+            for v in r
+        )
+        for r in ROWS
+    )
+    store.write("fuzzseg", inserts)
+    yield conn, store
+    conn.close()
+
+
+@pytest.mark.parametrize("sql", _queries())
+def test_fuzzed_select_matches_sqlite(engines, sql):
+    conn, store = engines
+    expected = [tuple(row) for row in conn.execute(sql).fetchall()]
+    got = store.read("fuzzseg", sql)
+    got_rows = [tuple(r[k] for k in sorted(r, key=lambda c: int(c[1:]) if c != "id" else -1)) for r in got]
+    # store.read returns list[dict]; order columns as id, c0, c1, ...
+    assert got_rows == expected, f"\nsql: {sql}\nsqlite: {expected}\nengine: {got_rows}"

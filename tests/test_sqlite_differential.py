@@ -142,6 +142,8 @@ QUERIES = [
     "SELECT substr(name, 0, 3) AS v FROM items ORDER BY id",
     "SELECT substr(name, 0) AS v FROM items WHERE id = 1",
     "SELECT min(qty) AS mn, max(qty) AS mx, count(*) AS n FROM items WHERE id > 99",
+    # scalar min/max are NULL-strict in SQLite (found by the fuzz harness)
+    "SELECT min(qty, 5) AS a, max(qty, 5) AS b FROM items ORDER BY id",
     # remaining SQLite core functions the shim maps
     "SELECT quote(name) AS v FROM items WHERE id = 3",
     "SELECT unicode(name) AS v FROM items WHERE id = 1",

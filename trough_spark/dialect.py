@@ -442,6 +442,11 @@ def _passthrough_hint(arg: str) -> str:
     return f"CAST(({arg}) AS INT)" if boolish else f"({arg})"
 
 
+def _null_strict_extreme(fn: str, args: list[str]) -> str:
+    guard = " OR ".join(f"({x}) IS NULL" for x in args)
+    return f"(CASE WHEN {guard} THEN NULL ELSE {fn}({', '.join(args)}) END)"
+
+
 _FN_REWRITES: dict[str, object] = {
     **SQL_EXPANSIONS,
     "group_concat": lambda a: (
@@ -510,8 +515,10 @@ _FN_REWRITES: dict[str, object] = {
     "likelihood": lambda a: _passthrough_hint(a[0]),
     "likely": lambda a: _passthrough_hint(a[0]),
     "unlikely": lambda a: _passthrough_hint(a[0]),
-    "min": lambda a: f"least({', '.join(a)})" if len(a) > 1 else None,
-    "max": lambda a: f"greatest({', '.join(a)})" if len(a) > 1 else None,
+    # scalar min/max return NULL when ANY argument is NULL (SQLite), while
+    # Spark's least/greatest skip NULLs — guard explicitly
+    "min": lambda a: _null_strict_extreme("least", a) if len(a) > 1 else None,
+    "max": lambda a: _null_strict_extreme("greatest", a) if len(a) > 1 else None,
     "trim": lambda a: f"trim(BOTH {a[1]} FROM {a[0]})" if len(a) > 1 else None,
     "ltrim": lambda a: f"trim(LEADING {a[1]} FROM {a[0]})" if len(a) > 1 else None,
     "rtrim": lambda a: f"trim(TRAILING {a[1]} FROM {a[0]})" if len(a) > 1 else None,
