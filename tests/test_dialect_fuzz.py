@@ -51,9 +51,20 @@ def _expr(rng: random.Random, depth: int) -> str:
     if kind == 5:
         return f"{rng.choice(['min', 'max'])}({e1}, {e2})"
     if kind == 6:
+        if rng.random() < 0.25:  # ELSE-less CASE yields NULL on no-match
+            return f"(CASE WHEN {_pred(rng, depth - 1)} THEN {e1} END)"
         return f"(CASE WHEN {_pred(rng, depth - 1)} THEN {e1} ELSE {e2} END)"
     if kind == 7:
         return f"iif({_pred(rng, depth - 1)}, {e1}, {e2})"
+    extra = rng.randrange(5)
+    if extra == 0:
+        return f"(- {e1})"  # space: bare -- starts a comment in BOTH engines
+    if extra == 1:
+        return f"nullif({e1}, {e2})"
+    if extra == 2:
+        return f"length({_sexpr(rng, depth - 1)})"
+    if extra == 3:
+        return f"CAST({_sexpr(rng, depth - 1)} AS INTEGER)"
     return f"({e1} % {rng.randint(1, 5)})"
 
 
@@ -75,6 +86,8 @@ def _sexpr(rng: random.Random, depth: int) -> str:
         return f"replace({e1}, 'a', 'z')"
     if kind == 4:
         return f"({e1} || {e2})"
+    if kind == 5 and rng.random() < 0.4:
+        return f"CAST({_expr(rng, depth - 1)} AS TEXT)"
     return f"coalesce({e1}, {e2})"
 
 
@@ -92,8 +105,19 @@ def _pred(rng: random.Random, depth: int) -> str:
     if kind == 3:
         return f"{rng.choice([_expr, _sexpr])(rng, depth - 1)} IS NULL"
     if kind == 4 and rng.random() < 0.5:
+        r = rng.random()
+        if r < 0.3:
+            pat = rng.choice(["'a%'", "'%an%'", "'%e'", "'_pp%'"])
+            return f"{_sexpr(rng, depth - 1)} LIKE {pat}"
         op = rng.choice(["=", "<", ">", "!="])
         return f"{_sexpr(rng, depth - 1)} {op} {_sexpr(rng, depth - 1)}"
+    r = rng.random()
+    if r < 0.15:
+        lo, hi = sorted((rng.randint(-9, 9), rng.randint(-9, 9)))
+        return f"{_expr(rng, depth - 1)} BETWEEN {lo} AND {hi}"
+    if r < 0.3:
+        vals = ", ".join(str(rng.randint(-9, 9)) for _ in range(rng.randint(1, 4)))
+        return f"{_expr(rng, depth - 1)} {rng.choice(['IN', 'NOT IN'])} ({vals})"
     op = rng.choice(["=", "<", ">", "<=", ">=", "!="])
     return f"{_expr(rng, depth - 1)} {op} {_expr(rng, depth - 1)}"
 
