@@ -146,6 +146,23 @@ def _queries() -> list[str]:
                 f"FROM nums GROUP BY {g} ORDER BY {g}"
             )
             continue
+        if shape < 0.45:
+            # window functions: frames over the deterministic id order
+            inner = _expr(rng, rng.randint(0, 1))
+            w = rng.random()
+            if w < 0.3:
+                fn = rng.choice(["row_number()", "rank()", "dense_rank()"])
+                over = f"ORDER BY b, id"
+            elif w < 0.6:
+                fn = f"{rng.choice(['lag', 'lead'])}({inner}, {rng.randint(1, 2)}, {rng.randint(-9, 9)})"
+                over = "ORDER BY id"
+            else:
+                fn = f"{rng.choice(['sum', 'min', 'max', 'count'])}({inner})"
+                start = rng.choice(["UNBOUNDED PRECEDING", f"{rng.randint(1, 3)} PRECEDING"])
+                over = f"ORDER BY id ROWS BETWEEN {start} AND CURRENT ROW"
+            part = "PARTITION BY (b > 0) " if rng.random() < 0.3 else ""
+            out.append(f"SELECT id, {fn} OVER ({part}{over}) AS c0 FROM nums ORDER BY id")
+            continue
         n_cols = rng.randint(1, 3)
         cols = ", ".join(
             f"{rng.choice([_expr, _expr, _sexpr])(rng, rng.randint(1, 3))} AS c{i}"
