@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import os
 import random
+import re
 import sqlite3
 
 import pytest
@@ -146,7 +147,40 @@ def _queries() -> list[str]:
                 f"FROM nums GROUP BY {g} ORDER BY {g}"
             )
             continue
-        if shape < 0.45:
+        if shape < 0.42:
+            # structural shapes: subqueries, self-joins, set ops
+            r = rng.random()
+            if r < 0.25:
+                # correlated scalar subquery (equality correlation — the
+                # form every engine supports)
+                agg = rng.choice(["max", "min", "sum", "count"])
+                out.append(
+                    f"SELECT id, (SELECT {agg}(n2.a) FROM nums n2 WHERE n2.b = nums.b) AS c0 "
+                    f"FROM nums ORDER BY id"
+                )
+            elif r < 0.5:
+                out.append(
+                    f"SELECT id, {_expr(rng, 1)} AS c0 FROM nums "
+                    f"WHERE id {rng.choice(['IN', 'NOT IN'])} "
+                    f"(SELECT id FROM nums WHERE {_pred(rng, 1)}) ORDER BY id"
+                )
+            elif r < 0.7:
+                k = rng.randint(1, 3)
+                # qualify every column ref: unqualified names are ambiguous
+                # in a self-join (SQLite errors on them too)
+                e = re.sub(r"\b(a|b|s|id)\b", r"x.\1", _expr(rng, 1))
+                out.append(
+                    f"SELECT x.id, y.id AS c0, {e} AS c1 "
+                    f"FROM nums x JOIN nums y ON y.id = x.id + {k} ORDER BY x.id"
+                )
+            else:
+                op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+                out.append(
+                    f"SELECT id FROM nums WHERE {_pred(rng, 1)} "
+                    f"{op} SELECT id FROM nums WHERE {_pred(rng, 1)} ORDER BY id"
+                )
+            continue
+        if shape < 0.55:
             # window functions: frames over the deterministic id order
             inner = _expr(rng, rng.randint(0, 1))
             w = rng.random()
