@@ -142,6 +142,13 @@ QUERIES = [
     "SELECT substr(name, 0, 3) AS v FROM items ORDER BY id",
     "SELECT substr(name, 0) AS v FROM items WHERE id = 1",
     "SELECT min(qty) AS mn, max(qty) AS mx, count(*) AS n FROM items WHERE id > 99",
+    # month/year arithmetic NORMALIZES day overflow (Jan 31 +1 month is
+    # Mar 2/3, never a clamped Feb 28/29)
+    "SELECT datetime('2024-01-31 10:00:00', '+1 month') AS v",
+    "SELECT datetime('2024-02-29 10:00:00', '+1 year') AS v",
+    "SELECT date('2023-01-30', '+1 month') AS v",
+    "SELECT date('2024-03-31', '-1 month') AS v",
+    "SELECT datetime(ts, '+1 month', 'start of day') AS v FROM items WHERE id = 1",
     # scalar min/max are NULL-strict in SQLite (found by the fuzz harness)
     "SELECT min(qty, 5) AS a, max(qty, 5) AS b FROM items ORDER BY id",
     # remaining SQLite core functions the shim maps

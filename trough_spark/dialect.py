@@ -331,7 +331,20 @@ def _fn_datetime(args: list[str]) -> str:
         m = mod.strip().lower().strip("'")
         mm = re.match(r"([+-]?\d+)\s+(second|minute|hour|day|month|year)s?", m)
         if mm:
-            base = f"({base} + INTERVAL {mm.group(1)} {mm.group(2).upper()})"
+            n, unit = mm.group(1), mm.group(2).upper()
+            if unit in ("MONTH", "YEAR"):
+                # SQLite NORMALIZES day overflow ('2024-01-31' +1 month =
+                # 2024-03-02) while Spark's INTERVAL MONTH clamps to the
+                # month end.  Reproduce normalization exactly: add the
+                # months at the first-of-month (which can never overflow),
+                # then re-add the original day/time offset as a day-time
+                # interval.
+                base = (
+                    f"(date_trunc('MONTH', {base}) + INTERVAL {n} {unit} "
+                    f"+ ({base} - date_trunc('MONTH', {base})))"
+                )
+            else:
+                base = f"({base} + INTERVAL {n} {unit})"
         elif m == "start of day":
             base = f"date_trunc('DAY', {base})"
         elif m == "start of month":
