@@ -237,3 +237,43 @@ def test_fuzzed_select_matches_sqlite(engines, sql):
     got_rows = [tuple(r[k] for k in sorted(r, key=lambda c: int(c[1:]) if c != "id" else -1)) for r in got]
     # store.read returns list[dict]; order columns as id, c0, c1, ...
     assert got_rows == expected, f"\nsql: {sql}\nsqlite: {expected}\nengine: {got_rows}"
+
+
+# ---------------------------------------------------------------------------
+# datetime-modifier fuzzing: random base timestamps (month ends, leap days)
+# through random modifier chains, against real SQLite
+# ---------------------------------------------------------------------------
+_BASES = [
+    "2024-01-31 10:30:00",
+    "2024-02-29 23:59:59",
+    "2023-12-31 00:00:00",
+    "2024-03-15 12:00:00",
+    "2023-01-30 06:45:13",
+    "2024-06-01 18:20:07",
+]
+_MODS = (
+    [f"'{s}{n} {u}'" for s in ("+", "-") for n in (1, 2, 7, 13, 25) for u in ("days", "months", "years", "hours", "minutes")]
+    + ["'start of day'", "'start of month'", "'start of year'"]
+)
+
+
+def _dt_queries() -> list[str]:
+    rng = random.Random(SEED + 1)
+    out = []
+    for _ in range(N_QUERIES):
+        base = rng.choice(_BASES)
+        mods = ", ".join(rng.choice(_MODS) for _ in range(rng.randint(1, 3)))
+        fn = rng.choice(["datetime", "date"])
+        out.append(f"SELECT {fn}('{base}', {mods}) AS v")
+    return out
+
+
+@pytest.mark.parametrize("sql", _dt_queries())
+def test_fuzzed_datetime_matches_sqlite(engines, sql):
+    conn, store = engines
+    expected = [tuple(row) for row in conn.execute(sql).fetchall()]
+    got = store.read("fuzzseg", sql)
+    # datetime()/date() return TEXT in SQLite; the engine returns native
+    # timestamp/date values whose str() is the identical rendering
+    got_rows = [tuple(str(r[k]) for k in ["v"]) for r in got]
+    assert got_rows == expected, f"\nsql: {sql}\nsqlite: {expected}\nengine: {got_rows}"
