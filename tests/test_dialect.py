@@ -74,7 +74,8 @@ def test_group_concat_and_total():
 def test_datetime_family():
     assert "current_timestamp()" in dialect.sqlite_to_spark("SELECT datetime('now')")
     out = dialect.sqlite_to_spark("SELECT strftime('%Y-%m-%d', c) FROM t")
-    assert "date_format(CAST(c AS TIMESTAMP), 'yyyy-MM-dd')" in out
+    # literal runs in the pattern are quoted (doubled here: SQL-literal escaping)
+    assert "date_format(CAST(c AS TIMESTAMP), 'yyyy''-''MM''-''dd')" in out
     out = dialect.sqlite_to_spark("SELECT datetime(c, '+1 day') FROM t")
     assert "INTERVAL +1 DAY" in out
     assert "2440587.5" in dialect.sqlite_to_spark("SELECT julianday(c) FROM t")
@@ -161,3 +162,17 @@ def test_modern_sqlite_function_mappings(spark):
 
     out = dialect.sqlite_to_spark("SELECT string_agg(c, ',') AS v FROM (SELECT 'x' AS c UNION ALL SELECT 'y' ORDER BY c)")
     assert "collect_list" in out
+
+
+def test_strftime_344_directives_and_embedded_specials(spark):
+    # 3.44 directives (%F/%R/%T/%I/%p) can't run on this container's sqlite
+    # (3.40) — execute the translation on Spark and pin the rendering
+    out = dialect.sqlite_to_spark(
+        "SELECT strftime('%F %R %T %I %p', '2024-01-15 14:30:05') AS v"
+    )
+    assert spark.sql(out).collect()[0].v == "2024-01-15 14:30 14:30:05 02 PM"
+    # %s and %w embedded in larger formats concat around date_format pieces
+    out = dialect.sqlite_to_spark(
+        "SELECT strftime('day %w of %Y', '2024-01-15 00:00:00') AS v"
+    )
+    assert spark.sql(out).collect()[0].v == "day 1 of 2024"

@@ -142,6 +142,12 @@ QUERIES = [
     "SELECT substr(name, 0, 3) AS v FROM items ORDER BY id",
     "SELECT substr(name, 0) AS v FROM items WHERE id = 1",
     "SELECT min(qty) AS mn, max(qty) AS mx, count(*) AS n FROM items WHERE id > 99",
+    # strftime: %s/%w embedded in larger formats, classic directives
+    "SELECT strftime('%Y-%m-%d@%s', ts) AS v FROM items WHERE id = 1",
+    "SELECT strftime('day %w of %Y', ts) AS v FROM items WHERE id = 3",
+    "SELECT strftime('%s', ts) AS v FROM items WHERE id = 6",
+    "SELECT strftime('%w%w', ts) AS v FROM items WHERE id = 1",
+    "SELECT strftime('%j/%Y %H:%M:%S', ts) AS v FROM items WHERE id = 3",
     # month/year arithmetic NORMALIZES day overflow (Jan 31 +1 month is
     # Mar 2/3, never a clamped Feb 28/29)
     "SELECT datetime('2024-01-31 10:00:00', '+1 month') AS v",

@@ -283,21 +283,42 @@ _STRFTIME_MAP = {
     "%f": "ss.SSS",
     "%j": "DDD",
     "%%": "%",
+    # SQLite 3.44 additions (translation-tested; this container's sqlite3
+    # is 3.40 and cannot execute them)
+    "%F": "yyyy-MM-dd",
+    "%R": "HH:mm",
+    "%T": "HH:mm:ss",
+    "%I": "hh",
+    "%p": "a",
 }
 
 
 def strftime_format_to_spark(fmt: str) -> str:
-    out = []
+    """Directives become date_format pattern tokens; every literal run is
+    single-quoted — unquoted letters ('day', 'of') are pattern syntax to
+    Spark and would error or silently expand."""
+    out: list[str] = []
+    lit: list[str] = []
+
+    def flush() -> None:
+        if lit:
+            out.append("'" + "".join(lit).replace("'", "''") + "'")
+            lit.clear()
+
     i = 0
     while i < len(fmt):
-        if fmt[i] == "%" and i + 1 < len(fmt):
-            token = fmt[i : i + 2]
-            if token in _STRFTIME_MAP:
-                out.append(_STRFTIME_MAP[token])
-                i += 2
-                continue
-        out.append(fmt[i])
-        i += 1
+        token = fmt[i : i + 2]
+        if token == "%%":
+            lit.append("%")
+            i += 2
+        elif fmt[i] == "%" and token in _STRFTIME_MAP:
+            flush()
+            out.append(_STRFTIME_MAP[token])
+            i += 2
+        else:
+            lit.append(fmt[i])
+            i += 1
+    flush()
     return "".join(out)
 
 
@@ -309,15 +330,29 @@ def strftime_format_to_spark(fmt: str) -> str:
 def _fn_strftime(args: list[str]) -> str:
     fmt = args[0].strip()
     rest = args[1] if len(args) > 1 else "current_timestamp()"
+    ts = f"CAST({rest} AS TIMESTAMP)"
     if fmt.startswith("'") and fmt.endswith("'"):
         inner = fmt[1:-1]
-        if inner == "%s":
-            return f"CAST(unix_timestamp(CAST({rest} AS TIMESTAMP)) AS STRING)"
-        if inner == "%w":
-            return f"CAST(dayofweek(CAST({rest} AS TIMESTAMP)) - 1 AS STRING)"
-        return f"date_format(CAST({rest} AS TIMESTAMP), '{strftime_format_to_spark(inner)}')"
+        # %s (unix seconds) and %w (0-based weekday) have no date_format
+        # pattern — split the format around them and concat the pieces, so
+        # they work INSIDE larger formats, not just alone
+        segs = [s for s in re.split(r"(%[sw])", inner) if s]
+        exprs = []
+        for seg in segs:
+            if seg == "%s":
+                exprs.append(f"CAST(unix_timestamp({ts}) AS STRING)")
+            elif seg == "%w":
+                exprs.append(f"CAST(dayofweek({ts}) - 1 AS STRING)")
+            else:
+                pat = strftime_format_to_spark(seg).replace("'", "''")
+                exprs.append(f"date_format({ts}, '{pat}')")
+        if not exprs:
+            return "''"
+        if len(exprs) == 1:
+            return exprs[0]
+        return f"concat({', '.join(exprs)})"
     # non-literal format: can't translate statically
-    return f"date_format(CAST({rest} AS TIMESTAMP), {fmt})"
+    return f"date_format({ts}, {fmt})"
 
 
 def _fn_datetime(args: list[str]) -> str:
