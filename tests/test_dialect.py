@@ -71,11 +71,11 @@ def test_group_concat_and_total():
     assert "concat_ws('|', collect_list(a))" in out2
 
 
-def test_datetime_family():
+def test_datetime_family(spark):
     assert "current_timestamp()" in dialect.sqlite_to_spark("SELECT datetime('now')")
-    out = dialect.sqlite_to_spark("SELECT strftime('%Y-%m-%d', c) FROM t")
-    # literal runs in the pattern are quoted (doubled here: SQL-literal escaping)
-    assert "date_format(CAST(c AS TIMESTAMP), 'yyyy''-''MM''-''dd')" in out
+    # strftime translates to per-directive date_format pieces; pin semantics
+    out = dialect.sqlite_to_spark("SELECT strftime('%Y-%m-%d', '2024-01-15 10:30:00') AS v")
+    assert spark.sql(out).collect()[0].v == "2024-01-15"
     out = dialect.sqlite_to_spark("SELECT datetime(c, '+1 day') FROM t")
     assert "INTERVAL +1 DAY" in out
     assert "2440587.5" in dialect.sqlite_to_spark("SELECT julianday(c) FROM t")

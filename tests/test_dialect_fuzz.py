@@ -277,3 +277,30 @@ def test_fuzzed_datetime_matches_sqlite(engines, sql):
     # timestamp/date values whose str() is the identical rendering
     got_rows = [tuple(str(r[k]) for k in ["v"]) for r in got]
     assert got_rows == expected, f"\nsql: {sql}\nsqlite: {expected}\nengine: {got_rows}"
+
+
+# strftime format fuzzing: random directive/literal mixes vs real SQLite
+_DIRECTIVES = ["%Y", "%m", "%d", "%H", "%M", "%S", "%j", "%w", "%s", "%%"]
+_LITERALS = ["day ", " of ", "T", "x-", ":", " ", "@", "w"]
+
+
+def _strftime_queries() -> list[str]:
+    rng = random.Random(SEED + 2)
+    out = []
+    for _ in range(N_QUERIES):
+        n = rng.randint(1, 5)
+        fmt = "".join(
+            rng.choice(_DIRECTIVES if rng.random() < 0.6 else _LITERALS)
+            for _ in range(n)
+        )
+        base = rng.choice(_BASES)
+        out.append(f"SELECT strftime('{fmt}', '{base}') AS v")
+    return out
+
+
+@pytest.mark.parametrize("sql", _strftime_queries())
+def test_fuzzed_strftime_matches_sqlite(engines, sql):
+    conn, store = engines
+    expected = [tuple(row) for row in conn.execute(sql).fetchall()]
+    got_rows = [(str(r["v"]),) for r in store.read("fuzzseg", sql)]
+    assert got_rows == expected, f"\nsql: {sql}\nsqlite: {expected}\nengine: {got_rows}"

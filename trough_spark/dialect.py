@@ -333,19 +333,40 @@ def _fn_strftime(args: list[str]) -> str:
     ts = f"CAST({rest} AS TIMESTAMP)"
     if fmt.startswith("'") and fmt.endswith("'"):
         inner = fmt[1:-1]
-        # %s (unix seconds) and %w (0-based weekday) have no date_format
-        # pattern — split the format around them and concat the pieces, so
-        # they work INSIDE larger formats, not just alone
-        segs = [s for s in re.split(r"(%[sw])", inner) if s]
-        exprs = []
-        for seg in segs:
-            if seg == "%s":
+        # One date_format PER directive, literals as plain SQL strings, all
+        # concat'd.  A single merged pattern is wrong twice over: adjacent
+        # directives fuse into wider tokens (%j%j would become DDDDDD, a
+        # 6-digit day-of-year), and %s/%w have no pattern token at all.
+        exprs: list[str] = []
+        lit: list[str] = []
+
+        def flush() -> None:
+            if lit:
+                exprs.append("'" + "".join(lit).replace("'", "''") + "'")
+                lit.clear()
+
+        i = 0
+        while i < len(inner):
+            tok = inner[i : i + 2]
+            if tok == "%%":
+                lit.append("%")
+                i += 2
+            elif tok == "%s":
+                flush()
                 exprs.append(f"CAST(unix_timestamp({ts}) AS STRING)")
-            elif seg == "%w":
+                i += 2
+            elif tok == "%w":
+                flush()
                 exprs.append(f"CAST(dayofweek({ts}) - 1 AS STRING)")
+                i += 2
+            elif inner[i] == "%" and tok in _STRFTIME_MAP:
+                flush()
+                exprs.append(f"date_format({ts}, '{_STRFTIME_MAP[tok]}')")
+                i += 2
             else:
-                pat = strftime_format_to_spark(seg).replace("'", "''")
-                exprs.append(f"date_format({ts}, '{pat}')")
+                lit.append(inner[i])
+                i += 1
+        flush()
         if not exprs:
             return "''"
         if len(exprs) == 1:
