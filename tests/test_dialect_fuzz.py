@@ -304,3 +304,65 @@ def test_fuzzed_strftime_matches_sqlite(engines, sql):
     expected = [tuple(row) for row in conn.execute(sql).fetchall()]
     got_rows = [(str(r["v"]),) for r in store.read("fuzzseg", sql)]
     assert got_rows == expected, f"\nsql: {sql}\nsqlite: {expected}\nengine: {got_rows}"
+
+
+# ---------------------------------------------------------------------------
+# write-path fuzzing: random INSERT/UPDATE/DELETE scripts executed by real
+# SQLite and by store.write, final table states compared
+# ---------------------------------------------------------------------------
+N_WRITE_CASES = int(os.environ.get("TROUGH_FUZZ_WRITES", "6"))
+
+
+def _write_script(rng: random.Random) -> list[str]:
+    stmts = []
+    next_id = 100
+    for _ in range(rng.randint(3, 7)):
+        kind = rng.randrange(4)
+        if kind == 0:
+            a = rng.choice(["NULL", str(rng.randint(-9, 9))])
+            s = rng.choice(["NULL", "'new'", "''", "'Zz'"])
+            stmts.append(
+                f"INSERT INTO nums (id, a, b, s) VALUES ({next_id}, {a}, {rng.randint(-9, 9)}, {s})"
+            )
+            next_id += 1
+        elif kind == 1:
+            where = f" WHERE {_pred(rng, 1)}" if rng.random() < 0.8 else ""
+            stmts.append(f"UPDATE nums SET a = {_expr(rng, 1)}{where}")
+        elif kind == 2:
+            stmts.append(f"UPDATE nums SET s = {_sexpr(rng, 1)} WHERE {_pred(rng, 1)}")
+        else:
+            stmts.append(f"DELETE FROM nums WHERE {_pred(rng, 1)}")
+    return stmts
+
+
+@pytest.mark.parametrize("case", range(N_WRITE_CASES))
+def test_fuzzed_write_script_matches_sqlite(spark, tmp_path, case):
+    rng = random.Random(SEED + 100 + case)
+    stmts = _write_script(rng)
+
+    conn = sqlite3.connect(":memory:")
+    conn.execute(DDL)
+    conn.executemany("INSERT INTO nums VALUES (?, ?, ?, ?)", ROWS)
+    for st in stmts:
+        conn.execute(st)
+
+    store = SegmentStore(spark, str(tmp_path / "store"))
+    store.set_schema("nums_schema", DDL + ";")
+    store.provision(f"wseg{case}", "nums_schema")
+    seed = ";\n".join(
+        "INSERT INTO nums (id, a, b, s) VALUES (%s)"
+        % ", ".join(
+            "NULL" if v is None else (f"'{v}'" if isinstance(v, str) else str(v))
+            for v in r
+        )
+        for r in ROWS
+    )
+    store.write(f"wseg{case}", seed)
+    store.write(f"wseg{case}", ";\n".join(stmts))
+
+    q = "SELECT id, a, b, s FROM nums ORDER BY id"
+    expected = [tuple(row) for row in conn.execute(q).fetchall()]
+    got = [
+        (r["id"], r["a"], r["b"], r["s"]) for r in store.read(f"wseg{case}", q)
+    ]
+    assert got == expected, f"\nscript: {stmts}\nsqlite: {expected}\nengine: {got}"

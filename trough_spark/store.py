@@ -1016,7 +1016,14 @@ class SegmentStore:
             table = _unquote(m.group("name"))
             cond = m.group("where")
             df = self._read_partition(segment_id, table)
-            out = df.filter(f"NOT ({dialect.sqlite_to_spark(cond)})") if cond else df.limit(0)
+            # DELETE removes rows whose predicate is TRUE; rows where it is
+            # NULL survive (three-valued logic — a bare NOT(pred) filter
+            # would drop them, found by the write-path fuzzer)
+            out = (
+                df.filter(f"NOT coalesce(({dialect.sqlite_to_spark(cond)}), false)")
+                if cond
+                else df.limit(0)
+            )
         else:
             m = re.match(
                 r"^\s*UPDATE\s+(?P<name>[\w\"\[\]`]+)\s+SET\s+(?P<sets>.+?)"
