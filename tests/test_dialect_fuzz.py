@@ -317,7 +317,25 @@ def _write_script(rng: random.Random) -> list[str]:
     stmts = []
     next_id = 100
     for _ in range(rng.randint(3, 7)):
-        kind = rng.randrange(4)
+        kind = rng.randrange(6)
+        if kind == 4:
+            # conflict on an existing or fresh id: REPLACE swaps the row,
+            # IGNORE keeps the original
+            verb = rng.choice(["OR REPLACE", "OR IGNORE"])
+            rid = rng.choice([1, 3, 5, next_id])
+            stmts.append(
+                f"INSERT {verb} INTO nums (id, a, b, s) VALUES "
+                f"({rid}, {rng.randint(-9, 9)}, {rng.randint(-9, 9)}, 'swap')"
+            )
+            next_id += 1
+            continue
+        if kind == 5:
+            where = f" WHERE {_pred(rng, 1)}" if rng.random() < 0.8 else ""
+            stmts.append(
+                f"UPDATE nums SET a = {_expr(rng, 1)}, b = {_expr(rng, 1)}, "
+                f"s = {_sexpr(rng, 1)}{where}"
+            )
+            continue
         if kind == 0:
             a = rng.choice(["NULL", str(rng.randint(-9, 9))])
             s = rng.choice(["NULL", "'new'", "''", "'Zz'"])
