@@ -197,6 +197,13 @@ def _queries() -> list[str]:
             part = "PARTITION BY (b > 0) " if rng.random() < 0.3 else ""
             out.append(f"SELECT id, {fn} OVER ({part}{over}) AS c0 FROM nums ORDER BY id")
             continue
+        if shape < 0.62:
+            # expression ORDER BY: NULL placement (NULLs are smallest in
+            # both engines), DESC, ties broken by id for determinism
+            e = _expr(rng, rng.randint(1, 2))
+            d = rng.choice(["ASC", "DESC"])
+            out.append(f"SELECT id, {e} AS c0 FROM nums ORDER BY {e} {d}, id")
+            continue
         n_cols = rng.randint(1, 3)
         cols = ", ".join(
             f"{rng.choice([_expr, _expr, _sexpr])(rng, rng.randint(1, 3))} AS c{i}"
