@@ -8,6 +8,7 @@ to reproduce the driver's t2 configuration.
 
 from __future__ import annotations
 
+import decimal
 import math
 import os
 
@@ -32,15 +33,25 @@ def _duck(sf_dir: str):
 
 
 def _canon(v):
-    """Normalize a cell for order-insensitive comparison."""
+    """Normalize a cell for order-insensitive comparison.
+
+    Ints and floats canonicalize to DISTINCT strings ("i123" vs "f123"): the
+    driver's hasher distinguishes them (pandas dtype goes into the hash), and
+    collapsing them here is exactly how the round-3/4 HUGEINT oracle bug hid
+    from this suite while failing the driver.
+    """
     if v is None:
         return "NULL"
+    if isinstance(v, bool):
+        return "i" + str(int(v))
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.10g}"
-    if isinstance(v, bool):
-        return str(int(v))
+        return "f" + f"{v:.10g}"
+    if isinstance(v, int):
+        return "i" + str(v)
     return str(v)
 
 
@@ -69,6 +80,26 @@ def test_query_matches_oracle(spark, name):
         f"{name}: value mismatch at sorted rows {mism}; "
         f"spark={[sset[i] for i in mism]} oracle={[dset[i] for i in mism]}"
     )
+
+
+def test_no_hugeint_oracle_columns():
+    """Tripwire: DuckDB types a raw SUM(BIGINT) as HUGEINT (INT128), which
+    the driver's hasher canonicalizes differently from Spark's BIGINT even
+    when values are bit-identical (the entire round-4 red set).  Every
+    oracle's result schema must therefore be HUGEINT-free — wrap sums in
+    CAST(... AS BIGINT)."""
+    con = _duck(SF_ORACLE)
+    bad = {}
+    for name, sql in sorted(ORACLE.items()):
+        rel = con.sql(sql)
+        huge = [
+            c
+            for c, t in zip(rel.columns, rel.types)
+            if "HUGEINT" in str(t).upper()
+        ]
+        if huge:
+            bad[name] = huge
+    assert not bad, f"oracles with HUGEINT output columns: {bad}"
 
 
 def test_all_queries_have_entries():

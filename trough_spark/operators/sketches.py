@@ -461,4 +461,5 @@ def source_overlap_estimate(signatures: DataFrame, n_buckets: int = 64) -> DataF
             "n_match",
             F.round(F.col("n_match") / F.col("n_common_buckets"), 6).alias("est_jaccard"),
         )
+        .orderBy("grp_a", "grp_b")
     )

@@ -520,7 +520,7 @@ def vec_pq_encode(spark, sf_dir):
                   + list_dot_product(cv, cv) AS BIGINT) AS dmicro
       FROM cb JOIN q USING (sub_id)
     )
-    SELECT enc.id, SUM(dtab.dmicro) AS adc_dist_micro
+    SELECT enc.id, CAST(SUM(dtab.dmicro) AS BIGINT) AS adc_dist_micro
     FROM enc JOIN dtab ON enc.sub_id = dtab.sub_id AND enc.code = dtab.code
     GROUP BY enc.id
     ORDER BY adc_dist_micro, enc.id
@@ -753,7 +753,7 @@ def sim_incremental_ann(spark, sf_dir):
                   + list_dot_product(cv, cv) AS BIGINT) AS dmicro
       FROM cb JOIN q USING (sub_id)
     )
-    SELECT enc.id, SUM(dtab.dmicro) AS adc_dist_micro
+    SELECT enc.id, CAST(SUM(dtab.dmicro) AS BIGINT) AS adc_dist_micro
     FROM enc
     JOIN dtab ON enc.sub_id = dtab.sub_id AND enc.code = dtab.code
     JOIN icand ON icand.vec_id = enc.id

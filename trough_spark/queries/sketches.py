@@ -179,11 +179,12 @@ def sketch_kmv_quantiles(spark, sf_dir):
     )
     SELECT a.grp AS grp_a, b.grp AS grp_b,
            COUNT(*) AS n_common_buckets,
-           SUM(CASE WHEN a.minh = b.minh THEN 1 ELSE 0 END) AS n_match,
-           ROUND(SUM(CASE WHEN a.minh = b.minh THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN a.minh = b.minh THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+           ROUND(CAST(SUM(CASE WHEN a.minh = b.minh THEN 1 ELSE 0 END) AS BIGINT)
                  / COUNT(*), 6) AS est_jaccard
     FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.grp < b.grp
     GROUP BY 1, 2
+    ORDER BY grp_a, grp_b
     """,
 )
 def sketch_source_overlap(spark, sf_dir):

@@ -772,11 +772,11 @@ def text_hashed_embedding(spark, sf_dir):
       FROM h GROUP BY 1, 2
       HAVING SUM(CASE WHEN (hv // 4294967296) % 2 = 1 THEN 1 ELSE -1 END) != 0
     ),
-    norms AS (SELECT id, SUM(w * w) AS norm2 FROM emb GROUP BY id),
+    norms AS (SELECT id, CAST(SUM(w * w) AS BIGINT) AS norm2 FROM emb GROUP BY id),
     qv AS (SELECT dim, w AS qw FROM emb WHERE id = 0),
     qn AS (SELECT norm2 AS qnorm2 FROM norms WHERE id = 0),
     dots AS (
-      SELECT e.id, SUM(e.w * q.qw) AS dot
+      SELECT e.id, CAST(SUM(e.w * q.qw) AS BIGINT) AS dot
       FROM emb e JOIN qv q USING (dim) WHERE e.id != 0 GROUP BY e.id
     )
     SELECT d.id, d.dot, n.norm2,
