@@ -23,88 +23,136 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver samples a prefix of the registry when it can't run everything,
 # so order queries by how much a fresh correctness row is worth: first the
-# eight vector/similarity queries that have NEVER been driver-sampled in
-# rounds 1-3 (the scale flagships — IVF, SemDeDup, k-means, quantization),
-# then this round's fixes (PQ ADC integer-grid rework, session-window
-# oracle, frame-sample oracle), then one representative per §2 row, then
-# the already-multi-green remainder.
+# four queries whose round-4 red rows this round fixes (oracle HUGEINT
+# typing), then the 70 queries whose latest driver evidence predates round
+# 4, then the round-4-green remainder.
 _SAMPLE_PRIORITY = [
-    # never driver-sampled in rounds 1-3 (VERDICT r3 item 3)
+    # the four round-4 reds, fixed this round (oracle HUGEINT casts) --
+    # fresh green rows are worth the most
+    "vec_pq_adc_topk",
+    "vec_ivfpq_search",
+    "sketch_source_overlap",
+    "text_hashed_ann_topk",
+    # the 70 queries NOT driver-sampled in round 4 (VERDICT r4 item 5):
+    # every query has >=1 historical green row, but these ride on
+    # rounds 1-3 evidence -- rotate them to the front
+    "bloom_semijoin_prune",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_minhash_signatures",
+    "dedup_simhash",
+    "dedup_keep_first",
+    "dedup_connected_components",
+    "dedup_simhash_pairs",
+    "dedup_incremental",
+    "dedup_cc_star",
+    "dedup_span_coverage",
+    "dedup_fuzzy_levenshtein",
+    "multimodal_image_features",
+    "multimodal_audio_features",
+    "skew_salted_aggregation",
+    "skew_salted_join",
+    "multimodal_resize",
+    "sample_hash_split",
+    "sample_stratified",
+    "pack_sequences",
+    "sample_mix_rebalance",
+    "text_token_count",
+    "text_quality_features",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_tfidf_top_terms",
+    "text_top_terms",
+    "text_bpe_token_count",
+    "text_boilerplate_ratio",
+    "text_contamination",
+    "text_unigram_logprob",
+    "text_repetition_ratio",
+    "text_source_rollup",
+    "text_pii_scrub",
+    "text_chunk_windows",
+    "text_bm25_search",
+    "text_surt_canonicalize",
+    "text_outlier_mad",
+    "text_quality_ntile",
+    "pipeline_curation",
+    "b3_projection_expressions",
+    "b4_filter_predicates",
+    "b5_join_outer_semi_anti",
+    "b6_agg_pricing_summary",
+    "b6_group_concat_distinct",
+    "b7_rollup",
+    "b8_window_functions",
+    "b9_topk_per_group",
+    "b9_order_limit_offset",
+    "b10_set_ops",
+    "b11_subqueries_cte",
+    "b12_scalar_functions",
+    "b12_datetime_functions",
+    "b6_having",
+    "b8_range_frames",
+    "b8_groups_frames",
+    "b9_nulls_ordering",
+    "b11_exists_anti",
+    "b6_percentiles",
+    "b7_cube_grouping_sets",
+    "b6_pivot_priority",
+    "layout_zorder_key",
+    "sim_cosine_pairs",
+    "sim_ann_topk",
+    "sim_srp_buckets",
+    "sim_srp_bucketed_pairs",
+    "sim_matryoshka_topk",
+    "events_attribution_touch",
+    "stream_dedup_ids",
+    # sampled green in round 4 -- freshest evidence, lowest priority
+    "dedup_minhash_verify",
+    "dedup_chunk_rewrite",
+    "multimodal_frame_sample",
+    "stream_session_window_native",
+    "multimodal_phash",
+    "sample_bottom_k_per_group",
+    "sample_group_cap",
+    "text_html_strip",
+    "text_classifier_score",
+    "text_hashed_embedding",
+    "b5_join_multiway",
+    "b12_json_functions",
+    "b5_theta_cross_join",
     "sim_ivf_topk",
     "sim_ivf_recall",
-    "sim_kmeans_update",
-    "sim_kmeans_train",
-    "sim_semantic_dedup",
-    "sim_srp_multiprobe_pairs",
     "vec_quantize_int8",
     "vec_quantization_error",
-    # round-4 reworks + new operators — fresh green rows needed
-    "vec_pq_adc_topk",
+    "sim_kmeans_update",
+    "sim_srp_multiprobe_pairs",
+    "sim_kmeans_train",
+    "sim_semantic_dedup",
     "vec_pq_encode",
     "vec_pq_recall",
-    "stream_session_window_native",
-    "multimodal_frame_sample",
-    "vec_ivfpq_search",
     "sim_incremental_ann",
-    "text_html_strip",
-    "sample_group_cap",
-    "events_multigrain_rollup",
-    "text_classifier_score",
-    "dedup_chunk_rewrite",
-    "multimodal_phash",
+    "sketch_hll_distinct",
+    "sketch_countmin_heavy_hitters",
+    "sketch_hll_hourly_users",
+    "sketch_equidepth_histogram",
     "sketch_kmv_quantiles",
-    "sketch_source_overlap",
-    "text_hashed_embedding",
-    "text_hashed_ann_topk",
-    # §2.A (driver-green r3; keep one early row each)
-    "a2_row_to_json",
-    "a7_regexp_function",
-    "a8_seed_crawled_status",
-    "a9_build_redirect_array",
-    "a12_cross_segment_global",
-    "b12_dialect_shim_roundtrip",
-    "a3_segment_routing",
-    "a12_fanout_regex",
-    # events-reading queries
     "stream_tumbling_hourly",
     "stream_sliding_2h_1h",
     "stream_sessionization",
     "stream_funnel_conversion",
     "stream_stream_join",
     "stream_cohort_retention",
-    "sketch_hll_distinct",
-    "sketch_hll_hourly_users",
-    "sketch_countmin_heavy_hitters",
-    "sketch_equidepth_histogram",
     "asof_join_last_signup",
     "interval_join_sessions",
-    "b12_json_functions",
-    # §2.B representatives
-    "b5_join_multiway",
-    "sample_bottom_k_per_group",
-    "b5_theta_cross_join",
-    "dedup_minhash_verify",
-    "b6_having",
-    "b6_percentiles",
-    "sim_matryoshka_topk",
-    "multimodal_resize",
-    "text_quality_ntile",
-    "b8_range_frames",
-    "b8_groups_frames",
-    "b9_topk_per_group",
-    "b9_nulls_ordering",
-    "stream_dedup_ids",
-    "b11_subqueries_cte",
-    "b11_exists_anti",
-    "b12_scalar_functions",
-    "b12_datetime_functions",
-    "b7_cube_grouping_sets",
-    "b6_pivot_priority",
-    "dedup_fuzzy_levenshtein",
-    "text_surt_canonicalize",
-    "text_outlier_mad",
-    "events_attribution_touch",
-    "layout_zorder_key",
+    "events_multigrain_rollup",
+    "a3_segment_routing",
+    "a12_fanout_regex",
+    "a12_cross_segment_global",
+    "a7_regexp_function",
+    "a8_seed_crawled_status",
+    "a9_build_redirect_array",
+    "a2_row_to_json",
+    "b12_dialect_shim_roundtrip",
 ]
 
 

@@ -113,8 +113,22 @@ def main() -> None:
     spark = get_spark(app_name="trough-spark-bench")
     spark.sparkContext.setLogLevel("WARN")
 
-    # warm-up: JVM + codegen + parquet footer caches (untimed)
+    # Warm-up convention (round 5+): before any timing, (a) one untimed
+    # query absorbs JVM/codegen start-up, and (b) one untimed count() per
+    # input table pulls every parquet file through the OS page cache.
+    # Without (b) the first run of the first JVM pays disk I/O no later run
+    # pays (PERF.md documented a 29.9 s first-session outlier vs a
+    # 21.7-22.6 s steady spread), so "cold" sums weren't comparable across
+    # rounds.  "Cold" therefore means cold-plan/cold-codegen, warm page
+    # cache — deterministic round over round.
     QUERIES["b6_agg_pricing_summary"](spark, sf_dir).collect()
+    from trough_spark.tables import load_table
+
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        load_table(spark, sf_dir, t).count()
 
     times: dict[str, float] = {}
     warm: dict[str, float] = {}
@@ -145,7 +159,8 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline query set wall time (cold; queries_warm = 2nd run)",
+                "metric": "headline query set wall time (cold plan, warm "
+                "page cache; queries_warm = 2nd run)",
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,

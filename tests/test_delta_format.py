@@ -1,0 +1,83 @@
+"""storage_format='delta' spike (SURVEY §2.B15; VERDICT r4 item 6).
+
+The write-parity end state maps OR REPLACE / ON CONFLICT / MERGE / UPDATE /
+DELETE to Delta-transactional operations instead of the parquet rename-swap.
+delta-spark is not installed in this container, so the Delta half of the
+matrix is import-gated: tests in ``TestDeltaStore`` skip cleanly when the
+package is absent and run the full store write-path contract when present.
+The parquet half (including the explicit ``storage_format='parquet'``
+spelling and the absent-package error contract) always runs.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+
+import pytest
+
+from trough_spark.store import SegmentStore
+
+DDL = (
+    "CREATE TABLE kv (k INTEGER PRIMARY KEY, v TEXT);\n"
+    "CREATE TABLE log (k INTEGER, note TEXT);\n"
+)
+
+_HAS_DELTA = importlib.util.find_spec("delta") is not None
+
+
+def _exercise_write_path(store: SegmentStore) -> None:
+    """The B15-B17 contract every storage format must satisfy."""
+    store.set_schema("kv_schema", DDL)
+    store.provision("seg1", "kv_schema")
+    store.write(
+        "seg1",
+        "INSERT INTO kv VALUES (1, 'a');\n"
+        "INSERT INTO kv VALUES (2, 'b');\n"
+        "INSERT INTO log VALUES (1, 'first')",
+    )
+    # B16: UPDATE + DELETE rewrite
+    store.write("seg1", "UPDATE kv SET v = 'B' WHERE k = 2; DELETE FROM log WHERE k = 1")
+    # B15: upsert via OR REPLACE on the declared pk
+    store.write("seg1", "INSERT OR REPLACE INTO kv VALUES (1, 'A2'), (3, 'c')")
+    rows = {r["k"]: r["v"] for r in store.read("seg1", "SELECT k, v FROM kv")}
+    assert rows == {1: "A2", 2: "B", 3: "c"}
+    assert store.read("seg1", "SELECT count(*) AS n FROM log")[0]["n"] == 0
+    # B17: mid-script failure rolls the WHOLE script back
+    with pytest.raises(Exception):
+        store.write(
+            "seg1",
+            "INSERT INTO kv VALUES (4, 'd');\n"
+            "INSERT INTO nosuch VALUES (1)",
+        )
+    rows = {r["k"]: r["v"] for r in store.read("seg1", "SELECT k, v FROM kv")}
+    assert rows == {1: "A2", 2: "B", 3: "c"}, "rollback must undo the partial insert"
+
+
+def test_parquet_format_explicit(spark, tmp_path):
+    store = SegmentStore(spark, str(tmp_path / "store"), storage_format="parquet")
+    _exercise_write_path(store)
+
+
+def test_unknown_format_rejected(spark, tmp_path):
+    with pytest.raises(ValueError, match="storage_format"):
+        SegmentStore(spark, str(tmp_path / "s"), storage_format="orc")
+
+
+@pytest.mark.skipif(_HAS_DELTA, reason="delta installed: error contract n/a")
+def test_delta_requires_package(spark, tmp_path):
+    with pytest.raises(ImportError, match="delta-spark"):
+        SegmentStore(spark, str(tmp_path / "s"), storage_format="delta")
+
+
+@pytest.mark.skipif(not _HAS_DELTA, reason="delta-spark not installed")
+class TestDeltaStore:
+    def test_delta_write_path_contract(self, spark, tmp_path):
+        store = SegmentStore(spark, str(tmp_path / "dstore"), storage_format="delta")
+        _exercise_write_path(store)
+
+    def test_delta_cross_segment_gated(self, spark, tmp_path):
+        store = SegmentStore(spark, str(tmp_path / "dstore2"), storage_format="delta")
+        store.set_schema("kv_schema", DDL)
+        store.provision("seg1", "kv_schema")
+        with pytest.raises(NotImplementedError, match="cross-segment"):
+            store.table_df("kv")

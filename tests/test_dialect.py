@@ -176,3 +176,31 @@ def test_strftime_344_directives_and_embedded_specials(spark):
         "SELECT strftime('day %w of %Y', '2024-01-15 00:00:00') AS v"
     )
     assert spark.sql(out).collect()[0].v == "day 1 of 2024"
+
+
+def test_advice_r4_dialect_fixes(spark):
+    """Three ADVICE r4 items pinned: (1) strftime format literals with
+    SQL-escaped quotes render one apostrophe, not two; (2) likely() with a
+    parenthesized boolean argument still casts to INT (SQLite returns 0/1);
+    (3) chained month modifiers beyond 3 are rejected, not exponentially
+    expanded."""
+    out = dialect.sqlite_to_spark(
+        "SELECT strftime('%Y''s end', '2024-01-15 10:30:00') AS v"
+    )
+    assert spark.sql(out).collect()[0].v == "2024's end"
+
+    out = dialect.sqlite_to_spark("SELECT likely((1 = 1)) AS v")
+    row = spark.sql(out).collect()[0]
+    assert row.v == 1 and not isinstance(row.v, bool)
+
+    out = dialect.sqlite_to_spark(
+        "SELECT datetime('2024-01-31 00:00:00', '+1 month', '+1 month') AS v"
+    )
+    assert str(spark.sql(out).collect()[0].v) == "2024-04-02 00:00:00"
+
+    import pytest as _pytest
+
+    with _pytest.raises(dialect.QueryRejected, match="month/year"):
+        dialect.sqlite_to_spark(
+            "SELECT datetime(c, '+1 month', '+1 month', '+1 month', '+1 month')"
+        )

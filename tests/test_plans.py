@@ -269,3 +269,28 @@ def test_chunk_rewrite_shuffles_hashes_not_text(spark):
 
     for m in _re.finditer(r"Exchange hashpartitioning\(([a-zA-Z0-9_#]+)", plan):
         assert m.group(1).split("#")[0] in {"id", "h", "w"}, m.group(0)
+
+
+def test_cosine_pairs_scope_bound_enforced(spark):
+    """The one quadratic operator refuses unbounded corpora: above max_rows
+    it raises with scoping guidance unless exact_baseline=True is an
+    explicit opt-in — the discipline a 100 TB user must apply."""
+    from trough_spark.operators.similarity import cosine_pairs
+
+    df = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(seed=7) for _ in range(4)]).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="max_rows"):
+        cosine_pairs(df, "vec_id", "embedding", threshold=0.9, max_rows=10)
+    # explicit opt-in runs (plan builds; no guard count job fires)
+    out = cosine_pairs(
+        df, "vec_id", "embedding", threshold=0.999, max_rows=10, exact_baseline=True
+    )
+    out.collect()
+    # the registered query's input is bounded: guard active at its defaults
+    from trough_spark.queries import QUERIES, load_all
+
+    load_all()
+    res = QUERIES["sim_cosine_pairs"](spark, "/root/testdata/sf0.001")
+    assert res.limit(1).count() >= 0  # builds and runs under the default guard

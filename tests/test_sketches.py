@@ -186,3 +186,13 @@ def test_source_overlap_estimate_tracks_true_jaccard(spark):
     # stderr ~ sqrt(J(1-J)/64) ~ 0.05; allow 3 sigma
     assert abs(ab.est_jaccard - 0.2) < 0.15
     assert abs(got[("B", "C")].est_jaccard - 0.2) < 0.15
+
+
+def test_kmv_est_ndv_exact_when_sample_exhaustive(spark):
+    """n < k: the KMV sample IS the key set, so est_ndv must be the exact
+    distinct count, not the (k-1)/(hk/2^60) extrapolation (ADVICE r4)."""
+    from trough_spark.operators.sketches import kmv_quantiles
+
+    df = spark.range(100).select(F.col("id"), (F.col("id") * 2.5).alias("v"))
+    out = kmv_quantiles(df, F.col("id"), "v", k=256, n_buckets=4).collect()
+    assert out and all(r["est_ndv"] == 100.0 for r in out)

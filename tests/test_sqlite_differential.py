@@ -253,3 +253,159 @@ def test_like_case_sensitivity_modes(engines):
         conn.execute("PRAGMA case_sensitive_like = OFF")
         store.write("diffseg", "PRAGMA case_sensitive_like = OFF")
         assert dialect.case_sensitive_like is False
+
+
+# ---------------------------------------------------------------------------
+# Trigger execution (SURVEY §2.B14): the reference executescript()s writes
+# inside SQLite wrapped in one BEGIN..COMMIT (trough/write.py:38-40), where
+# recorded triggers FIRE on subsequent DML.  These tests run the identical
+# script through live SQLite (same manual-transaction wrapper) and through
+# SegmentStore.write, then diff the full table states.
+# ---------------------------------------------------------------------------
+
+TRIGGER_DDL = (
+    "CREATE TABLE items (id INTEGER PRIMARY KEY, name TEXT, price REAL, qty INTEGER);\n"
+    "CREATE TABLE audit (item_id INTEGER, action TEXT, old_price REAL, new_price REAL);\n"
+)
+
+
+def _sqlite_script(conn, script):
+    """Run a write script the way the reference does: one manual txn
+    (trough/write.py:38-40) — all-or-nothing, like SegmentStore.write."""
+    script = script.rstrip().rstrip(";") + ";"
+    conn.executescript("BEGIN TRANSACTION;\n" + script + "\nCOMMIT;\n")
+    conn.commit()
+
+
+def _table_state(conn, store, seg, table, order):
+    sql = f"SELECT * FROM {table} ORDER BY {order}"
+    expected = [tuple(_canon(v) for v in row) for row in conn.execute(sql).fetchall()]
+    got = [tuple(_canon(v) for v in r.values()) for r in store.read(seg, sql)]
+    return expected, got
+
+
+@pytest.fixture()
+def trig_engines(spark, tmp_path):
+    conn = sqlite3.connect(":memory:")
+    conn.isolation_level = None  # manual transactions, reference-style
+    conn.executescript(TRIGGER_DDL)
+    store = SegmentStore(spark, str(tmp_path / "store"))
+    store.set_schema("trig_schema", TRIGGER_DDL)
+    store.provision("trigseg", "trig_schema")
+    yield conn, store
+    conn.close()
+
+
+def _both(conn, store, script):
+    _sqlite_script(conn, script)
+    store.write("trigseg", script)
+
+
+def test_after_insert_trigger_matches_sqlite(trig_engines):
+    conn, store = trig_engines
+    _both(
+        conn,
+        store,
+        "CREATE TRIGGER log_ins AFTER INSERT ON items "
+        "WHEN NEW.price > 2 "
+        "BEGIN INSERT INTO audit VALUES (NEW.id, 'ins:' || NEW.name, NULL, NEW.price); END",
+    )
+    _both(
+        conn,
+        store,
+        "INSERT INTO items VALUES (1, 'apple', 3.5, 10);\n"
+        "INSERT INTO items VALUES (2, 'banana', 1.25, 5);\n"  # WHEN false: no audit row
+        "INSERT INTO items (id, name, price, qty) VALUES (3, 'cherry', 7.0, 4)",
+    )
+    for table, order in (("items", "id"), ("audit", "item_id")):
+        expected, got = _table_state(conn, store, "trigseg", table, order)
+        assert got == expected and expected, f"{table} diverged: {got} vs {expected}"
+
+
+def test_update_delete_triggers_match_sqlite(trig_engines):
+    conn, store = trig_engines
+    _both(
+        conn,
+        store,
+        "CREATE TRIGGER log_upd AFTER UPDATE OF price ON items "
+        "BEGIN INSERT INTO audit VALUES (OLD.id, 'upd', OLD.price, NEW.price); END;\n"
+        "CREATE TRIGGER log_del BEFORE DELETE ON items "
+        "BEGIN INSERT INTO audit VALUES (OLD.id, 'del:' || OLD.name, OLD.price, NULL); END;\n"
+        "INSERT INTO items VALUES (1, 'apple', 3.5, 10);\n"
+        "INSERT INTO items VALUES (2, 'banana', 1.25, 5);\n"
+        "INSERT INTO items VALUES (3, 'cherry', 7.0, 4)",
+    )
+    # UPDATE OF price: fires only when price is assigned
+    _both(conn, store, "UPDATE items SET qty = 99 WHERE id = 1")  # no audit row
+    _both(conn, store, "UPDATE items SET price = price * 2 WHERE qty >= 5")
+    _both(conn, store, "DELETE FROM items WHERE id = 3")
+    for table, order in (("items", "id"), ("audit", "item_id, action, old_price")):
+        expected, got = _table_state(conn, store, "trigseg", table, order)
+        assert got == expected and expected, f"{table} diverged: {got} vs {expected}"
+
+
+def test_raise_abort_rolls_back_whole_script(trig_engines):
+    conn, store = trig_engines
+    _both(
+        conn,
+        store,
+        "CREATE TRIGGER no_free BEFORE INSERT ON items "
+        "WHEN NEW.price <= 0 "
+        "BEGIN SELECT RAISE(ABORT, 'price must be positive'); END;\n"
+        "INSERT INTO items VALUES (1, 'apple', 3.5, 10)",
+    )
+    bad = (
+        "INSERT INTO items VALUES (2, 'ok', 9.0, 1);\n"
+        "INSERT INTO items VALUES (3, 'freebie', 0.0, 1)"
+    )
+    with pytest.raises(sqlite3.IntegrityError):
+        _sqlite_script(conn, bad)
+    conn.execute("ROLLBACK")  # reference txn wrapper leaves the txn open on abort
+    from trough_spark.store import TriggerAbort
+
+    with pytest.raises(TriggerAbort, match="price must be positive"):
+        store.write("trigseg", bad)
+    # all-or-nothing: the 'ok' row must NOT have landed in either engine
+    expected, got = _table_state(conn, store, "trigseg", "items", "id")
+    assert got == expected == [(1, "apple", 3.5, 10)]
+
+
+def test_drop_trigger_stops_firing(trig_engines):
+    conn, store = trig_engines
+    _both(
+        conn,
+        store,
+        "CREATE TRIGGER log_ins AFTER INSERT ON items "
+        "BEGIN INSERT INTO audit VALUES (NEW.id, 'ins', NULL, NEW.price); END;\n"
+        "INSERT INTO items VALUES (1, 'apple', 3.5, 10);\n"
+        "DROP TRIGGER log_ins;\n"
+        "INSERT INTO items VALUES (2, 'banana', 1.25, 5)",
+    )
+    for table, order in (("items", "id"), ("audit", "item_id")):
+        expected, got = _table_state(conn, store, "trigseg", table, order)
+        assert got == expected, f"{table} diverged: {got} vs {expected}"
+    expected, _ = _table_state(conn, store, "trigseg", "audit", "item_id")
+    assert len(expected) == 1  # only the pre-DROP insert audited
+
+
+def test_trigger_body_update_and_cascade_delete(trig_engines):
+    conn, store = trig_engines
+    _both(
+        conn,
+        store,
+        "INSERT INTO items VALUES (1, 'apple', 3.5, 10);\n"
+        "INSERT INTO items VALUES (2, 'banana', 1.25, 5);\n"
+        "INSERT INTO audit VALUES (1, 'seed', NULL, NULL);\n"
+        "INSERT INTO audit VALUES (2, 'seed', NULL, NULL);\n"
+        # trigger body exercising UPDATE and DELETE (not just INSERT)
+        "CREATE TRIGGER on_del AFTER DELETE ON items BEGIN "
+        "DELETE FROM audit WHERE item_id = OLD.id; "
+        "UPDATE items SET qty = qty + OLD.qty WHERE id = 1; "
+        "END;\n"
+        "DELETE FROM items WHERE id = 2",
+    )
+    for table, order in (("items", "id"), ("audit", "item_id")):
+        expected, got = _table_state(conn, store, "trigseg", table, order)
+        assert got == expected, f"{table} diverged: {got} vs {expected}"
+    expected, _ = _table_state(conn, store, "trigseg", "items", "id")
+    assert expected == [(1, "apple", 3.5, 15)]

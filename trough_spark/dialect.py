@@ -332,7 +332,10 @@ def _fn_strftime(args: list[str]) -> str:
     rest = args[1] if len(args) > 1 else "current_timestamp()"
     ts = f"CAST({rest} AS TIMESTAMP)"
     if fmt.startswith("'") and fmt.endswith("'"):
-        inner = fmt[1:-1]
+        # undo the SQL-level quote doubling when extracting the format value
+        # (strftime('%Y''s', c) carries the literal %Y's); literal runs are
+        # re-escaped on output by flush()
+        inner = fmt[1:-1].replace("''", "'")
         # One date_format PER directive, literals as plain SQL strings, all
         # concat'd.  A single merged pattern is wrong twice over: adjacent
         # directives fuse into wider tokens (%j%j would become DDDDDD, a
@@ -377,6 +380,28 @@ def _fn_strftime(args: list[str]) -> str:
 
 
 def _fn_datetime(args: list[str]) -> str:
+    """SQLite datetime(base, modifier, ...) → Spark timestamp arithmetic.
+
+    LIMITATION (documented; ADVICE r4): each month/year modifier interpolates
+    the running expression three times (the overflow-normalization identity
+    needs the base at three positions and Spark expressions have no let-
+    binding), so n chained month/year modifiers grow the generated SQL ~3^n
+    and re-evaluate a non-deterministic base per copy.  Chains of more than
+    3 month/year steps are rejected rather than silently emitting an
+    exponential expression."""
+    n_monthish = sum(
+        1
+        for mod in args[1:]
+        if re.match(
+            r"[+-]?\d+\s+(month|year)s?", mod.strip().lower().strip("'")
+        )
+    )
+    if n_monthish > 3:
+        raise QueryRejected(
+            "datetime(): more than 3 chained month/year modifiers is not "
+            "supported (each one triples the generated expression); "
+            "pre-combine the offsets"
+        )
     if len(args) == 1 and args[0].strip().lower() in ("'now'", "current_timestamp"):
         return "current_timestamp()"
     if args and args[0].strip().lower() in ("'now'", "current_timestamp"):
@@ -495,6 +520,32 @@ def _passthrough_hint(arg: str) -> str:
     INTEGER 0/1, while the stripped Spark expression would stay BOOLEAN.
     Cast to INT when the argument's top level is boolean-shaped; pass
     non-boolean arguments (e.g. likelihood(price, 0.5)) through untouched."""
+    # strip redundant outermost parentheses first — likely((a = b)) must
+    # still see the comparison at depth 0 (quote-aware: parens inside string
+    # literals don't count)
+    stripped = arg.strip()
+    while stripped.startswith("(") and stripped.endswith(")"):
+        depth = 0
+        whole = True
+        quote = None
+        for i, ch in enumerate(stripped):
+            if quote is not None:
+                if ch == quote:
+                    quote = None  # '' escapes re-enter quote on next quote char
+                continue
+            if ch in ("'", '"'):
+                quote = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and i < len(stripped) - 1:
+                    whole = False
+                    break
+        if not whole or quote is not None:
+            break
+        stripped = stripped[1:-1].strip()
+    arg = stripped
     depth = 0
     boolish = False
     toks = tokenize(arg)
@@ -512,6 +563,15 @@ def _passthrough_hint(arg: str) -> str:
 
 
 def _null_strict_extreme(fn: str, args: list[str]) -> str:
+    """SQLite multi-arg min/max are NULL-strict (any NULL argument → NULL),
+    Spark's least/greatest skip NULLs — guard explicitly.
+
+    LIMITATION (documented; ADVICE r4): every argument is interpolated twice
+    (NULL guard + least/greatest), so a NON-DETERMINISTIC argument
+    (min(a, random())) draws twice and an expensive subexpression is
+    computed twice.  Spark expressions have no let-binding to hold the
+    value; deterministic arguments — everything the reference test surface
+    uses — are unaffected in value, only in compute."""
     guard = " OR ".join(f"({x}) IS NULL" for x in args)
     return f"(CASE WHEN {guard} THEN NULL ELSE {fn}({', '.join(args)}) END)"
 

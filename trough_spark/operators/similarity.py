@@ -63,8 +63,21 @@ def cosine_pairs(
     threshold: float = 0.9,
     dim: int | None = None,
     n_blocks: int = 8,
+    max_rows: int | None = 100_000,
+    exact_baseline: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above ``threshold`` (exact).
+
+    **Complexity bound — read before using at scale.**  This is the one
+    inherently quadratic operator in the engine: O(n²/n_blocks) comparisons
+    per block-pair group however good the plan, so 100× the rows is 10,000×
+    the compute.  It exists as the exact baseline; every scale path around
+    it (``srp_bucketed_pairs``, SRP multiprobe, IVF, IVF+PQ,
+    ``semantic_dedup``, incremental ANN) is subquadratic.  To enforce the
+    scoping discipline a 100 TB corpus requires, inputs larger than
+    ``max_rows`` raise unless ``exact_baseline=True`` is passed explicitly —
+    scope the input first (per-cluster via the ``semantic_dedup``
+    assignment, per-segment, or per-LSH-bucket) or use an ANN path.
 
     Two phases, because the quadratic scoring is exactly where row-at-a-time
     expression evaluation dies at scale:
@@ -97,6 +110,16 @@ def cosine_pairs(
     import pandas as pd
 
     side = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if not exact_baseline and max_rows is not None:
+        n = side.count()
+        if n > max_rows:
+            raise ValueError(
+                f"cosine_pairs is O(n²/n_blocks): input has {n} rows > "
+                f"max_rows={max_rows}.  Scope the input (per-cluster, "
+                "per-segment, or per-LSH-bucket — see srp_bucketed_pairs / "
+                "semantic_dedup), raise max_rows, or pass exact_baseline=True "
+                "to run the unbounded exact baseline deliberately."
+            )
     margin = 1e-6
     nb = n_blocks
     with_blk = side.withColumn("blk", F.pmod(F.hash(F.col("id")), F.lit(nb)).cast("int"))

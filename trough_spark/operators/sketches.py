@@ -396,9 +396,16 @@ def kmv_quantiles(
         .select(
             "q",
             F.col("v").alias("boundary"),
-            F.round(
-                (F.lit(float(k - 1))) / (F.col("hk") / F.lit(float(1 << 60))), 3
-            ).alias("est_ndv"),
+            # n < k: the sample is exhaustive (the table has fewer than k
+            # keys), so the estimate is the EXACT distinct count n — the
+            # (k-1)/(hk/2^60) formula would grossly overestimate there
+            F.when(F.col("n") < k, F.col("n").cast("double"))
+            .otherwise(
+                F.round(
+                    (F.lit(float(k - 1))) / (F.col("hk") / F.lit(float(1 << 60))), 3
+                )
+            )
+            .alias("est_ndv"),
         )
     )
 

@@ -35,8 +35,10 @@ _COS_EXPR = (
     """,
 )
 def sim_cosine_pairs(spark, sf_dir):
-    # Exact near-dup pairs above 0.4 — the quadratic verifier.  At corpus
-    # scale the same measure runs per-LSH-bucket (sim_srp_buckets below).
+    # Exact near-dup pairs above 0.4 — the quadratic verifier.  The operator
+    # enforces its own O(n²) scope bound (max_rows guard, see cosine_pairs
+    # docstring); at corpus scale the same measure runs per-LSH-bucket
+    # (sim_srp_buckets below) or per-cluster (sim_semantic_dedup).
     return S.cosine_pairs(
         T(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.4, dim=64
     )

@@ -147,7 +147,8 @@ def sketch_equidepth_histogram(spark, sf_dir):
       FROM sample
     )
     SELECT q, v AS boundary,
-           ROUND(255.0 / (hk / 1152921504606846976.0), 3) AS est_ndv
+           CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+                ELSE ROUND(255.0 / (hk / 1152921504606846976.0), 3) END AS est_ndv
     FROM ranked, UNNEST(generate_series(0, 10)) AS t(q)
     WHERE r = (2 * q * (n - 1) + 10) // 20 + 1
     """,

@@ -169,6 +169,107 @@ def parse_create_table(stmt: str) -> TableSchema:
     return TableSchema(name=name, fields=fields, autoincrement_col=auto_col, primary_key=pk)
 
 
+@dataclass
+class Trigger:
+    """One parsed CREATE TRIGGER (SURVEY §2.B14).
+
+    Scope — the common SQLite row-trigger shape (reference semantics:
+    trough/write.py:40 executescript()s scripts inside SQLite, where
+    recorded triggers fire on subsequent DML):
+
+    - BEFORE/AFTER x INSERT/UPDATE[ OF cols]/DELETE ON table, FOR EACH ROW
+      (SQLite's only granularity), optional WHEN;
+    - body statements: INSERT / UPDATE / DELETE / ``SELECT RAISE(...)``;
+    - fired non-recursively (SQLite's default ``PRAGMA recursive_triggers=OFF``);
+    - INSTEAD OF (view) triggers are rejected at parse time.
+    """
+
+    name: str
+    timing: str  # "BEFORE" | "AFTER"
+    event: str  # "INSERT" | "UPDATE" | "DELETE"
+    table: str
+    update_cols: list[str]  # UPDATE OF columns, lowercased; [] = any column
+    when: str | None
+    body: list[str]
+    sql: str
+
+
+class TriggerAbort(QueryRejected):
+    """RAISE(ABORT|FAIL|ROLLBACK, msg) fired inside a trigger body — the
+    script write rolls back, mirroring SQLite's abort-the-transaction
+    behavior under the reference's one-txn-per-POST model (write.py:39)."""
+
+
+_TRIGGER_RE = re.compile(
+    r"^\s*CREATE\s+(?:TEMP(?:ORARY)?\s+)?TRIGGER\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<name>[\w\"\[\]`]+)\s+"
+    r"(?:(?P<timing>BEFORE|AFTER|INSTEAD\s+OF)\s+)?"
+    r"(?P<event>DELETE|INSERT|UPDATE)"
+    r"(?:\s+OF\s+(?P<cols>[^()]+?))?\s+"
+    r"ON\s+(?P<table>[\w\"\[\]`]+)\s+"
+    r"(?:FOR\s+EACH\s+ROW\s+)?"
+    r"(?:WHEN\s+(?P<when>.+?)\s+)?"
+    r"BEGIN\s+(?P<body>.+?)\s*;?\s*END\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_RAISE_RE = re.compile(
+    r"^\s*SELECT\s+RAISE\s*\(\s*(?P<kind>ABORT|FAIL|ROLLBACK|IGNORE)\s*"
+    r"(?:,\s*'(?P<msg>(?:[^']|'')*)'\s*)?\)\s*(?:WHERE\s+(?P<where>.+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def parse_create_trigger(stmt: str) -> Trigger:
+    m = _TRIGGER_RE.match(stmt)
+    if not m:
+        raise QueryRejected(f"unsupported CREATE TRIGGER form: {stmt[:80]!r}")
+    timing = re.sub(r"\s+", " ", (m.group("timing") or "BEFORE").upper())
+    if timing == "INSTEAD OF":
+        raise QueryRejected("INSTEAD OF (view) triggers are not supported")
+    body = [s for s in dialect.split_statements(m.group("body")) if s.strip()]
+    if not body:
+        raise QueryRejected(f"empty trigger body: {stmt[:80]!r}")
+    for b in body:
+        kind = dialect.statement_type(b)
+        if kind == "SELECT":
+            if not _RAISE_RE.match(b):
+                raise QueryRejected(
+                    f"only SELECT RAISE(...) is supported in trigger bodies: {b[:60]!r}"
+                )
+        elif kind not in ("INSERT", "REPLACE", "UPDATE", "DELETE"):
+            raise QueryRejected(f"unsupported trigger body statement: {b[:60]!r}")
+    return Trigger(
+        name=_unquote(m.group("name")),
+        timing=timing,
+        event=m.group("event").upper(),
+        table=_unquote(m.group("table")),
+        update_cols=[
+            _unquote(c.strip()).lower()
+            for c in (m.group("cols") or "").split(",")
+            if c.strip()
+        ],
+        when=m.group("when"),
+        body=body,
+        sql=stmt,
+    )
+
+
+_CREATE_WHAT_RE = re.compile(
+    r"^\s*CREATE\s+(?:TEMP(?:ORARY)?\s+)?(?:UNIQUE\s+)?"
+    r"(?P<what>TABLE|INDEX|VIEW|TRIGGER)\b",
+    re.IGNORECASE,
+)
+
+
+def _create_kind(stmt: str) -> str:
+    """What a CREATE statement creates — from the statement PREFIX, never a
+    body word-search (a table named ``trigger_log`` or a trigger body
+    containing the word TABLE must not confuse the dispatch)."""
+    m = _CREATE_WHAT_RE.match(stmt)
+    return m.group("what").upper() if m else ""
+
+
 def parse_schema_sql(schema_id: str, sql: str) -> Schema:
     """Parse a registered schema's DDL script: CREATE TABLE statements define
     tables; other DML (seed INSERTs, reference tests/wsgi:65-66) is kept and
@@ -179,13 +280,16 @@ def parse_schema_sql(schema_id: str, sql: str) -> Schema:
     for stmt in dialect.split_statements(sql):
         kind = dialect.statement_type(stmt)
         if kind == "CREATE":
-            up = stmt.upper()
-            if re.search(r"\bTABLE\b", up):
+            what = _create_kind(stmt)
+            if what == "TABLE":
                 ts = parse_create_table(stmt)
                 schema.tables[ts.name] = ts
-            elif re.search(r"\bINDEX\b|\bTRIGGER\b|\bVIEW\b", up):
+            elif what == "TRIGGER":
+                parse_create_trigger(stmt)  # validate DDL at registration
+                schema.seed_statements.append(stmt)
+            elif what in ("INDEX", "VIEW"):
                 # indexes are a no-op (Parquet stats + pruning replace them);
-                # views/triggers recorded but not yet materialized
+                # views recorded and materialized per segment at provision
                 schema.seed_statements.append(stmt)
             else:
                 raise QueryRejected(f"invalid schema sql: {stmt[:80]!r}")
@@ -208,12 +312,11 @@ _DEFAULT_SCHEMA = Schema(id="default", sql="")
 _LAST_ROWID_RE = re.compile(r"(?i)\blast_insert_rowid\s*\(\s*\)")
 
 
-def _sub_last_insert_rowid(stmt: str, value: int) -> str:
-    """Replace ``last_insert_rowid()`` with ``value`` — but only OUTSIDE
-    string/identifier literals, so a quoted occurrence (e.g. a logged SQL
-    fragment stored as data) survives untouched.  Walks the statement
-    segment-by-segment: quoted runs (``'...'`` with ``''`` escapes, ``"..."``
-    likewise) are copied verbatim, unquoted runs get the regex."""
+def _map_outside_literals(stmt: str, fn) -> str:
+    """Apply ``fn`` to every UNQUOTED run of a statement: quoted runs
+    (``'...'`` with ``''`` escapes, ``"..."`` likewise) are copied verbatim,
+    so a quoted occurrence of a rewritable token (e.g. a logged SQL fragment
+    stored as data) survives untouched."""
     out: list[str] = []
     i, n = 0, len(stmt)
     while i < n:
@@ -233,9 +336,54 @@ def _sub_last_insert_rowid(stmt: str, value: int) -> str:
             j = i
             while j < n and stmt[j] not in ("'", '"'):
                 j += 1
-            out.append(_LAST_ROWID_RE.sub(str(value), stmt[i:j]))
+            out.append(fn(stmt[i:j]))
             i = j
     return "".join(out)
+
+
+def _sub_last_insert_rowid(stmt: str, value: int) -> str:
+    """Replace ``last_insert_rowid()`` with ``value`` outside literals."""
+    return _map_outside_literals(stmt, lambda s: _LAST_ROWID_RE.sub(str(value), s))
+
+
+_DELETE_STMT_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<name>[\w\"\[\]`]+)\s*(?:WHERE\s+(?P<where>.+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_UPDATE_STMT_RE = re.compile(
+    r"^\s*UPDATE\s+(?P<name>[\w\"\[\]`]+)\s+SET\s+(?P<sets>.+?)"
+    r"(?:\s+WHERE\s+(?P<where>.+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_NEWOLD_RE = re.compile(r'(?i)\b(NEW|OLD)\s*\.\s*([A-Za-z_]\w*|"[^"]+")')
+
+
+def _sub_new_old(text: str, new_row, old_row) -> str:
+    """Bind a trigger body/WHEN's ``NEW.col`` / ``OLD.col`` references to the
+    affected row's values as SQL literals (literal-aware: quoted occurrences
+    untouched).  This is SQLite's per-row trigger evaluation model made
+    explicit — each fired row produces a fully-constant statement."""
+
+    def run(seg: str) -> str:
+        def repl(m: re.Match) -> str:
+            which = m.group(1).upper()
+            row = new_row if which == "NEW" else old_row
+            if row is None:
+                raise QueryRejected(
+                    f"{which}.* is not available in this trigger context"
+                )
+            col = _unquote(m.group(2))
+            d = row.asDict() if hasattr(row, "asDict") else dict(row)
+            for k, v in d.items():
+                if k.lower() == col.lower():
+                    return dialect.sql_value(v)
+            raise QueryRejected(f"no such trigger column: {which}.{col}")
+
+        return _NEWOLD_RE.sub(repl, seg)
+
+    return _map_outside_literals(text, run)
 
 
 class WriteLockError(RuntimeError):
@@ -261,9 +409,21 @@ class _WriteTxn:
         self.hwm_before = dict(store._hwm)
         self.last_auto_before = dict(store._last_auto)
 
+    @staticmethod
+    def _listing(path: str) -> set[str]:
+        """Recursive relative file listing — recursive (not top-level) so
+        entries added inside subdirectories during the script (e.g. a Delta
+        table's _delta_log commits) are rolled back too."""
+        out: set[str] = set()
+        for base, _, files in os.walk(path):
+            rel = os.path.relpath(base, path)
+            for f in files:
+                out.add(os.path.normpath(os.path.join(rel, f)))
+        return out
+
     def before_append(self, path: str) -> None:
         if path not in self.snapshots:
-            self.snapshots[path] = set(os.listdir(path)) if os.path.isdir(path) else None
+            self.snapshots[path] = self._listing(path) if os.path.isdir(path) else None
 
     def register_overwrite(self, path: str, bak: str) -> None:
         # NB: the pre-overwrite snapshot must already have been taken
@@ -290,9 +450,16 @@ class _WriteTxn:
             if before is None:
                 shutil.rmtree(path, ignore_errors=True)
             elif os.path.isdir(path):
-                for name in set(os.listdir(path)) - before:
+                for name in self._listing(path) - before:
                     full = os.path.join(path, name)
-                    (shutil.rmtree if os.path.isdir(full) else os.remove)(full)
+                    if os.path.exists(full):
+                        os.remove(full)
+                # prune directories emptied by the file removals (re-listed
+                # bottom-up: a parent's cached walk entries go stale as its
+                # children are removed)
+                for base, _, _ in os.walk(path, topdown=False):
+                    if base != path and not os.listdir(base):
+                        os.rmdir(base)
         self.store._meta = self.meta_before
         self.store._save_meta()
         self.store._hwm = self.hwm_before
@@ -306,7 +473,30 @@ class SegmentStore:
     (trough/wsgi/segment_manager.py:8-130, read.py, write.py).
     """
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, storage_format: str = "parquet"):
+        if storage_format not in ("parquet", "delta"):
+            raise ValueError(f"storage_format must be parquet or delta, got {storage_format!r}")
+        if storage_format == "delta":
+            import importlib.util
+
+            if importlib.util.find_spec("delta") is None:
+                raise ImportError(
+                    "storage_format='delta' requires the delta-spark package "
+                    "(and a session built with configure_spark_with_delta_pip / "
+                    "the DeltaSparkSessionExtension)"
+                )
+        # Storage-format upgrade path (SURVEY §2.B15; VERDICT r4 item 6):
+        # with storage_format='delta' every per-segment partition is a Delta
+        # table — appends/overwrites go through the Delta transaction log, so
+        # on a cluster FS the OR REPLACE / ON CONFLICT / MERGE rewrite gains
+        # real writer isolation and time travel instead of the rename-swap
+        # below.  The script-level rollback journal remains correct under
+        # Delta on a single-writer store (its file-listing restore replays
+        # to the pre-script log state, since Delta state = log replay); on a
+        # multi-writer cluster deployment, DeltaTable.restoreToVersion is
+        # the equivalent primitive.  Fan-out (cross-segment) reads currently
+        # require parquet (see read_fanout).
+        self._fmt = storage_format
         self.spark = spark
         self.root = root.rstrip("/")
         # register the reference's three SQL functions for un-shimmed SQL,
@@ -329,6 +519,9 @@ class SegmentStore:
         # soon as a second autoincremented table gets a high-water mark)
         self._last_auto: dict[str, int] = {}
         self._active_txn: _WriteTxn | None = None
+        # True while a trigger body is executing: body DML never re-fires
+        # triggers (SQLite's default PRAGMA recursive_triggers=OFF)
+        self._in_trigger = False
 
     # -- metadata ----------------------------------------------------------
 
@@ -536,12 +729,14 @@ class SegmentStore:
                 )
                 kind = dialect.statement_type(stmt)
                 if kind in ("INSERT", "REPLACE"):
+                    if self._insert_with_triggers(segment_id, stmt, pending):
+                        continue
                     handled = self._execute_insert(segment_id, stmt, pending)
                     if handled:
                         continue
                 elif kind in ("UPDATE", "DELETE"):
                     self._flush_inserts(segment_id, pending)
-                    self._rewrite_partition(segment_id, stmt, kind)
+                    self._dml_with_triggers(segment_id, stmt, kind, pending)
                 elif kind == "CREATE":
                     self._flush_inserts(segment_id, pending)
                     self._write_path_create(segment_id, stmt)
@@ -743,7 +938,7 @@ class SegmentStore:
                 path = self._partition_path(table, segment_id)
                 if self._active_txn is not None:
                     self._active_txn.before_append(path)
-                aligned.write.mode("append").parquet(path)
+                self._write_files(aligned, path, "append")
             else:
                 self._upsert(segment_id, table, ts, aligned, mode)
         finally:
@@ -776,7 +971,7 @@ class SegmentStore:
             path = self._partition_path(table, segment_id)
             if self._active_txn is not None:
                 self._active_txn.before_append(path)
-            fresh.write.mode("append").parquet(path)
+            self._write_files(fresh, path, "append")
         else:  # pragma: no cover
             raise QueryRejected(f"unknown upsert mode {mode!r}")
 
@@ -962,18 +1157,48 @@ class SegmentStore:
             t = tokens[i]
             if t.kind == "op" and t.text == "(":
                 args, close = dialect._find_call_args(tokens, i)
-                tuples.append([_literal([*a]) for a in args])
+                vals = []
+                for a in args:
+                    try:
+                        vals.append(_literal([*a]))
+                    except _NotALiteral:
+                        vals.append(self._eval_scalar(dialect.render(list(a))))
+                tuples.append(vals)
                 i = close + 1
             else:
                 i += 1
         return tuples
+
+    def _write_files(self, df: DataFrame, path: str, mode: str) -> None:
+        """Format-dispatched partition write (parquet default, Delta opt-in)."""
+        w = df.write.mode(mode)
+        if self._fmt == "delta":
+            w.format("delta").save(path)
+        else:
+            w.parquet(path)
+
+    def _read_files(self, path: str, schema: T.StructType | None = None) -> DataFrame:
+        """Format-dispatched partition read.  Delta tables carry their own
+        schema in the log; the declared schema is applied as a cast-select
+        (same column order/type alignment the parquet path gets for free)."""
+        if self._fmt == "delta":
+            df = self.spark.read.format("delta").load(path)
+            if schema is not None:
+                df = df.select(
+                    [F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+                )
+            return df
+        r = self.spark.read
+        if schema is not None:
+            r = r.schema(schema)
+        return r.parquet(path)
 
     def _init_hwm(self, key: tuple[str, str], table: str, ts: TableSchema) -> None:
         """Lazily seed the autoincrement high-water mark from storage."""
         if key not in self._hwm:
             path = self._partition_path(table, key[0])
             if os.path.isdir(path):
-                df = self.spark.read.parquet(path)
+                df = self._read_files(path)
                 mx = df.agg(F.max(ts.autoincrement_col)).collect()[0][0]
                 self._hwm[key] = int(mx or 0)
             else:
@@ -998,7 +1223,7 @@ class SegmentStore:
             path = self._partition_path(table, segment_id)
             if self._active_txn is not None:
                 self._active_txn.before_append(path)
-            df.write.mode("append").parquet(path)
+            self._write_files(df, path, "append")
         pending.clear()
 
     def _rewrite_partition(self, segment_id: str, stmt: str, kind: str) -> None:
@@ -1006,11 +1231,7 @@ class SegmentStore:
         bounded work by construction, the whole point of trough-style
         segments (SURVEY §2.B16)."""
         if kind == "DELETE":
-            m = re.match(
-                r"^\s*DELETE\s+FROM\s+(?P<name>[\w\"\[\]`]+)\s*(?:WHERE\s+(?P<where>.+))?$",
-                stmt,
-                re.IGNORECASE | re.DOTALL,
-            )
+            m = _DELETE_STMT_RE.match(stmt)
             if not m:
                 raise QueryRejected(f"unsupported DELETE form: {stmt[:80]!r}")
             table = _unquote(m.group("name"))
@@ -1025,12 +1246,7 @@ class SegmentStore:
                 else df.limit(0)
             )
         else:
-            m = re.match(
-                r"^\s*UPDATE\s+(?P<name>[\w\"\[\]`]+)\s+SET\s+(?P<sets>.+?)"
-                r"(?:\s+WHERE\s+(?P<where>.+))?$",
-                stmt,
-                re.IGNORECASE | re.DOTALL,
-            )
+            m = _UPDATE_STMT_RE.match(stmt)
             if not m:
                 raise QueryRejected(f"unsupported UPDATE form: {stmt[:80]!r}")
             table = _unquote(m.group("name"))
@@ -1057,10 +1273,205 @@ class SegmentStore:
             )
         self._overwrite_partition(segment_id, table, out)
 
+    # -- trigger execution (B14; reference semantics write.py:40 — scripts
+    # -- run inside SQLite where recorded triggers fire on DML) -------------
+
+    def _segment_triggers(self, segment_id: str) -> list[Trigger]:
+        raw = self._segment_info(segment_id).get("triggers", {})
+        return [parse_create_trigger(sql) for _, sql in sorted(raw.items())]
+
+    def _triggers_for(
+        self, segment_id: str, table: str, event: str, set_cols=None
+    ) -> list[Trigger]:
+        if self._in_trigger:
+            return []  # recursive_triggers=OFF (SQLite default)
+        out = []
+        for tr in self._segment_triggers(segment_id):
+            if tr.table.lower() != table.lower() or tr.event != event:
+                continue
+            if event == "UPDATE" and tr.update_cols and set_cols is not None:
+                if not set(tr.update_cols) & {c.lower() for c in set_cols}:
+                    continue  # UPDATE OF cols: none of them assigned
+            out.append(tr)
+        return out
+
+    def _eval_scalar(self, expr: str):
+        """Constant-fold one non-literal VALUES / trigger-body expression
+        (dialect-translated) through Spark SQL — a driver-local zero-scan
+        SELECT, used only off the hot path (script writes)."""
+        sql = dialect.sqlite_to_spark(expr)
+        try:
+            return self.spark.sql(f"SELECT ({sql})").collect()[0][0]
+        except Exception as e:
+            raise QueryRejected(
+                f"unsupported VALUES expression {expr!r}: {e}"
+            ) from None
+
+    def _eval_when(self, expr: str) -> bool:
+        """Evaluate a fully-substituted (constant) trigger WHEN / RAISE WHERE
+        expression.  One driver-local Spark job over a zero-table SELECT —
+        bounded by fired-row count, never data size."""
+        sql = dialect.sqlite_to_spark(expr)
+        row = self.spark.sql(
+            f"SELECT coalesce(CAST(({sql}) AS BOOLEAN), false)"
+        ).collect()
+        return bool(row[0][0])
+
+    def _fire_triggers(
+        self, segment_id: str, trigs: list[Trigger], timing: str, rows, pending
+    ) -> None:
+        """Fire matching triggers FOR EACH ROW.  ``rows`` is a list of
+        (old_row|None, new_row|None) pairs.
+
+        Scale note: firing is driver-coordinated by design — the reference
+        runs the identical semantics single-node inside SQLite, and the rows
+        driving it are one script's affected rows on ONE segment (bounded by
+        trough's segment model), never a corpus-wide scan."""
+        fired = [t for t in trigs if t.timing == timing]
+        if not fired:
+            return
+        self._in_trigger = True
+        try:
+            for tr in fired:
+                for old_row, new_row in rows:
+                    if tr.when is not None and not self._eval_when(
+                        _sub_new_old(tr.when, new_row, old_row)
+                    ):
+                        continue
+                    for b in tr.body:
+                        self._exec_trigger_stmt(
+                            segment_id, _sub_new_old(b, new_row, old_row), pending
+                        )
+        finally:
+            self._in_trigger = False
+
+    def _exec_trigger_stmt(self, segment_id: str, stmt: str, pending: dict) -> None:
+        kind = dialect.statement_type(stmt)
+        if kind in ("INSERT", "REPLACE"):
+            self._execute_insert(segment_id, stmt, pending)
+        elif kind in ("UPDATE", "DELETE"):
+            self._flush_inserts(segment_id, pending)
+            self._rewrite_partition(segment_id, stmt, kind)
+        elif kind == "SELECT":
+            m = _RAISE_RE.match(stmt)  # shape guaranteed by parse_create_trigger
+            if m.group("kind").upper() == "IGNORE":
+                return  # RAISE(IGNORE): skip remaining body work for this row
+            cond = m.group("where")
+            if cond is None or self._eval_when(cond):
+                raise TriggerAbort(m.group("msg").replace("''", "'") if m.group("msg") else "")
+
+    def _insert_with_triggers(self, segment_id: str, stmt: str, pending: dict) -> bool:
+        """Fire INSERT triggers around a plain ``INSERT ... VALUES``.
+        Returns False when no trigger matches (caller takes the normal path).
+
+        Non-plain forms (OR REPLACE/IGNORE, ON CONFLICT, INSERT..SELECT) on a
+        TRIGGERED table are rejected rather than silently diverging from
+        SQLite's conflict-resolution trigger interplay."""
+        m = self._match_insert(stmt)
+        table = _unquote(m.group("name"))
+        trigs = self._triggers_for(segment_id, table, "INSERT")
+        if not trigs:
+            return False
+        body = m.group("body")
+        if (
+            m.group("mode")
+            or m.group("replace")
+            or not body.upper().startswith("VALUES")
+            or self._ON_CONFLICT_RE.search(body)
+        ):
+            raise QueryRejected(
+                "only plain INSERT ... VALUES is supported on a table with "
+                f"triggers: {stmt[:80]!r}"
+            )
+        staged: dict[str, list[Row]] = {}
+        self._execute_insert(segment_id, stmt, staged)
+        new_rows = staged.get(table, [])
+        pairs = [(None, r) for r in new_rows]
+        # NOTE: autoincrement ids are assigned before BEFORE triggers fire, so
+        # NEW.<autoinc> is the final id even in BEFORE bodies (documented
+        # divergence from SQLite's unassigned-rowid-in-BEFORE).
+        self._fire_triggers(segment_id, trigs, "BEFORE", pairs, pending)
+        pending.setdefault(table, []).extend(new_rows)
+        self._flush_inserts(segment_id, pending)
+        self._fire_triggers(segment_id, trigs, "AFTER", pairs, pending)
+        self._flush_inserts(segment_id, pending)
+        return True
+
+    def _dml_with_triggers(
+        self, segment_id: str, stmt: str, kind: str, pending: dict
+    ) -> None:
+        """UPDATE/DELETE with trigger firing: compute the affected (OLD, NEW)
+        rows once, fire BEFORE bodies, apply the partition rewrite, fire
+        AFTER bodies.  Row collection is gated on a matching trigger —
+        trigger-free DML keeps the zero-collect path."""
+        if kind == "DELETE":
+            m = _DELETE_STMT_RE.match(stmt)
+            if not m:
+                raise QueryRejected(f"unsupported DELETE form: {stmt[:80]!r}")
+            table, sets = _unquote(m.group("name")), None
+            trigs = self._triggers_for(segment_id, table, "DELETE")
+        else:
+            m = _UPDATE_STMT_RE.match(stmt)
+            if not m:
+                raise QueryRejected(f"unsupported UPDATE form: {stmt[:80]!r}")
+            table = _unquote(m.group("name"))
+            sets = dict(_split_assignments(m.group("sets")))
+            trigs = self._triggers_for(
+                segment_id, table, "UPDATE", set_cols=list(sets)
+            )
+        if not trigs:
+            self._rewrite_partition(segment_id, stmt, kind)
+            return
+        pairs = self._affected_rows(segment_id, table, m.group("where"), sets, kind)
+        self._fire_triggers(segment_id, trigs, "BEFORE", pairs, pending)
+        self._flush_inserts(segment_id, pending)
+        self._rewrite_partition(segment_id, stmt, kind)
+        self._fire_triggers(segment_id, trigs, "AFTER", pairs, pending)
+        self._flush_inserts(segment_id, pending)
+
+    def _affected_rows(
+        self, segment_id: str, table: str, where: str | None, sets, kind: str
+    ) -> list[tuple]:
+        """(OLD, NEW) pairs a DML statement touches — one filtered scan of
+        the single segment partition (same bounded-work argument as
+        _rewrite_partition)."""
+        df = self._read_partition(segment_id, table)
+        mask = (
+            f"coalesce(({dialect.sqlite_to_spark(where)}), false)" if where else "true"
+        )
+        hit = df.filter(mask)
+        if kind == "DELETE":
+            return [(r, None) for r in hit.collect()]
+        ts = self._table_schema(segment_id, table)
+        types = {n.lower(): t for n, t in ts.fields}
+        lowered = {c.lower(): dialect.sqlite_to_spark(e) for c, e in sets.items()}
+        rows = hit.select(
+            F.struct(*[F.col(n) for n in df.columns]).alias("_o"),
+            F.struct(
+                *[
+                    (
+                        F.expr(lowered[n.lower()]).cast(types[n.lower()])
+                        if n.lower() in lowered
+                        else F.col(n)
+                    ).alias(n)
+                    for n in df.columns
+                ]
+            ).alias("_n"),
+        ).collect()
+        return [(r["_o"], r["_n"]) for r in rows]
+
     def _overwrite_partition(self, segment_id: str, table: str, df: DataFrame) -> None:
         ts = self._table_schema(segment_id, table)
         aligned = df.select([F.col(n).cast(t) for n, t in ts.fields])
         path = self._partition_path(table, segment_id)
+        if self._fmt == "delta":
+            # Delta overwrite IS the atomic swap: snapshot isolation lets the
+            # plan read the pre-overwrite version of its own input table, and
+            # the commit is one log entry — no staging dir, no rename dance.
+            if self._active_txn is not None:
+                self._active_txn.before_append(path)
+            aligned.write.format("delta").mode("overwrite").save(path)
+            return
         tmp = f"{self.root}/_staging/{table}/segment_id={segment_id}"
         shutil.rmtree(tmp, ignore_errors=True)
         aligned.write.mode("overwrite").parquet(tmp)
@@ -1080,10 +1491,21 @@ class SegmentStore:
             shutil.rmtree(bak, ignore_errors=True)
 
     def _write_path_create(self, segment_id: str, stmt: str) -> None:
-        up = stmt.upper()
-        if re.search(r"\bINDEX\b", up):
+        what = _create_kind(stmt)
+        if what == "INDEX":
             return  # indexes → Parquet stats + pruning (SURVEY §2.B14)
-        if re.search(r"\bVIEW\b", up):
+        if what == "TRIGGER":
+            tr = parse_create_trigger(stmt)
+            info = self._segment_info(segment_id)
+            trigs = info.setdefault("triggers", {})
+            if tr.name in trigs and "IF NOT EXISTS" in re.sub(
+                r"\s+", " ", stmt.upper()
+            ):
+                return
+            trigs[tr.name] = stmt
+            self._save_meta()
+            return
+        if what == "VIEW":
             m = re.match(
                 r"^\s*CREATE\s+(?:TEMP(?:ORARY)?\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
                 r"(?P<name>[\w\"\[\]`]+)\s+AS\s+(?P<body>.+)$",
@@ -1096,7 +1518,7 @@ class SegmentStore:
             info.setdefault("views", {})[_unquote(m.group("name"))] = m.group("body")
             self._save_meta()
             return
-        if not re.search(r"\bTABLE\b", up):
+        if what != "TABLE":
             raise QueryRejected(f"unsupported CREATE on write path: {stmt[:80]!r}")
         ts = parse_create_table(stmt)
         info = self._segment_info(segment_id)
@@ -1166,9 +1588,19 @@ class SegmentStore:
 
     def _read_partition_raw(self, segment_id: str, table: str) -> DataFrame:
         path = self._partition_path(table, segment_id)
-        return self.spark.read.parquet(path)
+        return self._read_files(path)
 
     def _write_path_drop(self, segment_id: str, stmt: str) -> None:
+        tm = re.match(
+            r"^\s*DROP\s+TRIGGER\s+(?:IF\s+EXISTS\s+)?(?P<name>[\w\"\[\]`]+)\s*$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if tm:
+            info = self._segment_info(segment_id)
+            info.get("triggers", {}).pop(_unquote(tm.group("name")), None)
+            self._save_meta()
+            return
         vm = re.match(
             r"^\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?(?P<name>[\w\"\[\]`]+)\s*$",
             stmt,
@@ -1191,6 +1623,14 @@ class SegmentStore:
         info.get("extra_tables", {}).pop(table, None)
         if table in info.get("tables", []):
             info["tables"].remove(table)
+        # SQLite: DROP TABLE also drops the table's triggers
+        trigs = info.get("triggers", {})
+        for name in [
+            n
+            for n, sql in trigs.items()
+            if parse_create_trigger(sql).table.lower() == table.lower()
+        ]:
+            trigs.pop(name)
         self._save_meta()
         path = self._partition_path(table, segment_id)
         if self._active_txn is not None and os.path.isdir(path):
@@ -1209,7 +1649,7 @@ class SegmentStore:
         path = self._partition_path(table, segment_id)
         if not os.path.isdir(path):
             return self.spark.createDataFrame([], ts.struct())
-        return self.spark.read.schema(ts.struct()).parquet(path)
+        return self._read_files(path, ts.struct())
 
     def read_df(self, segment_id: str, sql: str, as_of: str | None = None) -> DataFrame:
         """One SELECT against one segment → DataFrame.  The table views are
@@ -1349,7 +1789,15 @@ class SegmentStore:
         prune to matching directories (PartitionFilters), reproducing the
         reference's worst-case-bounded routing as a pure plan property."""
         path = self._table_path(table)
+        if self._fmt == "delta":
+            raise NotImplementedError(
+                "cross-segment surfaces under storage_format='delta' need the "
+                "single-partitioned-Delta-table layout (one Delta table with a "
+                "segment_id partition column); the current Delta support scopes "
+                "to the per-segment write/read path (SURVEY §2.B15-B17)"
+            )
         if reference_segment is None:
+
             candidates = [s for s in self.list_segments() if table in self._segment_tables(s)]
             if not candidates:
                 raise KeyError(f"no segment has table {table!r}")
@@ -1390,6 +1838,13 @@ class SegmentStore:
         foreachBatch streaming sink target (streaming/events.py
         write_to_segments) and the incremental sibling of ``bulk_load``.
         One partitioned append per call ≡ one atomic commit per trigger."""
+        if self._fmt == "delta":
+            raise NotImplementedError(
+                "cross-segment surfaces under storage_format='delta' need the "
+                "single-partitioned-Delta-table layout (one Delta table with a "
+                "segment_id partition column); the current Delta support scopes "
+                "to the per-segment write/read path (SURVEY §2.B15-B17)"
+            )
         data = df.withColumnRenamed(segment_col, "segment_id")
         fields = [(f.name, f.dataType) for f in data.schema.fields if f.name != "segment_id"]
         ts = TableSchema(name=table, fields=fields)
@@ -1419,6 +1874,13 @@ class SegmentStore:
         sync.py:673-1188).
 
         Returns the list of segment ids that received data."""
+        if self._fmt == "delta":
+            raise NotImplementedError(
+                "cross-segment surfaces under storage_format='delta' need the "
+                "single-partitioned-Delta-table layout (one Delta table with a "
+                "segment_id partition column); the current Delta support scopes "
+                "to the per-segment write/read path (SURVEY §2.B15-B17)"
+            )
         data = df.withColumnRenamed(segment_col, "segment_id")
         fields = [(f.name, f.dataType) for f in data.schema.fields if f.name != "segment_id"]
         ts = TableSchema(name=table, fields=fields)
@@ -1694,8 +2156,16 @@ def _tableschema_from_json(d: dict) -> TableSchema:
     )
 
 
+class _NotALiteral(Exception):
+    """A VALUES element is an expression, not a plain literal — the caller
+    constant-folds it through Spark SQL instead."""
+
+
 def _literal(tokens) -> object:
-    """Evaluate a literal token list from a VALUES tuple."""
+    """Evaluate a literal token list from a VALUES tuple.  STRICT: any
+    trailing tokens beyond one literal (e.g. ``'a' || 'b'``, ``1 + 2``)
+    raise _NotALiteral — silently truncating to the first literal was a
+    write-path bug the trigger differential tests caught."""
     sig = [t for t in tokens if t.kind not in ("space", "comment")]
     if not sig:
         raise QueryRejected("empty value in VALUES tuple")
@@ -1703,27 +2173,35 @@ def _literal(tokens) -> object:
     if sig[0].kind == "op" and sig[0].text in ("-", "+"):
         neg = sig[0].text == "-"
         sig = sig[1:]
+        if not sig:
+            raise _NotALiteral
     t = sig[0]
     if t.kind == "string":
+        if len(sig) > 1:
+            raise _NotALiteral
         return t.text[1:-1].replace("''", "'")
     if t.kind == "number":
+        if len(sig) > 1:
+            raise _NotALiteral
         v = float(t.text) if ("." in t.text or "e" in t.text.lower()) else int(t.text)
         return -v if neg else v
     if t.kind == "word":
         w = t.text.upper()
-        if w == "NULL":
-            return None
-        if w == "TRUE":
-            return True
-        if w == "FALSE":
-            return False
-        if w == "X" and len(sig) > 1 and sig[1].kind == "string":
+        if len(sig) == 1 and not neg:
+            if w == "NULL":
+                return None
+            if w == "TRUE":
+                return True
+            if w == "FALSE":
+                return False
+        if (
+            w == "X"
+            and len(sig) == 2
+            and not neg
+            and sig[1].kind == "string"
+        ):
             return bytes.fromhex(sig[1].text[1:-1])
-        if w in ("CURRENT_TIMESTAMP", "DATETIME", "DATE", "TIMESTAMP"):
-            raise QueryRejected(
-                f"non-literal VALUES expression not supported: {dialect.render(tokens)!r}"
-            )
-    raise QueryRejected(f"unsupported literal in VALUES: {dialect.render(tokens)!r}")
+    raise _NotALiteral
 
 
 def _sqlite_decl(typ: T.DataType) -> str:
