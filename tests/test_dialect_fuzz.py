@@ -391,3 +391,115 @@ def test_fuzzed_write_script_matches_sqlite(spark, tmp_path, case):
         (r["id"], r["a"], r["b"], r["s"]) for r in store.read(f"wseg{case}", q)
     ]
     assert got == expected, f"\nscript: {stmts}\nsqlite: {expected}\nengine: {got}"
+
+
+# ---------------------------------------------------------------------------
+# trigger fuzzing: random row triggers installed, then a random DML script —
+# SQLite fires them natively, the store fires them via _fire_triggers; final
+# states of BOTH tables compared (the audit table exists only via triggers)
+# ---------------------------------------------------------------------------
+N_TRIGGER_CASES = int(os.environ.get("TROUGH_FUZZ_TRIGGERS", "6"))
+
+TRIG_DDL = (
+    DDL
+    + ";\nCREATE TABLE audit (rid INTEGER, tag TEXT, x INTEGER)"
+)
+
+
+def _trigger_ddl(rng: random.Random, n: int) -> list[str]:
+    trigs = []
+    for i in range(n):
+        timing = rng.choice(["BEFORE", "AFTER"])
+        event = rng.choice(["INSERT", "UPDATE", "DELETE"])
+        row = {"INSERT": "NEW", "UPDATE": rng.choice(["NEW", "OLD"]), "DELETE": "OLD"}[event]
+        of = ""
+        if event == "UPDATE" and rng.random() < 0.4:
+            of = f" OF {rng.choice(['a', 'b', 's'])}"
+        when = ""
+        if rng.random() < 0.5:
+            when = rng.choice(
+                [
+                    f"WHEN {row}.id > {rng.randint(0, 5)} ",
+                    f"WHEN {row}.a IS NOT NULL ",
+                    f"WHEN coalesce({row}.b, 0) >= {rng.randint(-5, 5)} ",
+                ]
+            )
+        body = rng.choice(
+            [
+                f"INSERT INTO audit VALUES ({row}.id, 't{i}:' || coalesce({row}.s, '?'), "
+                f"coalesce({row}.a, 0) + {rng.randint(-3, 3)});",
+                f"INSERT INTO audit VALUES ({row}.id, 't{i}', {row}.id * 10);",
+                f"UPDATE audit SET x = x + 1 WHERE rid = {row}.id;",
+                f"DELETE FROM audit WHERE rid = {row}.id;",
+            ]
+        )
+        trigs.append(
+            f"CREATE TRIGGER trg{i} {timing} {event}{of} ON nums "
+            f"FOR EACH ROW {when}BEGIN {body} END"
+        )
+    return trigs
+
+
+def _trigger_script(rng: random.Random) -> list[str]:
+    """Random DML confined to the supported triggered-table shapes:
+    plain INSERT VALUES / UPDATE / DELETE (conflict-mode inserts on a
+    triggered table are rejected by design)."""
+    stmts = []
+    next_id = 100
+    for _ in range(rng.randint(3, 6)):
+        kind = rng.randrange(4)
+        if kind == 0:
+            a = rng.choice(["NULL", str(rng.randint(-9, 9))])
+            s = rng.choice(["NULL", "'new'", "''", "'Zz'"])
+            stmts.append(
+                f"INSERT INTO nums (id, a, b, s) VALUES ({next_id}, {a}, {rng.randint(-9, 9)}, {s})"
+            )
+            next_id += 1
+        elif kind == 1:
+            where = f" WHERE {_pred(rng, 1)}" if rng.random() < 0.8 else ""
+            stmts.append(f"UPDATE nums SET a = {_expr(rng, 1)}{where}")
+        elif kind == 2:
+            stmts.append(f"UPDATE nums SET s = {_sexpr(rng, 1)} WHERE {_pred(rng, 1)}")
+        else:
+            stmts.append(f"DELETE FROM nums WHERE {_pred(rng, 1)}")
+    return stmts
+
+
+@pytest.mark.parametrize("case", range(N_TRIGGER_CASES))
+def test_fuzzed_triggers_match_sqlite(spark, tmp_path, case):
+    rng = random.Random(SEED + 500 + case)
+    trigs = _trigger_ddl(rng, rng.randint(1, 3))
+    stmts = _trigger_script(rng)
+
+    conn = sqlite3.connect(":memory:")
+    conn.executescript(TRIG_DDL)
+    conn.executemany("INSERT INTO nums VALUES (?, ?, ?, ?)", ROWS)
+    for t in trigs:
+        conn.execute(t)
+    for st in stmts:
+        conn.execute(st)
+
+    store = SegmentStore(spark, str(tmp_path / "store"))
+    store.set_schema("trig_schema", TRIG_DDL + ";")
+    store.provision(f"tseg{case}", "trig_schema")
+    seed = ";\n".join(
+        "INSERT INTO nums (id, a, b, s) VALUES (%s)"
+        % ", ".join(
+            "NULL" if v is None else (f"'{v}'" if isinstance(v, str) else str(v))
+            for v in r
+        )
+        for r in ROWS
+    )
+    store.write(f"tseg{case}", seed)
+    store.write(f"tseg{case}", ";\n".join(trigs))
+    store.write(f"tseg{case}", ";\n".join(stmts))
+
+    for q in (
+        "SELECT id, a, b, s FROM nums ORDER BY id",
+        "SELECT rid, tag, x FROM audit ORDER BY rid, tag, x",
+    ):
+        expected = [tuple(row) for row in conn.execute(q).fetchall()]
+        got = [tuple(r.values()) for r in store.read(f"tseg{case}", q)]
+        assert got == expected, (
+            f"\ntriggers: {trigs}\nscript: {stmts}\nq: {q}\nsqlite: {expected}\nengine: {got}"
+        )

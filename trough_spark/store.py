@@ -1277,8 +1277,10 @@ class SegmentStore:
     # -- run inside SQLite where recorded triggers fire on DML) -------------
 
     def _segment_triggers(self, segment_id: str) -> list[Trigger]:
+        # CREATION order (dict insertion order survives the JSON round-trip)
+        # — firing order depends on it, see _fire_triggers
         raw = self._segment_info(segment_id).get("triggers", {})
-        return [parse_create_trigger(sql) for _, sql in sorted(raw.items())]
+        return [parse_create_trigger(sql) for sql in raw.values()]
 
     def _triggers_for(
         self, segment_id: str, table: str, event: str, set_cols=None
@@ -1332,8 +1334,11 @@ class SegmentStore:
             return
         self._in_trigger = True
         try:
-            for tr in fired:
-                for old_row, new_row in rows:
+            # SQLite nesting, verified against live sqlite3: rows OUTER (the
+            # statement processes row by row), triggers INNER in REVERSE
+            # creation order (SQLite prepends new triggers to its list)
+            for old_row, new_row in rows:
+                for tr in reversed(fired):
                     if tr.when is not None and not self._eval_when(
                         _sub_new_old(tr.when, new_row, old_row)
                     ):
