@@ -1309,15 +1309,25 @@ class SegmentStore:
                 f"unsupported VALUES expression {expr!r}: {e}"
             ) from None
 
+    def _eval_bools(self, exprs: list[str]) -> list[bool]:
+        """Evaluate fully-substituted (constant) trigger WHEN / RAISE WHERE
+        expressions — BATCHED: one zero-table SELECT per 64 expressions (one
+        column each), so an N-row firing costs ceil(N/64) driver-local jobs
+        instead of N."""
+        out: list[bool] = []
+        B = 64
+        for i in range(0, len(exprs), B):
+            chunk = exprs[i : i + B]
+            cols = ", ".join(
+                f"coalesce(CAST(({dialect.sqlite_to_spark(e)}) AS BOOLEAN), false) AS c{j}"
+                for j, e in enumerate(chunk)
+            )
+            row = self.spark.sql(f"SELECT {cols}").collect()[0]
+            out.extend(bool(v) for v in row)
+        return out
+
     def _eval_when(self, expr: str) -> bool:
-        """Evaluate a fully-substituted (constant) trigger WHEN / RAISE WHERE
-        expression.  One driver-local Spark job over a zero-table SELECT —
-        bounded by fired-row count, never data size."""
-        sql = dialect.sqlite_to_spark(expr)
-        row = self.spark.sql(
-            f"SELECT coalesce(CAST(({sql}) AS BOOLEAN), false)"
-        ).collect()
-        return bool(row[0][0])
+        return self._eval_bools([expr])[0]
 
     def _fire_triggers(
         self, segment_id: str, trigs: list[Trigger], timing: str, rows, pending
@@ -1334,14 +1344,20 @@ class SegmentStore:
             return
         self._in_trigger = True
         try:
+            # WHEN verdicts batched up front (chunked zero-table SELECTs)
+            when_ok: dict[int, list[bool]] = {}
+            for ti, tr in enumerate(fired):
+                if tr.when is not None:
+                    when_ok[ti] = self._eval_bools(
+                        [_sub_new_old(tr.when, nr, orow) for orow, nr in rows]
+                    )
             # SQLite nesting, verified against live sqlite3: rows OUTER (the
             # statement processes row by row), triggers INNER in REVERSE
             # creation order (SQLite prepends new triggers to its list)
-            for old_row, new_row in rows:
-                for tr in reversed(fired):
-                    if tr.when is not None and not self._eval_when(
-                        _sub_new_old(tr.when, new_row, old_row)
-                    ):
+            for ri, (old_row, new_row) in enumerate(rows):
+                for ti in range(len(fired) - 1, -1, -1):
+                    tr = fired[ti]
+                    if ti in when_ok and not when_ok[ti][ri]:
                         continue
                     for b in tr.body:
                         self._exec_trigger_stmt(
