@@ -129,6 +129,10 @@ def main() -> None:
         "events documents embeddings"
     ).split():
         load_table(spark, sf_dir, t).count()
+    # (c) start the Arrow Python worker pool once — otherwise the first
+    # pandas-kernel query in the timed set pays the per-executor-thread
+    # python fork + Arrow init that every later pandas query gets for free
+    spark.range(0, 64, 1, 32).mapInPandas(lambda it: it, "id long").count()
 
     times: dict[str, float] = {}
     warm: dict[str, float] = {}

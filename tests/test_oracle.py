@@ -143,3 +143,39 @@ def test_lsh_bucket_cap_off_is_lossless(spark):
     sigs.unpersist()
     assert base and huge == base
     assert capped <= base
+
+
+def test_minhash_wide_path_equals_long_path(spark):
+    """The wide (vector) LSH path must produce the EXACT candidate pair set
+    and per-permutation signature values of the long (relational) path —
+    same permutations, same band hashes, one less shuffle."""
+    from trough_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_lsh_candidates_wide,
+        minhash_signature_vector,
+        minhash_signatures,
+    )
+    from trough_spark.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    long_sigs = minhash_signatures(d, "doc_id", "text", num_perm=8)
+    wide_sigs = minhash_signature_vector(d, "doc_id", "text", num_perm=8)
+    long_map = {}
+    for r in long_sigs.collect():
+        long_map.setdefault(r["id"], {})[r["perm"]] = r["minhash"]
+    wide_map = {r["id"]: list(r["sig"]) for r in wide_sigs.collect()}
+    assert {i: [m[p] for p in range(8)] for i, m in long_map.items()} == wide_map
+
+    long_pairs = {(r["id1"], r["id2"]) for r in minhash_lsh_candidates(long_sigs).collect()}
+    wide_pairs = {
+        (r["id1"], r["id2"])
+        for r in minhash_lsh_candidates_wide(wide_sigs, num_perm=8).collect()
+    }
+    assert long_pairs == wide_pairs and long_pairs
+    # capped variants agree too
+    lc = {(r["id1"], r["id2"]) for r in minhash_lsh_candidates(long_sigs, max_bucket_size=2).collect()}
+    wc = {
+        (r["id1"], r["id2"])
+        for r in minhash_lsh_candidates_wide(wide_sigs, num_perm=8, max_bucket_size=2).collect()
+    }
+    assert lc == wc

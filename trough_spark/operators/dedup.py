@@ -251,6 +251,12 @@ def minhash_lsh_candidates(
             ).alias("band_hash")
         )
     )
+    return _banded_pairs(banded, max_bucket_size)
+
+
+def _banded_pairs(banded: DataFrame, max_bucket_size: int | None) -> DataFrame:
+    """(id, band, band_hash) → distinct colliding id pairs, with the optional
+    hot-bucket cap.  Shared tail of the long-form and wide-form LSH paths."""
     if max_bucket_size is not None:
         from pyspark.sql.window import Window
 
@@ -273,6 +279,79 @@ def minhash_lsh_candidates(
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .distinct()
     )
+
+
+def minhash_signature_vector(
+    df: DataFrame, id_col: str, text_col: str, num_perm: int = 8, n: int = 3,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """MinHash signatures as ONE row per doc: (id, sig array<bigint>).
+
+    Same values as ``minhash_signatures`` (bit-identical per permutation,
+    asserted in tests) in ONE shuffle instead of two stages of work: the
+    num_perm permuted hashes are map-side COLUMNS on the (non-distinct)
+    shingle table and each permutation's MIN is a partial aggregate of one
+    groupBy(id) — vs the long form's num_perm× row explosion feeding
+    groupBy(id, perm).  At 100 TB the explode multiplies the corpus-sized
+    shingle table 8×, so the column form is the scale shape; the long form
+    remains for consumers of the relational layout (verify stage, oracle
+    parity)."""
+    assert num_perm <= len(MINHASH_A)
+    if shingles is None:
+        shingles = shingle_table(df, id_col, text_col, n, dedupe=False)
+    sh = shingles.withColumn("h31", portable_hash(F.col("shingle")) % MINHASH_PRIME)
+    aggs = [
+        F.min(
+            (F.lit(MINHASH_A[j]) * F.col("h31") + F.lit(MINHASH_B[j])) % MINHASH_PRIME
+        ).alias(f"_m{j}")
+        for j in range(num_perm)
+    ]
+    return (
+        sh.groupBy("id")
+        .agg(*aggs)
+        .select("id", F.array(*[F.col(f"_m{j}") for j in range(num_perm)]).alias("sig"))
+    )
+
+
+def minhash_lsh_candidates_wide(
+    sig_vec: DataFrame,
+    num_perm: int = 8,
+    rows_per_band: int = 2,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """LSH candidate pairs straight from signature VECTORS
+    (``minhash_signature_vector`` output): band hashes are map-side md5s
+    over sig slices and each doc explodes to num_perm/rows_per_band band
+    rows (vs num_perm signature rows + a banding shuffle in the long form).
+    End to end (text → pairs) this path is one full shuffle shorter and
+    never multiplies the shingle table by num_perm.  Pair semantics and the
+    hot-bucket cap are identical (shared ``_banded_pairs`` tail); the band
+    hash matches the long form exactly (md5 of comma-joined minhashes in
+    permutation order)."""
+    n_bands = num_perm // rows_per_band
+    bands = sig_vec.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[bi * rows_per_band + r].cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select("id", F.col("_b.band").alias("band"), F.col("_b.band_hash").alias("band_hash"))
+    return _banded_pairs(bands, max_bucket_size)
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:

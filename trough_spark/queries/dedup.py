@@ -99,8 +99,13 @@ def dedup_ngram_jaccard(spark, sf_dir):
     """,
 )
 def dedup_minhash_lsh(spark, sf_dir):
-    sigs = D.minhash_signatures(T(spark, sf_dir, "documents"), "doc_id", "text", num_perm=8, n=3)
-    return D.minhash_lsh_candidates(sigs, rows_per_band=2)
+    # wide path: signature VECTORS (one shuffle, no 8x perm explosion) →
+    # map-side band hashes → pair join; proven pair-identical to the
+    # long-form path in tests/test_oracle.py
+    sig_vec = D.minhash_signature_vector(
+        T(spark, sf_dir, "documents"), "doc_id", "text", num_perm=8, n=3
+    )
+    return D.minhash_lsh_candidates_wide(sig_vec, num_perm=8, rows_per_band=2)
 
 
 @query(
@@ -207,8 +212,8 @@ def dedup_connected_components(spark, sf_dir):
     from trough_spark.operators import graph as G
 
     docs = T(spark, sf_dir, "documents")
-    sigs = D.minhash_signatures(docs, "doc_id", "text", num_perm=8, n=3)
-    pairs = D.minhash_lsh_candidates(sigs, rows_per_band=2)
+    sig_vec = D.minhash_signature_vector(docs, "doc_id", "text", num_perm=8, n=3)
+    pairs = D.minhash_lsh_candidates_wide(sig_vec, num_perm=8, rows_per_band=2)
     comp = G.connected_components(
         docs.select("doc_id"), pairs, id_col="doc_id"
     )
@@ -320,8 +325,8 @@ def dedup_cc_star(spark, sf_dir):
     from trough_spark.operators import graph as G
 
     docs = T(spark, sf_dir, "documents")
-    sigs = D.minhash_signatures(docs, "doc_id", "text", num_perm=8, n=3)
-    pairs = D.minhash_lsh_candidates(sigs, rows_per_band=2)
+    sig_vec = D.minhash_signature_vector(docs, "doc_id", "text", num_perm=8, n=3)
+    pairs = D.minhash_lsh_candidates_wide(sig_vec, num_perm=8, rows_per_band=2)
     comp = G.connected_components_star(docs.select("doc_id"), pairs, id_col="doc_id")
     return G.keep_canonical(docs.select("doc_id"), comp, id_col="doc_id")
 

@@ -110,8 +110,8 @@ def pipeline_curation(spark, sf_dir):
     # and this halves it.  Checkpointed so the pass executes once, not once
     # per consumer; the oracle's shared `sh` CTE mirrors the reuse.
     sh = D.shingle_table(docs, "doc_id", "text", n=3).localCheckpoint(eager=False)
-    sigs = D.minhash_signatures(docs, "doc_id", "text", num_perm=8, n=3, shingles=sh)
-    pairs = D.minhash_lsh_candidates(sigs, rows_per_band=2)
+    sig_vec = D.minhash_signature_vector(docs, "doc_id", "text", num_perm=8, n=3, shingles=sh)
+    pairs = D.minhash_lsh_candidates_wide(sig_vec, num_perm=8, rows_per_band=2)
     comp = G.connected_components(ids, pairs, id_col="doc_id").select(
         F.col("id").alias("doc_id"), F.col("comp").alias("canonical_id")
     )
