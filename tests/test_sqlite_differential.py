@@ -409,3 +409,23 @@ def test_trigger_body_update_and_cascade_delete(trig_engines):
         assert got == expected, f"{table} diverged: {got} vs {expected}"
     expected, _ = _table_state(conn, store, "trigseg", "items", "id")
     assert expected == [(1, "apple", 3.5, 15)]
+
+
+def test_insert_select_fires_triggers(trig_engines):
+    conn, store = trig_engines
+    _both(
+        conn,
+        store,
+        "CREATE TRIGGER log_ins AFTER INSERT ON items "
+        "BEGIN INSERT INTO audit VALUES (NEW.id, 'ins:' || NEW.name, NULL, NEW.price); END;\n"
+        "INSERT INTO items VALUES (1, 'apple', 3.5, 10);\n"
+        "INSERT INTO items VALUES (2, 'banana', 1.25, 5);\n"
+        # INSERT..SELECT on the triggered table: fires per produced row
+        "INSERT INTO items (id, name, price, qty) "
+        "SELECT id + 10, name || '-copy', price * 2, qty FROM items WHERE price > 2",
+    )
+    for table, order in (("items", "id"), ("audit", "item_id, action")):
+        expected, got = _table_state(conn, store, "trigseg", table, order)
+        assert got == expected and expected, f"{table} diverged: {got} vs {expected}"
+    expected, _ = _table_state(conn, store, "trigseg", "audit", "item_id")
+    assert len(expected) == 3  # 2 direct + 1 from the SELECT (price>2: apple)

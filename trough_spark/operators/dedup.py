@@ -328,8 +328,19 @@ def minhash_lsh_candidates_wide(
     hot-bucket cap are identical (shared ``_banded_pairs`` tail); the band
     hash matches the long form exactly (md5 of comma-joined minhashes in
     permutation order)."""
+    return _banded_pairs(
+        _bands_from_vector(sig_vec, num_perm, rows_per_band), max_bucket_size
+    )
+
+
+def _bands_from_vector(
+    sig_vec: DataFrame, num_perm: int, rows_per_band: int
+) -> DataFrame:
+    """(id, sig) → (id, band, band_hash), all map-side: each band hash is an
+    md5 over a static slice of the signature vector, matching the long
+    form's banding aggregate byte for byte."""
     n_bands = num_perm // rows_per_band
-    bands = sig_vec.select(
+    return sig_vec.select(
         "id",
         F.explode(
             F.array(
@@ -351,7 +362,6 @@ def minhash_lsh_candidates_wide(
             )
         ).alias("_b"),
     ).select("id", F.col("_b.band").alias("band"), F.col("_b.band_hash").alias("band_hash"))
-    return _banded_pairs(bands, max_bucket_size)
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
@@ -456,24 +466,9 @@ def incremental_lsh_candidates(
     this avoids at 100 TB (persist the banded table, append to it).
     """
     def bands(df):
-        sigs = minhash_signatures(df, id_col, text_col, num_perm=num_perm, n=n)
-        return (
-            sigs.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
-            .groupBy("id", "band")
-            .agg(
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.array_sort(
-                                F.collect_list(F.struct(F.col("perm"), F.col("minhash")))
-                            ),
-                            lambda s: s.getField("minhash").cast("string"),
-                        ),
-                    )
-                ).alias("band_hash")
-            )
-        )
+        # wide signature path: one shuffle per side, band hashes map-side
+        sig_vec = minhash_signature_vector(df, id_col, text_col, num_perm=num_perm, n=n)
+        return _bands_from_vector(sig_vec, num_perm, rows_per_band)
 
     nb = bands(new_docs).select(
         F.col("id").alias("new_id"), "band", "band_hash"

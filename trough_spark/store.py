@@ -1382,27 +1382,57 @@ class SegmentStore:
                 raise TriggerAbort(m.group("msg").replace("''", "'") if m.group("msg") else "")
 
     def _insert_with_triggers(self, segment_id: str, stmt: str, pending: dict) -> bool:
-        """Fire INSERT triggers around a plain ``INSERT ... VALUES``.
-        Returns False when no trigger matches (caller takes the normal path).
+        """Fire INSERT triggers around an ``INSERT ... VALUES`` or
+        ``INSERT .. SELECT`` (materialized to VALUES).  Returns False when no
+        trigger matches (caller takes the normal path).
 
-        Non-plain forms (OR REPLACE/IGNORE, ON CONFLICT, INSERT..SELECT) on a
-        TRIGGERED table are rejected rather than silently diverging from
-        SQLite's conflict-resolution trigger interplay."""
+        Conflict forms (OR REPLACE/IGNORE, ON CONFLICT) on a TRIGGERED table
+        are rejected rather than silently diverging from SQLite's
+        conflict-resolution × trigger interplay."""
         m = self._match_insert(stmt)
         table = _unquote(m.group("name"))
         trigs = self._triggers_for(segment_id, table, "INSERT")
         if not trigs:
             return False
         body = m.group("body")
-        if (
+        conflict_mode = (
             m.group("mode")
             or m.group("replace")
-            or not body.upper().startswith("VALUES")
             or self._ON_CONFLICT_RE.search(body)
+        )
+        body_u = body.upper()
+        if not conflict_mode and (
+            body_u.startswith("SELECT") or body_u.startswith("WITH")
         ):
+            # INSERT..SELECT on a triggered table: materialize the source
+            # rows (driver-side — bounded by trigger presence, exactly the
+            # rows the per-row firing must see anyway) and replay them as a
+            # plain VALUES insert so the normal trigger path below runs.
+            ts = self._table_schema(segment_id, table)
+            cols = (
+                [_unquote(c) for c in m.group("cols").split(",")]
+                if m.group("cols")
+                else [n for n, _ in ts.fields]
+            )
+            src_rows = self.read_df(segment_id, body).collect()
+            if src_rows and len(src_rows[0]) != len(cols):
+                raise QueryRejected(
+                    f"INSERT..SELECT arity mismatch: {len(src_rows[0])} vs {len(cols)}"
+                )
+            if not src_rows:
+                return True  # nothing inserted, nothing fires
+            vals = ", ".join(
+                "(" + ", ".join(dialect.sql_value(v) for v in row) + ")"
+                for row in src_rows
+            )
+            stmt = f"INSERT INTO {table} ({', '.join(cols)}) VALUES {vals}"
+            m = self._match_insert(stmt)
+            body = m.group("body")
+        elif conflict_mode or not body_u.startswith("VALUES"):
             raise QueryRejected(
-                "only plain INSERT ... VALUES is supported on a table with "
-                f"triggers: {stmt[:80]!r}"
+                "INSERT with OR REPLACE/IGNORE or ON CONFLICT is not "
+                "supported on a table with triggers (SQLite's conflict-"
+                f"resolution × trigger interplay is out of scope): {stmt[:80]!r}"
             )
         staged: dict[str, list[Row]] = {}
         self._execute_insert(segment_id, stmt, staged)
