@@ -49,7 +49,17 @@ def test_like_becomes_ilike():
 def test_glob_translation():
     out = dialect.sqlite_to_spark("SELECT * FROM t WHERE a GLOB 'ab*c?'")
     assert "RLIKE" in out and "^ab.*c.$" in out
-    assert dialect.glob_to_regex("a[0-9]b") == "^a[0-9]b$"
+    # the range start appears twice ([00-9]) because SQLite also tests it
+    # as a literal member — semantically identical for a well-ordered range
+    assert dialect.glob_to_regex("a[0-9]b") == "^a[00-9]b$"
+    # SQLite class corner semantics (pinned by live-probe battery):
+    # inverted range = nothing, range start = literal, unclosed = no match
+    import re as _re
+
+    assert _re.fullmatch(dialect.glob_to_regex("[b-a]")[1:-1], "b")
+    assert not _re.fullmatch(dialect.glob_to_regex("[b-a]")[1:-1], "a")
+    assert not _re.fullmatch(dialect.glob_to_regex("x[")[1:-1], "x[")
+    assert _re.fullmatch(dialect.glob_to_regex("[]a]")[1:-1], "]")
 
 
 def test_regexp_operator_and_function():

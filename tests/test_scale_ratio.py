@@ -1,0 +1,77 @@
+"""Scale-ratio stress: blow the sf0.1 corpus up 4× and 16× (deterministic
+word-remap per replica, so replicas are fully DISSIMILAR — this measures
+pipeline scaling, not pair explosion) and measure the wide MinHash-LSH
+text→pairs wall time.  The 100 TB claim in numbers: work should scale
+~linearly in corpus size because candidate generation is an equi-join on
+band hashes and the signature shuffle carries 8 longs per doc.
+
+Heavy (runs ~1-2 min): gated behind TROUGH_SCALE_STRESS=1; the measured
+ratios live in PERF.md.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pyspark.sql.functions as F
+import pytest
+
+from trough_spark.operators.dedup import (
+    minhash_lsh_candidates_wide,
+    minhash_signature_vector,
+)
+from trough_spark.tables import load_table
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("TROUGH_SCALE_STRESS") != "1",
+    reason="set TROUGH_SCALE_STRESS=1 to run the scale-ratio stress",
+)
+
+
+def _blowup(docs, k: int):
+    """k dissimilar replicas per doc: every token is md5-remapped with the
+    replica index, so shingle sets across replicas are disjoint while the
+    token-count distribution (the work profile) is preserved."""
+    if k == 1:
+        return docs.select("doc_id", "text")
+    return (
+        docs.select("doc_id", "text", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("rep"))
+        .select(
+            (F.col("doc_id") * k + F.col("rep")).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.split(F.trim(F.lower("text")), r"\s+"),
+                    lambda w: F.substring(F.md5(F.concat(w, F.col("rep").cast("string"))), 1, 8),
+                ),
+            ).alias("text"),
+        )
+    )
+
+
+def test_wide_lsh_scales_linearly(spark):
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents").select("doc_id", "text")
+    docs.count()  # page cache
+    spark.range(0, 64, 1, 32).mapInPandas(lambda it: it, "id long").count()
+
+    def run(k: int) -> tuple[float, int]:
+        d = _blowup(docs, k)
+        sig = minhash_signature_vector(d, "doc_id", "text", num_perm=8, n=3)
+        pairs = minhash_lsh_candidates_wide(sig, num_perm=8, rows_per_band=2)
+        t0 = time.perf_counter()
+        n = pairs.count()
+        return time.perf_counter() - t0, n
+
+    run(1)  # codegen warm-up for the plan shape
+    t1, n1 = run(1)
+    t4, n4 = run(4)
+    t16, n16 = run(16)
+    print(f"\nscale-ratio: 1x {t1:.2f}s/{n1} pairs, 4x {t4:.2f}s/{n4}, 16x {t16:.2f}s/{n16}")
+    print(f"ratios: 4x/1x = {t4 / t1:.2f} (ideal 4), 16x/1x = {t16 / t1:.2f} (ideal 16)")
+    # replicas are dissimilar: pair count must NOT explode quadratically
+    assert n16 <= 20 * max(n1, 1) + 1000
+    # generous linearity bound: 16x data in <= 16 * 2.5x the time (fixed
+    # overhead makes small-k ratios look BETTER than linear, so this only
+    # trips on genuinely super-linear behavior)
+    assert t16 <= max(t1, 0.5) * 16 * 2.5, (t1, t16)

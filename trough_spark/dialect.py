@@ -237,31 +237,48 @@ def glob_to_regex(pattern: str) -> str:
         elif ch == "?":
             out.append(".")
         elif ch == "[":
-            j = pattern.find("]", i + 1)
+            # SQLite's class matcher (sqlite3 patternCompare), pinned by a
+            # live-probe battery + the hypothesis differential:
+            # - '^' negates only as the FIRST char; a ']' right after '[' or
+            #   '[^' is a literal member;
+            # - 'c1-c2' tests c1 <= c <= c2, AND c1 is ALSO tested as a
+            #   literal member ('[b-a]' matches 'b'); the end char is not;
+            # - an inverted range (c2 < c1) contributes nothing — its chars
+            #   are NOT literals ('??[[-?]' does not match 'aa-');
+            # - an unclosed class makes the whole pattern match NOTHING.
+            p = i + 1
+            neg = ""
+            if p < len(pattern) and pattern[p] == "^":
+                neg, p = "^", p + 1
+            lead = ""
+            if p < len(pattern) and pattern[p] == "]":
+                lead, p = "]", p + 1  # literal ']' member
+            j = pattern.find("]", p)
             if j == -1:
-                out.append(re.escape(ch))
-            else:
-                body = pattern[i + 1 : j]
-                neg = ""
-                if body.startswith("^"):
-                    neg, body = "^", body[1:]
-                # Re-emit the class member by member: genuine a-z ranges
-                # survive, every other character is escaped.  A verbatim
-                # body would let literal '-'/'~'/'&' runs form set-ops
-                # ("[a--~]" is set difference to future Python, "&&" is
-                # intersection to Java) — escaping makes them literal in
-                # both engines.
-                members = []
-                k = 0
-                while k < len(body):
-                    if k + 2 <= len(body) - 1 and body[k + 1] == "-" and body[k] <= body[k + 2]:
+                return r"^[^\s\S]$"  # unclosed class: never matches
+            body = lead + pattern[p:j]
+            # Member-by-member re-emit with everything escaped: a verbatim
+            # body would let literal '-'/'~'/'&' runs form regex set-ops
+            # ("[a--~]" is set difference to future Python, "&&" is
+            # intersection to Java).
+            members = []
+            k = 0
+            while k < len(body):
+                if k + 2 <= len(body) - 1 and body[k + 1] == "-":
+                    members.append(re.escape(body[k]))  # range start is literal too
+                    if body[k] <= body[k + 2]:
                         members.append(re.escape(body[k]) + "-" + re.escape(body[k + 2]))
-                        k += 3
-                    else:
-                        members.append(re.escape(body[k]))
-                        k += 1
+                    k += 3
+                else:
+                    members.append(re.escape(body[k]))
+                    k += 1
+            if members:
                 out.append("[" + neg + "".join(members) + "]")
-                i = j
+            elif neg:
+                out.append(r"[\s\S]")  # negation of the empty set: any one char
+            else:
+                out.append(r"[^\s\S]")  # empty set: matches nothing
+            i = j
         else:
             out.append(re.escape(ch))
         i += 1
