@@ -429,3 +429,35 @@ def test_insert_select_fires_triggers(trig_engines):
         assert got == expected and expected, f"{table} diverged: {got} vs {expected}"
     expected, _ = _table_state(conn, store, "trigseg", "audit", "item_id")
     assert len(expected) == 3  # 2 direct + 1 from the SELECT (price>2: apple)
+
+
+def test_raise_ignore_skips_row_and_later_triggers(trig_engines):
+    """RAISE(IGNORE) in a BEFORE INSERT trigger: abandons the rest of the
+    body, all subsequent trigger programs for that row, and the row's
+    insert — while body statements BEFORE the raise persist (probed against
+    live sqlite3)."""
+    conn, store = trig_engines
+    _both(
+        conn,
+        store,
+        # created first => fires LAST (reverse creation order)
+        "CREATE TRIGGER keep_log BEFORE INSERT ON items "
+        "BEGIN INSERT INTO audit VALUES (NEW.id, 'seen', NULL, NEW.price); END;\n"
+        # created second => fires FIRST; IGNOREs free items
+        "CREATE TRIGGER no_free BEFORE INSERT ON items WHEN NEW.price <= 0 "
+        "BEGIN INSERT INTO audit VALUES (NEW.id, 'pre-ignore', NULL, NULL); "
+        "SELECT RAISE(IGNORE); "
+        "INSERT INTO audit VALUES (NEW.id, 'post-ignore', NULL, NULL); END;\n"
+        "INSERT INTO items VALUES (1, 'apple', 3.5, 10);\n"
+        "INSERT INTO items VALUES (2, 'freebie', 0.0, 1);\n"
+        "INSERT INTO items VALUES (3, 'cherry', 7.0, 4)",
+    )
+    for table, order in (("items", "id"), ("audit", "item_id, action")):
+        expected, got = _table_state(conn, store, "trigseg", table, order)
+        assert got == expected, f"{table} diverged: {got} vs {expected}"
+    items, _ = _table_state(conn, store, "trigseg", "items", "id")
+    assert [r[0] for r in items] == [1, 3]  # freebie skipped
+    audit, _ = _table_state(conn, store, "trigseg", "audit", "item_id, action")
+    # row 2: 'pre-ignore' persisted, no 'post-ignore', no 'seen' (keep_log abandoned)
+    assert (2, "pre-ignore", None, None) in audit
+    assert not any(a == 2 and t in ("post-ignore", "seen") for a, t, *_ in audit)

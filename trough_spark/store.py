@@ -200,6 +200,12 @@ class TriggerAbort(QueryRejected):
     behavior under the reference's one-txn-per-POST model (write.py:39)."""
 
 
+class _TriggerIgnore(Exception):
+    """RAISE(IGNORE): abandon the rest of THIS trigger's body for THIS row;
+    in a BEFORE trigger, also skip the row change itself (SQLite lang doc).
+    Internal control flow — never escapes _fire_triggers."""
+
+
 _TRIGGER_RE = re.compile(
     r"^\s*CREATE\s+(?:TEMP(?:ORARY)?\s+)?TRIGGER\s+(?:IF\s+NOT\s+EXISTS\s+)?"
     r"(?P<name>[\w\"\[\]`]+)\s+"
@@ -1331,9 +1337,11 @@ class SegmentStore:
 
     def _fire_triggers(
         self, segment_id: str, trigs: list[Trigger], timing: str, rows, pending
-    ) -> None:
+    ) -> set[int]:
         """Fire matching triggers FOR EACH ROW.  ``rows`` is a list of
-        (old_row|None, new_row|None) pairs.
+        (old_row|None, new_row|None) pairs.  Returns the indices of rows
+        whose firing hit RAISE(IGNORE) — in a BEFORE phase the caller skips
+        those rows' changes (SQLite RAISE(IGNORE) semantics).
 
         Scale note: firing is driver-coordinated by design — the reference
         runs the identical semantics single-node inside SQLite, and the rows
@@ -1341,7 +1349,7 @@ class SegmentStore:
         trough's segment model), never a corpus-wide scan."""
         fired = [t for t in trigs if t.timing == timing]
         if not fired:
-            return
+            return set()
         self._in_trigger = True
         try:
             # WHEN verdicts batched up front (chunked zero-table SELECTs)
@@ -1354,15 +1362,24 @@ class SegmentStore:
             # SQLite nesting, verified against live sqlite3: rows OUTER (the
             # statement processes row by row), triggers INNER in REVERSE
             # creation order (SQLite prepends new triggers to its list)
+            ignored: set[int] = set()
             for ri, (old_row, new_row) in enumerate(rows):
                 for ti in range(len(fired) - 1, -1, -1):
                     tr = fired[ti]
                     if ti in when_ok and not when_ok[ti][ri]:
                         continue
-                    for b in tr.body:
-                        self._exec_trigger_stmt(
-                            segment_id, _sub_new_old(b, new_row, old_row), pending
-                        )
+                    try:
+                        for b in tr.body:
+                            self._exec_trigger_stmt(
+                                segment_id, _sub_new_old(b, new_row, old_row), pending
+                            )
+                    except _TriggerIgnore:
+                        # probed against live sqlite3: IGNORE abandons the
+                        # rest of this body AND all subsequent trigger
+                        # programs for this row, and (BEFORE) the row change
+                        ignored.add(ri)
+                        break
+            return ignored
         finally:
             self._in_trigger = False
 
@@ -1375,11 +1392,12 @@ class SegmentStore:
             self._rewrite_partition(segment_id, stmt, kind)
         elif kind == "SELECT":
             m = _RAISE_RE.match(stmt)  # shape guaranteed by parse_create_trigger
-            if m.group("kind").upper() == "IGNORE":
-                return  # RAISE(IGNORE): skip remaining body work for this row
             cond = m.group("where")
-            if cond is None or self._eval_when(cond):
-                raise TriggerAbort(m.group("msg").replace("''", "'") if m.group("msg") else "")
+            if cond is not None and not self._eval_when(cond):
+                return
+            if m.group("kind").upper() == "IGNORE":
+                raise _TriggerIgnore
+            raise TriggerAbort(m.group("msg").replace("''", "'") if m.group("msg") else "")
 
     def _insert_with_triggers(self, segment_id: str, stmt: str, pending: dict) -> bool:
         """Fire INSERT triggers around an ``INSERT ... VALUES`` or
@@ -1441,7 +1459,11 @@ class SegmentStore:
         # NOTE: autoincrement ids are assigned before BEFORE triggers fire, so
         # NEW.<autoinc> is the final id even in BEFORE bodies (documented
         # divergence from SQLite's unassigned-rowid-in-BEFORE).
-        self._fire_triggers(segment_id, trigs, "BEFORE", pairs, pending)
+        ignored = self._fire_triggers(segment_id, trigs, "BEFORE", pairs, pending)
+        if ignored:
+            # RAISE(IGNORE) in a BEFORE INSERT trigger skips that row's insert
+            new_rows = [r for i, r in enumerate(new_rows) if i not in ignored]
+            pairs = [p for i, p in enumerate(pairs) if i not in ignored]
         pending.setdefault(table, []).extend(new_rows)
         self._flush_inserts(segment_id, pending)
         self._fire_triggers(segment_id, trigs, "AFTER", pairs, pending)
@@ -1474,7 +1496,14 @@ class SegmentStore:
             self._rewrite_partition(segment_id, stmt, kind)
             return
         pairs = self._affected_rows(segment_id, table, m.group("where"), sets, kind)
-        self._fire_triggers(segment_id, trigs, "BEFORE", pairs, pending)
+        ignored = self._fire_triggers(segment_id, trigs, "BEFORE", pairs, pending)
+        if ignored:
+            # skipping individual row changes on the partition-rewrite path
+            # is not implemented: fail LOUDLY (whole script rolls back)
+            # instead of silently applying a change SQLite would skip
+            raise QueryRejected(
+                "RAISE(IGNORE) in a BEFORE UPDATE/DELETE trigger is not supported"
+            )
         self._flush_inserts(segment_id, pending)
         self._rewrite_partition(segment_id, stmt, kind)
         self._fire_triggers(segment_id, trigs, "AFTER", pairs, pending)
