@@ -208,3 +208,48 @@ def test_dedup_stream_batch_mode(spark):
     df = load_table(spark, SF, "events")
     doubled = df.unionAll(df)
     assert E.dedup_stream(doubled).count() == df.count()
+
+
+def test_streaming_upsert_sink_idempotent(spark, tmp_path, event_dir):
+    """Streaming MERGE sink (CDC shape): micro-batches upsert by key into
+    per-segment tables, and REPLAYING the whole stream (fresh checkpoint =
+    simulated at-least-once redelivery) leaves the store state unchanged —
+    the property that makes foreachBatch effectively exactly-once here."""
+    import pyspark.sql.functions as F
+
+    from trough_spark.store import SegmentStore
+
+    store = SegmentStore(spark, str(tmp_path / "upsert_store"))
+    store.set_schema(
+        "ev",
+        "CREATE TABLE latest (user_id INTEGER, ts DATETIME, event_type TEXT, "
+        "PRIMARY KEY (user_id, ts));",
+    )
+
+    def run(ck: str):
+        stream = E.read_event_stream(spark, event_dir, max_files_per_trigger=1)
+        enriched = stream.select(
+            F.concat(F.lit("u"), (F.col("user_id") % 4).cast("string")).alias("segment_id"),
+            "user_id",
+            "ts",
+            "event_type",
+        )
+        q = (
+            E.upsert_to_segments(
+                enriched, store, "latest", str(tmp_path / ck),
+                keys=["user_id", "ts"], schema_id="ev",
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run("ck_a")
+    n1 = store.read_many_df("^u", "SELECT count(*) AS n FROM latest").collect()[0]["n"]
+    assert n1 == 1000  # (user_id, ts) unique in the source
+    run("ck_b")  # full replay: merge converges, no duplicates
+    n2 = store.read_many_df("^u", "SELECT count(*) AS n FROM latest").collect()[0]["n"]
+    assert n2 == n1
+    # spot-check one segment round-trips a real row
+    row = store.read("u1", "SELECT user_id, event_type FROM latest ORDER BY user_id, ts LIMIT 1")
+    assert row and row[0]["user_id"] % 4 == 1

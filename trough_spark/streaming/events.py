@@ -97,6 +97,46 @@ def write_to_segments(
     return stream.writeStream.foreachBatch(_sink).option("checkpointLocation", checkpoint)
 
 
+def upsert_to_segments(
+    stream: DataFrame,
+    store,
+    table: str,
+    checkpoint: str,
+    keys: list[str],
+    schema_id: str = "default",
+    segment_col: str = "segment_id",
+    when_matched: str | dict = "update",
+):
+    """foreachBatch MERGE sink: every micro-batch UPSERTS into its target
+    segments by ``keys`` — the streaming-CDC path (late corrections, mutable
+    dimensions, running counters via a ``when_matched`` expression dict)
+    that the plain append sink cannot express.
+
+    Exactly-once story: foreachBatch delivers at-least-once on retry, and a
+    keyed merge REPLAYED with the same batch converges to the same state
+    ("update"/"insert" are idempotent; expression merges like
+    {"cnt": "target.cnt + source.cnt"} are not — use append+aggregate for
+    those when retries matter).  Segments are provisioned on first sight
+    from ``schema_id``; per-batch work is one bounded partition rewrite per
+    touched segment (the store's core invariant)."""
+    import pyspark.sql.functions as F
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        data = batch_df.withColumnRenamed(segment_col, "segment_id")
+        segs = [r["segment_id"] for r in data.select("segment_id").distinct().collect()]
+        for seg in sorted(segs):
+            store.provision(seg, schema_id)
+            store.merge(
+                seg,
+                table,
+                data.filter(F.col("segment_id") == seg).drop("segment_id"),
+                on=keys,
+                when_matched=when_matched,
+            )
+
+    return stream.writeStream.foreachBatch(_sink).option("checkpointLocation", checkpoint)
+
+
 def correlate_events(
     events: DataFrame,
     left_type: str = "signup",
