@@ -179,3 +179,32 @@ def test_minhash_wide_path_equals_long_path(spark):
         for r in minhash_lsh_candidates_wide(wide_sigs, num_perm=8, max_bucket_size=2).collect()
     }
     assert lc == wc
+
+
+def test_minhash_estimate_wide_equals_long(spark):
+    from trough_spark.operators.dedup import (
+        minhash_jaccard_estimate,
+        minhash_jaccard_estimate_wide,
+        minhash_lsh_candidates,
+        minhash_signature_vector,
+        minhash_signatures,
+    )
+    from trough_spark.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sigs = minhash_signatures(d, "doc_id", "text", num_perm=8)
+    cand = minhash_lsh_candidates(sigs).cache()
+    try:
+        long_est = {
+            (r["id1"], r["id2"]): (r["n_agree"], r["est_jaccard"])
+            for r in minhash_jaccard_estimate(sigs, cand, num_perm=8).collect()
+        }
+        wide_est = {
+            (r["id1"], r["id2"]): (r["n_agree"], r["est_jaccard"])
+            for r in minhash_jaccard_estimate_wide(
+                minhash_signature_vector(d, "doc_id", "text", num_perm=8), cand, num_perm=8
+            ).collect()
+        }
+    finally:
+        cand.unpersist()
+    assert long_est == wide_est and long_est

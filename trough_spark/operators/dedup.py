@@ -626,6 +626,34 @@ def minhash_jaccard_estimate(
     )
 
 
+def minhash_jaccard_estimate_wide(
+    sig_vec: DataFrame, candidates: DataFrame, num_perm: int = 8
+) -> DataFrame:
+    """``minhash_jaccard_estimate`` from signature VECTORS: candidates join
+    ONE row per doc side (vs num_perm rows in the long form) and the
+    agreement count is an in-row array fold — so one pipeline (signature
+    vectors) feeds banding, candidate generation, AND verification without
+    ever exploding to the relational layout.  Output and values identical
+    to the long form (asserted in tests)."""
+    s1 = sig_vec.select(F.col("id").alias("id1"), F.col("sig").alias("sig1"))
+    s2 = sig_vec.select(F.col("id").alias("id2"), F.col("sig").alias("sig2"))
+    n_agree = F.aggregate(
+        F.zip_with("sig1", "sig2", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("bigint")
+    return (
+        candidates.join(s1, "id1")
+        .join(s2, "id2")
+        .select(
+            "id1",
+            "id2",
+            n_agree.alias("n_agree"),
+            F.round(n_agree / F.lit(float(num_perm)), 6).alias("est_jaccard"),
+        )
+    )
+
+
 def chunk_dedup_rewrite(
     df: DataFrame, id_col: str, text_col: str, chunk: int = 20
 ) -> DataFrame:

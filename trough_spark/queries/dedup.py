@@ -441,9 +441,9 @@ def dedup_minhash_verify(spark, sf_dir):
     after signing, so verification is O(candidates x num_perm) longs
     regardless of document size."""
     docs = T(spark, sf_dir, "documents")
-    sigs = D.minhash_signatures(docs, "doc_id", "text", num_perm=8, n=3)
-    cand = D.minhash_lsh_candidates(sigs, rows_per_band=2)
-    return D.minhash_jaccard_estimate(sigs, cand, num_perm=8)
+    sig_vec = D.minhash_signature_vector(docs, "doc_id", "text", num_perm=8, n=3)
+    cand = D.minhash_lsh_candidates_wide(sig_vec, num_perm=8, rows_per_band=2)
+    return D.minhash_jaccard_estimate_wide(sig_vec, cand, num_perm=8)
 
 
 @query(
