@@ -372,25 +372,31 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     Near-dups cluster by fingerprint equality or small Hamming distance
     (pairs via banding, as with MinHash).
 
-    Scale: tokens × bits expand map-side; the vote sum is a partial aggregate
-    on (id, bit) — the shuffle is O(docs × bits), independent of doc length.
+    Scale (wide form, round 5): all ``bits`` vote sums are map-side COLUMNS
+    into ONE partial-aggregated groupBy(id) — the former long form exploded
+    every token ``bits``× and shuffled (id, bit) rows twice.  One shuffle
+    carrying ``bits`` longs per doc, no row multiplication; the fingerprint
+    assembles from the vote columns map-side.  Values are identical (same
+    per-bit integer vote sums, same threshold; oracle unchanged).
     """
     tok = (
         df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok"))
         .filter(F.length("tok") > 0)
         .withColumn("h", portable_hash(F.col("tok")))
     )
-    votes = (
-        tok.select("id", "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"))
-        .withColumn("vote", F.expr("(shiftright(h, bit) & 1) * 2 - 1"))
-        .groupBy("id", "bit")
-        .agg(F.sum("vote").alias("v"))
+    votes = tok.groupBy("id").agg(
+        *[
+            F.sum(F.expr(f"(shiftright(h, {b}) & 1) * 2 - 1")).alias(f"_v{b}")
+            for b in range(bits)
+        ]
     )
-    return votes.groupBy("id").agg(
-        F.sum(F.expr("CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE 0 END")).alias(
-            "simhash"
+    fingerprint = None
+    for b in range(bits):
+        term = F.when(F.col(f"_v{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
         )
-    )
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return votes.select("id", fingerprint.alias("simhash"))
 
 
 def simhash_pairs(
