@@ -185,3 +185,34 @@ def test_shell_pretty_format_and_pager(client):
     shell2.pager = fake_pager
     shell2.do_line("SELECT id FROM test")
     assert any('{"id": 1}' in s for s in captured)
+
+
+def test_client_url_surface_and_async(spark, tmp_path):
+    """Reference client URL/async surface (client.py:110-334): write_url
+    provisions and returns the address, read_url raises
+    TroughSegmentNotFound before provisioning, read_urls_for_regex maps
+    matching segments, schema_exists, readable_segments(regex), sql_value,
+    and async_read all behave."""
+    import asyncio
+
+    from trough_spark.client import TroughClient, TroughSegmentNotFound
+
+    c = TroughClient(spark, str(tmp_path / "clientstore"))
+    c.register_schema("s1", "CREATE TABLE t (id INTEGER PRIMARY KEY, v TEXT);")
+    assert c.schema_exists("s1") and not c.schema_exists("nope")
+
+    with pytest.raises(TroughSegmentNotFound):
+        c.read_url("segA")
+    url = c.write_url("segA", "s1")
+    assert url.startswith("trough-spark://") and url.endswith("#segA")
+    assert c.read_url("segA") == url == c.read_url_nocache("segA")
+    c.write_url("segB", "s1")
+
+    c.write("segA", "INSERT INTO t (v) VALUES (%s)", ["hello"], schema_id="s1")
+    assert (asyncio.run(c.async_read("segA", "SELECT v FROM t"))
+            == c.read("segA", "SELECT v FROM t") == [{"v": "hello"}])
+
+    urls = c.read_urls_for_regex("^seg")
+    assert set(urls) == {"segA", "segB"} and urls["segA"] == url
+    assert [s["segment"] for s in c.readable_segments("B$")] == ["segB"]
+    assert c.sql_value("it's") == "'it''s'" and c.sql_value(None) == "null"
