@@ -442,12 +442,22 @@ def _trigger_ddl(rng: random.Random, n: int) -> list[str]:
 
 def _trigger_script(rng: random.Random) -> list[str]:
     """Random DML confined to the supported triggered-table shapes:
-    plain INSERT VALUES / UPDATE / DELETE (conflict-mode inserts on a
-    triggered table are rejected by design)."""
+    plain INSERT VALUES / INSERT..SELECT / UPDATE / DELETE (conflict-mode
+    inserts on a triggered table are rejected by design)."""
     stmts = []
     next_id = 100
     for _ in range(rng.randint(3, 6)):
-        kind = rng.randrange(4)
+        kind = rng.randrange(5)
+        if kind == 4:
+            # INSERT..SELECT on the triggered table: source rows are
+            # materialized and replayed, firing per produced row
+            off = rng.randint(50, 80)
+            stmts.append(
+                f"INSERT INTO nums (id, a, b, s) "
+                f"SELECT id + {off}, b, a, s || '+' FROM nums "
+                f"WHERE id < {rng.randint(3, 6)}"
+            )
+            continue
         if kind == 0:
             a = rng.choice(["NULL", str(rng.randint(-9, 9))])
             s = rng.choice(["NULL", "'new'", "''", "'Zz'"])

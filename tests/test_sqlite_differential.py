@@ -461,3 +461,44 @@ def test_raise_ignore_skips_row_and_later_triggers(trig_engines):
     # row 2: 'pre-ignore' persisted, no 'post-ignore', no 'seen' (keep_log abandoned)
     assert (2, "pre-ignore", None, None) in audit
     assert not any(a == 2 and t in ("post-ignore", "seen") for a, t, *_ in audit)
+
+
+def test_duplicate_pk_insert_raises_and_rolls_back(trig_engines):
+    """SQLite raises 'UNIQUE constraint failed' on a duplicate PRIMARY KEY
+    in a plain INSERT, aborting the reference's script transaction; the
+    engine must do the same (found while fuzzing INSERT..SELECT — appending
+    the dup silently was a B15 gap)."""
+    conn, store = trig_engines
+    _both(conn, store, "INSERT INTO items VALUES (1, 'apple', 3.5, 10)")
+    bad = (
+        "INSERT INTO items VALUES (2, 'ok', 1.0, 1);\n"
+        "INSERT INTO items VALUES (1, 'dup', 9.9, 9)"
+    )
+    with pytest.raises(sqlite3.IntegrityError):
+        _sqlite_script(conn, bad)
+    conn.execute("ROLLBACK")
+    from trough_spark.dialect import QueryRejected
+
+    with pytest.raises(QueryRejected, match="UNIQUE constraint failed: items.id"):
+        store.write("trigseg", bad)
+    expected, got = _table_state(conn, store, "trigseg", "items", "id")
+    assert got == expected == [(1, "apple", 3.5, 10)]  # all-or-nothing both sides
+
+    # INSERT..SELECT duplicating keys fails identically
+    bad2 = "INSERT INTO items (id, name, price, qty) SELECT id, name, price, qty FROM items"
+    with pytest.raises(sqlite3.IntegrityError):
+        _sqlite_script(conn, bad2)
+    conn.execute("ROLLBACK")
+    with pytest.raises(QueryRejected, match="UNIQUE constraint failed"):
+        store.write("trigseg", bad2)
+
+    # UPDATE landing two rows on one pk fails identically
+    _both(conn, store, "INSERT INTO items VALUES (2, 'pear', 1.0, 1)")
+    bad3 = "UPDATE items SET id = 1 WHERE id = 2"
+    with pytest.raises(sqlite3.IntegrityError):
+        _sqlite_script(conn, bad3)
+    conn.execute("ROLLBACK")
+    with pytest.raises(QueryRejected, match="UNIQUE constraint failed"):
+        store.write("trigseg", bad3)
+    expected, got = _table_state(conn, store, "trigseg", "items", "id")
+    assert got == expected

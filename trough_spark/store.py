@@ -941,6 +941,8 @@ class SegmentStore:
         aligned = src.select([F.col(n).cast(t) for n, t in ts.fields])
         try:
             if mode is None or not ts.primary_key:
+                if mode is None:
+                    self._assert_pk_unique_df(segment_id, table, ts, aligned)
                 path = self._partition_path(table, segment_id)
                 if self._active_txn is not None:
                     self._active_txn.before_append(path)
@@ -1225,12 +1227,66 @@ class SegmentStore:
             if not rows:
                 continue
             ts = self._table_schema(segment_id, table)
+            self._assert_pk_unique_rows(segment_id, table, ts, rows)
             df = self.spark.createDataFrame(rows, ts.struct())
             path = self._partition_path(table, segment_id)
             if self._active_txn is not None:
                 self._active_txn.before_append(path)
             self._write_files(df, path, "append")
         pending.clear()
+
+    def _pk_error(self, table: str, ts: TableSchema) -> QueryRejected:
+        cols = ", ".join(f"{table}.{k}" for k in ts.primary_key)
+        return QueryRejected(f"UNIQUE constraint failed: {cols}")
+
+    def _assert_pk_unique_rows(
+        self, segment_id: str, table: str, ts: TableSchema, rows: list[Row]
+    ) -> None:
+        """SQLite raises on a duplicate PRIMARY KEY in a plain INSERT; so do
+        we (B15 parity — silently appending a dup was a fuzz-found gap).
+        Batch-internal dups are checked driver-side for free; the
+        vs-existing check is ONE pushdown-filtered scan of the single
+        segment partition, and only runs for tables that declare a pk."""
+        pk = ts.primary_key
+        if not pk:
+            return
+        idx = {n.lower(): i for i, (n, _) in enumerate(ts.fields)}
+        keys = [tuple(r[idx[k.lower()]] for k in pk) for r in rows]
+        # SQLite: NULL pk components never conflict (NULL != NULL)
+        keys = [k for k in keys if all(v is not None for v in k)]
+        if len(keys) != len(set(keys)):
+            raise self._pk_error(table, ts)
+        path = self._partition_path(table, segment_id)
+        if not keys or not os.path.isdir(path):
+            return
+        existing = self._read_files(path, ts.struct()).select(*pk)
+        if len(pk) == 1:
+            hit = existing.filter(F.col(pk[0]).isin([k[0] for k in keys]))
+        else:
+            batch = self.spark.createDataFrame(
+                keys, T.StructType([T.StructField(k, dict((n.lower(), t) for n, t in ts.fields)[k.lower()], True) for k in pk])
+            )
+            hit = existing.join(batch, pk, "left_semi")
+        if hit.limit(1).count() > 0:
+            raise self._pk_error(table, ts)
+
+    def _assert_pk_unique_df(
+        self, segment_id: str, table: str, ts: TableSchema, new: DataFrame
+    ) -> None:
+        """INSERT..SELECT flavor of the pk check: any pk appearing twice
+        across (new ∪ existing) is a violation — one aggregate job."""
+        pk = ts.primary_key
+        if not pk:
+            return
+        side = new.select(*pk).where(
+            " AND ".join(f"{k} IS NOT NULL" for k in pk)
+        )
+        path = self._partition_path(table, segment_id)
+        if os.path.isdir(path):
+            side = side.unionByName(self._read_files(path, ts.struct()).select(*pk))
+        dup = side.groupBy(*pk).count().filter(F.col("count") > 1).limit(1).count()
+        if dup:
+            raise self._pk_error(table, ts)
 
     def _rewrite_partition(self, segment_id: str, stmt: str, kind: str) -> None:
         """UPDATE/DELETE = read-modify-overwrite of ONE segment partition —
@@ -1277,6 +1333,20 @@ class SegmentStore:
                     for n in df.columns
                 ]
             )
+            ts = self._table_schema(segment_id, table)
+            if ts.primary_key and set(sets) & {k.lower() for k in ts.primary_key}:
+                # SQLite raises when an UPDATE lands two rows on one pk
+                pk = ts.primary_key
+                dup = (
+                    out.where(" AND ".join(f"{k} IS NOT NULL" for k in pk))
+                    .groupBy(*pk)
+                    .count()
+                    .filter(F.col("count") > 1)
+                    .limit(1)
+                    .count()
+                )
+                if dup:
+                    raise self._pk_error(table, ts)
         self._overwrite_partition(segment_id, table, out)
 
     # -- trigger execution (B14; reference semantics write.py:40 — scripts
