@@ -324,7 +324,17 @@ def _write_script(rng: random.Random) -> list[str]:
     stmts = []
     next_id = 100
     for _ in range(rng.randint(3, 7)):
-        kind = rng.randrange(6)
+        kind = rng.randrange(7)
+        if kind == 6:
+            # PLAIN insert on a possibly-existing pk: a legitimate
+            # 'UNIQUE constraint failed' outcome — both engines must agree
+            # on raise/no-raise AND post-rollback state
+            rid = rng.choice([1, 3, 5, next_id])
+            stmts.append(
+                f"INSERT INTO nums (id, a, b, s) VALUES ({rid}, 1, 2, 'dup')"
+            )
+            next_id += 1
+            continue
         if kind == 4:
             # conflict on an existing or fresh id: REPLACE swaps the row,
             # IGNORE keeps the original
@@ -360,16 +370,41 @@ def _write_script(rng: random.Random) -> list[str]:
     return stmts
 
 
+def _run_script_both(conn, store, seg, stmts) -> tuple[bool, bool]:
+    """Execute one script through both engines the way the reference does
+    (ONE manual transaction, trough/write.py:38-40): on error both roll the
+    whole script back.  Returns (sqlite_raised, engine_raised) so fuzzed
+    scripts may legitimately ERROR (e.g. duplicate pk) as long as both
+    engines agree on raise/no-raise AND on the resulting state."""
+    script = ";\n".join(stmts).rstrip().rstrip(";") + ";"
+    sq_raised = False
+    try:
+        conn.executescript("BEGIN TRANSACTION;\n" + script + "\nCOMMIT;\n")
+        conn.commit()
+    except sqlite3.Error:
+        sq_raised = True
+        try:
+            conn.execute("ROLLBACK")
+        except sqlite3.Error:
+            pass
+    en_raised = False
+    try:
+        store.write(seg, script)
+    except Exception:
+        en_raised = True
+    return sq_raised, en_raised
+
+
 @pytest.mark.parametrize("case", range(N_WRITE_CASES))
 def test_fuzzed_write_script_matches_sqlite(spark, tmp_path, case):
     rng = random.Random(SEED + 100 + case)
     stmts = _write_script(rng)
 
     conn = sqlite3.connect(":memory:")
+    conn.isolation_level = None
     conn.execute(DDL)
     conn.executemany("INSERT INTO nums VALUES (?, ?, ?, ?)", ROWS)
-    for st in stmts:
-        conn.execute(st)
+    conn.commit()
 
     store = SegmentStore(spark, str(tmp_path / "store"))
     store.set_schema("nums_schema", DDL + ";")
@@ -383,13 +418,16 @@ def test_fuzzed_write_script_matches_sqlite(spark, tmp_path, case):
         for r in ROWS
     )
     store.write(f"wseg{case}", seed)
-    store.write(f"wseg{case}", ";\n".join(stmts))
+    sq_raised, en_raised = _run_script_both(conn, store, f"wseg{case}", stmts)
 
     q = "SELECT id, a, b, s FROM nums ORDER BY id"
     expected = [tuple(row) for row in conn.execute(q).fetchall()]
     got = [
         (r["id"], r["a"], r["b"], r["s"]) for r in store.read(f"wseg{case}", q)
     ]
+    assert sq_raised == en_raised, (
+        f"\nscript: {stmts}\nsqlite raised: {sq_raised}, engine raised: {en_raised}"
+    )
     assert got == expected, f"\nscript: {stmts}\nsqlite: {expected}\nengine: {got}"
 
 
@@ -482,12 +520,13 @@ def test_fuzzed_triggers_match_sqlite(spark, tmp_path, case):
     stmts = _trigger_script(rng)
 
     conn = sqlite3.connect(":memory:")
+    conn.isolation_level = None
     conn.executescript(TRIG_DDL)
     conn.executemany("INSERT INTO nums VALUES (?, ?, ?, ?)", ROWS)
+    conn.commit()
     for t in trigs:
         conn.execute(t)
-    for st in stmts:
-        conn.execute(st)
+    conn.commit()
 
     store = SegmentStore(spark, str(tmp_path / "store"))
     store.set_schema("trig_schema", TRIG_DDL + ";")
@@ -502,7 +541,11 @@ def test_fuzzed_triggers_match_sqlite(spark, tmp_path, case):
     )
     store.write(f"tseg{case}", seed)
     store.write(f"tseg{case}", ";\n".join(trigs))
-    store.write(f"tseg{case}", ";\n".join(stmts))
+    sq_raised, en_raised = _run_script_both(conn, store, f"tseg{case}", stmts)
+    assert sq_raised == en_raised, (
+        f"\ntriggers: {trigs}\nscript: {stmts}\n"
+        f"sqlite raised: {sq_raised}, engine raised: {en_raised}"
+    )
 
     for q in (
         "SELECT id, a, b, s FROM nums ORDER BY id",

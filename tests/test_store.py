@@ -481,3 +481,28 @@ def test_last_insert_rowid_and_iif(store):
     store.write("lrid", "INSERT INTO test (test) SELECT 'ref ' || last_insert_rowid();")
     rows = store.read("lrid", "SELECT test FROM test WHERE id = 3")
     assert rows == [{"test": "ref 2"}]
+
+
+def test_rollback_after_multiple_overwrites_restores_prescript_state(spark, tmp_path):
+    """Two partition overwrites (UPDATEs) followed by a failing statement in
+    ONE script must restore the exact pre-script state — the write fuzzer
+    caught the second overwrite destroying the first (pre-script) `._old`
+    backup, leaving rollback to wipe the partition."""
+    from trough_spark.dialect import QueryRejected
+    from trough_spark.store import SegmentStore
+
+    store = SegmentStore(spark, str(tmp_path / "rbstore"))
+    store.set_schema("s", "CREATE TABLE t (id INTEGER PRIMARY KEY, v INTEGER);")
+    store.provision("seg", "s")
+    store.write("seg", "INSERT INTO t VALUES (1, 10); INSERT INTO t VALUES (2, 20)")
+    with pytest.raises(QueryRejected):
+        store.write(
+            "seg",
+            "UPDATE t SET v = v + 1;\n"
+            "UPDATE t SET v = v * 2;\n"
+            "INSERT INTO t VALUES (1, 999)",  # duplicate pk -> whole script rolls back
+        )
+    assert store.read("seg", "SELECT id, v FROM t ORDER BY id") == [
+        {"id": 1, "v": 10},
+        {"id": 2, "v": 20},
+    ]

@@ -1630,6 +1630,17 @@ class SegmentStore:
         bak = path + "._old"
         if self._active_txn is not None:
             self._active_txn.before_append(path)  # pre-swap snapshot
+            if any(p == path for p, _ in self._active_txn.overwrites):
+                # the txn already holds this partition's PRE-SCRIPT backup;
+                # a second overwrite in the same script must NOT replace it
+                # with the intermediate state (the write fuzzer caught
+                # rollback wiping the partition: reusing `._old` destroyed
+                # the only pre-script copy) — swap the data in place and
+                # keep the first backup authoritative
+                shutil.rmtree(path, ignore_errors=True)
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                shutil.move(tmp, path)
+                return
         shutil.rmtree(bak, ignore_errors=True)
         if os.path.isdir(path):
             os.replace(path, bak)
