@@ -398,16 +398,28 @@ def _run_script_both(conn, store, seg, stmts) -> tuple[bool, bool]:
 @pytest.mark.parametrize("case", range(N_WRITE_CASES))
 def test_fuzzed_write_script_matches_sqlite(spark, tmp_path, case):
     rng = random.Random(SEED + 100 + case)
+    ddl = DDL
+    if rng.random() < 0.5:
+        # random CHECK constraint: scripts then legitimately violate it and
+        # both engines must agree on raise/no-raise + rolled-back state
+        check = rng.choice(
+            [
+                "CHECK (a IS NULL OR a > -30)",
+                "CHECK (b < 60)",
+                "CONSTRAINT s_len CHECK (s IS NULL OR length(s) < 20)",
+            ]
+        )
+        ddl = DDL[:-1] + f", {check})"
     stmts = _write_script(rng)
 
     conn = sqlite3.connect(":memory:")
     conn.isolation_level = None
-    conn.execute(DDL)
+    conn.execute(ddl)
     conn.executemany("INSERT INTO nums VALUES (?, ?, ?, ?)", ROWS)
     conn.commit()
 
     store = SegmentStore(spark, str(tmp_path / "store"))
-    store.set_schema("nums_schema", DDL + ";")
+    store.set_schema("nums_schema", ddl + ";")
     store.provision(f"wseg{case}", "nums_schema")
     seed = ";\n".join(
         "INSERT INTO nums (id, a, b, s) VALUES (%s)"

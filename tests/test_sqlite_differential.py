@@ -502,3 +502,81 @@ def test_duplicate_pk_insert_raises_and_rolls_back(trig_engines):
         store.write("trigseg", bad3)
     expected, got = _table_state(conn, store, "trigseg", "items", "id")
     assert got == expected
+
+
+CHECK_DDL = (
+    "CREATE TABLE c (id INTEGER PRIMARY KEY, v INTEGER CHECK (v > 0), "
+    "w TEXT NOT NULL, CONSTRAINT wlen CHECK (length(w) < 5), CHECK (v < 100));\n"
+)
+
+
+@pytest.fixture()
+def check_engines(spark, tmp_path):
+    conn = sqlite3.connect(":memory:")
+    conn.isolation_level = None
+    conn.executescript(CHECK_DDL)
+    store = SegmentStore(spark, str(tmp_path / "cstore"))
+    store.set_schema("c_schema", CHECK_DDL)
+    store.provision("cseg", "c_schema")
+    yield conn, store
+    conn.close()
+
+
+def _expect_same_error(conn, store, script, match):
+    from trough_spark.dialect import QueryRejected
+
+    with pytest.raises(sqlite3.IntegrityError, match=match):
+        _sqlite_script(conn, script)
+    conn.execute("ROLLBACK")
+    with pytest.raises(QueryRejected, match=match):
+        store.write("cseg", script)
+
+
+def test_check_and_not_null_constraints_match_sqlite(check_engines):
+    """CHECK / NOT NULL enforcement (probed semantics): violations raise
+    SQLite's exact message (named constraint -> name, else expression
+    text), NULL CHECK results pass, OR IGNORE skips violating rows, OR
+    REPLACE and upserts still raise, UPDATE is enforced."""
+    conn, store = check_engines
+    _both_c = lambda script: (_sqlite_script(conn, script), store.write("cseg", script))  # noqa: E731
+
+    _expect_same_error(conn, store, "INSERT INTO c VALUES (1, -1, 'a')", "CHECK constraint failed: v > 0")
+    _expect_same_error(conn, store, "INSERT INTO c VALUES (1, 1, 'toolong')", "CHECK constraint failed: wlen")
+    _expect_same_error(conn, store, "INSERT INTO c VALUES (1, 500, 'a')", "CHECK constraint failed: v < 100")
+    _expect_same_error(conn, store, "INSERT INTO c (id, v) VALUES (1, 5)", "NOT NULL constraint failed: c.w")
+
+    # NULL CHECK result passes (v IS NULL -> v > 0 is NULL -> pass)
+    _both_c("INSERT INTO c VALUES (1, NULL, 'ok')")
+    # OR IGNORE skips the violating rows, keeps the good one
+    _both_c("INSERT OR IGNORE INTO c VALUES (2, -7, 'x'), (3, 3, 'y'), (4, 4, NULL)")
+    # UPDATE enforcement
+    _expect_same_error(conn, store, "UPDATE c SET v = -2 WHERE id = 3", "CHECK constraint failed: v > 0")
+    _both_c("UPDATE c SET v = 9 WHERE id = 3")
+
+    expected, got = _table_state(conn, store, "cseg", "c", "id")
+    assert got == expected == [(1, None, "ok"), (3, 9, "y")]
+
+
+def test_check_constraint_upsert_interplay(check_engines):
+    """DO NOTHING and OR REPLACE still RAISE on CHECK violations (probed);
+    DO UPDATE raises when the update lands on a violating value."""
+    conn, store = check_engines
+    _sqlite_script(conn, "INSERT INTO c VALUES (1, 5, 'a')")
+    store.write("cseg", "INSERT INTO c VALUES (1, 5, 'a')")
+    _expect_same_error(
+        conn, store,
+        "INSERT INTO c VALUES (2, -1, 'b') ON CONFLICT (id) DO NOTHING",
+        "CHECK constraint failed: v > 0",
+    )
+    _expect_same_error(
+        conn, store,
+        "INSERT OR REPLACE INTO c VALUES (2, -1, 'b')",
+        "CHECK constraint failed: v > 0",
+    )
+    _expect_same_error(
+        conn, store,
+        "INSERT INTO c VALUES (1, 6, 'z') ON CONFLICT (id) DO UPDATE SET v = -9",
+        "CHECK constraint failed: v > 0",
+    )
+    expected, got = _table_state(conn, store, "cseg", "c", "id")
+    assert got == expected == [(1, 5, "a")]

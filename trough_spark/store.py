@@ -89,6 +89,10 @@ class TableSchema:
     fields: list[tuple[str, T.DataType]]
     autoincrement_col: str | None = None
     primary_key: list[str] = field(default_factory=list)
+    # CHECK constraints as (label, sqlite_expr): label is the CONSTRAINT
+    # name if given, else the expression text (SQLite's error-message rule)
+    checks: list[tuple[str, str]] = field(default_factory=list)
+    not_null: list[str] = field(default_factory=list)
 
     def struct(self) -> T.StructType:
         return T.StructType([T.StructField(n, t, True) for n, t in self.fields])
@@ -141,23 +145,34 @@ def parse_create_table(stmt: str) -> TableSchema:
     fields: list[tuple[str, T.DataType]] = []
     auto_col = None
     pk: list[str] = []
+    checks: list[tuple[str, str]] = []
+    not_null: list[str] = []
     for coldef in coldefs:
         sig = [t for t in coldef if t.kind not in ("space", "comment")]
         if not sig:
             continue
         first = sig[0]
         if first.kind == "word" and first.text.upper() in _CONSTRAINT_WORDS:
-            # table-level constraint; extract PRIMARY KEY (col, ...)
+            # table-level constraint; extract PRIMARY KEY (col, ...) / CHECK
             text_u = dialect.render(coldef).upper()
             if "PRIMARY" in text_u and "KEY" in text_u:
                 m2 = re.search(r"\(([^)]*)\)", dialect.render(coldef))
                 if m2:
                     pk.extend(_unquote(c.strip()) for c in m2.group(1).split(","))
+            checks.extend(_parse_checks(coldef))
             continue
         col = _unquote(first.text)
         decl = dialect.render(coldef[1:]) if len(coldef) > 1 else ""
         decl_u = decl.upper()
-        typ = sqlite_type_to_spark(decl.split("PRIMARY")[0] if "PRIMARY" in decl_u else decl)
+        # truncate at the EARLIEST constraint keyword for type-affinity
+        # scanning (a CHECK/DEFAULT expression's text must not contribute
+        # affinity keywords)
+        cut = len(decl)
+        for kw in ("PRIMARY", "CHECK", "CONSTRAINT", "REFERENCES", "DEFAULT"):
+            idx = decl_u.find(kw)
+            if idx != -1:
+                cut = min(cut, idx)
+        typ = sqlite_type_to_spark(decl[:cut])
         if "PRIMARY" in decl_u and "KEY" in decl_u:
             pk.append(col)
         if "AUTOINCREMENT" in decl_u or (
@@ -165,8 +180,48 @@ def parse_create_table(stmt: str) -> TableSchema:
         ):
             auto_col = col
             typ = T.LongType()
+        if re.search(r"\bNOT\s+NULL\b", decl_u):
+            not_null.append(col)
+        checks.extend(_parse_checks(coldef))
         fields.append((col, typ))
-    return TableSchema(name=name, fields=fields, autoincrement_col=auto_col, primary_key=pk)
+    return TableSchema(
+        name=name,
+        fields=fields,
+        autoincrement_col=auto_col,
+        primary_key=pk,
+        checks=checks,
+        not_null=not_null,
+    )
+
+
+def _parse_checks(toks) -> list[tuple[str, str]]:
+    """Extract CHECK constraints from a column-def/constraint token list
+    (RAW tokens — original spacing must survive, SQLite's error message is
+    the verbatim expression text): (label, expr) where label is the
+    preceding CONSTRAINT name if given, else the expression text."""
+    toks = list(toks)
+    sig_idx = [i for i, t in enumerate(toks) if t.kind not in ("space", "comment")]
+    out: list[tuple[str, str]] = []
+    for si, i in enumerate(sig_idx):
+        t = toks[i]
+        if t.kind != "word" or t.text.upper() != "CHECK":
+            continue
+        if si + 1 >= len(sig_idx):
+            continue
+        j = sig_idx[si + 1]
+        if not (toks[j].kind == "op" and toks[j].text == "("):
+            continue
+        args, _close = dialect._find_call_args(toks, j)
+        expr = ", ".join(dialect.render(list(a)).strip() for a in args)
+        label = expr
+        if (
+            si >= 2
+            and toks[sig_idx[si - 2]].kind == "word"
+            and toks[sig_idx[si - 2]].text.upper() == "CONSTRAINT"
+        ):
+            label = _unquote(toks[sig_idx[si - 1]].text)
+        out.append((label, expr))
+    return out
 
 
 @dataclass
@@ -877,12 +932,16 @@ class SegmentStore:
                 return False
             if mode is None or not ts.primary_key:
                 # SQLite: OR REPLACE/IGNORE without a pk/unique constraint is
-                # a plain insert
+                # a plain insert — but OR IGNORE still SKIPS rows that
+                # violate CHECK/NOT NULL (probed)
+                if mode == "IGNORE" and (ts.checks or ts.not_null):
+                    df = self.spark.createDataFrame(rows, ts.struct())
+                    rows = self._drop_constraint_violations(ts, df).collect()
                 pending.setdefault(table, []).extend(rows)
                 return True
             self._flush_inserts(segment_id, pending)
             df = self.spark.createDataFrame(rows, ts.struct())
-            self._upsert(segment_id, table, ts, df, mode)
+            self._upsert(segment_id, table, ts, df, mode, skip_violations=mode == "IGNORE")
             return False
         # INSERT INTO ... SELECT: evaluate the query against this segment's
         # tables through the read path, then append/upsert
@@ -941,6 +1000,10 @@ class SegmentStore:
         aligned = src.select([F.col(n).cast(t) for n, t in ts.fields])
         try:
             if mode is None or not ts.primary_key:
+                if mode == "IGNORE":
+                    aligned = self._drop_constraint_violations(ts, aligned)
+                else:
+                    self._assert_constraints(ts, aligned)
                 if mode is None:
                     self._assert_pk_unique_df(segment_id, table, ts, aligned)
                 path = self._partition_path(table, segment_id)
@@ -948,17 +1011,36 @@ class SegmentStore:
                     self._active_txn.before_append(path)
                 self._write_files(aligned, path, "append")
             else:
-                self._upsert(segment_id, table, ts, aligned, mode)
+                self._upsert(
+                    segment_id, table, ts, aligned, mode,
+                    skip_violations=mode == "IGNORE",
+                )
         finally:
             if _cached is not None:
                 _cached.unpersist()
         return False
 
-    def _upsert(self, segment_id: str, table: str, ts: TableSchema, new: DataFrame, mode: str) -> None:
+    def _upsert(
+        self,
+        segment_id: str,
+        table: str,
+        ts: TableSchema,
+        new: DataFrame,
+        mode: str,
+        skip_violations: bool = False,
+    ) -> None:
         """INSERT OR REPLACE / OR IGNORE with the declared primary key
         (SURVEY §2.B15).  REPLACE = existing rows with matching pk are
         superseded; IGNORE = incoming rows with an existing pk are dropped.
-        Both are one single-partition rewrite/append — bounded work."""
+        Both are one single-partition rewrite/append — bounded work.
+
+        CHECK/NOT NULL interplay (probed against live SQLite): OR IGNORE
+        silently SKIPS violating rows (``skip_violations=True``); OR REPLACE
+        and ON CONFLICT DO NOTHING still RAISE."""
+        if skip_violations:
+            new = self._drop_constraint_violations(ts, new)
+        else:
+            self._assert_constraints(ts, new)
         existing = self._read_partition(segment_id, table)
         pk = ts.primary_key
         if mode == "REPLACE":
@@ -1057,7 +1139,9 @@ class SegmentStore:
         inserts = new.join(
             existing.select(*ts.primary_key).distinct(), ts.primary_key, "left_anti"
         ).select([F.col(n).cast(t) for n, t in ts.fields])
-        self._overwrite_partition(segment_id, table, updated.unionByName(inserts))
+        out = updated.unionByName(inserts)
+        self._assert_constraints(ts, out)
+        self._overwrite_partition(segment_id, table, out)
 
     def merge(
         self,
@@ -1229,11 +1313,57 @@ class SegmentStore:
             ts = self._table_schema(segment_id, table)
             self._assert_pk_unique_rows(segment_id, table, ts, rows)
             df = self.spark.createDataFrame(rows, ts.struct())
+            self._assert_constraints(ts, df)
             path = self._partition_path(table, segment_id)
             if self._active_txn is not None:
                 self._active_txn.before_append(path)
             self._write_files(df, path, "append")
         pending.clear()
+
+    def _violation_conds(self, ts: TableSchema) -> list[tuple[str, str]]:
+        """(error message, Spark filter expr) per declared CHECK / NOT NULL
+        constraint — SQLite write semantics: a CHECK passes when its result
+        is true OR NULL (probed), NOT NULL fails on NULL (the autoincrement
+        column is exempt, it is auto-assigned)."""
+        conds = []
+        for label, expr in ts.checks:
+            conds.append(
+                (
+                    f"CHECK constraint failed: {label}",
+                    f"NOT coalesce(CAST(({dialect.sqlite_to_spark(expr)}) AS BOOLEAN), true)",
+                )
+            )
+        for col in ts.not_null:
+            if col == ts.autoincrement_col:
+                continue
+            conds.append(
+                (f"NOT NULL constraint failed: {ts.name}.{col}", f"`{col}` IS NULL")
+            )
+        return conds
+
+    def _assert_constraints(self, ts: TableSchema, df) -> None:
+        """Raise SQLite's constraint error if any row of ``df`` violates a
+        CHECK/NOT NULL.  One combined filter job on the write batch (zero
+        cost for constraint-free tables); the per-constraint re-probe runs
+        only on the failure path to name the right constraint."""
+        conds = self._violation_conds(ts)
+        if not conds:
+            return
+        combined = " OR ".join(f"({c})" for _, c in conds)
+        if df.filter(combined).limit(1).count() == 0:
+            return
+        for msg, c in conds:
+            if df.filter(c).limit(1).count() > 0:
+                raise QueryRejected(msg)
+
+    def _drop_constraint_violations(self, ts: TableSchema, df):
+        """OR IGNORE semantics (probed): constraint-violating rows are
+        silently skipped, the rest of the statement proceeds."""
+        conds = self._violation_conds(ts)
+        if not conds:
+            return df
+        combined = " OR ".join(f"({c})" for _, c in conds)
+        return df.filter(f"NOT ({combined})")
 
     def _pk_error(self, table: str, ts: TableSchema) -> QueryRejected:
         cols = ", ".join(f"{table}.{k}" for k in ts.primary_key)
@@ -1347,6 +1477,10 @@ class SegmentStore:
                 )
                 if dup:
                     raise self._pk_error(table, ts)
+            # CHECK/NOT NULL enforced on the post-update rows (stored rows
+            # already satisfy them, so checking the whole partition is
+            # equivalent to checking the modified rows)
+            self._assert_constraints(ts, out)
         self._overwrite_partition(segment_id, table, out)
 
     # -- trigger execution (B14; reference semantics write.py:40 — scripts
@@ -2303,6 +2437,8 @@ def _tableschema_to_json(ts: TableSchema) -> dict:
         "fields": [[n, t.simpleString()] for n, t in ts.fields],
         "autoincrement_col": ts.autoincrement_col,
         "primary_key": ts.primary_key,
+        "checks": [list(c) for c in ts.checks],
+        "not_null": ts.not_null,
     }
 
 
@@ -2314,6 +2450,8 @@ def _tableschema_from_json(d: dict) -> TableSchema:
         fields=[(n, _parse_datatype_string(t)) for n, t in d["fields"]],
         autoincrement_col=d.get("autoincrement_col"),
         primary_key=d.get("primary_key", []),
+        checks=[tuple(c) for c in d.get("checks", [])],
+        not_null=d.get("not_null", []),
     )
 
 
