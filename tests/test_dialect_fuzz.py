@@ -528,12 +528,19 @@ def _trigger_script(rng: random.Random) -> list[str]:
 @pytest.mark.parametrize("case", range(N_TRIGGER_CASES))
 def test_fuzzed_triggers_match_sqlite(spark, tmp_path, case):
     rng = random.Random(SEED + 500 + case)
+    trig_ddl = TRIG_DDL
+    if rng.random() < 0.4:
+        # triggers x CHECK constraints: body INSERTs and the outer script
+        # may both violate; engines must agree on raise + rollback state
+        trig_ddl = trig_ddl.replace(
+            "s TEXT)", "s TEXT, CHECK (coalesce(b, 0) > -50))"
+        )
     trigs = _trigger_ddl(rng, rng.randint(1, 3))
     stmts = _trigger_script(rng)
 
     conn = sqlite3.connect(":memory:")
     conn.isolation_level = None
-    conn.executescript(TRIG_DDL)
+    conn.executescript(trig_ddl)
     conn.executemany("INSERT INTO nums VALUES (?, ?, ?, ?)", ROWS)
     conn.commit()
     for t in trigs:
@@ -541,7 +548,7 @@ def test_fuzzed_triggers_match_sqlite(spark, tmp_path, case):
     conn.commit()
 
     store = SegmentStore(spark, str(tmp_path / "store"))
-    store.set_schema("trig_schema", TRIG_DDL + ";")
+    store.set_schema("trig_schema", trig_ddl + ";")
     store.provision(f"tseg{case}", "trig_schema")
     seed = ";\n".join(
         "INSERT INTO nums (id, a, b, s) VALUES (%s)"

@@ -1324,7 +1324,11 @@ class SegmentStore:
         """(error message, Spark filter expr) per declared CHECK / NOT NULL
         constraint — SQLite write semantics: a CHECK passes when its result
         is true OR NULL (probed), NOT NULL fails on NULL (the autoincrement
-        column is exempt, it is auto-assigned)."""
+        column is exempt, it is auto-assigned).  FOREIGN KEYs are
+        deliberately NOT enforced: SQLite only enforces them under
+        ``PRAGMA foreign_keys=ON`` and the reference never sets any pragma
+        (its connections run SQLite defaults), so FK-less writes ARE the
+        reference behavior."""
         conds = []
         for label, expr in ts.checks:
             conds.append(
