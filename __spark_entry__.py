@@ -23,90 +23,34 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver samples a prefix of the registry when it can't run everything,
 # so order queries by how much a fresh correctness row is worth: first the
-# four queries whose round-4 red rows this round fixes (oracle HUGEINT
-# typing), then the 70 queries whose latest driver evidence predates round
-# 4, then the round-4-green remainder.
+# 24 queries whose latest driver evidence is rounds 1-3 (VERDICT r5 item 1),
+# then the queries not sampled in round 5, then the round-5-green remainder
+# (freshest evidence, lowest priority).
 _SAMPLE_PRIORITY = [
-    # the four round-4 reds, fixed this round (oracle HUGEINT casts) --
-    # fresh green rows are worth the most
-    "vec_pq_adc_topk",
-    "vec_ivfpq_search",
-    "sketch_source_overlap",
-    "text_hashed_ann_topk",
-    # the 70 queries NOT driver-sampled in round 4 (VERDICT r4 item 5):
-    # every query has >=1 historical green row, but these ride on
-    # rounds 1-3 evidence -- rotate them to the front
-    "bloom_semijoin_prune",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_minhash_signatures",
-    "dedup_simhash",
-    "dedup_keep_first",
-    "dedup_connected_components",
-    "dedup_simhash_pairs",
-    "dedup_incremental",
-    "dedup_cc_star",
-    "dedup_span_coverage",
-    "dedup_fuzzy_levenshtein",
-    "multimodal_image_features",
-    "multimodal_audio_features",
-    "skew_salted_aggregation",
-    "skew_salted_join",
-    "multimodal_resize",
-    "sample_hash_split",
-    "sample_stratified",
-    "pack_sequences",
-    "sample_mix_rebalance",
-    "text_token_count",
-    "text_quality_features",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_tfidf_top_terms",
-    "text_top_terms",
-    "text_bpe_token_count",
-    "text_boilerplate_ratio",
-    "text_contamination",
-    "text_unigram_logprob",
-    "text_repetition_ratio",
-    "text_source_rollup",
-    "text_pii_scrub",
-    "text_chunk_windows",
-    "text_bm25_search",
-    "text_surt_canonicalize",
-    "text_outlier_mad",
-    "text_quality_ntile",
-    "pipeline_curation",
-    "b3_projection_expressions",
-    "b4_filter_predicates",
-    "b5_join_outer_semi_anti",
-    "b6_agg_pricing_summary",
-    "b6_group_concat_distinct",
-    "b7_rollup",
-    "b8_window_functions",
-    "b9_topk_per_group",
-    "b9_order_limit_offset",
-    "b10_set_ops",
-    "b11_subqueries_cte",
-    "b12_scalar_functions",
-    "b12_datetime_functions",
     "b6_having",
+    "b6_percentiles",
+    "b6_pivot_priority",
+    "b7_rollup",
+    "b7_cube_grouping_sets",
+    "b8_window_functions",
     "b8_range_frames",
     "b8_groups_frames",
+    "b9_topk_per_group",
+    "b9_order_limit_offset",
     "b9_nulls_ordering",
+    "b10_set_ops",
+    "b11_subqueries_cte",
     "b11_exists_anti",
-    "b6_percentiles",
-    "b7_cube_grouping_sets",
-    "b6_pivot_priority",
-    "layout_zorder_key",
+    "b12_scalar_functions",
+    "b12_datetime_functions",
     "sim_cosine_pairs",
     "sim_ann_topk",
     "sim_srp_buckets",
     "sim_srp_bucketed_pairs",
     "sim_matryoshka_topk",
+    "layout_zorder_key",
     "events_attribution_touch",
     "stream_dedup_ids",
-    # sampled green in round 4 -- freshest evidence, lowest priority
     "dedup_minhash_verify",
     "dedup_chunk_rewrite",
     "multimodal_frame_sample",
@@ -153,6 +97,56 @@ _SAMPLE_PRIORITY = [
     "a9_build_redirect_array",
     "a2_row_to_json",
     "b12_dialect_shim_roundtrip",
+    "vec_pq_adc_topk",
+    "vec_ivfpq_search",
+    "sketch_source_overlap",
+    "text_hashed_ann_topk",
+    "bloom_semijoin_prune",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_minhash_signatures",
+    "dedup_simhash",
+    "dedup_keep_first",
+    "dedup_connected_components",
+    "dedup_simhash_pairs",
+    "dedup_incremental",
+    "dedup_cc_star",
+    "dedup_span_coverage",
+    "dedup_fuzzy_levenshtein",
+    "multimodal_image_features",
+    "multimodal_audio_features",
+    "skew_salted_aggregation",
+    "skew_salted_join",
+    "multimodal_resize",
+    "sample_hash_split",
+    "sample_stratified",
+    "pack_sequences",
+    "sample_mix_rebalance",
+    "text_token_count",
+    "text_quality_features",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_tfidf_top_terms",
+    "text_top_terms",
+    "text_bpe_token_count",
+    "text_boilerplate_ratio",
+    "text_contamination",
+    "text_unigram_logprob",
+    "text_repetition_ratio",
+    "text_source_rollup",
+    "text_pii_scrub",
+    "text_chunk_windows",
+    "text_bm25_search",
+    "text_surt_canonicalize",
+    "text_outlier_mad",
+    "text_quality_ntile",
+    "pipeline_curation",
+    "b3_projection_expressions",
+    "b4_filter_predicates",
+    "b5_join_outer_semi_anti",
+    "b6_agg_pricing_summary",
+    "b6_group_concat_distinct",
 ]
 
 
