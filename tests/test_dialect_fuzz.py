@@ -453,7 +453,33 @@ N_TRIGGER_CASES = int(os.environ.get("TROUGH_FUZZ_TRIGGERS", "6"))
 TRIG_DDL = (
     DDL
     + ";\nCREATE TABLE audit (rid INTEGER, tag TEXT, x INTEGER)"
+    + ";\nCREATE TABLE audit2 (rid INTEGER, x INTEGER)"
 )
+
+
+def _cascade_ddl(rng: random.Random) -> list[str]:
+    """Second-level triggers ON audit whose bodies write audit2 — fuzzes the
+    round-6 cascading path (a body INSERT into audit must fire these under
+    live-SQLite recursive_triggers=OFF semantics)."""
+    trigs = []
+    for i in range(rng.randint(1, 2)):
+        timing = rng.choice(["BEFORE", "AFTER"])
+        event = rng.choice(["INSERT", "UPDATE", "DELETE"])
+        row = {"INSERT": "NEW", "UPDATE": rng.choice(["NEW", "OLD"]), "DELETE": "OLD"}[event]
+        when = ""
+        if rng.random() < 0.4:
+            when = f"WHEN coalesce({row}.x, 0) >= {rng.randint(-20, 20)} "
+        body = rng.choice(
+            [
+                f"INSERT INTO audit2 VALUES ({row}.rid, coalesce({row}.x, -1));",
+                f"INSERT INTO audit2 VALUES ({row}.rid, {rng.randint(0, 9)});",
+            ]
+        )
+        trigs.append(
+            f"CREATE TRIGGER casc{i} {timing} {event} ON audit "
+            f"FOR EACH ROW {when}BEGIN {body} END"
+        )
+    return trigs
 
 
 def _trigger_ddl(rng: random.Random, n: int) -> list[str]:
@@ -536,6 +562,8 @@ def test_fuzzed_triggers_match_sqlite(spark, tmp_path, case):
             "s TEXT)", "s TEXT, CHECK (coalesce(b, 0) > -50))"
         )
     trigs = _trigger_ddl(rng, rng.randint(1, 3))
+    if rng.random() < 0.6:
+        trigs += _cascade_ddl(rng)
     stmts = _trigger_script(rng)
 
     conn = sqlite3.connect(":memory:")
@@ -569,6 +597,7 @@ def test_fuzzed_triggers_match_sqlite(spark, tmp_path, case):
     for q in (
         "SELECT id, a, b, s FROM nums ORDER BY id",
         "SELECT rid, tag, x FROM audit ORDER BY rid, tag, x",
+        "SELECT rid, x FROM audit2 ORDER BY rid, x",
     ):
         expected = [tuple(row) for row in conn.execute(q).fetchall()]
         got = [tuple(r.values()) for r in store.read(f"tseg{case}", q)]

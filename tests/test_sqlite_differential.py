@@ -580,3 +580,236 @@ def test_check_constraint_upsert_interplay(check_engines):
     )
     expected, got = _table_state(conn, store, "cseg", "c", "id")
     assert got == expected == [(1, 5, "a")]
+
+
+# ---------------------------------------------------------------------------
+# Cascading triggers (round-6): live SQLite under the default
+# PRAGMA recursive_triggers=OFF fires B's triggers when A's trigger body
+# writes B — only re-entry of a trigger already on the firing stack is
+# suppressed (probed).  These pin the chain-based suppression semantics.
+# ---------------------------------------------------------------------------
+
+CASCADE_DDL = (
+    "CREATE TABLE t_a (x INTEGER);\n"
+    "CREATE TABLE t_b (x INTEGER);\n"
+    "CREATE TABLE t_c (x INTEGER);\n"
+)
+
+
+@pytest.fixture()
+def cascade_engines(spark, tmp_path):
+    conn = sqlite3.connect(":memory:")
+    conn.isolation_level = None
+    conn.executescript(CASCADE_DDL)
+    store = SegmentStore(spark, str(tmp_path / "cascstore"))
+    store.set_schema("casc_schema", CASCADE_DDL)
+    store.provision("cascseg", "casc_schema")
+    yield conn, store
+    conn.close()
+
+
+def _both_casc(conn, store, script):
+    _sqlite_script(conn, script)
+    store.write("cascseg", script)
+
+
+def _casc_state(conn, store, table):
+    sql = f"SELECT x FROM {table} ORDER BY x"
+    expected = [r[0] for r in conn.execute(sql).fetchall()]
+    got = [r["x"] for r in store.read("cascseg", sql)]
+    return expected, got
+
+
+def test_trigger_cascade_chain_fires(cascade_engines):
+    """A->B->C: inserting into A lands a row in C through two trigger hops
+    (recursive_triggers=OFF does NOT suppress cross-table cascades)."""
+    conn, store = cascade_engines
+    _both_casc(
+        conn,
+        store,
+        "CREATE TRIGGER casc_ab AFTER INSERT ON t_a "
+        "BEGIN INSERT INTO t_b VALUES (NEW.x * 10); END;\n"
+        "CREATE TRIGGER casc_bc AFTER INSERT ON t_b "
+        "BEGIN INSERT INTO t_c VALUES (NEW.x * 10); END;\n"
+        "INSERT INTO t_a VALUES (1);\n"
+        "INSERT INTO t_a VALUES (2)",
+    )
+    for table in ("t_a", "t_b", "t_c"):
+        expected, got = _casc_state(conn, store, table)
+        assert got == expected, f"{table}: {got} vs {expected}"
+    assert _casc_state(conn, store, "t_c")[0] == [100, 200]
+
+
+def test_trigger_mutual_recursion_suppressed(cascade_engines):
+    """A->B->A: the second hop back into A does NOT re-fire A's trigger
+    (it is on the firing stack) — live-SQLite recursive_triggers=OFF."""
+    conn, store = cascade_engines
+    _both_casc(
+        conn,
+        store,
+        "CREATE TRIGGER mut_ab AFTER INSERT ON t_a WHEN NEW.x < 5 "
+        "BEGIN INSERT INTO t_b VALUES (NEW.x + 1); END;\n"
+        "CREATE TRIGGER mut_ba AFTER INSERT ON t_b WHEN NEW.x < 5 "
+        "BEGIN INSERT INTO t_a VALUES (NEW.x + 1); END;\n"
+        "INSERT INTO t_a VALUES (1)",
+    )
+    ea, ga = _casc_state(conn, store, "t_a")
+    eb, gb = _casc_state(conn, store, "t_b")
+    assert ga == ea == [1, 3] and gb == eb == [2]
+
+
+def test_trigger_self_recursion_suppressed(cascade_engines):
+    """A trigger whose body inserts into its own table fires once and does
+    not re-enter itself."""
+    conn, store = cascade_engines
+    _both_casc(
+        conn,
+        store,
+        "CREATE TRIGGER selfins AFTER INSERT ON t_a WHEN NEW.x < 5 "
+        "BEGIN INSERT INTO t_a VALUES (NEW.x + 1); END;\n"
+        "INSERT INTO t_a VALUES (1)",
+    )
+    ea, ga = _casc_state(conn, store, "t_a")
+    assert ga == ea == [1, 2]
+
+
+def test_trigger_cascade_update_fires_update_triggers(cascade_engines):
+    """A body UPDATE on another table fires that table's UPDATE triggers."""
+    conn, store = cascade_engines
+    _both_casc(
+        conn,
+        store,
+        "INSERT INTO t_b VALUES (100);\n"
+        "CREATE TRIGGER ins_a AFTER INSERT ON t_a "
+        "BEGIN UPDATE t_b SET x = x + NEW.x; END;\n"
+        "CREATE TRIGGER upd_b AFTER UPDATE ON t_b "
+        "BEGIN INSERT INTO t_c VALUES (NEW.x); END;\n"
+        "INSERT INTO t_a VALUES (7)",
+    )
+    for table in ("t_a", "t_b", "t_c"):
+        expected, got = _casc_state(conn, store, table)
+        assert got == expected, f"{table}: {got} vs {expected}"
+    assert _casc_state(conn, store, "t_c")[0] == [107]
+
+
+def test_multirow_insert_interleaves_per_row(cascade_engines):
+    """SQLite processes a multi-row INSERT row at a time: an AFTER body's
+    COUNT(*) over the target sees 1,2,3 and a BEFORE body's sees 0,1,2."""
+    conn, store = cascade_engines
+    _both_casc(
+        conn,
+        store,
+        "CREATE TRIGGER cnt_after AFTER INSERT ON t_a "
+        "BEGIN INSERT INTO t_b SELECT COUNT(*) FROM t_a; END;\n"
+        "CREATE TRIGGER cnt_before BEFORE INSERT ON t_a "
+        "BEGIN INSERT INTO t_c SELECT COUNT(*) FROM t_a; END;\n"
+        "INSERT INTO t_a VALUES (10), (11), (12)",
+    )
+    eb, gb = _casc_state(conn, store, "t_b")
+    ec, gc = _casc_state(conn, store, "t_c")
+    assert gb == eb == [1, 2, 3]
+    assert gc == ec == [0, 1, 2]
+
+
+def test_insert_select_sees_pending_script_rows(cascade_engines):
+    """INSERT..SELECT on a TRIGGERED table must see rows staged by earlier
+    statements in the same script (the non-trigger path already flushed;
+    round-6 fix makes the trigger path flush too)."""
+    conn, store = cascade_engines
+    _both_casc(
+        conn,
+        store,
+        "CREATE TRIGGER log_ab AFTER INSERT ON t_a "
+        "BEGIN INSERT INTO t_b VALUES (NEW.x); END",
+    )
+    _both_casc(
+        conn,
+        store,
+        "INSERT INTO t_c VALUES (41);\n"
+        "INSERT INTO t_c VALUES (42);\n"
+        # the SELECT source rows were staged two statements ago in THIS script
+        "INSERT INTO t_a SELECT x + 1 FROM t_c WHERE x >= 41",
+    )
+    ea, ga = _casc_state(conn, store, "t_a")
+    eb, gb = _casc_state(conn, store, "t_b")
+    assert ga == ea == [42, 43]
+    assert gb == eb == [42, 43]
+
+
+def test_multirow_update_with_target_reading_body_rejected(cascade_engines):
+    """Multi-row UPDATE whose trigger body reads/writes the target table:
+    SQLite interleaves per row, the partition-rewrite model can't — the
+    engine must reject LOUDLY (round-6 documented divergence)."""
+    conn, store = cascade_engines
+    from trough_spark.dialect import QueryRejected
+
+    _both_casc(
+        conn,
+        store,
+        "INSERT INTO t_a VALUES (1);\n"
+        "INSERT INTO t_a VALUES (2);\n"
+        "CREATE TRIGGER upd_self AFTER UPDATE ON t_a "
+        "BEGIN INSERT INTO t_b SELECT SUM(x) FROM t_a; END",
+    )
+    with pytest.raises(QueryRejected, match="multi-row UPDATE"):
+        store.write("cascseg", "UPDATE t_a SET x = x + 10")
+    # single-row UPDATE with the same trigger still runs and matches
+    _both_casc(conn, store, "UPDATE t_a SET x = x + 10 WHERE x = 1")
+    eb, gb = _casc_state(conn, store, "t_b")
+    assert gb == eb == [13]
+
+
+def test_not_null_words_inside_check_do_not_constrain_column(spark, tmp_path):
+    """live SQLite accepts INSERT (NULL, 3) into
+    a INTEGER CHECK(b IS NOT NULL OR a > 0) — the NOT NULL inside the CHECK
+    body must not mark column a NOT NULL (round-6 parser fix)."""
+    ddl = "CREATE TABLE t (a INTEGER CHECK(b IS NOT NULL OR a > 0), b INTEGER);\n"
+    conn = sqlite3.connect(":memory:")
+    conn.isolation_level = None
+    conn.executescript(ddl)
+    store = SegmentStore(spark, str(tmp_path / "nnstore"))
+    store.set_schema("nn_schema", ddl)
+    store.provision("nnseg", "nn_schema")
+    script = "INSERT INTO t VALUES (NULL, 3)"
+    _sqlite_script(conn, script)
+    store.write("nnseg", script)
+    expected = conn.execute("SELECT a, b FROM t").fetchall()
+    got = [(r["a"], r["b"]) for r in store.read("nnseg", "SELECT a, b FROM t")]
+    assert got == [tuple(r) for r in expected] == [(None, 3)]
+    # the CHECK itself still enforces: (0, NULL) violates in both engines
+    # (false OR false; NULL-result CHECKs pass, so (NULL, NULL) would not)
+    bad = "INSERT INTO t VALUES (0, NULL)"
+    from trough_spark.dialect import QueryRejected
+
+    with pytest.raises(sqlite3.IntegrityError):
+        _sqlite_script(conn, bad)
+    conn.execute("ROLLBACK")
+    with pytest.raises(QueryRejected, match="CHECK constraint failed"):
+        store.write("nnseg", bad)
+    conn.close()
+
+
+def test_unary_minus_string_literal_matches_sqlite(spark, tmp_path):
+    """VALUES (-'abc') inserts 0 (SQLite numeric-prefix coercion), not the
+    string 'abc' (round-6 _literal fix); -'12xy' -> -12, -'1.5e2' -> -150.0."""
+    ddl = "CREATE TABLE u (id INTEGER, v REAL);\n"
+    conn = sqlite3.connect(":memory:")
+    conn.isolation_level = None
+    conn.executescript(ddl)
+    store = SegmentStore(spark, str(tmp_path / "umstore"))
+    store.set_schema("um_schema", ddl)
+    store.provision("umseg", "um_schema")
+    script = (
+        "INSERT INTO u VALUES (1, -'abc');\n"
+        "INSERT INTO u VALUES (2, -'12xy');\n"
+        "INSERT INTO u VALUES (3, -'1.5e2');\n"
+        "INSERT INTO u VALUES (4, +'5')"
+    )
+    _sqlite_script(conn, script)
+    store.write("umseg", script)
+    expected = [tuple(r) for r in conn.execute("SELECT id, v FROM u ORDER BY id").fetchall()]
+    got = [
+        (r["id"], r["v"]) for r in store.read("umseg", "SELECT id, v FROM u ORDER BY id")
+    ]
+    assert got == expected == [(1, 0.0), (2, -12.0), (3, -150.0), (4, 5.0)]
+    conn.close()

@@ -164,6 +164,11 @@ def parse_create_table(stmt: str) -> TableSchema:
         col = _unquote(first.text)
         decl = dialect.render(coldef[1:]) if len(coldef) > 1 else ""
         decl_u = decl.upper()
+        # constraint-keyword scans must ignore CHECK(...)/DEFAULT expression
+        # bodies and string literals: live SQLite accepts a NULL into
+        # "a INTEGER CHECK(b IS NOT NULL OR a > 0)" — the words NOT NULL
+        # inside the CHECK don't constrain the column itself
+        bare_u = _strip_parens_and_strings(decl_u)
         # truncate at the EARLIEST constraint keyword for type-affinity
         # scanning (a CHECK/DEFAULT expression's text must not contribute
         # affinity keywords)
@@ -173,14 +178,14 @@ def parse_create_table(stmt: str) -> TableSchema:
             if idx != -1:
                 cut = min(cut, idx)
         typ = sqlite_type_to_spark(decl[:cut])
-        if "PRIMARY" in decl_u and "KEY" in decl_u:
+        if "PRIMARY" in bare_u and "KEY" in bare_u:
             pk.append(col)
-        if "AUTOINCREMENT" in decl_u or (
-            "INTEGER" in decl_u and "PRIMARY" in decl_u and "KEY" in decl_u
+        if "AUTOINCREMENT" in bare_u or (
+            "INTEGER" in bare_u and "PRIMARY" in bare_u and "KEY" in bare_u
         ):
             auto_col = col
             typ = T.LongType()
-        if re.search(r"\bNOT\s+NULL\b", decl_u):
+        if re.search(r"\bNOT\s+NULL\b", bare_u):
             not_null.append(col)
         checks.extend(_parse_checks(coldef))
         fields.append((col, typ))
@@ -192,6 +197,38 @@ def parse_create_table(stmt: str) -> TableSchema:
         checks=checks,
         not_null=not_null,
     )
+
+
+def _strip_parens_and_strings(s: str) -> str:
+    """Drop balanced ``(...)`` groups and quoted literals/identifiers from a
+    column-decl string, so constraint keyword scans (NOT NULL / PRIMARY KEY /
+    AUTOINCREMENT) can't match words inside a CHECK(...)/DEFAULT expression
+    or a DEFAULT 'string'."""
+    out: list[str] = []
+    depth = 0
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch in ("'", '"', "`"):
+            q = ch
+            i += 1
+            while i < n:
+                if s[i] == q:
+                    if i + 1 < n and s[i + 1] == q:  # doubled-quote escape
+                        i += 2
+                        continue
+                    break
+                i += 1
+            i += 1  # past the closing quote
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth = max(0, depth - 1)
+        elif depth == 0:
+            out.append(ch)
+        i += 1
+    return "".join(out)
 
 
 def _parse_checks(toks) -> list[tuple[str, str]]:
@@ -580,9 +617,12 @@ class SegmentStore:
         # soon as a second autoincremented table gets a high-water mark)
         self._last_auto: dict[str, int] = {}
         self._active_txn: _WriteTxn | None = None
-        # True while a trigger body is executing: body DML never re-fires
-        # triggers (SQLite's default PRAGMA recursive_triggers=OFF)
-        self._in_trigger = False
+        # names (lowercased) of triggers currently on the firing stack: body
+        # DML fires OTHER tables' triggers (cascading), but a trigger already
+        # firing never re-enters itself — probed live-SQLite semantics of the
+        # default PRAGMA recursive_triggers=OFF (a trigger on A whose body
+        # inserts into B DOES fire B's triggers; only re-entry is suppressed)
+        self._trigger_stack: list[str] = []
 
     # -- metadata ----------------------------------------------------------
 
@@ -1499,10 +1539,14 @@ class SegmentStore:
     def _triggers_for(
         self, segment_id: str, table: str, event: str, set_cols=None
     ) -> list[Trigger]:
-        if self._in_trigger:
-            return []  # recursive_triggers=OFF (SQLite default)
         out = []
         for tr in self._segment_triggers(segment_id):
+            if tr.name.lower() in self._trigger_stack:
+                # recursive_triggers=OFF (SQLite default, probed live): a
+                # trigger on the firing stack never re-enters ITSELF; every
+                # other trigger — including one on a different table hit by
+                # this trigger's body — still fires (cascading)
+                continue
             if tr.table.lower() != table.lower() or tr.event != event:
                 continue
             if event == "UPDATE" and tr.update_cols and set_cols is not None:
@@ -1558,46 +1602,53 @@ class SegmentStore:
         fired = [t for t in trigs if t.timing == timing]
         if not fired:
             return set()
-        self._in_trigger = True
-        try:
-            # WHEN verdicts batched up front (chunked zero-table SELECTs)
-            when_ok: dict[int, list[bool]] = {}
-            for ti, tr in enumerate(fired):
-                if tr.when is not None:
-                    when_ok[ti] = self._eval_bools(
-                        [_sub_new_old(tr.when, nr, orow) for orow, nr in rows]
-                    )
-            # SQLite nesting, verified against live sqlite3: rows OUTER (the
-            # statement processes row by row), triggers INNER in REVERSE
-            # creation order (SQLite prepends new triggers to its list)
-            ignored: set[int] = set()
-            for ri, (old_row, new_row) in enumerate(rows):
-                for ti in range(len(fired) - 1, -1, -1):
-                    tr = fired[ti]
-                    if ti in when_ok and not when_ok[ti][ri]:
-                        continue
-                    try:
-                        for b in tr.body:
-                            self._exec_trigger_stmt(
-                                segment_id, _sub_new_old(b, new_row, old_row), pending
-                            )
-                    except _TriggerIgnore:
-                        # probed against live sqlite3: IGNORE abandons the
-                        # rest of this body AND all subsequent trigger
-                        # programs for this row, and (BEFORE) the row change
-                        ignored.add(ri)
-                        break
-            return ignored
-        finally:
-            self._in_trigger = False
+        # WHEN verdicts batched up front (chunked zero-table SELECTs)
+        when_ok: dict[int, list[bool]] = {}
+        for ti, tr in enumerate(fired):
+            if tr.when is not None:
+                when_ok[ti] = self._eval_bools(
+                    [_sub_new_old(tr.when, nr, orow) for orow, nr in rows]
+                )
+        # SQLite nesting, verified against live sqlite3: rows OUTER (the
+        # statement processes row by row), triggers INNER in REVERSE
+        # creation order (SQLite prepends new triggers to its list)
+        ignored: set[int] = set()
+        for ri, (old_row, new_row) in enumerate(rows):
+            for ti in range(len(fired) - 1, -1, -1):
+                tr = fired[ti]
+                if ti in when_ok and not when_ok[ti][ri]:
+                    continue
+                if tr.name.lower() in self._trigger_stack:
+                    continue  # re-entry suppressed (recursive_triggers=OFF)
+                self._trigger_stack.append(tr.name.lower())
+                try:
+                    for b in tr.body:
+                        self._exec_trigger_stmt(
+                            segment_id, _sub_new_old(b, new_row, old_row), pending
+                        )
+                except _TriggerIgnore:
+                    # probed against live sqlite3: IGNORE abandons the
+                    # rest of this body AND all subsequent trigger
+                    # programs for this row, and (BEFORE) the row change
+                    ignored.add(ri)
+                    break
+                finally:
+                    self._trigger_stack.pop()
+        return ignored
 
     def _exec_trigger_stmt(self, segment_id: str, stmt: str, pending: dict) -> None:
+        """One trigger-body statement.  Body DML goes through the SAME
+        trigger-aware paths as top-level DML, so a trigger on table A whose
+        body writes table B fires B's triggers (cascading — live-SQLite
+        recursive_triggers=OFF suppresses only self-re-entry, which
+        _triggers_for handles via the firing stack)."""
         kind = dialect.statement_type(stmt)
         if kind in ("INSERT", "REPLACE"):
-            self._execute_insert(segment_id, stmt, pending)
+            if not self._insert_with_triggers(segment_id, stmt, pending):
+                self._execute_insert(segment_id, stmt, pending)
         elif kind in ("UPDATE", "DELETE"):
             self._flush_inserts(segment_id, pending)
-            self._rewrite_partition(segment_id, stmt, kind)
+            self._dml_with_triggers(segment_id, stmt, kind, pending)
         elif kind == "SELECT":
             m = _RAISE_RE.match(stmt)  # shape guaranteed by parse_create_trigger
             cond = m.group("where")
@@ -1640,6 +1691,10 @@ class SegmentStore:
                 if m.group("cols")
                 else [n for n, _ in ts.fields]
             )
+            # flush rows staged by EARLIER statements in this script first —
+            # the SELECT must see them (sqlite3 executescript semantics; the
+            # non-trigger INSERT..SELECT path flushes the same way)
+            self._flush_inserts(segment_id, pending)
             src_rows = self.read_df(segment_id, body).collect()
             if src_rows and len(src_rows[0]) != len(cols):
                 raise QueryRejected(
@@ -1663,10 +1718,25 @@ class SegmentStore:
         staged: dict[str, list[Row]] = {}
         self._execute_insert(segment_id, stmt, staged)
         new_rows = staged.get(table, [])
-        pairs = [(None, r) for r in new_rows]
         # NOTE: autoincrement ids are assigned before BEFORE triggers fire, so
         # NEW.<autoinc> is the final id even in BEFORE bodies (documented
         # divergence from SQLite's unassigned-rowid-in-BEFORE).
+        if len(new_rows) > 1 and self._bodies_observe_state(segment_id, trigs):
+            # SQLite processes a multi-row INSERT row at a time (probed:
+            # a BEFORE body's COUNT(*) sees 0,1,2; AFTER sees 1,2,3), so
+            # when any body can OBSERVE table state the rows must be
+            # interleaved — BEFORE(row), insert row, AFTER(row), next row.
+            # State-blind bodies keep the cheaper batched path below.
+            for r in new_rows:
+                pair = [(None, r)]
+                if self._fire_triggers(segment_id, trigs, "BEFORE", pair, pending):
+                    continue  # RAISE(IGNORE): skip this row's insert
+                pending.setdefault(table, []).append(r)
+                self._flush_inserts(segment_id, pending)
+                self._fire_triggers(segment_id, trigs, "AFTER", pair, pending)
+                self._flush_inserts(segment_id, pending)
+            return True
+        pairs = [(None, r) for r in new_rows]
         ignored = self._fire_triggers(segment_id, trigs, "BEFORE", pairs, pending)
         if ignored:
             # RAISE(IGNORE) in a BEFORE INSERT trigger skips that row's insert
@@ -1677,6 +1747,32 @@ class SegmentStore:
         self._fire_triggers(segment_id, trigs, "AFTER", pairs, pending)
         self._flush_inserts(segment_id, pending)
         return True
+
+    def _bodies_observe_state(self, segment_id: str, trigs: list[Trigger]) -> bool:
+        """Whether any trigger body statement can observe current table
+        state — drives per-row interleaving on multi-row statements.
+        State-blind bodies (plain INSERT..VALUES into trigger-free tables,
+        RAISE statements) execute the same multiset of constant-substituted
+        operations either way, so batch-phase firing is observationally
+        identical for them."""
+        for tr in trigs:
+            for b in tr.body:
+                k = dialect.statement_type(b)
+                if k in ("UPDATE", "DELETE"):
+                    return True  # WHERE reads current state
+                if k in ("INSERT", "REPLACE"):
+                    m = self._INSERT_RE.match(b)
+                    if m is None or not m.group("body").upper().startswith("VALUES"):
+                        return True  # INSERT..SELECT reads state
+                    if re.search(r"\bSELECT\b", b, re.IGNORECASE):
+                        return True  # scalar subquery inside VALUES
+                    target = _unquote(m.group("name"))
+                    if any(
+                        t.table.lower() == target.lower()
+                        for t in self._segment_triggers(segment_id)
+                    ):
+                        return True  # cascade target's triggers may read state
+        return False
 
     def _dml_with_triggers(
         self, segment_id: str, stmt: str, kind: str, pending: dict
@@ -1704,6 +1800,28 @@ class SegmentStore:
             self._rewrite_partition(segment_id, stmt, kind)
             return
         pairs = self._affected_rows(segment_id, table, m.group("where"), sets, kind)
+        if len(pairs) > 1:
+            # SQLite interleaves UPDATE/DELETE trigger firing per row (probed:
+            # an AFTER UPDATE body's SUM(x) sees partially-updated states),
+            # but the partition rewrite below applies ALL rows at once, so the
+            # engine fires batch-phased (all BEFOREs, rewrite, all AFTERs).
+            # That is observationally identical UNLESS a body reads/writes the
+            # statement's target table or reads other state mid-statement —
+            # reject those LOUDLY instead of silently mis-ordering.
+            tbl_pat = re.compile(rf"\b{re.escape(table)}\b", re.IGNORECASE)
+            for tr in trigs:
+                for b in tr.body:
+                    if dialect.statement_type(b) == "SELECT":
+                        continue  # RAISE: constant-substituted, state-blind
+                    if tbl_pat.search(b) or re.search(r"\bSELECT\b", b, re.IGNORECASE):
+                        raise QueryRejected(
+                            f"multi-row {kind} on {table!r} with trigger "
+                            f"{tr.name!r} whose body reads or writes "
+                            f"{table!r} or reads table state: SQLite fires "
+                            "triggers per row interleaved with the changes; "
+                            "the partition-rewrite model fires them batch-"
+                            "phased, which would diverge here"
+                        )
         ignored = self._fire_triggers(segment_id, trigs, "BEFORE", pairs, pending)
         if ignored:
             # skipping individual row changes on the partition-rewrite path
@@ -2459,6 +2577,24 @@ def _tableschema_from_json(d: dict) -> TableSchema:
     )
 
 
+_NUMERIC_PREFIX_RE = re.compile(
+    r"^\s*[+-]?(?:\d+(?:\.\d*)?|\.\d+)(?:[eE][+-]?\d+)?"
+)
+
+
+def _sqlite_numeric_prefix(s: str):
+    """SQLite's text→number coercion: the longest numeric prefix, 0 when
+    there is none; INTEGER unless the prefix contains '.' or an exponent
+    (probed live: '12xy'→12, '1e'→1, '0x10'→0, ''→0, '1.5e2'→150.0)."""
+    m = _NUMERIC_PREFIX_RE.match(s)
+    if not m:
+        return 0
+    txt = m.group(0).strip()
+    if "." in txt or "e" in txt.lower():
+        return float(txt)
+    return int(txt)
+
+
 class _NotALiteral(Exception):
     """A VALUES element is an expression, not a plain literal — the caller
     constant-folds it through Spark SQL instead."""
@@ -2482,7 +2618,13 @@ def _literal(tokens) -> object:
     if t.kind == "string":
         if len(sig) > 1:
             raise _NotALiteral
-        return t.text[1:-1].replace("''", "'")
+        s = t.text[1:-1].replace("''", "'")
+        if neg:
+            # SQLite: unary minus numerically coerces text via its longest
+            # numeric prefix (probed live: -'abc' = 0, -'12xy' = -12,
+            # -'1.5e2' = -150.0, -'-3' = 3); unary plus is the identity
+            return -_sqlite_numeric_prefix(s)
+        return s
     if t.kind == "number":
         if len(sig) > 1:
             raise _NotALiteral
