@@ -6,12 +6,21 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is timed end-to-end including result materialization
 (collect()), after one untimed warm-up query to absorb JVM/codegen start-up.
+
+Round-6+: every recorded number is the per-query MEDIAN over
+$SPARK_GRAFT_BENCH_RUNS (default 3) fresh-JVM child runs — the hand-run
+convention PERF.md's cross-round comparisons already used, now the recorded
+artifact itself (single runs recorded two phantom streaming "regressions" in
+round 5).  Set SPARK_GRAFT_BENCH_RUNS=1 to time a single in-process pass
+while iterating.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
+import subprocess
 import sys
 import time
 
@@ -107,7 +116,8 @@ EXTRA = [
 ]
 
 
-def main() -> None:
+def one_pass() -> tuple[dict, dict, dict, str]:
+    """One fresh-JVM timing pass: (cold, warm, extra, sf) per-query seconds."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     load_all()
     spark = get_spark(app_name="trough-spark-bench")
@@ -156,6 +166,10 @@ def main() -> None:
         extra[name] = round(time.perf_counter() - t0, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    return times, warm, extra, sf
+
+
+def _emit(times: dict, warm: dict, extra: dict, sf: str, runs: int) -> None:
     # The driver tail-captures only ~2 KB of stdout and parses the LAST JSON
     # line; the extras dict (40+ entries) goes on its own EARLIER line so the
     # canonical line below stays small enough to survive the capture.
@@ -164,15 +178,53 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "headline query set wall time (cold plan, warm "
-                "page cache; queries_warm = 2nd run)",
+                f"page cache; median of {runs} fresh-JVM runs; "
+                "queries_warm = 2nd run)",
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
                 "queries_warm": warm,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "runs": runs,
             }
         )
     )
+
+
+def _median_each(dicts: list[dict]) -> dict:
+    keys = dicts[0].keys() if dicts else []
+    return {
+        k: round(statistics.median(d[k] for d in dicts if k in d), 3)
+        for k in keys
+    }
+
+
+def main() -> None:
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    if os.environ.get("SPARK_GRAFT_BENCH_CHILD") == "1" or runs <= 1:
+        times, warm, extra, sf = one_pass()
+        _emit(times, warm, extra, sf, runs=1)
+        return
+    # parent: median over `runs` fresh-JVM children (one JVM per child
+    # process — cold numbers stay genuinely cold-plan in every run)
+    results = []
+    env = {**os.environ, "SPARK_GRAFT_BENCH_CHILD": "1"}
+    for _ in range(runs):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        lines = [ln for ln in out.splitlines() if ln.startswith("{")]
+        extra = json.loads(lines[-2])["queries_extra"]
+        canon = json.loads(lines[-1])
+        results.append((canon["queries"], canon["queries_warm"], extra, canon["sf"]))
+    times = _median_each([r[0] for r in results])
+    warm = _median_each([r[1] for r in results])
+    extra = _median_each([r[2] for r in results])
+    _emit(times, warm, extra, str(results[0][3]), runs=runs)
 
 
 if __name__ == "__main__":
