@@ -122,10 +122,18 @@ def upsert_to_segments(
     import pyspark.sql.functions as F
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
         data = batch_df.withColumnRenamed(segment_col, "segment_id")
-        segs = [r["segment_id"] for r in data.select("segment_id").distinct().collect()]
-        for seg in sorted(segs):
+        segs = sorted(
+            r["segment_id"] for r in data.select("segment_id").distinct().collect()
+        )
+        # provision serially: it mutates the shared segment registry
+        for seg in segs:
             store.provision(seg, schema_id)
+
+        def _one(seg: str) -> None:
             store.merge(
                 seg,
                 table,
@@ -133,6 +141,20 @@ def upsert_to_segments(
                 on=keys,
                 when_matched=when_matched,
             )
+
+        # fan the per-segment merges out on a thread pool: Spark jobs are
+        # thread-safe per session, each merge takes only its own segment's
+        # file lock and writes its own staging dir, so a micro-batch touching
+        # N segments runs ~min(N, pool) concurrent jobs instead of N serial
+        # driver-coordinated ones (the one scale seam the per-segment write
+        # model had).  TROUGH_SINK_THREADS=1 restores the serial loop.
+        workers = min(int(os.environ.get("TROUGH_SINK_THREADS", "8")), max(len(segs), 1))
+        if workers <= 1:
+            for seg in segs:
+                _one(seg)
+        else:
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                list(ex.map(_one, segs))  # re-raises the first failure
 
     return stream.writeStream.foreachBatch(_sink).option("checkpointLocation", checkpoint)
 
