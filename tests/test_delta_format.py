@@ -75,9 +75,58 @@ class TestDeltaStore:
         store = SegmentStore(spark, str(tmp_path / "dstore"), storage_format="delta")
         _exercise_write_path(store)
 
-    def test_delta_cross_segment_gated(self, spark, tmp_path):
+    def test_delta_cross_segment_surfaces(self, spark, tmp_path):
+        """Round-6 single-partitioned-table layout: the cross-segment
+        surfaces work under Delta — bulk_load is one partitioned log
+        commit, table_df one log-pruned scan, read_many_df one plan."""
+        import pyspark.sql.functions as F
+
         store = SegmentStore(spark, str(tmp_path / "dstore2"), storage_format="delta")
         store.set_schema("kv_schema", DDL)
+        for seg in ("seg1", "seg2", "seg3"):
+            store.provision(seg, "kv_schema")
+            store.write(seg, f"INSERT INTO kv VALUES (1, '{seg}')")
+        # bulk_load: one partitioned commit across segments
+        extra = spark.createDataFrame(
+            [(10, "x", "seg1"), (11, "y", "seg2")], "k int, v string, sid string"
+        )
+        segs = store.bulk_load("kv2", extra, segment_col="sid")
+        assert segs == ["seg1", "seg2"]
+        # table_df: one scan with the segment_id partition column
+        tdf = store.table_df("kv")
+        assert tdf.filter(F.col("segment_id") == "seg2").count() == 1
+        assert tdf.count() == 3
+        # read_many_df: regex fan-out as ONE query incl. global aggregation
+        n = store.read_many_df(
+            "^seg[12]$", "SELECT count(*) AS n FROM kv"
+        ).collect()[0]["n"]
+        assert n == 2
+        # append_dataframe: incremental sibling
+        more = spark.createDataFrame([(12, "z", "seg3")], "k int, v string, sid string")
+        store.append_dataframe("kv2", more, segment_col="sid")
+        assert store.table_df("kv2").count() == 3
+
+    def test_delta_segment_isolation_and_delete(self, spark, tmp_path):
+        """Per-segment reads prune to one partition of the shared table;
+        delete_segment empties only that partition (log commit, no rmtree)."""
+        store = SegmentStore(spark, str(tmp_path / "dstore3"), storage_format="delta")
+        store.set_schema("kv_schema", DDL)
+        for seg in ("a", "b"):
+            store.provision(seg, "kv_schema")
+            store.write(seg, f"INSERT INTO kv VALUES (7, '{seg}')")
+        assert store.read("a", "SELECT v FROM kv")[0]["v"] == "a"
+        store.delete_segment("a")
+        assert store.table_df("kv").count() == 1
+        assert store.read("b", "SELECT v FROM kv")[0]["v"] == "b"
+
+    def test_delta_maintenance_parquet_scoped(self, spark, tmp_path):
+        store = SegmentStore(spark, str(tmp_path / "dstore4"), storage_format="delta")
+        store.set_schema("kv_schema", DDL)
         store.provision("seg1", "kv_schema")
-        with pytest.raises(NotImplementedError, match="cross-segment"):
-            store.table_df("kv")
+        for op in (
+            lambda: store.snapshot("seg1"),
+            lambda: store.restore("seg1", "v0001"),
+            lambda: store.compact("seg1"),
+        ):
+            with pytest.raises(NotImplementedError, match="parquet-scoped"):
+                op()

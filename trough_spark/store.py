@@ -199,6 +199,16 @@ def parse_create_table(stmt: str) -> TableSchema:
     )
 
 
+def _split_partition_path(path: str) -> tuple[str, str]:
+    """(table root, segment id) from a ``.../tables/<t>/segment_id=<seg>``
+    partition path — the Delta single-table layout addresses the one table
+    root plus a partition predicate instead of the directory itself."""
+    root, sep, seg = path.rpartition("/segment_id=")
+    if not sep:
+        raise ValueError(f"not a partition path: {path!r}")
+    return root, seg
+
+
 def _strip_parens_and_strings(s: str) -> str:
     """Drop balanced ``(...)`` groups and quoted literals/identifiers from a
     column-decl string, so constraint keyword scans (NOT NULL / PRIMARY KEY /
@@ -583,17 +593,20 @@ class SegmentStore:
                     "(and a session built with configure_spark_with_delta_pip / "
                     "the DeltaSparkSessionExtension)"
                 )
-        # Storage-format upgrade path (SURVEY §2.B15; VERDICT r4 item 6):
-        # with storage_format='delta' every per-segment partition is a Delta
-        # table — appends/overwrites go through the Delta transaction log, so
-        # on a cluster FS the OR REPLACE / ON CONFLICT / MERGE rewrite gains
-        # real writer isolation and time travel instead of the rename-swap
-        # below.  The script-level rollback journal remains correct under
-        # Delta on a single-writer store (its file-listing restore replays
-        # to the pre-script log state, since Delta state = log replay); on a
-        # multi-writer cluster deployment, DeltaTable.restoreToVersion is
-        # the equivalent primitive.  Fan-out (cross-segment) reads currently
-        # require parquet (see read_fanout).
+        # Storage-format upgrade path (SURVEY §2.B15; VERDICT r4 item 6 +
+        # r5 item 2): with storage_format='delta' each logical table is ONE
+        # Delta table partitioned by segment_id (the single-partitioned-
+        # table layout) — per-segment appends/overwrites are transaction-log
+        # commits (replaceWhere on the partition), and the cross-segment
+        # surfaces (table_df / read_many_df / append_dataframe / bulk_load)
+        # are one log-pruned scan or one partitioned commit.  The
+        # script-level rollback journal remains correct under Delta on a
+        # single-writer store (its file-listing restore replays to the
+        # pre-script log state, since Delta state = log replay and Delta
+        # never mutates files in place); on a multi-writer cluster
+        # deployment, DeltaTable.restoreToVersion is the equivalent
+        # primitive.  snapshot/restore/compact are parquet-scoped (their
+        # Delta equivalents are time travel / RESTORE / OPTIMIZE).
         self._fmt = storage_format
         self.spark = spark
         self.root = root.rstrip("/")
@@ -1047,8 +1060,7 @@ class SegmentStore:
                 if mode is None:
                     self._assert_pk_unique_df(segment_id, table, ts, aligned)
                 path = self._partition_path(table, segment_id)
-                if self._active_txn is not None:
-                    self._active_txn.before_append(path)
+                self._txn_before_write(table, segment_id)
                 self._write_files(aligned, path, "append")
             else:
                 self._upsert(
@@ -1099,8 +1111,7 @@ class SegmentStore:
                 .drop("_rn")
             )
             path = self._partition_path(table, segment_id)
-            if self._active_txn is not None:
-                self._active_txn.before_append(path)
+            self._txn_before_write(table, segment_id)
             self._write_files(fresh, path, "append")
         else:  # pragma: no cover
             raise QueryRejected(f"unknown upsert mode {mode!r}")
@@ -1302,19 +1313,49 @@ class SegmentStore:
         return tuples
 
     def _write_files(self, df: DataFrame, path: str, mode: str) -> None:
-        """Format-dispatched partition write (parquet default, Delta opt-in)."""
-        w = df.write.mode(mode)
+        """Format-dispatched partition write (parquet default, Delta opt-in).
+
+        Parquet: ``path`` IS the partition directory.  Delta (round 6,
+        single-partitioned-table layout): each logical table is ONE Delta
+        table at ``<root>/tables/<t>`` partitioned by ``segment_id``; the
+        ``segment_id=<seg>`` suffix of ``path`` selects the partition — an
+        append adds the column back, an overwrite becomes ``replaceWhere``
+        on it (one transactional log commit, no rename swap).  The single
+        table is what lets the cross-segment surfaces (table_df /
+        read_many_df / append_dataframe / bulk_load) stay ONE scan or write
+        under Delta, and it collapses the reference's per-segment
+        provision→POST→promote choreography into log commits."""
         if self._fmt == "delta":
-            w.format("delta").save(path)
-        else:
-            w.parquet(path)
+            root, seg = _split_partition_path(path)
+            out = df.withColumn("segment_id", F.lit(seg))
+            w = out.write.format("delta").partitionBy("segment_id")
+            if mode == "overwrite":
+                w = w.mode("overwrite").option(
+                    "replaceWhere", f"segment_id = '{seg}'"
+                )
+            else:
+                # same-named tables across segments share the one Delta
+                # schema; mergeSchema widens on append (documented layout
+                # constraint: schemas must be compatible across segments)
+                w = w.mode(mode).option("mergeSchema", "true")
+            w.save(root)
+            return
+        df.write.mode(mode).parquet(path)
 
     def _read_files(self, path: str, schema: T.StructType | None = None) -> DataFrame:
-        """Format-dispatched partition read.  Delta tables carry their own
-        schema in the log; the declared schema is applied as a cast-select
-        (same column order/type alignment the parquet path gets for free)."""
+        """Format-dispatched partition read.  Delta: one partition-pruned
+        scan of the single table (the segment_id filter hits the partition
+        column, so the log prunes to one directory); the declared schema is
+        applied as a cast-select (same column order/type alignment the
+        parquet path gets for free)."""
         if self._fmt == "delta":
-            df = self.spark.read.format("delta").load(path)
+            root, seg = _split_partition_path(path)
+            df = (
+                self.spark.read.format("delta")
+                .load(root)
+                .filter(F.col("segment_id") == seg)
+                .drop("segment_id")
+            )
             if schema is not None:
                 df = df.select(
                     [F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
@@ -1346,6 +1387,21 @@ class SegmentStore:
         self._last_auto[segment_id] = self._hwm[key]
         return self._hwm[key]
 
+    def _txn_before_write(self, table: str, segment_id: str) -> None:
+        """Snapshot the about-to-be-mutated storage region for script
+        rollback: the partition directory (parquet) or the whole single
+        Delta table root (its ``_delta_log`` lives there, and Delta
+        mutations are file-level append-only, so a listing-diff rollback
+        restores the exact pre-script log state)."""
+        if self._active_txn is None:
+            return
+        path = (
+            self._table_path(table)
+            if self._fmt == "delta"
+            else self._partition_path(table, segment_id)
+        )
+        self._active_txn.before_append(path)
+
     def _flush_inserts(self, segment_id: str, pending: dict[str, list[Row]]) -> None:
         for table, rows in pending.items():
             if not rows:
@@ -1355,8 +1411,7 @@ class SegmentStore:
             df = self.spark.createDataFrame(rows, ts.struct())
             self._assert_constraints(ts, df)
             path = self._partition_path(table, segment_id)
-            if self._active_txn is not None:
-                self._active_txn.before_append(path)
+            self._txn_before_write(table, segment_id)
             self._write_files(df, path, "append")
         pending.clear()
 
@@ -1871,12 +1926,15 @@ class SegmentStore:
         aligned = df.select([F.col(n).cast(t) for n, t in ts.fields])
         path = self._partition_path(table, segment_id)
         if self._fmt == "delta":
-            # Delta overwrite IS the atomic swap: snapshot isolation lets the
-            # plan read the pre-overwrite version of its own input table, and
-            # the commit is one log entry — no staging dir, no rename dance.
-            if self._active_txn is not None:
-                self._active_txn.before_append(path)
-            aligned.write.format("delta").mode("overwrite").save(path)
+            # Delta overwrite IS the atomic swap: one replaceWhere commit on
+            # the single partitioned table; snapshot isolation lets the plan
+            # read the pre-overwrite version of its own input.  Script
+            # rollback: the txn's file-listing snapshot of the TABLE ROOT
+            # (where _delta_log lives) restores the log to its pre-script
+            # state — Delta never mutates files in place, so every mutation
+            # is file-level append-only and listing-diff rollback is exact.
+            self._txn_before_write(table, segment_id)
+            self._write_files(aligned, path, "overwrite")
             return
         tmp = f"{self.root}/_staging/{table}/segment_id={segment_id}"
         shutil.rmtree(tmp, ignore_errors=True)
@@ -2050,6 +2108,15 @@ class SegmentStore:
             trigs.pop(name)
         self._save_meta()
         path = self._partition_path(table, segment_id)
+        if self._fmt == "delta":
+            # single-table layout: the partition dir belongs to the shared
+            # Delta table, so DROP = one replaceWhere commit emptying the
+            # segment's partition (renaming the dir would corrupt the log)
+            if os.path.isdir(f"{self._table_path(table)}/_delta_log"):
+                self._txn_before_write(table, segment_id)
+                empty = self._read_partition_raw(segment_id, table).limit(0)
+                self._write_files(empty, path, "overwrite")
+            return
         if self._active_txn is not None and os.path.isdir(path):
             self._active_txn.before_append(path)  # pre-drop snapshot
             bak = path + "._dropped"
@@ -2206,13 +2273,6 @@ class SegmentStore:
         prune to matching directories (PartitionFilters), reproducing the
         reference's worst-case-bounded routing as a pure plan property."""
         path = self._table_path(table)
-        if self._fmt == "delta":
-            raise NotImplementedError(
-                "cross-segment surfaces under storage_format='delta' need the "
-                "single-partitioned-Delta-table layout (one Delta table with a "
-                "segment_id partition column); the current Delta support scopes "
-                "to the per-segment write/read path (SURVEY §2.B15-B17)"
-            )
         if reference_segment is None:
 
             candidates = [s for s in self.list_segments() if table in self._segment_tables(s)]
@@ -2220,6 +2280,16 @@ class SegmentStore:
                 raise KeyError(f"no segment has table {table!r}")
             reference_segment = candidates[0]
         ts = self._table_schema(reference_segment, table)
+        if self._fmt == "delta":
+            # single-partitioned-table layout (round 6): the whole table IS
+            # one Delta table, so this is one log-pruned scan; segment_id
+            # filters prune via the partition column exactly like the
+            # parquet PartitionFilters path
+            df = self.spark.read.format("delta").load(path)
+            return df.select(
+                *[F.col(n).cast(t).alias(n) for n, t in ts.fields],
+                F.col("segment_id").cast(T.StringType()).alias("segment_id"),
+            )
         schema = ts.struct().add("segment_id", T.StringType())
         return self.spark.read.schema(schema).option("basePath", path).parquet(path)
 
@@ -2254,14 +2324,8 @@ class SegmentStore:
         """Append a (micro-)batch carrying a segment column — the
         foreachBatch streaming sink target (streaming/events.py
         write_to_segments) and the incremental sibling of ``bulk_load``.
-        One partitioned append per call ≡ one atomic commit per trigger."""
-        if self._fmt == "delta":
-            raise NotImplementedError(
-                "cross-segment surfaces under storage_format='delta' need the "
-                "single-partitioned-Delta-table layout (one Delta table with a "
-                "segment_id partition column); the current Delta support scopes "
-                "to the per-segment write/read path (SURVEY §2.B15-B17)"
-            )
+        One partitioned append per call ≡ one atomic commit per trigger —
+        under Delta literally one transaction-log commit."""
         data = df.withColumnRenamed(segment_col, "segment_id")
         fields = [(f.name, f.dataType) for f in data.schema.fields if f.name != "segment_id"]
         ts = TableSchema(name=table, fields=fields)
@@ -2274,11 +2338,8 @@ class SegmentStore:
                 changed = True
         if changed:
             self._save_meta()
-        (
-            data.select(*[n for n, _ in fields], "segment_id")
-            .write.partitionBy("segment_id")
-            .mode("append")
-            .parquet(self._table_path(table))
+        self._write_partitioned(
+            data.select(*[n for n, _ in fields], "segment_id"), table
         )
 
     def bulk_load(self, table: str, df: DataFrame, segment_col: str) -> list[str]:
@@ -2291,13 +2352,6 @@ class SegmentStore:
         sync.py:673-1188).
 
         Returns the list of segment ids that received data."""
-        if self._fmt == "delta":
-            raise NotImplementedError(
-                "cross-segment surfaces under storage_format='delta' need the "
-                "single-partitioned-Delta-table layout (one Delta table with a "
-                "segment_id partition column); the current Delta support scopes "
-                "to the per-segment write/read path (SURVEY §2.B15-B17)"
-            )
         data = df.withColumnRenamed(segment_col, "segment_id")
         fields = [(f.name, f.dataType) for f in data.schema.fields if f.name != "segment_id"]
         ts = TableSchema(name=table, fields=fields)
@@ -2308,14 +2362,24 @@ class SegmentStore:
                 _tableschema_to_json(ts)
             )
         self._save_meta()
-        (
-            data.select(*[n for n, _ in fields], "segment_id")
-            .repartition("segment_id")
-            .write.partitionBy("segment_id")
-            .mode("append")
-            .parquet(self._table_path(table))
+        self._write_partitioned(
+            data.select(*[n for n, _ in fields], "segment_id").repartition(
+                "segment_id"
+            ),
+            table,
         )
         return sorted(segs)
+
+    def _write_partitioned(self, data: DataFrame, table: str) -> None:
+        """One partitioned append of a segment_id-carrying DataFrame to the
+        whole table — the shared tail of append_dataframe / bulk_load."""
+        w = data.write.partitionBy("segment_id").mode("append")
+        if self._fmt == "delta":
+            w.format("delta").option("mergeSchema", "true").save(
+                self._table_path(table)
+            )
+        else:
+            w.parquet(self._table_path(table))
 
     # -- promotion / deletion (A20, A22) -------------------------------------
 
@@ -2354,6 +2418,7 @@ class SegmentStore:
         the classic lakehouse degradation; compaction is the classic cure.
         Bounded work (one partition), atomic via the same staged swap as
         UPDATE/DELETE.  Returns {table: {files_before, files_after, rows}}."""
+        self._require_parquet("compact", "OPTIMIZE / auto-compaction")
         report: dict = {}
         with self._file_lock(f"segment-{segment_id}"):
             for t in [table] if table else self._segment_tables(segment_id):
@@ -2373,6 +2438,17 @@ class SegmentStore:
                 }
         return report
 
+    def _require_parquet(self, op: str, delta_equiv: str) -> None:
+        """File-granular maintenance ops copy/rename partition directories,
+        which under the single-Delta-table layout would bypass (and corrupt)
+        the shared transaction log — Delta's own primitive replaces them."""
+        if self._fmt == "delta":
+            raise NotImplementedError(
+                f"{op} is parquet-scoped: under storage_format='delta' use "
+                f"Delta's {delta_equiv} instead (the shared _delta_log owns "
+                "the partition directories)"
+            )
+
     def _snapshot_root(self, segment_id: str) -> str:
         return f"{self.root}/_snapshots/{segment_id}"
 
@@ -2382,6 +2458,7 @@ class SegmentStore:
         is a bounded file copy; on a cluster FS the same API would be backed
         by Delta/Iceberg time travel (documented upgrade path, README).
         Returns the version id."""
+        self._require_parquet("snapshot", "time travel (VERSION AS OF)")
         info = self._segment_info(segment_id)
         with self._file_lock(f"segment-{segment_id}"):
             existing = self.list_snapshots(segment_id)
@@ -2421,6 +2498,7 @@ class SegmentStore:
         metadata swap in atomically per table (staged rename, same protocol
         as partition rewrites); autoincrement high-water marks reset so the
         next id continues from the restored data."""
+        self._require_parquet("restore", "RESTORE TABLE ... VERSION AS OF")
         dest, manifest = self._snapshot_manifest(segment_id, version)
         with self._file_lock(f"segment-{segment_id}"):
             current = set(self._segment_tables(segment_id))
@@ -2440,6 +2518,16 @@ class SegmentStore:
         """A22 (reference sync.py:439-509, segment_manager.py:117-128)."""
         tables = self._segment_tables(segment_id)
         for t in tables:
+            if self._fmt == "delta":
+                # one replaceWhere commit per table empties the segment's
+                # partition of the shared Delta table (rmtree would corrupt
+                # the log); old files become tombstones until VACUUM
+                if os.path.isdir(f"{self._table_path(t)}/_delta_log"):
+                    empty = self._read_partition_raw(segment_id, t).limit(0)
+                    self._write_files(
+                        empty, self._partition_path(t, segment_id), "overwrite"
+                    )
+                continue
             shutil.rmtree(self._partition_path(t, segment_id), ignore_errors=True)
         del self._meta["segments"][segment_id]
         self._save_meta()
