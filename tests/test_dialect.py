@@ -93,7 +93,10 @@ def test_datetime_family(spark):
 
 def test_scalar_min_max_and_trim():
     out = dialect.sqlite_to_spark("SELECT min(a, b), max(a, b, c) FROM t")
-    assert "least(a, b)" in out and "greatest(a, b, c)" in out
+    # round 6: args bound once via named_struct, then least/greatest over
+    # the struct fields (NULL-strict, single evaluation)
+    assert "least(_s.c0, _s.c1)" in out and "named_struct('c0', a, 'c1', b)" in out
+    assert "greatest(_s.c0, _s.c1, _s.c2)" in out
     # 1-arg stays an aggregate
     assert "min(a)" in dialect.sqlite_to_spark("SELECT min(a) FROM t")
     assert "trim(BOTH 'x' FROM a)" in dialect.sqlite_to_spark("SELECT trim(a, 'x') FROM t")
@@ -192,8 +195,9 @@ def test_advice_r4_dialect_fixes(spark):
     """Three ADVICE r4 items pinned: (1) strftime format literals with
     SQL-escaped quotes render one apostrophe, not two; (2) likely() with a
     parenthesized boolean argument still casts to INT (SQLite returns 0/1);
-    (3) chained month modifiers beyond 3 are rejected, not exponentially
-    expanded."""
+    (3, lifted in round 6) month-modifier chains bind the base once per
+    step via a transform() lambda, so arbitrarily long chains translate
+    with linear growth."""
     out = dialect.sqlite_to_spark(
         "SELECT strftime('%Y''s end', '2024-01-15 10:30:00') AS v"
     )
@@ -208,9 +212,16 @@ def test_advice_r4_dialect_fixes(spark):
     )
     assert str(spark.sql(out).collect()[0].v) == "2024-04-02 00:00:00"
 
-    import pytest as _pytest
+    # 6 chained month/year steps: previously rejected, now linear; value
+    # matches live SQLite (probed: 2024-01-31 +4 months +2 years stepwise)
+    import sqlite3 as _sq
 
-    with _pytest.raises(dialect.QueryRejected, match="month/year"):
-        dialect.sqlite_to_spark(
-            "SELECT datetime(c, '+1 month', '+1 month', '+1 month', '+1 month')"
-        )
+    chain = "'+1 month', '+1 month', '+1 month', '+1 month', '+1 year', '+1 year'"
+    out = dialect.sqlite_to_spark(
+        f"SELECT datetime('2024-01-31 00:00:00', {chain}) AS v"
+    )
+    assert len(out) < 2000, "chain translation must grow linearly"
+    expected = _sq.connect(":memory:").execute(
+        f"SELECT datetime('2024-01-31 00:00:00', {chain})"
+    ).fetchone()[0]
+    assert str(spark.sql(out).collect()[0].v) == expected

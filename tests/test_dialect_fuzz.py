@@ -269,7 +269,9 @@ def _dt_queries() -> list[str]:
     out = []
     for _ in range(N_QUERIES):
         base = rng.choice(_BASES)
-        mods = ", ".join(rng.choice(_MODS) for _ in range(rng.randint(1, 3)))
+        # chains up to 6 deep: month/year steps bind the base via a lambda
+        # (round 6), so long chains stay linear and must stay SQLite-exact
+        mods = ", ".join(rng.choice(_MODS) for _ in range(rng.randint(1, 6)))
         fn = rng.choice(["datetime", "date"])
         out.append(f"SELECT {fn}('{base}', {mods}) AS v")
     return out

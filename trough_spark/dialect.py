@@ -399,26 +399,12 @@ def _fn_strftime(args: list[str]) -> str:
 def _fn_datetime(args: list[str]) -> str:
     """SQLite datetime(base, modifier, ...) → Spark timestamp arithmetic.
 
-    LIMITATION (documented; ADVICE r4): each month/year modifier interpolates
-    the running expression three times (the overflow-normalization identity
-    needs the base at three positions and Spark expressions have no let-
-    binding), so n chained month/year modifiers grow the generated SQL ~3^n
-    and re-evaluate a non-deterministic base per copy.  Chains of more than
-    3 month/year steps are rejected rather than silently emitting an
-    exponential expression."""
-    n_monthish = sum(
-        1
-        for mod in args[1:]
-        if re.match(
-            r"[+-]?\d+\s+(month|year)s?", mod.strip().lower().strip("'")
-        )
-    )
-    if n_monthish > 3:
-        raise QueryRejected(
-            "datetime(): more than 3 chained month/year modifiers is not "
-            "supported (each one triples the generated expression); "
-            "pre-combine the offsets"
-        )
+    Month/year modifiers bind the running expression ONCE per step via a
+    single-element ``transform(array(base), _b -> ...)`` lambda (round 6,
+    ADVICE r4 item 5 lifted): the overflow-normalization identity needs the
+    base at three positions, and the lambda variable gives Spark the
+    let-binding its expression language lacks — chains grow linearly and a
+    non-deterministic base is evaluated once per step."""
     if len(args) == 1 and args[0].strip().lower() in ("'now'", "current_timestamp"):
         return "current_timestamp()"
     if args and args[0].strip().lower() in ("'now'", "current_timestamp"):
@@ -436,10 +422,11 @@ def _fn_datetime(args: list[str]) -> str:
                 # month end.  Reproduce normalization exactly: add the
                 # months at the first-of-month (which can never overflow),
                 # then re-add the original day/time offset as a day-time
-                # interval.
+                # interval.  The lambda binds the base once (see docstring).
                 base = (
-                    f"(date_trunc('MONTH', {base}) + INTERVAL {n} {unit} "
-                    f"+ ({base} - date_trunc('MONTH', {base})))"
+                    f"transform(array({base}), _b -> "
+                    f"date_trunc('MONTH', _b) + INTERVAL {n} {unit} "
+                    f"+ (_b - date_trunc('MONTH', _b)))[0]"
                 )
             else:
                 base = f"({base} + INTERVAL {n} {unit})"
@@ -583,14 +570,17 @@ def _null_strict_extreme(fn: str, args: list[str]) -> str:
     """SQLite multi-arg min/max are NULL-strict (any NULL argument → NULL),
     Spark's least/greatest skip NULLs — guard explicitly.
 
-    LIMITATION (documented; ADVICE r4): every argument is interpolated twice
-    (NULL guard + least/greatest), so a NON-DETERMINISTIC argument
-    (min(a, random())) draws twice and an expensive subexpression is
-    computed twice.  Spark expressions have no let-binding to hold the
-    value; deterministic arguments — everything the reference test surface
-    uses — are unaffected in value, only in compute."""
-    guard = " OR ".join(f"({x}) IS NULL" for x in args)
-    return f"(CASE WHEN {guard} THEN NULL ELSE {fn}({', '.join(args)}) END)"
+    Each argument is bound ONCE into a named_struct and both the NULL guard
+    and least/greatest read the struct fields (round 6, ADVICE r4 item 3
+    lifted): a non-deterministic argument (min(a, random())) draws exactly
+    once, matching SQLite's single evaluation."""
+    fields = ", ".join(f"'c{i}', {a}" for i, a in enumerate(args))
+    refs = [f"_s.c{i}" for i in range(len(args))]
+    guard = " OR ".join(f"{r} IS NULL" for r in refs)
+    return (
+        f"transform(array(named_struct({fields})), _s -> "
+        f"CASE WHEN {guard} THEN NULL ELSE {fn}({', '.join(refs)}) END)[0]"
+    )
 
 
 _FN_REWRITES: dict[str, object] = {
