@@ -813,3 +813,151 @@ def test_unary_minus_string_literal_matches_sqlite(spark, tmp_path):
     ]
     assert got == expected == [(1, 0.0), (2, -12.0), (3, -150.0), (4, 5.0)]
     conn.close()
+
+
+# ---------------------------------------------------------------------------
+# INSTEAD OF (view) triggers (round 6): view DML fires the bodies per row in
+# place of the write — probed live-SQLite semantics incl. the exact
+# "cannot modify ... because it is a view" error and registration errors.
+# ---------------------------------------------------------------------------
+
+IOF_DDL = (
+    "CREATE TABLE base (a INTEGER, b TEXT);\n"
+    "CREATE TABLE vlog (s TEXT);\n"
+    "CREATE VIEW v AS SELECT a, b, a * 10 AS a10 FROM base;\n"
+)
+
+
+@pytest.fixture()
+def iof_engines(spark, tmp_path):
+    conn = sqlite3.connect(":memory:")
+    conn.isolation_level = None
+    conn.executescript(IOF_DDL)
+    store = SegmentStore(spark, str(tmp_path / "iofstore"))
+    store.set_schema("iof_schema", IOF_DDL)
+    store.provision("iofseg", "iof_schema")
+    yield conn, store
+    conn.close()
+
+
+def _both_iof(conn, store, script):
+    _sqlite_script(conn, script)
+    store.write("iofseg", script)
+
+
+def _iof_state(conn, store, table, order):
+    sql = f"SELECT * FROM {table} ORDER BY {order}"
+    expected = [tuple(_canon(v) for v in row) for row in conn.execute(sql).fetchall()]
+    got = [tuple(_canon(v) for v in r.values()) for r in store.read("iofseg", sql)]
+    return expected, got
+
+
+def test_instead_of_insert_fires_per_row(iof_engines):
+    """Two INSTEAD OF INSERT triggers fire per row in reverse creation
+    order; NEW is the raw tuple mapped to the view's columns (a10 = the
+    given value, NOT recomputed; unspecified columns NULL)."""
+    conn, store = iof_engines
+    _both_iof(
+        conn,
+        store,
+        "INSERT INTO base VALUES (1, 'x');\n"
+        "CREATE TRIGGER io1 INSTEAD OF INSERT ON v "
+        "BEGIN INSERT INTO vlog VALUES ('io1:' || NEW.a || ':' || coalesce(NEW.a10, '-')); END;\n"
+        "CREATE TRIGGER io2 INSTEAD OF INSERT ON v WHEN NEW.a < 10 "
+        "BEGIN INSERT INTO base VALUES (NEW.a, NEW.b); INSERT INTO vlog VALUES ('io2:' || NEW.a); END;\n"
+        "INSERT INTO v VALUES (3, 'z', 999), (20, 'w', 1);\n"
+        "INSERT INTO v (a, b) VALUES (4, 'q')",
+    )
+    for table, order in (("base", "a"), ("vlog", "s")):
+        expected, got = _iof_state(conn, store, table, order)
+        assert got == expected and expected, f"{table}: {got} vs {expected}"
+
+
+def test_instead_of_update_delete_old_new(iof_engines):
+    """INSTEAD OF UPDATE OF / DELETE: OLD carries the computed view row
+    (incl. a10), NEW applies the SET expressions over it."""
+    conn, store = iof_engines
+    _both_iof(
+        conn,
+        store,
+        "INSERT INTO base VALUES (1, 'x');\n"
+        "INSERT INTO base VALUES (2, 'y');\n"
+        "CREATE TRIGGER iou INSTEAD OF UPDATE OF b ON v BEGIN "
+        "UPDATE base SET b = NEW.b WHERE a = OLD.a; "
+        "INSERT INTO vlog VALUES ('upd:' || OLD.b || '->' || NEW.b || '@' || OLD.a10); END;\n"
+        "CREATE TRIGGER iod INSTEAD OF DELETE ON v BEGIN "
+        "DELETE FROM base WHERE a = OLD.a; "
+        "INSERT INTO vlog VALUES ('del:' || OLD.a10); END;\n"
+        "UPDATE v SET b = b || '!' WHERE a <= 2;\n"
+        "DELETE FROM v WHERE a = 1",
+    )
+    for table, order in (("base", "a"), ("vlog", "s")):
+        expected, got = _iof_state(conn, store, table, order)
+        assert got == expected and expected, f"{table}: {got} vs {expected}"
+
+
+def test_view_write_without_trigger_matches_sqlite_error(iof_engines):
+    """No matching INSTEAD OF trigger — including an UPDATE missing the
+    OF-list — raises SQLite's exact 'cannot modify' error in both engines."""
+    conn, store = iof_engines
+    from trough_spark.dialect import QueryRejected
+
+    _both_iof(conn, store, "INSERT INTO base VALUES (1, 'x')")
+    for bad in (
+        "INSERT INTO v VALUES (9, 'n', 90)",
+        "UPDATE v SET b = 'q'",
+        "DELETE FROM v",
+    ):
+        with pytest.raises(sqlite3.OperationalError, match="cannot modify v"):
+            _sqlite_script(conn, bad)
+        conn.execute("ROLLBACK")
+        with pytest.raises(QueryRejected, match="cannot modify v"):
+            store.write("iofseg", bad)
+    # UPDATE OF a-list trigger does not authorize SET b
+    _both_iof(
+        conn,
+        store,
+        "CREATE TRIGGER ioa INSTEAD OF UPDATE OF a ON v "
+        "BEGIN INSERT INTO vlog VALUES ('a:' || NEW.a); END",
+    )
+    with pytest.raises(sqlite3.OperationalError, match="cannot modify v"):
+        _sqlite_script(conn, "UPDATE v SET b = 'q'")
+    conn.execute("ROLLBACK")
+    with pytest.raises(QueryRejected, match="cannot modify v"):
+        store.write("iofseg", "UPDATE v SET b = 'q'")
+
+
+def test_trigger_registration_view_table_cross_errors(iof_engines):
+    """SQLite's registration errors reproduced byte-for-byte: INSTEAD OF
+    only on views, BEFORE/AFTER only on tables."""
+    conn, store = iof_engines
+    from trough_spark.dialect import QueryRejected
+
+    bad1 = "CREATE TRIGGER x1 BEFORE INSERT ON v BEGIN SELECT RAISE(IGNORE); END"
+    with pytest.raises(sqlite3.OperationalError, match="cannot create BEFORE trigger on view"):
+        _sqlite_script(conn, bad1)
+    conn.execute("ROLLBACK")
+    with pytest.raises(QueryRejected, match="cannot create BEFORE trigger on view: v"):
+        store.write("iofseg", bad1)
+    bad2 = "CREATE TRIGGER x2 INSTEAD OF INSERT ON base BEGIN SELECT RAISE(IGNORE); END"
+    with pytest.raises(sqlite3.OperationalError, match="cannot create INSTEAD OF trigger on table"):
+        _sqlite_script(conn, bad2)
+    conn.execute("ROLLBACK")
+    with pytest.raises(QueryRejected, match="cannot create INSTEAD OF trigger on table: base"):
+        store.write("iofseg", bad2)
+
+
+def test_instead_of_insert_select_fires(iof_engines):
+    """INSERT..SELECT into a view fires INSTEAD OF per produced row."""
+    conn, store = iof_engines
+    _both_iof(
+        conn,
+        store,
+        "INSERT INTO base VALUES (1, 'x');\n"
+        "INSERT INTO base VALUES (2, 'y');\n"
+        "CREATE TRIGGER io1 INSTEAD OF INSERT ON v "
+        "BEGIN INSERT INTO vlog VALUES ('io1:' || NEW.a || ':' || coalesce(NEW.a10, '-')); END;\n"
+        "INSERT INTO v (a, b, a10) SELECT a + 100, b, NULL FROM base WHERE a <= 2",
+    )
+    expected, got = _iof_state(conn, store, "vlog", "s")
+    assert got == expected == [("io1:101:-",), ("io1:102:-",)]

@@ -281,9 +281,12 @@ class Trigger:
 
     - BEFORE/AFTER x INSERT/UPDATE[ OF cols]/DELETE ON table, FOR EACH ROW
       (SQLite's only granularity), optional WHEN;
+    - INSTEAD OF x INSERT/UPDATE[ OF cols]/DELETE ON view (round 6):
+      view DML fires the bodies per row in place of the write, probed
+      SQLite semantics (registration cross-checks view vs table targets);
     - body statements: INSERT / UPDATE / DELETE / ``SELECT RAISE(...)``;
-    - fired non-recursively (SQLite's default ``PRAGMA recursive_triggers=OFF``);
-    - INSTEAD OF (view) triggers are rejected at parse time.
+    - a firing trigger never re-enters itself; cross-table cascades fire
+      (probed live-SQLite ``PRAGMA recursive_triggers=OFF`` semantics).
     """
 
     name: str
@@ -333,8 +336,6 @@ def parse_create_trigger(stmt: str) -> Trigger:
     if not m:
         raise QueryRejected(f"unsupported CREATE TRIGGER form: {stmt[:80]!r}")
     timing = re.sub(r"\s+", " ", (m.group("timing") or "BEFORE").upper())
-    if timing == "INSTEAD OF":
-        raise QueryRejected("INSTEAD OF (view) triggers are not supported")
     body = [s for s in dialect.split_statements(m.group("body")) if s.strip()]
     if not body:
         raise QueryRejected(f"empty trigger body: {stmt[:80]!r}")
@@ -843,12 +844,16 @@ class SegmentStore:
                 )
                 kind = dialect.statement_type(stmt)
                 if kind in ("INSERT", "REPLACE"):
+                    if self._view_dml(segment_id, stmt, kind, pending):
+                        continue
                     if self._insert_with_triggers(segment_id, stmt, pending):
                         continue
                     handled = self._execute_insert(segment_id, stmt, pending)
                     if handled:
                         continue
                 elif kind in ("UPDATE", "DELETE"):
+                    if self._view_dml(segment_id, stmt, kind, pending):
+                        continue
                     self._flush_inserts(segment_id, pending)
                     self._dml_with_triggers(segment_id, stmt, kind, pending)
                 elif kind == "CREATE":
@@ -1699,9 +1704,13 @@ class SegmentStore:
         _triggers_for handles via the firing stack)."""
         kind = dialect.statement_type(stmt)
         if kind in ("INSERT", "REPLACE"):
+            if self._view_dml(segment_id, stmt, kind, pending):
+                return
             if not self._insert_with_triggers(segment_id, stmt, pending):
                 self._execute_insert(segment_id, stmt, pending)
         elif kind in ("UPDATE", "DELETE"):
+            if self._view_dml(segment_id, stmt, kind, pending):
+                return
             self._flush_inserts(segment_id, pending)
             self._dml_with_triggers(segment_id, stmt, kind, pending)
         elif kind == "SELECT":
@@ -1801,6 +1810,119 @@ class SegmentStore:
         self._flush_inserts(segment_id, pending)
         self._fire_triggers(segment_id, trigs, "AFTER", pairs, pending)
         self._flush_inserts(segment_id, pending)
+        return True
+
+    def _view_name_of(self, segment_id: str, name: str) -> str | None:
+        """The stored view key matching ``name`` case-insensitively."""
+        for v in self._segment_info(segment_id).get("views", {}):
+            if v.lower() == name.lower():
+                return v
+        return None
+
+    def _view_dml(self, segment_id: str, stmt: str, kind: str, pending: dict) -> bool:
+        """INSTEAD OF (view) trigger dispatch — probed SQLite semantics:
+        DML whose target is a VIEW fires the view's matching INSTEAD OF
+        triggers FOR EACH affected row in place of any write (NEW is the raw
+        tuple mapped to the view's columns, unspecified columns NULL; OLD /
+        NEW for UPDATE/DELETE carry the computed view row), in reverse
+        creation order per row; with no matching trigger — including an
+        UPDATE none of whose SET columns hit an ``UPDATE OF`` list — SQLite's
+        exact 'cannot modify ... because it is a view' error raises.
+        Returns False when the target is not a view."""
+        if kind in ("INSERT", "REPLACE"):
+            m = self._match_insert(stmt)
+        elif kind == "UPDATE":
+            m = _UPDATE_STMT_RE.match(stmt)
+        else:
+            m = _DELETE_STMT_RE.match(stmt)
+        if m is None:
+            return False
+        vname = self._view_name_of(segment_id, _unquote(m.group("name")))
+        if vname is None:
+            return False
+        # the view reads tables: rows staged earlier in this script must be
+        # visible (same flush rule as INSERT..SELECT materialization)
+        self._flush_inserts(segment_id, pending)
+        if kind == "UPDATE":
+            sets = dict(_split_assignments(m.group("sets")))
+            trigs = self._triggers_for(segment_id, vname, "UPDATE", set_cols=list(sets))
+        else:
+            trigs = self._triggers_for(segment_id, vname, "INSERT" if kind == "REPLACE" else kind)
+        trigs = [t for t in trigs if t.timing == "INSTEAD OF"]
+        if not trigs:
+            raise QueryRejected(f"cannot modify {vname} because it is a view")
+        if kind in ("INSERT", "REPLACE"):
+            body = m.group("body")
+            if (
+                m.group("mode")
+                or m.group("replace")
+                or self._ON_CONFLICT_RE.search(body)
+            ):
+                raise QueryRejected(
+                    "conflict-resolution INSERT forms are not supported on a "
+                    f"view with INSTEAD OF triggers: {stmt[:80]!r}"
+                )
+            vcols = self.read_df(segment_id, f"SELECT * FROM {vname}").columns
+            cols = (
+                [_unquote(c.strip()) for c in m.group("cols").split(",")]
+                if m.group("cols")
+                else list(vcols)
+            )
+            if body.upper().startswith("VALUES"):
+                tuples = self._parse_values(body[len("VALUES") :])
+            else:
+                tuples = [list(r) for r in self.read_df(segment_id, body).collect()]
+            colmap = {c.lower(): c for c in vcols}
+            pairs = []
+            for tup in tuples:
+                if len(tup) != len(cols):
+                    raise QueryRejected(
+                        f"view INSERT arity mismatch: {len(tup)} vs {len(cols)}"
+                    )
+                d = {c: None for c in vcols}
+                for c, v in zip(cols, tup):
+                    if c.lower() not in colmap:
+                        raise QueryRejected(f"no such column: {vname}.{c}")
+                    d[colmap[c.lower()]] = v
+                pairs.append((None, Row(**d)))
+        else:
+            where = m.group("where")
+            mask = (
+                f"coalesce(({dialect.sqlite_to_spark(where)}), false)"
+                if where
+                else "true"
+            )
+            hit = self.read_df(segment_id, f"SELECT * FROM {vname}").filter(mask)
+            if kind == "DELETE":
+                pairs = [(r, None) for r in hit.collect()]
+            else:
+                lowered = {
+                    c.lower(): dialect.sqlite_to_spark(e) for c, e in sets.items()
+                }
+                cols = hit.columns
+                rows = hit.select(
+                    F.struct(*[F.col(n) for n in cols]).alias("_o"),
+                    F.struct(
+                        *[
+                            (
+                                F.expr(lowered[n.lower()])
+                                if n.lower() in lowered
+                                else F.col(n)
+                            ).alias(n)
+                            for n in cols
+                        ]
+                    ).alias("_n"),
+                ).collect()
+                pairs = [(r["_o"], r["_n"]) for r in rows]
+        if len(pairs) > 1 and self._bodies_observe_state(segment_id, trigs):
+            # per-row interleave so a later row's bodies see earlier rows'
+            # effects (same probed rule as multi-row INSERT triggers)
+            for p in pairs:
+                self._fire_triggers(segment_id, trigs, "INSTEAD OF", [p], pending)
+                self._flush_inserts(segment_id, pending)
+        else:
+            self._fire_triggers(segment_id, trigs, "INSTEAD OF", pairs, pending)
+            self._flush_inserts(segment_id, pending)
         return True
 
     def _bodies_observe_state(self, segment_id: str, trigs: list[Trigger]) -> bool:
@@ -1972,6 +2094,17 @@ class SegmentStore:
         if what == "TRIGGER":
             tr = parse_create_trigger(stmt)
             info = self._segment_info(segment_id)
+            views_lc = {v.lower() for v in info.get("views", {})}
+            # SQLite's exact registration errors (probed): INSTEAD OF only
+            # on views, BEFORE/AFTER only on tables
+            if tr.timing == "INSTEAD OF" and tr.table.lower() not in views_lc:
+                raise QueryRejected(
+                    f"cannot create INSTEAD OF trigger on table: {tr.table}"
+                )
+            if tr.timing != "INSTEAD OF" and tr.table.lower() in views_lc:
+                raise QueryRejected(
+                    f"cannot create {tr.timing} trigger on view: {tr.table}"
+                )
             trigs = info.setdefault("triggers", {})
             if tr.name in trigs and "IF NOT EXISTS" in re.sub(
                 r"\s+", " ", stmt.upper()
