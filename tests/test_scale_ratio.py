@@ -75,3 +75,32 @@ def test_wide_lsh_scales_linearly(spark):
     # overhead makes small-k ratios look BETTER than linear, so this only
     # trips on genuinely super-linear behavior)
     assert t16 <= max(t1, 0.5) * 16 * 2.5, (t1, t16)
+
+
+def test_span_coverage_scales_linearly(spark):
+    """Second measured family (VERDICT r5 item 8): duplicated-span coverage
+    over 1x/4x/16x dissimilar corpora.  Work is linear by construction —
+    spans hash map-side, doc-frequency is one hash aggregate, the hot-span
+    set joins back by 8-byte hash — so wall time must track corpus size."""
+    from trough_spark.operators.dedup import duplicated_span_coverage
+
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents").select("doc_id", "text")
+    docs.count()  # page cache
+    spark.range(0, 64, 1, 32).mapInPandas(lambda it: it, "id long").count()
+
+    def run(k: int) -> tuple[float, int]:
+        d = _blowup(docs, k)
+        cov = duplicated_span_coverage(d, "doc_id", "text", n=8, min_doc_freq=2)
+        t0 = time.perf_counter()
+        rows = cov.agg(F.count("*"), F.sum("dup_spans")).collect()[0]
+        return time.perf_counter() - t0, int(rows[0])
+
+    run(1)  # codegen warm-up for the plan shape
+    t1, n1 = run(1)
+    t4, n4 = run(4)
+    t16, n16 = run(16)
+    print(f"\nspan-coverage scale: 1x {t1:.2f}s/{n1} docs, 4x {t4:.2f}s/{n4}, 16x {t16:.2f}s/{n16}")
+    print(f"ratios: 4x/1x = {t4 / t1:.2f} (ideal 4), 16x/1x = {t16 / t1:.2f} (ideal 16)")
+    assert n4 == 4 * n1 and n16 == 16 * n1  # every replica produces its rows
+    # same generous super-linearity trip wire as the LSH family
+    assert t16 <= max(t1, 0.5) * 16 * 2.5, (t1, t16)
