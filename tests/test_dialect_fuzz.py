@@ -518,6 +518,80 @@ def _trigger_ddl(rng: random.Random, n: int) -> list[str]:
     return trigs
 
 
+VIEW_DDL = "CREATE VIEW vnums AS SELECT id, a, b, s, a + coalesce(b, 0) AS ab FROM nums"
+
+
+def _instead_of_ddl(rng: random.Random) -> list[str]:
+    """INSTEAD OF triggers on vnums redirecting writes to nums/audit —
+    fuzzes the round-6 view-write path (probed SQLite semantics: row set
+    materialized up front, bodies fire per row, reverse creation order)."""
+    trigs = [VIEW_DDL]
+    shapes = [
+        (
+            "INSERT",
+            "NEW",
+            [
+                "INSERT INTO nums (id, a, b, s) VALUES (NEW.id, NEW.a, NEW.b, NEW.s);",
+                "INSERT INTO audit VALUES (NEW.id, 'vi', coalesce(NEW.ab, -1));",
+            ],
+        ),
+        (
+            "UPDATE",
+            rng.choice(["NEW", "OLD"]),
+            [
+                "UPDATE nums SET a = NEW.a WHERE id = OLD.id;",
+                "INSERT INTO audit VALUES (OLD.id, 'vu', coalesce(OLD.ab, -1));",
+            ],
+        ),
+        (
+            "DELETE",
+            "OLD",
+            [
+                "DELETE FROM nums WHERE id = OLD.id;",
+                "INSERT INTO audit VALUES (OLD.id, 'vd', coalesce(OLD.ab, -1));",
+            ],
+        ),
+    ]
+    for i, (event, row, bodies) in enumerate(shapes):
+        if event != "INSERT" and rng.random() < 0.3:
+            continue  # sometimes leave UPDATE/DELETE uncovered ("cannot modify")
+        when = ""
+        if rng.random() < 0.4:
+            when = f"WHEN coalesce({row}.ab, 0) >= {rng.randint(-10, 10)} "
+        trigs.append(
+            f"CREATE TRIGGER vio{i} INSTEAD OF {event} ON vnums "
+            f"FOR EACH ROW {when}BEGIN {rng.choice([bodies[0], ' '.join(bodies)])} END"
+        )
+    return trigs
+
+
+def _view_script(rng: random.Random) -> list[str]:
+    stmts = []
+    next_id = 200
+    for _ in range(rng.randint(2, 4)):
+        kind = rng.randrange(4)
+        if kind == 0:
+            a = rng.choice(["NULL", str(rng.randint(-9, 9))])
+            stmts.append(
+                f"INSERT INTO vnums (id, a, b, s, ab) "
+                f"VALUES ({next_id}, {a}, {rng.randint(-9, 9)}, 'v', NULL)"
+            )
+            next_id += 1
+        elif kind == 1:
+            stmts.append(
+                f"UPDATE vnums SET a = coalesce(a, 0) + {rng.randint(-3, 3)} "
+                f"WHERE id % {rng.randint(2, 4)} = 0"
+            )
+        elif kind == 2:
+            stmts.append(f"DELETE FROM vnums WHERE id = {rng.randint(0, 8)}")
+        else:
+            stmts.append(
+                f"INSERT INTO nums (id, a, b, s) VALUES ({next_id}, 1, 1, 'n')"
+            )
+            next_id += 1
+    return stmts
+
+
 def _trigger_script(rng: random.Random) -> list[str]:
     """Random DML confined to the supported triggered-table shapes:
     plain INSERT VALUES / INSERT..SELECT / UPDATE / DELETE (conflict-mode
@@ -567,6 +641,12 @@ def test_fuzzed_triggers_match_sqlite(spark, tmp_path, case):
     if rng.random() < 0.6:
         trigs += _cascade_ddl(rng)
     stmts = _trigger_script(rng)
+    if rng.random() < 0.5:
+        # INSTEAD OF leg: a view over nums with redirecting triggers, plus
+        # view-DML statements (base-table triggers fire on the redirected
+        # writes too — the full cascade)
+        trigs += _instead_of_ddl(rng)
+        stmts += _view_script(rng)
 
     conn = sqlite3.connect(":memory:")
     conn.isolation_level = None
