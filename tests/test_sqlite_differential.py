@@ -102,6 +102,16 @@ QUERIES = [
     "SELECT iif(qty IS NULL, -1, qty) AS q FROM items ORDER BY id",
     "SELECT instr(name, 'pp') AS pos FROM items WHERE id = 1",
     "SELECT hex(substr(name, 1, 2)) AS h FROM items WHERE id = 2",
+    # round-6 scalar parity sweep: quote() typed rendering (NULL -> 'NULL',
+    # numbers bare, text quoted), sign/mod/atan2 passthroughs, char/unicode,
+    # zeroblob
+    "SELECT quote(name) AS q1, quote(price) AS q2, quote(qty) AS q3 "
+    "FROM items ORDER BY id",
+    "SELECT sign(-price) AS s, mod(id, 3) AS m FROM items ORDER BY id",
+    "SELECT round(atan2(id, 2), 9) AS a, round(degrees(pi()), 6) AS d "
+    "FROM items WHERE id = 1",
+    "SELECT unicode(name) AS u, char(66, 67) AS c FROM items WHERE id = 1",
+    "SELECT hex(zeroblob(3)) AS z, length(CAST(name AS BLOB)) AS ol FROM items WHERE id = 1",
     # round-4 session-2 parity additions: arithmetic edge semantics, window
     # defaults, FILTER aggregates, text/number coercion in ||
     "SELECT -7 % 3 AS a, 7 % -3 AS b, -7 / 2 AS c",

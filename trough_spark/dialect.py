@@ -614,7 +614,19 @@ _FN_REWRITES: dict[str, object] = {
     ),
     "json_object": lambda a: f"to_json(named_struct({', '.join(a)}))",
     "json_array": lambda a: f"to_json(array({', '.join(a)}))",
-    "quote": lambda a: f"concat('\\'', replace(CAST({a[0]} AS STRING), '\\'', '\\'\\''), '\\'')",
+    # SQLite quote(): NULL -> the string 'NULL', numbers render bare,
+    # blobs as X'..' hex literals, text single-quoted with '' doubling
+    # (probed).  The arg binds once via the named_struct lambda.
+    "quote": lambda a: (
+        f"transform(array(named_struct('v', {a[0]})), _q -> CASE "
+        "WHEN _q.v IS NULL THEN 'NULL' "
+        "WHEN typeof(_q.v) IN ('tinyint', 'smallint', 'int', 'bigint', "
+        "'float', 'double') OR typeof(_q.v) LIKE 'decimal%' "
+        "THEN CAST(_q.v AS STRING) "
+        "WHEN typeof(_q.v) = 'binary' THEN concat('X\\'', upper(hex(_q.v)), '\\'') "
+        "ELSE concat('\\'', replace(CAST(_q.v AS STRING), '\\'', '\\'\\''), '\\'') "
+        "END)[0]"
+    ),
     "zeroblob": lambda a: f"unhex(repeat('00', {a[0]}))",
     "char": lambda a: "concat(" + ", ".join(f"chr({x})" for x in a) + ")",
     "unicode": lambda a: f"ascii({a[0]})",
