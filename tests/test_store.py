@@ -506,3 +506,35 @@ def test_rollback_after_multiple_overwrites_restores_prescript_state(spark, tmp_
         {"id": 1, "v": 10},
         {"id": 2, "v": 20},
     ]
+
+
+def test_midscript_io_failure_rolls_back(store, monkeypatch):
+    """Round-6 crash-consistency: an IO error thrown from INSIDE a partition
+    write (disk full, lost mount — not a statement error) still rolls the
+    whole script back, including files already appended by the earlier
+    statements of the same script."""
+    store.set_schema("io", "create table a (k INTEGER); create table b (k INTEGER);")
+    store.provision("seg_io", "io")
+    store.write("seg_io", "INSERT INTO a VALUES (1); INSERT INTO b VALUES (10);")
+    before_a = store.read("seg_io", "SELECT * FROM a ORDER BY k")
+    before_b = store.read("seg_io", "SELECT * FROM b ORDER BY k")
+
+    calls = {"n": 0}
+    orig = SegmentStore._write_files
+
+    def flaky(self, df, path, mode):
+        calls["n"] += 1
+        if calls["n"] == 2:  # first table's append lands, second one dies
+            raise OSError("No space left on device (injected)")
+        return orig(self, df, path, mode)
+
+    monkeypatch.setattr(SegmentStore, "_write_files", flaky)
+    with pytest.raises(OSError, match="injected"):
+        store.write("seg_io", "INSERT INTO a VALUES (2); INSERT INTO b VALUES (20);")
+    monkeypatch.setattr(SegmentStore, "_write_files", orig)
+
+    assert store.read("seg_io", "SELECT * FROM a ORDER BY k") == before_a
+    assert store.read("seg_io", "SELECT * FROM b ORDER BY k") == before_b
+    # the store still accepts writes afterwards (no stale lock, no txn residue)
+    store.write("seg_io", "INSERT INTO a VALUES (3);")
+    assert len(store.read("seg_io", "SELECT * FROM a")) == 2
