@@ -971,3 +971,50 @@ def test_instead_of_insert_select_fires(iof_engines):
     )
     expected, got = _iof_state(conn, store, "vlog", "s")
     assert got == expected == [("io1:101:-",), ("io1:102:-",)]
+
+
+def test_view_update_unknown_column_matches_sqlite(iof_engines):
+    """UPDATE v SET nosuch: with a matching INSTEAD OF trigger SQLite raises
+    'no such column'; without one 'cannot modify' wins (probed precedence)."""
+    conn, store = iof_engines
+    from trough_spark.dialect import QueryRejected
+
+    _both_iof(
+        conn,
+        store,
+        "INSERT INTO base VALUES (1, 'x');\n"
+        "CREATE TRIGGER iou INSTEAD OF UPDATE ON v "
+        "BEGIN INSERT INTO vlog VALUES ('u:' || OLD.a); END",
+    )
+    bad = "UPDATE v SET nosuch = 1"
+    with pytest.raises(sqlite3.OperationalError, match="no such column: nosuch"):
+        _sqlite_script(conn, bad)
+    conn.execute("ROLLBACK")
+    with pytest.raises(QueryRejected, match="no such column: nosuch"):
+        store.write("iofseg", bad)
+    # no side effects from the failed statement in either engine
+    expected, got = _iof_state(conn, store, "vlog", "s")
+    assert got == expected == []
+
+
+def test_unary_minus_overflow_string_matches_sqlite(spark, tmp_path):
+    """-'<20 digits>' coerces to REAL in SQLite (int64 overflow); the
+    engine's numeric-prefix coercion must match instead of producing an
+    unbounded Python int that overflows LongType."""
+    ddl = "CREATE TABLE u (id INTEGER, v REAL);\n"
+    conn = sqlite3.connect(":memory:")
+    conn.isolation_level = None
+    conn.executescript(ddl)
+    store = SegmentStore(spark, str(tmp_path / "ovstore"))
+    store.set_schema("ov_schema", ddl)
+    store.provision("ovseg", "ov_schema")
+    script = (
+        "INSERT INTO u VALUES (1, -'99999999999999999999');\n"
+        "INSERT INTO u VALUES (2, -'9223372036854775808')"
+    )
+    _sqlite_script(conn, script)
+    store.write("ovseg", script)
+    expected = [tuple(r) for r in conn.execute("SELECT id, v FROM u ORDER BY id").fetchall()]
+    got = [(r["id"], r["v"]) for r in store.read("ovseg", "SELECT id, v FROM u ORDER BY id")]
+    assert got == expected
+    conn.close()

@@ -538,3 +538,40 @@ def test_midscript_io_failure_rolls_back(store, monkeypatch):
     # the store still accepts writes afterwards (no stale lock, no txn residue)
     store.write("seg_io", "INSERT INTO a VALUES (3);")
     assert len(store.read("seg_io", "SELECT * FROM a")) == 2
+
+
+def test_segment_id_charset_enforced(store, spark):
+    """Round-6 (code-review): segment ids become partition directory names
+    and Delta replaceWhere literals — enforce the charset at every entry
+    point instead of letting a quote or colon corrupt paths/predicates."""
+    store.set_schema("sid", "create table t (k INTEGER);")
+    for bad in ("se'g", "a:b", "x=1", "", "%41", ".hidden", "a b"):
+        with pytest.raises(QueryRejected, match="invalid segment id"):
+            store.provision(bad, "sid")
+    store.provision("ok-1.x_2", "sid")  # dot/dash/underscore are fine
+    df = spark.createDataFrame([(1, "se'g")], "k int, segment_id string")
+    with pytest.raises(QueryRejected, match="invalid segment id"):
+        store.bulk_load("t", df, segment_col="segment_id")
+    with pytest.raises(QueryRejected, match="invalid segment id"):
+        store.append_dataframe("t", df)
+
+
+def test_trigger_when_subquery_rejected(store):
+    """WHEN / RAISE conditions are evaluated as per-row constants; a scalar
+    subquery reading live state cannot be — reject at registration (loud)
+    rather than silently evaluating against the wrong state."""
+    store.set_schema("wq", "create table t (x INTEGER);")
+    store.provision("seg_wq", "wq")
+    with pytest.raises(QueryRejected, match="WHEN"):
+        store.write(
+            "seg_wq",
+            "CREATE TRIGGER bad BEFORE INSERT ON t "
+            "WHEN (SELECT count(*) FROM t) >= 2 "
+            "BEGIN SELECT RAISE(ABORT, 'cap'); END",
+        )
+    with pytest.raises(QueryRejected, match="RAISE condition"):
+        store.write(
+            "seg_wq",
+            "CREATE TRIGGER bad2 BEFORE INSERT ON t BEGIN "
+            "SELECT RAISE(ABORT, 'cap') WHERE (SELECT count(*) FROM t) >= 2; END",
+        )

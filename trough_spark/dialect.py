@@ -614,12 +614,16 @@ _FN_REWRITES: dict[str, object] = {
     ),
     "json_object": lambda a: f"to_json(named_struct({', '.join(a)}))",
     "json_array": lambda a: f"to_json(array({', '.join(a)}))",
-    # SQLite quote(): NULL -> the string 'NULL', numbers render bare,
-    # blobs as X'..' hex literals, text single-quoted with '' doubling
-    # (probed).  The arg binds once via the named_struct lambda.
+    # SQLite quote(): NULL -> the string 'NULL', numbers render bare
+    # (booleans as their 0/1 integer storage), blobs as X'..' hex literals,
+    # text single-quoted with '' doubling (probed).  The arg binds once via
+    # the named_struct lambda.  KNOWN DIVERGENCE: reals outside
+    # [1e-4, 1e7) render in Spark's scientific notation ('1.0E7') where
+    # SQLite's %!.15g prints '10000000.0'.
     "quote": lambda a: (
         f"transform(array(named_struct('v', {a[0]})), _q -> CASE "
         "WHEN _q.v IS NULL THEN 'NULL' "
+        "WHEN typeof(_q.v) = 'boolean' THEN CAST(CAST(_q.v AS INT) AS STRING) "
         "WHEN typeof(_q.v) IN ('tinyint', 'smallint', 'int', 'bigint', "
         "'float', 'double') OR typeof(_q.v) LIKE 'decimal%' "
         "THEN CAST(_q.v AS STRING) "

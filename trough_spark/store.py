@@ -199,6 +199,24 @@ def parse_create_table(stmt: str) -> TableSchema:
     )
 
 
+_SEGMENT_ID_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]*$")
+
+
+def _validate_segment_id(segment_id) -> str:
+    """Segment ids become partition DIRECTORY names, file-lock names, and —
+    under Delta — ``replaceWhere`` predicate literals, so the charset is
+    enforced at every entry point (provision / bulk ingest).  Without this,
+    an id containing ``'`` could break (or widen!) the replaceWhere
+    predicate, and Hive partition escaping (':' -> '%3A') would make raw
+    ``os.path`` existence checks silently miss written data."""
+    if not isinstance(segment_id, str) or not _SEGMENT_ID_RE.match(segment_id):
+        raise QueryRejected(
+            f"invalid segment id {segment_id!r}: must match "
+            "[A-Za-z0-9][A-Za-z0-9._-]*"
+        )
+    return segment_id
+
+
 def _split_partition_path(path: str) -> tuple[str, str]:
     """(table root, segment id) from a ``.../tables/<t>/segment_id=<seg>``
     partition path — the Delta single-table layout addresses the one table
@@ -339,12 +357,28 @@ def parse_create_trigger(stmt: str) -> Trigger:
     body = [s for s in dialect.split_statements(m.group("body")) if s.strip()]
     if not body:
         raise QueryRejected(f"empty trigger body: {stmt[:80]!r}")
+    when = m.group("when")
+    if when is not None and re.search(r"\bSELECT\b", when, re.IGNORECASE):
+        # WHEN is evaluated per row as a fully-substituted CONSTANT
+        # expression (zero-table SELECT); a scalar subquery reading live
+        # table state cannot be evaluated that way — reject LOUDLY instead
+        # of silently using pre-statement state (SQLite re-reads per row)
+        raise QueryRejected(
+            f"subqueries in trigger WHEN clauses are not supported: {when[:60]!r}"
+        )
     for b in body:
         kind = dialect.statement_type(b)
         if kind == "SELECT":
-            if not _RAISE_RE.match(b):
+            rm = _RAISE_RE.match(b)
+            if not rm:
                 raise QueryRejected(
                     f"only SELECT RAISE(...) is supported in trigger bodies: {b[:60]!r}"
+                )
+            cond = rm.group("where")
+            if cond is not None and re.search(r"\bSELECT\b", cond, re.IGNORECASE):
+                raise QueryRejected(
+                    "subqueries in a RAISE condition are not supported "
+                    f"(evaluated as a per-row constant): {cond[:60]!r}"
                 )
         elif kind not in ("INSERT", "REPLACE", "UPDATE", "DELETE"):
             raise QueryRejected(f"unsupported trigger body statement: {b[:60]!r}")
@@ -514,6 +548,11 @@ class _WriteTxn:
         self.snapshots: dict[str, set[str] | None] = {}
         self.overwrites: list[tuple[str, str]] = []  # (live_path, backup_path)
         self.moves: list[tuple[str, str]] = []  # (src, dst) dir renames
+        # pre-script bytes of files Delta OVERWRITES in place (the one
+        # exception to its append-only file model: the `_last_checkpoint`
+        # hint is rewritten at every checkpoint, so a listing diff alone
+        # would leave it naming a checkpoint the rollback deleted)
+        self.inplace_contents: dict[str, bytes] = {}
         self.meta_before = json.loads(json.dumps(store._meta))
         self.hwm_before = dict(store._hwm)
         self.last_auto_before = dict(store._last_auto)
@@ -533,6 +572,12 @@ class _WriteTxn:
     def before_append(self, path: str) -> None:
         if path not in self.snapshots:
             self.snapshots[path] = self._listing(path) if os.path.isdir(path) else None
+            if self.snapshots[path] is not None:
+                for rel in self.snapshots[path]:
+                    if os.path.basename(rel) == "_last_checkpoint":
+                        full = os.path.join(path, rel)
+                        with open(full, "rb") as fh:
+                            self.inplace_contents[full] = fh.read()
 
     def register_overwrite(self, path: str, bak: str) -> None:
         # NB: the pre-overwrite snapshot must already have been taken
@@ -569,6 +614,12 @@ class _WriteTxn:
                 for base, _, _ in os.walk(path, topdown=False):
                     if base != path and not os.listdir(base):
                         os.rmdir(base)
+        # restore files that were overwritten IN PLACE during the script
+        # (Delta's _last_checkpoint hint) to their pre-script bytes
+        for full, data in self.inplace_contents.items():
+            if os.path.isdir(os.path.dirname(full)):
+                with open(full, "wb") as fh:
+                    fh.write(data)
         self.store._meta = self.meta_before
         self.store._save_meta()
         self.store._hwm = self.hwm_before
@@ -757,6 +808,7 @@ class SegmentStore:
     def provision(self, segment_id: str, schema_id: str = "default") -> dict:
         """Create-or-get a writable segment (A21; reference
         sync.py:673-725,1049-1110 minus all node/lock choreography)."""
+        _validate_segment_id(segment_id)
         schema = self.schema(schema_id)
         existing = self._meta["segments"].get(segment_id)
         if existing is None:
@@ -1896,6 +1948,12 @@ class SegmentStore:
             if kind == "DELETE":
                 pairs = [(r, None) for r in hit.collect()]
             else:
+                view_cols_lc = {c.lower() for c in hit.columns}
+                for c in sets:
+                    if _unquote(c).lower() not in view_cols_lc:
+                        # SQLite's exact error (probed); raised AFTER the
+                        # cannot-modify check, matching its precedence
+                        raise QueryRejected(f"no such column: {_unquote(c)}")
                 lowered = {
                     c.lower(): dialect.sqlite_to_spark(e) for c, e in sets.items()
                 }
@@ -2244,7 +2302,12 @@ class SegmentStore:
         if self._fmt == "delta":
             # single-table layout: the partition dir belongs to the shared
             # Delta table, so DROP = one replaceWhere commit emptying the
-            # segment's partition (renaming the dir would corrupt the log)
+            # segment's partition (renaming the dir would corrupt the log).
+            # DOCUMENTED DIVERGENCE: the shared table's column schema
+            # survives the drop, so re-creating the table with a CHANGED
+            # column type fails loudly at the next append (mergeSchema
+            # widens, never retypes); the parquet layout deletes the
+            # directory and accepts the retype.
             if os.path.isdir(f"{self._table_path(table)}/_delta_log"):
                 self._txn_before_write(table, segment_id)
                 empty = self._read_partition_raw(segment_id, table).limit(0)
@@ -2463,6 +2526,8 @@ class SegmentStore:
         fields = [(f.name, f.dataType) for f in data.schema.fields if f.name != "segment_id"]
         ts = TableSchema(name=table, fields=fields)
         segs = [r["segment_id"] for r in data.select("segment_id").distinct().collect()]
+        for seg in segs:
+            _validate_segment_id(seg)
         changed = False
         for seg in segs:
             info = self._meta["segments"].setdefault(seg, {"schema": "default", "tables": []})
@@ -2489,6 +2554,8 @@ class SegmentStore:
         fields = [(f.name, f.dataType) for f in data.schema.fields if f.name != "segment_id"]
         ts = TableSchema(name=table, fields=fields)
         segs = [r["segment_id"] for r in data.select("segment_id").distinct().collect()]
+        for seg in segs:
+            _validate_segment_id(seg)
         for seg in segs:
             self._meta["segments"].setdefault(seg, {"schema": "default", "tables": []})
             self._meta["segments"][seg].setdefault("extra_tables", {})[table] = (
@@ -2813,7 +2880,12 @@ def _sqlite_numeric_prefix(s: str):
     txt = m.group(0).strip()
     if "." in txt or "e" in txt.lower():
         return float(txt)
-    return int(txt)
+    v = int(txt)
+    if not (-(2**63) <= v < 2**63):
+        # SQLite: a digit string exceeding int64 coerces to REAL (probed:
+        # -'99999999999999999999' = -1e+20, -'9223372036854775808' = REAL)
+        return float(txt)
+    return v
 
 
 class _NotALiteral(Exception):

@@ -148,7 +148,13 @@ def upsert_to_segments(
         # N segments runs ~min(N, pool) concurrent jobs instead of N serial
         # driver-coordinated ones (the one scale seam the per-segment write
         # model had).  TROUGH_SINK_THREADS=1 restores the serial loop.
+        # Delta stores serialize: every segment's merge commits to the SAME
+        # shared table log, and concurrent metadata/overwrite commits
+        # conflict (the native end state there is ONE MERGE per micro-batch,
+        # not parallel per-segment rewrites).
         workers = min(int(os.environ.get("TROUGH_SINK_THREADS", "8")), max(len(segs), 1))
+        if getattr(store, "_fmt", "parquet") == "delta":
+            workers = 1
         if workers <= 1:
             for seg in segs:
                 _one(seg)
