@@ -206,10 +206,18 @@ def main() -> None:
         _emit(times, warm, extra, sf, runs=1)
         return
     # parent: median over `runs` fresh-JVM children (one JVM per child
-    # process — cold numbers stay genuinely cold-plan in every run)
+    # process — cold numbers stay genuinely cold-plan in every run).
+    # Time-boxed: if the budget runs out after >=1 completed child, emit
+    # medians of the completed runs rather than risking a caller timeout.
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "900"))
+    t_start = time.perf_counter()
     results = []
     env = {**os.environ, "SPARK_GRAFT_BENCH_CHILD": "1"}
-    for _ in range(runs):
+    for i in range(runs):
+        if results and i > 0:
+            elapsed = time.perf_counter() - t_start
+            if elapsed + elapsed / i > budget:
+                break  # another child would likely blow the budget
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -224,7 +232,7 @@ def main() -> None:
     times = _median_each([r[0] for r in results])
     warm = _median_each([r[1] for r in results])
     extra = _median_each([r[2] for r in results])
-    _emit(times, warm, extra, str(results[0][3]), runs=runs)
+    _emit(times, warm, extra, str(results[0][3]), runs=len(results))
 
 
 if __name__ == "__main__":
