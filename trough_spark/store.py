@@ -1346,6 +1346,58 @@ class SegmentStore:
             self._overwrite_partition(segment_id, table, out)
         return {"matched": matched, "inserted": inserted}
 
+    def merge_many(
+        self,
+        table: str,
+        source: DataFrame,
+        on: list[str],
+        when_matched: str | dict = "update",
+    ) -> bool:
+        """ONE native Delta MERGE for a multi-segment upsert batch: the
+        source carries a ``segment_id`` column and the merge keys on
+        (segment_id, *on) against the single partitioned table — the
+        streaming sink's Delta end state (one transaction-log commit per
+        micro-batch instead of a rewrite per touched segment; Delta prunes
+        the scan to the touched partitions via the segment_id equi-clause).
+
+        Returns False when the Delta table does not exist yet (first-ever
+        batch) or the delta package is unavailable — callers fall back to
+        the per-segment merge loop, which also creates the table."""
+        if self._fmt != "delta":
+            return False
+        try:
+            from delta.tables import DeltaTable
+        except ImportError:
+            return False
+        path = self._table_path(table)
+        if not os.path.isdir(f"{path}/_delta_log"):
+            return False
+        src = self._dedupe_last(source, ["segment_id", *on])
+        cond = " AND ".join(
+            f"t.`{k}` = s.`{k}`" for k in ("segment_id", *on)
+        )
+        with self._file_lock(f"table-{table}"):
+            m = DeltaTable.forPath(self.spark, path).alias("t").merge(
+                src.alias("s"), cond
+            )
+            if when_matched == "update":
+                m = m.whenMatchedUpdateAll()
+            elif isinstance(when_matched, dict):
+                sets = {
+                    c: re.sub(
+                        r"\b(source|target)\s*\.\s*",
+                        lambda mm: "s." if mm.group(1).lower() == "source" else "t.",
+                        e,
+                        flags=re.IGNORECASE,
+                    )
+                    for c, e in when_matched.items()
+                }
+                m = m.whenMatchedUpdate(set=sets)
+            elif when_matched != "ignore":
+                raise QueryRejected(f"bad when_matched: {when_matched!r}")
+            m.whenNotMatchedInsertAll().execute()
+        return True
+
     def _parse_values(self, rest: str):
         """Parse VALUES (..),(..) literal tuples via the dialect tokenizer."""
         tokens = [

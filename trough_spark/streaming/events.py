@@ -133,6 +133,15 @@ def upsert_to_segments(
         for seg in segs:
             store.provision(seg, schema_id)
 
+        # Delta end state: ONE native MERGE per micro-batch, keyed on
+        # (segment_id, *keys) against the single partitioned table — one
+        # log commit regardless of how many segments the batch touches.
+        # Falls back below on the first-ever batch (table not created yet)
+        # or when delta-spark is absent.
+        merge_many = getattr(store, "merge_many", None)
+        if merge_many is not None and merge_many(table, data, keys, when_matched):
+            return
+
         def _one(seg: str) -> None:
             store.merge(
                 seg,
