@@ -1018,3 +1018,90 @@ def test_unary_minus_overflow_string_matches_sqlite(spark, tmp_path):
     got = [(r["id"], r["v"]) for r in store.read("ovseg", "SELECT id, v FROM u ORDER BY id")]
     assert got == expected
     conn.close()
+
+
+# ---------------------------------------------------------------------------
+# DEFAULT column values (round 6): previously unspecified columns landed as
+# NULL and DEFAULT VALUES was rejected — both diverged from SQLite.
+# ---------------------------------------------------------------------------
+
+DEFAULTS_DDL = (
+    "CREATE TABLE d (id INTEGER PRIMARY KEY AUTOINCREMENT, a INTEGER DEFAULT 7, "
+    "b TEXT DEFAULT 'zz', c REAL DEFAULT -2.5, e TEXT DEFAULT NULL, "
+    "f INTEGER DEFAULT (3 + 4));\n"
+)
+
+
+@pytest.fixture()
+def def_engines(spark, tmp_path):
+    conn = sqlite3.connect(":memory:")
+    conn.isolation_level = None
+    conn.executescript(DEFAULTS_DDL)
+    store = SegmentStore(spark, str(tmp_path / "defstore"))
+    store.set_schema("def_schema", DEFAULTS_DDL)
+    store.provision("defseg", "def_schema")
+    yield conn, store
+    conn.close()
+
+
+def test_insert_applies_declared_defaults(def_engines):
+    conn, store = def_engines
+    script = (
+        "INSERT INTO d (c) VALUES (1.5);\n"
+        "INSERT INTO d (a, b) VALUES (1, 'x');\n"
+        "INSERT INTO d DEFAULT VALUES"
+    )
+    _sqlite_script(conn, script)
+    store.write("defseg", script)
+    q = "SELECT id, a, b, c, e, f FROM d ORDER BY id"
+    expected = [tuple(_canon(v) for v in r) for r in conn.execute(q).fetchall()]
+    got = [tuple(_canon(v) for v in r.values()) for r in store.read("defseg", q)]
+    assert got == expected and len(expected) == 3, f"{got} vs {expected}"
+
+
+def test_insert_select_applies_defaults(def_engines):
+    conn, store = def_engines
+    script = (
+        "INSERT INTO d (a, c) VALUES (10, 0.5);\n"
+        "INSERT INTO d (c) SELECT c * 2 FROM d"
+    )
+    _sqlite_script(conn, script)
+    store.write("defseg", script)
+    q = "SELECT id, a, b, c, f FROM d ORDER BY id"
+    expected = [tuple(_canon(v) for v in r) for r in conn.execute(q).fetchall()]
+    got = [tuple(_canon(v) for v in r.values()) for r in store.read("defseg", q)]
+    assert got == expected, f"{got} vs {expected}"
+
+
+def test_alter_add_column_default_backfills(def_engines):
+    """SQLite: ADD COLUMN .. DEFAULT gives EXISTING rows the default."""
+    conn, store = def_engines
+    script = (
+        "INSERT INTO d (a) VALUES (1);\n"
+        "INSERT INTO d (a) VALUES (2);\n"
+        "ALTER TABLE d ADD COLUMN g INTEGER DEFAULT 42;\n"
+        "INSERT INTO d (a) VALUES (3);\n"
+        "INSERT INTO d (a, g) VALUES (4, 9)"
+    )
+    _sqlite_script(conn, script)
+    store.write("defseg", script)
+    q = "SELECT id, a, g FROM d ORDER BY id"
+    expected = [tuple(_canon(v) for v in r) for r in conn.execute(q).fetchall()]
+    got = [tuple(_canon(v) for v in r.values()) for r in store.read("defseg", q)]
+    assert got == expected == [(1, 1, 42), (2, 2, 42), (3, 3, 42), (4, 4, 9)]
+
+
+def test_current_timestamp_default_shape(def_engines):
+    """CURRENT_TIMESTAMP defaults can't be value-compared across engines
+    (clock drift); assert the engine's rendering SHAPE and rough time."""
+    conn, store = def_engines
+    ddl = "CREATE TABLE ts_t (k INTEGER, at DATETIME DEFAULT CURRENT_TIMESTAMP)"
+    store.write("defseg", ddl + ";\nINSERT INTO ts_t (k) VALUES (1)")
+    row = store.read("defseg", "SELECT k, at FROM ts_t")[0]
+    import datetime
+
+    assert row["k"] == 1 and row["at"] is not None
+    got = row["at"]
+    if isinstance(got, str):
+        got = datetime.datetime.fromisoformat(got)
+    assert abs((datetime.datetime.utcnow() - got).total_seconds()) < 300

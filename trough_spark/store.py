@@ -93,6 +93,10 @@ class TableSchema:
     # name if given, else the expression text (SQLite's error-message rule)
     checks: list[tuple[str, str]] = field(default_factory=list)
     not_null: list[str] = field(default_factory=list)
+    # declared DEFAULT expressions (col -> raw sqlite expression text),
+    # applied to unspecified columns on INSERT (round 6 — previously they
+    # silently landed as NULL, diverging from SQLite)
+    defaults: dict[str, str] = field(default_factory=dict)
 
     def struct(self) -> T.StructType:
         return T.StructType([T.StructField(n, t, True) for n, t in self.fields])
@@ -147,6 +151,7 @@ def parse_create_table(stmt: str) -> TableSchema:
     pk: list[str] = []
     checks: list[tuple[str, str]] = []
     not_null: list[str] = []
+    defaults: dict[str, str] = {}
     for coldef in coldefs:
         sig = [t for t in coldef if t.kind not in ("space", "comment")]
         if not sig:
@@ -188,6 +193,9 @@ def parse_create_table(stmt: str) -> TableSchema:
         if re.search(r"\bNOT\s+NULL\b", bare_u):
             not_null.append(col)
         checks.extend(_parse_checks(coldef))
+        dv = _parse_default(coldef[1:])
+        if dv is not None:
+            defaults[col] = dv
         fields.append((col, typ))
     return TableSchema(
         name=name,
@@ -196,6 +204,7 @@ def parse_create_table(stmt: str) -> TableSchema:
         primary_key=pk,
         checks=checks,
         not_null=not_null,
+        defaults=defaults,
     )
 
 
@@ -257,6 +266,30 @@ def _strip_parens_and_strings(s: str) -> str:
             out.append(ch)
         i += 1
     return "".join(out)
+
+
+def _parse_default(toks) -> str | None:
+    """The raw DEFAULT expression text of one column definition, or None.
+    Handles the SQLite forms: a literal (optionally signed), a bare keyword
+    (NULL / CURRENT_TIMESTAMP / ...), or a parenthesized expression."""
+    sig = [t for t in toks if t.kind not in ("space", "comment")]
+    depth = 0
+    for i, t in enumerate(sig):
+        if t.kind == "op" and t.text == "(":
+            depth += 1
+        elif t.kind == "op" and t.text == ")":
+            depth -= 1
+        elif depth == 0 and t.kind == "word" and t.text.upper() == "DEFAULT":
+            rest = sig[i + 1 :]
+            if not rest:
+                return None
+            if rest[0].kind == "op" and rest[0].text == "(":
+                args, _close = dialect._find_call_args(sig, i + 1)
+                return "(" + ", ".join(dialect.render(list(a)).strip() for a in args) + ")"
+            if rest[0].kind == "op" and rest[0].text in ("+", "-") and len(rest) > 1:
+                return rest[0].text + rest[1].text
+            return rest[0].text
+    return None
 
 
 def _parse_checks(toks) -> list[tuple[str, str]]:
@@ -943,7 +976,8 @@ class SegmentStore:
     _INSERT_RE = re.compile(
         r"^\s*(?:INSERT\s+(?:OR\s+(?P<mode>REPLACE|IGNORE)\s+)?|(?P<replace>REPLACE\s+))"
         r"INTO\s+(?P<name>[\w\"\[\]`]+)"
-        r"\s*(?:\((?P<cols>[^)]*)\))?\s*(?P<body>VALUES\s*.+|SELECT\s+.+|WITH\s+.+)$",
+        r"\s*(?:\((?P<cols>[^)]*)\))?\s*"
+        r"(?P<body>VALUES\s*.+|SELECT\s+.+|WITH\s+.+|DEFAULT\s+VALUES\s*)$",
         re.IGNORECASE | re.DOTALL,
     )
 
@@ -959,6 +993,29 @@ class SegmentStore:
         r"(?:\s+WHERE\s+(?P<where>.+))?$",
         re.IGNORECASE | re.DOTALL,
     )
+
+    def _default_for(self, ts: TableSchema, col: str):
+        """Evaluate one column's declared DEFAULT to a Python value (SQLite
+        semantics: CURRENT_* render as UTC text; other expressions constant-
+        fold — once per statement, which is also SQLite's per-statement
+        'now')."""
+        expr = ts.defaults.get(col)
+        if expr is None:
+            return None
+        u = expr.strip().upper()
+        if u in ("CURRENT_TIMESTAMP", "CURRENT_DATE", "CURRENT_TIME"):
+            import datetime as _dt
+
+            now = _dt.datetime.now(_dt.timezone.utc)
+            if u == "CURRENT_DATE":
+                return now.strftime("%Y-%m-%d")
+            if u == "CURRENT_TIME":
+                return now.strftime("%H:%M:%S")
+            return now.strftime("%Y-%m-%d %H:%M:%S")
+        try:
+            return _literal(list(dialect.tokenize(expr)))
+        except (_NotALiteral, QueryRejected):
+            return self._eval_scalar(expr)
 
     def _execute_insert(self, segment_id: str, stmt: str, pending: dict) -> bool:
         """Execute one INSERT.  Plain VALUES-inserts batch into ``pending``
@@ -1002,8 +1059,15 @@ class SegmentStore:
                 raise QueryRejected(
                     "ON CONFLICT ... DO UPDATE requires an explicit conflict target"
                 )
-        if body.upper().startswith("VALUES"):
-            tuples = self._parse_values(body[len("VALUES") :])
+        default_values = re.match(r"^DEFAULT\s+VALUES\s*$", body, re.IGNORECASE)
+        if default_values is not None:
+            cols = []
+        if default_values is not None or body.upper().startswith("VALUES"):
+            tuples = (
+                [[]]
+                if default_values is not None
+                else self._parse_values(body[len("VALUES") :])
+            )
             rows = []
             for tup in tuples:
                 if len(tup) != len(cols):
@@ -1011,6 +1075,11 @@ class SegmentStore:
                         f"INSERT arity mismatch: {len(tup)} values for {len(cols)} columns"
                     )
                 d = dict(zip(cols, tup))
+                # unspecified columns take their declared DEFAULT (SQLite);
+                # absent a default they stay NULL as before
+                for n, _t in ts.fields:
+                    if n not in d and n != ts.autoincrement_col and n in ts.defaults:
+                        d[n] = self._default_for(ts, n)
                 if ts.autoincrement_col and ts.autoincrement_col not in d:
                     d[ts.autoincrement_col] = self._next_id(segment_id, table, ts)
                 elif ts.autoincrement_col and d.get(ts.autoincrement_col) is not None:
@@ -1106,7 +1175,8 @@ class SegmentStore:
         else:
             _cached = None
         for n in missing:
-            src = src.withColumn(n, F.lit(None))
+            # declared DEFAULT if any, else NULL (SQLite semantics)
+            src = src.withColumn(n, F.lit(self._default_for(ts, n)))
         aligned = src.select([F.col(n).cast(t) for n, t in ts.fields])
         try:
             if mode is None or not ts.primary_key:
@@ -2264,8 +2334,24 @@ class SegmentStore:
             body = re.sub(r"^ADD\s+(COLUMN\s+)?", "", rest, flags=re.IGNORECASE)
             parts = body.split(None, 1)
             col = _unquote(parts[0])
-            typ = sqlite_type_to_spark(parts[1] if len(parts) > 1 else "")
+            decl = parts[1] if len(parts) > 1 else ""
+            typ = sqlite_type_to_spark(decl)
+            dv = _parse_default(list(dialect.tokenize(decl))) if decl else None
+            if dv is not None:
+                ts.defaults[col] = dv
             ts.fields.append((col, typ))
+            if dv is not None and os.path.isdir(self._partition_path(table, segment_id)):
+                # SQLite: ADD COLUMN .. DEFAULT backfills EXISTING rows with
+                # the default value (one bounded partition rewrite, same
+                # cost model as UPDATE); without a default, reads null-fill
+                # missing columns across mixed-generation files for free
+                info.setdefault("extra_tables", {})[table] = _tableschema_to_json(ts)
+                self._save_meta()
+                df = self._read_partition(segment_id, table).withColumn(
+                    col, F.lit(self._default_for(ts, col)).cast(typ)
+                )
+                self._overwrite_partition(segment_id, table, df)
+                return
         elif ru.startswith("RENAME TO"):
             new_name = _unquote(rest[len("RENAME TO") :].strip())
             old_path = self._partition_path(table, segment_id)
@@ -2901,6 +2987,7 @@ def _tableschema_to_json(ts: TableSchema) -> dict:
         "primary_key": ts.primary_key,
         "checks": [list(c) for c in ts.checks],
         "not_null": ts.not_null,
+        "defaults": ts.defaults,
     }
 
 
@@ -2914,6 +3001,7 @@ def _tableschema_from_json(d: dict) -> TableSchema:
         primary_key=d.get("primary_key", []),
         checks=[tuple(c) for c in d.get("checks", [])],
         not_null=d.get("not_null", []),
+        defaults=d.get("defaults", {}),
     )
 
 
