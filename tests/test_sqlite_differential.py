@@ -1105,3 +1105,22 @@ def test_current_timestamp_default_shape(def_engines):
     if isinstance(got, str):
         got = datetime.datetime.fromisoformat(got)
     assert abs((datetime.datetime.utcnow() - got).total_seconds()) < 300
+
+
+def test_or_abort_fail_rollback_and_rowvalue_update(def_engines):
+    """INSERT OR ABORT/FAIL/ROLLBACK converge to default behavior under the
+    one-transaction-per-script model; SET (a, b) = (e1, e2) row-value
+    assignment expands to per-column assignments — both vs live SQLite."""
+    conn, store = def_engines
+    script = (
+        "INSERT OR ABORT INTO d (a, b) VALUES (1, 'p');\n"
+        "INSERT OR FAIL INTO d (a, b) VALUES (2, 'q');\n"
+        "INSERT OR ROLLBACK INTO d (a, b) VALUES (3, 'r');\n"
+        "UPDATE d SET (a, b) = (a * 10, b || '!') WHERE a >= 2"
+    )
+    _sqlite_script(conn, script)
+    store.write("defseg", script)
+    q = "SELECT id, a, b, c FROM d ORDER BY id"
+    expected = [tuple(_canon(v) for v in r) for r in conn.execute(q).fetchall()]
+    got = [tuple(_canon(v) for v in r.values()) for r in store.read("defseg", q)]
+    assert got == expected and len(expected) == 3, f"{got} vs {expected}"

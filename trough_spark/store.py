@@ -974,7 +974,8 @@ class SegmentStore:
             lock.__exit__(None, None, None)
 
     _INSERT_RE = re.compile(
-        r"^\s*(?:INSERT\s+(?:OR\s+(?P<mode>REPLACE|IGNORE)\s+)?|(?P<replace>REPLACE\s+))"
+        r"^\s*(?:INSERT\s+(?:OR\s+(?P<mode>REPLACE|IGNORE|ABORT|FAIL|ROLLBACK)\s+)?"
+        r"|(?P<replace>REPLACE\s+))"
         r"INTO\s+(?P<name>[\w\"\[\]`]+)"
         r"\s*(?:\((?P<cols>[^)]*)\))?\s*"
         r"(?P<body>VALUES\s*.+|SELECT\s+.+|WITH\s+.+|DEFAULT\s+VALUES\s*)$",
@@ -1022,6 +1023,12 @@ class SegmentStore:
         (returns True); upserts and INSERT..SELECT flush and run immediately."""
         m = self._match_insert(stmt)
         mode = (m.group("mode") or ("REPLACE" if m.group("replace") else "")).upper() or None
+        if mode in ("ABORT", "FAIL", "ROLLBACK"):
+            # under the reference's all-or-nothing script transaction
+            # (write.py:39) a conflict aborts the POST and the whole script
+            # rolls back — exactly where ABORT, FAIL, and ROLLBACK all
+            # converge, so they run as the default conflict behavior
+            mode = None
         table = _unquote(m.group("name"))
         ts = self._table_schema(segment_id, table)
         declared = [n for n, _ in ts.fields]
@@ -1910,8 +1917,11 @@ class SegmentStore:
         if not trigs:
             return False
         body = m.group("body")
+        mode_g = (m.group("mode") or "").upper()
+        if mode_g in ("ABORT", "FAIL", "ROLLBACK"):
+            mode_g = ""  # default conflict behavior (see _execute_insert)
         conflict_mode = (
-            m.group("mode")
+            mode_g
             or m.group("replace")
             or self._ON_CONFLICT_RE.search(body)
         )
@@ -2027,8 +2037,11 @@ class SegmentStore:
             raise QueryRejected(f"cannot modify {vname} because it is a view")
         if kind in ("INSERT", "REPLACE"):
             body = m.group("body")
+            view_mode = (m.group("mode") or "").upper()
+            if view_mode in ("ABORT", "FAIL", "ROLLBACK"):
+                view_mode = ""  # default behavior (see _execute_insert)
             if (
-                m.group("mode")
+                view_mode
                 or m.group("replace")
                 or self._ON_CONFLICT_RE.search(body)
             ):
@@ -3139,5 +3152,37 @@ def _split_assignments(sets: str) -> list[tuple[str, str]]:
     for part in parts:
         text = dialect.render(part)
         col, _, expr = text.partition("=")
-        out.append((_unquote(col.strip()), expr.strip()))
+        col, expr = col.strip(), expr.strip()
+        if col.startswith("(") and col.endswith(")"):
+            # SQLite row-value assignment: SET (a, b) = (e1, e2) — expand
+            # into individual assignments; the subquery form
+            # SET (a, b) = (SELECT ...) is rejected loudly below
+            names = [_unquote(c.strip()) for c in col[1:-1].split(",")]
+            if not (expr.startswith("(") and expr.endswith(")")):
+                raise QueryRejected(f"unsupported row-value assignment: {text[:80]!r}")
+            inner = expr[1:-1]
+            if re.match(r"^\s*SELECT\b", inner, re.IGNORECASE):
+                raise QueryRejected(
+                    "SET (cols) = (SELECT ...) is not supported; assign "
+                    "columns individually"
+                )
+            vals: list[list] = [[]]
+            d2 = 0
+            for t in dialect.tokenize(inner):
+                if t.kind == "op" and t.text == "(":
+                    d2 += 1
+                elif t.kind == "op" and t.text == ")":
+                    d2 -= 1
+                if t.kind == "op" and t.text == "," and d2 == 0:
+                    vals.append([])
+                else:
+                    vals[-1].append(t)
+            exprs = [dialect.render(v).strip() for v in vals]
+            if len(names) != len(exprs):
+                raise QueryRejected(
+                    f"row-value assignment arity mismatch: {len(names)} vs {len(exprs)}"
+                )
+            out.extend(zip(names, exprs))
+            continue
+        out.append((_unquote(col), expr))
     return out
