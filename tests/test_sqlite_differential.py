@@ -112,6 +112,14 @@ QUERIES = [
     "FROM items WHERE id = 1",
     "SELECT unicode(name) AS u, char(66, 67) AS c FROM items WHERE id = 1",
     "SELECT hex(zeroblob(3)) AS z, length(CAST(name AS BLOB)) AS ol FROM items WHERE id = 1",
+    # round-6 session-2: null-safe IS / IS NOT, LIMIT offset-comma form,
+    # index hints as no-ops
+    "SELECT id FROM items WHERE qty IS 10 ORDER BY id",
+    "SELECT id FROM items WHERE qty IS NOT 10 ORDER BY id",
+    "SELECT id FROM items WHERE name IS NOT 'banana' AND qty IS qty ORDER BY id",
+    "SELECT id FROM items ORDER BY id LIMIT 1, 2",
+    "SELECT id FROM items ORDER BY id DESC LIMIT 2, 3",
+    "SELECT id FROM items NOT INDEXED WHERE price > 2 ORDER BY id",
     # round-4 session-2 parity additions: arithmetic edge semantics, window
     # defaults, FILTER aggregates, text/number coercion in ||
     "SELECT -7 % 3 AS a, 7 % -3 AS b, -7 / 2 AS c",

@@ -852,6 +852,116 @@ def _rewrite_negative_limit(tokens: list[Token]) -> None:
                 num.text = "2147483647"
 
 
+def _rewrite_limit_comma(tokens: list[Token]) -> None:
+    """SQLite ``LIMIT a, b`` means OFFSET a LIMIT b; Spark rejects the
+    comma form.  Swap to ``LIMIT b OFFSET a`` in place.  Handled shape:
+    each operand an optionally-signed number — the only comma-form SQLite
+    scripts use (expression operands keep the loud Spark parse error)."""
+
+    def _operand(start: int, sig: list[int]) -> tuple[str, list[int], int] | None:
+        """(text, sig-indices, next-sig-pos) of a signed-number operand."""
+        toks = []
+        pos = start
+        if pos < len(sig) and tokens[sig[pos]].kind == "op" and tokens[sig[pos]].text in ("-", "+"):
+            toks.append(pos)
+            pos += 1
+        if pos < len(sig) and tokens[sig[pos]].kind == "number":
+            toks.append(pos)
+            return (
+                "".join(tokens[sig[p]].text for p in toks),
+                toks,
+                pos + 1,
+            )
+        return None
+
+    sig = _significant(tokens)
+    for n, i in enumerate(sig):
+        t = tokens[i]
+        if t.kind != "word" or t.text.upper() != "LIMIT":
+            continue
+        first = _operand(n + 1, sig)
+        if first is None:
+            continue
+        text1, idx1, after1 = first
+        if after1 >= len(sig):
+            continue
+        comma = tokens[sig[after1]]
+        if not (comma.kind == "op" and comma.text == ","):
+            continue
+        second = _operand(after1 + 1, sig)
+        if second is None:
+            continue
+        text2, idx2, _ = second
+        if text2.lstrip("+").startswith("-"):
+            text2 = "2147483647"  # SQLite: negative LIMIT = unlimited
+        if text1.lstrip("+").startswith("-"):
+            text1 = "0"  # SQLite: negative OFFSET = none
+        # LIMIT <text1>, <text2>  ->  LIMIT <text2> OFFSET <text1>
+        tokens[sig[idx1[0]]].kind = "word"
+        tokens[sig[idx1[0]]].text = text2
+        for p in idx1[1:]:
+            tokens[sig[p]].kind, tokens[sig[p]].text = "comment", ""
+        comma.kind, comma.text = "word", " OFFSET "
+        tokens[sig[idx2[0]]].kind = "word"
+        tokens[sig[idx2[0]]].text = text1
+        for p in idx2[1:]:
+            tokens[sig[p]].kind, tokens[sig[p]].text = "comment", ""
+
+
+def _strip_index_hints(tokens: list[Token]) -> None:
+    """Drop SQLite's ``INDEXED BY <name>`` / ``NOT INDEXED`` table hints in
+    place: the engine's index model is CREATE INDEX = no-op (Parquet stats
+    + pruning replace indexes, SURVEY §2.B14), so the hints are no-ops too.
+    KNOWN DIVERGENCE: index names are not tracked, so ``INDEXED BY
+    no_such_index`` is accepted where SQLite raises 'no such index'."""
+    clause_words = {
+        "WHERE", "GROUP", "ORDER", "LIMIT", "ON", "JOIN", "INNER", "LEFT",
+        "RIGHT", "FULL", "CROSS", "UNION", "INTERSECT", "EXCEPT", "AS",
+    }
+
+    def _is_table_name(tok) -> bool:
+        return (
+            tok.kind in ("dquote", "bracket", "bquote")
+            or (tok.kind == "word" and tok.text.upper() not in _EXPR_LEAD_KEYWORDS)
+        )
+
+    sig = _significant(tokens)
+    for n, i in enumerate(sig):
+        t = tokens[i]
+        if t.kind != "word" or t.text.upper() != "INDEXED":
+            continue
+        nxt = tokens[sig[n + 1]] if n + 1 < len(sig) else None
+        prev = tokens[sig[n - 1]] if n >= 1 else None
+        if (
+            nxt is not None
+            and nxt.kind == "word"
+            and nxt.text.upper() == "BY"
+            and n + 2 < len(sig)
+            and prev is not None
+            and _is_table_name(prev)
+        ):
+            drop = [i, sig[n + 1], sig[n + 2]]
+        elif (
+            prev is not None
+            and prev.kind == "word"
+            and prev.text.upper() == "NOT"
+            and n >= 2
+            and _is_table_name(tokens[sig[n - 2]])
+            and (
+                nxt is None
+                or (nxt.kind == "word" and nxt.text.upper() in clause_words)
+                or (nxt.kind == "op" and nxt.text in (",", ")", ";"))
+            )
+        ):
+            # NOT INDEXED in table-hint position only — a column literally
+            # named `indexed` (e.g. `WHERE NOT indexed = 1`) is untouched
+            drop = [i, sig[n - 1]]
+        else:
+            continue
+        for p in drop:
+            tokens[p].kind, tokens[p].text = "comment", " "
+
+
 #: keywords after which a LIKE/GLOB/REGEXP word starts a NEW expression
 #: (so `like(` there is a function call, not the infix operator)
 _EXPR_LEAD_KEYWORDS = {
@@ -864,7 +974,9 @@ _EXPR_LEAD_KEYWORDS = {
 def _rewrite_operators(sql: str) -> str:
     tokens = tokenize(sql)
     _rewrite_cast_types(tokens)
+    _rewrite_limit_comma(tokens)  # before negative-limit: it owns the signs
     _rewrite_negative_limit(tokens)
+    _strip_index_hints(tokens)
     out: list[Token] = []
     sig = _significant(tokens)
     sigset = {i: n for n, i in enumerate(sig)}
@@ -973,6 +1085,30 @@ def _rewrite_operators(sql: str) -> str:
                     }.get(name_tok.text.upper())
                     if mapped:
                         name_tok.text = mapped
+                out.append(t)
+                continue
+            if up == "IS":
+                # SQLite `a IS b` / `a IS NOT b` with a non-NULL operand is
+                # null-safe (in)equality → Spark's IS [NOT] DISTINCT FROM.
+                # IS [NOT] NULL passes through; IS TRUE/FALSE is SQLite's
+                # truth test (2 IS TRUE = 1) with no Spark twin — left
+                # untranslated so it fails loudly rather than silently
+                # meaning `= true`.
+                n = sigset.get(i)
+                if n is not None and n + 1 < len(sig):
+                    nxt = tokens[sig[n + 1]]
+                    nxt_up = nxt.text.upper() if nxt.kind == "word" else ""
+                    if nxt_up == "NOT" and n + 2 < len(sig):
+                        after = tokens[sig[n + 2]]
+                        after_up = after.text.upper() if after.kind == "word" else ""
+                        if after_up not in ("NULL", "TRUE", "FALSE"):
+                            nxt.kind = "comment"
+                            nxt.text = "/*not*/"
+                            out.append(Token("word", "IS DISTINCT FROM"))
+                            continue
+                    elif nxt_up not in ("NULL", "NOT", "TRUE", "FALSE", "DISTINCT"):
+                        out.append(Token("word", "IS NOT DISTINCT FROM"))
+                        continue
                 out.append(t)
                 continue
             if up == "ISNULL":
