@@ -51,6 +51,8 @@ _SAMPLE_PRIORITY = [
     "layout_zorder_key",
     "events_attribution_touch",
     "stream_dedup_ids",
+    # round-6 addition: zero driver evidence yet, sample it early
+    "b12_dialect_shim_roundtrip2",
     "dedup_minhash_verify",
     "dedup_chunk_rewrite",
     "multimodal_frame_sample",

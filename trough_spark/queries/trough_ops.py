@@ -277,3 +277,40 @@ def b12_dialect_shim_roundtrip(spark, sf_dir):
         "WHERE p_name LIKE '%BOLT%' AND p_brand GLOB 'Brand#1*'"
     )
     return spark.sql(sqlite_to_spark(sqlite_sql))
+
+
+@query(
+    "b12_dialect_shim_roundtrip2",
+    oracle="""
+    SELECT p_partkey,
+           '''' || p_brand || '''' AS qb,
+           CASE WHEN p_retailprice IS NULL THEN NULL
+                WHEN p_retailprice < 1500.0 THEN p_retailprice
+                ELSE 1500.0 END AS mn,
+           TIMESTAMP '2024-04-02 00:00:00' AS dt,
+           CASE WHEN p_size IS NOT DISTINCT FROM 10 THEN 'ten' ELSE 'other' END AS s10
+    FROM part
+    WHERE p_partkey IS DISTINCT FROM 5
+    ORDER BY p_partkey
+    LIMIT 20 OFFSET 10
+    """,
+)
+def b12_dialect_shim_roundtrip2(spark, sf_dir):
+    """Round-6 dialect constructs under the driver gate: quote() typed
+    rendering, NULL-strict scalar min via the named_struct binding, chained
+    month modifiers via the transform() lambda, null-safe IS / IS NOT, the
+    LIMIT offset-comma form, and a NOT INDEXED hint."""
+    from trough_spark.dialect import sqlite_to_spark
+    from trough_spark.tables import register_views
+
+    register_views(spark, sf_dir, ["part"])
+    sqlite_sql = (
+        "SELECT p_partkey, quote(p_brand) AS qb, "
+        "min(p_retailprice, 1500.0) AS mn, "
+        "datetime('2024-01-31 00:00:00', '+1 month', '+1 month') AS dt, "
+        "CASE WHEN p_size IS 10 THEN 'ten' ELSE 'other' END AS s10 "
+        "FROM part NOT INDEXED "
+        "WHERE p_partkey IS NOT 5 "
+        "ORDER BY p_partkey LIMIT 10, 20"
+    )
+    return spark.sql(sqlite_to_spark(sqlite_sql))
