@@ -120,6 +120,13 @@ QUERIES = [
     "SELECT id FROM items ORDER BY id LIMIT 1, 2",
     "SELECT id FROM items ORDER BY id DESC LIMIT 2, 3",
     "SELECT id FROM items NOT INDEXED WHERE price > 2 ORDER BY id",
+    # SQLite bare-column quirk: with exactly one min()/max(), bare columns
+    # take values from the extreme row (per group) — rewritten to
+    # max_by/min_by (SURVEY B6); prices are distinct so no tie ambiguity
+    "SELECT max(price), name FROM items",
+    "SELECT min(price), id, name FROM items",
+    "SELECT qty, max(price), name FROM items WHERE qty IS NOT NULL GROUP BY qty ORDER BY qty",
+    "SELECT max(price) AS top, name AS who, count(*) AS n FROM items",
     # round-4 session-2 parity additions: arithmetic edge semantics, window
     # defaults, FILTER aggregates, text/number coercion in ||
     "SELECT -7 % 3 AS a, 7 % -3 AS b, -7 / 2 AS c",

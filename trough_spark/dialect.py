@@ -908,6 +908,203 @@ def _rewrite_limit_comma(tokens: list[Token]) -> None:
             tokens[sig[p]].kind, tokens[sig[p]].text = "comment", ""
 
 
+_AGG_WORDS = {"COUNT", "SUM", "AVG", "TOTAL", "GROUP_CONCAT", "MIN", "MAX"}
+_SELECT_END_WORDS = {"UNION", "INTERSECT", "EXCEPT"}
+_GROUPBY_END_WORDS = {"HAVING", "ORDER", "LIMIT", "WINDOW", "OFFSET"}
+
+
+def _rewrite_bare_extreme_columns(sql: str) -> str:
+    """SQLite's bare-column quirk (SURVEY §2.B6): with EXACTLY ONE min()/
+    max() aggregate in a select list, bare columns take their values from
+    the row that produced the extreme (per group under GROUP BY) — probed
+    live.  Spark rejects ungrouped bare columns, so rewrite them to
+    ``max_by(col, arg) AS col`` / ``min_by``.
+
+    Conservatively scoped: only BARE identifier items are rewritten (an
+    expression over a bare column keeps Spark's loud MISSING_GROUP_BY
+    error); two extremes or non-extreme aggregates with bare columns are
+    SQLite-undefined and stay loud too."""
+    tokens = tokenize(sql)
+    sig = _significant(tokens)
+
+    def word(n):
+        if n >= len(sig):
+            return None
+        t = tokens[sig[n]]
+        return t.text.upper() if t.kind == "word" else None
+
+    changed = False
+    n = 0
+    while n < len(sig):
+        if word(n) != "SELECT":
+            n += 1
+            continue
+        sel = n
+        # span of the select list: up to FROM at depth 0 relative to here
+        depth = 0
+        items: list[list[int]] = [[]]  # sig-indices per top-level item
+        m = sel + 1
+        if word(m) in ("DISTINCT", "ALL"):
+            if word(m) == "DISTINCT":
+                n += 1
+                continue  # DISTINCT + bare columns: leave loud
+            m += 1
+        list_start = m
+        while m < len(sig):
+            t = tokens[sig[m]]
+            if t.kind == "op" and t.text == "(":
+                depth += 1
+            elif t.kind == "op" and t.text == ")":
+                if depth == 0:
+                    break  # subquery closing: select list ran to the end
+                depth -= 1
+            elif depth == 0 and t.kind == "word" and t.text.upper() == "FROM":
+                break
+            elif depth == 0 and t.kind == "op" and t.text == ",":
+                items.append([])
+                m += 1
+                continue
+            items[-1].append(m)
+            m += 1
+        from_pos = m
+        # classify items
+        extremes = []  # (item_idx, fn, arg_text)
+        bares = []  # (item_idx, col_token_sigpos, alias or None)
+        blockers = False
+        for idx, it in enumerate(items):
+            if not it:
+                blockers = True
+                continue
+            t0 = tokens[sig[it[0]]]
+            u0 = t0.text.upper() if t0.kind == "word" else None
+            # min/max single-call item: MIN|MAX ( args ) [AS alias]
+            if (
+                u0 in ("MIN", "MAX")
+                and len(it) >= 3
+                and tokens[sig[it[1]]].kind == "op"
+                and tokens[sig[it[1]]].text == "("
+            ):
+                d2, close = 0, None
+                for k in range(1, len(it)):
+                    tk = tokens[sig[it[k]]]
+                    if tk.kind == "op" and tk.text == "(":
+                        d2 += 1
+                    elif tk.kind == "op" and tk.text == ")":
+                        d2 -= 1
+                        if d2 == 0:
+                            close = k
+                            break
+                if close is None:
+                    blockers = True
+                    continue
+                tail = it[close + 1 :]
+                if tail and word(tail[0]) == "OVER":
+                    continue  # window function, not an aggregate
+                if tail and not (
+                    word(tail[0]) == "AS" and len(tail) == 2 or len(tail) == 1
+                ):
+                    blockers = True
+                    continue
+                arg = render(
+                    [tokens[sig[p]] for p in it[2:close]]
+                ).strip()
+                if not arg or arg.upper().startswith("DISTINCT"):
+                    blockers = True
+                    continue
+                extremes.append((idx, u0, arg))
+                continue
+            # other aggregate call: fine, not a blocker, not rewritten
+            if (
+                u0 in _AGG_WORDS
+                and len(it) >= 2
+                and tokens[sig[it[1]]].kind == "op"
+                and tokens[sig[it[1]]].text == "("
+            ):
+                continue
+            # bare identifier [AS alias]
+            is_ident = t0.kind in ("dquote", "bracket", "bquote") or (
+                t0.kind == "word" and u0 not in _EXPR_LEAD_KEYWORDS and u0 != "*"
+            )
+            if t0.kind == "op" and t0.text == "*":
+                blockers = True
+                continue
+            if is_ident and len(it) == 1:
+                bares.append((idx, sig[it[0]], None))
+            elif (
+                is_ident
+                and len(it) == 3
+                and word(it[1]) == "AS"
+            ):
+                bares.append((idx, sig[it[0]], sig[it[2]]))
+            elif is_ident and len(it) == 2:
+                bares.append((idx, sig[it[0]], sig[it[1]]))
+            else:
+                blockers = True  # an expression item: leave the query loud
+        if len(extremes) != 1 or not bares or blockers:
+            n = from_pos if from_pos > n else n + 1
+            continue
+        # GROUP BY columns of this same SELECT (same relative depth)
+        group_cols: set[str] = set()
+        g = from_pos
+        depth = 0
+        while g < len(sig):
+            t = tokens[sig[g]]
+            if t.kind == "op" and t.text == "(":
+                depth += 1
+            elif t.kind == "op" and t.text == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0 and t.kind == "word":
+                u = t.text.upper()
+                if u in _SELECT_END_WORDS:
+                    break
+                if u == "GROUP" and word(g + 1) == "BY":
+                    h = g + 2
+                    while h < len(sig):
+                        th = tokens[sig[h]]
+                        if th.kind == "word" and th.text.upper() in _GROUPBY_END_WORDS:
+                            break
+                        if th.kind == "op" and th.text == ")":
+                            break
+                        if th.kind in ("word", "dquote", "bracket", "bquote") and (
+                            th.kind != "word"
+                            or th.text.upper() not in _EXPR_LEAD_KEYWORDS
+                        ):
+                            group_cols.add(_strip_ident(th.text).lower())
+                        h += 1
+                    break
+            g += 1
+        _idx, fn, arg = extremes[0]
+        by = "max_by" if fn == "MAX" else "min_by"
+        for _item_idx, colpos, aliaspos in bares:
+            ct = tokens[colpos]
+            colname = _strip_ident(ct.text)
+            if colname.lower() in group_cols:
+                continue
+            out_name = (
+                _strip_ident(tokens[aliaspos].text) if aliaspos is not None else colname
+            )
+            ct.text = f"{by}(`{colname}`, {arg}) AS `{out_name}`"
+            ct.kind = "word"
+            if aliaspos is not None:
+                tokens[aliaspos].kind, tokens[aliaspos].text = "comment", ""
+                # blank the AS keyword too (it sits between col and alias)
+                for p in range(sig.index(colpos) + 1, sig.index(aliaspos)):
+                    tk = tokens[sig[p]]
+                    if tk.kind == "word" and tk.text.upper() == "AS":
+                        tk.kind, tk.text = "comment", ""
+            changed = True
+        n = from_pos if from_pos > n else n + 1
+    return render(tokens) if changed else sql
+
+
+def _strip_ident(text: str) -> str:
+    if text[:1] in ("\"", "`", "["):
+        return text[1:-1].replace('""', '"').replace("``", "`")
+    return text
+
+
 def _strip_index_hints(tokens: list[Token]) -> None:
     """Drop SQLite's ``INDEXED BY <name>`` / ``NOT INDEXED`` table hints in
     place: the engine's index model is CREATE INDEX = no-op (Parquet stats
@@ -1127,7 +1324,7 @@ def _rewrite_operators(sql: str) -> str:
 def sqlite_to_spark(sql: str) -> str:
     """Translate one SQLite SELECT (or expression-bearing statement) into
     Spark SQL."""
-    return _rewrite_functions(_rewrite_operators(sql))
+    return _rewrite_functions(_rewrite_operators(_rewrite_bare_extreme_columns(sql)))
 
 
 # ---------------------------------------------------------------------------
