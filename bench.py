@@ -113,6 +113,8 @@ EXTRA = [
     "sketch_source_overlap",
     "text_hashed_embedding",
     "text_hashed_ann_topk",
+    # round 6
+    "b12_dialect_shim_roundtrip2",
 ]
 
 
