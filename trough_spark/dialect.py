@@ -1005,9 +1005,24 @@ def _rewrite_bare_extreme_columns(sql: str) -> str:
                 ):
                     blockers = True
                     continue
-                arg = render(
-                    [tokens[sig[p]] for p in it[2:close]]
-                ).strip()
+                arg_toks = [tokens[sig[p]] for p in it[2:close]]
+                # 2-arg min/max is SQLite's SCALAR form, not an aggregate
+                # (a top-level comma in the args) — skip it entirely
+                d3 = 0
+                scalar_form = False
+                for tk in arg_toks:
+                    if tk.kind == "op" and tk.text == "(":
+                        d3 += 1
+                    elif tk.kind == "op" and tk.text == ")":
+                        d3 -= 1
+                    elif tk.kind == "op" and tk.text == "," and d3 == 0:
+                        scalar_form = True
+                        break
+                if scalar_form:
+                    continue
+                # join with spaces: these are significant-only tokens, so a
+                # plain concat would fuse adjacent words (CASE WHEN -> CASEWHEN)
+                arg = " ".join(tk.text for tk in arg_toks).strip()
                 if not arg or arg.upper().startswith("DISTINCT"):
                     blockers = True
                     continue
@@ -1077,15 +1092,31 @@ def _rewrite_bare_extreme_columns(sql: str) -> str:
             g += 1
         _idx, fn, arg = extremes[0]
         by = "max_by" if fn == "MAX" else "min_by"
-        for _item_idx, colpos, aliaspos in bares:
+        rewritten = [
+            (colpos, aliaspos)
+            for _i, colpos, aliaspos in bares
+            if _strip_ident(tokens[colpos].text).lower() not in group_cols
+        ]
+        # all bare columns ride ONE struct-valued extreme: the identical
+        # aggregate expressions deduplicate in Spark's aggregation planning,
+        # so under ties every bare column comes from the SAME extreme row
+        # (independent max_by calls could mix tied rows into a row that
+        # never existed)
+        struct_arg = ", ".join(
+            f"`{_strip_ident(tokens[cp].text)}`" for cp, _a in rewritten
+        )
+        for colpos, aliaspos in rewritten:
             ct = tokens[colpos]
             colname = _strip_ident(ct.text)
-            if colname.lower() in group_cols:
-                continue
             out_name = (
                 _strip_ident(tokens[aliaspos].text) if aliaspos is not None else colname
             )
-            ct.text = f"{by}(`{colname}`, {arg}) AS `{out_name}`"
+            if len(rewritten) == 1:
+                ct.text = f"{by}(`{colname}`, {arg}) AS `{out_name}`"
+            else:
+                ct.text = (
+                    f"{by}(struct({struct_arg}), {arg}).`{colname}` AS `{out_name}`"
+                )
             ct.kind = "word"
             if aliaspos is not None:
                 tokens[aliaspos].kind, tokens[aliaspos].text = "comment", ""
@@ -1298,7 +1329,7 @@ def _rewrite_operators(sql: str) -> str:
                     if nxt_up == "NOT" and n + 2 < len(sig):
                         after = tokens[sig[n + 2]]
                         after_up = after.text.upper() if after.kind == "word" else ""
-                        if after_up not in ("NULL", "TRUE", "FALSE"):
+                        if after_up not in ("NULL", "TRUE", "FALSE", "DISTINCT"):
                             nxt.kind = "comment"
                             nxt.text = "/*not*/"
                             out.append(Token("word", "IS DISTINCT FROM"))

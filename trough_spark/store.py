@@ -285,7 +285,16 @@ def _parse_default(toks) -> str | None:
                 return None
             if rest[0].kind == "op" and rest[0].text == "(":
                 args, _close = dialect._find_call_args(sig, i + 1)
-                return "(" + ", ".join(dialect.render(list(a)).strip() for a in args) + ")"
+                # space-join: these are significant-only tokens, so a plain
+                # render would fuse adjacent words (CAST('5' AS INTEGER)
+                # -> CAST('5'ASINTEGER))
+                return (
+                    "("
+                    + ", ".join(
+                        " ".join(tk.text for tk in a).strip() for a in args
+                    )
+                    + ")"
+                )
             if rest[0].kind == "op" and rest[0].text in ("+", "-") and len(rest) > 1:
                 return rest[0].text + rest[1].text
             return rest[0].text
@@ -988,6 +997,18 @@ class SegmentStore:
             raise QueryRejected(f"unsupported INSERT form: {stmt[:80]!r}")
         return m
 
+    @staticmethod
+    def _insert_mode(m: re.Match) -> str | None:
+        """The conflict mode of a matched INSERT: "REPLACE"/"IGNORE", or
+        None.  OR ABORT/FAIL/ROLLBACK normalize to None: under the
+        reference's all-or-nothing script transaction (write.py:39) a
+        conflict aborts the POST and the whole script rolls back — exactly
+        where all three converge."""
+        mode = (
+            m.group("mode") or ("REPLACE" if m.group("replace") else "")
+        ).upper() or None
+        return None if mode in ("ABORT", "FAIL", "ROLLBACK") else mode
+
     _ON_CONFLICT_RE = re.compile(
         r"\bON\s+CONFLICT\s*(?:\((?P<cc>[^)]*)\))?\s*DO\s+"
         r"(?:(?P<nothing>NOTHING)|UPDATE\s+SET\s+(?P<sets>.+?))"
@@ -1022,13 +1043,7 @@ class SegmentStore:
         """Execute one INSERT.  Plain VALUES-inserts batch into ``pending``
         (returns True); upserts and INSERT..SELECT flush and run immediately."""
         m = self._match_insert(stmt)
-        mode = (m.group("mode") or ("REPLACE" if m.group("replace") else "")).upper() or None
-        if mode in ("ABORT", "FAIL", "ROLLBACK"):
-            # under the reference's all-or-nothing script transaction
-            # (write.py:39) a conflict aborts the POST and the whole script
-            # rolls back — exactly where ABORT, FAIL, and ROLLBACK all
-            # converge, so they run as the default conflict behavior
-            mode = None
+        mode = self._insert_mode(m)
         table = _unquote(m.group("name"))
         ts = self._table_schema(segment_id, table)
         declared = [n for n, _ in ts.fields]
@@ -1075,6 +1090,17 @@ class SegmentStore:
                 if default_values is not None
                 else self._parse_values(body[len("VALUES") :])
             )
+            # unspecified columns take their declared DEFAULT (SQLite);
+            # evaluated ONCE per statement (SQLite's per-statement 'now';
+            # also one _eval_scalar job total, not one per row)
+            given = {c.lower() for c in cols}
+            stmt_defaults = {
+                n: self._default_for(ts, n)
+                for n, _t in ts.fields
+                if n.lower() not in given
+                and n != ts.autoincrement_col
+                and n in ts.defaults
+            }
             rows = []
             for tup in tuples:
                 if len(tup) != len(cols):
@@ -1082,11 +1108,7 @@ class SegmentStore:
                         f"INSERT arity mismatch: {len(tup)} values for {len(cols)} columns"
                     )
                 d = dict(zip(cols, tup))
-                # unspecified columns take their declared DEFAULT (SQLite);
-                # absent a default they stay NULL as before
-                for n, _t in ts.fields:
-                    if n not in d and n != ts.autoincrement_col and n in ts.defaults:
-                        d[n] = self._default_for(ts, n)
+                d.update(stmt_defaults)
                 if ts.autoincrement_col and ts.autoincrement_col not in d:
                     d[ts.autoincrement_col] = self._next_id(segment_id, table, ts)
                 elif ts.autoincrement_col and d.get(ts.autoincrement_col) is not None:
@@ -1429,6 +1451,7 @@ class SegmentStore:
         source: DataFrame,
         on: list[str],
         when_matched: str | dict = "update",
+        segments: list[str] | None = None,
     ) -> bool:
         """ONE native Delta MERGE for a multi-segment upsert batch: the
         source carries a ``segment_id`` column and the merge keys on
@@ -1449,11 +1472,39 @@ class SegmentStore:
         path = self._table_path(table)
         if not os.path.isdir(f"{path}/_delta_log"):
             return False
-        src = self._dedupe_last(source, ["segment_id", *on])
+        if segments is None:
+            segments = sorted(
+                r["segment_id"] for r in source.select("segment_id").distinct().collect()
+            )
+        # same column-subset/extra-column contract as merge(): declared
+        # columns only, missing ones null-filled (an undeclared event-time
+        # column in the stream must not become a Delta schema mismatch)
+        ts = self._table_schema(segments[0], table)
+        declared = {n.lower(): (n, t) for n, t in ts.fields}
+        src_cols = [c for c in source.columns if c.lower() in declared]
+        src = source.select(
+            "segment_id",
+            *[
+                F.col(c).cast(declared[c.lower()][1]).alias(declared[c.lower()][0])
+                for c in src_cols
+            ],
+            *[
+                F.lit(None).cast(t).alias(n)
+                for n, t in ts.fields
+                if n.lower() not in {c.lower() for c in src_cols}
+            ],
+        )
+        src = self._dedupe_last(src, ["segment_id", *on])
         cond = " AND ".join(
             f"t.`{k}` = s.`{k}`" for k in ("segment_id", *on)
         )
-        with self._file_lock(f"table-{table}"):
+        # take the SAME per-segment locks every other writer takes (sorted,
+        # so concurrent multi-segment writers can't deadlock) — a
+        # table-level-only lock would not exclude a script write holding
+        # segment-X while this merge commits to the shared log
+        with contextlib.ExitStack() as stack:
+            for seg in sorted(segments):
+                stack.enter_context(self._file_lock(f"segment-{seg}"))
             m = DeltaTable.forPath(self.spark, path).alias("t").merge(
                 src.alias("s"), cond
             )
@@ -1917,14 +1968,7 @@ class SegmentStore:
         if not trigs:
             return False
         body = m.group("body")
-        mode_g = (m.group("mode") or "").upper()
-        if mode_g in ("ABORT", "FAIL", "ROLLBACK"):
-            mode_g = ""  # default conflict behavior (see _execute_insert)
-        conflict_mode = (
-            mode_g
-            or m.group("replace")
-            or self._ON_CONFLICT_RE.search(body)
-        )
+        conflict_mode = self._insert_mode(m) or self._ON_CONFLICT_RE.search(body)
         body_u = body.upper()
         if not conflict_mode and (
             body_u.startswith("SELECT") or body_u.startswith("WITH")
@@ -2037,14 +2081,7 @@ class SegmentStore:
             raise QueryRejected(f"cannot modify {vname} because it is a view")
         if kind in ("INSERT", "REPLACE"):
             body = m.group("body")
-            view_mode = (m.group("mode") or "").upper()
-            if view_mode in ("ABORT", "FAIL", "ROLLBACK"):
-                view_mode = ""  # default behavior (see _execute_insert)
-            if (
-                view_mode
-                or m.group("replace")
-                or self._ON_CONFLICT_RE.search(body)
-            ):
+            if self._insert_mode(m) or self._ON_CONFLICT_RE.search(body):
                 raise QueryRejected(
                     "conflict-resolution INSERT forms are not supported on a "
                     f"view with INSTEAD OF triggers: {stmt[:80]!r}"

@@ -139,7 +139,9 @@ def upsert_to_segments(
         # Falls back below on the first-ever batch (table not created yet)
         # or when delta-spark is absent.
         merge_many = getattr(store, "merge_many", None)
-        if merge_many is not None and merge_many(table, data, keys, when_matched):
+        if merge_many is not None and merge_many(
+            table, data, keys, when_matched, segments=segs
+        ):
             return
 
         def _one(seg: str) -> None:
