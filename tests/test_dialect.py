@@ -225,3 +225,22 @@ def test_advice_r4_dialect_fixes(spark):
         f"SELECT datetime('2024-01-31 00:00:00', {chain})"
     ).fetchone()[0]
     assert str(spark.sql(out).collect()[0].v) == expected
+
+
+def test_bare_extreme_columns_tie_consistency(spark):
+    """Round-6 bare-column quirk: under tied extremes every bare column must
+    come from the SAME extreme row (the struct-valued max_by dedupes into
+    one aggregate), matching SQLite's pick-one-row semantics."""
+    spark.sql(
+        "SELECT * FROM VALUES (5, 1, 'a'), (5, 2, 'b'), (3, 9, 'c') "
+        "t(price, id, name)"
+    ).createOrReplaceTempView("tie_t")
+    q = dialect.sqlite_to_spark("SELECT max(price), id, name FROM tie_t")
+    r = spark.sql(q).collect()[0]
+    assert r[0] == 5 and (r["id"], r["name"]) in [(1, "a"), (2, "b")]
+    # scalar 2-arg min/max next to a bare column stays the per-row form
+    q2 = dialect.sqlite_to_spark("SELECT min(price, 4) AS m, name FROM tie_t")
+    rows = spark.sql(q2).collect()
+    assert sorted((r["m"], r["name"]) for r in rows) == [
+        (3, "c"), (4, "a"), (4, "b"),
+    ]
