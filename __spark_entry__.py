@@ -52,6 +52,7 @@ _SAMPLE_PRIORITY = [
     "events_attribution_touch",
     "stream_dedup_ids",
     # round-6 addition: zero driver evidence yet, sample it early
+    "sample_train_order",
     "b12_dialect_shim_roundtrip2",
     "dedup_minhash_verify",
     "dedup_chunk_rewrite",

@@ -124,6 +124,37 @@ def test_group_cap_caps_and_is_scan_order_independent(spark):
         SA.group_cap(df, "doc_id", "source", cap=0)
 
 
+def test_train_order_deterministic_and_contiguous(spark):
+    df = spark.range(1000).select(F.col("id"))
+    out = SA.train_order(df, "id", n_shards=4, salt="e0")
+    rows = out.collect()
+    assert len(rows) == 1000
+    # positions within each shard are a contiguous 0..n_i-1 run
+    per = {}
+    for r in rows:
+        per.setdefault(r["shard"], []).append(r["pos"])
+    assert set(per) <= set(range(4))
+    for poss in per.values():
+        assert sorted(poss) == list(range(len(poss)))
+    # hash-uniform shards stay balanced
+    assert max(len(v) for v in per.values()) < 2 * min(len(v) for v in per.values())
+    # (shard, pos) is a function of (key, salt) — not of partition layout
+    again = {
+        (r["id"], r["shard"], r["pos"])
+        for r in SA.train_order(df.repartition(13), "id", 4, salt="e0").collect()
+    }
+    assert {(r["id"], r["shard"], r["pos"]) for r in rows} == again
+
+
+def test_train_order_new_salt_reshuffles(spark):
+    df = spark.range(500)
+    e0 = {(r["id"], r["shard"], r["pos"]) for r in SA.train_order(df, "id", 4, salt="e0").collect()}
+    e1 = {(r["id"], r["shard"], r["pos"]) for r in SA.train_order(df, "id", 4, salt="e1").collect()}
+    assert e0 != e1  # a new epoch is a genuinely different order
+    with pytest.raises(ValueError):
+        SA.train_order(df, "id", 0)
+
+
 def test_multigrain_rollup_levels_are_consistent(spark):
     """Each grain's totals must re-aggregate exactly to the coarser grain's
     (associative partial states), and the finest grain must equal a direct

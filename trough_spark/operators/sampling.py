@@ -179,6 +179,43 @@ def group_cap(
     )
 
 
+def train_order(
+    df: DataFrame,
+    key,
+    n_shards: int,
+    salt: str = "epoch0",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    ``shard`` (salted hash mod ``n_shards``) and a 0-based ``pos`` within
+    its shard (ordered by the same hash, key tie-break) — the reproducible
+    replacement for ``ORDER BY random()`` epoch shuffling.
+
+    - The same (key, salt) maps to the same (shard, pos) on any engine,
+      cluster size, or scan order, so a preempted training job resumes
+      exactly (skip ``pos < checkpoint``) and retries are idempotent.
+    - A new epoch is a new salt: a full statistically-independent
+      reshuffle with zero state carried between epochs.
+    - ONE shuffle, on the shard key; each shard then sorts independently,
+      so at 100 TB the plan is ``n_shards`` parallel external sorts.
+      Size ``n_shards`` to the trainer's data-parallel world size (or a
+      multiple); hash uniformity keeps the shards balanced.  Order keys
+      first and join row bodies back by ``key`` afterwards so the sort
+      exchange carries (key, 8-byte hash), never document payloads.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    k = F.col(key) if isinstance(key, str) else key
+    tagged = df.withColumn("_train_h", _key_hash(k, salt)).withColumn(
+        shard_col, (F.col("_train_h") % n_shards).cast("int")
+    )
+    w = W.partitionBy(shard_col).orderBy(F.col("_train_h").asc(), k.asc())
+    return tagged.withColumn(
+        pos_col, (F.row_number().over(w) - 1).cast("bigint")
+    ).drop("_train_h")
+
+
 def mix_rebalance(
     df: DataFrame,
     key,

@@ -186,6 +186,30 @@ def sample_mix_rebalance(spark, sf_dir):
 
 
 @query(
+    "sample_train_order",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, {_sql_hash("doc_id", "epoch0")} AS hh FROM documents
+    )
+    SELECT doc_id,
+           CAST(hh % 8 AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY hh % 8
+                                   ORDER BY hh, doc_id) - 1 AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def sample_train_order(spark, sf_dir):
+    """Deterministic epoch shuffle for training order: (shard, pos) per
+    document from a salted hash — reproducible across engines and cluster
+    layouts (unlike ORDER BY random()), exact mid-epoch resumption by
+    skipping pos < checkpoint, new epoch = new salt.  One shuffle on the
+    shard key, then n_shards independent sorts
+    (operators/sampling.train_order)."""
+    docs = T(spark, sf_dir, "documents").select("doc_id")
+    return SA.train_order(docs, "doc_id", n_shards=8, salt="epoch0")
+
+
+@query(
     "sample_bottom_k_per_group",
     oracle="""
     SELECT source, doc_id, rnk FROM (
