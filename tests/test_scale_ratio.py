@@ -77,6 +77,85 @@ def test_wide_lsh_scales_linearly(spark):
     assert t16 <= max(t1, 0.5) * 16 * 2.5, (t1, t16)
 
 
+def _blowup_vectors(vecs, k: int):
+    """k decorrelated replicas per vector: each replica multiplies every
+    component by a deterministic ±1 pattern keyed on (component, replica).
+    Sign-flips are an orthogonal transform, so each replica internally
+    preserves the corpus's cosine/pair structure while cross-replica
+    cosines (and SRP codes) are decorrelated — pipeline scaling again, not
+    pair explosion."""
+    if k == 1:
+        return vecs.select("vec_id", "embedding")
+    return (
+        vecs.select(
+            "vec_id", "embedding",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("rep"),
+        )
+        .select(
+            (F.col("vec_id") * k + F.col("rep")).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: x
+                * F.when(F.pmod(F.hash(i, F.col("rep")), 2) == 0, F.lit(1.0)).otherwise(
+                    F.lit(-1.0)
+                ),
+            ).alias("embedding"),
+        )
+    )
+
+
+def test_srp_multiprobe_scales_linearly(spark):
+    """Third measured family: SRP multiprobe ANN pairs over 1x/4x/16x
+    decorrelated corpora, with n_bits grown as log2(corpus) — the
+    documented SRP scale lever (PERF.md): constant bucket load means
+    candidate volume (N * probes * load) and thus wall time track corpus
+    size.  Holding n_bits fixed would instead grow candidates as N^2/2^b —
+    the anti-pattern this test exists to rule out of the shipped shape."""
+    from trough_spark.operators.similarity import srp_multiprobe_pairs
+
+    vecs = load_table(spark, "/root/testdata/sf0.1", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    vecs.count()  # page cache
+    spark.range(0, 64, 1, 32).mapInPandas(lambda it: it, "id long").count()
+
+    def run(k: int, n_bits: int) -> tuple[float, int, int]:
+        d = _blowup_vectors(vecs, k)
+        pairs = srp_multiprobe_pairs(
+            d, "vec_id", "embedding", threshold=0.4, n_bits=n_bits, dim=64
+        )
+        t0 = time.perf_counter()
+        n = pairs.count()
+        t = time.perf_counter() - t0
+        # within-replica pairs only (ids are vec_id*k + rep): the explosion
+        # guard must ignore cross-replica pairs — the label clusters are
+        # low-rank, so a sign-flipped cluster-centroid pair occasionally
+        # lands above 0.4 by chance and contributes ~cluster_size^2 pairs
+        # at once, an artifact of the synthetic decorrelation, not of the
+        # pipeline (wall time already charges for rescoring them).
+        within = (
+            n
+            if k == 1
+            else pairs.filter((F.col("id1") % k) == (F.col("id2") % k)).count()
+        )
+        return t, n, within
+
+    run(1, 8)  # codegen warm-up for the plan shape
+    t1, n1, w1 = run(1, 8)
+    t4, n4, w4 = run(4, 10)
+    t16, n16, w16 = run(16, 12)
+    print(f"\nsrp-multiprobe scale: 1x {t1:.2f}s/{n1} pairs, 4x {t4:.2f}s/{n4} ({w4} within), 16x {t16:.2f}s/{n16} ({w16} within)")
+    print(f"ratios: 4x/1x = {t4 / t1:.2f} (ideal 4), 16x/1x = {t16 / t1:.2f} (ideal 16)")
+    assert n1 > 0  # the rescore stage is exercised, not vacuously empty
+    # each replica carries the corpus's exact pair structure (sign flips
+    # are orthogonal), so within-replica recall per replica tracks the 1x
+    # run and the within count must scale ~k, never quadratically
+    assert w16 <= 32 * max(n1, 1) + 1000
+    # same generous super-linearity trip wire as the other two families
+    # (probes grow 9->13 with n_bits, well inside the 2.5x slack)
+    assert t16 <= max(t1, 0.5) * 16 * 2.5, (t1, t16)
+
+
 def test_span_coverage_scales_linearly(spark):
     """Second measured family (VERDICT r5 item 8): duplicated-span coverage
     over 1x/4x/16x dissimilar corpora.  Work is linear by construction —

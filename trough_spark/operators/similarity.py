@@ -262,12 +262,28 @@ def cosine_topk_bruteforce(
 
 def srp_projection_bit(vec: Column, j: int, dim: int) -> Column:
     """Sign of the projection of ``vec`` onto deterministic pseudo-random
-    direction j, where direction[i] = sin(j*1000 + i) — reproducible with no
-    stored projection matrix."""
+    direction j, where direction[i] = sin((i+1) * GOLDEN_ANGLE * (j+1)) —
+    a pure sinusoid at a per-j frequency, reproducible with no stored
+    projection matrix.
+
+    The direction family MUST be full-rank in j.  The previous form
+    sin(i + j*1000) was a constant PHASE shift of one sinusoid, so every
+    direction lay in span{sin i, cos i}: all projections were functions of
+    a single 2-D angle and at most 2*n_bits distinct codes could ever
+    occur, silently turning the bucket join quadratic at scale (caught by
+    tests/test_scale_ratio.py::test_srp_multiprobe_scales_linearly — 24
+    distinct buckets in a 4096 space).  Distinct FREQUENCIES give linearly
+    independent sinusoids (projections = distinct Fourier components);
+    golden-angle spacing keeps the frequencies mod 2*pi well-separated and
+    non-antipodal for j < 32, and arguments < 5k rad keep Spark/DuckDB
+    sin() bit-agreement at the level the oracles already rely on."""
     proj = F.aggregate(
         F.zip_with(
             vec,
-            F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), lambda i: F.sin(i + j * 1000)),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.sin((i + 1) * 2.39996322972865332 * (j + 1)),
+            ),
             lambda x, r: x.cast("double") * r,
         ),
         F.lit(0.0),

@@ -80,7 +80,7 @@ def sim_ann_topk(spark, sf_dir):
     bits AS (
       SELECT vec_id, j,
              list_sum(list_transform(generate_series(0, 63),
-                                     i -> e[i + 1] * sin(i + j * 1000))) AS proj
+                                     i -> e[i + 1] * sin((i + 1) * 2.39996322972865332 * (j + 1)))) AS proj
       FROM v, UNNEST(generate_series(0, 7)) AS t(j)
     )
     SELECT vec_id AS id,
@@ -102,7 +102,7 @@ def sim_srp_buckets(spark, sf_dir):
     bits AS (
       SELECT vec_id, j,
              list_sum(list_transform(generate_series(0, 63),
-                                     i -> e[i + 1] * sin(i + j * 1000))) AS proj
+                                     i -> e[i + 1] * sin((i + 1) * 2.39996322972865332 * (j + 1)))) AS proj
       FROM v, UNNEST(generate_series(0, 7)) AS t(j)
     ),
     buckets AS (
@@ -353,7 +353,7 @@ def sim_kmeans_update(spark, sf_dir):
     bits AS (
       SELECT vec_id, j,
              list_sum(list_transform(generate_series(0, 63),
-                                     i -> e[i + 1] * sin(i + j * 1000))) AS proj
+                                     i -> e[i + 1] * sin((i + 1) * 2.39996322972865332 * (j + 1)))) AS proj
       FROM v, UNNEST(generate_series(0, 7)) AS t(j)
     ),
     buckets AS (
@@ -678,7 +678,7 @@ def vec_pq_recall(spark, sf_dir):
     bits AS (
       SELECT vec_id, j,
              list_sum(list_transform(generate_series(0, 63),
-                                     i -> e[i + 1] * sin(i + j * 1000))) AS proj
+                                     i -> e[i + 1] * sin((i + 1) * 2.39996322972865332 * (j + 1)))) AS proj
       FROM v, UNNEST(generate_series(0, 7)) AS t(j)
     ),
     buckets AS (
