@@ -11,6 +11,44 @@ from trough_spark.tables import load_table as T
 SF = "/root/testdata/sf0.001"
 
 
+def test_srp_direction_family_is_full_rank():
+    """The SRP direction family must be full-rank in j: a rank-deficient
+    family caps the number of reachable codes (rank 2 => at most 2*n_bits
+    distinct buckets, turning the bucket join quadratic at scale — the
+    round-6 bug this test pins fixed).  Mirrors srp_projection_bit's
+    direction formula exactly; numpy-only, no Spark."""
+    import numpy as np
+
+    n_bits, dim = 16, 64
+    dirs = np.array(
+        [
+            [np.sin((i + 1) * 2.39996322972865332 * (j + 1)) for i in range(dim)]
+            for j in range(n_bits)
+        ]
+    )
+    assert np.linalg.matrix_rank(dirs, tol=1e-8) == n_bits
+    # and no two directions are near-parallel or near-antipodal
+    g = dirs @ dirs.T
+    norms = np.sqrt(np.diag(g))
+    cos = g / np.outer(norms, norms)
+    np.fill_diagonal(cos, 0.0)
+    assert np.abs(cos).max() < 0.5, np.abs(cos).max()
+
+
+def test_srp_codes_use_the_full_code_space(spark):
+    """Bucket-diversity tripwire runnable in normal CI: on 500 isotropic
+    vectors an 8-bit SRP code must produce far more than 2*n_bits distinct
+    buckets (the degenerate family's ceiling)."""
+    emb = T(spark, "/root/testdata/sf0.01", "embeddings")
+    n = (
+        S.srp_lsh_buckets(emb, "vec_id", "embedding", n_bits=8, dim=64)
+        .select("bucket")
+        .distinct()
+        .count()
+    )
+    assert n > 2 * 8, n
+
+
 def test_multiprobe_is_superset_of_plain_buckets(spark):
     emb = T(spark, SF, "embeddings")
     plain = {
