@@ -53,6 +53,7 @@ _SAMPLE_PRIORITY = [
     "stream_dedup_ids",
     # round-6 addition: zero driver evidence yet, sample it early
     "sample_train_order",
+    "pack_sequences_sharded",
     "b12_dialect_shim_roundtrip2",
     "dedup_minhash_verify",
     "dedup_chunk_rewrite",

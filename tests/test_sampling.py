@@ -124,6 +124,53 @@ def test_group_cap_caps_and_is_scan_order_independent(spark):
         SA.group_cap(df, "doc_id", "source", cap=0)
 
 
+def test_pack_sequences_sharded_dense_and_consistent(spark):
+    rows = [(i, f"g{i % 2}", 100 + (i * 37) % 300) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id bigint, g string, n_tokens bigint")
+    out = SA.pack_sequences_sharded(
+        df, "doc_id", "n_tokens", budget=512, n_shards=4, partition_by="g"
+    )
+    got = out.collect()
+    assert len(got) == 400
+    per = {}
+    for r in got:
+        per.setdefault(r["g"], []).append(r)
+    for g, rs in per.items():
+        bins = {r["bin_id"] for r in rs}
+        # global bin ids are dense 0..max per group despite sharding
+        assert bins == set(range(max(bins) + 1)), g
+        # within a (shard, bin), offsets are the running sum in id order
+        by_shard_bin = {}
+        for r in rs:
+            by_shard_bin.setdefault((r["sub_shard"], r["bin_id"]), []).append(r)
+        for grp in by_shard_bin.values():
+            grp.sort(key=lambda r: r["doc_id"])
+            for a, b in zip(grp, grp[1:]):
+                assert b["bin_offset"] == a["bin_offset"] + a["n_tokens"]
+    # layout-independent: same result from a different partitioning
+    again = SA.pack_sequences_sharded(
+        df.repartition(11), "doc_id", "n_tokens", 512, 4, partition_by="g"
+    ).collect()
+    key = lambda r: (r["g"], r["doc_id"])
+    assert sorted(map(tuple, got), key=lambda t: (t[0], t[1])) == sorted(
+        map(tuple, again), key=lambda t: (t[0], t[1])
+    )
+    with pytest.raises(ValueError):
+        SA.pack_sequences_sharded(df, "doc_id", "n_tokens", 512, 0, partition_by="g")
+
+
+def test_pack_sequences_sharded_bounded_waste(spark):
+    """Sharding wastes at most one partial bin per sub-shard: total bins
+    used must be within n_shards of the unsharded packing's bin count."""
+    rows = [(i, 100 + (i * 37) % 300) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id bigint, n_tokens bigint")
+    unsharded = SA.pack_sequences(df, "doc_id", "n_tokens", budget=512)
+    sharded = SA.pack_sequences_sharded(df, "doc_id", "n_tokens", 512, 4)
+    n0 = unsharded.agg(F.max("bin_id")).collect()[0][0] + 1
+    n1 = sharded.agg(F.max("bin_id")).collect()[0][0] + 1
+    assert n0 <= n1 <= n0 + 4, (n0, n1)
+
+
 def test_train_order_deterministic_and_contiguous(spark):
     df = spark.range(1000).select(F.col("id"))
     out = SA.train_order(df, "id", n_shards=4, salt="e0")

@@ -145,6 +145,84 @@ def pack_sequences(
     )
 
 
+def pack_sequences_sharded(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    n_shards: int,
+    partition_by: str | None = None,
+    salt: str = "pack",
+) -> DataFrame:
+    """Hierarchical sequence packing — the skew-proof form of
+    ``pack_sequences`` for corpora where one ``partition_by`` value
+    dominates (a real corpus is mostly one language, so a per-language
+    window makes that language ONE reducer's external sort at 100 TB).
+
+    Each (group, sub-shard) packs independently in id order exactly like
+    ``pack_sequences``; sub-shards are a deterministic hash of the id, so
+    the window shuffle spreads over ``n_shards × groups`` reducers.  Every
+    sub-shard starts a fresh bin — at most one partial bin wasted per
+    sub-shard, the standard trade for parallel packing — and global
+    ``bin_id``\\ s stay dense per group: a tiny per-sub-shard bin-count
+    aggregate is prefix-summed (a window over ``n_shards`` rows per group)
+    and joined back as each sub-shard's bin base.
+
+    Plan: ONE data-scale window shuffle on (group, sub_shard), one
+    hash aggregate whose output is ``n_shards`` rows per group, one
+    broadcast-sized join back.  Size ``n_shards`` to the cluster; bins and
+    offsets stay pure integer arithmetic (oracle-replayable).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    pb = [partition_by] if partition_by else []
+    k = F.col(id_col)
+    sub = F.pmod(_key_hash(k, salt), n_shards).cast("int").alias("sub_shard")
+    tagged = df.select(*pb, id_col, tokens_col, sub)
+    w = (
+        W.partitionBy(*pb, "sub_shard")
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prev = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    local = tagged.select(
+        *pb,
+        id_col,
+        tokens_col,
+        F.col("sub_shard"),
+        F.floor(prev / budget).cast("bigint").alias("local_bin"),
+        (prev - F.floor(prev / budget) * budget).cast("bigint").alias("bin_offset"),
+    )
+    # bins_used has a closed form — the LAST doc's bin + 1, i.e.
+    # floor((total - last_doc_tokens)/budget) + 1 — so it comes from a
+    # plain hash aggregate (map-side partial) over the base data instead
+    # of a second pass through the data-scale window (keeps the heavy
+    # per-(group, sub-shard) sort to exactly ONE execution in the plan).
+    per_shard = tagged.groupBy(*pb, "sub_shard").agg(
+        (
+            F.floor((F.sum(tokens_col) - F.max_by(F.col(tokens_col), k)) / budget) + 1
+        ).alias("bins_used")
+    )
+    wb = (
+        W.partitionBy(*pb)
+        .orderBy("sub_shard")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    bases = per_shard.select(
+        *pb,
+        "sub_shard",
+        F.coalesce(F.sum("bins_used").over(wb), F.lit(0)).alias("bin_base"),
+    )
+    return local.join(F.broadcast(bases), [*pb, "sub_shard"]).select(
+        *pb,
+        id_col,
+        tokens_col,
+        "sub_shard",
+        (F.col("bin_base") + F.col("local_bin")).cast("bigint").alias("bin_id"),
+        "bin_offset",
+    )
+
+
 def group_cap(
     df: DataFrame,
     key,

@@ -111,6 +111,62 @@ def pack_sequences(spark, sf_dir):
     )
 
 
+@query(
+    "pack_sequences_sharded",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT lang, doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+             END AS n_tokens,
+             CAST({_sql_hash("doc_id", "pack")} % 4 AS INT) AS sub_shard
+      FROM documents
+    ),
+    localb AS (
+      SELECT lang, doc_id, n_tokens, sub_shard,
+             CAST(prev // 512 AS BIGINT) AS local_bin,
+             CAST(prev - (prev // 512) * 512 AS BIGINT) AS bin_offset
+      FROM (
+        SELECT lang, doc_id, n_tokens, sub_shard,
+               COALESCE(SUM(n_tokens) OVER (PARTITION BY lang, sub_shard
+                         ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS prev
+        FROM toks
+      )
+    ),
+    bases AS (
+      SELECT lang, sub_shard,
+             COALESCE(SUM(bins_used) OVER (PARTITION BY lang ORDER BY sub_shard
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS bin_base
+      FROM (SELECT lang, sub_shard, MAX(local_bin) + 1 AS bins_used
+            FROM localb GROUP BY 1, 2)
+    )
+    SELECT l.lang, l.doc_id, l.n_tokens, l.sub_shard,
+           CAST(b.bin_base + l.local_bin AS BIGINT) AS bin_id, l.bin_offset
+    FROM localb l
+    JOIN bases b ON l.lang = b.lang AND l.sub_shard = b.sub_shard
+    """,
+)
+def pack_sequences_sharded(spark, sf_dir):
+    """Skew-proof hierarchical packing: a real corpus is mostly one
+    language, so pack_sequences' per-language window makes that language a
+    single reducer at 100 TB.  Here each (lang, hash-sub-shard) packs
+    independently (fresh bin per sub-shard: <=1 partial bin wasted each)
+    and global bin ids stay dense via a prefix-sum over the tiny
+    per-sub-shard bin counts (operators/sampling.pack_sequences_sharded)."""
+    docs = T(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        "doc_id",
+        X.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+    return SA.pack_sequences_sharded(
+        toks, "doc_id", "n_tokens", budget=512, n_shards=4, partition_by="lang"
+    )
+
+
 # DoReMi-ish target mix: concentrate on 5 "high-quality" sources, keep a
 # long tail.  Weights sum to 1; literals interpolated via repr()+e0 so both
 # engines parse bit-identical doubles.
