@@ -115,6 +115,8 @@ EXTRA = [
     "text_hashed_ann_topk",
     # round 6
     "b12_dialect_shim_roundtrip2",
+    "sample_train_order",
+    "pack_sequences_sharded",
 ]
 
 
