@@ -156,6 +156,61 @@ def test_srp_multiprobe_scales_linearly(spark):
     assert t16 <= max(t1, 0.5) * 16 * 2.5, (t1, t16)
 
 
+def test_sharded_packing_bounded_waste_at_scale(spark):
+    """Hierarchical-packing equivalence at 16M rows, 95% in ONE group:
+    the sharded form's bin count stays within n_shards of the single-
+    stream window's per group (<= 1 partial bin per sub-shard, in either
+    direction — shard boundaries can also pack a tail tighter).
+
+    Timing is PRINTED but not asserted: on one box both forms share the
+    memory bus and a 15M-row narrow sort is cheap, so the measured A/B
+    (PERF.md negative results) shows no local win.  The sharded form is
+    the 100 TB path for a different reason — feasibility: a dominant
+    group at corpus scale exceeds a single reducer's disk/2 GB shuffle
+    block entirely, while sub-shards bound every sort to corpus/n_shards."""
+    from trough_spark.operators.sampling import pack_sequences, pack_sequences_sharded
+
+    n = 16_000_000
+    df = (
+        spark.range(0, n, 1, 32)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 20 != 0, F.lit("en"))
+            .otherwise(F.concat(F.lit("l"), (F.col("id") % 20).cast("string")))
+            .alias("lang"),
+            (100 + F.pmod(F.col("id") * 37, F.lit(300))).alias("n_tokens"),
+        )
+        .cache()
+    )
+    try:
+        df.count()  # materialize off the range generator
+
+        def run(fn):
+            out = fn()
+            t0 = time.perf_counter()
+            row = out.groupBy("lang").agg(
+                F.count("*").alias("n"), (F.max("bin_id") + 1).alias("bins")
+            ).collect()
+            return time.perf_counter() - t0, {r["lang"]: r["bins"] for r in row}
+
+        unsharded = lambda: pack_sequences(df, "doc_id", "n_tokens", 512, partition_by="lang")
+        sharded = lambda: pack_sequences_sharded(
+            df, "doc_id", "n_tokens", 512, n_shards=32, partition_by="lang"
+        )
+        run(unsharded)  # codegen warm-up
+        t_un, bins_un = run(unsharded)
+        t_sh, bins_sh = run(sharded)
+        print(f"\nskewed packing 16M rows: per-group window {t_un:.2f}s, sharded {t_sh:.2f}s "
+              f"({t_un / t_sh:.1f}x)")
+        # bounded waste: per group within n_shards bins either way (each
+        # sub-shard wastes at most one partial bin; sharded boundaries can
+        # also pack a group's tail one bin TIGHTER than the single stream)
+        for g, b in bins_un.items():
+            assert abs(bins_sh[g] - b) <= 32, (g, b, bins_sh[g])
+    finally:
+        df.unpersist()
+
+
 def test_span_coverage_scales_linearly(spark):
     """Second measured family (VERDICT r5 item 8): duplicated-span coverage
     over 1x/4x/16x dissimilar corpora.  Work is linear by construction —
