@@ -119,6 +119,73 @@ class TestDeltaStore:
         assert store.table_df("kv").count() == 1
         assert store.read("b", "SELECT v FROM kv")[0]["v"] == "b"
 
+    def test_delta_midscript_io_failure_rolls_back(self, spark, tmp_path, monkeypatch):
+        """Port of test_store.test_midscript_io_failure_rolls_back to the
+        Delta store (ADVICE r6): the first statement FLUSHES a real log
+        commit before the injected IO failure, so the rollback exercises the
+        delete-committed-files path, and the post-rollback reads run in the
+        SAME SparkSession — proving the DeltaLog snapshot cache was
+        invalidated (a stale cache would serve the rolled-back commit)."""
+        from trough_spark.store import SegmentStore as SS
+
+        store = SegmentStore(spark, str(tmp_path / "dstore_io"), storage_format="delta")
+        store.set_schema("io", "create table a (k INTEGER); create table b (k INTEGER);")
+        store.provision("seg_io", "io")
+        store.write("seg_io", "INSERT INTO a VALUES (1); INSERT INTO b VALUES (10);")
+        before_a = store.read("seg_io", "SELECT * FROM a ORDER BY k")
+        before_b = store.read("seg_io", "SELECT * FROM b ORDER BY k")
+
+        calls = {"n": 0}
+        orig = SS._write_files
+
+        def flaky(self, df, path, mode):
+            calls["n"] += 1
+            if calls["n"] == 2:  # table a's commit lands, table b's dies
+                raise OSError("No space left on device (injected)")
+            return orig(self, df, path, mode)
+
+        monkeypatch.setattr(SS, "_write_files", flaky)
+        with pytest.raises(OSError, match="injected"):
+            store.write("seg_io", "INSERT INTO a VALUES (2); INSERT INTO b VALUES (20);")
+        monkeypatch.setattr(SS, "_write_files", orig)
+        assert calls["n"] >= 2, "first statement must have committed before the failure"
+
+        assert store.read("seg_io", "SELECT * FROM a ORDER BY k") == before_a
+        assert store.read("seg_io", "SELECT * FROM b ORDER BY k") == before_b
+        store.write("seg_io", "INSERT INTO a VALUES (3);")
+        assert len(store.read("seg_io", "SELECT * FROM a")) == 2
+
+    def test_delta_alter_add_column_default_backfills(self, spark, tmp_path):
+        """ADVICE r6: the ALTER ADD COLUMN backfill reads the partition with
+        the NEW schema before the rewrite lands — the Delta read path must
+        null-fill the not-yet-existing column instead of raising."""
+        store = SegmentStore(spark, str(tmp_path / "dstore_alter"), storage_format="delta")
+        store.set_schema("al", "create table d (id INTEGER PRIMARY KEY, a INTEGER);")
+        store.provision("defseg", "al")
+        store.write(
+            "defseg",
+            "INSERT INTO d (a) VALUES (1);\n"
+            "INSERT INTO d (a) VALUES (2);\n"
+            "ALTER TABLE d ADD COLUMN g INTEGER DEFAULT 42;\n"
+            "INSERT INTO d (a) VALUES (3);\n"
+            "INSERT INTO d (a, g) VALUES (4, 9)",
+        )
+        got = [
+            tuple(r.values())
+            for r in store.read("defseg", "SELECT id, a, g FROM d ORDER BY id")
+        ]
+        assert got == [(1, 1, 42), (2, 2, 42), (3, 3, 42), (4, 4, 9)]
+
+    def test_delta_merge_many_empty_batch_noop(self, spark, tmp_path):
+        """ADVICE r6: an empty micro-batch must not index segments[0]."""
+        store = SegmentStore(spark, str(tmp_path / "dstore_empty"), storage_format="delta")
+        store.set_schema("kv_schema", DDL)
+        store.provision("seg1", "kv_schema")
+        store.write("seg1", "INSERT INTO kv VALUES (1, 'a')")
+        empty = spark.createDataFrame([], "k int, v string, segment_id string")
+        assert store.merge_many("kv", empty, on=["k"]) is True
+        assert store.read("seg1", "SELECT count(*) AS n FROM kv")[0]["n"] == 1
+
     def test_delta_maintenance_parquet_scoped(self, spark, tmp_path):
         store = SegmentStore(spark, str(tmp_path / "dstore4"), storage_format="delta")
         store.set_schema("kv_schema", DDL)

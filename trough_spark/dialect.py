@@ -922,8 +922,12 @@ def _rewrite_bare_extreme_columns(sql: str) -> str:
 
     Conservatively scoped: only BARE identifier items are rewritten (an
     expression over a bare column keeps Spark's loud MISSING_GROUP_BY
-    error); two extremes or non-extreme aggregates with bare columns are
-    SQLite-undefined and stay loud too."""
+    error), and two extremes stay loud.  Non-extreme aggregates (COUNT/
+    SUM/...) coexisting with the single min()/max() do NOT block: the
+    SQLite docs only define the quirk for a lone min()/max(), but live
+    SQLite (pinned by test_sqlite_differential's "max(price), name,
+    count(*)" case) still sources bare columns from the extreme row in
+    that mix, and the live probe wins over the doc's narrower wording."""
     tokens = tokenize(sql)
     sig = _significant(tokens)
 
@@ -1028,7 +1032,13 @@ def _rewrite_bare_extreme_columns(sql: str) -> str:
                     continue
                 extremes.append((idx, u0, arg))
                 continue
-            # other aggregate call: fine, not a blocker, not rewritten
+            # other aggregate call (COUNT/SUM/AVG/...): NOT a blocker.  The
+            # SQLite docs describe the quirk only for a single min()/max()
+            # aggregate, but live SQLite (probed by the differential suite's
+            # "max(price), name, count(*)" case) still takes bare columns
+            # from the extreme row when non-extreme aggregates coexist —
+            # the live probe is this engine's authority, so the rewrite
+            # follows it beyond the documented scope.
             if (
                 u0 in _AGG_WORDS
                 and len(it) >= 2

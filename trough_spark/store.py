@@ -662,6 +662,22 @@ class _WriteTxn:
             if os.path.isdir(os.path.dirname(full)):
                 with open(full, "wb") as fh:
                     fh.write(data)
+        # Delta keeps a driver-side DeltaLog snapshot cache keyed by table
+        # path; the file-listing restore above deleted commits BEHIND that
+        # cache, so without invalidation a post-rollback read in the same
+        # SparkSession can serve the rolled-back (now file-less) snapshot.
+        # DeltaLog.clearCache() is the documented test-facing hammer; the
+        # catalog clearCache drops any cached relations on top.
+        if getattr(self.store, "_fmt", "parquet") == "delta":
+            try:
+                jvm = self.store.spark._jvm
+                jvm.org.apache.spark.sql.delta.DeltaLog.clearCache()
+            except Exception:
+                pass
+            try:
+                self.store.spark.catalog.clearCache()
+            except Exception:
+                pass
         self.store._meta = self.meta_before
         self.store._save_meta()
         self.store._hwm = self.hwm_before
@@ -1476,6 +1492,11 @@ class SegmentStore:
             segments = sorted(
                 r["segment_id"] for r in source.select("segment_id").distinct().collect()
             )
+        if not segments:
+            # empty micro-batch: nothing to merge — report handled so the
+            # streaming sink's fallback loop (also a no-op on zero
+            # segments) isn't entered with a source that has no rows
+            return True
         # same column-subset/extra-column contract as merge(): declared
         # columns only, missing ones null-filled (an undeclared event-time
         # column in the stream must not become a Delta schema mismatch)
@@ -1594,8 +1615,19 @@ class SegmentStore:
                 .drop("segment_id")
             )
             if schema is not None:
+                # null-fill declared columns the Delta table doesn't have
+                # yet (ALTER TABLE ADD COLUMN backfill reads with the NEW
+                # schema before the rewrite lands — parquet's explicit read
+                # schema null-fills missing columns for free, Delta's scan
+                # resolves names and would raise on the absent one)
+                have = {c.lower() for c in df.columns}
                 df = df.select(
-                    [F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+                    [
+                        (
+                            F.col(f.name) if f.name.lower() in have else F.lit(None)
+                        ).cast(f.dataType).alias(f.name)
+                        for f in schema.fields
+                    ]
                 )
             return df
         r = self.spark.read

@@ -129,6 +129,8 @@ def upsert_to_segments(
         segs = sorted(
             r["segment_id"] for r in data.select("segment_id").distinct().collect()
         )
+        if not segs:
+            return  # empty micro-batch (trigger fired with no new rows)
         # provision serially: it mutates the shared segment registry
         for seg in segs:
             store.provision(seg, schema_id)
