@@ -23,61 +23,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver samples a prefix of the registry when it can't run everything,
 # so order queries by how much a fresh correctness row is worth: first the
-# 24 queries whose latest driver evidence is rounds 1-3 (VERDICT r5 item 1),
-# then the queries not sampled in round 5, then the round-5-green remainder
-# (freshest evidence, lowest priority).
+# 23 queries whose latest driver evidence is round 4 (VERDICT r6 item 3),
+# then the 50 whose latest evidence is round 5, then the round-6-green
+# remainder (freshest evidence, lowest priority).
 _SAMPLE_PRIORITY = [
-    "b6_having",
-    "b6_percentiles",
-    "b6_pivot_priority",
-    "b7_rollup",
-    "b7_cube_grouping_sets",
-    "b8_window_functions",
-    "b8_range_frames",
-    "b8_groups_frames",
-    "b9_topk_per_group",
-    "b9_order_limit_offset",
-    "b9_nulls_ordering",
-    "b10_set_ops",
-    "b11_subqueries_cte",
-    "b11_exists_anti",
-    "b12_scalar_functions",
-    "b12_datetime_functions",
-    "sim_cosine_pairs",
-    "sim_ann_topk",
-    "sim_srp_buckets",
-    "sim_srp_bucketed_pairs",
-    "sim_matryoshka_topk",
-    "layout_zorder_key",
-    "events_attribution_touch",
-    "stream_dedup_ids",
-    # round-6 addition: zero driver evidence yet, sample it early
-    "sample_train_order",
-    "pack_sequences_sharded",
-    "b12_dialect_shim_roundtrip2",
-    "dedup_minhash_verify",
-    "dedup_chunk_rewrite",
-    "multimodal_frame_sample",
-    "stream_session_window_native",
-    "multimodal_phash",
-    "sample_bottom_k_per_group",
-    "sample_group_cap",
-    "text_html_strip",
-    "text_classifier_score",
-    "text_hashed_embedding",
-    "b5_join_multiway",
-    "b12_json_functions",
-    "b5_theta_cross_join",
-    "sim_ivf_topk",
-    "sim_ivf_recall",
-    "vec_quantize_int8",
-    "vec_quantization_error",
-    "sim_kmeans_update",
-    "sim_srp_multiprobe_pairs",
-    "sim_kmeans_train",
-    "sim_semantic_dedup",
-    "vec_pq_encode",
-    "vec_pq_recall",
+    # --- latest evidence: round 4 ---
+    "a2_row_to_json",
+    "a3_segment_routing",
+    "a7_regexp_function",
+    "a8_seed_crawled_status",
+    "a9_build_redirect_array",
+    "a12_fanout_regex",
+    "a12_cross_segment_global",
+    "asof_join_last_signup",
+    "b12_dialect_shim_roundtrip",
+    "events_multigrain_rollup",
+    "interval_join_sessions",
     "sim_incremental_ann",
     "sketch_hll_distinct",
     "sketch_countmin_heavy_hitters",
@@ -90,21 +51,7 @@ _SAMPLE_PRIORITY = [
     "stream_funnel_conversion",
     "stream_stream_join",
     "stream_cohort_retention",
-    "asof_join_last_signup",
-    "interval_join_sessions",
-    "events_multigrain_rollup",
-    "a3_segment_routing",
-    "a12_fanout_regex",
-    "a12_cross_segment_global",
-    "a7_regexp_function",
-    "a8_seed_crawled_status",
-    "a9_build_redirect_array",
-    "a2_row_to_json",
-    "b12_dialect_shim_roundtrip",
-    "vec_pq_adc_topk",
-    "vec_ivfpq_search",
-    "sketch_source_overlap",
-    "text_hashed_ann_topk",
+    # --- latest evidence: round 5 ---
     "bloom_semijoin_prune",
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -145,12 +92,67 @@ _SAMPLE_PRIORITY = [
     "text_surt_canonicalize",
     "text_outlier_mad",
     "text_quality_ntile",
+    "text_hashed_ann_topk",
     "pipeline_curation",
     "b3_projection_expressions",
     "b4_filter_predicates",
     "b5_join_outer_semi_anti",
     "b6_agg_pricing_summary",
     "b6_group_concat_distinct",
+    "vec_pq_adc_topk",
+    "vec_ivfpq_search",
+    "sketch_source_overlap",
+    # --- latest evidence: round 6 (freshest, lowest priority) ---
+    "dedup_minhash_verify",
+    "dedup_chunk_rewrite",
+    "multimodal_frame_sample",
+    "stream_session_window_native",
+    "multimodal_phash",
+    "pack_sequences_sharded",
+    "sample_train_order",
+    "sample_bottom_k_per_group",
+    "sample_group_cap",
+    "text_html_strip",
+    "text_classifier_score",
+    "text_hashed_embedding",
+    "b5_join_multiway",
+    "b7_rollup",
+    "b8_window_functions",
+    "b9_topk_per_group",
+    "b9_order_limit_offset",
+    "b10_set_ops",
+    "b11_subqueries_cte",
+    "b12_scalar_functions",
+    "b12_datetime_functions",
+    "b12_json_functions",
+    "b5_theta_cross_join",
+    "b6_having",
+    "b8_range_frames",
+    "b8_groups_frames",
+    "b9_nulls_ordering",
+    "b11_exists_anti",
+    "b6_percentiles",
+    "b7_cube_grouping_sets",
+    "b6_pivot_priority",
+    "layout_zorder_key",
+    "sim_cosine_pairs",
+    "sim_ann_topk",
+    "sim_srp_buckets",
+    "sim_srp_bucketed_pairs",
+    "sim_ivf_topk",
+    "sim_ivf_recall",
+    "vec_quantize_int8",
+    "vec_quantization_error",
+    "sim_kmeans_update",
+    "sim_srp_multiprobe_pairs",
+    "sim_kmeans_train",
+    "sim_semantic_dedup",
+    "vec_pq_encode",
+    "sim_matryoshka_topk",
+    "vec_pq_recall",
+    "events_attribution_touch",
+    "stream_dedup_ids",
+    "b12_dialect_shim_roundtrip2",
 ]
 
 
