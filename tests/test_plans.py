@@ -294,3 +294,35 @@ def test_cosine_pairs_scope_bound_enforced(spark):
     load_all()
     res = QUERIES["sim_cosine_pairs"](spark, "/root/testdata/sf0.001")
     assert res.limit(1).count() >= 0  # builds and runs under the default guard
+
+
+def test_train_order_window_is_keys_first(spark):
+    """VERDICT r6 item 4: train_order's shard/pos window must run over a
+    projection of (key, hash) only — document payloads never enter the
+    data-scale sort exchange, regardless of what columns the caller
+    passes.  Asserted structurally on the Window node's child output."""
+    from trough_spark.operators.sampling import train_order
+
+    docs = spark.createDataFrame(
+        [(i, "x" * 200, float(i)) for i in range(40)],
+        "doc_id long, text string, score double",
+    )
+    out = train_order(docs, "doc_id", n_shards=4, salt="e0")
+    qe = out._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    txt = qe.explainString(mode)
+    import re as _re
+
+    win_ids = _re.findall(r"Window \((\d+)\)", txt)
+    assert win_ids, "expected a Window node in the train_order plan:\n" + txt
+    for wid in win_ids:
+        m = _re.search(rf"\({wid}\) Window\nInput \[\d+\]: \[([^\]]*)\]", txt)
+        assert m, txt
+        names = {c.strip().split("#")[0] for c in m.group(1).split(",")}
+        assert names <= {"doc_id", "_train_h", "shard"}, names
+    # correctness: payload columns survive, (shard, pos) deterministic
+    rows = {r["doc_id"]: (r["shard"], r["pos"], r["text"], r["score"]) for r in out.collect()}
+    assert len(rows) == 40
+    keyed = train_order(docs.select("doc_id"), "doc_id", n_shards=4, salt="e0")
+    for r in keyed.collect():
+        assert rows[r["doc_id"]][:2] == (r["shard"], r["pos"])

@@ -275,23 +275,38 @@ def train_order(
       exactly (skip ``pos < checkpoint``) and retries are idempotent.
     - A new epoch is a new salt: a full statistically-independent
       reshuffle with zero state carried between epochs.
-    - ONE shuffle, on the shard key; each shard then sorts independently,
-      so at 100 TB the plan is ``n_shards`` parallel external sorts.
-      Size ``n_shards`` to the trainer's data-parallel world size (or a
-      multiple); hash uniformity keeps the shards balanced.  Order keys
-      first and join row bodies back by ``key`` afterwards so the sort
-      exchange carries (key, 8-byte hash), never document payloads.
+    - Keys-first STRUCTURALLY: the shard/pos assignment runs on a
+      projection of (key, 8-byte hash) only, and the caller's row bodies
+      are joined back by ``key`` afterwards — so the data-scale sort
+      exchange never carries document payloads regardless of what columns
+      the input frame has.  At 100 TB the plan is ``n_shards`` parallel
+      external sorts over ~16-byte rows plus one key-equi join to
+      reattach bodies.  Size ``n_shards`` to the trainer's data-parallel
+      world size (or a multiple); hash uniformity keeps the shards
+      balanced.  ``key`` must be row-unique (it is the join-back key; a
+      document id) — duplicates would multiply rows at reattach.
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
-    k = F.col(key) if isinstance(key, str) else key
-    tagged = df.withColumn("_train_h", _key_hash(k, salt)).withColumn(
-        shard_col, (F.col("_train_h") % n_shards).cast("int")
+    if isinstance(key, str):
+        key_name, base = key, df
+    else:
+        key_name, base = "_train_key", df.withColumn("_train_key", key)
+    order = (
+        base.select(key_name)
+        .withColumn("_train_h", _key_hash(F.col(key_name), salt))
+        .withColumn(shard_col, (F.col("_train_h") % n_shards).cast("int"))
     )
-    w = W.partitionBy(shard_col).orderBy(F.col("_train_h").asc(), k.asc())
-    return tagged.withColumn(
+    w = W.partitionBy(shard_col).orderBy(
+        F.col("_train_h").asc(), F.col(key_name).asc()
+    )
+    order = order.withColumn(
         pos_col, (F.row_number().over(w) - 1).cast("bigint")
     ).drop("_train_h")
+    if df.columns == [key_name]:
+        return order  # nothing to reattach: skip the self-join
+    out = base.join(order, on=key_name, how="inner")
+    return out.select(*df.columns, shard_col, pos_col)
 
 
 def mix_rebalance(
