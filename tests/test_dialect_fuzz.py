@@ -686,3 +686,162 @@ def test_fuzzed_triggers_match_sqlite(spark, tmp_path, case):
         assert got == expected, (
             f"\ntriggers: {trigs}\nscript: {stmts}\nq: {q}\nsqlite: {expected}\nengine: {got}"
         )
+
+
+# ---------------------------------------------------------------------------
+# round-7 campaign: the interleave/cascade frontier (VERDICT r6 item 5) —
+# state-OBSERVING trigger bodies (scalar count/sum subqueries over the
+# subject and audit tables) driven by multi-row INSERT VALUES, INSERT..SELECT,
+# and multi-row UPDATE/DELETE, plus second-level cascades with WHEN clauses.
+# Exercises BOTH branches: _bodies_observe_state -> per-row interleave, and
+# state-blind -> batched firing, with raise-outcome comparison throughout.
+# ---------------------------------------------------------------------------
+
+N_INTERLEAVE_CASES = int(os.environ.get("TROUGH_FUZZ_INTERLEAVE", "6"))
+
+
+def _observing_trigger_ddl(rng: random.Random, n: int) -> list[str]:
+    """Triggers on nums whose bodies OBSERVE state (scalar subqueries over
+    nums/audit, UPDATE/DELETE on audit) mixed with state-blind controls.
+    Bodies never write nums itself: a body writing the statement's target
+    table is SQLite-undefined and the engine rejects it by design."""
+    trigs = []
+    for i in range(n):
+        timing = rng.choice(["BEFORE", "AFTER"])
+        event = rng.choice(["INSERT", "UPDATE", "DELETE"])
+        row = {"INSERT": "NEW", "UPDATE": rng.choice(["NEW", "OLD"]), "DELETE": "OLD"}[event]
+        when = ""
+        if rng.random() < 0.4:
+            when = rng.choice(
+                [
+                    f"WHEN {row}.id > {rng.randint(0, 5)} ",
+                    f"WHEN coalesce({row}.a, 0) >= {rng.randint(-5, 5)} ",
+                ]
+            )
+        body = rng.choice(
+            [
+                f"INSERT INTO audit VALUES ({row}.id, 'n{i}', (SELECT count(*) FROM nums));",
+                f"INSERT INTO audit VALUES ({row}.id, 'a{i}', (SELECT count(*) FROM audit));",
+                f"INSERT INTO audit VALUES ({row}.id, 's{i}', (SELECT coalesce(sum(a), 0) FROM nums));",
+                f"UPDATE audit SET x = x + 1 WHERE rid = {row}.id;",
+                f"DELETE FROM audit WHERE rid = {row}.id AND x < {rng.randint(-2, 2)};",
+                f"INSERT INTO audit VALUES ({row}.id, 'k{i}', {row}.id);",  # state-blind
+            ]
+        )
+        trigs.append(
+            f"CREATE TRIGGER obs{i} {timing} {event} ON nums "
+            f"FOR EACH ROW {when}BEGIN {body} END"
+        )
+    return trigs
+
+
+def _observing_cascade_ddl(rng: random.Random) -> list[str]:
+    """Second-level triggers ON audit with WHEN clauses whose bodies may
+    observe audit2 state — a first-level body INSERT into audit must fire
+    these per produced row, interleaved."""
+    trigs = []
+    for i in range(rng.randint(1, 2)):
+        timing = rng.choice(["BEFORE", "AFTER"])
+        when = ""
+        if rng.random() < 0.6:
+            when = f"WHEN coalesce(NEW.x, 0) >= {rng.randint(-5, 8)} "
+        body = rng.choice(
+            [
+                "INSERT INTO audit2 VALUES (NEW.rid, (SELECT count(*) FROM audit2));",
+                "INSERT INTO audit2 VALUES (NEW.rid, (SELECT count(*) FROM audit));",
+                "INSERT INTO audit2 VALUES (NEW.rid, coalesce(NEW.x, -1));",
+            ]
+        )
+        trigs.append(
+            f"CREATE TRIGGER obsc{i} {timing} INSERT ON audit "
+            f"FOR EACH ROW {when}BEGIN {body} END"
+        )
+    return trigs
+
+
+def _interleave_script(rng: random.Random) -> list[str]:
+    """Multi-row statements that force the per-row interleave when bodies
+    observe state: multi-row INSERT VALUES, INSERT..SELECT, broad UPDATE /
+    DELETE; plus single-row INSERTs whose VALUES carry state subqueries
+    (multi-row VALUES + state subqueries stays out: documented reject)."""
+    stmts = []
+    next_id = 300
+    for _ in range(rng.randint(2, 4)):
+        kind = rng.randrange(5)
+        if kind == 0:
+            nrows = rng.randint(2, 4)
+            vals = ", ".join(
+                f"({next_id + j}, {rng.choice(['NULL', str(rng.randint(-9, 9))])}, "
+                f"{rng.randint(-9, 9)}, 'm')"
+                for j in range(nrows)
+            )
+            stmts.append(f"INSERT INTO nums (id, a, b, s) VALUES {vals}")
+            next_id += nrows + 1
+        elif kind == 1:
+            off = rng.randint(40, 70)
+            stmts.append(
+                f"INSERT INTO nums (id, a, b, s) "
+                f"SELECT id + {off}, b, a, s FROM nums WHERE id < {rng.randint(3, 6)}"
+            )
+        elif kind == 2:
+            stmts.append(
+                f"UPDATE nums SET a = coalesce(a, 0) + {rng.randint(1, 3)} "
+                f"WHERE id % {rng.randint(2, 3)} = {rng.randint(0, 1)}"
+            )
+        elif kind == 3:
+            stmts.append(f"DELETE FROM nums WHERE id % {rng.randint(3, 5)} = 0")
+        else:
+            src = rng.choice(["nums", "audit"])
+            stmts.append(
+                f"INSERT INTO nums (id, a, b, s) VALUES "
+                f"({next_id}, (SELECT count(*) FROM {src}), 0, 'q')"
+            )
+            next_id += 1
+    return stmts
+
+
+@pytest.mark.parametrize("case", range(N_INTERLEAVE_CASES))
+def test_fuzzed_interleave_triggers_match_sqlite(spark, tmp_path, case):
+    rng = random.Random(SEED + 900 + case)
+    trigs = _observing_trigger_ddl(rng, rng.randint(1, 3))
+    if rng.random() < 0.7:
+        trigs += _observing_cascade_ddl(rng)
+    stmts = _interleave_script(rng)
+
+    conn = sqlite3.connect(":memory:")
+    conn.isolation_level = None
+    conn.executescript(TRIG_DDL)
+    conn.executemany("INSERT INTO nums VALUES (?, ?, ?, ?)", ROWS)
+    conn.commit()
+    for t in trigs:
+        conn.execute(t)
+    conn.commit()
+
+    store = SegmentStore(spark, str(tmp_path / "store"))
+    store.set_schema("itr_schema", TRIG_DDL + ";")
+    store.provision(f"iseg{case}", "itr_schema")
+    seed = ";\n".join(
+        "INSERT INTO nums (id, a, b, s) VALUES (%s)"
+        % ", ".join(
+            "NULL" if v is None else (f"'{v}'" if isinstance(v, str) else str(v))
+            for v in r
+        )
+        for r in ROWS
+    )
+    store.write(f"iseg{case}", seed)
+    store.write(f"iseg{case}", ";\n".join(trigs))
+    sq_raised, en_raised = _run_script_both(conn, store, f"iseg{case}", stmts)
+    assert sq_raised == en_raised, (
+        f"\ntriggers: {trigs}\nscript: {stmts}\n"
+        f"sqlite raised: {sq_raised}, engine raised: {en_raised}"
+    )
+    for q in (
+        "SELECT id, a, b, s FROM nums ORDER BY id",
+        "SELECT rid, tag, x FROM audit ORDER BY rid, tag, x",
+        "SELECT rid, x FROM audit2 ORDER BY rid, x",
+    ):
+        expected = [tuple(row) for row in conn.execute(q).fetchall()]
+        got = [tuple(r.values()) for r in store.read(f"iseg{case}", q)]
+        assert got == expected, (
+            f"\ntriggers: {trigs}\nscript: {stmts}\nq: {q}\nsqlite: {expected}\nengine: {got}"
+        )

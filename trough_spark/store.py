@@ -1104,7 +1104,7 @@ class SegmentStore:
             tuples = (
                 [[]]
                 if default_values is not None
-                else self._parse_values(body[len("VALUES") :])
+                else self._parse_values(body[len("VALUES") :], segment_id, pending)
             )
             # unspecified columns take their declared DEFAULT (SQLite);
             # evaluated ONCE per statement (SQLite's per-statement 'now';
@@ -1547,12 +1547,20 @@ class SegmentStore:
             m.whenNotMatchedInsertAll().execute()
         return True
 
-    def _parse_values(self, rest: str):
-        """Parse VALUES (..),(..) literal tuples via the dialect tokenizer."""
+    def _parse_values(self, rest: str, segment_id: str | None = None, pending=None):
+        """Parse VALUES (..),(..) literal tuples via the dialect tokenizer.
+
+        Non-literal expressions are constant-folded; with ``segment_id``, a
+        state-reading scalar subquery is evaluated against current segment
+        state (see _eval_scalar).  SQLite evaluates such subqueries row by
+        row AS it inserts, so a multi-row VALUES whose later rows could
+        observe earlier rows' effects is rejected loudly rather than
+        silently evaluated against the pre-statement state."""
         tokens = [
             t for t in dialect.tokenize(rest) if t.kind not in ("space", "comment")
         ]
         tuples = []
+        state_read = False
         i = 0
         while i < len(tokens):
             t = tokens[i]
@@ -1563,11 +1571,22 @@ class SegmentStore:
                     try:
                         vals.append(_literal([*a]))
                     except _NotALiteral:
-                        vals.append(self._eval_scalar(dialect.render(list(a))))
+                        # space-join: these are significant-only tokens, a
+                        # plain concat would fuse words (SELECT count -> SELECTcount)
+                        expr = " ".join(tk.text for tk in a)
+                        v, sr = self._eval_scalar_tracked(expr, segment_id, pending)
+                        state_read = state_read or sr
+                        vals.append(v)
                 tuples.append(vals)
                 i = close + 1
             else:
                 i += 1
+        if state_read and len(tuples) > 1:
+            raise QueryRejected(
+                "state-reading scalar subquery in a multi-row VALUES is not "
+                "supported (SQLite evaluates it per inserted row; the engine "
+                "evaluates once per statement) — split into single-row INSERTs"
+            )
         return tuples
 
     def _write_files(self, df: DataFrame, path: str, mode: str) -> None:
@@ -1879,13 +1898,49 @@ class SegmentStore:
             out.append(tr)
         return out
 
-    def _eval_scalar(self, expr: str):
+    def _eval_scalar(self, expr: str, segment_id: str | None = None, pending=None):
         """Constant-fold one non-literal VALUES / trigger-body expression
         (dialect-translated) through Spark SQL — a driver-local zero-scan
-        SELECT, used only off the hot path (script writes)."""
+        SELECT, used only off the hot path (script writes).
+
+        With ``segment_id``, a state-reading scalar subquery (e.g.
+        ``(SELECT count(*) FROM t)``) that the zero-table fold cannot
+        resolve is evaluated against the segment's CURRENT state via the
+        read path, after flushing ``pending`` so rows staged earlier in the
+        same script are visible — SQLite's per-statement view.  Returns
+        ``(value, state_read)`` never; just the value (callers that must
+        know whether state was read use ``_eval_scalar_tracked``)."""
+        return self._eval_scalar_tracked(expr, segment_id, pending)[0]
+
+    def _eval_scalar_tracked(
+        self, expr: str, segment_id: str | None = None, pending=None
+    ):
+        """(value, state_read) — see _eval_scalar."""
+        if segment_id is not None and re.search(r"\bSELECT\b", expr, re.IGNORECASE):
+            # a subquery MUST resolve against current segment state: the
+            # zero-table fold would silently read whatever (stale) temp
+            # views an earlier read left registered in the session
+            if pending:
+                self._flush_inserts(segment_id, pending)
+            try:
+                rows = self.read(segment_id, f"SELECT ({expr}) AS _v")
+            except Exception as e2:
+                raise QueryRejected(
+                    f"unsupported VALUES expression {expr!r}: {e2}"
+                ) from None
+            # "state read" only if the subquery touches a segment table or
+            # view — a constant subquery like (SELECT 1+2) is position-
+            # independent and must not trip the multi-row-VALUES reject
+            info = self._segment_info(segment_id)
+            names = set(self._segment_tables(segment_id)) | set(info.get("views", {}))
+            touches = any(
+                re.search(rf"\b{re.escape(n)}\b", expr, re.IGNORECASE)
+                for n in names
+            )
+            return rows[0]["_v"], touches
         sql = dialect.sqlite_to_spark(expr)
         try:
-            return self.spark.sql(f"SELECT ({sql})").collect()[0][0]
+            return self.spark.sql(f"SELECT ({sql})").collect()[0][0], False
         except Exception as e:
             raise QueryRejected(
                 f"unsupported VALUES expression {expr!r}: {e}"
@@ -2019,7 +2074,27 @@ class SegmentStore:
             # the SELECT must see them (sqlite3 executescript semantics; the
             # non-trigger INSERT..SELECT path flushes the same way)
             self._flush_inserts(segment_id, pending)
-            src_rows = self.read_df(segment_id, body).collect()
+            # SQLite produces rows in table-scan (rowid) order, and firing
+            # order is observable to state-reading bodies — for a simple
+            # single-table SELECT, pin the materialization to the source
+            # table's pk order (collect() order is otherwise partition-
+            # nondeterministic)
+            src_body = body
+            msrc = re.match(
+                r'(?is)^\s*SELECT\s+.*?\s+FROM\s+[`"\[]?(\w+)[`"\]]?\s*(WHERE\b.*)?$',
+                body,
+            )
+            if msrc and not re.search(
+                r"(?i)\b(ORDER\s+BY|GROUP\s+BY|JOIN|UNION|LIMIT|EXCEPT|INTERSECT)\b",
+                body,
+            ):
+                try:
+                    sts = self._table_schema(segment_id, _unquote(msrc.group(1)))
+                except Exception:
+                    sts = None
+                if sts is not None and sts.primary_key:
+                    src_body = body + " ORDER BY " + ", ".join(sts.primary_key)
+            src_rows = self.read_df(segment_id, src_body).collect()
             if src_rows and len(src_rows[0]) != len(cols):
                 raise QueryRejected(
                     f"INSERT..SELECT arity mismatch: {len(src_rows[0])} vs {len(cols)}"
@@ -2040,6 +2115,11 @@ class SegmentStore:
                 f"resolution × trigger interplay is out of scope): {stmt[:80]!r}"
             )
         staged: dict[str, list[Row]] = {}
+        if re.search(r"\bSELECT\b", body, re.IGNORECASE):
+            # a state-reading VALUES subquery must see rows staged by
+            # earlier statements of this script (they'd otherwise sit in
+            # the OUTER pending dict, invisible to the read fallback)
+            self._flush_inserts(segment_id, pending)
         self._execute_insert(segment_id, stmt, staged)
         new_rows = staged.get(table, [])
         # NOTE: autoincrement ids are assigned before BEFORE triggers fire, so
@@ -2125,7 +2205,7 @@ class SegmentStore:
                 else list(vcols)
             )
             if body.upper().startswith("VALUES"):
-                tuples = self._parse_values(body[len("VALUES") :])
+                tuples = self._parse_values(body[len("VALUES") :], segment_id, pending)
             else:
                 tuples = [list(r) for r in self.read_df(segment_id, body).collect()]
             colmap = {c.lower(): c for c in vcols}
@@ -2213,6 +2293,65 @@ class SegmentStore:
                         return True  # cascade target's triggers may read state
         return False
 
+    @staticmethod
+    def _dml_write_target(stmt: str) -> str | None:
+        """The table a body DML statement writes, or None for SELECT/RAISE."""
+        m = re.match(
+            r"(?is)\s*(?:INSERT\s+(?:OR\s+\w+\s+)?INTO|REPLACE\s+INTO"
+            r"|UPDATE(?:\s+OR\s+\w+)?|DELETE\s+FROM)\s+"
+            r'[`"\[]?(\w+)',
+            stmt,
+        )
+        return _unquote(m.group(1)) if m else None
+
+    def _body_write_closure(self, segment_id: str, trigs: list[Trigger]) -> set[str]:
+        """Lower-cased tables written by trigger bodies, TRANSITIVELY through
+        cascades (a body INSERT into B fires B's triggers, whose bodies may
+        write further tables)."""
+        written: set[str] = set()
+        seen: set[str] = set()
+        frontier = list(trigs)
+        while frontier:
+            tr = frontier.pop()
+            if tr.name.lower() in seen:
+                continue
+            seen.add(tr.name.lower())
+            for b in tr.body:
+                t = self._dml_write_target(b)
+                if t is None:
+                    continue
+                written.add(t.lower())
+                frontier.extend(
+                    c
+                    for c in self._segment_triggers(segment_id)
+                    if c.table.lower() == t.lower() and c.name.lower() not in seen
+                )
+        return written
+
+    def _apply_row_change(
+        self, segment_id: str, table: str, ts: TableSchema, old_row, new_row
+    ) -> None:
+        """Apply ONE row's UPDATE (new_row) or DELETE (new_row=None) as a
+        pk-keyed partition rewrite — the per-row interleave's unit of work.
+        Cost: one bounded partition rewrite per affected row, paid only on
+        the narrow state-observing-trigger path (the batch rewrite stays
+        the default)."""
+        df = self._read_partition(segment_id, table)
+        cond = None
+        for k in ts.primary_key:
+            c = F.col(k).eqNullSafe(F.lit(old_row[k]))
+            cond = c if cond is None else (cond & c)
+        kept = df.filter(~cond)
+        if new_row is not None:
+            repl = self.spark.createDataFrame(
+                [tuple(new_row[n] for n, _ in ts.fields)], ts.struct()
+            )
+            out = kept.unionByName(repl)
+            self._assert_constraints(ts, out)
+        else:
+            out = kept
+        self._overwrite_partition(segment_id, table, out)
+
     def _dml_with_triggers(
         self, segment_id: str, stmt: str, kind: str, pending: dict
     ) -> None:
@@ -2239,28 +2378,45 @@ class SegmentStore:
             self._rewrite_partition(segment_id, stmt, kind)
             return
         pairs = self._affected_rows(segment_id, table, m.group("where"), sets, kind)
-        if len(pairs) > 1:
-            # SQLite interleaves UPDATE/DELETE trigger firing per row (probed:
-            # an AFTER UPDATE body's SUM(x) sees partially-updated states),
-            # but the partition rewrite below applies ALL rows at once, so the
-            # engine fires batch-phased (all BEFOREs, rewrite, all AFTERs).
-            # That is observationally identical UNLESS a body reads/writes the
-            # statement's target table or reads other state mid-statement —
-            # reject those LOUDLY instead of silently mis-ordering.
-            tbl_pat = re.compile(rf"\b{re.escape(table)}\b", re.IGNORECASE)
-            for tr in trigs:
-                for b in tr.body:
-                    if dialect.statement_type(b) == "SELECT":
-                        continue  # RAISE: constant-substituted, state-blind
-                    if tbl_pat.search(b) or re.search(r"\bSELECT\b", b, re.IGNORECASE):
-                        raise QueryRejected(
-                            f"multi-row {kind} on {table!r} with trigger "
-                            f"{tr.name!r} whose body reads or writes "
-                            f"{table!r} or reads table state: SQLite fires "
-                            "triggers per row interleaved with the changes; "
-                            "the partition-rewrite model fires them batch-"
-                            "phased, which would diverge here"
-                        )
+        if len(pairs) > 1 and self._bodies_observe_state(segment_id, trigs):
+            # SQLite interleaves UPDATE/DELETE trigger firing per row
+            # (probed: an AFTER UPDATE body's SUM(x) sees partially-updated
+            # states).  When any body can observe state, fire per row
+            # interleaved with single-row partition rewrites — the same
+            # probed rule the multi-row INSERT path follows.  Two frontiers
+            # stay loudly rejected: a body (or its cascade) WRITING the
+            # statement's target table mutates the row set SQLite itself
+            # documents as undefined, and a pk-less table has no stable row
+            # identity for the single-row rewrite.
+            ts = self._table_schema(segment_id, table)
+            written = self._body_write_closure(segment_id, trigs)
+            if table.lower() in written:
+                raise QueryRejected(
+                    f"multi-row {kind} on {table!r} whose trigger bodies "
+                    f"(or their cascades) write {table!r}: modifying the "
+                    "table being updated from its own trigger is "
+                    "SQLite-undefined — rejected loudly"
+                )
+            if not ts.primary_key:
+                raise QueryRejected(
+                    f"multi-row {kind} on {table!r} with state-observing "
+                    "trigger bodies requires a PRIMARY KEY (per-row "
+                    "interleave needs a stable row identity)"
+                )
+            # SQLite iterates the table b-tree in rowid order: sort by pk
+            pairs.sort(
+                key=lambda p: tuple(
+                    (p[0][k] is None, p[0][k]) for k in ts.primary_key
+                )
+            )
+            for pair in pairs:
+                if self._fire_triggers(segment_id, trigs, "BEFORE", [pair], pending):
+                    continue  # RAISE(IGNORE): skip this row's change
+                self._flush_inserts(segment_id, pending)
+                self._apply_row_change(segment_id, table, ts, pair[0], pair[1])
+                self._fire_triggers(segment_id, trigs, "AFTER", [pair], pending)
+                self._flush_inserts(segment_id, pending)
+            return
         ignored = self._fire_triggers(segment_id, trigs, "BEFORE", pairs, pending)
         if ignored:
             # skipping individual row changes on the partition-rewrite path
