@@ -767,7 +767,19 @@ def _interleave_script(rng: random.Random) -> list[str]:
     stmts = []
     next_id = 300
     for _ in range(rng.randint(2, 4)):
-        kind = rng.randrange(5)
+        kind = rng.randrange(6)
+        if kind == 5:
+            # OR IGNORE with ids that may collide (existing 1-5 plus each
+            # other): probed semantics — BEFORE fires per row, conflicting
+            # rows skip their insert and AFTER
+            nrows = rng.randint(2, 3)
+            ids = [rng.choice([rng.randint(1, 6), next_id + j]) for j in range(nrows)]
+            vals = ", ".join(
+                f"({i}, {rng.randint(-9, 9)}, {rng.randint(-9, 9)}, 'g')" for i in ids
+            )
+            stmts.append(f"INSERT OR IGNORE INTO nums (id, a, b, s) VALUES {vals}")
+            next_id += nrows + 1
+            continue
         if kind == 0:
             nrows = rng.randint(2, 4)
             vals = ", ".join(

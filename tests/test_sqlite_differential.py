@@ -1139,3 +1139,59 @@ def test_or_abort_fail_rollback_and_rowvalue_update(def_engines):
     expected = [tuple(_canon(v) for v in r) for r in conn.execute(q).fetchall()]
     got = [tuple(_canon(v) for v in r.values()) for r in store.read("defseg", q)]
     assert got == expected and len(expected) == 3, f"{got} vs {expected}"
+
+
+def test_or_ignore_on_triggered_table_matches_sqlite(spark, tmp_path):
+    """Round-7 (VERDICT r6 item 6): OR IGNORE × triggers implemented with
+    the probed firing — BEFORE fires for EVERY row; a pk-conflicting or
+    constraint-violating row's insert AND its AFTER are skipped."""
+    ddl = (
+        "CREATE TABLE t (id INTEGER PRIMARY KEY, v TEXT, "
+        "n INTEGER CHECK (n IS NULL OR n > 0));\n"
+        "CREATE TABLE log (ph TEXT, id INTEGER, c INTEGER)"
+    )
+    trigs = (
+        "CREATE TRIGGER b0 BEFORE INSERT ON t FOR EACH ROW BEGIN "
+        "INSERT INTO log VALUES ('B', NEW.id, (SELECT count(*) FROM t)); END;\n"
+        "CREATE TRIGGER a0 AFTER INSERT ON t FOR EACH ROW BEGIN "
+        "INSERT INTO log VALUES ('A', NEW.id, (SELECT count(*) FROM t)); END"
+    )
+    conn = sqlite3.connect(":memory:")
+    conn.isolation_level = None
+    conn.executescript(ddl + ";\n" + trigs + ";")
+    store = SegmentStore(spark, str(tmp_path / "oistore"))
+    store.set_schema("oi_schema", ddl + ";")
+    store.provision("oiseg", "oi_schema")
+    store.write("oiseg", trigs)
+    for script in (
+        "INSERT INTO t VALUES (1, 'x', 5)",
+        # dup pk ×2 (incl. intra-statement), CHECK violation, NULL CHECK pass
+        "INSERT OR IGNORE INTO t VALUES (1, 'dup', 1), (2, 'new', 2), "
+        "(1, 'dup2', 3), (3, 'bad', -4), (4, 'ok', NULL)",
+        # OR IGNORE INSERT..SELECT: all source rows conflict
+        "INSERT OR IGNORE INTO t SELECT id, v || '+', n FROM t WHERE id <= 2",
+        # ON CONFLICT DO NOTHING: pk conflicts only
+        "INSERT INTO t VALUES (1, 'dup', 1), (9, 'n9', 9) ON CONFLICT DO NOTHING",
+        "INSERT INTO t VALUES (2, 'dup', 1) ON CONFLICT (id) DO NOTHING",
+    ):
+        conn.executescript("BEGIN;\n" + script + ";\nCOMMIT;")
+        store.write("oiseg", script)
+    for q in (
+        "SELECT id, v, n FROM t ORDER BY id",
+        "SELECT ph, id, c FROM log ORDER BY id, ph, c",
+    ):
+        expected = [tuple(r) for r in conn.execute(q).fetchall()]
+        got = [tuple(r.values()) for r in store.read("oiseg", q)]
+        assert got == expected, f"{q}\nsqlite: {expected}\nengine: {got}"
+    # DO NOTHING does NOT absorb constraint violations (probed): both raise
+    with pytest.raises(Exception):
+        conn.executescript("BEGIN;\nINSERT INTO t VALUES (50, 'b', -1) ON CONFLICT DO NOTHING;\nCOMMIT;")
+    conn.execute("ROLLBACK")
+    with pytest.raises(Exception):
+        store.write("oiseg", "INSERT INTO t VALUES (50, 'b', -1) ON CONFLICT DO NOTHING")
+    # OR REPLACE on a triggered table stays rejected (delete-trigger
+    # interplay out of scope) — documented divergence
+    from trough_spark.dialect import QueryRejected
+    with pytest.raises(QueryRejected, match="OR REPLACE"):
+        store.write("oiseg", "INSERT OR REPLACE INTO t VALUES (1, 'rep', 2)")
+    conn.close()

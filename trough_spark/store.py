@@ -1703,6 +1703,19 @@ class SegmentStore:
             self._write_files(df, path, "append")
         pending.clear()
 
+    def _row_violates(self, ts: TableSchema, row) -> bool:
+        """Whether ONE candidate row violates a declared CHECK / NOT NULL
+        constraint — the OR IGNORE per-row skip test (driver-local
+        single-row evaluation; used only on the conflict-resolving
+        triggered-insert path)."""
+        df = self.spark.createDataFrame(
+            [tuple(row[n] for n, _ in ts.fields)], ts.struct()
+        )
+        for _msg, cond in self._violation_conds(ts):
+            if df.filter(cond).limit(1).count():
+                return True
+        return False
+
     def _violation_conds(self, ts: TableSchema) -> list[tuple[str, str]]:
         """(error message, Spark filter expr) per declared CHECK / NOT NULL
         constraint — SQLite write semantics: a CHECK passes when its result
@@ -2055,11 +2068,59 @@ class SegmentStore:
         if not trigs:
             return False
         body = m.group("body")
-        conflict_mode = self._insert_mode(m) or self._ON_CONFLICT_RE.search(body)
         body_u = body.upper()
-        if not conflict_mode and (
-            body_u.startswith("SELECT") or body_u.startswith("WITH")
+        mode = self._insert_mode(m)
+        onc = self._ON_CONFLICT_RE.search(body) if body_u.startswith("VALUES") else None
+        # Conflict forms × triggers (probed live, round 7): OR IGNORE fires
+        # BEFORE for EVERY row, then skips the row's insert AND its AFTER
+        # when the row hits a pk conflict or ANY constraint violation;
+        # ON CONFLICT DO NOTHING does the same for pk conflicts ONLY
+        # (CHECK / NOT NULL violations still abort).  OR REPLACE and
+        # DO UPDATE remain rejected (delete-trigger interplay out of scope).
+        skip_unique = skip_constraints = False
+        if mode == "IGNORE":
+            skip_unique = skip_constraints = True
+            stmt = re.sub(
+                r"(?is)^(\s*)INSERT\s+OR\s+IGNORE\s+", r"\1INSERT ", stmt, count=1
+            )
+            m = self._match_insert(stmt)
+            body = m.group("body")
+            body_u = body.upper()
+        elif onc is not None and mode is None and onc.group("nothing") is not None:
+            ts0 = self._table_schema(segment_id, table)
+            if not ts0.primary_key:
+                raise QueryRejected(
+                    f"ON CONFLICT on table {table!r} with no PRIMARY KEY"
+                )
+            cc = onc.group("cc")
+            if cc is not None:
+                target = sorted(_unquote(c.strip()).lower() for c in cc.split(","))
+                if target != sorted(c.lower() for c in ts0.primary_key):
+                    raise QueryRejected(
+                        "ON CONFLICT target must be the PRIMARY KEY "
+                        f"({', '.join(ts0.primary_key)})"
+                    )
+            skip_unique = True
+            cols_part = f" ({m.group('cols')})" if m.group("cols") else ""
+            stmt = f"INSERT INTO {table}{cols_part} {body[: onc.start()]}"
+            m = self._match_insert(stmt)
+            body = m.group("body")
+            body_u = body.upper()
+        elif mode is not None or onc is not None:
+            raise QueryRejected(
+                "INSERT with OR REPLACE or ON CONFLICT DO UPDATE is not "
+                "supported on a table with triggers (SQLite's conflict-"
+                f"resolution × trigger interplay is out of scope): {stmt[:80]!r}"
+            )
+        if (skip_unique or skip_constraints) and table.lower() in self._body_write_closure(
+            segment_id, trigs
         ):
+            raise QueryRejected(
+                f"conflict-resolving INSERT on {table!r} whose trigger bodies "
+                f"(or their cascades) write {table!r}: body writes would race "
+                "the per-row conflict check — rejected loudly"
+            )
+        if body_u.startswith("SELECT") or body_u.startswith("WITH"):
             # INSERT..SELECT on a triggered table: materialize the source
             # rows (driver-side — bounded by trigger presence, exactly the
             # rows the per-row firing must see anyway) and replay them as a
@@ -2108,11 +2169,9 @@ class SegmentStore:
             stmt = f"INSERT INTO {table} ({', '.join(cols)}) VALUES {vals}"
             m = self._match_insert(stmt)
             body = m.group("body")
-        elif conflict_mode or not body_u.startswith("VALUES"):
+        elif not body_u.startswith("VALUES"):
             raise QueryRejected(
-                "INSERT with OR REPLACE/IGNORE or ON CONFLICT is not "
-                "supported on a table with triggers (SQLite's conflict-"
-                f"resolution × trigger interplay is out of scope): {stmt[:80]!r}"
+                f"unsupported INSERT body on a triggered table: {stmt[:80]!r}"
             )
         staged: dict[str, list[Row]] = {}
         if re.search(r"\bSELECT\b", body, re.IGNORECASE):
@@ -2125,6 +2184,38 @@ class SegmentStore:
         # NOTE: autoincrement ids are assigned before BEFORE triggers fire, so
         # NEW.<autoinc> is the final id even in BEFORE bodies (documented
         # divergence from SQLite's unassigned-rowid-in-BEFORE).
+        if skip_unique or skip_constraints:
+            # per-row conflict-resolving loop (probed order: BEFORE fires,
+            # then the conflict check decides insert + AFTER vs silent skip)
+            ts = self._table_schema(segment_id, table)
+            pkcols = list(ts.primary_key or [])
+            existing: set[tuple] = set()
+            if pkcols:
+                if os.path.isdir(self._partition_path(table, segment_id)):
+                    existing = {
+                        tuple(r[k] for k in pkcols)
+                        for r in self._read_partition(segment_id, table)
+                        .select(*pkcols)
+                        .collect()
+                    }
+                existing |= {
+                    tuple(r[k] for k in pkcols) for r in pending.get(table, [])
+                }
+            for r in new_rows:
+                pair = [(None, r)]
+                if self._fire_triggers(segment_id, trigs, "BEFORE", pair, pending):
+                    continue  # RAISE(IGNORE): skip this row's insert
+                if pkcols and tuple(r[k] for k in pkcols) in existing:
+                    continue  # uniqueness conflict: no insert, no AFTER
+                if skip_constraints and self._row_violates(ts, r):
+                    continue  # OR IGNORE skips constraint violations too
+                pending.setdefault(table, []).append(r)
+                self._flush_inserts(segment_id, pending)
+                if pkcols:
+                    existing.add(tuple(r[k] for k in pkcols))
+                self._fire_triggers(segment_id, trigs, "AFTER", pair, pending)
+                self._flush_inserts(segment_id, pending)
+            return True
         if len(new_rows) > 1 and self._bodies_observe_state(segment_id, trigs):
             # SQLite processes a multi-row INSERT row at a time (probed:
             # a BEFORE body's COUNT(*) sees 0,1,2; AFTER sees 1,2,3), so
