@@ -1,0 +1,365 @@
+"""TEST-ONLY contract double for delta-spark (pure Python, no JVM jar).
+
+This sandbox has no network access and no Delta JVM jars, so the real
+delta-spark package cannot be vendored (reproduced: ``pip download
+delta-spark`` fails name resolution; no ``*delta*.jar`` exists anywhere on
+the image).  To still EXECUTE the engine's ``storage_format='delta'``
+branches (`trough_spark/store.py` `_write_files`/`_read_files`/`merge_many`/
+rollback), this package implements a small subset of the PUBLIC Delta Lake
+transaction-log protocol (https://github.com/delta-io/delta PROTOCOL.md):
+
+- a ``_delta_log/<version %020d>.json`` commit per write, holding
+  ``metaData`` / ``add`` / ``remove`` actions with the protocol's field
+  names (``path``, ``partitionValues``, ``dataChange``, ``schemaString``);
+- table state = replay of the log in version order (adds minus removes);
+- data files are plain parquet under hive-style partition directories;
+- ``format("delta")`` reads/writes are intercepted at the PySpark
+  ``DataFrameReader``/``DataFrameWriter`` layer and served by the replay.
+
+Because state is ONLY derived from the JSON log and every mutation is
+file-level append-only, the store's listing-diff script rollback (which
+restores ``_delta_log`` to its pre-script file set) round-trips exactly as
+it would against real Delta.
+
+Documented deviations from delta-spark (this is a double, not a port):
+- schema enforcement is lenient: append ``mergeSchema`` is union-by-name
+  with no type-widening checks; overwrite keeps/merges the schema without
+  requiring ``overwriteSchema``;
+- ``DeltaTable.merge`` rewrites the whole table rather than only touched
+  files (correctness-equivalent; perf-irrelevant at test scale);
+- snapshots are cached keyed by the SET of log files, so a deleted commit
+  invalidates naturally — the real driver-side DeltaLog cache needs an
+  explicit ``clearCache()`` (the store issues one; it no-ops here);
+- no checkpoints / ``_last_checkpoint`` are ever written;
+- no protocol/version actions, no concurrent-writer conflict detection
+  beyond O_EXCL on the commit file (single-writer store by design).
+
+NOT installed in production; tests/conftest.py puts this directory on
+``sys.path`` so ``import delta`` resolves here when delta-spark is absent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import time
+import urllib.parse
+import uuid
+
+from pyspark.sql import functions as F, types as T
+from pyspark.sql.readwriter import DataFrameReader, DataFrameWriter
+
+__version__ = "0.0.0+trough-test-double"
+
+
+class DeltaDoubleError(Exception):
+    """Raised where real delta-spark would raise an AnalysisException."""
+
+
+class _Snapshot:
+    __slots__ = ("schema", "partition_cols", "files")
+
+    def __init__(self, schema: T.StructType, partition_cols: list[str], files: dict):
+        self.schema = schema
+        self.partition_cols = partition_cols
+        self.files = files  # rel path -> partitionValues dict
+
+
+_SNAP_CACHE: dict[tuple, _Snapshot] = {}
+_LOG_NAME_RE = re.compile(r"\d{20}\.json")
+
+
+def _log_dir(root: str) -> str:
+    return os.path.join(root, "_delta_log")
+
+
+def _log_files(root: str) -> list[str]:
+    d = _log_dir(root)
+    if not os.path.isdir(d):
+        return []
+    return sorted(f for f in os.listdir(d) if _LOG_NAME_RE.fullmatch(f))
+
+
+def is_delta_table(root: str) -> bool:
+    return bool(_log_files(root))
+
+
+def _replay(root: str) -> _Snapshot | None:
+    """Table state = ordered replay of the commit log (the protocol's
+    definition).  Cached keyed by the set of log files present, so a
+    rollback that deletes commit files invalidates the cache naturally."""
+    names = _log_files(root)
+    if not names:
+        return None
+    key = (os.path.abspath(root), tuple(names))
+    snap = _SNAP_CACHE.get(key)
+    if snap is not None:
+        return snap
+    schema: T.StructType | None = None
+    pcols: list[str] = []
+    files: dict[str, dict] = {}
+    for name in names:
+        with open(os.path.join(_log_dir(root), name)) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "metaData" in action:
+                    md = action["metaData"]
+                    schema = T.StructType.fromJson(json.loads(md["schemaString"]))
+                    pcols = list(md.get("partitionColumns", []))
+                elif "add" in action:
+                    files[action["add"]["path"]] = action["add"].get(
+                        "partitionValues", {}
+                    )
+                elif "remove" in action:
+                    files.pop(action["remove"]["path"], None)
+    if schema is None:
+        raise DeltaDoubleError(f"delta log at {root!r} has no metaData action")
+    snap = _Snapshot(schema, pcols, files)
+    _SNAP_CACHE[key] = snap
+    return snap
+
+
+def _commit(root: str, actions: list[dict]) -> int:
+    """One atomic commit: the next ``%020d.json`` created with O_EXCL (the
+    protocol's mutual-exclusion contract on a POSIX filesystem)."""
+    d = _log_dir(root)
+    os.makedirs(d, exist_ok=True)
+    payload = "".join(json.dumps(a, separators=(",", ":")) + "\n" for a in actions)
+    while True:
+        names = _log_files(root)
+        version = int(names[-1][:20]) + 1 if names else 0
+        path = os.path.join(d, f"{version:020d}.json")
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue  # concurrent commit won the version: retry with next
+        with os.fdopen(fd, "w") as fh:
+            fh.write(payload)
+        return version
+
+
+def _metadata_action(schema: T.StructType, pcols: list[str]) -> dict:
+    return {
+        "metaData": {
+            "id": uuid.uuid4().hex,
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema.json(),
+            "partitionColumns": pcols,
+            "configuration": {},
+            "createdTime": int(time.time() * 1000),
+        }
+    }
+
+
+def _merge_schemas(old: T.StructType, new: T.StructType) -> tuple[T.StructType, bool]:
+    """Union-by-name (case-insensitive, existing casing/type wins) — the
+    double's lenient take on Delta's mergeSchema."""
+    have = {f.name.lower() for f in old.fields}
+    extra = [f for f in new.fields if f.name.lower() not in have]
+    if not extra:
+        return old, False
+    return T.StructType(list(old.fields) + extra), True
+
+
+def _parse_partition_dir(rel: str) -> dict:
+    """partitionValues from hive-style path components ``col=value``."""
+    pv = {}
+    for comp in rel.split(os.sep)[:-1]:
+        if "=" in comp:
+            c, _, v = comp.partition("=")
+            pv[c] = urllib.parse.unquote(v)
+    return pv
+
+
+_REPLACE_WHERE_RE = re.compile(
+    r"^\s*`?(?P<col>\w+)`?\s*=\s*'(?P<val>[^']*)'\s*$"
+)
+
+
+def _delta_save(df, root: str, mode: str, pcols: list[str], options: dict) -> None:
+    """The write half of the double: physical parquet into partition dirs,
+    then ONE metaData/add/remove commit describing the change."""
+    os.makedirs(root, exist_ok=True)
+    snap = _replay(root)
+    if snap is not None and not pcols:
+        pcols = snap.partition_cols
+    staging = os.path.join(root, f"_dd_staging_{uuid.uuid4().hex}")
+    w = df.write.mode("overwrite")
+    if pcols:
+        w = w.partitionBy(*pcols)
+    w.parquet(staging)
+    adds: list[dict] = []
+    try:
+        for base, _, names in os.walk(staging):
+            for name in names:
+                if not name.endswith(".parquet"):
+                    continue
+                src = os.path.join(base, name)
+                rel = os.path.relpath(src, staging)
+                dst = os.path.join(root, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.replace(src, dst)
+                adds.append(
+                    {
+                        "add": {
+                            "path": rel.replace(os.sep, "/"),
+                            "partitionValues": _parse_partition_dir(rel),
+                            "size": os.path.getsize(dst),
+                            "modificationTime": int(time.time() * 1000),
+                            "dataChange": True,
+                        }
+                    }
+                )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+    actions: list[dict] = [
+        {"commitInfo": {"operation": "WRITE", "operationParameters": {"mode": mode}}}
+    ]
+    if snap is None:
+        actions.append(_metadata_action(df.schema, pcols))
+    else:
+        merged, changed = _merge_schemas(snap.schema, df.schema)
+        if changed:
+            if mode == "append" and options.get("mergeSchema", "").lower() != "true":
+                raise DeltaDoubleError(
+                    "schema of the written DataFrame does not match the table and "
+                    "mergeSchema is not enabled"
+                )
+            actions.append(_metadata_action(merged, snap.partition_cols))
+    removes: list[str] = []
+    if mode == "overwrite" and snap is not None:
+        rw = options.get("replaceWhere")
+        if rw:
+            m = _REPLACE_WHERE_RE.match(rw)
+            if not m:
+                raise DeltaDoubleError(
+                    f"double supports only `col = 'literal'` replaceWhere, got {rw!r}"
+                )
+            col, val = m.group("col"), m.group("val")
+            removes = [
+                p for p, pv in snap.files.items() if pv.get(col) == val
+            ]
+        else:
+            removes = list(snap.files)
+    actions.extend(
+        {"remove": {"path": p, "dataChange": True, "deletionTimestamp": int(time.time() * 1000)}}
+        for p in removes
+    )
+    actions.extend(adds)
+    _commit(root, actions)
+
+
+def read_snapshot_df(spark, root: str):
+    """The read half: active files by replay, parquet-read with basePath so
+    the hive partition column comes back, aligned to the snapshot schema
+    (null-filling columns old files predate — mergeSchema union)."""
+    snap = _replay(root)
+    if snap is None:
+        raise DeltaDoubleError(f"{root!r} is not a Delta table")
+    paths = [os.path.join(root, p) for p in snap.files]
+    paths = [p for p in paths if os.path.exists(p)]
+    if not paths:
+        return spark.createDataFrame([], snap.schema)
+    df = (
+        spark.read.option("basePath", root)
+        .option("mergeSchema", "true")
+        .parquet(*paths)
+    )
+    have = {c.lower() for c in df.columns}
+    return df.select(
+        [
+            (F.col(f.name) if f.name.lower() in have else F.lit(None))
+            .cast(f.dataType)
+            .alias(f.name)
+            for f in snap.schema.fields
+        ]
+    )
+
+
+# ---- PySpark reader/writer interception -----------------------------------
+#
+# The engine drives Delta exclusively through df.write.format("delta") /
+# spark.read.format("delta") (plus delta.tables.DeltaTable).  The chain may
+# set mode/options/partitionBy BEFORE format(), so those are recorded
+# unconditionally on the (per-chain) wrapper object and also delegated to
+# the original methods; format("delta") flips the flag that routes save()/
+# load() into the double.  Non-delta reads/writes are untouched.
+
+_ORIG: dict[str, dict] = {}
+
+
+def _install() -> None:
+    if _ORIG:
+        return
+    _ORIG["writer"] = {
+        n: getattr(DataFrameWriter, n)
+        for n in ("format", "mode", "option", "options", "partitionBy", "save")
+    }
+    _ORIG["reader"] = {n: getattr(DataFrameReader, n) for n in ("format", "load")}
+
+    def _wstate(self) -> dict:
+        return self.__dict__.setdefault(
+            "_dd_state", {"mode": "errorifexists", "options": {}, "partitionBy": []}
+        )
+
+    def w_format(self, source):
+        if source == "delta":
+            _wstate(self)
+            self.__dict__["_dd_delta"] = True
+            return self
+        return _ORIG["writer"]["format"](self, source)
+
+    def w_mode(self, saveMode):
+        _wstate(self)["mode"] = saveMode
+        return _ORIG["writer"]["mode"](self, saveMode)
+
+    def w_option(self, key, value):
+        _wstate(self)["options"][key] = str(value)
+        return _ORIG["writer"]["option"](self, key, value)
+
+    def w_options(self, **opts):
+        _wstate(self)["options"].update({k: str(v) for k, v in opts.items()})
+        return _ORIG["writer"]["options"](self, **opts)
+
+    def w_partitionBy(self, *cols):
+        flat = list(cols[0]) if len(cols) == 1 and isinstance(cols[0], (list, tuple)) else list(cols)
+        _wstate(self)["partitionBy"] = flat
+        return _ORIG["writer"]["partitionBy"](self, *cols)
+
+    def w_save(self, path=None, **kw):
+        if not self.__dict__.get("_dd_delta"):
+            return _ORIG["writer"]["save"](self, path, **kw)
+        st = _wstate(self)
+        mode = {"error": "errorifexists"}.get(st["mode"], st["mode"])
+        if mode == "errorifexists" and is_delta_table(path):
+            raise DeltaDoubleError(f"path already exists: {path!r}")
+        _delta_save(self._df, path, mode, st["partitionBy"], st["options"])
+
+    def r_format(self, source):
+        if source == "delta":
+            self.__dict__["_dd_delta"] = True
+            return self
+        return _ORIG["reader"]["format"](self, source)
+
+    def r_load(self, path=None, format=None, schema=None, **options):
+        if not self.__dict__.get("_dd_delta"):
+            return _ORIG["reader"]["load"](self, path, format, schema, **options)
+        return read_snapshot_df(self._spark, path)
+
+    DataFrameWriter.format = w_format
+    DataFrameWriter.mode = w_mode
+    DataFrameWriter.option = w_option
+    DataFrameWriter.options = w_options
+    DataFrameWriter.partitionBy = w_partitionBy
+    DataFrameWriter.save = w_save
+    DataFrameReader.format = r_format
+    DataFrameReader.load = r_load
+
+
+_install()

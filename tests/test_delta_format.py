@@ -186,6 +186,95 @@ class TestDeltaStore:
         assert store.merge_many("kv", empty, on=["k"]) is True
         assert store.read("seg1", "SELECT count(*) AS n FROM kv")[0]["n"] == 1
 
+    def test_delta_merge_many_executes(self, spark, tmp_path):
+        """VERDICT r6 item 1: the native one-MERGE-per-batch path executes —
+        updates + inserts across TWO segments land in ONE log commit, and
+        the expression-dict when_matched drives whenMatchedUpdate(set=...)."""
+        import os
+
+        store = SegmentStore(spark, str(tmp_path / "dstore_mm"), storage_format="delta")
+        store.set_schema("kv_schema", DDL)
+        for seg in ("s1", "s2"):
+            store.provision(seg, "kv_schema")
+            store.write(
+                seg, f"INSERT INTO kv VALUES (1, 'old-{seg}'), (2, 'keep-{seg}')"
+            )
+        src = spark.createDataFrame(
+            [(1, "new-s1", "s1"), (3, "ins-s1", "s1"), (1, "new-s2", "s2")],
+            "k int, v string, segment_id string",
+        )
+        log_dir = f"{store._table_path('kv')}/_delta_log"
+        before = len(os.listdir(log_dir))
+        assert store.merge_many("kv", src, on=["k"]) is True
+        assert len(os.listdir(log_dir)) == before + 1, "one commit for the batch"
+        assert {r["k"]: r["v"] for r in store.read("s1", "SELECT k, v FROM kv")} == {
+            1: "new-s1", 2: "keep-s1", 3: "ins-s1"
+        }
+        assert {r["k"]: r["v"] for r in store.read("s2", "SELECT k, v FROM kv")} == {
+            1: "new-s2", 2: "keep-s2"
+        }
+        # expression-dict merge: source./target. rewrite to the s./t. aliases
+        src2 = spark.createDataFrame([(2, "X", "s1")], "k int, v string, segment_id string")
+        assert store.merge_many(
+            "kv", src2, on=["k"], when_matched={"v": "source.v || '-' || target.v"}
+        ) is True
+        assert {r["k"]: r["v"] for r in store.read("s1", "SELECT k, v FROM kv")} == {
+            1: "new-s1", 2: "X-keep-s1", 3: "ins-s1"
+        }
+
+    def test_delta_streaming_upsert_sink(self, spark, tmp_path):
+        """The streaming CDC sink's Delta end state executes: after the
+        first (table-creating, per-segment fallback) batch, each micro-batch
+        is ONE keyed MERGE against the single partitioned table; a full
+        replay with a fresh checkpoint converges (exactly-once property)."""
+        import json
+        import os
+
+        import pyspark.sql.functions as F
+
+        from trough_spark.store import SegmentStore
+        from trough_spark.streaming import events as E
+
+        src_dir = tmp_path / "stream_src"
+        src_dir.mkdir()
+        for i in range(3):
+            with open(src_dir / f"batch{i}.json", "w") as fh:
+                for k in range(10):
+                    fh.write(json.dumps({"k": 10 * i + k, "v": f"v{i}-{k}"}) + "\n")
+        store = SegmentStore(spark, str(tmp_path / "dstore_stream"), storage_format="delta")
+        store.set_schema("kv_schema", DDL)
+
+        def run(ck: str) -> None:
+            stream = (
+                spark.readStream.schema("k int, v string")
+                .option("maxFilesPerTrigger", 1)
+                .json(str(src_dir))
+            )
+            enriched = stream.withColumn(
+                "segment_id",
+                F.concat(F.lit("d"), (F.col("k") % 2).cast("string")),
+            )
+            q = (
+                E.upsert_to_segments(
+                    enriched, store, "kv", str(tmp_path / ck),
+                    keys=["k"], schema_id="kv_schema",
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+
+        run("ck1")
+        n1 = store.read_many_df("^d", "SELECT count(*) AS n FROM kv").collect()[0]["n"]
+        assert n1 == 30
+        commits_after_first = len(os.listdir(f"{store._table_path('kv')}/_delta_log"))
+        run("ck2")  # replay: every batch is a keyed MERGE → state unchanged
+        n2 = store.read_many_df("^d", "SELECT count(*) AS n FROM kv").collect()[0]["n"]
+        assert n2 == n1
+        commits_after_replay = len(os.listdir(f"{store._table_path('kv')}/_delta_log"))
+        # replay ran entirely through merge_many: ONE commit per micro-batch
+        assert commits_after_replay == commits_after_first + 3
+
     def test_delta_maintenance_parquet_scoped(self, spark, tmp_path):
         store = SegmentStore(spark, str(tmp_path / "dstore4"), storage_format="delta")
         store.set_schema("kv_schema", DDL)

@@ -238,3 +238,66 @@ def test_span_coverage_scales_linearly(spark):
     assert n4 == 4 * n1 and n16 == 16 * n1  # every replica produces its rows
     # same generous super-linearity trip wire as the LSH family
     assert t16 <= max(t1, 0.5) * 16 * 2.5, (t1, t16)
+
+
+def test_streaming_sink_fanout_scales_sublinearly(spark, tmp_path):
+    """Fifth measured family (VERDICT r6 item 7): the threaded streaming
+    MERGE sink at 1x/4x/16x touched-segment counts (2 / 8 / 32 segments
+    per micro-batch).  Per-batch work is one bounded merge per touched
+    segment fanned out on an 8-thread pool, so warm wall time should grow
+    ~ceil(segments/threads) — 1, 1, 4 rounds — not linearly in segment
+    count the way the old serial loop did (measured r6: serial 19.4 s vs
+    threaded 4.9 s at 32 segments).  The tripwire separates those shapes."""
+    from trough_spark.store import SegmentStore
+    from trough_spark.streaming import events as E
+
+    src_dir = tmp_path / "src"
+    rows = spark.range(1500).select(
+        F.col("id").alias("user_id"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+        F.lit("click").alias("event_type"),
+    )
+    rows.repartition(3).write.mode("overwrite").parquet(str(src_dir))
+
+    def run(nseg: int, store, ck: str) -> float:
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp, event_type string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src_dir))
+        )
+        enriched = stream.withColumn(
+            "segment_id",
+            F.concat(
+                F.lit("z"), F.pmod(F.xxhash64("user_id"), F.lit(nseg)).cast("string")
+            ),
+        )
+        t0 = time.perf_counter()
+        q = (
+            E.upsert_to_segments(
+                enriched, store, "latest", ck,
+                keys=["user_id", "ts"], schema_id="ev",
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return time.perf_counter() - t0
+
+    times: dict[int, float] = {}
+    for nseg in (2, 8, 32):
+        store = SegmentStore(spark, str(tmp_path / f"store{nseg}"))
+        store.set_schema(
+            "ev",
+            "CREATE TABLE latest (user_id INTEGER, ts DATETIME, event_type TEXT, "
+            "PRIMARY KEY (user_id, ts));",
+        )
+        run(nseg, store, str(tmp_path / f"ck_cold_{nseg}"))  # provisioning + codegen
+        times[nseg] = run(nseg, store, str(tmp_path / f"ck_warm_{nseg}"))
+        total = store.read_many_df("^z", "SELECT count(*) AS n FROM latest").collect()[0]["n"]
+        assert total == 1500, (nseg, total)
+    t2, t8, t32 = times[2], times[8], times[32]
+    print(f"\nsink fan-out scale (warm replay): 2 segs {t2:.2f}s, 8 segs {t8:.2f}s, 32 segs {t32:.2f}s")
+    print(f"ratios: 8/2 = {t8 / t2:.2f} (threaded ideal ~1, serial ~4), "
+          f"32/2 = {t32 / t2:.2f} (threaded ideal ~4, serial ~16)")
+    # tripwire between the threaded (~4x) and serial (~16x) shapes
+    assert t32 <= max(t2, 1.0) * 9, (t2, t32)

@@ -695,14 +695,14 @@ class SegmentStore:
         if storage_format not in ("parquet", "delta"):
             raise ValueError(f"storage_format must be parquet or delta, got {storage_format!r}")
         if storage_format == "delta":
-            import importlib.util
-
-            if importlib.util.find_spec("delta") is None:
+            try:
+                import delta  # noqa: F401  (registers the Python-side surface)
+            except ImportError as e:
                 raise ImportError(
                     "storage_format='delta' requires the delta-spark package "
                     "(and a session built with configure_spark_with_delta_pip / "
                     "the DeltaSparkSessionExtension)"
-                )
+                ) from e
         # Storage-format upgrade path (SURVEY §2.B15; VERDICT r4 item 6 +
         # r5 item 2): with storage_format='delta' each logical table is ONE
         # Delta table partitioned by segment_id (the single-partitioned-
@@ -2943,6 +2943,16 @@ class SegmentStore:
                 raise KeyError(f"no segment has table {table!r}")
             reference_segment = candidates[0]
         ts = self._table_schema(reference_segment, table)
+        # declared-but-never-written table (provisioned DDL, no INSERT yet):
+        # neither a parquet directory nor a Delta log exists — the whole-
+        # table frame is the declared schema, empty (same contract as
+        # _read_partition's isdir guard on the per-segment path)
+        if not os.path.isdir(
+            f"{path}/_delta_log" if self._fmt == "delta" else path
+        ):
+            return self.spark.createDataFrame(
+                [], ts.struct().add("segment_id", T.StringType())
+            )
         if self._fmt == "delta":
             # single-partitioned-table layout (round 6): the whole table IS
             # one Delta table, so this is one log-pruned scan; segment_id
