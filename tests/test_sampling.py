@@ -220,3 +220,45 @@ def test_multigrain_rollup_levels_are_consistent(spark):
     }
     assert totals["minute"] == totals["hour"] == totals["day"]
     assert totals["minute"][0] == events.count()
+
+
+def test_temperature_sample_rates_and_scarcest_kept_whole(spark):
+    """alpha=0.5 rates are sqrt(n_min/n_s) in exact ppm; the scarcest
+    stratum keeps every row; the decision is layout-independent."""
+    rows = (
+        [("a", i) for i in range(400)]
+        + [("b", i + 1000) for i in range(100)]
+        + [("c", i + 2000) for i in range(25)]
+    )
+    df = spark.createDataFrame(rows, "lang string, id long")
+    kept = SA.temperature_sample(df, "id", "lang", alpha=0.5)
+    rates = {r["lang"]: r["rate_ppm"] for r in kept.select("lang", "rate_ppm").distinct().collect()}
+    assert rates == {"a": 250000, "b": 500000, "c": 1000000}
+    got = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got["c"] == 25  # rate 1.0: nothing wasted on the scarcest stratum
+    again = {
+        (r["lang"], r["id"])
+        for r in SA.temperature_sample(df.repartition(7), "id", "lang", alpha=0.5).collect()
+    }
+    assert {(r["lang"], r["id"]) for r in kept.collect()} == again
+    with pytest.raises(ValueError):
+        SA.temperature_sample(df, "id", "lang", alpha=1.5)
+
+
+def test_dsir_weights_separate_target_like_docs(spark):
+    """Docs sharing the target subset's n-gram profile score above docs
+    from a disjoint vocabulary, and n_feats = unigrams + bigrams."""
+    target_text = "the quick brown fox jumps over the lazy dog"
+    other_text = "zzz qqq www eee rrr ttt yyy uuu iii"
+    rows = (
+        [(i, "en", target_text) for i in range(10)]
+        + [(100, "xx", target_text)]      # target-like but NOT in the target set
+        + [(i + 200, "xx", other_text) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = SA.dsir_weights(df, "doc_id", "text", target=F.col("lang") == "en")
+    scores = {r["id"]: (r["n_feats"], r["dsir_score"]) for r in out.collect()}
+    n_tok = len(target_text.split())
+    assert scores[100][0] == n_tok + (n_tok - 1)  # unigrams + bigrams
+    # the target-like out-of-set doc outscores every disjoint-vocab doc
+    assert scores[100][1] > max(scores[i + 200][1] for i in range(10))

@@ -352,3 +352,147 @@ def mix_rebalance(
     return df.join(F.broadcast(rates.drop("n_avail")), strata_col).where(
         _key_hash(k, salt) % F.lit(1000000) < F.col("rate_ppm")
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    key,
+    strata_col: str,
+    alpha: float = 0.5,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-scaled stratum sampling (the multilingual-corpus
+    standard: sample language s proportionally to ``n_s ** alpha``,
+    flattening the head without starving the tail; alpha=1 keeps natural
+    proportions, alpha→0 approaches uniform).
+
+    Acceptance rate per stratum is ``(n_min / n_s) ** (1 - alpha)`` — 1 for
+    the scarcest stratum (nothing is wasted) and, in expectation, kept
+    counts proportional to ``n_s ** alpha``.  Rates derive in-plan from one
+    tiny per-stratum count aggregate broadcast back over the fact rows; the
+    keep decision is the usual deterministic per-key hash filter, stable
+    under any partitioning.  For alpha=0.5 the rate is ``sqrt(n_min/n_s)``
+    — computed with sqrt, which IEEE 754 requires to be correctly rounded,
+    so the ppm-quantized rates are bit-identical across engines (pow
+    carries no such guarantee; the oracle path pins alpha=0.5).
+
+    Returns kept rows plus ``rate_ppm``.  Scale: no data-sized shuffle at
+    all — counts partial-aggregate map-side, everything else is a map."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0,1], got {alpha}")
+    k = F.col(key) if isinstance(key, str) else key
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_avail"))
+    n_min = counts.agg(F.min("n_avail").alias("n_min"))
+    ratio = F.col("n_min").cast("double") / F.col("n_avail")
+    scaled = (
+        F.sqrt(ratio)
+        if alpha == 0.5
+        else F.pow(ratio, F.lit(1.0 - alpha))
+    )
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        strata_col,
+        F.col("n_avail").cast("bigint").alias("n_avail"),
+        F.least(
+            F.lit(1000000).cast("bigint"),
+            F.round(scaled * F.lit(1000000.0)).cast("bigint"),
+        ).alias("rate_ppm"),
+    )
+    return df.join(F.broadcast(rates.drop("n_avail")), strata_col).where(
+        _key_hash(k, salt) % F.lit(1000000) < F.col("rate_ppm")
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    how much its hashed n-gram profile looks like a TARGET distribution
+    versus the raw corpus — the standard cheap way to upsample "looks like
+    Wikipedia/en/books" data without a trained classifier.
+
+    ``target`` is a boolean Column over ``df`` rows defining the in-plan
+    target subset (e.g. ``F.col("lang") == "en"``).  Features are unigrams
+    + bigrams hashed into ``n_buckets`` buckets (portable md5 hash, so the
+    DuckDB oracle replays it exactly); per-bucket weight is the add-one
+    smoothed log10 likelihood ratio ``log10(p_target(b) / p_raw(b))``,
+    quantized to integer micros so the per-doc aggregation is an exact
+    BIGINT sum (same order-proof trick as unigram_logprob); the document
+    score is the tf-weighted mean log-ratio.  Resample by keeping top
+    scores or hash-thresholding on the score.
+
+    Returns (id, n_feats, dsir_score).  Scale: the exploded feature table
+    partial-aggregates into (id, bucket) counts — the only data-sized
+    shuffle carries (id, int bucket, count); the bucket stats table is
+    ``n_buckets`` rows, broadcast back.  No Python, no cartesian."""
+    from trough_spark.operators.dedup import portable_hash, tokens
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        target.cast("int").alias("is_t"),
+        tokens(F.col(text_col)).alias("toks"),
+    )
+    grams = toks.select(
+        "id",
+        "is_t",
+        F.explode(
+            F.concat(
+                F.col("toks"),
+                F.expr(
+                    "if(size(toks) < 2, array(), "
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> concat_ws(' ', slice(toks, i, 2))))"
+                ),
+            )
+        ).alias("g"),
+    ).where(F.col("g") != "")
+    feats = grams.select(
+        "id", "is_t", F.pmod(portable_hash(F.col("g")), F.lit(n_buckets)).alias("b")
+    )
+    tf = feats.groupBy("id", "is_t", "b").agg(F.count(F.lit(1)).alias("tf"))
+    stats = tf.groupBy("b").agg(
+        F.sum(F.when(F.col("is_t") == 1, F.col("tf")).otherwise(F.lit(0))).alias(
+            "t_cnt"
+        ),
+        F.sum("tf").alias("r_cnt"),
+    )
+    tot = stats.agg(
+        F.sum("t_cnt").alias("tot_t"), F.sum("r_cnt").alias("tot_r")
+    )
+    q = stats.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            F.log10(
+                ((F.col("t_cnt") + 1).cast("double") / (F.col("tot_t") + n_buckets))
+                / ((F.col("r_cnt") + 1).cast("double") / (F.col("tot_r") + n_buckets))
+            )
+            * 1000000,
+            0,
+        )
+        .cast("bigint")
+        .alias("qlr"),
+    )
+    return (
+        tf.join(F.broadcast(q), "b")
+        .groupBy("id")
+        .agg(
+            F.sum("tf").alias("n_feats"),
+            F.sum(F.col("tf") * F.col("qlr")).alias("_s"),
+        )
+        .select(
+            "id",
+            "n_feats",
+            # + 0.0 canonicalizes IEEE negative zero (a tiny negative mean
+            # rounds to -0.0 in one engine, +0.0 in another)
+            (
+                F.round(
+                    F.col("_s").cast("double") / F.col("n_feats") / 1000000.0, 4
+                )
+                + F.lit(0.0)
+            ).alias("dsir_score"),
+        )
+    )

@@ -298,6 +298,120 @@ def sample_bottom_k_per_group(spark, sf_dir):
 
 
 @query(
+    "sample_temperature_lang",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_avail FROM documents GROUP BY 1
+    ),
+    nm AS (SELECT MIN(n_avail) AS n_min FROM counts),
+    rates AS (
+      SELECT lang, n_avail,
+             LEAST(CAST(1000000 AS BIGINT),
+                   CAST(ROUND(sqrt(CAST(n_min AS DOUBLE) / n_avail) * 1000000)
+                        AS BIGINT)) AS rate_ppm
+      FROM counts CROSS JOIN nm
+    ),
+    kept AS (
+      SELECT d.lang FROM documents d JOIN rates r USING (lang)
+      WHERE {_sql_hash("d.doc_id", "temp")} % 1000000 < r.rate_ppm
+    )
+    SELECT r.lang, r.n_avail, r.rate_ppm,
+           CAST(COALESCE(k.n, 0) AS BIGINT) AS n_kept
+    FROM rates r
+    LEFT JOIN (SELECT lang, COUNT(*) AS n FROM kept GROUP BY 1) k USING (lang)
+    """,
+)
+def sample_temperature_lang(spark, sf_dir):
+    """Temperature-scaled language sampling (alpha=0.5): keep each language
+    at rate sqrt(n_min/n_lang), so kept counts track n_lang^0.5 — the
+    multilingual-corpus standard for flattening the 'en' head without
+    starving tail languages.  sqrt is IEEE-correctly-rounded, so the
+    ppm rates are bit-identical across engines; the keep decision is the
+    deterministic hash filter (operators/sampling.temperature_sample).
+    Reports per-language plan (rate_ppm) vs achieved (n_kept)."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "lang")
+    kept = SA.temperature_sample(docs, "doc_id", "lang", alpha=0.5)
+    achieved = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept")
+    )
+    counts = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_avail")
+    )
+    n_min = counts.agg(F.min("n_avail").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "lang",
+        "n_avail",
+        F.least(
+            F.lit(1000000).cast("bigint"),
+            F.round(
+                F.sqrt(F.col("n_min").cast("double") / F.col("n_avail"))
+                * F.lit(1000000.0)
+            ).cast("bigint"),
+        ).alias("rate_ppm"),
+    )
+    return rates.join(achieved, "lang", "left").select(
+        "lang",
+        "n_avail",
+        "rate_ppm",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+    )
+
+
+@query(
+    "sample_dsir_weights",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id AS id, CAST(lang = 'en' AS INT) AS is_t,
+             string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT id, is_t, unnest(toks) AS g FROM toks
+      UNION ALL
+      SELECT id, is_t, array_to_string(toks[i:i+1], ' ') AS g
+      FROM toks, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
+    ),
+    feats AS (
+      SELECT id, is_t,
+             CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 1024 AS b
+      FROM grams WHERE g <> ''
+    ),
+    tf AS (SELECT id, is_t, b, COUNT(*) AS tf FROM feats GROUP BY 1, 2, 3),
+    stats AS (
+      SELECT b, SUM(CASE WHEN is_t = 1 THEN tf ELSE 0 END) AS t_cnt,
+             SUM(tf) AS r_cnt
+      FROM tf GROUP BY 1
+    ),
+    tot AS (SELECT SUM(t_cnt) AS tot_t, SUM(r_cnt) AS tot_r FROM stats),
+    q AS (
+      SELECT b,
+             CAST(ROUND(log10(
+               (CAST(t_cnt + 1 AS DOUBLE) / (tot_t + 1024))
+               / (CAST(r_cnt + 1 AS DOUBLE) / (tot_r + 1024))
+             ) * 1000000, 0) AS BIGINT) AS qlr
+      FROM stats CROSS JOIN tot
+    )
+    SELECT tf.id, CAST(SUM(tf.tf) AS BIGINT) AS n_feats,
+           ROUND(CAST(SUM(tf.tf * q.qlr) AS DOUBLE) /
+                 CAST(SUM(tf.tf) AS BIGINT) / 1000000.0, 4) + 0.0 AS dsir_score
+    FROM tf JOIN q USING (b)
+    GROUP BY tf.id
+    """,
+)
+def sample_dsir_weights(spark, sf_dir):
+    """DSIR importance weights against an in-corpus target (docs with
+    lang='en'): hashed unigram+bigram buckets, add-one smoothed
+    log10(p_target/p_raw) per bucket quantized to exact integer micros,
+    tf-weighted mean per doc.  The data-sized shuffle carries (id, int
+    bucket, count); bucket stats (1024 rows) broadcast back
+    (operators/sampling.dsir_weights)."""
+    docs = T(spark, sf_dir, "documents")
+    return SA.dsir_weights(
+        docs, "doc_id", "text", target=F.col("lang") == "en", n_buckets=1024
+    )
+
+
+@query(
     "sample_group_cap",
     oracle=f"""
     SELECT doc_id, source, grp_rank FROM (
