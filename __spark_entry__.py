@@ -27,6 +27,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # then the 50 whose latest evidence is round 5, then the round-6-green
 # remainder (freshest evidence, lowest priority).
 _SAMPLE_PRIORITY = [
+    # --- no driver evidence yet: new in round 7 ---
+    "sample_temperature_lang",
+    "sample_dsir_weights",
     # --- latest evidence: round 4 ---
     "a2_row_to_json",
     "a3_segment_routing",

@@ -117,6 +117,9 @@ EXTRA = [
     "b12_dialect_shim_roundtrip2",
     "sample_train_order",
     "pack_sequences_sharded",
+    # round 7
+    "sample_temperature_lang",
+    "sample_dsir_weights",
 ]
 
 
