@@ -30,6 +30,8 @@ _SAMPLE_PRIORITY = [
     # --- no driver evidence yet: new in round 7 ---
     "sample_temperature_lang",
     "sample_dsir_weights",
+    "sample_weighted_es",
+    "sample_weighted_per_lang",
     # --- latest evidence: round 4 ---
     "a2_row_to_json",
     "a3_segment_routing",

@@ -120,6 +120,8 @@ EXTRA = [
     # round 7
     "sample_temperature_lang",
     "sample_dsir_weights",
+    "sample_weighted_es",
+    "sample_weighted_per_lang",
 ]
 
 

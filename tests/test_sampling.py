@@ -262,3 +262,87 @@ def test_dsir_weights_separate_target_like_docs(spark):
     assert scores[100][0] == n_tok + (n_tok - 1)  # unigrams + bigrams
     # the target-like out-of-set doc outscores every disjoint-vocab doc
     assert scores[100][1] > max(scores[i + 200][1] for i in range(10))
+
+
+def test_weighted_sample_proportional_and_exact(spark):
+    """E-S inclusion tracks weight, the draw is exactly reproducible by an
+    independent python recomputation, and zero/negative weights never win."""
+    import hashlib
+    import math
+
+    rows = [(i, float(10 ** (i % 3))) for i in range(600)]  # weights 1/10/100
+    rows += [(1000, 0.0), (1001, -5.0)]
+    df = spark.createDataFrame(rows, "id bigint, w double")
+    out = SA.weighted_sample(df, "id", "w", k=60)
+    got = [(r["id"], r["arrival_micro"]) for r in out.collect()]
+
+    def arrival(i, w):
+        h = int(hashlib.md5(f"{i}:wsample".encode()).hexdigest()[:15], 16)
+        u = (float(h) + 0.5) / float(SA.HASH_SPACE)
+        return int(round(-math.log(u) / w * 1000000.0))
+
+    expect = sorted(
+        ((arrival(i, w), i) for i, w in rows if w > 0)
+    )[:60]
+    assert sorted(got) == sorted((i, a) for a, i in expect)
+    assert all(i < 1000 for i, _ in got)
+    # heavier strata dominate: weight-100 ids (i%3==2) should outnumber
+    # weight-1 ids (i%3==0) decisively among the 60 winners
+    heavy = sum(1 for i, _ in got if i % 3 == 2)
+    light = sum(1 for i, _ in got if i % 3 == 0)
+    assert heavy > 40 and light < 5
+
+
+def test_weighted_sample_stable_under_repartition(spark):
+    df = spark.range(500).select(
+        F.col("id"), (F.col("id") % 7 + 1).cast("double").alias("w")
+    )
+    a = sorted(r["id"] for r in SA.weighted_sample(df, "id", "w", k=40).collect())
+    b = sorted(
+        r["id"]
+        for r in SA.weighted_sample(df.repartition(17), "id", "w", k=40).collect()
+    )
+    assert a == b
+
+
+def test_weighted_sample_per_group_k_and_membership(spark):
+    df = spark.range(300).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 5 + 1).cast("double").alias("w"),
+    )
+    out = SA.weighted_sample_per_group(df, "id", "w", "g", k=10)
+    rows = out.collect()
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r["g"], []).append(r["id"])
+    assert set(by_g) == {"0", "1", "2"}
+    assert all(len(v) == 10 for v in by_g.values())
+    # each group's picks are that group's global-k prefix: per-group winners
+    # must be a subset of a global draw restricted to the group
+    solo = sorted(
+        r["id"]
+        for r in SA.weighted_sample(
+            df.where(F.col("g") == "1"), "id", "w", k=10
+        ).collect()
+    )
+    assert sorted(by_g["1"]) == solo
+
+
+def test_weighted_sample_plans(spark):
+    """Global form must plan TakeOrderedAndProject (partition-local top-k,
+    no data-sized shuffle); per-group form exactly one exchange (the window
+    hash partition)."""
+    df = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("string").alias("g"),
+        (F.col("id") % 9 + 1).cast("double").alias("w"),
+    )
+    g = SA.weighted_sample(df, "id", "w", k=16)
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    per = SA.weighted_sample_per_group(df, "id", "w", "g", k=4)
+    from tests.test_plans import _exchanges
+
+    assert _exchanges(per) == 1

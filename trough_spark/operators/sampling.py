@@ -496,3 +496,94 @@ def dsir_weights(
             ).alias("dsir_score"),
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key,
+    weight,
+    k: int,
+    salt: str = "wsample",
+    score_col: str = "arrival_micro",
+) -> DataFrame:
+    """Efraimidis-Spirakis (algorithm A-ES) weighted sampling WITHOUT
+    replacement: keep the ``k`` rows with the smallest exponential
+    "arrival time" ``-ln(u) / w`` (equivalently the largest
+    ``u ** (1/w)``), where ``u`` is the deterministic per-key uniform
+    derived from the portable hash.  Inclusion is proportional-to-weight
+    with no replacement, and — unlike ``df.sample()`` — the same (key,
+    salt) draws the same arrival on any engine, cluster layout, or scan
+    order, so the sample is reproducible and resumable.
+
+    The classic use: draw a token-budgeted training subset where long /
+    high-quality documents should be proportionally more likely, without
+    the duplicates that with-replacement sampling introduces.
+
+    Cross-engine exactness: ``u`` is bit-identical by construction (the
+    hash is an integer; ``+ 0.5`` then division by the exact power of two
+    ``2**60`` are exact IEEE-754 ops), and the only transcendental, ln, is
+    quantized to integer micros with the key as final tie-break — the same
+    order-proof trick as ``unigram_logprob`` — so a 1-ulp libm difference
+    cannot reorder the boundary.
+
+    Scale: Spark executes orderBy+limit as ``TakeOrderedAndProject`` —
+    every partition keeps a local top-k heap and the driver merges the
+    ``partitions x k`` survivors.  No global sort, no data-sized shuffle;
+    the cost at 100 TB is one scan plus a k-row merge.  Rows with
+    non-positive or null weight are excluded (zero weight = never chosen,
+    and ``-ln(u)/0`` would be ill-defined).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    kc = F.col(key) if isinstance(key, str) else key
+    wc = (F.col(weight) if isinstance(weight, str) else weight).cast("double")
+    u = (_key_hash(kc, salt).cast("double") + F.lit(0.5)) / F.lit(
+        float(HASH_SPACE)
+    )
+    arrival = F.round((-F.log(u) / wc) * F.lit(1000000.0)).cast("bigint")
+    return (
+        df.where(wc > F.lit(0.0))
+        .withColumn(score_col, arrival)
+        .orderBy(F.col(score_col).asc(), kc.asc())
+        .limit(k)
+    )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    key,
+    weight,
+    group_col: str,
+    k: int,
+    salt: str = "wsample",
+    score_col: str = "arrival_micro",
+) -> DataFrame:
+    """Per-stratum Efraimidis-Spirakis sample: the ``k`` smallest
+    arrival-time rows WITHIN each ``group_col`` value — e.g. "64
+    length-weighted documents per language", the building block for
+    weighted mixture construction where every stratum must be represented.
+
+    Same determinism and quantization contract as ``weighted_sample``.
+    Scale: one hash-partition exchange on ``group_col`` and a per-group
+    top-k window; rows carry only the caller's columns plus an 8-byte
+    score.  A skewed dominant group makes one reducer sort that group's
+    keys — acceptable because the window input can be projected to
+    (group, key, score) and bodies joined back by the caller (see
+    ``train_order`` for the keys-first pattern) — or cap upstream with
+    ``group_cap`` first."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    kc = F.col(key) if isinstance(key, str) else key
+    wc = (F.col(weight) if isinstance(weight, str) else weight).cast("double")
+    u = (_key_hash(kc, salt).cast("double") + F.lit(0.5)) / F.lit(
+        float(HASH_SPACE)
+    )
+    arrival = F.round((-F.log(u) / wc) * F.lit(1000000.0)).cast("bigint")
+    w = W.partitionBy(group_col).orderBy(F.col(score_col).asc(), kc.asc())
+    return (
+        df.where(wc > F.lit(0.0))
+        .withColumn(score_col, arrival)
+        .withColumn("_es_rn", F.row_number().over(w))
+        .where(F.col("_es_rn") <= F.lit(k))
+        .drop("_es_rn")
+    )

@@ -430,3 +430,56 @@ def sample_group_cap(spark, sf_dir):
     .group_cap)."""
     docs = T(spark, sf_dir, "documents").select("doc_id", "source")
     return SA.group_cap(docs, "doc_id", "source", cap=20)
+
+
+_ES_HASH = _sql_hash("doc_id", "wsample")
+_ES_MICRO = (
+    f"CAST(ROUND(-ln((CAST({_ES_HASH} AS DOUBLE) + 0.5) / 1152921504606846976.0)"
+    " / CAST(n_chars AS DOUBLE) * 1000000) AS BIGINT)"
+)
+
+
+@query(
+    "sample_weighted_es",
+    oracle=f"""
+    SELECT doc_id, n_chars, arrival_micro FROM (
+      SELECT doc_id, n_chars, {_ES_MICRO} AS arrival_micro
+      FROM documents WHERE CAST(n_chars AS DOUBLE) > 0.0
+    ) ORDER BY arrival_micro, doc_id LIMIT 64
+    """,
+)
+def sample_weighted_es(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sample without replacement: the 64
+    documents with the smallest deterministic exponential arrival time
+    -ln(u)/n_chars — inclusion proportional to length, no duplicates,
+    reproducible under any partitioning.  Spark runs it as
+    TakeOrderedAndProject (per-partition top-k heaps, driver k-merge): no
+    global sort, no data-sized shuffle (operators/sampling
+    .weighted_sample)."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return SA.weighted_sample(docs, "doc_id", "n_chars", k=64)
+
+
+@query(
+    "sample_weighted_per_lang",
+    oracle=f"""
+    SELECT doc_id, lang, arrival_micro FROM (
+      SELECT doc_id, lang, arrival_micro,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY arrival_micro, doc_id) AS rn
+      FROM (
+        SELECT doc_id, lang, {_ES_MICRO} AS arrival_micro
+        FROM documents WHERE CAST(n_chars AS DOUBLE) > 0.0
+      )
+    ) WHERE rn <= 8
+    """,
+)
+def sample_weighted_per_lang(spark, sf_dir):
+    """Per-stratum Efraimidis-Spirakis: the 8 length-weighted picks WITHIN
+    each language — weighted mixture construction where every stratum must
+    be represented.  One hash-partition exchange on lang, per-group top-k
+    window (operators/sampling.weighted_sample_per_group)."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return SA.weighted_sample_per_group(
+        docs, "doc_id", "n_chars", "lang", k=8
+    ).drop("n_chars")
