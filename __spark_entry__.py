@@ -32,6 +32,8 @@ _SAMPLE_PRIORITY = [
     "sample_dsir_weights",
     "sample_weighted_es",
     "sample_weighted_per_lang",
+    "sample_budget_select",
+    "sample_budget_per_lang",
     # --- latest evidence: round 4 ---
     "a2_row_to_json",
     "a3_segment_routing",

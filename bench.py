@@ -122,6 +122,8 @@ EXTRA = [
     "sample_dsir_weights",
     "sample_weighted_es",
     "sample_weighted_per_lang",
+    "sample_budget_select",
+    "sample_budget_per_lang",
 ]
 
 

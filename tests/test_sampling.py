@@ -346,3 +346,80 @@ def test_weighted_sample_plans(spark):
     from tests.test_plans import _exchanges
 
     assert _exchanges(per) == 1
+
+
+def test_budget_select_matches_global_window(spark):
+    """The distributed prefix-sum must equal the single-reducer global
+    window exactly, at several slice counts (slicing must not affect the
+    result), and the budget-crossing row is included."""
+    from pyspark.sql import Window as W
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        ((F.col("id") * 37) % 101 + 1).cast("bigint").alias("cost"),
+        ((F.col("id") * 13) % 997).cast("bigint").alias("score"),
+    )
+    gw = (
+        W.orderBy(F.desc("score"), F.col("id").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    naive = {
+        (r["id"], r["cum"])
+        for r in df.withColumn(
+            "cum", F.coalesce(F.sum("cost").over(gw), F.lit(0))
+        )
+        .where(F.col("cum") < 5000)
+        .collect()
+    }
+    for n in (1, 7, 32):
+        got = {
+            (r["id"], r["cum_before"])
+            for r in SA.budget_select(
+                df, "id", "cost", "score", budget=5000.0, n_ranges=n
+            ).collect()
+        }
+        assert got == naive, f"n_ranges={n}"
+    assert max(c for _, c in naive) < 5000
+
+
+def test_budget_select_no_global_single_partition_sort(spark):
+    """The data-scale window must be partitioned by slice (parallel), the
+    slicing itself a range exchange, and the slice frame a checkpoint
+    identity barrier so the totals branch and the output branch share ONE
+    boundary sampling (two independent range exchanges could disagree)."""
+    df = spark.range(2000).select(
+        F.col("id"), (F.col("id") % 50 + 1).cast("bigint").alias("c")
+    )
+    ranged = SA._budget_ranged(df, F.col("id"), F.col("c"), F.col("c"), 16)
+    rplan = ranged._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in rplan
+    out = SA.budget_select(df, "id", "c", "c", budget=1000.0, n_ranges=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the checkpoint barrier: both branches scan one materialized RDD
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+    # the corpus-scale window runs partitioned by slice; the only
+    # unpartitioned window is the n_ranges-row offsets table
+    assert "windowspecdefinition(_bs_pid" in plan
+
+
+def test_budget_select_per_group_budgets_each_group(spark):
+    df = spark.range(300).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 9 + 1).cast("bigint").alias("c"),
+    )
+    out = SA.budget_select_per_group(df, "id", "c", "c", "g", budget=50.0)
+    rows = out.collect()
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r["g"], []).append((r["c"], r["cum_before"]))
+    assert set(by_g) == {"0", "1", "2"}
+    for g, pairs in by_g.items():
+        assert all(cb < 50 for _, cb in pairs)
+        # greedy: picks are the largest costs in the group
+        picked = sorted((c for c, _ in pairs), reverse=True)
+        rest = sorted(
+            (r["c"] for r in df.where(F.col("g") == g).collect()),
+            reverse=True,
+        )
+        assert picked == rest[: len(picked)]

@@ -587,3 +587,125 @@ def weighted_sample_per_group(
         .where(F.col("_es_rn") <= F.lit(k))
         .drop("_es_rn")
     )
+
+
+def _budget_ranged(
+    df: DataFrame, kc: Column, costc: Column, scorec: Column, n_ranges: int
+) -> DataFrame:
+    """Order-respecting slicing for the distributed prefix-sum: range
+    repartition by (score DESC, key ASC), slice id = physical partition."""
+    return (
+        df.withColumn("_bs_cost", costc)
+        .withColumn("_bs_score", scorec)
+        .repartitionByRange(n_ranges, F.desc("_bs_score"), kc.asc())
+        .withColumn("_bs_pid", F.spark_partition_id())
+    )
+
+
+def budget_select(
+    df: DataFrame,
+    key,
+    cost,
+    score,
+    budget: float,
+    n_ranges: int = 32,
+    cum_col: str = "cum_before",
+) -> DataFrame:
+    """Budget-constrained greedy selection: walk rows in DESCENDING
+    ``score`` order (key ascending as tie-break) and keep each row while
+    the running ``cost`` total BEFORE it is still under ``budget`` — the
+    resampling stage of importance-weighted data selection ("take the
+    best documents until the token budget is spent").  The first row is
+    always kept when the budget is positive, and the row that crosses the
+    budget line is included (its predecessor total was under budget), so
+    the kept set is a deterministic prefix of the score ordering.
+
+    Scale: the naive form — ``SUM(cost) OVER (ORDER BY score DESC)`` —
+    plans a GLOBAL window: one reducer sorts the entire corpus.  This
+    implementation is a distributed prefix-sum instead:
+
+    1. range-repartition by (score DESC, key ASC) into ``n_ranges``
+       ordered slices (boundary sampling may vary run to run, but any
+       order-respecting slicing yields the identical running sums, so the
+       result is deterministic even though the slicing is not);
+    2. per-slice cost totals (``n_ranges`` rows) get exclusive prefix
+       offsets via a window over the tiny totals table;
+    3. each slice computes its internal running sum in parallel and adds
+       its slice offset — an exact global prefix-sum with every sort
+       bounded to corpus/n_ranges.
+
+    Ties across the whole frame are totally ordered by (score, key), so
+    ``key`` must be unique.  Costs are summed as the column's own type —
+    pass an integer cost column (token counts) for an exact BIGINT
+    prefix-sum (the float-associativity trap never arises).
+
+    Returns the kept rows plus ``cum_before`` (the exact running total
+    before each kept row) for audit.
+    """
+    kc = F.col(key) if isinstance(key, str) else key
+    costc = F.col(cost) if isinstance(cost, str) else cost
+    scorec = F.col(score) if isinstance(score, str) else score
+    # localCheckpoint is a CORRECTNESS barrier, not an optimization: the
+    # slice totals and the output both consume the ranged frame, and as two
+    # separate plan subtrees each would plan its OWN range exchange whose
+    # boundary sampling is seeded per-RDD — two samplings can disagree,
+    # desynchronizing offsets from pids.  The (lazy) checkpoint pins both
+    # branches to ONE RDD, hence one shuffle dependency and one boundary
+    # set; it also truncates lineage like the iterative plans in graph.py.
+    ranged = _budget_ranged(df, kc, costc, scorec, n_ranges).localCheckpoint(
+        eager=False
+    )
+    totals = ranged.groupBy("_bs_pid").agg(F.sum("_bs_cost").alias("_bs_tot"))
+    off_w = (
+        W.orderBy(F.col("_bs_pid").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "_bs_pid",
+        F.coalesce(F.sum("_bs_tot").over(off_w), F.lit(0)).alias("_bs_off"),
+    )
+    in_w = (
+        W.partitionBy("_bs_pid")
+        .orderBy(F.desc("_bs_score"), kc.asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    out = (
+        ranged.join(F.broadcast(offsets), "_bs_pid")
+        .withColumn(
+            cum_col,
+            F.col("_bs_off")
+            + F.coalesce(F.sum("_bs_cost").over(in_w), F.lit(0)),
+        )
+        .where(F.col(cum_col) < F.lit(budget))
+        .drop("_bs_pid", "_bs_off", "_bs_cost", "_bs_score")
+    )
+    return out
+
+
+def budget_select_per_group(
+    df: DataFrame,
+    key,
+    cost,
+    score,
+    group_col: str,
+    budget: float,
+    cum_col: str = "cum_before",
+) -> DataFrame:
+    """Per-stratum budget selection: within each ``group_col`` value keep
+    rows in descending ``score`` order while the group's running cost
+    stays under ``budget`` — "x tokens per language" mixture targets.
+    One hash exchange on the group key; each group's sort is bounded by
+    the group size (cap a dominant group upstream with ``group_cap`` if a
+    single stratum is itself shuffle-sized)."""
+    kc = F.col(key) if isinstance(key, str) else key
+    costc = F.col(cost) if isinstance(cost, str) else cost
+    scorec = F.col(score) if isinstance(score, str) else score
+    w = (
+        W.partitionBy(group_col)
+        .orderBy(scorec.desc(), kc.asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        df.withColumn(cum_col, F.coalesce(F.sum(costc).over(w), F.lit(0)))
+        .where(F.col(cum_col) < F.lit(budget))
+    )

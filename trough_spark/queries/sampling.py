@@ -483,3 +483,53 @@ def sample_weighted_per_lang(spark, sf_dir):
     return SA.weighted_sample_per_group(
         docs, "doc_id", "n_chars", "lang", k=8
     ).drop("n_chars")
+
+
+@query(
+    "sample_budget_select",
+    oracle="""
+    SELECT doc_id, n_chars, cum_before FROM (
+      SELECT doc_id, n_chars,
+             CAST(COALESCE(SUM(n_chars) OVER (
+               ORDER BY n_chars DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS cum_before
+      FROM documents
+    ) WHERE cum_before < 100000
+    """,
+)
+def sample_budget_select(spark, sf_dir):
+    """Budget-constrained greedy selection: longest documents first until
+    a 100k-char budget is spent — the resampling stage of importance-
+    weighted data curation.  NOT the single-reducer global window the SQL
+    form implies: a distributed prefix-sum (range slices + per-slice
+    offsets) keeps every sort bounded to corpus/n_ranges
+    (operators/sampling.budget_select)."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return SA.budget_select(
+        docs, "doc_id", "n_chars", "n_chars", budget=100000.0
+    )
+
+
+@query(
+    "sample_budget_per_lang",
+    oracle="""
+    SELECT doc_id, lang, n_chars, cum_before FROM (
+      SELECT doc_id, lang, n_chars,
+             CAST(COALESCE(SUM(n_chars) OVER (
+               PARTITION BY lang
+               ORDER BY n_chars DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS cum_before
+      FROM documents
+    ) WHERE cum_before < 20000
+    """,
+)
+def sample_budget_per_lang(spark, sf_dir):
+    """Per-stratum budget: 20k chars of the longest documents WITHIN each
+    language — per-language token-budget mixture targets.  One hash
+    exchange on lang (operators/sampling.budget_select_per_group)."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return SA.budget_select_per_group(
+        docs, "doc_id", "n_chars", "n_chars", "lang", budget=20000.0
+    )
