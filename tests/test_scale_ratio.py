@@ -301,3 +301,43 @@ def test_streaming_sink_fanout_scales_sublinearly(spark, tmp_path):
           f"32/2 = {t32 / t2:.2f} (threaded ideal ~4, serial ~16)")
     # tripwire between the threaded (~4x) and serial (~16x) shapes
     assert t32 <= max(t2, 1.0) * 9, (t2, t32)
+
+
+def test_budget_prefix_sum_scales_linearly(spark):
+    """Sixth measured family: the budget_select distributed prefix-sum at
+    1x/4x/16x row counts with the budget scaled so the kept fraction is
+    constant (~half).  The claim in numbers: every sort is bounded to
+    corpus/n_ranges, so wall time tracks corpus size — the naive global
+    ORDER BY window would instead funnel the whole corpus through one
+    reducer and fall off a cliff at cluster scale."""
+    import time
+
+    from trough_spark.operators import sampling as SA
+
+    def run(n: int) -> tuple[float, int]:
+        df = spark.range(0, n, 1, 32).select(
+            F.col("id"),
+            ((F.col("id") * 37) % 1001 + 1).cast("bigint").alias("cost"),
+            ((F.col("id") * 13) % 99991).cast("bigint").alias("score"),
+        )
+        out = SA.budget_select(
+            df, "id", "cost", "score", budget=float(n) * 250.5, n_ranges=32
+        )
+        t0 = time.perf_counter()
+        c = out.count()
+        return time.perf_counter() - t0, c
+
+    base = 2_000_000
+    run(base)  # codegen warm-up for the plan shape
+    t1, n1 = run(base)
+    t4, n4 = run(4 * base)
+    t16, n16 = run(16 * base)
+    print(
+        f"\nbudget prefix-sum: 1x {t1:.2f}s/{n1} kept, 4x {t4:.2f}s/{n4}, "
+        f"16x {t16:.2f}s/{n16}"
+    )
+    print(f"ratios: 4x/1x = {t4 / t1:.2f} (ideal 4), 16x/1x = {t16 / t1:.2f} (ideal 16)")
+    # constant kept fraction: the budget is half the expected total cost
+    for n, kept in ((base, n1), (4 * base, n4), (16 * base, n16)):
+        assert 0.4 * n < kept < 0.6 * n, (n, kept)
+    assert t16 <= max(t1, 0.5) * 16 * 2.5, (t1, t16)
