@@ -390,16 +390,28 @@ def test_budget_select_no_global_single_partition_sort(spark):
     df = spark.range(2000).select(
         F.col("id"), (F.col("id") % 50 + 1).cast("bigint").alias("c")
     )
-    ranged = SA._budget_ranged(df, F.col("id"), F.col("c"), F.col("c"), 16)
+    proj = df.select(
+        "id", F.col("c").alias("_bs_cost"), F.col("c").alias("_bs_score")
+    )
+    ranged = SA._budget_ranged(proj, "id", 16)
     rplan = ranged._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in rplan
-    out = SA.budget_select(df, "id", "c", "c", budget=1000.0, n_ranges=16)
+    payload = df.withColumn("body", F.repeat(F.lit("x"), 100))
+    out = SA.budget_select(payload, "id", "c", "c", budget=1000.0, n_ranges=16)
     plan = out._jdf.queryExecution().executedPlan().toString()
     # the checkpoint barrier: both branches scan one materialized RDD
     assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
     # the corpus-scale window runs partitioned by slice; the only
     # unpartitioned window is the n_ranges-row offsets table
     assert "windowspecdefinition(_bs_pid" in plan
+    # keys-first is STRUCTURAL: the checkpointed slice frame carries only
+    # (key, cost, score, pid) — the caller's payload column must never
+    # enter the range shuffle or the barrier
+    import re
+
+    for m in re.finditer(r"Scan ExistingRDD[^\n]*", plan):
+        assert "body" not in m.group(0), m.group(0)
+    assert out.columns == ["id", "c", "body", "cum_before"]
 
 
 def test_budget_select_per_group_budgets_each_group(spark):

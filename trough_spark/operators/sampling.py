@@ -589,17 +589,13 @@ def weighted_sample_per_group(
     )
 
 
-def _budget_ranged(
-    df: DataFrame, kc: Column, costc: Column, scorec: Column, n_ranges: int
-) -> DataFrame:
+def _budget_ranged(proj: DataFrame, key_name: str, n_ranges: int) -> DataFrame:
     """Order-respecting slicing for the distributed prefix-sum: range
-    repartition by (score DESC, key ASC), slice id = physical partition."""
-    return (
-        df.withColumn("_bs_cost", costc)
-        .withColumn("_bs_score", scorec)
-        .repartitionByRange(n_ranges, F.desc("_bs_score"), kc.asc())
-        .withColumn("_bs_pid", F.spark_partition_id())
-    )
+    repartition the (key, _bs_cost, _bs_score) projection by
+    (score DESC, key ASC); slice id = physical partition."""
+    return proj.repartitionByRange(
+        n_ranges, F.desc("_bs_score"), F.col(key_name).asc()
+    ).withColumn("_bs_pid", F.spark_partition_id())
 
 
 def budget_select(
@@ -635,16 +631,29 @@ def budget_select(
        bounded to corpus/n_ranges.
 
     Ties across the whole frame are totally ordered by (score, key), so
-    ``key`` must be unique.  Costs are summed as the column's own type —
-    pass an integer cost column (token counts) for an exact BIGINT
-    prefix-sum (the float-associativity trap never arises).
+    ``key`` must be unique (it is also the join-back key below).  Costs
+    are summed as the column's own type — pass an integer cost column
+    (token counts) for an exact BIGINT prefix-sum (the
+    float-associativity trap never arises).
+
+    Keys-first STRUCTURALLY (the ``train_order`` pattern): the prefix-sum
+    runs on a projection of (key, cost, score) only — ~24 bytes/row — and
+    the caller's row bodies are joined back by ``key`` afterwards, so
+    neither the range shuffle nor the checkpoint barrier ever carries
+    document payloads regardless of what columns the input frame has.
 
     Returns the kept rows plus ``cum_before`` (the exact running total
     before each kept row) for audit.
     """
-    kc = F.col(key) if isinstance(key, str) else key
+    if isinstance(key, str):
+        key_name, base = key, df
+    else:
+        key_name, base = "_bs_key", df.withColumn("_bs_key", key)
     costc = F.col(cost) if isinstance(cost, str) else cost
     scorec = F.col(score) if isinstance(score, str) else score
+    proj = base.select(
+        key_name, costc.alias("_bs_cost"), scorec.alias("_bs_score")
+    )
     # localCheckpoint is a CORRECTNESS barrier, not an optimization: the
     # slice totals and the output both consume the ranged frame, and as two
     # separate plan subtrees each would plan its OWN range exchange whose
@@ -652,7 +661,7 @@ def budget_select(
     # desynchronizing offsets from pids.  The (lazy) checkpoint pins both
     # branches to ONE RDD, hence one shuffle dependency and one boundary
     # set; it also truncates lineage like the iterative plans in graph.py.
-    ranged = _budget_ranged(df, kc, costc, scorec, n_ranges).localCheckpoint(
+    ranged = _budget_ranged(proj, key_name, n_ranges).localCheckpoint(
         eager=False
     )
     totals = ranged.groupBy("_bs_pid").agg(F.sum("_bs_cost").alias("_bs_tot"))
@@ -666,10 +675,10 @@ def budget_select(
     )
     in_w = (
         W.partitionBy("_bs_pid")
-        .orderBy(F.desc("_bs_score"), kc.asc())
+        .orderBy(F.desc("_bs_score"), F.col(key_name).asc())
         .rowsBetween(W.unboundedPreceding, -1)
     )
-    out = (
+    kept = (
         ranged.join(F.broadcast(offsets), "_bs_pid")
         .withColumn(
             cum_col,
@@ -677,9 +686,12 @@ def budget_select(
             + F.coalesce(F.sum("_bs_cost").over(in_w), F.lit(0)),
         )
         .where(F.col(cum_col) < F.lit(budget))
-        .drop("_bs_pid", "_bs_off", "_bs_cost", "_bs_score")
+        .select(key_name, cum_col)
     )
-    return out
+    if df.columns == [key_name]:
+        return kept  # nothing to reattach: skip the self-join
+    out = base.join(kept, on=key_name, how="inner")
+    return out.select(*df.columns, cum_col)
 
 
 def budget_select_per_group(
