@@ -857,3 +857,107 @@ def test_fuzzed_interleave_triggers_match_sqlite(spark, tmp_path, case):
         assert got == expected, (
             f"\ntriggers: {trigs}\nscript: {stmts}\nq: {q}\nsqlite: {expected}\nengine: {got}"
         )
+
+
+N_CONFLICT_CASES = int(os.environ.get("TROUGH_FUZZ_CONFLICT", "6"))
+
+
+def _conflict_script(rng: random.Random) -> list[str]:
+    """Conflict-resolving statements against triggered nums: OR REPLACE
+    (both spellings), ON CONFLICT(id) DO UPDATE with excluded./bare/
+    table-qualified refs and optional WHERE gates, and plain inserts —
+    ids chosen to collide with seeded rows AND within one statement
+    (SQLite applies multi-row conflicts sequentially; so does the engine's
+    per-row triggered loop)."""
+    stmts = []
+    next_id = 500
+    for _ in range(rng.randint(2, 4)):
+        kind = rng.randrange(3)
+        nrows = rng.randint(1, 3)
+        ids = [rng.choice([rng.randint(1, 6), next_id + j]) for j in range(nrows)]
+        vals = ", ".join(
+            f"({i}, {rng.choice(['NULL', str(rng.randint(-9, 9))])}, "
+            f"{rng.randint(-9, 9)}, '{rng.choice('xyz')}')"
+            for i in ids
+        )
+        if kind == 0:
+            form = rng.choice(["INSERT OR REPLACE INTO", "REPLACE INTO"])
+            stmts.append(f"{form} nums (id, a, b, s) VALUES {vals}")
+        elif kind == 1:
+            set_expr = rng.choice(
+                [
+                    "a = excluded.a",
+                    "a = coalesce(a, 0) + coalesce(excluded.a, 0)",
+                    "b = nums.b + excluded.b, s = s || '+'",
+                    "s = excluded.s || coalesce(s, '_')",
+                ]
+            )
+            where = ""
+            if rng.random() < 0.5:
+                where = rng.choice(
+                    [
+                        " WHERE excluded.b > b",
+                        " WHERE coalesce(excluded.a, 0) >= coalesce(a, 0)",
+                        " WHERE nums.b < 0",
+                    ]
+                )
+            stmts.append(
+                f"INSERT INTO nums (id, a, b, s) VALUES {vals} "
+                f"ON CONFLICT (id) DO UPDATE SET {set_expr}{where}"
+            )
+        else:
+            stmts.append(f"INSERT INTO nums (id, a, b, s) VALUES {vals}")
+        next_id += nrows + 1
+    return stmts
+
+
+@pytest.mark.parametrize("case", range(N_CONFLICT_CASES))
+def test_fuzzed_conflict_forms_on_triggers_match_sqlite(spark, tmp_path, case):
+    """Round-7 conflict-forms × triggers frontier: randomized OR REPLACE /
+    DO UPDATE scripts on a table with state-observing INSERT and UPDATE
+    triggers (plus cascades), differentialed against live SQLite — final
+    table state, both audit trails, and error outcomes must all agree."""
+    rng = random.Random(SEED + 1200 + case)
+    trigs = _observing_trigger_ddl(rng, rng.randint(1, 3))
+    if rng.random() < 0.7:
+        trigs += _observing_cascade_ddl(rng)
+    stmts = _conflict_script(rng)
+
+    conn = sqlite3.connect(":memory:")
+    conn.isolation_level = None
+    conn.executescript(TRIG_DDL)
+    conn.executemany("INSERT INTO nums VALUES (?, ?, ?, ?)", ROWS)
+    conn.commit()
+    for t in trigs:
+        conn.execute(t)
+    conn.commit()
+
+    store = SegmentStore(spark, str(tmp_path / "store"))
+    store.set_schema("cfl_schema", TRIG_DDL + ";")
+    store.provision(f"cseg{case}", "cfl_schema")
+    seed = ";\n".join(
+        "INSERT INTO nums (id, a, b, s) VALUES (%s)"
+        % ", ".join(
+            "NULL" if v is None else (f"'{v}'" if isinstance(v, str) else str(v))
+            for v in r
+        )
+        for r in ROWS
+    )
+    store.write(f"cseg{case}", seed)
+    store.write(f"cseg{case}", ";\n".join(trigs))
+    sq_raised, en_raised = _run_script_both(conn, store, f"cseg{case}", stmts)
+    assert sq_raised == en_raised, (
+        f"\ntriggers: {trigs}\nscript: {stmts}\n"
+        f"sqlite raised: {sq_raised}, engine raised: {en_raised}"
+    )
+    for q in (
+        "SELECT id, a, b, s FROM nums ORDER BY id",
+        "SELECT rid, tag, x FROM audit ORDER BY rid, tag, x",
+        "SELECT rid, x FROM audit2 ORDER BY rid, x",
+    ):
+        expected = [tuple(row) for row in conn.execute(q).fetchall()]
+        got = [tuple(r.values()) for r in store.read(f"cseg{case}", q)]
+        assert got == expected, (
+            f"\ntriggers: {trigs}\nscript: {stmts}\nq: {q}\n"
+            f"sqlite: {expected}\nengine: {got}"
+        )

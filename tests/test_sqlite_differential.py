@@ -1189,9 +1189,99 @@ def test_or_ignore_on_triggered_table_matches_sqlite(spark, tmp_path):
     conn.execute("ROLLBACK")
     with pytest.raises(Exception):
         store.write("oiseg", "INSERT INTO t VALUES (50, 'b', -1) ON CONFLICT DO NOTHING")
-    # OR REPLACE on a triggered table stays rejected (delete-trigger
-    # interplay out of scope) — documented divergence
-    from trough_spark.dialect import QueryRejected
-    with pytest.raises(QueryRejected, match="OR REPLACE"):
-        store.write("oiseg", "INSERT OR REPLACE INTO t VALUES (1, 'rep', 2)")
     conn.close()
+
+
+def test_or_replace_and_do_update_on_triggered_table_matches_sqlite(
+    spark, tmp_path
+):
+    """Round-7 closure of the last conflict-form reject: OR REPLACE and
+    ON CONFLICT DO UPDATE on triggered tables, with the probed firing —
+    REPLACE fires bi/ai per row and deletes the conflicting row SILENTLY
+    (delete triggers only fire under recursive_triggers=ON, the engine
+    pins OFF); DO UPDATE fires bi with the INSERT's NEW row, then the
+    UPDATE triggers (honoring UPDATE OF column lists) around the applied
+    SET; a false upsert WHERE leaves the row untouched after bi alone."""
+    ddl = (
+        "CREATE TABLE t (id INTEGER PRIMARY KEY, v TEXT, n INTEGER);\n"
+        "CREATE TABLE log (ph TEXT, id INTEGER, val TEXT, c INTEGER)"
+    )
+    trigs = (
+        "CREATE TRIGGER bi BEFORE INSERT ON t FOR EACH ROW BEGIN "
+        "INSERT INTO log VALUES ('bi', NEW.id, NEW.v, (SELECT count(*) FROM t)); END;\n"
+        "CREATE TRIGGER ai AFTER INSERT ON t FOR EACH ROW BEGIN "
+        "INSERT INTO log VALUES ('ai', NEW.id, NEW.v, (SELECT count(*) FROM t)); END;\n"
+        "CREATE TRIGGER bd BEFORE DELETE ON t FOR EACH ROW BEGIN "
+        "INSERT INTO log VALUES ('bd', OLD.id, OLD.v, 0); END;\n"
+        "CREATE TRIGGER ad AFTER DELETE ON t FOR EACH ROW BEGIN "
+        "INSERT INTO log VALUES ('ad', OLD.id, OLD.v, 0); END;\n"
+        "CREATE TRIGGER buv BEFORE UPDATE OF v ON t FOR EACH ROW BEGIN "
+        "INSERT INTO log VALUES ('buv', NEW.id, OLD.v || '>' || NEW.v, "
+        "(SELECT count(*) FROM t)); END;\n"
+        "CREATE TRIGGER aun AFTER UPDATE OF n ON t FOR EACH ROW BEGIN "
+        "INSERT INTO log VALUES ('aun', NEW.id, CAST(OLD.n AS TEXT) || '>' "
+        "|| CAST(NEW.n AS TEXT), (SELECT count(*) FROM t)); END"
+    )
+    conn = sqlite3.connect(":memory:")
+    conn.isolation_level = None
+    conn.executescript(ddl + ";\n" + trigs + ";")
+    store = SegmentStore(spark, str(tmp_path / "orstore"))
+    store.set_schema("or_schema", ddl + ";")
+    store.provision("orseg", "or_schema")
+    store.write("orseg", trigs)
+    for script in (
+        "INSERT INTO t VALUES (1, 'old1', 1), (2, 'old2', 2)",
+        # OR REPLACE: one conflict (silent delete, bi/ai fire), one fresh
+        "INSERT OR REPLACE INTO t VALUES (1, 'rep1', 10), (3, 'new3', 3)",
+        # bare REPLACE INTO form
+        "REPLACE INTO t VALUES (2, 'rep2', 20)",
+        # DO UPDATE: conflict path (updates v AND n: both OF-triggers
+        # fire), plus a fresh insert; SET references excluded., t., bare
+        "INSERT INTO t VALUES (1, 'up1', 100), (4, 'n4', 4) "
+        "ON CONFLICT (id) DO UPDATE SET v = excluded.v, n = t.n + excluded.n",
+        # upsert WHERE false: bi fires, row untouched
+        "INSERT INTO t VALUES (3, 'gate', 1) "
+        "ON CONFLICT (id) DO UPDATE SET v = excluded.v WHERE excluded.n > n",
+        # upsert WHERE true, SET touches only v: the OF n trigger is quiet
+        "INSERT INTO t VALUES (4, 'gate2', 400) "
+        "ON CONFLICT (id) DO UPDATE SET v = excluded.v || '!' WHERE excluded.n > n",
+    ):
+        conn.executescript("BEGIN;\n" + script + ";\nCOMMIT;")
+        store.write("orseg", script)
+    for q in (
+        "SELECT id, v, n FROM t ORDER BY id",
+        "SELECT ph, id, val, c FROM log ORDER BY id, ph, val, c",
+    ):
+        expected = [tuple(r) for r in conn.execute(q).fetchall()]
+        got = [tuple(r.values()) for r in store.read("orseg", q)]
+        assert got == expected, f"{q}\nsqlite: {expected}\nengine: {got}"
+    # REPLACE must have fired NO delete triggers on either engine
+    assert not conn.execute(
+        "SELECT * FROM log WHERE ph IN ('bd','ad')"
+    ).fetchall()
+    conn.close()
+
+
+def test_or_replace_intra_statement_duplicate_pk_last_wins(def_engines):
+    """Round-7 fuzzer catch: OR REPLACE with the SAME pk twice in one
+    VALUES list applies rows sequentially in SQLite — the LAST occurrence
+    wins — and must not land duplicate-pk rows (the batch path previously
+    kept both).  Same for an upsert DO UPDATE colliding with a row the
+    statement itself just inserted."""
+    conn, store = def_engines
+    scripts = (
+        "INSERT INTO d (id, a, b) VALUES (10, 1, 'x')",
+        # dup pk within one REPLACE: (10,...) twice, last wins; plus fresh
+        "INSERT OR REPLACE INTO d (id, a, b) VALUES "
+        "(10, 2, 'first'), (11, 3, 'n'), (10, 4, 'last')",
+        "REPLACE INTO d (id, a, b) VALUES (12, 5, 'p'), (12, 6, 'q')",
+    )
+    for script in scripts:
+        _sqlite_script(conn, script)
+        store.write("defseg", script)
+    q = "SELECT id, a, b FROM d WHERE id >= 10 ORDER BY id"
+    expected = [tuple(_canon(v) for v in r) for r in conn.execute(q).fetchall()]
+    got = [tuple(_canon(v) for v in r.values()) for r in store.read("defseg", q)]
+    assert got == expected, f"{got} vs {expected}"
+    ids = [r[0] for r in got]
+    assert len(ids) == len(set(ids)), f"duplicate pk rows: {got}"

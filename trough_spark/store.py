@@ -545,6 +545,55 @@ _UPDATE_STMT_RE = re.compile(
 _NEWOLD_RE = re.compile(r'(?i)\b(NEW|OLD)\s*\.\s*([A-Za-z_]\w*|"[^"]+")')
 
 
+def _rewrite_upsert_refs(expr: str, table: str, cols: set[str]) -> str:
+    """Rewrite a DO UPDATE SET/WHERE expression for per-row binding on the
+    triggered-upsert path: ``excluded.c`` → ``NEW.c``; ``<table>.c`` and
+    bare declared columns → ``OLD.c`` (SQLite upsert scoping,
+    sqlite.org/lang_upsert.html: unqualified names resolve to the existing
+    pre-update row).  Token-level, so string literals and other qualifiers
+    are untouched; a bare name followed by ``(`` is a function call."""
+    toks = list(dialect.tokenize(expr))
+    out: list[str] = []
+    i, n = 0, len(toks)
+
+    def next_nonspace(j: int) -> int:
+        while j < n and toks[j].kind == "space":
+            j += 1
+        return j
+
+    while i < n:
+        t = toks[i]
+        if t.kind == "word":
+            low = t.text.lower()
+            j = next_nonspace(i + 1)
+            if j < n and toks[j].kind == "op" and toks[j].text == ".":
+                k = next_nonspace(j + 1)
+                if k < n and toks[k].kind == "word":
+                    if low == "excluded":
+                        out.append(f"NEW.{toks[k].text}")
+                        i = k + 1
+                        continue
+                    if low == table.lower():
+                        out.append(f"OLD.{toks[k].text}")
+                        i = k + 1
+                        continue
+                # other qualifier (e.g. a subquery alias): leave verbatim
+                out.append(t.text)
+                i += 1
+                continue
+            if (
+                low in cols
+                and low not in ("new", "old", "excluded")
+                and not (j < n and toks[j].text == "(")
+            ):
+                out.append(f"OLD.{t.text}")
+                i += 1
+                continue
+        out.append(t.text)
+        i += 1
+    return "".join(out)
+
+
 def _sub_new_old(text: str, new_row, old_row) -> str:
     """Bind a trigger body/WHEN's ``NEW.col`` / ``OLD.col`` references to the
     affected row's values as SQL literals (literal-aware: quoted occurrences
@@ -1268,6 +1317,11 @@ class SegmentStore:
         existing = self._read_partition(segment_id, table)
         pk = ts.primary_key
         if mode == "REPLACE":
+            # intra-statement duplicate pks: SQLite applies rows
+            # sequentially, so the LAST occurrence wins (caught by the
+            # round-7 conflict-forms fuzzer — without this, both rows land
+            # and break pk uniqueness)
+            new = self._dedupe_last(new, pk)
             keys = new.select(*pk).distinct()
             kept = existing.join(keys, pk, "left_anti")
             self._overwrite_partition(segment_id, table, kept.unionByName(new))
@@ -2065,19 +2119,47 @@ class SegmentStore:
         m = self._match_insert(stmt)
         table = _unquote(m.group("name"))
         trigs = self._triggers_for(segment_id, table, "INSERT")
-        if not trigs:
-            return False
         body = m.group("body")
         body_u = body.upper()
         mode = self._insert_mode(m)
         onc = self._ON_CONFLICT_RE.search(body) if body_u.startswith("VALUES") else None
+        if not trigs:
+            # No INSERT triggers — but a DO UPDATE upsert still fires the
+            # table's UPDATE triggers on its conflict path (caught by the
+            # conflict-forms fuzzer), so it must take this per-row path
+            # when any match the SET columns.  Everything else keeps the
+            # batch path: OR REPLACE under the pinned recursive_triggers=
+            # OFF fires no DELETE/UPDATE triggers for replaced rows.
+            if not (
+                onc is not None
+                and mode is None
+                and onc.group("sets") is not None
+            ):
+                return False
+            set_cols = [
+                c.lower() for c, _ in _split_assignments(onc.group("sets"))
+            ]
+            if not self._triggers_for(
+                segment_id, table, "UPDATE", set_cols=set_cols
+            ):
+                return False
         # Conflict forms × triggers (probed live, round 7): OR IGNORE fires
         # BEFORE for EVERY row, then skips the row's insert AND its AFTER
         # when the row hits a pk conflict or ANY constraint violation;
         # ON CONFLICT DO NOTHING does the same for pk conflicts ONLY
-        # (CHECK / NOT NULL violations still abort).  OR REPLACE and
-        # DO UPDATE remain rejected (delete-trigger interplay out of scope).
-        skip_unique = skip_constraints = False
+        # (CHECK / NOT NULL violations still abort).  OR REPLACE fires
+        # BEFORE INSERT / AFTER INSERT per row exactly like a plain insert
+        # while the conflicting old row is deleted SILENTLY — SQLite fires
+        # DELETE triggers for REPLACE-removed rows only under
+        # recursive_triggers=ON, and this engine pins the OFF default.
+        # DO UPDATE fires BEFORE INSERT with the INSERT's NEW row even when
+        # the row takes the update path; on conflict the SET applies and
+        # the table's UPDATE triggers fire around it (OLD = pre-update row,
+        # NEW = updated row); a false upsert WHERE leaves the row untouched
+        # after BEFORE INSERT alone; non-conflicting rows insert and fire
+        # AFTER INSERT.
+        skip_unique = skip_constraints = replace_rows = False
+        do_update: tuple[dict, str | None] | None = None
         if mode == "IGNORE":
             skip_unique = skip_constraints = True
             stmt = re.sub(
@@ -2106,13 +2188,61 @@ class SegmentStore:
             m = self._match_insert(stmt)
             body = m.group("body")
             body_u = body.upper()
+        elif mode == "REPLACE" and onc is None:
+            replace_rows = True
+            stmt = re.sub(
+                r"(?is)^(\s*)(?:INSERT\s+OR\s+REPLACE|REPLACE)\s+",
+                r"\1INSERT ",
+                stmt,
+                count=1,
+            )
+            m = self._match_insert(stmt)
+            body = m.group("body")
+            body_u = body.upper()
+        elif onc is not None and mode is None and onc.group("sets") is not None:
+            ts0 = self._table_schema(segment_id, table)
+            if not ts0.primary_key:
+                raise QueryRejected(
+                    f"ON CONFLICT on table {table!r} with no PRIMARY KEY"
+                )
+            cc = onc.group("cc")
+            if cc is None:
+                raise QueryRejected(
+                    "ON CONFLICT ... DO UPDATE requires an explicit conflict target"
+                )
+            target = sorted(_unquote(c.strip()).lower() for c in cc.split(","))
+            if target != sorted(c.lower() for c in ts0.primary_key):
+                raise QueryRejected(
+                    "ON CONFLICT target must be the PRIMARY KEY "
+                    f"({', '.join(ts0.primary_key)})"
+                )
+            sets = {
+                c.lower(): e for c, e in _split_assignments(onc.group("sets"))
+            }
+            declared0 = {n.lower() for n, _ in ts0.fields}
+            pk_lower = {k.lower() for k in ts0.primary_key}
+            for c in sets:
+                if c not in declared0:
+                    raise QueryRejected(f"no such column: {c}")
+                if c in pk_lower:
+                    raise QueryRejected(
+                        "updating the conflict-target key is unsupported"
+                    )
+            do_update = (sets, onc.group("where"))
+            cols_part = f" ({m.group('cols')})" if m.group("cols") else ""
+            stmt = f"INSERT INTO {table}{cols_part} {body[: onc.start()]}"
+            m = self._match_insert(stmt)
+            body = m.group("body")
+            body_u = body.upper()
         elif mode is not None or onc is not None:
             raise QueryRejected(
-                "INSERT with OR REPLACE or ON CONFLICT DO UPDATE is not "
-                "supported on a table with triggers (SQLite's conflict-"
-                f"resolution × trigger interplay is out of scope): {stmt[:80]!r}"
+                "unsupported conflict form on a table with triggers: "
+                f"{stmt[:80]!r}"
             )
-        if (skip_unique or skip_constraints) and table.lower() in self._body_write_closure(
+        conflict_path = (
+            skip_unique or skip_constraints or replace_rows or do_update is not None
+        )
+        if conflict_path and table.lower() in self._body_write_closure(
             segment_id, trigs
         ):
             raise QueryRejected(
@@ -2184,35 +2314,75 @@ class SegmentStore:
         # NOTE: autoincrement ids are assigned before BEFORE triggers fire, so
         # NEW.<autoinc> is the final id even in BEFORE bodies (documented
         # divergence from SQLite's unassigned-rowid-in-BEFORE).
-        if skip_unique or skip_constraints:
+        if conflict_path:
             # per-row conflict-resolving loop (probed order: BEFORE fires,
-            # then the conflict check decides insert + AFTER vs silent skip)
+            # then the conflict check decides insert + AFTER vs the mode's
+            # resolution — silent skip, silent replace, or upsert-update)
             ts = self._table_schema(segment_id, table)
             pkcols = list(ts.primary_key or [])
-            existing: set[tuple] = set()
+            current: dict[tuple, Row] = {}
             if pkcols:
                 if os.path.isdir(self._partition_path(table, segment_id)):
-                    existing = {
-                        tuple(r[k] for k in pkcols)
-                        for r in self._read_partition(segment_id, table)
-                        .select(*pkcols)
-                        .collect()
-                    }
-                existing |= {
-                    tuple(r[k] for k in pkcols) for r in pending.get(table, [])
-                }
+                    for r0 in self._read_partition(segment_id, table).collect():
+                        current[tuple(r0[k] for k in pkcols)] = r0
+                for r0 in pending.get(table, []):
+                    current[tuple(r0[k] for k in pkcols)] = r0
+            utrigs = (
+                self._triggers_for(
+                    segment_id, table, "UPDATE", set_cols=list(do_update[0])
+                )
+                if do_update is not None
+                else []
+            )
+            if utrigs and table.lower() in self._body_write_closure(
+                segment_id, utrigs
+            ):
+                raise QueryRejected(
+                    f"DO UPDATE on {table!r} whose UPDATE-trigger bodies "
+                    f"(or their cascades) write {table!r}: body writes would "
+                    "race the per-row conflict loop — rejected loudly"
+                )
             for r in new_rows:
                 pair = [(None, r)]
                 if self._fire_triggers(segment_id, trigs, "BEFORE", pair, pending):
                     continue  # RAISE(IGNORE): skip this row's insert
-                if pkcols and tuple(r[k] for k in pkcols) in existing:
+                k = tuple(r[c] for c in pkcols) if pkcols else None
+                conflict = pkcols and k in current
+                if conflict and (skip_unique or skip_constraints):
                     continue  # uniqueness conflict: no insert, no AFTER
                 if skip_constraints and self._row_violates(ts, r):
                     continue  # OR IGNORE skips constraint violations too
+                if conflict and replace_rows:
+                    # silent delete of the old row (no DELETE triggers
+                    # under the pinned recursive_triggers=OFF), then the
+                    # new row lands and AFTER INSERT fires normally
+                    self._flush_inserts(segment_id, pending)
+                    self._apply_row_change(segment_id, table, ts, current[k], r)
+                    current[k] = r
+                    self._fire_triggers(segment_id, trigs, "AFTER", pair, pending)
+                    self._flush_inserts(segment_id, pending)
+                    continue
+                if conflict and do_update is not None:
+                    sets, uwhere = do_update
+                    old = current[k]
+                    updated = self._upsert_row_update(ts, table, old, r, sets, uwhere)
+                    if updated is None:
+                        continue  # upsert WHERE false: BEFORE fired, no change
+                    upair = [(old, updated)]
+                    self._flush_inserts(segment_id, pending)
+                    if self._fire_triggers(
+                        segment_id, utrigs, "BEFORE", upair, pending
+                    ):
+                        continue  # RAISE(IGNORE) in BEFORE UPDATE: skip
+                    self._apply_row_change(segment_id, table, ts, old, updated)
+                    current[k] = updated
+                    self._fire_triggers(segment_id, utrigs, "AFTER", upair, pending)
+                    self._flush_inserts(segment_id, pending)
+                    continue
                 pending.setdefault(table, []).append(r)
                 self._flush_inserts(segment_id, pending)
                 if pkcols:
-                    existing.add(tuple(r[k] for k in pkcols))
+                    current[k] = r
                 self._fire_triggers(segment_id, trigs, "AFTER", pair, pending)
                 self._flush_inserts(segment_id, pending)
             return True
@@ -2442,6 +2612,49 @@ class SegmentStore:
         else:
             out = kept
         self._overwrite_partition(segment_id, table, out)
+
+    def _upsert_row_update(
+        self,
+        ts: TableSchema,
+        table: str,
+        old_row,
+        new_row,
+        sets: dict[str, str],
+        where: str | None,
+    ):
+        """Per-row DO UPDATE evaluation for the triggered-upsert path:
+        rewrite each SET/WHERE expression's ``excluded.c`` to the incoming
+        row and bare/table-qualified columns to the existing row
+        (`_rewrite_upsert_refs`), bind literals via the trigger
+        substitution machinery, and constant-fold.  Returns the updated
+        Row, or None when the upsert WHERE is false/NULL (SQLite leaves
+        the row untouched)."""
+        declared = {n.lower() for n, _ in ts.fields}
+
+        def bind(expr: str) -> str:
+            return _sub_new_old(
+                _rewrite_upsert_refs(expr, table, declared), new_row, old_row
+            )
+
+        if where is not None and not self._eval_when(bind(where)):
+            return None
+        names = list(sets)
+        cols = ", ".join(
+            f"({dialect.sqlite_to_spark(bind(sets[c]))}) AS v{j}"
+            for j, c in enumerate(names)
+        )
+        try:
+            vals = self.spark.sql(f"SELECT {cols}").collect()[0]
+        except Exception as e:
+            raise QueryRejected(
+                f"unsupported DO UPDATE SET expression: {e}"
+            ) from None
+        newvals = dict(zip(names, vals))
+        d = {
+            n: _coerce(newvals[n.lower()], t) if n.lower() in newvals else old_row[n]
+            for n, t in ts.fields
+        }
+        return Row(**d)
 
     def _dml_with_triggers(
         self, segment_id: str, stmt: str, kind: str, pending: dict
