@@ -342,10 +342,18 @@ def test_weighted_sample_plans(spark):
     plan = g._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
-    per = SA.weighted_sample_per_group(df, "id", "w", "g", k=4)
-    from tests.test_plans import _exchanges
+    payload = df.withColumn("body", F.repeat(F.lit("x"), 100))
+    per = SA.weighted_sample_per_group(payload, "id", "w", "g", k=4)
+    pplan = per._jdf.queryExecution().executedPlan().toString()
+    # keys-first is STRUCTURAL: the window (and its exchange) runs on a
+    # (key, group, score) projection — the payload column joins back later
+    import re
 
-    assert _exchanges(per) == 1
+    wnode = next(
+        ln for ln in pplan.splitlines() if "Window" in ln and "row_number" in ln
+    )
+    assert "body" not in wnode
+    assert per.columns == ["id", "g", "w", "body", "arrival_micro"]
 
 
 def test_budget_select_matches_global_window(spark):
@@ -435,3 +443,10 @@ def test_budget_select_per_group_budgets_each_group(spark):
             reverse=True,
         )
         assert picked == rest[: len(picked)]
+    # keys-first: the per-group window's sort must not see payload columns
+    payload = df.withColumn("body", F.repeat(F.lit("x"), 50))
+    pout = SA.budget_select_per_group(payload, "id", "c", "c", "g", budget=50.0)
+    pplan = pout._jdf.queryExecution().executedPlan().toString()
+    wnode = next(ln for ln in pplan.splitlines() if "Window" in ln and "sum" in ln)
+    assert "body" not in wnode
+    assert pout.columns == ["id", "g", "c", "body", "cum_before"]

@@ -564,29 +564,37 @@ def weighted_sample_per_group(
     weighted mixture construction where every stratum must be represented.
 
     Same determinism and quantization contract as ``weighted_sample``.
-    Scale: one hash-partition exchange on ``group_col`` and a per-group
-    top-k window; rows carry only the caller's columns plus an 8-byte
-    score.  A skewed dominant group makes one reducer sort that group's
-    keys — acceptable because the window input can be projected to
-    (group, key, score) and bodies joined back by the caller (see
-    ``train_order`` for the keys-first pattern) — or cap upstream with
-    ``group_cap`` first."""
+    Keys-first STRUCTURALLY (the ``train_order`` pattern): the window runs
+    on a (key, group, score) projection — the exchange carries ~24
+    bytes/row regardless of the caller's columns — and row bodies join
+    back by ``key`` afterwards (the kept side is only k rows per group).
+    A skewed dominant group still sorts its keys on one reducer; cap
+    upstream with ``group_cap`` if a single stratum is shuffle-sized."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    kc = F.col(key) if isinstance(key, str) else key
+    if isinstance(key, str):
+        key_name, base = key, df
+    else:
+        key_name, base = "_es_key", df.withColumn("_es_key", key)
     wc = (F.col(weight) if isinstance(weight, str) else weight).cast("double")
-    u = (_key_hash(kc, salt).cast("double") + F.lit(0.5)) / F.lit(
-        float(HASH_SPACE)
-    )
+    u = (
+        _key_hash(F.col(key_name), salt).cast("double") + F.lit(0.5)
+    ) / F.lit(float(HASH_SPACE))
     arrival = F.round((-F.log(u) / wc) * F.lit(1000000.0)).cast("bigint")
-    w = W.partitionBy(group_col).orderBy(F.col(score_col).asc(), kc.asc())
-    return (
-        df.where(wc > F.lit(0.0))
-        .withColumn(score_col, arrival)
-        .withColumn("_es_rn", F.row_number().over(w))
-        .where(F.col("_es_rn") <= F.lit(k))
-        .drop("_es_rn")
+    proj = (
+        base.where(wc > F.lit(0.0))
+        .select(key_name, group_col, arrival.alias(score_col))
     )
+    w = W.partitionBy(group_col).orderBy(
+        F.col(score_col).asc(), F.col(key_name).asc()
+    )
+    kept = (
+        proj.withColumn("_es_rn", F.row_number().over(w))
+        .where(F.col("_es_rn") <= F.lit(k))
+        .select(key_name, score_col)
+    )
+    out = base.join(kept, on=key_name, how="inner")
+    return out.select(*df.columns, score_col)
 
 
 def _budget_ranged(proj: DataFrame, key_name: str, n_ranges: int) -> DataFrame:
@@ -706,18 +714,31 @@ def budget_select_per_group(
     """Per-stratum budget selection: within each ``group_col`` value keep
     rows in descending ``score`` order while the group's running cost
     stays under ``budget`` — "x tokens per language" mixture targets.
-    One hash exchange on the group key; each group's sort is bounded by
-    the group size (cap a dominant group upstream with ``group_cap`` if a
-    single stratum is itself shuffle-sized)."""
-    kc = F.col(key) if isinstance(key, str) else key
+    One hash exchange on the group key over a keys-first (key, group,
+    cost, score) projection (bodies join back by ``key``); each group's
+    sort is bounded by the group size (cap a dominant group upstream with
+    ``group_cap`` if a single stratum is itself shuffle-sized)."""
+    if isinstance(key, str):
+        key_name, base = key, df
+    else:
+        key_name, base = "_bs_key", df.withColumn("_bs_key", key)
     costc = F.col(cost) if isinstance(cost, str) else cost
     scorec = F.col(score) if isinstance(score, str) else score
+    proj = base.select(
+        key_name,
+        group_col,
+        costc.alias("_bs_cost"),
+        scorec.alias("_bs_score"),
+    )
     w = (
         W.partitionBy(group_col)
-        .orderBy(scorec.desc(), kc.asc())
+        .orderBy(F.desc("_bs_score"), F.col(key_name).asc())
         .rowsBetween(W.unboundedPreceding, -1)
     )
-    return (
-        df.withColumn(cum_col, F.coalesce(F.sum(costc).over(w), F.lit(0)))
+    kept = (
+        proj.withColumn(cum_col, F.coalesce(F.sum("_bs_cost").over(w), F.lit(0)))
         .where(F.col(cum_col) < F.lit(budget))
+        .select(key_name, cum_col)
     )
+    out = base.join(kept, on=key_name, how="inner")
+    return out.select(*df.columns, cum_col)
