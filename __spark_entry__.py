@@ -34,6 +34,7 @@ _SAMPLE_PRIORITY = [
     "sample_weighted_per_lang",
     "sample_budget_select",
     "sample_budget_per_lang",
+    "pipeline_dsir_budget",
     # --- latest evidence: round 4 ---
     "a2_row_to_json",
     "a3_segment_routing",

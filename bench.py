@@ -124,6 +124,7 @@ EXTRA = [
     "sample_weighted_per_lang",
     "sample_budget_select",
     "sample_budget_per_lang",
+    "pipeline_dsir_budget",
 ]
 
 

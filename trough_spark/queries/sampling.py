@@ -357,9 +357,9 @@ def sample_temperature_lang(spark, sf_dir):
     )
 
 
-@query(
-    "sample_dsir_weights",
-    oracle=r"""
+# DSIR oracle CTE chain, shared by the standalone-score query and the
+# composed dsir->budget pipeline query below.
+_DSIR_CTES = r"""
     WITH toks AS (
       SELECT doc_id AS id, CAST(lang = 'en' AS INT) AS is_t,
              string_split_regex(trim(lower(text)), '\s+') AS toks
@@ -391,6 +391,12 @@ def sample_temperature_lang(spark, sf_dir):
              ) * 1000000, 0) AS BIGINT) AS qlr
       FROM stats CROSS JOIN tot
     )
+"""
+
+
+@query(
+    "sample_dsir_weights",
+    oracle=_DSIR_CTES + r"""
     SELECT tf.id, CAST(SUM(tf.tf) AS BIGINT) AS n_feats,
            ROUND(CAST(SUM(tf.tf * q.qlr) AS DOUBLE) /
                  CAST(SUM(tf.tf) AS BIGINT) / 1000000.0, 4) + 0.0 AS dsir_score
@@ -532,4 +538,47 @@ def sample_budget_per_lang(spark, sf_dir):
     docs = T(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     return SA.budget_select_per_group(
         docs, "doc_id", "n_chars", "n_chars", "lang", budget=20000.0
+    )
+
+
+@query(
+    "pipeline_dsir_budget",
+    oracle=_DSIR_CTES + r""",
+    scores AS (
+      SELECT tf.id,
+             ROUND(CAST(SUM(tf.tf * q.qlr) AS DOUBLE) /
+                   CAST(SUM(tf.tf) AS BIGINT) / 1000000.0, 4) + 0.0
+               AS dsir_score
+      FROM tf JOIN q USING (b)
+      GROUP BY tf.id
+    ),
+    sel AS (
+      SELECT s.id, d.n_chars, s.dsir_score,
+             CAST(COALESCE(SUM(d.n_chars) OVER (
+               ORDER BY s.dsir_score DESC, s.id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS cum_before
+      FROM scores s JOIN documents d ON d.doc_id = s.id
+    )
+    SELECT id, n_chars, dsir_score, cum_before
+    FROM sel WHERE cum_before < 60000
+    """,
+)
+def pipeline_dsir_budget(spark, sf_dir):
+    """The round-7 selection pipeline end-to-end: DSIR target-likeness
+    scores (hashed n-gram log-ratio vs the lang='en' subset) feed the
+    budget-constrained greedy selector — keep the most target-like
+    documents until a 60k-char budget is spent.  Composes dsir_weights
+    (one (id,bucket) shuffle + broadcast bucket stats) with budget_select
+    (distributed prefix-sum, no single-reducer sort); the oracle chains
+    the same CTEs into one window."""
+    docs = T(spark, sf_dir, "documents")
+    scores = SA.dsir_weights(
+        docs, "doc_id", "text", target=F.col("lang") == "en", n_buckets=1024
+    ).select("id", "dsir_score")
+    joined = scores.join(
+        docs.select(F.col("doc_id").alias("id"), "n_chars"), "id"
+    ).select("id", "n_chars", "dsir_score")
+    return SA.budget_select(
+        joined, "id", "n_chars", "dsir_score", budget=60000.0
     )
