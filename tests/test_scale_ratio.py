@@ -341,3 +341,37 @@ def test_budget_prefix_sum_scales_linearly(spark):
     for n, kept in ((base, n1), (4 * base, n4), (16 * base, n16)):
         assert 0.4 * n < kept < 0.6 * n, (n, kept)
     assert t16 <= max(t1, 0.5) * 16 * 2.5, (t1, t16)
+
+
+def test_weighted_sample_topk_scales_linearly(spark):
+    """Seventh measured family: Efraimidis-Spirakis weighted top-k at
+    1x/4x/16x row counts with k fixed — TakeOrderedAndProject keeps a
+    per-partition heap and the driver merges partitions*k rows, so wall
+    time should track the scan (linear), never the sort (n log n on one
+    reducer)."""
+    import time
+
+    from trough_spark.operators import sampling as SA
+
+    def run(n: int) -> tuple[float, int]:
+        df = spark.range(0, n, 1, 32).select(
+            F.col("id"),
+            ((F.col("id") * 31) % 997 + 1).cast("double").alias("w"),
+        )
+        out = SA.weighted_sample(df, "id", "w", k=256)
+        t0 = time.perf_counter()
+        c = out.count()
+        return time.perf_counter() - t0, c
+
+    base = 2_000_000
+    run(base)  # codegen warm-up
+    t1, n1 = run(base)
+    t4, n4 = run(4 * base)
+    t16, n16 = run(16 * base)
+    print(
+        f"\nweighted top-k: 1x {t1:.2f}s, 4x {t4:.2f}s, 16x {t16:.2f}s "
+        f"(k={n1}/{n4}/{n16})"
+    )
+    print(f"ratios: 4x/1x = {t4 / t1:.2f} (ideal 4), 16x/1x = {t16 / t1:.2f} (ideal 16)")
+    assert n1 == n4 == n16 == 256
+    assert t16 <= max(t1, 0.5) * 16 * 2.5, (t1, t16)
