@@ -1285,3 +1285,38 @@ def test_or_replace_intra_statement_duplicate_pk_last_wins(def_engines):
     assert got == expected, f"{got} vs {expected}"
     ids = [r[0] for r in got]
     assert len(ids) == len(set(ids)), f"duplicate pk rows: {got}"
+
+
+def test_instead_of_conflict_forms_match_sqlite(iof_engines):
+    """Probed: a view has no constraints, so OR REPLACE / OR IGNORE /
+    bare REPLACE INTO on an INSTEAD OF view fire the trigger per row
+    exactly like a plain INSERT; the upsert clause is a hard SQLite error
+    ("cannot UPSERT a view") on both engines."""
+    conn, store = iof_engines
+    _both_iof(
+        conn,
+        store,
+        "CREATE TRIGGER ioc INSTEAD OF INSERT ON v "
+        "BEGIN INSERT INTO base VALUES (NEW.a, NEW.b); "
+        "INSERT INTO vlog VALUES ('ioc:' || NEW.a); END;\n"
+        "INSERT OR REPLACE INTO v VALUES (1, 'r', 0), (2, 's', 0);\n"
+        "REPLACE INTO v (a, b) VALUES (3, 't');\n"
+        "INSERT OR IGNORE INTO v (a, b) VALUES (4, 'u')",
+    )
+    for table, order in (("base", "a"), ("vlog", "s")):
+        expected, got = _iof_state(conn, store, table, order)
+        assert got == expected and expected, f"{table}: {got} vs {expected}"
+    # upsert clause on a view: both engines raise
+    import sqlite3 as _sq
+
+    with pytest.raises(_sq.Error, match="UPSERT"):
+        _sqlite_script(
+            conn, "INSERT INTO v (a, b) VALUES (9, 'x') ON CONFLICT DO NOTHING"
+        )
+    conn.execute("ROLLBACK")
+    from trough_spark.dialect import QueryRejected
+
+    with pytest.raises(QueryRejected, match="UPSERT"):
+        store.write(
+            "iofseg", "INSERT INTO v (a, b) VALUES (9, 'x') ON CONFLICT DO NOTHING"
+        )

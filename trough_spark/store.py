@@ -2454,11 +2454,11 @@ class SegmentStore:
             raise QueryRejected(f"cannot modify {vname} because it is a view")
         if kind in ("INSERT", "REPLACE"):
             body = m.group("body")
-            if self._insert_mode(m) or self._ON_CONFLICT_RE.search(body):
-                raise QueryRejected(
-                    "conflict-resolution INSERT forms are not supported on a "
-                    f"view with INSTEAD OF triggers: {stmt[:80]!r}"
-                )
+            # probed live: a view has no constraints, so OR REPLACE / OR
+            # IGNORE on an INSTEAD OF view fire the trigger per row exactly
+            # like a plain INSERT; the upsert clause is a hard SQLite error
+            if self._ON_CONFLICT_RE.search(body):
+                raise QueryRejected(f"cannot UPSERT a view: {stmt[:80]!r}")
             vcols = self.read_df(segment_id, f"SELECT * FROM {vname}").columns
             cols = (
                 [_unquote(c.strip()) for c in m.group("cols").split(",")]
