@@ -1320,3 +1320,60 @@ def test_instead_of_conflict_forms_match_sqlite(iof_engines):
         store.write(
             "iofseg", "INSERT INTO v (a, b) VALUES (9, 'x') ON CONFLICT DO NOTHING"
         )
+
+
+def test_update_or_ignore_replace_matches_sqlite(spark, tmp_path):
+    """Round-7: UPDATE OR IGNORE / OR REPLACE with SQLite's probed
+    two-pass position-visit model — incl. the surprising dense-id chase
+    ((1,2,3) SET id=id+1 OR REPLACE collapses to one row because each
+    replaced position is re-visited), the no-op OR IGNORE bump, CHECK
+    skipping under IGNORE, and OR ABORT/FAIL converging to plain."""
+    ddl = "CREATE TABLE t (id INTEGER PRIMARY KEY, v TEXT)"
+    cases = [
+        ("UPDATE OR IGNORE t SET id = id + 1 WHERE id < 3", None),
+        ("UPDATE OR REPLACE t SET id = 3 WHERE id = 1", None),
+        ("UPDATE OR REPLACE t SET id = id + 1", None),
+        ("UPDATE OR IGNORE t SET id = id + 1", None),
+        ("UPDATE OR REPLACE t SET id = 4 - id", None),
+        ("UPDATE OR IGNORE t SET id = id - 1", None),
+        ("UPDATE OR REPLACE t SET id = 2 WHERE id <= 2", None),
+        ("UPDATE OR ABORT t SET v = v || '!' WHERE id = 2", None),
+        ("UPDATE OR FAIL t SET v = upper(v)", None),
+    ]
+    store = SegmentStore(spark, str(tmp_path / "uorstore"))
+    store.set_schema("uor_schema", ddl + ";")
+    for i, (stmt, _) in enumerate(cases):
+        seg = f"uorseg{i}"
+        store.provision(seg, "uor_schema")
+        conn = sqlite3.connect(":memory:")
+        conn.isolation_level = None
+        conn.executescript(ddl + "; INSERT INTO t VALUES (1,'a'),(2,'b'),(3,'c');")
+        store.write(seg, "INSERT INTO t VALUES (1,'a'),(2,'b'),(3,'c')")
+        conn.executescript("BEGIN;\n" + stmt + ";\nCOMMIT;")
+        store.write(seg, stmt)
+        q = "SELECT id, v FROM t ORDER BY id"
+        expected = [tuple(r) for r in conn.execute(q).fetchall()]
+        got = [tuple(r.values()) for r in store.read(seg, q)]
+        assert got == expected, f"{stmt}\nsqlite: {expected}\nengine: {got}"
+        conn.close()
+    # OR IGNORE skips CHECK-violating updates; OR REPLACE still raises
+    chk = "CREATE TABLE c (id INTEGER PRIMARY KEY, n INTEGER CHECK (n > 0))"
+    conn = sqlite3.connect(":memory:")
+    conn.isolation_level = None
+    conn.executescript(chk + "; INSERT INTO c VALUES (1,5),(2,1),(3,7);")
+    store.set_schema("uorc_schema", chk + ";")
+    store.provision("uorcseg", "uorc_schema")
+    store.write("uorcseg", "INSERT INTO c VALUES (1,5),(2,1),(3,7)")
+    conn.executescript("BEGIN;\nUPDATE OR IGNORE c SET n = n - 3;\nCOMMIT;")
+    store.write("uorcseg", "UPDATE OR IGNORE c SET n = n - 3")
+    q = "SELECT id, n FROM c ORDER BY id"
+    expected = [tuple(r) for r in conn.execute(q).fetchall()]
+    got = [tuple(r.values()) for r in store.read("uorcseg", q)]
+    assert got == expected == [(1, 2), (2, 1), (3, 4)]
+    with pytest.raises(Exception):
+        conn.execute("UPDATE OR REPLACE c SET n = n - 3")
+    from trough_spark.dialect import QueryRejected
+
+    with pytest.raises(QueryRejected):
+        store.write("uorcseg", "UPDATE OR REPLACE c SET n = n - 3")
+    conn.close()

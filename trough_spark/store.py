@@ -537,10 +537,19 @@ _DELETE_STMT_RE = re.compile(
 )
 
 _UPDATE_STMT_RE = re.compile(
-    r"^\s*UPDATE\s+(?P<name>[\w\"\[\]`]+)\s+SET\s+(?P<sets>.+?)"
+    r"^\s*UPDATE\s+(?:OR\s+(?P<mode>IGNORE|REPLACE|ABORT|FAIL|ROLLBACK)\s+)?"
+    r"(?P<name>[\w\"\[\]`]+)\s+SET\s+(?P<sets>.+?)"
     r"(?:\s+WHERE\s+(?P<where>.+))?$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _update_mode(m: re.Match) -> str | None:
+    """UPDATE OR IGNORE/REPLACE; ABORT/FAIL/ROLLBACK normalize to None
+    (they converge under the all-or-nothing script transaction, same
+    argument as ``_insert_mode``)."""
+    mode = (m.group("mode") or "").upper() or None
+    return None if mode in ("ABORT", "FAIL", "ROLLBACK") else mode
 
 _NEWOLD_RE = re.compile(r'(?i)\b(NEW|OLD)\s*\.\s*([A-Za-z_]\w*|"[^"]+")')
 
@@ -1896,6 +1905,20 @@ class SegmentStore:
             if not m:
                 raise QueryRejected(f"unsupported UPDATE form: {stmt[:80]!r}")
             table = _unquote(m.group("name"))
+            umode = _update_mode(m)
+            ts0 = self._table_schema(segment_id, table)
+            if umode is not None:
+                # UPDATE OR IGNORE/REPLACE: SQLite applies rows
+                # SEQUENTIALLY in rowid order, resolving each row's pk
+                # conflict against the evolving table (probed: OR IGNORE
+                # on (1,2,3) with id=id+1 WHERE id<3 changes NOTHING —
+                # each bump collides with the still-present next row; OR
+                # REPLACE deletes the collided-with row), and OR IGNORE
+                # also skips rows whose update violates CHECK/NOT NULL
+                self._update_with_conflict_mode(
+                    segment_id, table, ts0, m, umode
+                )
+                return
             df = self._read_partition(segment_id, table)
             cond = dialect.sqlite_to_spark(m.group("where")) if m.group("where") else "true"
             assignments = _split_assignments(m.group("sets"))
@@ -1935,6 +1958,98 @@ class SegmentStore:
             # already satisfy them, so checking the whole partition is
             # equivalent to checking the modified rows)
             self._assert_constraints(ts, out)
+        self._overwrite_partition(segment_id, table, out)
+
+    def _update_with_conflict_mode(
+        self, segment_id: str, table: str, ts: TableSchema, m: re.Match, umode: str
+    ) -> None:
+        """UPDATE OR IGNORE / OR REPLACE — SQLite's probed two-pass model:
+        pass 1 collects the matching rows' pk POSITIONS in pk order; pass 2
+        visits each position and updates whatever row CURRENTLY occupies it
+        (an OR REPLACE that moves a row onto a later victim position makes
+        that row get updated again — probed: (1,2,3) `SET id=id+1` OR
+        REPLACE collapses to the single row (4,'a'); sparse (1,5) does
+        not), resolving each pk conflict against the evolving table:
+        IGNORE skips the row's change (and any CHECK/NOT NULL-violating
+        change, probed), REPLACE silently deletes the collided-with row
+        but still raises on CHECK.  Driver-side sequential by necessity —
+        the semantics are an evolving-state scan — and bounded by the one
+        segment partition like every write."""
+        pkcols = list(ts.primary_key or [])
+        declared = {n.lower() for n, _ in ts.fields}
+        sets = {c.lower(): e for c, e in _split_assignments(m.group("sets"))}
+        for c in sets:
+            if c not in declared:
+                raise QueryRejected(f"no such column: {c}")
+        stripped = re.sub(
+            r"(?is)^(\s*)UPDATE\s+OR\s+\w+\s+", r"\1UPDATE ", m.string, count=1
+        )
+        if not pkcols:
+            # no pk => pk conflicts impossible; OR REPLACE == plain, and
+            # OR IGNORE only differs when a constraint could reject a row
+            if umode == "REPLACE" or not self._violation_conds(ts):
+                return self._rewrite_partition(segment_id, stripped, "UPDATE")
+            raise QueryRejected(
+                "UPDATE OR IGNORE on a table with CHECK/NOT NULL "
+                "constraints but no PRIMARY KEY is not supported (no "
+                f"stable row identity for the per-row skip): {m.string[:80]!r}"
+            )
+        where = m.group("where")
+        df = self._read_partition(segment_id, table)
+        mask = (
+            f"coalesce(({dialect.sqlite_to_spark(where)}), false)"
+            if where
+            else "true"
+        )
+        victims = [
+            tuple(r[k] for k in pkcols) for r in df.filter(mask).collect()
+        ]
+        victims.sort(key=lambda t: tuple((v is None, v) for v in t))
+        state = {tuple(r[k] for k in pkcols): r for r in df.collect()}
+
+        def bind(expr: str, row) -> str:
+            return _sub_new_old(
+                _rewrite_upsert_refs(expr, table, declared), None, row
+            )
+
+        names = list(sets)
+        for vk in victims:
+            row = state.get(vk)
+            if row is None:
+                continue  # REPLACE deleted this victim before its visit
+            cols_sql = ", ".join(
+                f"({dialect.sqlite_to_spark(bind(sets[c], row))}) AS v{j}"
+                for j, c in enumerate(names)
+            )
+            try:
+                vals = self.spark.sql(f"SELECT {cols_sql}").collect()[0]
+            except Exception as e:
+                raise QueryRejected(
+                    f"unsupported UPDATE SET expression: {e}"
+                ) from None
+            newvals = dict(zip(names, vals))
+            new = Row(
+                **{
+                    n: _coerce(newvals[n.lower()], t)
+                    if n.lower() in newvals
+                    else row[n]
+                    for n, t in ts.fields
+                }
+            )
+            if umode == "IGNORE" and self._row_violates(ts, new):
+                continue
+            nk = tuple(new[k] for k in pkcols)
+            if nk != vk and all(v is not None for v in nk) and nk in state:
+                if umode == "IGNORE":
+                    continue
+                del state[nk]  # REPLACE: the collided-with row vanishes
+            del state[vk]
+            state[nk] = new
+        tuples = [
+            tuple(r[n] for n, _ in ts.fields) for r in state.values()
+        ]
+        out = self.spark.createDataFrame(tuples, ts.struct())
+        self._assert_constraints(ts, out)  # OR REPLACE: CHECK still raises
         self._overwrite_partition(segment_id, table, out)
 
     # -- trigger execution (B14; reference semantics write.py:40 — scripts
@@ -2678,6 +2793,12 @@ class SegmentStore:
             trigs = self._triggers_for(
                 segment_id, table, "UPDATE", set_cols=list(sets)
             )
+            if trigs and _update_mode(m) is not None:
+                raise QueryRejected(
+                    "UPDATE OR IGNORE/REPLACE on a table with UPDATE "
+                    "triggers is not supported (conflict-resolution × "
+                    f"trigger firing interplay out of scope): {stmt[:80]!r}"
+                )
         if not trigs:
             self._rewrite_partition(segment_id, stmt, kind)
             return
