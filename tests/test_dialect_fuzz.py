@@ -326,7 +326,16 @@ def _write_script(rng: random.Random) -> list[str]:
     stmts = []
     next_id = 100
     for _ in range(rng.randint(3, 7)):
-        kind = rng.randrange(7)
+        kind = rng.randrange(8)
+        if kind == 7:
+            # round-7: UPDATE OR IGNORE/REPLACE reassigning the pk —
+            # exercises the position-visit conflict model (incl. the
+            # dense-id REPLACE chase) against live SQLite
+            verb = rng.choice(["OR IGNORE", "OR REPLACE"])
+            delta = rng.choice(["id + 1", "id - 1", f"{rng.randint(1, 6)}"])
+            where = f" WHERE {_pred(rng, 1)}" if rng.random() < 0.6 else ""
+            stmts.append(f"UPDATE {verb} nums SET id = {delta}{where}")
+            continue
         if kind == 6:
             # PLAIN insert on a possibly-existing pk: a legitimate
             # 'UNIQUE constraint failed' outcome — both engines must agree
