@@ -348,7 +348,23 @@ def _write_script(rng: random.Random) -> list[str]:
             continue
         if kind == 4:
             # conflict on an existing or fresh id: REPLACE swaps the row,
-            # IGNORE keeps the original
+            # IGNORE keeps the original; sometimes a DO UPDATE upsert with
+            # possibly-duplicated keys (sequential accumulation, round 7)
+            if rng.random() < 0.4:
+                nrows = rng.randint(2, 3)
+                ids = [rng.choice([1, 3, 5, next_id]) for _ in range(nrows)]
+                vals = ", ".join(
+                    f"({i}, {rng.randint(-9, 9)}, {rng.randint(-9, 9)}, 'up')"
+                    for i in ids
+                )
+                stmts.append(
+                    f"INSERT INTO nums (id, a, b, s) VALUES {vals} "
+                    "ON CONFLICT (id) DO UPDATE SET "
+                    "a = coalesce(a, 0) + coalesce(excluded.a, 0), "
+                    "s = excluded.s"
+                )
+                next_id += 1
+                continue
             verb = rng.choice(["OR REPLACE", "OR IGNORE"])
             rid = rng.choice([1, 3, 5, next_id])
             stmts.append(

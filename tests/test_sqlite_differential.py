@@ -1377,3 +1377,30 @@ def test_update_or_ignore_replace_matches_sqlite(spark, tmp_path):
     with pytest.raises(QueryRejected):
         store.write("uorcseg", "UPDATE OR REPLACE c SET n = n - 3")
     conn.close()
+
+
+def test_do_update_duplicate_keys_accumulate_like_sqlite(def_engines):
+    """Round-7 divergence closed: when one upsert statement repeats a
+    conflict key, SQLite applies the rows sequentially so a
+    self-referencing SET accumulates per occurrence — previously the
+    batch path collapsed duplicates to the last occurrence."""
+    conn, store = def_engines
+    scripts = (
+        "INSERT INTO d (id, a, b) VALUES (20, 10, 'x')",
+        # key 20 appears 3x: a accumulates 10+1+2+3 = 16; key 21 inserts
+        # then self-accumulates once: 5+7 = 12
+        "INSERT INTO d (id, a, b) VALUES (20, 1, 'p'), (21, 5, 'q'), "
+        "(20, 2, 'r'), (21, 7, 's'), (20, 3, 't') "
+        "ON CONFLICT (id) DO UPDATE SET a = a + excluded.a",
+        # WHERE gate interacts per occurrence
+        "INSERT INTO d (id, a, b) VALUES (20, 100, 'u'), (20, -5, 'v') "
+        "ON CONFLICT (id) DO UPDATE SET a = a + excluded.a "
+        "WHERE excluded.a > 0",
+    )
+    for script in scripts:
+        _sqlite_script(conn, script)
+        store.write("defseg", script)
+    q = "SELECT id, a, b FROM d WHERE id >= 20 ORDER BY id"
+    expected = [tuple(_canon(v) for v in r) for r in conn.execute(q).fetchall()]
+    got = [tuple(_canon(v) for v in r.values()) for r in store.read("defseg", q)]
+    assert got == expected, f"{got} vs {expected}"

@@ -1208,9 +1208,24 @@ class SegmentStore:
                         c.lower(): e
                         for c, e in _split_assignments(conflict.group("sets"))
                     }
-                    self._upsert_update(
-                        segment_id, table, ts, df, sets, conflict.group("where")
-                    )
+                    keys = [
+                        tuple(r[k] for k in ts.primary_key) for r in rows
+                    ]
+                    if len(set(keys)) != len(keys):
+                        # SQLite applies upsert rows SEQUENTIALLY, so
+                        # duplicate conflict keys inside one statement
+                        # accumulate (x = x + excluded.x applies once per
+                        # occurrence); the batch path would collapse them
+                        # to the last occurrence — take the per-row path
+                        self._upsert_update_sequential(
+                            segment_id, table, ts, rows, sets,
+                            conflict.group("where"),
+                        )
+                    else:
+                        self._upsert_update(
+                            segment_id, table, ts, df, sets,
+                            conflict.group("where"),
+                        )
                 return False
             if mode is None or not ts.primary_key:
                 # SQLite: OR REPLACE/IGNORE without a pk/unique constraint is
@@ -1380,10 +1395,11 @@ class SegmentStore:
         columns (the existing pre-update row); non-conflicting rows insert.
 
         One bounded partition rewrite, like every segment mutation.
-        Divergence (documented): duplicate conflict keys inside one
-        statement collapse to the LAST row before applying — SQLite applies
-        them sequentially, so a self-referencing SET (x = x + excluded.x)
-        would accumulate there; here it applies once.
+        Statements whose VALUES list repeats a conflict key never reach
+        this batch path — `_execute_insert` routes them to
+        `_upsert_update_sequential`, which reproduces SQLite's sequential
+        per-occurrence accumulation (a self-referencing SET like
+        x = x + excluded.x applies once per occurrence).
         """
         declared = {n.lower() for n, _ in ts.fields}
         pk_lower = {k.lower() for k in ts.primary_key}
@@ -1958,6 +1974,57 @@ class SegmentStore:
             # already satisfy them, so checking the whole partition is
             # equivalent to checking the modified rows)
             self._assert_constraints(ts, out)
+        self._overwrite_partition(segment_id, table, out)
+
+    def _upsert_update_sequential(
+        self,
+        segment_id: str,
+        table: str,
+        ts: TableSchema,
+        rows: list[Row],
+        sets: dict[str, str],
+        where: str | None,
+    ) -> None:
+        """Per-row DO UPDATE application over the evolving table state —
+        taken only when one statement's VALUES list repeats a conflict key
+        (SQLite applies rows sequentially, so a self-referencing SET
+        accumulates per occurrence; the batch `_upsert_update` collapses
+        duplicates to the last occurrence).  Bounded by the statement's
+        VALUES list and the one segment partition."""
+        declared = {n.lower() for n, _ in ts.fields}
+        pk_lower = {k.lower() for k in ts.primary_key}
+        for c in sets:
+            if c not in declared:
+                raise QueryRejected(f"no such column: {c}")
+            if c in pk_lower:
+                raise QueryRejected(
+                    "updating the conflict-target key is unsupported"
+                )
+        pkcols = list(ts.primary_key)
+        state: dict[tuple, Row] = {}
+        nullkey_rows: list[Row] = []
+        if os.path.isdir(self._partition_path(table, segment_id)):
+            for r0 in self._read_partition(segment_id, table).collect():
+                state[tuple(r0[k] for k in pkcols)] = r0
+        for r in rows:
+            k = tuple(r[k2] for k2 in pkcols)
+            if any(v is None for v in k):
+                nullkey_rows.append(r)  # NULL pk components never conflict
+                continue
+            if k in state:
+                upd = self._upsert_row_update(
+                    ts, table, state[k], r, sets, where
+                )
+                if upd is not None:
+                    state[k] = upd
+            else:
+                state[k] = r
+        tuples = [
+            tuple(r[n] for n, _ in ts.fields)
+            for r in list(state.values()) + nullkey_rows
+        ]
+        out = self.spark.createDataFrame(tuples, ts.struct())
+        self._assert_constraints(ts, out)
         self._overwrite_partition(segment_id, table, out)
 
     def _update_with_conflict_mode(
