@@ -946,6 +946,15 @@ def test_fuzzed_conflict_forms_on_triggers_match_sqlite(spark, tmp_path, case):
     trigs = _observing_trigger_ddl(rng, rng.randint(1, 3))
     if rng.random() < 0.7:
         trigs += _observing_cascade_ddl(rng)
+    if rng.random() < 0.5:
+        # RAISE(IGNORE) in BEFORE INSERT: probed — fires before any
+        # conflict resolution, so an ignored row's REPLACE/DO UPDATE
+        # never happens and the existing row stays
+        trigs.append(
+            "CREATE TRIGGER obsig BEFORE INSERT ON nums FOR EACH ROW "
+            f"WHEN NEW.id % {rng.randint(2, 4)} = 0 "
+            "BEGIN SELECT RAISE(IGNORE); END"
+        )
     stmts = _conflict_script(rng)
 
     conn = sqlite3.connect(":memory:")
