@@ -23,63 +23,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver samples a prefix of the registry when it can't run everything,
 # so order queries by how much a fresh correctness row is worth: first the
-# 23 queries whose latest driver evidence is round 4 (VERDICT r6 item 3),
-# then the 50 whose latest evidence is round 5, then the round-6-green
-# remainder (freshest evidence, lowest priority).
+# 30 queries whose latest driver evidence is round 5 (VERDICT r7 item 3),
+# then the round-6-evidence block, then the round-7-green prefix
+# (freshest evidence, lowest priority).
 _SAMPLE_PRIORITY = [
-    # --- no driver evidence yet: new in round 7 ---
-    "sample_temperature_lang",
-    "sample_dsir_weights",
-    "sample_weighted_es",
-    "sample_weighted_per_lang",
-    "sample_budget_select",
-    "sample_budget_per_lang",
-    "pipeline_dsir_budget",
-    # --- latest evidence: round 4 ---
-    "a2_row_to_json",
-    "a3_segment_routing",
-    "a7_regexp_function",
-    "a8_seed_crawled_status",
-    "a9_build_redirect_array",
-    "a12_fanout_regex",
-    "a12_cross_segment_global",
-    "asof_join_last_signup",
-    "b12_dialect_shim_roundtrip",
-    "events_multigrain_rollup",
-    "interval_join_sessions",
-    "sim_incremental_ann",
-    "sketch_hll_distinct",
-    "sketch_countmin_heavy_hitters",
-    "sketch_hll_hourly_users",
-    "sketch_equidepth_histogram",
-    "sketch_kmv_quantiles",
-    "stream_tumbling_hourly",
-    "stream_sliding_2h_1h",
-    "stream_sessionization",
-    "stream_funnel_conversion",
-    "stream_stream_join",
-    "stream_cohort_retention",
-    # --- latest evidence: round 5 ---
-    "bloom_semijoin_prune",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_minhash_signatures",
-    "dedup_simhash",
-    "dedup_keep_first",
-    "dedup_connected_components",
-    "dedup_simhash_pairs",
-    "dedup_incremental",
-    "dedup_cc_star",
-    "dedup_span_coverage",
-    "dedup_fuzzy_levenshtein",
-    "multimodal_image_features",
-    "multimodal_audio_features",
-    "skew_salted_aggregation",
-    "skew_salted_join",
-    "multimodal_resize",
-    "sample_hash_split",
-    "sample_stratified",
+    # --- latest evidence: round 5 (oldest -> highest priority) ---
     "pack_sequences",
     "sample_mix_rebalance",
     "text_token_count",
@@ -110,7 +58,7 @@ _SAMPLE_PRIORITY = [
     "vec_pq_adc_topk",
     "vec_ivfpq_search",
     "sketch_source_overlap",
-    # --- latest evidence: round 6 (freshest, lowest priority) ---
+    # --- latest evidence: round 6 ---
     "dedup_minhash_verify",
     "dedup_chunk_rewrite",
     "multimodal_frame_sample",
@@ -161,6 +109,57 @@ _SAMPLE_PRIORITY = [
     "events_attribution_touch",
     "stream_dedup_ids",
     "b12_dialect_shim_roundtrip2",
+    # --- latest evidence: round 7 (freshest, lowest priority) ---
+    "sample_temperature_lang",
+    "sample_dsir_weights",
+    "sample_weighted_es",
+    "sample_weighted_per_lang",
+    "sample_budget_select",
+    "sample_budget_per_lang",
+    "pipeline_dsir_budget",
+    "a2_row_to_json",
+    "a3_segment_routing",
+    "a7_regexp_function",
+    "a8_seed_crawled_status",
+    "a9_build_redirect_array",
+    "a12_fanout_regex",
+    "a12_cross_segment_global",
+    "asof_join_last_signup",
+    "b12_dialect_shim_roundtrip",
+    "events_multigrain_rollup",
+    "interval_join_sessions",
+    "sim_incremental_ann",
+    "sketch_hll_distinct",
+    "sketch_countmin_heavy_hitters",
+    "sketch_hll_hourly_users",
+    "sketch_equidepth_histogram",
+    "sketch_kmv_quantiles",
+    "stream_tumbling_hourly",
+    "stream_sliding_2h_1h",
+    "stream_sessionization",
+    "stream_funnel_conversion",
+    "stream_stream_join",
+    "stream_cohort_retention",
+    "bloom_semijoin_prune",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_minhash_signatures",
+    "dedup_simhash",
+    "dedup_keep_first",
+    "dedup_connected_components",
+    "dedup_simhash_pairs",
+    "dedup_incremental",
+    "dedup_cc_star",
+    "dedup_span_coverage",
+    "dedup_fuzzy_levenshtein",
+    "multimodal_image_features",
+    "multimodal_audio_features",
+    "skew_salted_aggregation",
+    "skew_salted_join",
+    "multimodal_resize",
+    "sample_hash_split",
+    "sample_stratified",
 ]
 
 

@@ -128,6 +128,16 @@ EXTRA = [
 ]
 
 
+def _calib_spin() -> float:
+    """Fixed-work single-thread spin: ~1.2 s on the documented host band.
+    Pure Python so it measures host CPU throughput, nothing Spark."""
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(20_000_000):
+        s += i * i
+    return round(time.perf_counter() - t0, 3)
+
+
 def one_pass() -> tuple[dict, dict, dict, str]:
     """One fresh-JVM timing pass: (cold, warm, extra, sf) per-query seconds."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -166,6 +176,10 @@ def one_pass() -> tuple[dict, dict, dict, str]:
     # on early-position queries (VERDICT r6 Wrong #2).
     time.sleep(float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE", "10")))
 
+    # pre-pass host-speed spin (round 8): paired with calib_spin_1t below
+    # so WITHIN-run drift is visible, not just cross-round drift
+    extra_pre_spin = _calib_spin()
+
     times: dict[str, float] = {}
     warm: dict[str, float] = {}
     for name in HEADLINE:
@@ -193,12 +207,13 @@ def one_pass() -> tuple[dict, dict, dict, str]:
     # with ZERO code change and an idle guest (Firecracker surfaces no
     # steal%), so host throughput drift is real and otherwise invisible.
     # Cross-round per-query comparisons should divide by this anchor
-    # before calling anything a regression.
-    t0 = time.perf_counter()
-    s = 0
-    for i in range(20_000_000):
-        s += i * i
-    extra["calib_spin_1t"] = round(time.perf_counter() - t0, 3)
+    # before calling anything a regression.  Round 8: the spin runs BEFORE
+    # (calib_spin_pre) and AFTER (calib_spin_1t) the timed pass, and the
+    # emitted value_norm / queries_norm are pre-divided by
+    # (calib_spin_1t / 1.2) — 1.2 s being the documented mid-band — so the
+    # artifact itself is drift-corrected (VERDICT r7 item 2).
+    extra["calib_spin_pre"] = extra_pre_spin
+    extra["calib_spin_1t"] = _calib_spin()
 
     # Point-read latency floor (VERDICT r6 item 8): the reference's perf
     # thesis is that the worst case is one small shard
@@ -241,7 +256,13 @@ def _emit(times: dict, warm: dict, extra: dict, sf: str, runs: int) -> None:
     # The driver tail-captures only ~2 KB of stdout and parses the LAST JSON
     # line; the extras dict (40+ entries) goes on its own EARLIER line so the
     # canonical line below stays small enough to survive the capture.
-    print(json.dumps({"queries_extra": extra}))
+    # Anchor normalization (round 8): divide by (calib_spin_1t / 1.2) so
+    # cross-round artifact comparison is host-drift-corrected at the
+    # source; 1.2 s = the documented mid-band spin on this host class.
+    anchor = extra.get("calib_spin_1t") or 1.2
+    scale = anchor / 1.2
+    queries_norm = {k: round(v / scale, 3) for k, v in times.items()}
+    print(json.dumps({"queries_extra": extra, "queries_norm": queries_norm}))
     print(
         json.dumps(
             {
@@ -249,6 +270,9 @@ def _emit(times: dict, warm: dict, extra: dict, sf: str, runs: int) -> None:
                 f"page cache; median of {runs} fresh-JVM runs; "
                 "queries_warm = 2nd run)",
                 "value": round(sum(times.values()), 3),
+                "value_norm": round(sum(times.values()) / scale, 3),
+                "calib_spin_pre": extra.get("calib_spin_pre"),
+                "calib_spin_1t": extra.get("calib_spin_1t"),
                 "unit": "sec",
                 "queries": times,
                 "queries_warm": warm,

@@ -1404,3 +1404,173 @@ def test_do_update_duplicate_keys_accumulate_like_sqlite(def_engines):
     expected = [tuple(_canon(v) for v in r) for r in conn.execute(q).fetchall()]
     got = [tuple(_canon(v) for v in r.values()) for r in store.read("defseg", q)]
     assert got == expected, f"{got} vs {expected}"
+
+
+# -- round-8 ADVICE fixes: NULL-pk identity, conflict-form edges --------------
+
+
+def _diff_state(conn, store, seg, q):
+    expected = [tuple(_canon(v) for v in r) for r in conn.execute(q).fetchall()]
+    got = [tuple(_canon(v) for v in r.values()) for r in store.read(seg, q)]
+    return expected, got
+
+
+def test_null_pk_rows_survive_upsert_and_update_or_modes(spark, tmp_path):
+    """Round-8 ADVICE: SQLite's NULL-pk quirk — a TEXT PRIMARY KEY admits
+    any number of NULL-key rows (NULL bypasses uniqueness) — must survive
+    every driver-side conflict dict: the sequential upsert path, UPDATE OR
+    IGNORE/REPLACE, and the triggered conflict loop previously collapsed
+    coexisting NULL-pk rows into one."""
+    ddl = "CREATE TABLE t (k TEXT PRIMARY KEY, v INTEGER)"
+    store = SegmentStore(spark, str(tmp_path / "nullpk"))
+    store.set_schema("nullpk_schema", ddl + ";")
+    seed = (
+        "INSERT INTO t VALUES ('a', 1), (NULL, 2), ('b', 3), (NULL, 4)"
+    )
+    # 1. upsert DO UPDATE with a repeated conflict key: both NULL rows live
+    conn = sqlite3.connect(":memory:")
+    conn.isolation_level = None
+    conn.executescript(ddl + ";" + seed + ";")
+    store.provision("np1", "nullpk_schema")
+    store.write("np1", seed)
+    up = (
+        "INSERT INTO t (k, v) VALUES ('a', 10), ('a', 20), (NULL, 30) "
+        "ON CONFLICT (k) DO UPDATE SET v = v + excluded.v"
+    )
+    _sqlite_script(conn, up)
+    store.write("np1", up)
+    q = "SELECT k, v FROM t ORDER BY k, v"
+    expected, got = _diff_state(conn, store, "np1", q)
+    assert got == expected and len(got) == 5, f"{got} vs {expected}"
+    conn.close()
+    # 2. UPDATE OR IGNORE touching non-pk columns: conflict-free, NULL rows
+    # keep their own identities
+    conn = sqlite3.connect(":memory:")
+    conn.isolation_level = None
+    conn.executescript(ddl + ";" + seed + ";")
+    store.provision("np2", "nullpk_schema")
+    store.write("np2", seed)
+    stmt = "UPDATE OR IGNORE t SET v = v * 10 WHERE v >= 2"
+    _sqlite_script(conn, stmt)
+    store.write("np2", stmt)
+    expected, got = _diff_state(conn, store, "np2", q)
+    assert got == expected and len(got) == 4, f"{got} vs {expected}"
+    conn.close()
+    # 3. UPDATE OR REPLACE with a conflict-free pk rewrite on a TEXT pk
+    conn = sqlite3.connect(":memory:")
+    conn.isolation_level = None
+    conn.executescript(ddl + ";" + seed + ";")
+    store.provision("np3", "nullpk_schema")
+    store.write("np3", seed)
+    stmt = "UPDATE OR REPLACE t SET k = k || '_x' WHERE k = 'a'"
+    _sqlite_script(conn, stmt)
+    store.write("np3", stmt)
+    expected, got = _diff_state(conn, store, "np3", q)
+    assert got == expected and len(got) == 4, f"{got} vs {expected}"
+    conn.close()
+
+
+def test_update_or_mode_nonrowid_pk_conflict_rejected(spark, tmp_path):
+    """Round-8 ADVICE: for a pk that is NOT an INTEGER rowid alias, SQLite
+    resolves OR IGNORE/REPLACE pk conflicts in rowid (insertion) order,
+    which this engine does not track — the order-dependent case must
+    reject loudly instead of silently using pk order."""
+    from trough_spark.dialect import QueryRejected
+
+    ddl = "CREATE TABLE t (k TEXT PRIMARY KEY, v INTEGER)"
+    store = SegmentStore(spark, str(tmp_path / "nonrowid"))
+    store.set_schema("nr_schema", ddl + ";")
+    store.provision("nr1", "nr_schema")
+    store.write("nr1", "INSERT INTO t VALUES ('a', 1), ('b', 2), ('c', 3)")
+    with pytest.raises(QueryRejected, match="rowid"):
+        store.write("nr1", "UPDATE OR REPLACE t SET k = 'b' WHERE k = 'a'")
+    with pytest.raises(QueryRejected, match="rowid"):
+        store.write("nr1", "UPDATE OR IGNORE t SET k = 'c' WHERE k IN ('a','b')")
+    # the integer-pk chase path is unaffected (dense-id collapse still works)
+    ddl2 = "CREATE TABLE t (id INTEGER PRIMARY KEY, v TEXT)"
+    conn = sqlite3.connect(":memory:")
+    conn.isolation_level = None
+    conn.executescript(ddl2 + "; INSERT INTO t VALUES (1,'a'),(2,'b'),(3,'c');")
+    store.set_schema("nr2_schema", ddl2 + ";")
+    store.provision("nr2", "nr2_schema")
+    store.write("nr2", "INSERT INTO t VALUES (1,'a'),(2,'b'),(3,'c')")
+    stmt = "UPDATE OR REPLACE t SET id = id + 1"
+    conn.executescript("BEGIN;\n" + stmt + ";\nCOMMIT;")
+    store.write("nr2", stmt)
+    expected, got = _diff_state(conn, store, "nr2", "SELECT id, v FROM t ORDER BY id")
+    assert got == expected == [(4, "a")], f"{got} vs {expected}"
+    conn.close()
+
+
+def test_update_or_ignore_no_pk_check_table_matches_sqlite(spark, tmp_path):
+    """Round-8 (VERDICT item 4): UPDATE OR IGNORE on a CHECK/NOT NULL table
+    with NO PRIMARY KEY — previously rejected; now the per-row skip runs on
+    positional identity (pk conflicts are impossible without a pk, so the
+    outcome is order-independent)."""
+    ddl = (
+        "CREATE TABLE c (n INTEGER CHECK (n > 0), s TEXT NOT NULL)"
+    )
+    conn = sqlite3.connect(":memory:")
+    conn.isolation_level = None
+    conn.executescript(
+        ddl + "; INSERT INTO c VALUES (5,'a'),(1,'b'),(7,'c'),(2,'d');"
+    )
+    store = SegmentStore(spark, str(tmp_path / "nopk"))
+    store.set_schema("nopk_schema", ddl + ";")
+    store.provision("nopk1", "nopk_schema")
+    store.write("nopk1", "INSERT INTO c VALUES (5,'a'),(1,'b'),(7,'c'),(2,'d')")
+    # n-3 violates CHECK for rows with n<=3: those rows are skipped
+    stmt = "UPDATE OR IGNORE c SET n = n - 3"
+    conn.executescript("BEGIN;\n" + stmt + ";\nCOMMIT;")
+    store.write("nopk1", stmt)
+    q = "SELECT n, s FROM c ORDER BY n, s"
+    expected, got = _diff_state(conn, store, "nopk1", q)
+    assert got == expected == [(1, "b"), (2, "a"), (2, "d"), (4, "c")]
+    # NOT NULL violations skip the same way
+    stmt = "UPDATE OR IGNORE c SET s = CASE WHEN n = 2 THEN NULL ELSE s || '!' END"
+    conn.executescript("BEGIN;\n" + stmt + ";\nCOMMIT;")
+    store.write("nopk1", stmt)
+    expected, got = _diff_state(conn, store, "nopk1", q)
+    assert got == expected, f"{got} vs {expected}"
+    conn.close()
+
+
+def test_triggered_insert_or_ignore_null_pk_and_onc_reject(spark, tmp_path):
+    """Round-8 ADVICE: (a) on a triggered table, an incoming NULL-pk row
+    never conflicts — OR IGNORE must insert it and fire AFTER (previously
+    it matched an existing NULL-pk dict entry and was skipped); (b)
+    INSERT OR IGNORE combined with an ON CONFLICT clause silently skipped
+    all trigger firing — now rejected loudly."""
+    from trough_spark.dialect import QueryRejected
+
+    ddl = (
+        "CREATE TABLE t (k TEXT PRIMARY KEY, v INTEGER);\n"
+        "CREATE TABLE log (msg TEXT);\n"
+        "CREATE TRIGGER t_ai AFTER INSERT ON t "
+        "BEGIN INSERT INTO log VALUES ('ins:' || coalesce(NEW.k, '<null>')); END;"
+    )
+    conn = sqlite3.connect(":memory:")
+    conn.isolation_level = None
+    conn.executescript(ddl)
+    store = SegmentStore(spark, str(tmp_path / "trignull"))
+    store.set_schema("tn_schema", ddl)
+    store.provision("tn1", "tn_schema")
+    seed = "INSERT INTO t VALUES ('a', 1), (NULL, 2)"
+    _sqlite_script(conn, seed)
+    store.write("tn1", seed)
+    stmt = "INSERT OR IGNORE INTO t VALUES (NULL, 3), ('a', 9), ('b', 4)"
+    _sqlite_script(conn, stmt)
+    store.write("tn1", stmt)
+    for q in (
+        "SELECT k, v FROM t ORDER BY k, v",
+        "SELECT msg FROM log ORDER BY msg",
+    ):
+        expected, got = _diff_state(conn, store, "tn1", q)
+        assert got == expected and expected, f"{q}: {got} vs {expected}"
+    with pytest.raises(QueryRejected, match="ON CONFLICT"):
+        store.write(
+            "tn1",
+            "INSERT OR IGNORE INTO t VALUES ('z', 1) "
+            "ON CONFLICT (k) DO UPDATE SET v = 0",
+        )
+    conn.close()

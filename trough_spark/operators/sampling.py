@@ -284,7 +284,10 @@ def train_order(
       reattach bodies.  Size ``n_shards`` to the trainer's data-parallel
       world size (or a multiple); hash uniformity keeps the shards
       balanced.  ``key`` must be row-unique (it is the join-back key; a
-      document id) — duplicates would multiply rows at reattach.
+      document id) — duplicates would multiply rows at reattach, and rows
+      with a NULL key are EXCLUDED from the output (filtered explicitly
+      up front; a NULL never matches an equi-join, and several NULL keys
+      could not be row-unique anyway).
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
@@ -292,6 +295,8 @@ def train_order(
         key_name, base = key, df
     else:
         key_name, base = "_train_key", df.withColumn("_train_key", key)
+    # visible, not silent: the keys-first join-back cannot carry NULL keys
+    base = base.where(F.col(key_name).isNotNull())
     order = (
         base.select(key_name)
         .withColumn("_train_h", _key_hash(F.col(key_name), salt))
@@ -531,11 +536,15 @@ def weighted_sample(
     ``partitions x k`` survivors.  No global sort, no data-sized shuffle;
     the cost at 100 TB is one scan plus a k-row merge.  Rows with
     non-positive or null weight are excluded (zero weight = never chosen,
-    and ``-ln(u)/0`` would be ill-defined).
+    and ``-ln(u)/0`` would be ill-defined).  Rows with a NULL key are
+    excluded too (explicitly — a NULL hash would otherwise yield a NULL
+    arrival, which Spark's ascending sort places FIRST, silently hogging
+    the top-k).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     kc = F.col(key) if isinstance(key, str) else key
+    df = df.where(kc.isNotNull())
     wc = (F.col(weight) if isinstance(weight, str) else weight).cast("double")
     u = (_key_hash(kc, salt).cast("double") + F.lit(0.5)) / F.lit(
         float(HASH_SPACE)
@@ -569,13 +578,16 @@ def weighted_sample_per_group(
     bytes/row regardless of the caller's columns — and row bodies join
     back by ``key`` afterwards (the kept side is only k rows per group).
     A skewed dominant group still sorts its keys on one reducer; cap
-    upstream with ``group_cap`` if a single stratum is shuffle-sized."""
+    upstream with ``group_cap`` if a single stratum is shuffle-sized.
+    NULL keys are excluded (filtered explicitly — they can neither win a
+    deterministic arrival nor survive the equi-join back)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if isinstance(key, str):
         key_name, base = key, df
     else:
         key_name, base = "_es_key", df.withColumn("_es_key", key)
+    base = base.where(F.col(key_name).isNotNull())
     wc = (F.col(weight) if isinstance(weight, str) else weight).cast("double")
     u = (
         _key_hash(F.col(key_name), salt).cast("double") + F.lit(0.5)
@@ -651,12 +663,15 @@ def budget_select(
     document payloads regardless of what columns the input frame has.
 
     Returns the kept rows plus ``cum_before`` (the exact running total
-    before each kept row) for audit.
+    before each kept row) for audit.  NULL keys are excluded (filtered
+    explicitly — a NULL key has no total order position and cannot
+    survive the equi-join back).
     """
     if isinstance(key, str):
         key_name, base = key, df
     else:
         key_name, base = "_bs_key", df.withColumn("_bs_key", key)
+    base = base.where(F.col(key_name).isNotNull())
     costc = F.col(cost) if isinstance(cost, str) else cost
     scorec = F.col(score) if isinstance(score, str) else score
     proj = base.select(
@@ -717,11 +732,13 @@ def budget_select_per_group(
     One hash exchange on the group key over a keys-first (key, group,
     cost, score) projection (bodies join back by ``key``); each group's
     sort is bounded by the group size (cap a dominant group upstream with
-    ``group_cap`` if a single stratum is itself shuffle-sized)."""
+    ``group_cap`` if a single stratum is itself shuffle-sized).  NULL keys
+    are excluded, as in ``budget_select``."""
     if isinstance(key, str):
         key_name, base = key, df
     else:
         key_name, base = "_bs_key", df.withColumn("_bs_key", key)
+    base = base.where(F.col(key_name).isNotNull())
     costc = F.col(cost) if isinstance(cost, str) else cost
     scorec = F.col(score) if isinstance(score, str) else score
     proj = base.select(

@@ -32,6 +32,7 @@ engine is driver-coordinated) rather than by a lock table.
 from __future__ import annotations
 
 import contextlib
+import itertools
 import json
 import os
 import re
@@ -2003,9 +2004,17 @@ class SegmentStore:
         pkcols = list(ts.primary_key)
         state: dict[tuple, Row] = {}
         nullkey_rows: list[Row] = []
+        null_existing: list[Row] = []
         if os.path.isdir(self._partition_path(table, segment_id)):
             for r0 in self._read_partition(segment_id, table).collect():
-                state[tuple(r0[k] for k in pkcols)] = r0
+                k0 = tuple(r0[k] for k in pkcols)
+                if any(v is None for v in k0):
+                    # NULL pk components never conflict — existing NULL-pk
+                    # rows coexist (store rule at _upsert_*) and must not
+                    # collapse into one dict slot (round-8 ADVICE fix)
+                    null_existing.append(r0)
+                else:
+                    state[k0] = r0
         for r in rows:
             k = tuple(r[k2] for k2 in pkcols)
             if any(v is None for v in k):
@@ -2021,7 +2030,7 @@ class SegmentStore:
                 state[k] = r
         tuples = [
             tuple(r[n] for n, _ in ts.fields)
-            for r in list(state.values()) + nullkey_rows
+            for r in list(state.values()) + null_existing + nullkey_rows
         ]
         out = self.spark.createDataFrame(tuples, ts.struct())
         self._assert_constraints(ts, out)
@@ -2041,7 +2050,21 @@ class SegmentStore:
         change, probed), REPLACE silently deletes the collided-with row
         but still raises on CHECK.  Driver-side sequential by necessity —
         the semantics are an evolving-state scan — and bounded by the one
-        segment partition like every write."""
+        segment partition like every write.
+
+        The position-chase model above is SQLite's ROWID-ALIAS behavior:
+        for an INTEGER PRIMARY KEY, the pk IS the rowid, so an OR REPLACE
+        that changes the pk moves the row in rowid space and the scan
+        re-visits it.  For any other pk shape (TEXT, composite) the rowid
+        is the insertion order — pk updates do NOT move the row and the
+        scan visits each original row once.  This engine does not track
+        insertion order, so for non-rowid-alias tables it applies each
+        row's update from its own original values (order-independent) and
+        LOUDLY rejects the one order-dependent case: a statement whose
+        updates could pk-conflict with any other row (round-8 ADVICE fix;
+        the previous pk-ordered chase could diverge from SQLite there).
+        NULL pk components never conflict and NULL-pk rows keep their own
+        identity via unique sentinel keys (they must not collapse)."""
         pkcols = list(ts.primary_key or [])
         declared = {n.lower() for n, _ in ts.fields}
         sets = {c.lower(): e for c, e in _split_assignments(m.group("sets"))}
@@ -2051,28 +2074,23 @@ class SegmentStore:
         stripped = re.sub(
             r"(?is)^(\s*)UPDATE\s+OR\s+\w+\s+", r"\1UPDATE ", m.string, count=1
         )
-        if not pkcols:
+        if not pkcols and (
+            umode == "REPLACE" or not self._violation_conds(ts)
+        ):
             # no pk => pk conflicts impossible; OR REPLACE == plain, and
             # OR IGNORE only differs when a constraint could reject a row
-            if umode == "REPLACE" or not self._violation_conds(ts):
-                return self._rewrite_partition(segment_id, stripped, "UPDATE")
-            raise QueryRejected(
-                "UPDATE OR IGNORE on a table with CHECK/NOT NULL "
-                "constraints but no PRIMARY KEY is not supported (no "
-                f"stable row identity for the per-row skip): {m.string[:80]!r}"
-            )
+            return self._rewrite_partition(segment_id, stripped, "UPDATE")
         where = m.group("where")
-        df = self._read_partition(segment_id, table)
         mask = (
             f"coalesce(({dialect.sqlite_to_spark(where)}), false)"
             if where
             else "true"
         )
-        victims = [
-            tuple(r[k] for k in pkcols) for r in df.filter(mask).collect()
-        ]
-        victims.sort(key=lambda t: tuple((v is None, v) for v in t))
-        state = {tuple(r[k] for k in pkcols): r for r in df.collect()}
+        rows = (
+            self._read_partition(segment_id, table)
+            .selectExpr("*", f"({mask}) AS __trough_mask__")
+            .collect()
+        )
 
         def bind(expr: str, row) -> str:
             return _sub_new_old(
@@ -2080,10 +2098,8 @@ class SegmentStore:
             )
 
         names = list(sets)
-        for vk in victims:
-            row = state.get(vk)
-            if row is None:
-                continue  # REPLACE deleted this victim before its visit
+
+        def updated_row(row) -> Row:
             cols_sql = ", ".join(
                 f"({dialect.sqlite_to_spark(bind(sets[c], row))}) AS v{j}"
                 for j, c in enumerate(names)
@@ -2095,7 +2111,7 @@ class SegmentStore:
                     f"unsupported UPDATE SET expression: {e}"
                 ) from None
             newvals = dict(zip(names, vals))
-            new = Row(
+            return Row(
                 **{
                     n: _coerce(newvals[n.lower()], t)
                     if n.lower() in newvals
@@ -2103,17 +2119,85 @@ class SegmentStore:
                     for n, t in ts.fields
                 }
             )
-            if umode == "IGNORE" and self._row_violates(ts, new):
-                continue
-            nk = tuple(new[k] for k in pkcols)
-            if nk != vk and all(v is not None for v in nk) and nk in state:
-                if umode == "IGNORE":
+
+        ftypes = {n.lower(): t for n, t in ts.fields}
+        rowid_alias = len(pkcols) == 1 and isinstance(
+            ftypes[pkcols[0].lower()], (T.LongType, T.IntegerType)
+        )
+        if rowid_alias:
+            # pk == rowid: positions are pk values; the probed chase applies
+            sentinel = itertools.count()
+
+            def keyof(k: tuple) -> tuple:
+                if all(v is not None for v in k):
+                    return k
+                return ("\x00null", next(sentinel))
+
+            state: dict[tuple, Row] = {}
+            victims: list[tuple[tuple, tuple]] = []
+            for r in rows:
+                k = tuple(r[c] for c in pkcols)
+                key = keyof(k)
+                state[key] = r
+                if r["__trough_mask__"]:
+                    victims.append((k, key))
+            victims.sort(
+                key=lambda t: tuple((v is None, v) for v in t[0])
+            )
+            for vk, vkey in victims:
+                row = state.get(vkey)
+                if row is None:
+                    continue  # REPLACE deleted this victim before its visit
+                new = updated_row(row)
+                if umode == "IGNORE" and self._row_violates(ts, new):
                     continue
-                del state[nk]  # REPLACE: the collided-with row vanishes
-            del state[vk]
-            state[nk] = new
+                nk = tuple(new[c] for c in pkcols)
+                nkey = keyof(nk)  # fresh sentinel when the new pk has NULLs
+                if (
+                    nkey != vkey
+                    and all(v is not None for v in nk)
+                    and nkey in state
+                ):
+                    if umode == "IGNORE":
+                        continue
+                    del state[nkey]  # REPLACE: the collided-with row vanishes
+                del state[vkey]
+                state[nkey] = new
+            survivors = list(state.values())
+        else:
+            # non-rowid pk (or none): per-original-row application; reject
+            # loudly when any update could pk-conflict (order-dependent)
+            news: dict[int, Row] = {}
+            for i, r in enumerate(rows):
+                if not r["__trough_mask__"]:
+                    continue
+                new = updated_row(r)
+                if umode == "IGNORE" and self._row_violates(ts, new):
+                    continue
+                news[i] = new
+            if pkcols:
+                orig_owner: dict[tuple, int] = {}
+                for i, r in enumerate(rows):
+                    k = tuple(r[c] for c in pkcols)
+                    if all(v is not None for v in k):
+                        orig_owner[k] = i
+                seen_new: set[tuple] = set()
+                for i, new in news.items():
+                    nk = tuple(new[c] for c in pkcols)
+                    if any(v is None for v in nk):
+                        continue
+                    if nk in seen_new or orig_owner.get(nk, i) != i:
+                        raise QueryRejected(
+                            f"UPDATE OR {umode} would pk-conflict on a "
+                            "table whose PRIMARY KEY is not an INTEGER "
+                            "rowid alias: SQLite resolves these in rowid "
+                            "(insertion) order, which this engine does not "
+                            f"track — rejected loudly: {m.string[:80]!r}"
+                        )
+                    seen_new.add(nk)
+            survivors = [news.get(i, r) for i, r in enumerate(rows)]
         tuples = [
-            tuple(r[n] for n, _ in ts.fields) for r in state.values()
+            tuple(r[n] for n, _ in ts.fields) for r in survivors
         ]
         out = self.spark.createDataFrame(tuples, ts.struct())
         self._assert_constraints(ts, out)  # OR REPLACE: CHECK still raises
@@ -2343,6 +2427,15 @@ class SegmentStore:
         skip_unique = skip_constraints = replace_rows = False
         do_update: tuple[dict, str | None] | None = None
         if mode == "IGNORE":
+            if onc is not None:
+                # stripping OR IGNORE but leaving the ON CONFLICT clause
+                # would route the statement through the batch upsert path
+                # with no rows staged — triggers would silently never fire
+                # (round-8 ADVICE fix): reject loudly instead
+                raise QueryRejected(
+                    "INSERT OR IGNORE with an ON CONFLICT clause on a "
+                    f"triggered table is not supported: {stmt[:80]!r}"
+                )
             skip_unique = skip_constraints = True
             stmt = re.sub(
                 r"(?is)^(\s*)INSERT\s+OR\s+IGNORE\s+", r"\1INSERT ", stmt, count=1
@@ -2504,11 +2597,19 @@ class SegmentStore:
             pkcols = list(ts.primary_key or [])
             current: dict[tuple, Row] = {}
             if pkcols:
+                # NULL pk components never conflict: rows carrying one keep
+                # their place on disk and stay OUT of the conflict dict —
+                # storing them would collapse coexisting NULL-pk rows into
+                # one slot (round-8 ADVICE fix)
                 if os.path.isdir(self._partition_path(table, segment_id)):
                     for r0 in self._read_partition(segment_id, table).collect():
-                        current[tuple(r0[k] for k in pkcols)] = r0
+                        k0 = tuple(r0[k] for k in pkcols)
+                        if all(v is not None for v in k0):
+                            current[k0] = r0
                 for r0 in pending.get(table, []):
-                    current[tuple(r0[k] for k in pkcols)] = r0
+                    k0 = tuple(r0[k] for k in pkcols)
+                    if all(v is not None for v in k0):
+                        current[k0] = r0
             utrigs = (
                 self._triggers_for(
                     segment_id, table, "UPDATE", set_cols=list(do_update[0])
@@ -2529,7 +2630,10 @@ class SegmentStore:
                 if self._fire_triggers(segment_id, trigs, "BEFORE", pair, pending):
                     continue  # RAISE(IGNORE): skip this row's insert
                 k = tuple(r[c] for c in pkcols) if pkcols else None
-                conflict = pkcols and k in current
+                # a NULL pk component never conflicts (matches the batch
+                # path's nullkey_rows rule; round-8 ADVICE fix)
+                keyed = bool(pkcols) and all(v is not None for v in k)
+                conflict = keyed and k in current
                 if conflict and (skip_unique or skip_constraints):
                     continue  # uniqueness conflict: no insert, no AFTER
                 if skip_constraints and self._row_violates(ts, r):
@@ -2563,7 +2667,7 @@ class SegmentStore:
                     continue
                 pending.setdefault(table, []).append(r)
                 self._flush_inserts(segment_id, pending)
-                if pkcols:
+                if keyed:
                     current[k] = r
                 self._fire_triggers(segment_id, trigs, "AFTER", pair, pending)
                 self._flush_inserts(segment_id, pending)
