@@ -1,9 +1,11 @@
 """TEST-ONLY contract double for delta-spark (pure Python, no JVM jar).
 
 This sandbox has no network access and no Delta JVM jars, so the real
-delta-spark package cannot be vendored (reproduced: ``pip download
-delta-spark`` fails name resolution; no ``*delta*.jar`` exists anywhere on
-the image).  To still EXECUTE the engine's ``storage_format='delta'``
+delta-spark package cannot be vendored (re-reproduced round 8:
+``pip download delta-spark --no-deps`` retries then fails with
+``NewConnectionError … [Errno -2] Name or service not known`` against the
+configured index, and a full-filesystem ``find / -name '*delta*.jar'``
+finds nothing).  To still EXECUTE the engine's ``storage_format='delta'``
 branches (`trough_spark/store.py` `_write_files`/`_read_files`/`merge_many`/
 rollback), this package implements a small subset of the PUBLIC Delta Lake
 transaction-log protocol (https://github.com/delta-io/delta PROTOCOL.md):
@@ -22,9 +24,13 @@ restores ``_delta_log`` to its pre-script file set) round-trips exactly as
 it would against real Delta.
 
 Documented deviations from delta-spark (this is a double, not a port):
-- schema enforcement is lenient: append ``mergeSchema`` is union-by-name
-  with no type-widening checks; overwrite keeps/merges the schema without
-  requiring ``overwriteSchema``;
+- schema enforcement (tightened round 8 to real Delta's rules): a write
+  whose schema adds columns raises unless ``mergeSchema=true`` (append
+  AND overwrite — real Delta enforces on both), a same-named column with
+  a different type raises (the store cast-aligns before every write, so
+  a mismatch is a store bug), and ``overwriteSchema`` cannot combine with
+  ``replaceWhere`` (real Delta's rule); type WIDENING under mergeSchema
+  is still not modeled (union-by-name, existing type wins);
 - ``DeltaTable.merge`` rewrites the whole table rather than only touched
   files (correctness-equivalent; perf-irrelevant at test scale);
 - snapshots are cached keyed by the SET of log files, so a deleted commit
@@ -157,10 +163,23 @@ def _metadata_action(schema: T.StructType, pcols: list[str]) -> dict:
 
 
 def _merge_schemas(old: T.StructType, new: T.StructType) -> tuple[T.StructType, bool]:
-    """Union-by-name (case-insensitive, existing casing/type wins) — the
-    double's lenient take on Delta's mergeSchema."""
-    have = {f.name.lower() for f in old.fields}
-    extra = [f for f in new.fields if f.name.lower() not in have]
+    """Union-by-name (case-insensitive, existing casing wins) — Delta's
+    mergeSchema shape.  A same-named column whose type differs raises, as
+    real Delta's schema enforcement does (the store cast-aligns every
+    write to the declared schema first, so a mismatch here is a store
+    bug the lenient round-7 double would have masked)."""
+    old_by_lower = {f.name.lower(): f for f in old.fields}
+    extra = []
+    for f in new.fields:
+        prev = old_by_lower.get(f.name.lower())
+        if prev is None:
+            extra.append(f)
+        elif prev.dataType != f.dataType:
+            raise DeltaDoubleError(
+                f"Failed to merge fields '{prev.name}' and '{f.name}': "
+                f"incompatible types {prev.dataType.simpleString()} and "
+                f"{f.dataType.simpleString()}"
+            )
     if not extra:
         return old, False
     return T.StructType(list(old.fields) + extra), True
@@ -221,15 +240,32 @@ def _delta_save(df, root: str, mode: str, pcols: list[str], options: dict) -> No
     actions: list[dict] = [
         {"commitInfo": {"operation": "WRITE", "operationParameters": {"mode": mode}}}
     ]
+
+    def _opt_true(name: str) -> bool:
+        return options.get(name, "").lower() == "true"
+
     if snap is None:
         actions.append(_metadata_action(df.schema, pcols))
+    elif mode == "overwrite" and _opt_true("overwriteSchema"):
+        # real Delta: overwriteSchema REPLACES the schema wholesale, and
+        # is incompatible with replaceWhere (partial rewrites can't change
+        # the table schema)
+        if options.get("replaceWhere"):
+            raise DeltaDoubleError(
+                "'overwriteSchema' is not allowed when 'replaceWhere' is set"
+            )
+        actions.append(_metadata_action(df.schema, pcols or snap.partition_cols))
     else:
         merged, changed = _merge_schemas(snap.schema, df.schema)
         if changed:
-            if mode == "append" and options.get("mergeSchema", "").lower() != "true":
+            # real Delta enforces mergeSchema on BOTH append and overwrite
+            # (round-8 tightening; the round-7 double let overwrite merge
+            # silently, which could mask a store schema bug)
+            if not _opt_true("mergeSchema"):
                 raise DeltaDoubleError(
-                    "schema of the written DataFrame does not match the table and "
-                    "mergeSchema is not enabled"
+                    "A schema mismatch detected when writing to the Delta "
+                    "table: schema of the written DataFrame does not match "
+                    "the table and mergeSchema is not enabled"
                 )
             actions.append(_metadata_action(merged, snap.partition_cols))
     removes: list[str] = []

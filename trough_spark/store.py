@@ -1687,9 +1687,15 @@ class SegmentStore:
             out = df.withColumn("segment_id", F.lit(seg))
             w = out.write.format("delta").partitionBy("segment_id")
             if mode == "overwrite":
+                # mergeSchema also on overwrite: an ALTER ADD COLUMN
+                # backfill legitimately widens the shared table schema
+                # during its partition rewrite, and real Delta requires the
+                # option for that (overwriteSchema would be wrong here —
+                # it can't combine with replaceWhere and would drop other
+                # segments' columns)
                 w = w.mode("overwrite").option(
                     "replaceWhere", f"segment_id = '{seg}'"
-                )
+                ).option("mergeSchema", "true")
             else:
                 # same-named tables across segments share the one Delta
                 # schema; mergeSchema widens on append (documented layout
