@@ -142,7 +142,14 @@ def one_pass() -> tuple[dict, dict, dict, str]:
     """One fresh-JVM timing pass: (cold, warm, extra, sf) per-query seconds."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     load_all()
-    spark = get_spark(app_name="trough-spark-bench")
+    # SPARK_GRAFT_SHUFFLE overrides spark.sql.shuffle.partitions for
+    # partition-count sensitivity runs (PERF.md round-8 experiment);
+    # unset = the session default (2x cores, AQE coalescing on)
+    _sp = os.environ.get("SPARK_GRAFT_SHUFFLE")
+    spark = get_spark(
+        app_name="trough-spark-bench",
+        shuffle_partitions=int(_sp) if _sp else None,
+    )
     spark.sparkContext.setLogLevel("WARN")
 
     # Warm-up convention (round 5+): before any timing, (a) one untimed

@@ -995,3 +995,194 @@ def test_fuzzed_conflict_forms_on_triggers_match_sqlite(spark, tmp_path, case):
             f"\ntriggers: {trigs}\nscript: {stmts}\nq: {q}\n"
             f"sqlite: {expected}\nengine: {got}"
         )
+
+
+# -- round-8 campaign: UPDATE OR IGNORE/REPLACE x triggers x pk shapes -------
+#
+# VERDICT r7 item 7: the round-7 position-visit model was fuzzed on a fixed
+# dense seed; this campaign varies the pk SHAPE (dense chase-fodder blocks,
+# sparse ids, mixed runs), adds WHEN-clause triggers and UPDATE OF triggers
+# on columns DISJOINT from the script's SET lists (the engine supports that
+# combination — OF-matching triggers stay a documented loud reject, pinned
+# separately below), interleaves plain INSERT/DELETE so the trigger
+# machinery runs inside the same script, and occasionally sets the rowid
+# pk to NULL (SQLite: "datatype mismatch" even under OR IGNORE — probed
+# round 8, previously a silent divergence).
+
+N_UPDATE_OR_CASES = int(os.environ.get("TROUGH_FUZZ_UPDATE_OR", "8"))
+
+
+def _pk_seed_rows(rng: random.Random) -> list[tuple]:
+    shape = rng.randrange(3)
+    if shape == 0:
+        ids = list(range(1, 7))  # dense: OR REPLACE chase fodder
+    elif shape == 1:
+        ids = sorted(rng.sample(range(1, 30), 6))  # sparse
+    else:
+        ids = [1, 2, 3] + sorted(rng.sample(range(7, 25), 3))  # mixed
+    return [
+        (
+            i,
+            rng.choice([None, rng.randint(-9, 9)]),
+            rng.randint(-9, 9),
+            rng.choice([None, "x", "yy", ""]),
+        )
+        for i in ids
+    ]
+
+
+def _update_or_script(rng: random.Random) -> tuple[list[str], set[str]]:
+    """OR-mode updates + plain INSERT/DELETE noise; returns (stmts,
+    set_cols) so trigger generation can stay disjoint from every SET."""
+    stmts: list[str] = []
+    set_cols: set[str] = set()
+    next_id = 400
+    for _ in range(rng.randint(3, 5)):
+        kind = rng.randrange(6)
+        if kind == 4:
+            a = rng.choice(["NULL", str(rng.randint(-9, 9))])
+            stmts.append(
+                f"INSERT INTO nums (id, a, b, s) VALUES "
+                f"({next_id}, {a}, {rng.randint(-9, 9)}, 'n')"
+            )
+            next_id += 1
+            continue
+        if kind == 5:
+            stmts.append(f"DELETE FROM nums WHERE id % {rng.randint(3, 5)} = 1")
+            continue
+        mode = rng.choice(["IGNORE", "REPLACE"])
+        if rng.random() < 0.12:
+            set_sql = "id = NULL"  # datatype-mismatch parity
+            set_cols.add("id")
+        elif kind == 0:
+            set_sql = f"id = id {rng.choice(['+', '-'])} {rng.randint(1, 3)}"
+            set_cols.add("id")
+        elif kind == 1:
+            set_sql = rng.choice(
+                [f"id = {rng.randint(1, 12)}", f"id = {rng.randint(6, 14)} - id"]
+            )
+            set_cols.add("id")
+        elif kind == 2:
+            set_sql = f"id = id + {rng.randint(1, 2)}, a = coalesce(a, 0) + 1"
+            set_cols.update(("id", "a"))
+        else:
+            set_sql = "a = coalesce(a, 0) * 2"
+            set_cols.add("a")
+        where = ""
+        if rng.random() < 0.7:
+            where = " WHERE " + rng.choice(
+                [
+                    f"id < {rng.randint(2, 14)}",
+                    f"id > {rng.randint(0, 8)}",
+                    f"id % {rng.randint(2, 4)} = 0",
+                    "a IS NULL",
+                    f"coalesce(b, 0) >= {rng.randint(-4, 8)}",
+                ]
+            )
+        stmts.append(f"UPDATE OR {mode} nums SET {set_sql}{where}")
+    return stmts, set_cols
+
+
+def _disjoint_trigger_ddl(
+    rng: random.Random, set_cols: set[str]
+) -> list[str]:
+    """INSERT/DELETE triggers (fire from the noise statements) plus UPDATE
+    OF triggers restricted to columns no OR-mode statement sets."""
+    trigs = []
+    free = [c for c in ("a", "b", "s") if c not in set_cols]
+    for i in range(rng.randint(1, 3)):
+        event = rng.choice(["INSERT", "DELETE"] + (["UPDATE"] if free else []))
+        timing = rng.choice(["BEFORE", "AFTER"])
+        row = {"INSERT": "NEW", "UPDATE": rng.choice(["NEW", "OLD"]), "DELETE": "OLD"}[
+            event
+        ]
+        of = f" OF {rng.choice(free)}" if event == "UPDATE" else ""
+        when = ""
+        if rng.random() < 0.6:
+            when = rng.choice(
+                [
+                    f"WHEN {row}.id > {rng.randint(0, 6)} ",
+                    f"WHEN {row}.a IS NOT NULL ",
+                    f"WHEN coalesce({row}.b, 0) >= {rng.randint(-5, 5)} ",
+                ]
+            )
+        trigs.append(
+            f"CREATE TRIGGER uor{i} {timing} {event}{of} ON nums "
+            f"FOR EACH ROW {when}BEGIN INSERT INTO audit VALUES "
+            f"({row}.id, '{event[:3].lower()}{i}', coalesce({row}.b, -99)); END"
+        )
+    return trigs
+
+
+@pytest.mark.parametrize("case", range(N_UPDATE_OR_CASES))
+def test_fuzzed_update_or_modes_match_sqlite(spark, tmp_path, case):
+    rng = random.Random(SEED + 1500 + case)
+    seed_rows = _pk_seed_rows(rng)
+    stmts, set_cols = _update_or_script(rng)
+    trigs = _disjoint_trigger_ddl(rng, set_cols)
+
+    conn = sqlite3.connect(":memory:")
+    conn.isolation_level = None
+    conn.executescript(TRIG_DDL)
+    conn.executemany("INSERT INTO nums VALUES (?, ?, ?, ?)", seed_rows)
+    conn.commit()
+    for t in trigs:
+        conn.execute(t)
+    conn.commit()
+
+    store = SegmentStore(spark, str(tmp_path / "store"))
+    store.set_schema("uor8_schema", TRIG_DDL + ";")
+    store.provision(f"useg{case}", "uor8_schema")
+    seed = ";\n".join(
+        "INSERT INTO nums (id, a, b, s) VALUES (%s)"
+        % ", ".join(
+            "NULL" if v is None else (f"'{v}'" if isinstance(v, str) else str(v))
+            for v in r
+        )
+        for r in seed_rows
+    )
+    store.write(f"useg{case}", seed)
+    store.write(f"useg{case}", ";\n".join(trigs))
+    sq_raised, en_raised = _run_script_both(conn, store, f"useg{case}", stmts)
+    assert sq_raised == en_raised, (
+        f"\nseed: {seed_rows}\ntriggers: {trigs}\nscript: {stmts}\n"
+        f"sqlite raised: {sq_raised}, engine raised: {en_raised}"
+    )
+    for q in (
+        "SELECT id, a, b, s FROM nums ORDER BY id",
+        "SELECT rid, tag, x FROM audit ORDER BY rid, tag, x",
+    ):
+        expected = [tuple(row) for row in conn.execute(q).fetchall()]
+        got = [tuple(r.values()) for r in store.read(f"useg{case}", q)]
+        assert got == expected, (
+            f"\nseed: {seed_rows}\ntriggers: {trigs}\nscript: {stmts}\nq: {q}\n"
+            f"sqlite: {expected}\nengine: {got}"
+        )
+
+
+def test_update_or_mode_matching_trigger_rejects_loudly(spark, tmp_path):
+    """The OF-matching combination stays a DOCUMENTED loud reject: an
+    UPDATE OR mode whose SET list overlaps an UPDATE trigger's columns
+    (or hits a no-OF UPDATE trigger) raises QueryRejected rather than
+    silently skipping the firing interplay."""
+    from trough_spark.dialect import QueryRejected
+
+    store = SegmentStore(spark, str(tmp_path / "store"))
+    store.set_schema("uorrej_schema", TRIG_DDL + ";")
+    store.provision("urseg", "uorrej_schema")
+    store.write("urseg", "INSERT INTO nums (id, a, b, s) VALUES (1, 1, 1, 'x')")
+    store.write(
+        "urseg",
+        "CREATE TRIGGER tr_any AFTER UPDATE ON nums FOR EACH ROW "
+        "BEGIN INSERT INTO audit VALUES (NEW.id, 'u', 0); END",
+    )
+    with pytest.raises(QueryRejected, match="trigger"):
+        store.write("urseg", "UPDATE OR IGNORE nums SET a = a + 1")
+    store.write("urseg", "DROP TRIGGER tr_any")
+    store.write(
+        "urseg",
+        "CREATE TRIGGER tr_of AFTER UPDATE OF a ON nums FOR EACH ROW "
+        "BEGIN INSERT INTO audit VALUES (NEW.id, 'ua', 0); END",
+    )
+    with pytest.raises(QueryRejected, match="trigger"):
+        store.write("urseg", "UPDATE OR REPLACE nums SET a = 5, id = 2")

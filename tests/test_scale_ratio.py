@@ -375,3 +375,49 @@ def test_weighted_sample_topk_scales_linearly(spark):
     print(f"ratios: 4x/1x = {t4 / t1:.2f} (ideal 4), 16x/1x = {t16 / t1:.2f} (ideal 16)")
     assert n1 == n4 == n16 == 256
     assert t16 <= max(t1, 0.5) * 16 * 2.5, (t1, t16)
+
+
+def test_dsir_scoring_scales_linearly(spark):
+    """Eighth measured family (VERDICT r7 item 5): the full dsir_weights
+    path — tokenize, unigram+bigram explode, hashed bucketing, per-(id,
+    bucket) partial aggregation, 1024-row stats broadcast — at 1x/4x/16x
+    corpus.  The claim in numbers: the ONLY data-sized shuffle carries
+    (id, int bucket, count); the bucket-stats aggregate collapses to 1024
+    rows before the broadcast join back, so wall time tracks the corpus
+    (token volume), never a stats-table join or a global sort."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from trough_spark.operators import sampling as SA
+
+    def run(n: int) -> tuple[float, int]:
+        # synthetic corpus: 12 zipf-ish tokens/doc over a 500-word
+        # vocabulary; the target subset is a deterministic 1/7 slice
+        df = spark.range(0, n, 1, 32).select(
+            F.col("id"),
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(sequence(1, 12), "
+                    "i -> concat('w', pmod(id * i + i * i, 500)))"
+                ),
+            ).alias("text"),
+        )
+        out = SA.dsir_weights(df, "id", "text", F.col("id") % 7 == 0)
+        t0 = time.perf_counter()
+        c = out.count()
+        return time.perf_counter() - t0, c
+
+    base = 150_000
+    run(base)  # codegen warm-up for the plan shape
+    t1, n1 = run(base)
+    t4, n4 = run(4 * base)
+    t16, n16 = run(16 * base)
+    print(
+        f"\ndsir scoring: 1x {t1:.2f}s/{n1} docs, 4x {t4:.2f}s/{n4}, "
+        f"16x {t16:.2f}s/{n16}"
+    )
+    print(f"ratios: 4x/1x = {t4 / t1:.2f} (ideal 4), 16x/1x = {t16 / t1:.2f} (ideal 16)")
+    assert (n1, n4, n16) == (base, 4 * base, 16 * base)
+    assert t16 <= max(t1, 0.5) * 16 * 2.5, (t1, t16)

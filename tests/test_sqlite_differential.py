@@ -1574,3 +1574,42 @@ def test_triggered_insert_or_ignore_null_pk_and_onc_reject(spark, tmp_path):
             "ON CONFLICT (k) DO UPDATE SET v = 0",
         )
     conn.close()
+
+
+def test_rowid_alias_null_semantics_match_sqlite(spark, tmp_path):
+    """Round-8 probe: an INTEGER PRIMARY KEY is the rowid — an INSERT of
+    an explicit NULL auto-assigns (exactly like omitting the column), and
+    an UPDATE to NULL raises "datatype mismatch" even under OR
+    IGNORE/REPLACE (it is a datatype error, not a skippable constraint).
+    Previously the engine stored the NULL silently on both paths."""
+    ddl = "CREATE TABLE t (id INTEGER PRIMARY KEY, v TEXT)"
+    conn = sqlite3.connect(":memory:")
+    conn.isolation_level = None
+    conn.execute(ddl)
+    store = SegmentStore(spark, str(tmp_path / "rowidnull"))
+    store.set_schema("rn_schema", ddl + ";")
+    store.provision("rn1", "rn_schema")
+    script = (
+        "INSERT INTO t VALUES (NULL, 'a');\n"
+        "INSERT INTO t VALUES (5, 'b');\n"
+        "INSERT INTO t (id, v) VALUES (NULL, 'c'), (NULL, 'd')"
+    )
+    _sqlite_script(conn, script)
+    store.write("rn1", script)
+    q = "SELECT id, v FROM t ORDER BY id"
+    expected, got = _diff_state(conn, store, "rn1", q)
+    assert got == expected == [(1, "a"), (5, "b"), (6, "c"), (7, "d")]
+    from trough_spark.dialect import QueryRejected
+
+    for stmt in (
+        "UPDATE t SET id = NULL WHERE v = 'b'",
+        "UPDATE OR IGNORE t SET id = NULL",
+        "UPDATE OR REPLACE t SET id = NULL WHERE v = 'a'",
+    ):
+        with pytest.raises(sqlite3.Error):
+            conn.execute(stmt)
+        with pytest.raises(QueryRejected, match="datatype mismatch"):
+            store.write("rn1", stmt)
+    expected, got = _diff_state(conn, store, "rn1", q)
+    assert got == expected, f"{got} vs {expected}"
+    conn.close()

@@ -575,3 +575,87 @@ def test_trigger_when_subquery_rejected(store):
             "CREATE TRIGGER bad2 BEFORE INSERT ON t BEGIN "
             "SELECT RAISE(ABORT, 'cap') WHERE (SELECT count(*) FROM t) >= 2; END",
         )
+
+
+# -- round-8 point-read view cache (VERDICT r7 item 6) ------------------------
+
+
+def test_point_read_view_cache_invalidation(store):
+    """The per-session registration cache must be invisible: a write (data
+    or DDL) from the same store invalidates the cached view, sqlite_master
+    tracks DDL by content, and a recursive CTE that shadows a table name
+    does not poison later reads."""
+    store.set_schema("vc", "CREATE TABLE kv (k INTEGER PRIMARY KEY, v TEXT);")
+    store.provision("seg_vc", "vc")
+    store.write("seg_vc", "INSERT INTO kv VALUES (1, 'a'), (2, 'b')")
+    assert store.read("seg_vc", "SELECT v FROM kv WHERE k = 1")[0]["v"] == "a"
+    # repeat read (cache hit) then write → next read must see new data
+    assert store.read("seg_vc", "SELECT v FROM kv WHERE k = 1")[0]["v"] == "a"
+    store.write("seg_vc", "UPDATE kv SET v = 'A2' WHERE k = 1")
+    assert store.read("seg_vc", "SELECT v FROM kv WHERE k = 1")[0]["v"] == "A2"
+    # DDL: sqlite_master content key must move
+    names = {r["name"] for r in store.read("seg_vc", "SELECT name FROM sqlite_master")}
+    assert names == {"kv"}
+    store.write("seg_vc", "CREATE TABLE extra (x INTEGER)")
+    names = {r["name"] for r in store.read("seg_vc", "SELECT name FROM sqlite_master")}
+    assert names == {"kv", "extra"}
+    # ALTER changes the declared schema without touching data files
+    store.write("seg_vc", "ALTER TABLE extra ADD COLUMN y TEXT")
+    store.write("seg_vc", "INSERT INTO extra (x, y) VALUES (1, 'yy')")
+    assert store.read("seg_vc", "SELECT y FROM extra")[0]["y"] == "yy"
+    # recursive CTE shadowing the table name: later plain reads unaffected
+    rows = store.read(
+        "seg_vc",
+        "WITH RECURSIVE kv(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM kv "
+        "WHERE n < 3) SELECT n FROM kv ORDER BY n",
+    )
+    assert [r["n"] for r in rows] == [1, 2, 3]
+    assert store.read("seg_vc", "SELECT v FROM kv WHERE k = 1")[0]["v"] == "A2"
+
+
+def test_point_read_view_cache_cross_store_isolation(spark, tmp_path):
+    """Two stores sharing one SparkSession register same-named temp views;
+    the per-session cache must never serve one store's registration to the
+    other (keys embed the store root)."""
+    a = SegmentStore(spark, str(tmp_path / "a"))
+    b = SegmentStore(spark, str(tmp_path / "b"))
+    for st, val in ((a, "from_a"), (b, "from_b")):
+        st.set_schema("vc", "CREATE TABLE kv (k INTEGER PRIMARY KEY, v TEXT);")
+        st.provision("seg", "vc")
+        st.write("seg", f"INSERT INTO kv VALUES (1, '{val}')")
+    for _ in range(2):  # alternate: each switch must re-register
+        assert a.read("seg", "SELECT v FROM kv WHERE k = 1")[0]["v"] == "from_a"
+        assert b.read("seg", "SELECT v FROM kv WHERE k = 1")[0]["v"] == "from_b"
+
+
+def test_point_read_view_cache_sees_external_writer(spark, tmp_path):
+    """A second store instance on the SAME root (the multiprocess pattern:
+    reader + writer processes) — the reader's cached view must miss after
+    the writer's commit because the data-dir fingerprint moved."""
+    root = str(tmp_path / "shared")
+    writer = SegmentStore(spark, root)
+    writer.set_schema("vc", "CREATE TABLE kv (k INTEGER PRIMARY KEY, v TEXT);")
+    writer.provision("seg", "vc")
+    writer.write("seg", "INSERT INTO kv VALUES (1, 'v1')")
+    reader = SegmentStore(spark, root)
+    assert reader.read("seg", "SELECT v FROM kv WHERE k = 1")[0]["v"] == "v1"
+    writer.write("seg", "UPDATE kv SET v = 'v2' WHERE k = 1")
+    assert reader.read("seg", "SELECT v FROM kv WHERE k = 1")[0]["v"] == "v2"
+
+
+def test_segment_partition_is_single_file(store, tmp_path):
+    """Round-8 layout: statement flushes and partition rewrites coalesce to
+    ONE parquet file per segment partition (the reference's one-SQLite-file
+    segment, and one scan task per point read)."""
+    import glob as _glob
+
+    store.set_schema("sf", "CREATE TABLE kv (k INTEGER PRIMARY KEY, v TEXT);")
+    store.provision("seg_sf", "sf")
+    store.write(
+        "seg_sf",
+        "INSERT INTO kv VALUES " + ",".join(f"({i},'v{i}')" for i in range(500)),
+    )
+    part = f"{store.root}/tables/kv/segment_id=seg_sf"
+    assert len(_glob.glob(f"{part}/*.parquet")) == 1
+    store.write("seg_sf", "UPDATE kv SET v = 'x' WHERE k < 10")
+    assert len(_glob.glob(f"{part}/*.parquet")) == 1

@@ -40,6 +40,7 @@ import shutil
 import socket
 import time
 from dataclasses import dataclass, field
+from weakref import WeakKeyDictionary
 
 import pyspark.sql.functions as F
 import pyspark.sql.types as T
@@ -47,6 +48,9 @@ from pyspark.sql import DataFrame, Row, SparkSession
 
 from trough_spark import dialect
 from trough_spark.dialect import QueryRejected
+
+# per-SparkSession temp-view registration cache (see SegmentStore.__init__)
+_SESSION_VIEW_CACHE: "WeakKeyDictionary" = WeakKeyDictionary()
 
 # ---------------------------------------------------------------------------
 # SQLite DDL → Spark schema (type affinity, reference model SURVEY §1.2)
@@ -791,6 +795,18 @@ class SegmentStore:
         # entries are dropped before each read so one segment's tables/views
         # can never resolve inside another segment's query
         self._registered_names: set[str] = set()
+        # point-read view cache (VERDICT r7 item 6): temp-view name ->
+        # registration key; a view is re-registered only when its key
+        # (store root + data-file fingerprint + declared schema, or view
+        # SQL + its tables' keys) changes, cutting the per-read Catalyst
+        # re-analysis that bounds point-read p50.  Keys embed an os.stat
+        # fingerprint of the data directory, so writes from ANY process
+        # invalidate.  The cache is SHARED per SparkSession (temp views
+        # are session-global): two stores on one session would otherwise
+        # silently serve each other's same-named registrations.
+        self._view_cache: dict[str, tuple] = _SESSION_VIEW_CACHE.setdefault(
+            self.spark, {}
+        )
         # per-(segment, table) auto-increment high-water marks, lazily
         # initialized from storage (segments are small by design)
         self._hwm: dict[tuple[str, str], int] = {}
@@ -1184,7 +1200,14 @@ class SegmentStore:
                     )
                 d = dict(zip(cols, tup))
                 d.update(stmt_defaults)
-                if ts.autoincrement_col and ts.autoincrement_col not in d:
+                if ts.autoincrement_col and (
+                    ts.autoincrement_col not in d
+                    or d[ts.autoincrement_col] is None
+                ):
+                    # SQLite: an explicit NULL into an INTEGER PRIMARY KEY
+                    # auto-assigns the rowid exactly like omitting the
+                    # column (round-8 probe; the column is the rowid and a
+                    # rowid can never be NULL)
                     d[ts.autoincrement_col] = self._next_id(segment_id, table, ts)
                 elif ts.autoincrement_col and d.get(ts.autoincrement_col) is not None:
                     # sqlite: an EXPLICIT id on an autoincrement column both
@@ -1782,7 +1805,13 @@ class SegmentStore:
                 continue
             ts = self._table_schema(segment_id, table)
             self._assert_pk_unique_rows(segment_id, table, ts, rows)
-            df = self.spark.createDataFrame(rows, ts.struct())
+            # one file per flush: these are driver-side statement rows
+            # (small by construction); the default parallelize split wrote
+            # 8+ ~2 KB files per statement, making every later point read
+            # pay one task per fragment (PERF.md round-8 floor analysis —
+            # the reference's segment is ONE SQLite file for the same
+            # reason)
+            df = self.spark.createDataFrame(rows, ts.struct()).coalesce(1)
             self._assert_constraints(ts, df)
             path = self._partition_path(table, segment_id)
             self._txn_before_write(table, segment_id)
@@ -1977,6 +2006,21 @@ class SegmentStore:
                 )
                 if dup:
                     raise self._pk_error(table, ts)
+                ftypes = {n.lower(): t for n, t in ts.fields}
+                if (
+                    len(pk) == 1
+                    and isinstance(
+                        ftypes[pk[0].lower()], (T.LongType, T.IntegerType)
+                    )
+                    and out.where(f"{pk[0]} IS NULL").limit(1).count()
+                ):
+                    # rowid alias: SQLite raises "datatype mismatch" when an
+                    # UPDATE sets the INTEGER PRIMARY KEY to NULL (probed
+                    # round 8 — the pk IS the rowid, which cannot be NULL)
+                    raise QueryRejected(
+                        f"datatype mismatch: NULL into INTEGER PRIMARY KEY "
+                        f"{pk[0]!r} of {table!r}"
+                    )
             # CHECK/NOT NULL enforced on the post-update rows (stored rows
             # already satisfy them, so checking the whole partition is
             # equivalent to checking the modified rows)
@@ -2158,6 +2202,15 @@ class SegmentStore:
                 if umode == "IGNORE" and self._row_violates(ts, new):
                     continue
                 nk = tuple(new[c] for c in pkcols)
+                if nk[0] is None:
+                    # rowid alias: a rowid can never be NULL — SQLite raises
+                    # "datatype mismatch" even under OR IGNORE/REPLACE
+                    # (probed round 8; it is a datatype error, not a
+                    # skippable constraint violation)
+                    raise QueryRejected(
+                        f"datatype mismatch: NULL into INTEGER PRIMARY KEY "
+                        f"{pkcols[0]!r} of {table!r}"
+                    )
                 nkey = keyof(nk)  # fresh sentinel when the new pk has NULLs
                 if (
                     nkey != vkey
@@ -3065,7 +3118,12 @@ class SegmentStore:
 
     def _overwrite_partition(self, segment_id: str, table: str, df: DataFrame) -> None:
         ts = self._table_schema(segment_id, table)
-        aligned = df.select([F.col(n).cast(t) for n, t in ts.fields])
+        # one file per rewritten segment partition: a segment is bounded by
+        # the trough small-segment model (the reference holds it in ONE
+        # SQLite file), and defragmenting here keeps point reads at one
+        # scan task; it also pins a deterministic on-disk row order for
+        # the driver-side sequential write paths that collect() it back
+        aligned = df.select([F.col(n).cast(t) for n, t in ts.fields]).coalesce(1)
         path = self._partition_path(table, segment_id)
         if self._fmt == "delta":
             # Delta overwrite IS the atomic swap: one replaceWhere commit on
@@ -3309,6 +3367,22 @@ class SegmentStore:
             return self.spark.createDataFrame([], ts.struct())
         return self._read_files(path, ts.struct())
 
+    def _dir_fingerprint(self, path: str) -> tuple:
+        """Cheap change detector for the view cache: (inode, mtime_ns, size)
+        of the data directory — any append, overwrite swap, or delete from
+        ANY process moves it.  Under Delta the data files are immutable and
+        state lives in the commit log, so the fingerprint stats the table's
+        ``_delta_log`` instead (a replaceWhere overwrite touches only the
+        log, never the partition directory)."""
+        if self._fmt == "delta":
+            root, _seg = _split_partition_path(path)
+            path = os.path.join(root, "_delta_log")
+        try:
+            st = os.stat(path)
+        except OSError:
+            return ("absent",)
+        return (st.st_ino, st.st_mtime_ns, st.st_size)
+
     def read_df(self, segment_id: str, sql: str, as_of: str | None = None) -> DataFrame:
         """One SELECT against one segment → DataFrame.  The table views are
         partition-pruned scans of exactly one directory.
@@ -3339,15 +3413,45 @@ class SegmentStore:
                     return self.spark.createDataFrame([], ts.struct())
                 return self.spark.read.schema(ts.struct()).parquet(path)
 
-        current = set(tables) | set(info.get("views", {}))
+        # sqlite_master is always re-registered below (content-keyed), so
+        # sweeping it here would drop + rebuild the catalog DataFrame on
+        # EVERY read — that churn was most of the measured point-read floor
+        current = set(tables) | set(info.get("views", {})) | {"sqlite_master"}
         for stale in self._registered_names - current:
             self.spark.catalog.dropTempView(stale)
+            self._view_cache.pop(stale, None)
         self._registered_names -= self._registered_names - current
+        table_keys: dict[str, tuple] = {}
+        tables_changed = False
         for table in tables:
+            if as_of is None:
+                ts = self._table_schema(segment_id, table)
+                key = (
+                    "tbl",
+                    self.root,
+                    segment_id,
+                    self._dir_fingerprint(self._partition_path(table, segment_id)),
+                    tuple((n, t.simpleString()) for n, t in ts.fields),
+                )
+            else:
+                key = ("asof", object())  # snapshots: never cache-hit
+            table_keys[table] = key
+            if self._view_cache.get(table) == key:
+                self._registered_names.add(table)
+                continue
             read_tbl(table).createOrReplaceTempView(table)
+            self._view_cache[table] = key
             self._registered_names.add(table)
+            tables_changed = True
         for vname, vsql in info.get("views", {}).items():
+            # a view's temp-view plan captures its tables' CURRENT plans at
+            # creation, so it must re-register whenever any table view did
+            key = ("view", segment_id, vsql, tuple(sorted(table_keys.items())))
+            if not tables_changed and self._view_cache.get(vname) == key:
+                self._registered_names.add(vname)
+                continue
             self.spark.sql(dialect.sqlite_to_spark(vsql)).createOrReplaceTempView(vname)
+            self._view_cache[vname] = key
             self._registered_names.add(vname)
         self._register_sqlite_master(
             info, tables, lambda t: self._table_schema_from_info(info, t, segment_id)
@@ -3390,7 +3494,14 @@ class SegmentStore:
                 )
             )
         schema = "type string, name string, tbl_name string, rootpage bigint, sql string"
-        self.spark.createDataFrame(rows, schema).createOrReplaceTempView("sqlite_master")
+        key = ("master", tuple(tuple(r) for r in rows))
+        if self._view_cache.get("sqlite_master") != key:
+            # content-keyed: rebuilding this catalog DataFrame per read was
+            # part of the measured point-read floor (PERF.md)
+            self.spark.createDataFrame(rows, schema).createOrReplaceTempView(
+                "sqlite_master"
+            )
+            self._view_cache["sqlite_master"] = key
         self._registered_names.add("sqlite_master")
 
     def _execute_recursive(self, rec: "RecursiveCTE") -> DataFrame:
@@ -3426,6 +3537,9 @@ class SegmentStore:
             )
         acc.createOrReplaceTempView(rec.name)
         self._registered_names.add(rec.name)  # swept by the next read_df
+        # the CTE name may shadow a cached table/view registration — drop
+        # the cache entry so the next read re-registers the real one
+        self._view_cache.pop(rec.name, None)
         return self.spark.sql(dialect.sqlite_to_spark(rec.outer_sql))
 
     def read(self, segment_id: str, sql: str, values=(), as_of: str | None = None) -> list[dict]:
@@ -3500,6 +3614,9 @@ class SegmentStore:
             # single-segment read can silently resolve these cross-segment
             # views and leak rows across the per-segment isolation boundary
             self._registered_names.add(table)
+            # and invalidate the point-read view cache: this registration
+            # SHADOWS any cached single-segment view of the same name
+            self._view_cache.pop(table, None)
         return self.spark.sql(spark_sql)
 
     def append_dataframe(
