@@ -27,6 +27,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # then the round-6-evidence block, then the round-7-green prefix
 # (freshest evidence, lowest priority).
 _SAMPLE_PRIORITY = [
+    # --- new in round 8: no driver evidence yet ---
+    "dedup_containment",
     # --- latest evidence: round 5 (oldest -> highest priority) ---
     "pack_sequences",
     "sample_mix_rebalance",

@@ -125,6 +125,8 @@ EXTRA = [
     "sample_budget_select",
     "sample_budget_per_lang",
     "pipeline_dsir_budget",
+    # round 8
+    "dedup_containment",
 ]
 
 

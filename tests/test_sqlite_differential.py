@@ -1613,3 +1613,118 @@ def test_rowid_alias_null_semantics_match_sqlite(spark, tmp_path):
     expected, got = _diff_state(conn, store, "rn1", q)
     assert got == expected, f"{got} vs {expected}"
     conn.close()
+
+
+def test_rowid_alias_is_lexical_not_type_affinity(spark, tmp_path):
+    """Round-8 probe: SQLite's rowid-alias rule is LEXICAL — the declared
+    type must be exactly the word INTEGER.  An INT / BIGINT pk is an
+    ordinary unique column: NULL inserts store NULL, UPDATE to NULL is
+    legal, and nothing auto-assigns.  The table-constraint form
+    ``x INTEGER, PRIMARY KEY (x)`` DOES alias (auto-assigns), while the
+    column-level ``INTEGER PRIMARY KEY DESC`` does NOT."""
+    store = SegmentStore(spark, str(tmp_path / "lexalias"))
+    cases = {
+        # name -> (ddl, aliases?)
+        "int_pk": ("CREATE TABLE t (id INT PRIMARY KEY, v TEXT)", False),
+        "bigint_pk": ("CREATE TABLE t (id BIGINT PRIMARY KEY, v TEXT)", False),
+        "desc_pk": ("CREATE TABLE t (id INTEGER PRIMARY KEY DESC, v TEXT)", False),
+        "tc_pk": ("CREATE TABLE t (id INTEGER, v TEXT, PRIMARY KEY (id))", True),
+        "tc_desc_pk": (
+            "CREATE TABLE t (id INTEGER, v TEXT, PRIMARY KEY (id DESC))",
+            True,
+        ),
+    }
+    for name, (ddl, aliases) in cases.items():
+        conn = sqlite3.connect(":memory:")
+        conn.isolation_level = None
+        conn.execute(ddl)
+        store.set_schema(f"{name}_schema", ddl + ";")
+        store.provision(name, f"{name}_schema")
+        script = (
+            "INSERT INTO t VALUES (NULL, 'a');\n"
+            "INSERT INTO t (id, v) VALUES (7, 'b')"
+        )
+        _sqlite_script(conn, script)
+        store.write(name, script)
+        expected, got = _diff_state(
+            conn, store, name, "SELECT id, v FROM t ORDER BY v"
+        )
+        assert got == expected, f"{name}: {got} vs {expected}"
+        assert (expected[0][0] is not None) == aliases, (name, expected)
+        if not aliases:
+            # non-alias: UPDATE to NULL is legal on both engines
+            stmt = "UPDATE t SET id = NULL WHERE v = 'b'"
+            conn.execute(stmt)
+            store.write(name, stmt)
+            expected, got = _diff_state(
+                conn, store, name, "SELECT id, v FROM t ORDER BY v"
+            )
+            assert got == expected, f"{name}: {got} vs {expected}"
+        conn.close()
+
+
+def test_rowid_alias_chase_applies_to_table_constraint_form(spark, tmp_path):
+    """``x INTEGER, PRIMARY KEY (x)`` is a rowid alias, so the probed
+    OR REPLACE position-visit chase applies: dense (1,2,3) ``SET id=id+1``
+    collapses to the single row (4,'a') exactly as the column-level form
+    does."""
+    ddl = "CREATE TABLE t (id INTEGER, v TEXT, PRIMARY KEY (id))"
+    conn = sqlite3.connect(":memory:")
+    conn.isolation_level = None
+    conn.execute(ddl)
+    store = SegmentStore(spark, str(tmp_path / "tcchase"))
+    store.set_schema("tcc_schema", ddl + ";")
+    store.provision("tcc", "tcc_schema")
+    script = "INSERT INTO t VALUES (1, 'a'), (2, 'b'), (3, 'c')"
+    _sqlite_script(conn, script)
+    store.write("tcc", script)
+    stmt = "UPDATE OR REPLACE t SET id = id + 1"
+    conn.execute(stmt)
+    store.write("tcc", stmt)
+    expected, got = _diff_state(conn, store, "tcc", "SELECT id, v FROM t ORDER BY id")
+    assert got == expected == [(4, "a")], (got, expected)
+    conn.close()
+
+
+def test_non_alias_int_pk_or_replace_conflict_rejected_loudly(spark, tmp_path):
+    """An INT (non-alias) pk takes the order-independent path; an OR
+    REPLACE whose updates pk-conflict is the one order-dependent case the
+    engine rejects LOUDLY (SQLite resolves it in rowid order, which the
+    engine does not track) — pinned so the reject never silently applies
+    the rowid-alias chase to a non-alias table."""
+    ddl = "CREATE TABLE t (id INT PRIMARY KEY, v TEXT)"
+    store = SegmentStore(spark, str(tmp_path / "intrej"))
+    store.set_schema("ir_schema", ddl + ";")
+    store.provision("ir", "ir_schema")
+    store.write("ir", "INSERT INTO t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    from trough_spark.dialect import QueryRejected
+
+    with pytest.raises(QueryRejected, match="rowid"):
+        store.write("ir", "UPDATE OR REPLACE t SET id = id + 1")
+    # non-conflicting OR-mode updates still work and match SQLite
+    conn = sqlite3.connect(":memory:")
+    conn.isolation_level = None
+    conn.execute(ddl)
+    _sqlite_script(conn, "INSERT INTO t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    stmt = "UPDATE OR IGNORE t SET id = id + 10"
+    conn.execute(stmt)
+    store.write("ir", stmt)
+    expected, got = _diff_state(conn, store, "ir", "SELECT id, v FROM t ORDER BY id")
+    assert got == expected == [(11, "a"), (12, "b"), (13, "c")], (got, expected)
+    conn.close()
+
+
+def test_autoincrement_requires_integer_primary_key(spark, tmp_path):
+    """SQLite: AUTOINCREMENT on anything but an INTEGER PRIMARY KEY is a
+    DDL error — the engine raises the same (verbatim) message at schema
+    validation instead of silently treating the column as a sequence."""
+    ddl = "CREATE TABLE t (id INT PRIMARY KEY AUTOINCREMENT, v TEXT)"
+    conn = sqlite3.connect(":memory:")
+    with pytest.raises(sqlite3.Error, match="AUTOINCREMENT"):
+        conn.execute(ddl)
+    conn.close()
+    from trough_spark.dialect import QueryRejected
+
+    store = SegmentStore(spark, str(tmp_path / "ai"))
+    with pytest.raises(QueryRejected, match="AUTOINCREMENT"):
+        store.set_schema("ai_schema", ddl + ";")

@@ -157,6 +157,64 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_doc_freq: int = 100,
+) -> DataFrame:
+    """Asymmetric n-gram containment: C(A in B) = |sh(A) ∩ sh(B)| / |sh(A)|.
+
+    The inclusion detector symmetric Jaccard misses: a short document fully
+    quoted inside a long one (boilerplate, licence headers, syndicated
+    articles) has containment 1.0 but Jaccard near |A|/|B| — standard in
+    training-data dedup for dropping the contained copy while keeping the
+    superset document.
+
+    Each undirected candidate pair is evaluated ONCE and emitted with both
+    directed containments; pairs where neither direction clears
+    ``threshold`` are dropped.
+
+    Scale: candidate generation is the same doc-frequency-capped (id,
+    shingle) equi-join as :func:`ngram_jaccard_pairs` — fan-out per shingle
+    bounded by ``max_doc_freq`` regardless of corpus size; the per-pair
+    shuffle carries integer counts only.
+    """
+    sh = shingle_table(df, id_col, text_col, n, max_doc_freq)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s1 = sizes.select(F.col("id").alias("id1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col("id").alias("id2"), F.col("n_sh").alias("n2"))
+    return (
+        common.join(s1, "id1")
+        .join(s2, "id2")
+        .filter(
+            (F.col("n_common") / F.col("n1") >= threshold)
+            | (F.col("n_common") / F.col("n2") >= threshold)
+        )
+        .select(
+            "id1",
+            "id2",
+            "n_common",
+            "n1",
+            "n2",
+            F.round(F.col("n_common") / F.col("n1"), 6).alias("contain_1_in_2"),
+            F.round(F.col("n_common") / F.col("n2"), 6).alias("contain_2_in_1"),
+        )
+    )
+
+
 # universal-hash family over a Mersenne-prime field: perm_j(h) =
 # (A_j * h31 + B_j) mod (2^31 - 1), with h31 = base md5 hash folded to 31
 # bits.  ONE md5 per shingle (not one per shingle×perm); the A/B constants

@@ -83,6 +83,35 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 @query(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    freq AS (SELECT sh, COUNT(*) AS df_ FROM sh GROUP BY sh),
+    kept AS (SELECT sh.id, sh.sh FROM sh JOIN freq USING (sh) WHERE df_ <= 100),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM kept GROUP BY id),
+    common AS (
+      SELECT a.id AS id1, b.id AS id2, COUNT(*) AS n_common
+      FROM kept a JOIN kept b ON a.sh = b.sh AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id1, id2, n_common, s1.n_sh AS n1, s2.n_sh AS n2,
+           ROUND(n_common / s1.n_sh, 6) AS contain_1_in_2,
+           ROUND(n_common / s2.n_sh, 6) AS contain_2_in_1
+    FROM common
+    JOIN sizes s1 ON s1.id = id1
+    JOIN sizes s2 ON s2.id = id2
+    WHERE n_common / s1.n_sh >= 0.6 OR n_common / s2.n_sh >= 0.6
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    # asymmetric inclusion detection — the directed complement of
+    # dedup_ngram_jaccard (a contained quote scores 1.0 here, ~|A|/|B| there)
+    return D.ngram_containment_pairs(
+        T(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.6, max_doc_freq=100
+    )
+
+
+@query(
     "dedup_minhash_lsh",
     oracle=f"""
     WITH {_SHINGLES_CTE},

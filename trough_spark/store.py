@@ -126,6 +126,24 @@ _CREATE_RE = re.compile(
 
 _CONSTRAINT_WORDS = ("PRIMARY", "UNIQUE", "CHECK", "FOREIGN", "CONSTRAINT")
 
+# words that END a column's type-name token run (start a column constraint);
+# SQLite's type-name grammar is any word sequence up to one of these
+_COLCONSTRAINT_WORDS = frozenset(
+    {
+        "PRIMARY",
+        "NOT",
+        "NULL",
+        "UNIQUE",
+        "CHECK",
+        "DEFAULT",
+        "COLLATE",
+        "REFERENCES",
+        "CONSTRAINT",
+        "GENERATED",
+        "AS",
+    }
+)
+
 
 def _unquote(ident: str) -> str:
     ident = ident.strip()
@@ -157,6 +175,8 @@ def parse_create_table(stmt: str) -> TableSchema:
     checks: list[tuple[str, str]] = []
     not_null: list[str] = []
     defaults: dict[str, str] = {}
+    pk_from_table_constraint = False
+    integer_cols: set[str] = set()  # cols declared EXACTLY `INTEGER`
     for coldef in coldefs:
         sig = [t for t in coldef if t.kind not in ("space", "comment")]
         if not sig:
@@ -168,7 +188,19 @@ def parse_create_table(stmt: str) -> TableSchema:
             if "PRIMARY" in text_u and "KEY" in text_u:
                 m2 = re.search(r"\(([^)]*)\)", dialect.render(coldef))
                 if m2:
-                    pk.extend(_unquote(c.strip()) for c in m2.group(1).split(","))
+                    # each entry may carry ASC/DESC/COLLATE x — indexing
+                    # hints, not part of the column name
+                    pk.extend(
+                        _unquote(
+                            re.sub(
+                                r"(?is)\s+(?:COLLATE\s+\w+|ASC|DESC)\s*$",
+                                "",
+                                c.strip(),
+                            )
+                        )
+                        for c in m2.group(1).split(",")
+                    )
+                    pk_from_table_constraint = True
             checks.extend(_parse_checks(coldef))
             continue
         col = _unquote(first.text)
@@ -188,13 +220,46 @@ def parse_create_table(stmt: str) -> TableSchema:
             if idx != -1:
                 cut = min(cut, idx)
         typ = sqlite_type_to_spark(decl[:cut])
-        if "PRIMARY" in bare_u and "KEY" in bare_u:
+        # rowid-alias rule (probed live, round 8): the declared type must be
+        # EXACTLY the single word INTEGER (case-insensitive; a quoted
+        # "INTEGER" counts) — INT / BIGINT / MEDIUMINT pks are ordinary
+        # unique columns with their own rowid, so they admit NULLs and do
+        # not auto-assign.  The type is the token run before the first
+        # column-constraint keyword.
+        type_words = []
+        for tok in sig[1:]:
+            if tok.kind == "word" and tok.text.upper() in _COLCONSTRAINT_WORDS:
+                break
+            if tok.kind in ("word", "string", "dquote"):
+                # a quoted "INTEGER" type still aliases (probed)
+                type_words.append(_unquote(tok.text).upper())
+            elif tok.kind == "op" and tok.text == "(":
+                # `INTEGER(5)` is NOT an alias (probed) — the type text
+                # must be the bare word
+                type_words.append("(")
+                break
+        exact_integer = type_words == ["INTEGER"]
+        col_pk_here = "PRIMARY" in bare_u and "KEY" in bare_u
+        if col_pk_here:
             pk.append(col)
-        if "AUTOINCREMENT" in bare_u or (
-            "INTEGER" in bare_u and "PRIMARY" in bare_u and "KEY" in bare_u
-        ):
+        if "AUTOINCREMENT" in bare_u:
+            if not (exact_integer and col_pk_here):
+                # SQLite's own error, verbatim
+                raise QueryRejected(
+                    "AUTOINCREMENT is only allowed on an INTEGER PRIMARY KEY"
+                )
             auto_col = col
             typ = T.LongType()
+        elif exact_integer and col_pk_here and not re.search(
+            r"PRIMARY\s+KEY\s+DESC\b", bare_u
+        ):
+            # column-level `INTEGER PRIMARY KEY DESC` is SQLite's documented
+            # NON-alias exception (the table-constraint DESC form still
+            # aliases — handled below)
+            auto_col = col
+            typ = T.LongType()
+        if exact_integer:
+            integer_cols.add(col.lower())
         if re.search(r"\bNOT\s+NULL\b", bare_u):
             not_null.append(col)
         checks.extend(_parse_checks(coldef))
@@ -202,6 +267,20 @@ def parse_create_table(stmt: str) -> TableSchema:
         if dv is not None:
             defaults[col] = dv
         fields.append((col, typ))
+    if (
+        auto_col is None
+        and pk_from_table_constraint
+        and len(pk) == 1
+        and pk[0].lower() in integer_cols
+    ):
+        # table-constraint form `x INTEGER, PRIMARY KEY (x)` IS a rowid
+        # alias (probed: NULL insert auto-assigns) — including with DESC,
+        # which only disables the alias in the column-level form
+        auto_col = pk[0]
+        fields = [
+            (n, T.LongType() if n.lower() == auto_col.lower() else t)
+            for n, t in fields
+        ]
     return TableSchema(
         name=name,
         fields=fields,
@@ -2006,17 +2085,16 @@ class SegmentStore:
                 )
                 if dup:
                     raise self._pk_error(table, ts)
-                ftypes = {n.lower(): t for n, t in ts.fields}
                 if (
-                    len(pk) == 1
-                    and isinstance(
-                        ftypes[pk[0].lower()], (T.LongType, T.IntegerType)
-                    )
+                    ts.autoincrement_col
+                    and len(pk) == 1
+                    and pk[0].lower() == ts.autoincrement_col.lower()
                     and out.where(f"{pk[0]} IS NULL").limit(1).count()
                 ):
                     # rowid alias: SQLite raises "datatype mismatch" when an
                     # UPDATE sets the INTEGER PRIMARY KEY to NULL (probed
-                    # round 8 — the pk IS the rowid, which cannot be NULL)
+                    # round 8 — the pk IS the rowid, which cannot be NULL;
+                    # an INT/BIGINT pk is NOT an alias and admits NULL)
                     raise QueryRejected(
                         f"datatype mismatch: NULL into INTEGER PRIMARY KEY "
                         f"{pk[0]!r} of {table!r}"
@@ -2170,9 +2248,13 @@ class SegmentStore:
                 }
             )
 
-        ftypes = {n.lower(): t for n, t in ts.fields}
-        rowid_alias = len(pkcols) == 1 and isinstance(
-            ftypes[pkcols[0].lower()], (T.LongType, T.IntegerType)
+        # the alias determination is LEXICAL (parse_create_table): a pk
+        # declared INT/BIGINT is not the rowid, so it takes the
+        # order-independent per-original-row path below, not the chase
+        rowid_alias = (
+            ts.autoincrement_col is not None
+            and len(pkcols) == 1
+            and pkcols[0].lower() == ts.autoincrement_col.lower()
         )
         if rowid_alias:
             # pk == rowid: positions are pk values; the probed chase applies
@@ -3058,7 +3140,24 @@ class SegmentStore:
                     "trigger bodies requires a PRIMARY KEY (per-row "
                     "interleave needs a stable row identity)"
                 )
-            # SQLite iterates the table b-tree in rowid order: sort by pk
+            if not (
+                ts.autoincrement_col
+                and len(ts.primary_key) == 1
+                and ts.primary_key[0].lower() == ts.autoincrement_col.lower()
+            ):
+                # SQLite fires per-row in ROWID (insertion) order; only a
+                # rowid-alias pk makes that order derivable from the data.
+                # For TEXT/composite/INT pks the engine does not track
+                # insertion order — reject loudly rather than fire in a
+                # possibly-divergent order (round-8 ADVICE)
+                raise QueryRejected(
+                    f"multi-row {kind} on {table!r} with state-observing "
+                    "trigger bodies requires an INTEGER PRIMARY KEY rowid "
+                    "alias: SQLite fires per row in rowid (insertion) "
+                    "order, which this engine does not track for other "
+                    "pk shapes — rejected loudly"
+                )
+            # pk == rowid: b-tree (rowid) order IS pk order
             pairs.sort(
                 key=lambda p: tuple(
                     (p[0][k] is None, p[0][k]) for k in ts.primary_key
