@@ -33,12 +33,27 @@ Documented deviations from delta-spark (this is a double, not a port):
   is still not modeled (union-by-name, existing type wins);
 - ``DeltaTable.merge`` rewrites the whole table rather than only touched
   files (correctness-equivalent; perf-irrelevant at test scale);
-- snapshots are cached keyed by the SET of log files, so a deleted commit
-  invalidates naturally — the real driver-side DeltaLog cache needs an
-  explicit ``clearCache()`` (the store issues one; it no-ops here);
-- no checkpoints / ``_last_checkpoint`` are ever written;
-- no protocol/version actions, no concurrent-writer conflict detection
-  beyond O_EXCL on the commit file (single-writer store by design).
+- snapshots are cached keyed by the SET of log+checkpoint files, so a
+  deleted commit invalidates naturally — the real driver-side DeltaLog
+  cache needs an explicit ``clearCache()`` (the store issues one; it
+  no-ops here);
+- round 8: commit 0 carries the protocol's ``protocol`` action
+  (minReaderVersion 1 / minWriterVersion 2; replay REFUSES a log whose
+  minReaderVersion exceeds 1, as the spec requires of readers), and a
+  single-file ``<version>.checkpoint.parquet`` is written every
+  CHECKPOINT_INTERVAL commits with the protocol's reconciled-state row
+  shape (one row per protocol/metaData/add action, partitionValues as a
+  string map) plus the ``_last_checkpoint`` hint; replay starts from the
+  newest usable checkpoint and applies only later JSON commits.
+  Remaining checkpoint deviations: no ``remove`` tombstones are retained
+  (the double never vacuums, so reconciled state needs none), no
+  multi-part checkpoints, no v2/sidecar format;
+- no concurrent-writer conflict detection beyond put-if-absent (O_EXCL)
+  on the commit file — which IS the protocol's mutual-exclusion
+  primitive on a POSIX filesystem; losing a version race retries at the
+  next version (pinned by the conformance suite), but semantic conflict
+  checking between the two transactions is not modeled (single-writer
+  store by design).
 
 NOT installed in production; tests/conftest.py puts this directory on
 ``sys.path`` so ``import delta`` resolves here when delta-spark is absent.
@@ -65,16 +80,32 @@ class DeltaDoubleError(Exception):
 
 
 class _Snapshot:
-    __slots__ = ("schema", "partition_cols", "files")
+    __slots__ = ("schema", "partition_cols", "files", "metadata", "protocol")
 
-    def __init__(self, schema: T.StructType, partition_cols: list[str], files: dict):
+    def __init__(
+        self,
+        schema: T.StructType,
+        partition_cols: list[str],
+        files: dict,
+        metadata: dict | None = None,
+        protocol: dict | None = None,
+    ):
         self.schema = schema
         self.partition_cols = partition_cols
         self.files = files  # rel path -> partitionValues dict
+        self.metadata = metadata or {}  # raw metaData action payload
+        self.protocol = protocol or dict(_PROTOCOL_ACTION["protocol"])
 
 
 _SNAP_CACHE: dict[tuple, _Snapshot] = {}
 _LOG_NAME_RE = re.compile(r"\d{20}\.json")
+_CKPT_NAME_RE = re.compile(r"(\d{20})\.checkpoint\.parquet")
+
+# the double writes/reads this reader/writer feature level (appendOnly-free
+# basic tables); per PROTOCOL.md a reader MUST refuse a table whose
+# minReaderVersion it does not implement
+_PROTOCOL_ACTION = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+CHECKPOINT_INTERVAL = 10  # delta-spark's default checkpointInterval
 
 
 def _log_dir(root: str) -> str:
@@ -88,35 +119,100 @@ def _log_files(root: str) -> list[str]:
     return sorted(f for f in os.listdir(d) if _LOG_NAME_RE.fullmatch(f))
 
 
+def _checkpoint_files(root: str) -> list[str]:
+    d = _log_dir(root)
+    if not os.path.isdir(d):
+        return []
+    return sorted(f for f in os.listdir(d) if _CKPT_NAME_RE.fullmatch(f))
+
+
 def is_delta_table(root: str) -> bool:
     return bool(_log_files(root))
 
 
+def _check_protocol(proto: dict, root: str) -> None:
+    if int(proto.get("minReaderVersion", 1)) > 1:
+        raise DeltaDoubleError(
+            f"unsupported Delta protocol: table at {root!r} requires "
+            f"minReaderVersion {proto['minReaderVersion']}, this reader "
+            "implements 1"
+        )
+
+
+def _read_checkpoint(root: str, name: str):
+    """Reconciled state from one single-file checkpoint parquet: returns
+    (schema, pcols, files, metadata, protocol)."""
+    import pyarrow.parquet as pq
+
+    schema = pcols = metadata = protocol = None
+    files: dict[str, dict] = {}
+    for row in pq.read_table(os.path.join(_log_dir(root), name)).to_pylist():
+        if row.get("protocol") is not None:
+            protocol = {k: v for k, v in row["protocol"].items() if v is not None}
+            _check_protocol(protocol, root)
+        elif row.get("metaData") is not None:
+            metadata = {k: v for k, v in row["metaData"].items() if v is not None}
+            schema = T.StructType.fromJson(json.loads(metadata["schemaString"]))
+            pcols = list(metadata.get("partitionColumns") or [])
+        elif row.get("add") is not None:
+            add = row["add"]
+            files[add["path"]] = dict(add.get("partitionValues") or {})
+    if schema is None:
+        raise DeltaDoubleError(f"checkpoint {name!r} has no metaData row")
+    return schema, pcols, files, metadata, protocol
+
+
 def _replay(root: str) -> _Snapshot | None:
-    """Table state = ordered replay of the commit log (the protocol's
-    definition).  Cached keyed by the set of log files present, so a
-    rollback that deletes commit files invalidates the cache naturally."""
+    """Table state = the newest usable checkpoint (if any) plus ordered
+    replay of the JSON commits after it — the protocol's read path.
+    Cached keyed by the set of log+checkpoint files present, so a rollback
+    that deletes commit files invalidates the cache naturally.
+
+    ``_last_checkpoint`` is only a HINT in the protocol; the double, like
+    real Delta, survives it being stale (e.g. the store's script rollback
+    restored its pre-script bytes while newer checkpoints were deleted) by
+    choosing from the checkpoint files actually present."""
     names = _log_files(root)
     if not names:
         return None
-    key = (os.path.abspath(root), tuple(names))
+    ckpts = _checkpoint_files(root)
+    key = (os.path.abspath(root), tuple(names), tuple(ckpts))
     snap = _SNAP_CACHE.get(key)
     if snap is not None:
         return snap
     schema: T.StructType | None = None
     pcols: list[str] = []
     files: dict[str, dict] = {}
+    metadata: dict | None = None
+    protocol: dict | None = None
+    last_version = int(names[-1][:20])
+    start_after = -1
+    # newest checkpoint not past the newest commit (a checkpoint without
+    # its commit can appear mid-rollback; ignore it)
+    for name in reversed(ckpts):
+        v = int(_CKPT_NAME_RE.fullmatch(name).group(1))
+        if v <= last_version:
+            schema, pcols, files, metadata, protocol = _read_checkpoint(root, name)
+            start_after = v
+            break
     for name in names:
+        if int(name[:20]) <= start_after:
+            continue
         with open(os.path.join(_log_dir(root), name)) as fh:
             for line in fh:
                 line = line.strip()
                 if not line:
                     continue
                 action = json.loads(line)
-                if "metaData" in action:
-                    md = action["metaData"]
-                    schema = T.StructType.fromJson(json.loads(md["schemaString"]))
-                    pcols = list(md.get("partitionColumns", []))
+                if "protocol" in action:
+                    protocol = action["protocol"]
+                    _check_protocol(protocol, root)
+                elif "metaData" in action:
+                    metadata = action["metaData"]
+                    schema = T.StructType.fromJson(
+                        json.loads(metadata["schemaString"])
+                    )
+                    pcols = list(metadata.get("partitionColumns", []))
                 elif "add" in action:
                     files[action["add"]["path"]] = action["add"].get(
                         "partitionValues", {}
@@ -125,27 +221,119 @@ def _replay(root: str) -> _Snapshot | None:
                     files.pop(action["remove"]["path"], None)
     if schema is None:
         raise DeltaDoubleError(f"delta log at {root!r} has no metaData action")
-    snap = _Snapshot(schema, pcols, files)
+    snap = _Snapshot(schema, pcols, files, metadata, protocol)
     _SNAP_CACHE[key] = snap
     return snap
 
 
+def _write_checkpoint(root: str, version: int) -> None:
+    """Single-file checkpoint: the reconciled state as ONE parquet with the
+    protocol's row shape — one row per action, exactly one of the
+    protocol/metaData/add columns non-null per row (no remove tombstones:
+    the double never vacuums, so reconciled state needs none) — then the
+    ``_last_checkpoint`` hint.  Both writes go through a temp file +
+    os.replace so a crash never leaves a torn checkpoint."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    snap = _replay(root)
+    proto_t = pa.struct(
+        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+            ("createdTime", pa.int64()),
+        ]
+    )
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]
+    )
+    md = snap.metadata
+    rows = [
+        {"protocol": snap.protocol, "metaData": None, "add": None},
+        {
+            "protocol": None,
+            "metaData": {
+                "id": md.get("id", uuid.uuid4().hex),
+                "schemaString": snap.schema.json(),
+                "partitionColumns": list(snap.partition_cols),
+                "configuration": list(dict(md.get("configuration") or {}).items()),
+                "createdTime": md.get("createdTime"),
+            },
+            "add": None,
+        },
+    ]
+    for path, pv in sorted(snap.files.items()):
+        rows.append(
+            {
+                "protocol": None,
+                "metaData": None,
+                "add": {
+                    "path": path,
+                    "partitionValues": list(pv.items()),
+                    "size": None,
+                    "modificationTime": None,
+                    "dataChange": False,
+                },
+            }
+        )
+    table = pa.Table.from_pylist(
+        rows, schema=pa.schema([("protocol", proto_t), ("metaData", meta_t), ("add", add_t)])
+    )
+    d = _log_dir(root)
+    ckpt = os.path.join(d, f"{version:020d}.checkpoint.parquet")
+    tmp = ckpt + f".tmp{uuid.uuid4().hex}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, ckpt)
+    hint = os.path.join(d, "_last_checkpoint")
+    tmp = hint + f".tmp{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump({"version": version, "size": len(rows)}, fh)
+    os.replace(tmp, hint)
+
+
+def last_checkpoint_hint(root: str) -> dict | None:
+    """The ``_last_checkpoint`` contents, or None — exposed for tests."""
+    try:
+        with open(os.path.join(_log_dir(root), "_last_checkpoint")) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
 def _commit(root: str, actions: list[dict]) -> int:
     """One atomic commit: the next ``%020d.json`` created with O_EXCL (the
-    protocol's mutual-exclusion contract on a POSIX filesystem)."""
+    protocol's mutual-exclusion contract on a POSIX filesystem).  Commit 0
+    leads with the ``protocol`` action; every CHECKPOINT_INTERVAL-th
+    version is followed by a checkpoint write (delta-spark's cadence)."""
     d = _log_dir(root)
     os.makedirs(d, exist_ok=True)
-    payload = "".join(json.dumps(a, separators=(",", ":")) + "\n" for a in actions)
     while True:
         names = _log_files(root)
         version = int(names[-1][:20]) + 1 if names else 0
         path = os.path.join(d, f"{version:020d}.json")
+        payload = "".join(
+            json.dumps(a, separators=(",", ":")) + "\n"
+            for a in ([_PROTOCOL_ACTION] if version == 0 else []) + actions
+        )
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
             continue  # concurrent commit won the version: retry with next
         with os.fdopen(fd, "w") as fh:
             fh.write(payload)
+        if version > 0 and version % CHECKPOINT_INTERVAL == 0:
+            _write_checkpoint(root, version)
         return version
 
 

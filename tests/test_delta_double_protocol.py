@@ -341,3 +341,139 @@ def test_snapshot_cache_is_keyed_by_log_file_set(spark, tmp_path):
     assert {r["k"] for r in read_snapshot_df(spark, root).collect()} == {1, 2}
     keys_after = {k for k in _SNAP_CACHE if k[0] == os.path.abspath(root)}
     assert keys_after - keys_before, "new commit must produce a new cache key"
+
+
+# ---- round-8 additions: protocol action, checkpoints, commit races ----------
+
+
+def test_commit0_carries_protocol_action(spark, tmp_path):
+    """PROTOCOL.md: a new table's first commit must establish the protocol
+    version.  The double writes minReaderVersion 1 / minWriterVersion 2 as
+    the FIRST action of commit 0."""
+    root = str(tmp_path / "proto1")
+    _seed(spark, root)
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json")) as fh:
+        first = json.loads(fh.readline())
+    assert first == {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+
+
+def test_reader_refuses_future_protocol_version(spark, tmp_path):
+    """PROTOCOL.md: a reader MUST refuse a table whose minReaderVersion it
+    does not implement — silent misreads of e.g. deletion-vector tables
+    are exactly the failure this clause exists to prevent."""
+    root = str(tmp_path / "proto2")
+    _parquet_file(spark, root, "f0.parquet", [(1, "a")], "k long, v string")
+    _write_commit(
+        root,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}},
+            _meta(SCHEMA_JSON),
+            _add("f0.parquet"),
+        ],
+    )
+    with pytest.raises(DeltaDoubleError, match="minReaderVersion"):
+        read_snapshot_df(spark, root).collect()
+
+
+def test_checkpoint_written_at_interval_and_actually_used(spark, tmp_path):
+    """delta-spark writes a checkpoint every 10 commits plus the
+    ``_last_checkpoint`` hint.  Proof the READER uses it: delete every
+    JSON commit the checkpoint covers (real Delta's log cleanup does
+    exactly this after the retention window) — the state must survive,
+    reconstructed from checkpoint + tail commits alone."""
+    from delta import last_checkpoint_hint
+
+    root = str(tmp_path / "ckpt1")
+    _seed(spark, root)  # version 0
+    for i in range(2, 14):  # versions 1..12 -> checkpoint at 10
+        spark.createDataFrame([(i, f"v{i}")], "k long, v string").write.format(
+            "delta"
+        ).mode("append").save(root)
+    d = os.path.join(root, "_delta_log")
+    assert os.path.exists(os.path.join(d, f"{10:020d}.checkpoint.parquet"))
+    hint = last_checkpoint_hint(root)
+    assert hint and hint["version"] == 10 and hint["size"] >= 3
+    expect = {(1, "a")} | {(i, f"v{i}") for i in range(2, 14)}
+    assert {
+        (r["k"], r["v"]) for r in read_snapshot_df(spark, root).collect()
+    } == expect
+    # aggressive log cleanup: drop commits 0..10 (covered by the checkpoint)
+    for v in range(0, 11):
+        os.remove(os.path.join(d, f"{v:020d}.json"))
+    assert {
+        (r["k"], r["v"]) for r in read_snapshot_df(spark, root).collect()
+    } == expect
+
+
+def test_checkpoint_parquet_has_protocol_row_shape(spark, tmp_path):
+    """The checkpoint is a parquet whose rows each carry exactly ONE of the
+    protocol/metaData/add action columns (PROTOCOL.md §Checkpoints), with
+    partitionValues as a string map — pinned by reading it with plain
+    pyarrow, independent of the double's own reader."""
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "ckpt2")
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    df.write.format("delta").mode("overwrite").partitionBy("v").save(root)
+    for i in range(2, 12):
+        spark.createDataFrame([(i, "a")], "k long, v string").write.format(
+            "delta"
+        ).mode("append").save(root)
+    rows = pq.read_table(
+        os.path.join(root, "_delta_log", f"{10:020d}.checkpoint.parquet")
+    ).to_pylist()
+    assert [set(k for k, v in r.items() if v is not None) for r in rows[:2]] == [
+        {"protocol"},
+        {"metaData"},
+    ]
+    adds = [r["add"] for r in rows if r["add"] is not None]
+    assert adds and len(adds) == len(rows) - 2
+    for a in adds:
+        assert a["path"].endswith(".parquet")
+        assert dict(a["partitionValues"]) == {"v": "a"}
+    meta = next(r["metaData"] for r in rows if r["metaData"] is not None)
+    parsed = json.loads(meta["schemaString"])
+    assert [f["name"] for f in parsed["fields"]] == ["k", "v"]
+    assert list(meta["partitionColumns"]) == ["v"]
+
+
+def test_stale_last_checkpoint_hint_tolerated(spark, tmp_path):
+    """PROTOCOL.md calls ``_last_checkpoint`` a HINT; after the store's
+    script rollback it can name a checkpoint whose files were deleted.
+    The reader must fall back to the checkpoints actually present."""
+    root = str(tmp_path / "ckpt3")
+    _seed(spark, root)
+    spark.createDataFrame([(2, "b")], "k long, v string").write.format(
+        "delta"
+    ).mode("append").save(root)
+    with open(os.path.join(root, "_delta_log", "_last_checkpoint"), "w") as fh:
+        json.dump({"version": 99, "size": 3}, fh)
+    assert {
+        (r["k"], r["v"]) for r in read_snapshot_df(spark, root).collect()
+    } == {(1, "a"), (2, "b")}
+
+
+def test_commit_version_race_retries_to_next_version(spark, tmp_path):
+    """PROTOCOL.md's optimistic concurrency: a writer that loses the
+    put-if-absent race for version N must retry at N+1, never overwrite.
+    Simulated by pre-creating the N.json the writer would claim."""
+    root = str(tmp_path / "race1")
+    _seed(spark, root)  # version 0
+    blocker = os.path.join(root, "_delta_log", f"{1:020d}.json")
+    with open(blocker, "w") as fh:
+        fh.write(json.dumps({"commitInfo": {"operation": "SQUATTER"}}) + "\n")
+    spark.createDataFrame([(2, "b")], "k long, v string").write.format(
+        "delta"
+    ).mode("append").save(root)
+    names = sorted(
+        f
+        for f in os.listdir(os.path.join(root, "_delta_log"))
+        if f.endswith(".json")
+    )
+    assert names == [f"{v:020d}.json" for v in (0, 1, 2)]
+    with open(blocker) as fh:  # the squatter's file was not overwritten
+        assert json.loads(fh.readline())["commitInfo"]["operation"] == "SQUATTER"
+    assert {
+        (r["k"], r["v"]) for r in read_snapshot_df(spark, root).collect()
+    } == {(1, "a"), (2, "b")}

@@ -12,6 +12,7 @@ spelling and the absent-package error contract) always runs.
 from __future__ import annotations
 
 import importlib.util
+import os
 
 import pytest
 
@@ -154,6 +155,79 @@ class TestDeltaStore:
         assert store.read("seg_io", "SELECT * FROM b ORDER BY k") == before_b
         store.write("seg_io", "INSERT INTO a VALUES (3);")
         assert len(store.read("seg_io", "SELECT * FROM a")) == 2
+
+    def test_delta_rollback_across_checkpoint_boundary(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A failing script whose first flush lands a CHECKPOINT_INTERVAL-th
+        commit: the checkpoint parquet and the rewritten ``_last_checkpoint``
+        hint appear MID-SCRIPT, so rollback must delete the commit and its
+        checkpoint AND restore the hint's pre-script bytes — the journal's
+        in-place-restore path (store.py ``inplace_contents``), which never
+        executed before the double wrote checkpoints (round 8)."""
+        import json as _json
+
+        from delta import CHECKPOINT_INTERVAL
+        from trough_spark.store import SegmentStore as SS
+
+        store = SegmentStore(
+            spark, str(tmp_path / "dstore_ckpt"), storage_format="delta"
+        )
+        store.set_schema(
+            "ck", "create table a (k INTEGER); create table b (k INTEGER);"
+        )
+        store.provision("segck", "ck")
+        log_dir = str(tmp_path / "dstore_ckpt" / "tables" / "a" / "_delta_log")
+        hint = os.path.join(log_dir, "_last_checkpoint")
+
+        def version() -> int:
+            return max(
+                int(f[:20]) for f in os.listdir(log_dir) if f.endswith(".json")
+            )
+
+        # drive table a's log to one commit before the SECOND checkpoint so
+        # the pre-script state already has a _last_checkpoint to corrupt
+        # (the delta table is created by the first flush, so write once
+        # before polling the log)
+        store.write("segck", "INSERT INTO a VALUES (0)")
+        k = 0
+        while version() < 2 * CHECKPOINT_INTERVAL - 1:
+            k += 1
+            store.write("segck", f"INSERT INTO a VALUES ({k})")
+        assert _json.load(open(hint))["version"] == CHECKPOINT_INTERVAL
+        hint_before = open(hint, "rb").read()
+        rows_before = store.read("segck", "SELECT * FROM a ORDER BY k")
+
+        calls = {"n": 0}
+        orig = SS._write_files
+
+        def flaky(self, df, path, mode):
+            calls["n"] += 1
+            if calls["n"] == 2:  # a's commit (v20 + checkpoint) lands, b dies
+                raise OSError("No space left on device (injected)")
+            return orig(self, df, path, mode)
+
+        monkeypatch.setattr(SS, "_write_files", flaky)
+        with pytest.raises(OSError, match="injected"):
+            store.write(
+                "segck", "INSERT INTO a VALUES (99); INSERT INTO b VALUES (1);"
+            )
+        monkeypatch.setattr(SS, "_write_files", orig)
+
+        v = 2 * CHECKPOINT_INTERVAL
+        assert not os.path.exists(os.path.join(log_dir, f"{v:020d}.json"))
+        assert not os.path.exists(
+            os.path.join(log_dir, f"{v:020d}.checkpoint.parquet")
+        ), "mid-script checkpoint must be rolled back"
+        assert open(hint, "rb").read() == hint_before, (
+            "_last_checkpoint must be restored to its pre-script bytes"
+        )
+        assert store.read("segck", "SELECT * FROM a ORDER BY k") == rows_before
+        # and the table still works past the boundary afterwards
+        store.write("segck", "INSERT INTO a VALUES (100)")
+        assert version() == v
+        assert os.path.exists(os.path.join(log_dir, f"{v:020d}.checkpoint.parquet"))
+        assert _json.load(open(hint))["version"] == v
 
     def test_delta_alter_add_column_default_backfills(self, spark, tmp_path):
         """ADVICE r6: the ALTER ADD COLUMN backfill reads the partition with
