@@ -9,6 +9,7 @@ trough_spark disagree on a query's result, the dialect shim is wrong.
 from __future__ import annotations
 
 import math
+import re
 import sqlite3
 
 import pytest
@@ -1728,3 +1729,101 @@ def test_autoincrement_requires_integer_primary_key(spark, tmp_path):
     store = SegmentStore(spark, str(tmp_path / "ai"))
     with pytest.raises(QueryRejected, match="AUTOINCREMENT"):
         store.set_schema("ai_schema", ddl + ";")
+
+
+def test_without_rowid_semantics_match_sqlite(spark, tmp_path):
+    """Round-8 probes for WITHOUT ROWID tables: the pk is the btree key —
+    every pk column is implicitly NOT NULL (explicit NULL and omission
+    both raise SQLite's message), an INTEGER pk does NOT auto-assign, and
+    the OR REPLACE position-visit chase applies to ANY pk shape (probed:
+    a TEXT pk chases exactly like the integer rowid alias)."""
+    from trough_spark.dialect import QueryRejected
+
+    store = SegmentStore(spark, str(tmp_path / "worid"))
+
+    # INTEGER pk: NULL insert raises NOT NULL on both engines
+    ddl = "CREATE TABLE w (id INTEGER PRIMARY KEY, v TEXT) WITHOUT ROWID"
+    conn = sqlite3.connect(":memory:")
+    conn.isolation_level = None
+    conn.execute(ddl)
+    store.set_schema("w_schema", ddl + ";")
+    store.provision("w1", "w_schema")
+    for stmt in (
+        "INSERT INTO w VALUES (NULL, 'a')",
+        "INSERT INTO w (v) VALUES ('a')",
+    ):
+        with pytest.raises(sqlite3.Error, match="NOT NULL"):
+            conn.execute(stmt)
+        with pytest.raises(QueryRejected, match="NOT NULL constraint failed: w.id"):
+            store.write("w1", stmt)
+    script = "INSERT INTO w VALUES (1, 'a'), (2, 'b'), (3, 'c')"
+    _sqlite_script(conn, script)
+    store.write("w1", script)
+    # integer-pk chase applies (btree key order == pk order)
+    stmt = "UPDATE OR REPLACE w SET id = id + 1"
+    conn.execute(stmt)
+    store.write("w1", stmt)
+    expected, got = _diff_state(conn, store, "w1", "SELECT id, v FROM w ORDER BY id")
+    assert got == expected == [(4, "a")], (got, expected)
+    # UPDATE to NULL: NOT NULL (not "datatype mismatch" — no rowid here)
+    with pytest.raises(sqlite3.Error, match="NOT NULL"):
+        conn.execute("UPDATE w SET id = NULL")
+    with pytest.raises(QueryRejected, match="NOT NULL constraint failed: w.id"):
+        store.write("w1", "UPDATE w SET id = NULL")
+    # OR IGNORE skips the NULL change; OR REPLACE raises NOT NULL
+    for stmt, raises in (
+        ("UPDATE OR IGNORE w SET id = NULL", False),
+        ("UPDATE OR REPLACE w SET id = NULL", True),
+    ):
+        if raises:
+            with pytest.raises(sqlite3.Error, match="NOT NULL"):
+                conn.execute(stmt)
+            with pytest.raises(QueryRejected, match="NOT NULL"):
+                store.write("w1", stmt)
+        else:
+            conn.execute(stmt)
+            store.write("w1", stmt)
+        expected, got = _diff_state(
+            conn, store, "w1", "SELECT id, v FROM w ORDER BY id"
+        )
+        assert got == expected, (stmt, got, expected)
+    conn.close()
+
+    # TEXT pk: the chase still applies under WITHOUT ROWID
+    ddl2 = "CREATE TABLE wt (k TEXT PRIMARY KEY, v INTEGER) WITHOUT ROWID"
+    conn = sqlite3.connect(":memory:")
+    conn.isolation_level = None
+    conn.execute(ddl2)
+    store.set_schema("wt_schema", ddl2 + ";")
+    store.provision("w2", "wt_schema")
+    script = "INSERT INTO wt VALUES ('a', 1), ('b', 2), ('c', 3)"
+    _sqlite_script(conn, script)
+    store.write("w2", script)
+    stmt = "UPDATE OR REPLACE wt SET k = char(unicode(k) + 1)"
+    conn.execute(stmt)
+    store.write("w2", stmt)
+    expected, got = _diff_state(conn, store, "w2", "SELECT k, v FROM wt ORDER BY k")
+    assert got == expected == [("d", 1)], (got, expected)
+    conn.close()
+
+
+def test_without_rowid_ddl_errors_match_sqlite(spark, tmp_path):
+    """WITHOUT ROWID DDL validation: AUTOINCREMENT is banned and a pk is
+    mandatory — both raised with SQLite's verbatim messages."""
+    from trough_spark.dialect import QueryRejected
+
+    store = SegmentStore(spark, str(tmp_path / "woriddl"))
+    conn = sqlite3.connect(":memory:")
+    for ddl, msg in (
+        (
+            "CREATE TABLE x (id INTEGER PRIMARY KEY AUTOINCREMENT, v TEXT) "
+            "WITHOUT ROWID",
+            "AUTOINCREMENT not allowed on WITHOUT ROWID tables",
+        ),
+        ("CREATE TABLE x (id INTEGER, v TEXT) WITHOUT ROWID", "PRIMARY KEY missing"),
+    ):
+        with pytest.raises(sqlite3.Error):
+            conn.execute(ddl)
+        with pytest.raises(QueryRejected, match=re.escape(msg)):
+            store.set_schema("bad", ddl + ";")
+    conn.close()

@@ -102,6 +102,12 @@ class TableSchema:
     # applied to unspecified columns on INSERT (round 6 — previously they
     # silently landed as NULL, diverging from SQLite)
     defaults: dict[str, str] = field(default_factory=dict)
+    # WITHOUT ROWID (round 8, probed): the pk IS the btree key — every pk
+    # column is implicitly NOT NULL (enforced via not_null), NOTHING
+    # auto-assigns (autoincrement_col stays None even for an INTEGER pk),
+    # and the UPDATE OR position-visit chase applies to ANY pk shape
+    # because the visit order is pk order by construction
+    without_rowid: bool = False
 
     def struct(self) -> T.StructType:
         return T.StructType([T.StructField(n, t, True) for n, t in self.fields])
@@ -168,7 +174,9 @@ def parse_create_table(stmt: str) -> TableSchema:
             break
         pos += len(t.text)
     assert open_tok is not None
-    coldefs, _ = dialect._find_call_args(tokens, open_tok)
+    coldefs, close_tok = dialect._find_call_args(tokens, open_tok)
+    tail_u = dialect.render(tokens[close_tok + 1 :]).upper()
+    without_rowid = "WITHOUT" in tail_u and "ROWID" in tail_u
     fields: list[tuple[str, T.DataType]] = []
     auto_col = None
     pk: list[str] = []
@@ -243,6 +251,11 @@ def parse_create_table(stmt: str) -> TableSchema:
         if col_pk_here:
             pk.append(col)
         if "AUTOINCREMENT" in bare_u:
+            if without_rowid:
+                # SQLite's own error, verbatim
+                raise QueryRejected(
+                    "AUTOINCREMENT not allowed on WITHOUT ROWID tables"
+                )
             if not (exact_integer and col_pk_here):
                 # SQLite's own error, verbatim
                 raise QueryRejected(
@@ -250,7 +263,7 @@ def parse_create_table(stmt: str) -> TableSchema:
                 )
             auto_col = col
             typ = T.LongType()
-        elif exact_integer and col_pk_here and not re.search(
+        elif exact_integer and col_pk_here and not without_rowid and not re.search(
             r"PRIMARY\s+KEY\s+DESC\b", bare_u
         ):
             # column-level `INTEGER PRIMARY KEY DESC` is SQLite's documented
@@ -269,6 +282,7 @@ def parse_create_table(stmt: str) -> TableSchema:
         fields.append((col, typ))
     if (
         auto_col is None
+        and not without_rowid
         and pk_from_table_constraint
         and len(pk) == 1
         and pk[0].lower() in integer_cols
@@ -281,6 +295,14 @@ def parse_create_table(stmt: str) -> TableSchema:
             (n, T.LongType() if n.lower() == auto_col.lower() else t)
             for n, t in fields
         ]
+    if without_rowid:
+        if not pk:
+            # SQLite's own error, verbatim
+            raise QueryRejected(f"PRIMARY KEY missing on table {name}")
+        # pk columns are implicitly NOT NULL (probed: an explicit or
+        # omitted NULL raises "NOT NULL constraint failed: t.col")
+        have = {c.lower() for c in not_null}
+        not_null.extend(c for c in pk if c.lower() not in have)
     return TableSchema(
         name=name,
         fields=fields,
@@ -289,6 +311,7 @@ def parse_create_table(stmt: str) -> TableSchema:
         checks=checks,
         not_null=not_null,
         defaults=defaults,
+        without_rowid=without_rowid,
     )
 
 
@@ -2250,14 +2273,18 @@ class SegmentStore:
 
         # the alias determination is LEXICAL (parse_create_table): a pk
         # declared INT/BIGINT is not the rowid, so it takes the
-        # order-independent per-original-row path below, not the chase
+        # order-independent per-original-row path below, not the chase.
+        # WITHOUT ROWID tables chase too — their btree key IS the pk, so
+        # the position-visit order is pk order for ANY pk shape (probed:
+        # TEXT-pk (a,b,c) `SET k = succ(k)` OR REPLACE collapses to one
+        # row exactly like the integer case)
         rowid_alias = (
             ts.autoincrement_col is not None
             and len(pkcols) == 1
             and pkcols[0].lower() == ts.autoincrement_col.lower()
         )
-        if rowid_alias:
-            # pk == rowid: positions are pk values; the probed chase applies
+        if rowid_alias or ts.without_rowid:
+            # pk == btree key: positions are pk values; the probed chase applies
             sentinel = itertools.count()
 
             def keyof(k: tuple) -> tuple:
@@ -2284,11 +2311,14 @@ class SegmentStore:
                 if umode == "IGNORE" and self._row_violates(ts, new):
                     continue
                 nk = tuple(new[c] for c in pkcols)
-                if nk[0] is None:
+                if rowid_alias and nk[0] is None:
                     # rowid alias: a rowid can never be NULL — SQLite raises
                     # "datatype mismatch" even under OR IGNORE/REPLACE
                     # (probed round 8; it is a datatype error, not a
-                    # skippable constraint violation)
+                    # skippable constraint violation).  WITHOUT ROWID pks
+                    # instead hit the NOT NULL constraint: IGNORE skipped
+                    # the row above, REPLACE raises at the final
+                    # _assert_constraints — both probed.
                     raise QueryRejected(
                         f"datatype mismatch: NULL into INTEGER PRIMARY KEY "
                         f"{pkcols[0]!r} of {table!r}"
@@ -3140,16 +3170,18 @@ class SegmentStore:
                     "trigger bodies requires a PRIMARY KEY (per-row "
                     "interleave needs a stable row identity)"
                 )
-            if not (
+            if not ts.without_rowid and not (
                 ts.autoincrement_col
                 and len(ts.primary_key) == 1
                 and ts.primary_key[0].lower() == ts.autoincrement_col.lower()
             ):
                 # SQLite fires per-row in ROWID (insertion) order; only a
-                # rowid-alias pk makes that order derivable from the data.
-                # For TEXT/composite/INT pks the engine does not track
-                # insertion order — reject loudly rather than fire in a
-                # possibly-divergent order (round-8 ADVICE)
+                # rowid-alias pk makes that order derivable from the data
+                # (a WITHOUT ROWID table's btree order IS pk order, so it
+                # qualifies too).  For TEXT/composite/INT pks on rowid
+                # tables the engine does not track insertion order —
+                # reject loudly rather than fire in a possibly-divergent
+                # order (round-8 ADVICE)
                 raise QueryRejected(
                     f"multi-row {kind} on {table!r} with state-observing "
                     "trigger bodies requires an INTEGER PRIMARY KEY rowid "
