@@ -29,6 +29,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _SAMPLE_PRIORITY = [
     # --- new in round 8: no driver evidence yet ---
     "dedup_containment",
+    "pipeline_url_dedup",
     # --- latest evidence: round 5 (oldest -> highest priority) ---
     "pack_sequences",
     "sample_mix_rebalance",

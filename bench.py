@@ -127,6 +127,7 @@ EXTRA = [
     "pipeline_dsir_budget",
     # round 8
     "dedup_containment",
+    "pipeline_url_dedup",
 ]
 
 

@@ -149,3 +149,82 @@ def pipeline_curation(spark, sf_dir):
             F.when(decision == "keep", F.col("_split")).alias("split"),
         )
     )
+
+
+@query(
+    "pipeline_url_dedup",
+    oracle=r"""
+    WITH urls AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN doc_id % 2 = 0
+                  THEN 'https://WWW.' || source || '.Example.COM'
+                  ELSE 'https://' || source || '.example.com' END
+               || '/page/' || (doc_id % 23)
+               || '?utm_source=' || lang || '&utm_campaign=c' || doc_id AS url
+      FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, n_chars,
+             regexp_replace(
+               lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+               '^www\.', '') AS host,
+             regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path
+      FROM urls
+    ),
+    keyed AS (
+      SELECT doc_id, n_chars,
+             array_to_string(list_reverse(string_split(host, '.')), ',')
+               || ')' || path AS surt
+      FROM parts
+    )
+    SELECT surt,
+           COUNT(*) AS n_dups,
+           arg_max(doc_id, n_chars * 10000000000 - doc_id) AS keep_id,
+           MAX(n_chars) AS keep_chars
+    FROM keyed
+    GROUP BY surt
+    """,
+)
+def pipeline_url_dedup(spark, sf_dir):
+    """URL-canonical dedup, keep-best: synthesize colliding captures (the
+    documents table has no real URLs; a couple dozen docs share each canonical page,
+    differing only in host case, a www prefix, and utm_* tracking params),
+    SURT-canonicalize, then keep the longest document per canonical key
+    (ties to the smallest doc_id) — the CommonCrawl-style recrawl-collapse
+    step between exact dedup and near-dup.
+
+    Scale: canonicalization is map-only (`surt_canonicalize`, no UDF); the
+    ONE shuffle is a partial-aggregable groupBy on the surt key carrying
+    (surt, doc_id, n_chars) — `max_by` with an exact integer composite
+    ordering key (n_chars * 1e10 - doc_id fits a long: n_chars < 1e6,
+    doc_id < 1e9) instead of a per-key window sort, so map-side combine
+    collapses each key to one row before the exchange.  The surt key is
+    also the natural range-partitioning for per-domain locality at 100 TB.
+    """
+    docs = T(spark, sf_dir, "documents")
+    with_url = docs.select(
+        "doc_id",
+        "n_chars",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.lit("https://WWW."), F.col("source"), F.lit(".Example.COM")),
+            ).otherwise(
+                F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com"))
+            ),
+            F.lit("/page/"),
+            F.col("doc_id") % 23,
+            F.lit("?utm_source="),
+            F.col("lang"),
+            F.lit("&utm_campaign=c"),
+            F.col("doc_id"),
+        ).alias("url"),
+    )
+    keyed = X.surt_canonicalize(with_url, "url")
+    return keyed.groupBy("surt").agg(
+        F.count(F.lit(1)).alias("n_dups"),
+        F.expr(
+            "max_by(doc_id, n_chars * 10000000000 - doc_id)"
+        ).alias("keep_id"),
+        F.max("n_chars").alias("keep_chars"),
+    )
