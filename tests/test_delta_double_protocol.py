@@ -477,3 +477,92 @@ def test_commit_version_race_retries_to_next_version(spark, tmp_path):
     assert {
         (r["k"], r["v"]) for r in read_snapshot_df(spark, root).collect()
     } == {(1, "a"), (2, "b")}
+
+
+def test_golden_checkpoint_replay(spark, tmp_path):
+    """The checkpoint READER pinned against a HAND-AUTHORED checkpoint
+    parquet (built with plain pyarrow from PROTOCOL.md §Checkpoints, not by
+    the double's writer) plus one tail JSON commit: state must be
+    checkpoint adds, minus a tail remove, plus a tail add."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "goldenckpt")
+    for rel, rows in (
+        ("f0.parquet", [(1, "a")]),
+        ("f1.parquet", [(2, "b")]),
+        ("f2.parquet", [(3, "c")]),
+    ):
+        _parquet_file(spark, root, rel, rows, "k long, v string")
+    d = os.path.join(root, "_delta_log")
+    os.makedirs(d, exist_ok=True)
+    # the checkpoint covers versions 0..1: files f0 + f1 active
+    proto_t = pa.struct(
+        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("createdTime", pa.int64()),
+        ]
+    )
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]
+    )
+    rows = [
+        {
+            "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+            "metaData": None,
+            "add": None,
+        },
+        {
+            "protocol": None,
+            "metaData": {
+                "id": "gold-0001",
+                "schemaString": SCHEMA_JSON,
+                "partitionColumns": [],
+                "createdTime": 1700000000000,
+            },
+            "add": None,
+        },
+    ] + [
+        {
+            "protocol": None,
+            "metaData": None,
+            "add": {
+                "path": p,
+                "partitionValues": [],
+                "size": 1,
+                "modificationTime": 1700000000000,
+                "dataChange": False,
+            },
+        }
+        for p in ("f0.parquet", "f1.parquet")
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [("protocol", proto_t), ("metaData", meta_t), ("add", add_t)]
+            ),
+        ),
+        os.path.join(d, f"{1:020d}.checkpoint.parquet"),
+    )
+    with open(os.path.join(d, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": 1, "size": len(rows)}, fh)
+    # JSON commits: only 1 (could be cleaned up pre-checkpoint: omitted 0)
+    # and the tail commit 2
+    _write_commit(root, 1, [_add("f1.parquet")])  # duplicate-add: idempotent
+    _write_commit(root, 2, [_remove("f0.parquet"), _add("f2.parquet")])
+    got = sorted(
+        (r["k"], r["v"]) for r in read_snapshot_df(spark, root).collect()
+    )
+    assert got == [(2, "b"), (3, "c")]

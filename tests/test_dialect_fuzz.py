@@ -1120,18 +1120,24 @@ def test_fuzzed_update_or_modes_match_sqlite(spark, tmp_path, case):
     seed_rows = _pk_seed_rows(rng)
     stmts, set_cols = _update_or_script(rng)
     trigs = _disjoint_trigger_ddl(rng, set_cols)
-    # half the cases declare the pk in TABLE-CONSTRAINT form — since
-    # round 8 the engine classifies `id INTEGER, PRIMARY KEY (id)` as a
-    # rowid alias exactly like the column-level spelling, so the whole
-    # chase/IGNORE/REPLACE campaign must hold on it verbatim
+    # the campaign cycles the pk DECLARATION across the three spellings
+    # whose chase semantics must agree: the column-level rowid alias, the
+    # TABLE-CONSTRAINT alias (`id INTEGER, PRIMARY KEY (id)` — classified
+    # identically since round 8), and WITHOUT ROWID (the btree key IS the
+    # pk, so the same pk-order visit applies; NULL-id SETs hit NOT NULL
+    # instead of datatype mismatch — probed, both engines agree)
     ddl = TRIG_DDL
-    if case % 2:
+    base = "CREATE TABLE nums (id INTEGER PRIMARY KEY, a INTEGER, b INTEGER, s TEXT)"
+    if case % 3 == 1:
         ddl = ddl.replace(
-            "CREATE TABLE nums (id INTEGER PRIMARY KEY, a INTEGER, b INTEGER, s TEXT)",
+            base,
             "CREATE TABLE nums (id INTEGER, a INTEGER, b INTEGER, s TEXT, "
             "PRIMARY KEY (id))",
         )
         assert "PRIMARY KEY (id)" in ddl
+    elif case % 3 == 2:
+        ddl = ddl.replace(base, base + " WITHOUT ROWID")
+        assert "WITHOUT ROWID" in ddl
 
     conn = sqlite3.connect(":memory:")
     conn.isolation_level = None
