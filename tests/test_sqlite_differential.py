@@ -1827,3 +1827,107 @@ def test_without_rowid_ddl_errors_match_sqlite(spark, tmp_path):
         with pytest.raises(QueryRejected, match=re.escape(msg)):
             store.set_schema("bad", ddl + ";")
     conn.close()
+
+
+def test_pragma_table_info_matches_sqlite(spark, tmp_path):
+    """Round 8: the reference hands reads to SQLite, so clients introspect
+    with PRAGMA table_info.  Pinned verbatim against live SQLite: declared
+    type text as written (incl. 'VARCHAR (10)' spacing and '' for untyped),
+    notnull incl. the WITHOUT ROWID implicit pk NOT NULL, dflt_value with
+    the one-outer-paren strip, pk as 1-based PRIMARY KEY position, unknown
+    table -> zero rows, and ALTER ADD COLUMN visible afterwards."""
+    ddl = (
+        "CREATE TABLE t (id INTEGER PRIMARY KEY, a INT NOT NULL DEFAULT 5, "
+        "b TEXT DEFAULT ('x'), c DEFAULT (1+2), s VARCHAR (10), "
+        "n REAL DEFAULT -3.5, z BLOB DEFAULT NULL);\n"
+        "CREATE TABLE w (a TEXT, b INTEGER, v TEXT, PRIMARY KEY (b, a)) "
+        "WITHOUT ROWID;"
+    )
+    conn = sqlite3.connect(":memory:")
+    conn.isolation_level = None
+    conn.executescript(ddl)
+    store = SegmentStore(spark, str(tmp_path / "ti"))
+    store.set_schema("ti_schema", ddl)
+    store.provision("ti1", "ti_schema")
+    for tbl in ("t", "w", "missing_table"):
+        expected = conn.execute(f"PRAGMA table_info({tbl})").fetchall()
+        got = [
+            tuple(r.values())
+            for r in store.read("ti1", f"PRAGMA table_info({tbl})")
+        ]
+        assert got == expected, f"{tbl}:\nengine {got}\nsqlite {expected}"
+    # quoted-name form
+    assert [r["name"] for r in store.read("ti1", "PRAGMA table_info('w')")] == [
+        "a",
+        "b",
+        "v",
+    ]
+    # DDL evolution: ALTER ADD COLUMN shows up with its declared text
+    stmt = "ALTER TABLE t ADD COLUMN extra VARCHAR (5) DEFAULT ('e')"
+    conn.execute(stmt)
+    store.write("ti1", stmt)
+    expected = conn.execute("PRAGMA table_info(t)").fetchall()
+    got = [tuple(r.values()) for r in store.read("ti1", "PRAGMA table_info(t)")]
+    assert got == expected, f"after ALTER:\nengine {got}\nsqlite {expected}"
+    conn.close()
+
+
+def test_pragma_foreign_key_list_matches_sqlite(spark, tmp_path):
+    """Round 8: PRAGMA foreign_key_list pinned against live SQLite —
+    column-level REFERENCES (with and without target columns), a composite
+    table-level FOREIGN KEY, newest-declared-first fk ids, per-pair seq,
+    action defaults, and zero rows for fk-less / unknown tables.
+    Enforcement stays off (reference parity) — this is introspection."""
+    ddl = (
+        "CREATE TABLE p (x INTEGER PRIMARY KEY, y TEXT);\n"
+        "CREATE TABLE ch (\n"
+        "  a INTEGER REFERENCES p(x) ON DELETE CASCADE,\n"
+        "  b TEXT CHECK (b IS NULL OR length(b) < 9),\n"
+        "  c INTEGER REFERENCES p ON UPDATE SET NULL,\n"
+        "  FOREIGN KEY (b, a) REFERENCES p (y, x) ON DELETE RESTRICT\n"
+        ");"
+    )
+    conn = sqlite3.connect(":memory:")
+    conn.isolation_level = None
+    conn.executescript(ddl)
+    store = SegmentStore(spark, str(tmp_path / "fkl"))
+    store.set_schema("fkl_schema", ddl)
+    store.provision("fkl1", "fkl_schema")
+    for tbl in ("ch", "p", "missing"):
+        expected = conn.execute(f"PRAGMA foreign_key_list({tbl})").fetchall()
+        got = [
+            tuple(r.values())
+            for r in store.read("fkl1", f"PRAGMA foreign_key_list({tbl})")
+        ]
+        assert got == expected, f"{tbl}:\nengine {got}\nsqlite {expected}"
+    conn.close()
+
+
+def test_constraint_kind_decided_by_leading_keyword(spark, tmp_path):
+    """A table-level CHECK whose body mentions the words foreign/key/
+    primary must still register as a CHECK (the round-8 fk parsing routes
+    constraints by their LEADING keyword, not a whole-text scan)."""
+    ddl = (
+        "CREATE TABLE t (id INTEGER PRIMARY KEY, b TEXT, "
+        "CONSTRAINT cc CHECK (b IN ('foreign', 'key', 'primary')));"
+    )
+    conn = sqlite3.connect(":memory:")
+    conn.isolation_level = None
+    conn.executescript(ddl)
+    store = SegmentStore(spark, str(tmp_path / "leadkw"))
+    store.set_schema("lk_schema", ddl)
+    store.provision("lk1", "lk_schema")
+    assert store.read("lk1", "PRAGMA foreign_key_list(t)") == []
+    ok = "INSERT INTO t VALUES (1, 'key')"
+    conn.execute(ok)
+    store.write("lk1", ok)
+    bad = "INSERT INTO t VALUES (2, 'nope')"
+    with pytest.raises(sqlite3.Error, match="cc"):
+        conn.execute(bad)
+    from trough_spark.dialect import QueryRejected
+
+    with pytest.raises(QueryRejected, match="cc"):
+        store.write("lk1", bad)
+    expected, got = _diff_state(conn, store, "lk1", "SELECT id, b FROM t")
+    assert got == expected == [(1, "key")]
+    conn.close()

@@ -108,6 +108,19 @@ class TableSchema:
     # and the UPDATE OR position-visit chase applies to ANY pk shape
     # because the visit order is pk order by construction
     without_rowid: bool = False
+    # verbatim per-column DDL text for PRAGMA table_info parity (round 8):
+    # col_lower -> {"type": declared type text as written (may be ""),
+    # "dflt": DEFAULT term text with SQLite's one-outer-paren strip, or
+    # None} — SQLite reports both VERBATIM (probed: 'VARCHAR (10)',
+    # 'DOUBLE   PRECISION', '1+2'), so the normalized `defaults` dict
+    # cannot serve the catalog surface
+    col_decls: dict[str, dict] = field(default_factory=dict)
+    # declared foreign keys in DECLARATION order, for PRAGMA
+    # foreign_key_list parity (round 8): {"table", "from": [cols],
+    # "to": [cols] | None, "on_update", "on_delete"}.  Introspection only —
+    # enforcement stays correctly OFF (the reference opens plain
+    # connections; SQLite needs PRAGMA foreign_keys=ON)
+    fks: list = field(default_factory=list)
 
     def struct(self) -> T.StructType:
         return T.StructType([T.StructField(n, t, True) for n, t in self.fields])
@@ -158,6 +171,140 @@ def _unquote(ident: str) -> str:
     return ident
 
 
+_FK_CLAUSE_WORDS = ("ON", "MATCH", "NOT", "DEFERRABLE")
+
+
+def _parse_fk_tail(toks: list, i: int) -> tuple[dict, int]:
+    """``toks[i]`` is a REFERENCES word token: parse the foreign-key tail
+    (target table, optional column list, ON DELETE / ON UPDATE actions —
+    SQLite's defaults are 'NO ACTION'); returns (fk_dict, next_index)."""
+    n = len(toks)
+
+    def skipws(j: int) -> int:
+        while j < n and toks[j].kind in ("space", "comment"):
+            j += 1
+        return j
+
+    j = skipws(i + 1)
+    tgt = _unquote(toks[j].text)
+    j = skipws(j + 1)
+    to = None
+    if j < n and toks[j].kind == "op" and toks[j].text == "(":
+        cols: list[str] = []
+        depth = 0
+        while j < n:
+            t = toks[j]
+            if t.kind == "op" and t.text == "(":
+                depth += 1
+            elif t.kind == "op" and t.text == ")":
+                depth -= 1
+                if depth == 0:
+                    j += 1
+                    break
+            elif t.kind in ("word", "dquote", "string"):
+                cols.append(_unquote(t.text))
+            j += 1
+        to = cols
+        j = skipws(j)
+    on_update = on_delete = "NO ACTION"
+    while (
+        j < n
+        and toks[j].kind == "word"
+        and toks[j].text.upper() in _FK_CLAUSE_WORDS
+    ):
+        w = toks[j].text.upper()
+        if w == "ON":
+            j = skipws(j + 1)
+            which = toks[j].text.upper()
+            j = skipws(j + 1)
+            act = toks[j].text.upper()
+            if act in ("SET", "NO"):
+                j = skipws(j + 1)
+                act = f"{act} {toks[j].text.upper()}"
+            j = skipws(j + 1)
+            if which == "DELETE":
+                on_delete = act
+            elif which == "UPDATE":
+                on_update = act
+        elif w == "MATCH":
+            j = skipws(j + 1)
+            j = skipws(j + 1)
+        else:  # [NOT] DEFERRABLE [INITIALLY DEFERRED/IMMEDIATE] — ignored
+            j = skipws(j + 1)
+            while (
+                j < n
+                and toks[j].kind == "word"
+                and toks[j].text.upper()
+                in ("DEFERRABLE", "INITIALLY", "DEFERRED", "IMMEDIATE")
+            ):
+                j = skipws(j + 1)
+    return {
+        "table": tgt,
+        "to": to,
+        "on_update": on_update,
+        "on_delete": on_delete,
+    }, j
+
+
+def _col_decl_info(coldef: list, name_tok) -> dict:
+    """Verbatim {type, dflt} for one column def's tokens (spaces included),
+    matching what ``PRAGMA table_info`` reports: the declared type is the
+    raw text from after the column name up to the first column-constraint
+    keyword (paren args included, original spacing preserved); the default
+    is the DEFAULT term's text with SQLite's one-outer-paren strip."""
+    start = next(i for i, t in enumerate(coldef) if t is name_tok) + 1
+    depth = 0
+    type_end = len(coldef)
+    for i in range(start, len(coldef)):
+        t = coldef[i]
+        if t.kind == "op" and t.text == "(":
+            depth += 1
+        elif t.kind == "op" and t.text == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and t.kind == "word"
+            and t.text.upper() in _COLCONSTRAINT_WORDS
+        ):
+            type_end = i
+            break
+    type_text = dialect.render(coldef[start:type_end]).strip()
+    dflt = None
+    i = type_end
+    while i < len(coldef):
+        t = coldef[i]
+        if t.kind == "word" and t.text.upper() == "DEFAULT":
+            j = i + 1
+            while j < len(coldef) and coldef[j].kind in ("space", "comment"):
+                j += 1
+            if j < len(coldef) and coldef[j].kind == "op" and coldef[j].text == "(":
+                d, k = 0, j
+                while k < len(coldef):
+                    if coldef[k].kind == "op" and coldef[k].text == "(":
+                        d += 1
+                    elif coldef[k].kind == "op" and coldef[k].text == ")":
+                        d -= 1
+                        if d == 0:
+                            break
+                    k += 1
+                # SQLite strips exactly the outer parens, keeps the inner
+                # text verbatim (probed: DEFAULT (1+2) reports '1+2')
+                dflt = dialect.render(coldef[j + 1 : k]).strip()
+            else:
+                # first term token unconditionally (DEFAULT NULL is legal —
+                # NULL is a constraint keyword only in constraint position)
+                k = j + 1
+                while k < len(coldef):
+                    t2 = coldef[k]
+                    if t2.kind == "word" and t2.text.upper() in _COLCONSTRAINT_WORDS:
+                        break
+                    k += 1
+                dflt = dialect.render(coldef[j:k]).strip()
+            break
+        i += 1
+    return {"type": type_text, "dflt": dflt}
+
+
 def parse_create_table(stmt: str) -> TableSchema:
     m = _CREATE_RE.match(stmt)
     if not m:
@@ -185,6 +332,8 @@ def parse_create_table(stmt: str) -> TableSchema:
     defaults: dict[str, str] = {}
     pk_from_table_constraint = False
     integer_cols: set[str] = set()  # cols declared EXACTLY `INTEGER`
+    col_decls: dict[str, dict] = {}
+    fks: list = []
     for coldef in coldefs:
         sig = [t for t in coldef if t.kind not in ("space", "comment")]
         if not sig:
@@ -192,8 +341,42 @@ def parse_create_table(stmt: str) -> TableSchema:
         first = sig[0]
         if first.kind == "word" and first.text.upper() in _CONSTRAINT_WORDS:
             # table-level constraint; extract PRIMARY KEY (col, ...) / CHECK
-            text_u = dialect.render(coldef).upper()
-            if "PRIMARY" in text_u and "KEY" in text_u:
+            sig_words = [t.text.upper() for t in sig if t.kind == "word"]
+            # first keyword (after an optional CONSTRAINT <name>) decides
+            # the constraint kind — scanning the whole text would misroute
+            # a CHECK whose body mentions the words foreign/key/primary
+            lead = sig_words[0]
+            if lead == "CONSTRAINT" and len(sig_words) > 2:
+                lead = sig_words[2]
+            if lead == "FOREIGN":
+                # FOREIGN KEY (cols) REFERENCES tgt [(cols)] [actions]
+                from_cols: list[str] = []
+                depth = 0
+                ref_idx = None
+                for i2, t2 in enumerate(coldef):
+                    if t2.kind == "op" and t2.text == "(":
+                        depth += 1
+                    elif t2.kind == "op" and t2.text == ")":
+                        depth -= 1
+                    elif depth == 1 and ref_idx is None and t2.kind in (
+                        "word",
+                        "dquote",
+                        "string",
+                    ):
+                        from_cols.append(_unquote(t2.text))
+                    elif (
+                        depth == 0
+                        and t2.kind == "word"
+                        and t2.text.upper() == "REFERENCES"
+                    ):
+                        ref_idx = i2
+                        break
+                if ref_idx is not None and from_cols:
+                    fk, _ = _parse_fk_tail(coldef, ref_idx)
+                    fk["from"] = from_cols
+                    fks.append(fk)
+                continue
+            if lead == "PRIMARY":
                 m2 = re.search(r"\(([^)]*)\)", dialect.render(coldef))
                 if m2:
                     # each entry may carry ASC/DESC/COLLATE x — indexing
@@ -279,6 +462,24 @@ def parse_create_table(stmt: str) -> TableSchema:
         dv = _parse_default(coldef[1:])
         if dv is not None:
             defaults[col] = dv
+        col_decls[col.lower()] = _col_decl_info(coldef, first)
+        # column-level REFERENCES (depth 0 — one inside a CHECK body must
+        # not register)
+        depth = 0
+        for i2, t2 in enumerate(coldef):
+            if t2.kind == "op" and t2.text == "(":
+                depth += 1
+            elif t2.kind == "op" and t2.text == ")":
+                depth -= 1
+            elif (
+                depth == 0
+                and t2.kind == "word"
+                and t2.text.upper() == "REFERENCES"
+            ):
+                fk, _ = _parse_fk_tail(coldef, i2)
+                fk["from"] = [col]
+                fks.append(fk)
+                break
         fields.append((col, typ))
     if (
         auto_col is None
@@ -312,6 +513,8 @@ def parse_create_table(stmt: str) -> TableSchema:
         not_null=not_null,
         defaults=defaults,
         without_rowid=without_rowid,
+        col_decls=col_decls,
+        fks=fks,
     )
 
 
@@ -3368,6 +3571,8 @@ class SegmentStore:
             dv = _parse_default(list(dialect.tokenize(decl))) if decl else None
             if dv is not None:
                 ts.defaults[col] = dv
+            body_toks = list(dialect.tokenize(body))
+            ts.col_decls[col.lower()] = _col_decl_info(body_toks, body_toks[0])
             ts.fields.append((col, typ))
             if dv is not None and os.path.isdir(self._partition_path(table, segment_id)):
                 # SQLite: ADD COLUMN .. DEFAULT backfills EXISTING rows with
@@ -3406,6 +3611,8 @@ class SegmentStore:
             # with nulls across mixed-generation files), then rewrite
             df = self._read_partition(segment_id, table).withColumnRenamed(old, new)
             ts.fields = [(new if n == old else n, t) for n, t in ts.fields]
+            if old.lower() in ts.col_decls:
+                ts.col_decls[new.lower()] = ts.col_decls.pop(old.lower())
             if os.path.isdir(self._partition_path(table, segment_id)):
                 info.setdefault("extra_tables", {})[table] = _tableschema_to_json(ts)
                 self._save_meta()
@@ -3414,6 +3621,7 @@ class SegmentStore:
         elif ru.startswith("DROP"):
             col = _unquote(re.sub(r"^DROP\s+(COLUMN\s+)?", "", rest, flags=re.IGNORECASE).strip())
             ts.fields = [(n, t) for n, t in ts.fields if n != col]
+            ts.col_decls.pop(col.lower(), None)
         else:
             raise QueryRejected(f"unsupported ALTER form: {stmt[:80]!r}")
         info.setdefault("extra_tables", {})[table] = _tableschema_to_json(ts)
@@ -3498,6 +3706,96 @@ class SegmentStore:
             return self.spark.createDataFrame([], ts.struct())
         return self._read_files(path, ts.struct())
 
+    _TABLE_INFO_SCHEMA = (
+        "cid INT, name STRING, type STRING, `notnull` INT, "
+        "dflt_value STRING, pk INT"
+    )
+
+    def _pragma_table_info(
+        self, segment_id: str, table: str, as_of: str | None
+    ) -> DataFrame:
+        """``PRAGMA table_info(t)`` with SQLite's exact row shape (probed):
+        cid 0-based, declared type VERBATIM (empty for an untyped column),
+        notnull 1 for declared NOT NULL and for WITHOUT ROWID pk columns,
+        dflt_value as the written DEFAULT text (one outer paren stripped),
+        pk = the column's 1-based position in the PRIMARY KEY.  An unknown
+        table yields zero rows, exactly like SQLite.  Driver-local, no
+        scan — catalog introspection must not launch a job."""
+        if as_of is None:
+            info = self._segment_info(segment_id)
+        else:
+            _dest, manifest = self._snapshot_manifest(segment_id, as_of)
+            info = manifest["segment"]
+        if table in info.get("views", {}):
+            # SQLite answers with the view's inferred column decltypes,
+            # which would require full select-list type derivation here —
+            # loud reject over a silently-diverging approximation
+            raise QueryRejected(
+                f"PRAGMA table_info on a VIEW ({table!r}) is not supported "
+                "(declared-type inference through the view select list is "
+                "out of scope) — query the view or sqlite_master instead"
+            )
+        try:
+            ts = self._table_schema_from_info(info, table, segment_id)
+        except KeyError:
+            return self.spark.createDataFrame([], self._TABLE_INFO_SCHEMA)
+        pk_pos = {c.lower(): i + 1 for i, c in enumerate(ts.primary_key)}
+        nn = {c.lower() for c in ts.not_null}
+        rows = []
+        for cid, (name, _typ) in enumerate(ts.fields):
+            decl = ts.col_decls.get(name.lower(), {})
+            rows.append(
+                (
+                    cid,
+                    name,
+                    decl.get("type", ""),
+                    1 if name.lower() in nn else 0,
+                    decl.get("dflt"),
+                    pk_pos.get(name.lower(), 0),
+                )
+            )
+        return self.spark.createDataFrame(rows, self._TABLE_INFO_SCHEMA)
+
+    _FK_LIST_SCHEMA = (
+        "id INT, seq INT, `table` STRING, `from` STRING, `to` STRING, "
+        "on_update STRING, on_delete STRING, `match` STRING"
+    )
+
+    def _pragma_foreign_key_list(
+        self, segment_id: str, table: str, as_of: str | None
+    ) -> DataFrame:
+        """``PRAGMA foreign_key_list(t)`` (probed): one row per (fk, column
+        pair), fks numbered NEWEST-DECLARED-FIRST (the last declared fk is
+        id 0), `to` NULL when the target columns were omitted, actions
+        defaulting to 'NO ACTION', match always 'NONE'.  Introspection
+        only — enforcement stays off like the reference's connections."""
+        if as_of is None:
+            info = self._segment_info(segment_id)
+        else:
+            _dest, manifest = self._snapshot_manifest(segment_id, as_of)
+            info = manifest["segment"]
+        try:
+            ts = self._table_schema_from_info(info, table, segment_id)
+        except KeyError:
+            return self.spark.createDataFrame([], self._FK_LIST_SCHEMA)
+        rows = []
+        for fk_id, fk in enumerate(reversed(ts.fks)):
+            to = fk.get("to")
+            for seq, src in enumerate(fk["from"]):
+                rows.append(
+                    (
+                        fk_id,
+                        seq,
+                        fk["table"],
+                        src,
+                        to[seq] if to else None,
+                        fk.get("on_update", "NO ACTION"),
+                        fk.get("on_delete", "NO ACTION"),
+                        "NONE",
+                    )
+                )
+        return self.spark.createDataFrame(rows, self._FK_LIST_SCHEMA)
+
     def _dir_fingerprint(self, path: str) -> tuple:
         """Cheap change detector for the view cache: (inode, mtime_ns, size)
         of the data directory — any append, overwrite swap, or delete from
@@ -3524,6 +3822,21 @@ class SegmentStore:
         the live segment.  Snapshot files are immutable, so a time-travel
         reader never races a concurrent writer.  (Named schemas resolve
         against the current registry; per-segment DDL state is versioned.)"""
+        pm = re.match(
+            r"^\s*PRAGMA\s+(?P<which>table_info|foreign_key_list)\s*"
+            r"\(\s*(?P<name>[^)]+?)\s*\)\s*;?\s*$",
+            sql,
+            re.IGNORECASE,
+        )
+        if pm:
+            # the reference hands reads straight to SQLite, so clients use
+            # PRAGMA table_info / foreign_key_list for introspection (ORMs,
+            # shells); answered from the declared schema with SQLite's
+            # exact row shapes
+            name = _unquote(pm.group("name"))
+            if pm.group("which").lower() == "table_info":
+                return self._pragma_table_info(segment_id, name, as_of)
+            return self._pragma_foreign_key_list(segment_id, name, as_of)
         stmt = dialect.assert_single_select(sql)
         if as_of is None:
             info = self._segment_info(segment_id)
@@ -4086,6 +4399,9 @@ def _tableschema_to_json(ts: TableSchema) -> dict:
         "checks": [list(c) for c in ts.checks],
         "not_null": ts.not_null,
         "defaults": ts.defaults,
+        "without_rowid": ts.without_rowid,
+        "col_decls": ts.col_decls,
+        "fks": ts.fks,
     }
 
 
@@ -4100,6 +4416,9 @@ def _tableschema_from_json(d: dict) -> TableSchema:
         checks=[tuple(c) for c in d.get("checks", [])],
         not_null=d.get("not_null", []),
         defaults=d.get("defaults", {}),
+        without_rowid=d.get("without_rowid", False),
+        col_decls=d.get("col_decls", {}),
+        fks=d.get("fks", []),
     )
 
 
