@@ -30,6 +30,9 @@ _SAMPLE_PRIORITY = [
     # --- new in round 8: no driver evidence yet ---
     "dedup_containment",
     "pipeline_url_dedup",
+    "text_gopher_rules",
+    "text_ngram_novelty",
+    "sample_interleave_lang",
     # --- latest evidence: round 5 (oldest -> highest priority) ---
     "pack_sequences",
     "sample_mix_rebalance",

@@ -450,3 +450,75 @@ def test_budget_select_per_group_budgets_each_group(spark):
     wnode = next(ln for ln in pplan.splitlines() if "Window" in ln and "sum" in ln)
     assert "body" not in wnode
     assert pout.columns == ["id", "g", "c", "body", "cum_before"]
+
+
+# ---------------------------------------------------------------------------
+# interleave_order (round 8)
+
+
+def _naive_interleave(rows):
+    """Reference: per-group 1-based rank by key, then global sort by
+    (rnd, group) — the oracle's single-reducer form."""
+    bygroup = {}
+    for k, g in sorted(rows):
+        bygroup.setdefault(g, []).append(k)
+    ranked = [
+        (rnd + 1, g, k)
+        for g, ks in bygroup.items()
+        for rnd, k in enumerate(ks)
+    ]
+    ranked.sort(key=lambda t: (t[0], t[1]))
+    return {k: (rnd, pos) for pos, (rnd, g, k) in enumerate(ranked)}
+
+
+def test_interleave_order_matches_naive(spark):
+    import random
+
+    rng = random.Random(8)
+    rows = [(i, rng.choice("abcde")) for i in range(500)]
+    # uneven groups: group 'a' triple-weighted
+    rows += [(500 + i, "a") for i in range(300)]
+    df = spark.createDataFrame(rows, "k long, g string")
+    out = {
+        r["k"]: (r["rnd"], r["pos"])
+        for r in SA.interleave_order(df, "k", "g", n_ranges=7).collect()
+    }
+    assert out == _naive_interleave(rows)
+
+
+def test_interleave_order_positions_are_a_permutation(spark):
+    df = spark.createDataFrame(
+        [(i, ["x", "y", "z"][i % 3]) for i in range(200)], "k long, g string"
+    )
+    got = SA.interleave_order(df, "k", "g").select("pos").collect()
+    assert sorted(r["pos"] for r in got) == list(range(200))
+
+
+def test_interleave_order_excludes_null_key_and_group(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (None, "b"), (3, "b")], "k long, g string"
+    )
+    out = SA.interleave_order(df, "k", "g")
+    assert sorted(r["k"] for r in out.collect()) == [1, 3]
+
+
+def test_interleave_order_single_group_is_identity_order(spark):
+    df = spark.createDataFrame([(i, "only") for i in range(50)], "k long, g string")
+    got = {r["k"]: r["pos"] for r in SA.interleave_order(df, "k", "g").collect()}
+    assert got == {i: i for i in range(50)}
+
+
+def test_interleave_order_max_groups_guard(spark):
+    df = spark.createDataFrame([(i, str(i)) for i in range(30)], "k long, g string")
+    with pytest.raises(ValueError):
+        SA.interleave_order(df, "k", "g", max_groups=10)
+
+
+def test_interleave_order_stable_under_repartition(spark):
+    rows = [(i, ["en", "zh", "fr"][i % 3]) for i in range(120)]
+    df = spark.createDataFrame(rows, "k long, g string")
+    a = sorted(map(tuple, SA.interleave_order(df, "k", "g", n_ranges=3).collect()))
+    b = sorted(
+        map(tuple, SA.interleave_order(df.repartition(17), "k", "g", n_ranges=11).collect())
+    )
+    assert a == b

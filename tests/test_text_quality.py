@@ -106,3 +106,74 @@ def test_hashed_embedding_deterministic_and_count_exact(spark):
     # doc 3: beta x2 + gamma + delta -> per-dim weights sum of signed counts
     assert sum(abs(w) for _, w in by_id[3]) <= 4
     assert all(0 <= d < 64 for d, _ in by_id[3])
+
+
+# ---------------------------------------------------------------------------
+# gopher_rules / ngram_novelty (round 8)
+
+
+def test_gopher_rules_flags(spark):
+    from trough_spark.operators.text import gopher_rules
+
+    good = " ".join(["the quick brown foxes and dogs of winter go home"] * 8)  # 80 words
+    rows = [
+        (1, good),
+        (2, ""),  # empty: every n_words>0 rule fails
+        (3, "# " * 60),  # symbol soup: no alpha, all hashes
+        (4, "short text only"),  # under min_words
+        (5, "\n".join("- bullet line %d" % i for i in range(10))),  # all bullets
+        (6, good + " word… and more…" + " trailing…"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r.asDict() for r in gopher_rules(df, "doc_id", "text").collect()}
+    assert out[1]["pass_gopher"] is True
+    assert out[2]["rule_word_count"] is False
+    assert out[2]["rule_mean_word_len"] is False
+    assert out[2]["rule_alpha_words"] is False
+    assert out[3]["rule_alpha_words"] is False
+    assert out[3]["rule_symbol_ratio"] is False
+    assert out[4]["rule_word_count"] is False
+    assert out[4]["rule_stopwords"] is False
+    assert out[5]["rule_bullets"] is False
+    # three '…' in 83 words: 10*3 <= 83 holds -> still passes symbol rule
+    assert out[6]["rule_symbol_ratio"] is True
+
+
+def test_gopher_rules_map_only_plan(spark):
+    from trough_spark.operators.text import gopher_rules
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = gopher_rules(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_ngram_novelty_attribution(spark):
+    from trough_spark.operators.text import ngram_novelty
+
+    rows = [
+        (1, "alpha beta gamma delta"),  # grams: abc, bcd (novel: both)
+        (2, "alpha beta gamma delta"),  # exact dup of 1: novelty 0
+        (3, "alpha beta gamma epsilon zeta"),  # shares 'alpha beta gamma'
+        (4, "one two"),  # too short: 0 grams
+        (5, ""),  # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r.asDict() for r in ngram_novelty(df, "doc_id", "text").collect()}
+    assert out[1] == {"id": 1, "n_grams": 2, "n_novel": 2, "novelty_micro": 1000000}
+    assert out[2] == {"id": 2, "n_grams": 2, "n_novel": 0, "novelty_micro": 0}
+    # doc 3: grams 'alpha beta gamma' (first seen in doc 1), 'beta gamma epsilon',
+    # 'gamma epsilon zeta' -> 2 of 3 novel
+    assert out[3] == {"id": 3, "n_grams": 3, "n_novel": 2, "novelty_micro": 666667}
+    assert out[4] == {"id": 4, "n_grams": 0, "n_novel": 0, "novelty_micro": None}
+    assert out[5] == {"id": 5, "n_grams": 0, "n_novel": 0, "novelty_micro": None}
+
+
+def test_ngram_novelty_repeated_gram_within_doc_counts_once(spark):
+    from trough_spark.operators.text import ngram_novelty
+
+    df = spark.createDataFrame(
+        [(1, "x y z x y z x y z")], "doc_id long, text string"
+    )
+    out = ngram_novelty(df, "doc_id", "text").collect()[0]
+    # 7 positions but only 3 DISTINCT grams: xyz, yzx, zxy
+    assert out["n_grams"] == 3 and out["n_novel"] == 3

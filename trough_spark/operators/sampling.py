@@ -759,3 +759,110 @@ def budget_select_per_group(
     )
     out = base.join(kept, on=key_name, how="inner")
     return out.select(*df.columns, cum_col)
+
+
+def interleave_order(
+    df: DataFrame,
+    key,
+    group_col: str,
+    rnd_col: str = "rnd",
+    pos_col: str = "pos",
+    n_ranges: int = 32,
+    max_groups: int = 4096,
+) -> DataFrame:
+    """Round-robin interleave across groups — the balanced training-order
+    mix for multilingual / multi-source corpora ("one document from each
+    language per round, until a group runs dry").  Every row gets its
+    1-based round ``rnd`` (its rank within its group, key ascending) and
+    its 0-based global position ``pos`` in the interleaved order, which is
+    exactly ``ROW_NUMBER() OVER (ORDER BY rnd, group)`` — except nothing
+    here ever performs that global single-reducer sort:
+
+    1. **Distributed per-group enumeration** (the ``budget_select``
+       prefix-sum shape): range-repartition the (key, group) projection by
+       (group ASC, key ASC) into ``n_ranges`` ordered slices; per-(slice,
+       group) counts (a tiny totals table) get exclusive prefix offsets
+       via a window over that table; each slice then computes row_number
+       in parallel and adds its offset.  No one-task-per-group sort, so a
+       group holding half the corpus still enumerates across slices.
+    2. **Arithmetic position**: with the per-group histogram ``c_g``
+       (collected — one row per group, hence ``max_groups``) the global
+       position is computed per row with zero further shuffles::
+
+           pos(g, r) = sum_g' min(c_g', r-1)            -- full earlier rounds
+                     + #{g' < g : c_g' >= r}            -- same round, alive
+                                                        -- groups before g
+
+    The localCheckpoint is the same correctness barrier documented at
+    ``budget_select``: totals and output both consume the ranged frame,
+    and pinning them to one RDD guarantees one boundary sampling.
+
+    Keys-first structurally: the enumeration runs on (key, group) only and
+    row bodies are joined back by ``key`` (which must therefore be
+    row-unique).  Rows with a NULL key or NULL group are EXCLUDED
+    (filtered explicitly — NULLs have no interleave position and cannot
+    survive the equi-join back).  Groups must be low-cardinality
+    (languages, sources); ``max_groups`` guards the driver-side histogram.
+
+    Extension operator per SURVEY §2.D (the reference has no sampling
+    surface).
+    """
+    if isinstance(key, str):
+        key_name, base = key, df
+    else:
+        key_name, base = "_il_key", df.withColumn("_il_key", key)
+    base = base.where(
+        F.col(key_name).isNotNull() & F.col(group_col).isNotNull()
+    )
+    proj = base.select(key_name, F.col(group_col).alias("_il_g"))
+    ranged = (
+        proj.repartitionByRange(
+            n_ranges, F.col("_il_g").asc(), F.col(key_name).asc()
+        )
+        .withColumn("_il_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    totals = ranged.groupBy("_il_pid", "_il_g").agg(
+        F.count(F.lit(1)).alias("_il_n")
+    )
+    off_w = (
+        W.partitionBy("_il_g")
+        .orderBy(F.col("_il_pid").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "_il_pid",
+        "_il_g",
+        F.coalesce(F.sum("_il_n").over(off_w), F.lit(0)).alias("_il_off"),
+    )
+    hist = {
+        r["_il_g"]: r["_il_c"]
+        for r in totals.groupBy("_il_g")
+        .agg(F.sum("_il_n").alias("_il_c"))
+        .collect()
+    }
+    if len(hist) > max_groups:
+        raise ValueError(
+            f"interleave_order: {len(hist)} groups exceeds max_groups="
+            f"{max_groups}; round-robin interleave is for low-cardinality "
+            "groups (languages/sources)"
+        )
+    in_w = W.partitionBy("_il_pid", "_il_g").orderBy(F.col(key_name).asc())
+    rnd = (F.col("_il_off") + F.row_number().over(in_w)).cast("bigint")
+    order = (
+        ranged.join(F.broadcast(offsets), ["_il_pid", "_il_g"])
+        .withColumn(rnd_col, rnd)
+        .drop("_il_pid", "_il_off")
+    )
+    r = F.col(rnd_col)
+    pos = F.lit(0).cast("bigint")
+    for g, c in sorted(hist.items()):
+        pos = pos + F.least(F.lit(c).cast("bigint"), r - 1)
+        pos = pos + F.when(
+            (F.lit(g) < F.col("_il_g")) & (r <= F.lit(c)), 1
+        ).otherwise(0)
+    order = order.withColumn(pos_col, pos.cast("bigint")).drop("_il_g")
+    if df.columns == [key_name]:
+        return order
+    out = base.join(order, on=key_name, how="inner")
+    return out.select(*df.columns, rnd_col, pos_col)

@@ -731,3 +731,154 @@ def hashed_cosine_topk(
         .orderBy(F.desc("cos_micro"), F.asc("id"))
         .limit(k)
     )
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher-style composite quality-rule flags (Rae et al. 2021 §A1.1,
+    re-expressed as pure integer arithmetic so every flag is hash-stable
+    across engines — no float ratio ever feeds a comparison):
+
+    - ``rule_word_count``: ``min_words <= n_words <= max_words``
+    - ``rule_mean_word_len``: mean word length in [3, 10], tested as
+      ``3*n_words <= n_nonspace <= 10*n_words``
+    - ``rule_symbol_ratio``: (# '#' chars + # '...'/'…' runs) <= 0.1 words,
+      tested as ``10*symbols <= n_words``
+    - ``rule_alpha_words``: >= 80% of words contain an alphabetic char,
+      tested as ``5*n_alpha_words >= 4*n_words``
+    - ``rule_bullets``: <= 90% of lines start with a bullet
+      (``-``, ``*``, ``•``)
+    - ``rule_ellipsis_lines``: <= 30% of lines end with an ellipsis
+    - ``rule_stopwords``: >= 2 distinct common-English stop words present
+
+    ``pass_gopher`` is the conjunction.  Pure map over each row — no
+    shuffle, scales embarrassingly; at 100 TB this is the canonical
+    pre-dedup filter pass fused into the scan.
+
+    The reference has no text-quality surface (SQLite delegation,
+    /root/reference/trough/read.py:66); extension operator per SURVEY §2.D.
+    """
+    text = F.col(text_col)
+    words = F.split(F.trim(text), r"\s+")
+    empty = F.length(F.trim(text)) == 0
+    n_words = F.when(empty, 0).otherwise(F.size(words)).cast("int")
+    n_nonspace = F.length(F.regexp_replace(text, r"\s+", "")).cast("int")
+    hashes = (F.length(text) - F.length(F.replace(text, F.lit("#")))).cast("int")
+    ell3 = F.floor(
+        (F.length(text) - F.length(F.replace(text, F.lit("...")))) / 3
+    ).cast("int")
+    ellu = (F.length(text) - F.length(F.replace(text, F.lit("…")))).cast("int")
+    symbols = hashes + ell3 + ellu
+    n_alpha_words = F.when(empty, 0).otherwise(
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    ).cast("int")
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines).cast("int")
+    n_bullet = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))
+    ).cast("int")
+    n_ell_lines = F.size(
+        F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
+    ).cast("int")
+    lower_words = F.split(F.trim(F.lower(text)), r"\s+")
+    n_stop_distinct = sum(
+        F.array_contains(lower_words, s).cast("int")
+        for s in ["the", "and", "of", "to", "a"]
+    ).cast("int")
+    out = df.select(
+        F.col(id_col).alias("id"),
+        n_words.alias("n_words"),
+        (
+            (n_words >= F.lit(min_words)) & (n_words <= F.lit(max_words))
+        ).alias("rule_word_count"),
+        (
+            (n_words > 0)
+            & (F.lit(3) * n_words <= n_nonspace)
+            & (n_nonspace <= F.lit(10) * n_words)
+        ).alias("rule_mean_word_len"),
+        (F.lit(10) * symbols <= n_words).alias("rule_symbol_ratio"),
+        (
+            (n_words > 0) & (F.lit(5) * n_alpha_words >= F.lit(4) * n_words)
+        ).alias("rule_alpha_words"),
+        (F.lit(10) * n_bullet <= F.lit(9) * n_lines).alias("rule_bullets"),
+        (F.lit(10) * n_ell_lines <= F.lit(3) * n_lines).alias(
+            "rule_ellipsis_lines"
+        ),
+        (n_stop_distinct >= 2).alias("rule_stopwords"),
+    )
+    rules = [c for c in out.columns if c.startswith("rule_")]
+    passed = F.lit(True)
+    for c in rules:
+        passed = passed & F.col(c)
+    return out.withColumn("pass_gopher", passed)
+
+
+def ngram_novelty(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Corpus-level n-gram novelty: for each document, the share of its
+    DISTINCT word n-grams whose earliest corpus occurrence (min id) is this
+    document.  Low novelty = the doc is mostly re-used phrasing
+    (memorization / boilerplate risk); the corpus-wide complement of the
+    in-doc ``repetition_ratio`` and the scoring twin of
+    ``dedup_span_coverage``.
+
+    Scale shape: explode to DISTINCT (id, 16-byte gram digest) pairs, ONE
+    groupBy shuffle on the digest to find each gram's min id, then a
+    partial-agg count per doc.  The shuffle carries (digest, id) only —
+    never text — so at 100 TB it is an equi-partitioned hash agg over
+    ~24-byte rows, same budget class as dedup_exact.
+
+    Returns (id, n_grams, n_novel, novelty_micro) where novelty_micro is
+    round(1e6 * n_novel / n_grams) — integer-rounded AFTER the exact
+    integer counts, so cross-engine stable.  Docs with fewer than ``n``
+    words have zero n-grams and are reported with n_grams = 0,
+    novelty_micro NULL.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("t")).where(
+        F.length(F.trim(F.col(text_col))) > 0
+    )
+    grams = base.where(F.size("t") >= n).select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - n),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice("t", i + 1, n))
+                ),
+            )
+        ).alias("g"),
+    )
+    pairs = grams.distinct()
+    first = pairs.groupBy("g").agg(F.min("id").alias("first_id"))
+    per_doc = (
+        pairs.join(first, "g")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum((F.col("id") == F.col("first_id")).cast("int"))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    all_ids = df.select(F.col(id_col).alias("id"))
+    return (
+        all_ids.join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+            F.when(
+                F.col("n_grams").isNotNull(),
+                F.round(
+                    F.col("n_novel") * F.lit(1000000.0) / F.col("n_grams")
+                ).cast("bigint"),
+            ).alias("novelty_micro"),
+        )
+    )

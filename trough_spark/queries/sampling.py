@@ -582,3 +582,27 @@ def pipeline_dsir_budget(spark, sf_dir):
     return SA.budget_select(
         joined, "id", "n_chars", "dsir_score", budget=60000.0
     )
+
+
+@query(
+    "sample_interleave_lang",
+    oracle=r"""
+    WITH r AS (
+      SELECT doc_id, lang,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS rnd
+      FROM documents
+    )
+    SELECT doc_id, lang, rnd,
+           CAST(ROW_NUMBER() OVER (ORDER BY rnd, lang) - 1 AS BIGINT) AS pos
+    FROM r
+    """,
+)
+def sample_interleave_lang(spark, sf_dir):
+    """Round-robin language interleave for balanced multilingual training
+    order.  The oracle IS the naive single-reducer global sort
+    (`ROW_NUMBER() OVER (ORDER BY rnd, lang)`); the Spark side computes the
+    identical position arithmetically from a broadcast per-language
+    histogram plus a distributed per-group enumeration — zero global
+    sorts (see operators/sampling.py:interleave_order)."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "lang")
+    return SA.interleave_order(d, "doc_id", "lang")

@@ -795,3 +795,88 @@ def text_hashed_ann_topk(spark, sf_dir):
     docs = T(spark, sf_dir, "documents")
     emb = X.hashed_embedding(docs, "doc_id", "text", dims=64)
     return X.hashed_cosine_topk(emb, query_id=0, k=20)
+
+
+@query(
+    "text_gopher_rules",
+    oracle=r"""
+    WITH feats AS (
+      SELECT doc_id AS id,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS INT) END AS n_words,
+        CAST(length(regexp_replace(text, '\s+', '', 'g')) AS INT) AS n_nonspace,
+        CAST(length(text) - length(replace(text, '#', '')) AS INT) AS n_hash,
+        CAST((length(text) - length(replace(text, '...', ''))) // 3 AS INT) AS n_ell3,
+        CAST(length(text) - length(replace(text, '…', '')) AS INT) AS n_ellu,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                       w -> regexp_matches(w, '[A-Za-z]'))) AS INT) END
+          AS n_alpha_words,
+        CAST(len(string_split(text, chr(10))) AS INT) AS n_lines,
+        CAST(len(list_filter(string_split(text, chr(10)),
+                             l -> regexp_matches(l, '^\s*[-*•]'))) AS INT) AS n_bullet,
+        CAST(len(list_filter(string_split(text, chr(10)),
+                             l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS INT) AS n_ell_lines,
+        CAST(len(list_filter(['the','and','of','to','a'],
+                             s -> list_contains(string_split_regex(trim(lower(text)), '\s+'), s)))
+             AS INT) AS n_stop
+      FROM documents
+    )
+    SELECT id, n_words,
+      n_words >= 50 AND n_words <= 100000 AS rule_word_count,
+      n_words > 0 AND 3 * n_words <= n_nonspace AND n_nonspace <= 10 * n_words
+        AS rule_mean_word_len,
+      10 * (n_hash + n_ell3 + n_ellu) <= n_words AS rule_symbol_ratio,
+      n_words > 0 AND 5 * n_alpha_words >= 4 * n_words AS rule_alpha_words,
+      10 * n_bullet <= 9 * n_lines AS rule_bullets,
+      10 * n_ell_lines <= 3 * n_lines AS rule_ellipsis_lines,
+      n_stop >= 2 AS rule_stopwords,
+      (n_words >= 50 AND n_words <= 100000)
+        AND (n_words > 0 AND 3 * n_words <= n_nonspace AND n_nonspace <= 10 * n_words)
+        AND (10 * (n_hash + n_ell3 + n_ellu) <= n_words)
+        AND (n_words > 0 AND 5 * n_alpha_words >= 4 * n_words)
+        AND (10 * n_bullet <= 9 * n_lines)
+        AND (10 * n_ell_lines <= 3 * n_lines)
+        AND (n_stop >= 2) AS pass_gopher
+    FROM feats
+    """,
+)
+def text_gopher_rules(spark, sf_dir):
+    """Gopher-style composite quality rules as pure integer arithmetic —
+    a map-only pre-dedup filter pass (operators/text.py:gopher_rules)."""
+    return X.gopher_rules(T(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    pairs AS (
+      SELECT DISTINCT id,
+             md5(array_to_string(list_slice(t, i.i, i.i + 2), ' ')) AS g
+      FROM toks, UNNEST(range(1, len(t) - 1)) AS i(i)
+      WHERE len(t) >= 3
+    ),
+    fst AS (SELECT g, MIN(id) AS first_id FROM pairs GROUP BY g),
+    per_doc AS (
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN id = first_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+      FROM pairs JOIN fst USING (g) GROUP BY id
+    )
+    SELECT d.doc_id AS id,
+           COALESCE(p.n_grams, 0) AS n_grams,
+           COALESCE(p.n_novel, 0) AS n_novel,
+           CASE WHEN p.n_grams IS NOT NULL
+                THEN CAST(ROUND(p.n_novel * 1000000.0 / p.n_grams) AS BIGINT) END
+             AS novelty_micro
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.id
+    """,
+)
+def text_ngram_novelty(spark, sf_dir):
+    """Corpus-level 3-gram novelty (earliest-occurrence attribution): the
+    memorization/boilerplate score twin of dedup_span_coverage — one
+    (digest, id) shuffle, never text (operators/text.py:ngram_novelty)."""
+    return X.ngram_novelty(T(spark, sf_dir, "documents"), "doc_id", "text")
