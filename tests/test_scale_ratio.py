@@ -421,3 +421,90 @@ def test_dsir_scoring_scales_linearly(spark):
     print(f"ratios: 4x/1x = {t4 / t1:.2f} (ideal 4), 16x/1x = {t16 / t1:.2f} (ideal 16)")
     assert (n1, n4, n16) == (base, 4 * base, 16 * base)
     assert t16 <= max(t1, 0.5) * 16 * 2.5, (t1, t16)
+
+
+def test_interleave_order_scales_linearly(spark):
+    """Ninth measured family (round 8): interleave_order at 1x/4x/16x
+    corpus over 5 groups.  The claim in numbers: the enumeration is a
+    range shuffle + per-slice row_number over (key, group) pairs (~16
+    bytes/row), the histogram collapses to one row per group before the
+    driver collect, and the position is a per-row CASE expression — so
+    wall time tracks the corpus with no one-task-per-group sort and no
+    global single-reducer window."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from trough_spark.operators import sampling as SA
+
+    def run(n: int) -> tuple[float, int]:
+        df = spark.range(0, n, 1, 32).select(
+            "id", F.concat(F.lit("g"), (F.col("id") % 5)).alias("g")
+        )
+        out = SA.interleave_order(df, "id", "g", n_ranges=32)
+        t0 = time.perf_counter()
+        # force pos (Catalyst could prune the window + CASE under a bare
+        # count); sum of a 0..n-1 permutation is n*(n-1)/2 — asserted
+        row = out.agg(
+            F.count(F.lit(1)).alias("c"), F.sum("pos").alias("s")
+        ).collect()[0]
+        assert row["s"] == row["c"] * (row["c"] - 1) // 2
+        return time.perf_counter() - t0, row["c"]
+
+    base = 200_000
+    run(base)  # codegen warm-up
+    t1, n1 = run(base)
+    t4, n4 = run(4 * base)
+    t16, n16 = run(16 * base)
+    print(
+        f"\ninterleave: 1x {t1:.2f}s/{n1} rows, 4x {t4:.2f}s/{n4}, "
+        f"16x {t16:.2f}s/{n16}"
+    )
+    print(f"ratios: 4x/1x = {t4 / t1:.2f} (ideal 4), 16x/1x = {t16 / t1:.2f} (ideal 16)")
+    assert (n1, n4, n16) == (base, 4 * base, 16 * base)
+    assert t16 <= max(t1, 0.5) * 16 * 2.5, (t1, t16)
+
+
+def test_ngram_novelty_scales_linearly(spark):
+    """Tenth measured family (round 8): corpus n-gram novelty at 1x/4x/16x.
+    The claim in numbers: the only data-sized exchanges carry (id, 16-byte
+    digest) pairs — the distinct, the min-id groupBy, and the per-doc
+    count — so wall time tracks total gram volume linearly."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from trough_spark.operators.text import ngram_novelty
+
+    def run(n: int) -> tuple[float, int]:
+        df = spark.range(0, n, 1, 32).select(
+            "id",
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(sequence(1, 10), "
+                    "i -> concat('w', pmod(id * i + i, 3000)))"
+                ),
+            ).alias("text"),
+        )
+        out = ngram_novelty(df, "id", "text")
+        t0 = time.perf_counter()
+        # count() alone would let Catalyst prune the whole novelty branch
+        # (left join on unique keys preserves row count); force the values
+        row = out.agg(
+            F.count(F.lit(1)).alias("c"), F.sum("n_novel").alias("s")
+        ).collect()[0]
+        assert row["s"] is not None and row["s"] > 0
+        return time.perf_counter() - t0, row["c"]
+
+    base = 100_000
+    run(base)  # codegen warm-up
+    t1, n1 = run(base)
+    t4, n4 = run(4 * base)
+    t16, n16 = run(16 * base)
+    print(
+        f"\nnovelty: 1x {t1:.2f}s/{n1} docs, 4x {t4:.2f}s/{n4}, 16x {t16:.2f}s/{n16}"
+    )
+    print(f"ratios: 4x/1x = {t4 / t1:.2f} (ideal 4), 16x/1x = {t16 / t1:.2f} (ideal 16)")
+    assert (n1, n4, n16) == (base, 4 * base, 16 * base)
+    assert t16 <= max(t1, 0.5) * 16 * 2.5, (t1, t16)
