@@ -33,6 +33,8 @@ _SAMPLE_PRIORITY = [
     "text_gopher_rules",
     "text_ngram_novelty",
     "sample_interleave_lang",
+    "text_token_entropy",
+    "text_bigram_logprob",
     # --- latest evidence: round 5 (oldest -> highest priority) ---
     "pack_sequences",
     "sample_mix_rebalance",

@@ -128,6 +128,11 @@ EXTRA = [
     # round 8
     "dedup_containment",
     "pipeline_url_dedup",
+    "text_gopher_rules",
+    "text_ngram_novelty",
+    "sample_interleave_lang",
+    "text_token_entropy",
+    "text_bigram_logprob",
 ]
 
 

@@ -177,3 +177,52 @@ def test_ngram_novelty_repeated_gram_within_doc_counts_once(spark):
     out = ngram_novelty(df, "doc_id", "text").collect()[0]
     # 7 positions but only 3 DISTINCT grams: xyz, yzx, zxy
     assert out["n_grams"] == 3 and out["n_novel"] == 3
+
+
+def test_token_entropy_uniform_vs_repeated(spark):
+    from trough_spark.operators.text import token_entropy
+
+    rows = [
+        (1, "a b c d"),      # uniform over 4: entropy = log10(4) ≈ 0.60206
+        (2, "a a a a"),      # single token: entropy 0
+        (3, "a a b b"),      # uniform over 2: log10(2) ≈ 0.30103
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r.asDict() for r in token_entropy(df, "doc_id", "text").collect()}
+    assert out[1]["n_tokens"] == 4 and out[1]["n_distinct"] == 4
+    assert abs(out[1]["entropy_micro"] - 602060) <= 2
+    assert out[2]["entropy_micro"] == 0 and out[2]["n_distinct"] == 1
+    assert abs(out[3]["entropy_micro"] - 301030) <= 2
+    # diversity orders as expected
+    assert out[2]["entropy_micro"] < out[3]["entropy_micro"] < out[1]["entropy_micro"]
+
+
+def test_bigram_logprob_boilerplate_scores_higher(spark):
+    from trough_spark.operators.text import bigram_logprob
+
+    common = "the cat sat on the mat"
+    # doc 10 reuses CORPUS words in never-seen orders: every bigram has
+    # cb=1 against a large history count cu(w1), so P collapses toward the
+    # 0.3*unigram backoff.  (A doc of singleton words would NOT score low:
+    # cb=cu=1 makes the conditional term 0.7*1/1 — word soup with a
+    # private vocabulary fools a self-trained bigram LM.)
+    rows = [(i, common) for i in range(1, 10)] + [
+        (10, "mat the on sat cat the"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r.asDict() for r in bigram_logprob(df, "doc_id", "text").collect()}
+    mean = lambda r: r["sum_logprob_micro"] / r["n_bigrams"]
+    assert mean(out[1]) > mean(out[10])
+    assert out[1]["n_bigrams"] == 5 and out[10]["n_bigrams"] == 5
+    # every logprob is negative (P < 1 whenever the corpus has > 1 bigram)
+    assert all(r["sum_logprob_micro"] < 0 for r in out.values())
+
+
+def test_bigram_logprob_short_docs_excluded(spark):
+    from trough_spark.operators.text import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "one"), (2, ""), (3, "two words")], "doc_id long, text string"
+    )
+    out = bigram_logprob(df, "doc_id", "text").collect()
+    assert [r["id"] for r in out] == [3]

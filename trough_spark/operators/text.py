@@ -882,3 +882,124 @@ def ngram_novelty(
             ).alias("novelty_micro"),
         )
     )
+
+
+def token_entropy(df, id_col: str, text_col: str):
+    """Per-document token (Shannon, log10) entropy of the doc's OWN token
+    distribution — the vocabulary-diversity / gibberish signal (spam and
+    keyword-stuffed docs have low entropy; random-character noise has
+    anomalously high entropy for its length).  Returns
+    (id, n_tokens, n_distinct, entropy_micro).
+
+    Determinism (house pattern, see ``unigram_logprob``): each distinct
+    token's contribution ``-(tf/n) * log10(tf/n)`` is quantized to an
+    integer micro-value FIRST, and the per-doc aggregate is an exact
+    BIGINT sum immune to float accumulation order.  The output stays the
+    integer micro value — a final ``/1e6 round 4`` would reintroduce the
+    double→decimal tie gap (Spark rounds the shortest decimal rendering
+    HALF_UP, DuckDB rounds the binary value; an integer sum ending in
+    ...50 splits them — observed live at sf0.001 doc 460).
+
+    Scale: two shuffles, both id-keyed and partial-aggregated — per-doc
+    term counts, then the per-doc sum; no corpus-global state at all.
+    Extension operator per SURVEY §2.D."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    n = tf.groupBy("id").agg(F.sum("tf").alias("n"))
+    term = tf.join(n, "id").select(
+        "id",
+        "n",
+        F.round(
+            -(F.col("tf").cast("double") / F.col("n"))
+            * F.log10(F.col("tf").cast("double") / F.col("n"))
+            * 1000000,
+            0,
+        )
+        .cast("bigint")
+        .alias("q"),
+    )
+    return term.groupBy("id").agg(
+        F.min("n").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.sum("q").cast("bigint").alias("entropy_micro"),
+    )
+
+
+def bigram_logprob(df, id_col: str, text_col: str):
+    """Per-document mean bigram log10-probability under the corpus's own
+    interpolated bigram LM — the CCNet-style LM quality score one rung
+    above ``unigram_logprob``: repeated boilerplate scores HIGH (its
+    bigrams are corpus-frequent), genuinely novel-but-fluent text sits in
+    the middle, token soup scores LOW.
+
+        P(w2 | w1) = 0.7 * c(w1 w2) / c(w1)  +  0.3 * c(w2) / N
+
+    with c() corpus token/bigram occurrence counts and N total tokens
+    (c(w1) >= c(w1 w2) always, so P <= 1 and > 0).  Returns
+    (id, n_bigrams, sum_logprob_micro) over docs with >= 2 tokens — the
+    mean is ``sum_logprob_micro / n_bigrams / 1e6``, left to the caller.
+
+    Determinism: per distinct bigram, round(log10(P) * 1e6) is an integer;
+    per-doc aggregation is an exact BIGINT sum, and the output STAYS
+    integer (a final divide-and-round can land on a decimal tie where
+    Spark's shortest-decimal HALF_UP and DuckDB's binary-value rounding
+    split — see ``token_entropy``).
+
+    Scale: every shuffle is term- or bigram-keyed with partial
+    aggregation (corpus unigram counts, corpus bigram counts — derived
+    from the already-reduced per-doc counts — and the per-doc sum); N
+    folds in as a one-row broadcast.  Nothing is ever keyed on the
+    document payload.  Extension operator per SURVEY §2.D."""
+    t = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.where(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col).alias("id"), t.alias("t")
+    )
+    toks = base.select("id", F.explode("t").alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cu"))
+    total = toks.select(F.count(F.lit(1)).alias("_total"))
+    pairs = base.where(F.size("t") >= 2).select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 2),
+                lambda i: F.struct(
+                    F.element_at(F.col("t"), i + 1).alias("w1"),
+                    F.element_at(F.col("t"), i + 2).alias("w2"),
+                ),
+            )
+        ).alias("p"),
+    ).select("id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    tf = pairs.groupBy("id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    cb = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("cb"))
+    qlp = (
+        cb.join(uni.select(F.col("tok").alias("w1"), F.col("cu").alias("cu1")), "w1")
+        .join(uni.select(F.col("tok").alias("w2"), F.col("cu").alias("cu2")), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log10(
+                    F.lit(0.7) * F.col("cb").cast("double") / F.col("cu1")
+                    + F.lit(0.3) * F.col("cu2").cast("double") / F.col("_total")
+                )
+                * 1000000,
+                0,
+            )
+            .cast("bigint")
+            .alias("qlp"),
+        )
+    )
+    return (
+        tf.join(qlp, ["w1", "w2"])
+        .groupBy("id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.col("qlp")).cast("bigint").alias(
+                "sum_logprob_micro"
+            ),
+        )
+    )

@@ -880,3 +880,77 @@ def text_ngram_novelty(spark, sf_dir):
     memorization/boilerplate score twin of dedup_span_coverage — one
     (digest, id) shuffle, never text (operators/text.py:ngram_novelty)."""
     return X.ngram_novelty(T(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_token_entropy",
+    oracle=r"""
+    WITH tk AS (
+      SELECT id, tok FROM (
+        SELECT doc_id AS id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ),
+    tf AS (SELECT id, tok, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+    n AS (SELECT id, CAST(SUM(tf) AS BIGINT) AS n FROM tf GROUP BY 1),
+    term AS (
+      SELECT tf.id, n.n,
+             CAST(ROUND(-(CAST(tf.tf AS DOUBLE) / n.n)
+                        * log10(CAST(tf.tf AS DOUBLE) / n.n) * 1000000, 0)
+                  AS BIGINT) AS q
+      FROM tf JOIN n ON n.id = tf.id
+    )
+    SELECT id,
+           CAST(MIN(n) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(q) AS BIGINT) AS entropy_micro
+    FROM term
+    GROUP BY id
+    """,
+)
+def text_token_entropy(spark, sf_dir):
+    """Per-doc token entropy (vocabulary diversity / gibberish signal) via
+    the quantize-then-BIGINT-sum house pattern
+    (operators/text.py:token_entropy)."""
+    return X.token_entropy(T(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_bigram_logprob",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    tk AS (SELECT id, unnest(t) AS tok FROM base),
+    uni AS (SELECT tok, COUNT(*) AS cu FROM tk GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS total FROM tk),
+    pairs AS (
+      SELECT id, t[i.i] AS w1, t[i.i + 1] AS w2
+      FROM base, UNNEST(range(1, len(t))) AS i(i)
+      WHERE len(t) >= 2
+    ),
+    tf AS (SELECT id, w1, w2, COUNT(*) AS tf FROM pairs GROUP BY 1, 2, 3),
+    cb AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS cb FROM tf GROUP BY 1, 2),
+    q AS (
+      SELECT cb.w1, cb.w2,
+             CAST(ROUND(log10(0.7 * CAST(cb.cb AS DOUBLE) / u1.cu
+                              + 0.3 * CAST(u2.cu AS DOUBLE) / tot.total)
+                        * 1000000, 0) AS BIGINT) AS qlp
+      FROM cb
+      JOIN uni u1 ON u1.tok = cb.w1
+      JOIN uni u2 ON u2.tok = cb.w2
+      CROSS JOIN tot
+    )
+    SELECT tf.id,
+           CAST(SUM(tf.tf) AS BIGINT) AS n_bigrams,
+           CAST(SUM(tf.tf * q.qlp) AS BIGINT) AS sum_logprob_micro
+    FROM tf JOIN q ON q.w1 = tf.w1 AND q.w2 = tf.w2
+    GROUP BY tf.id
+    """,
+)
+def text_bigram_logprob(spark, sf_dir):
+    """CCNet-style interpolated bigram LM quality score
+    (operators/text.py:bigram_logprob) — all shuffles term/bigram-keyed."""
+    return X.bigram_logprob(T(spark, sf_dir, "documents"), "doc_id", "text")
