@@ -1204,3 +1204,112 @@ def test_update_or_mode_matching_trigger_rejects_loudly(spark, tmp_path):
     )
     with pytest.raises(QueryRejected, match="trigger"):
         store.write("urseg", "UPDATE OR REPLACE nums SET a = 5, id = 2")
+
+
+# -- round-8 campaign: UNIQUE constraints x collations x conflict forms ------
+#
+# The round-8 UNIQUE/collation support (tests/test_unique_constraints.py
+# pins the probed rules one by one) gets a seeded grammar fuzzer: random
+# schemas over {INTEGER pk / NOCASE TEXT pk / pk-less} x {column UNIQUE,
+# collated UNIQUE, composite UNIQUE}, scripts mixing plain INSERT,
+# OR IGNORE / OR REPLACE multi-row VALUES, ON CONFLICT DO NOTHING (with
+# and without target), DO UPDATE (excluded. refs), plain UPDATE/DELETE —
+# executed as ONE transaction on both engines, comparing raise/no-raise
+# and full final state.  Values are case-variants and trailing-space
+# variants so the NOCASE/RTRIM folds and NULL coexistence are exercised
+# constantly.  (UPDATE OR modes and triggers are excluded: documented loud
+# rejects on extended-uniqueness tables.)
+
+N_UNIQUE_CASES = int(os.environ.get("TROUGH_FUZZ_UNIQUE", "10"))
+
+_UVALS = ["'A'", "'a'", "'Xy'", "'xY'", "'b '", "'b  '", "'b'", "'z'", "NULL"]
+
+
+def _unique_schema(rng: random.Random) -> tuple[str, bool]:
+    """(ddl, has_pk): one table `t` with a random uniqueness landscape."""
+    shape = rng.randrange(3)
+    if shape == 0:
+        pk, has_pk = "id INTEGER PRIMARY KEY", True
+    elif shape == 1:
+        pk, has_pk = "id TEXT PRIMARY KEY COLLATE NOCASE", True
+    else:
+        pk, has_pk = "id INTEGER", False
+    ucoll = rng.choice(["", " COLLATE NOCASE", " COLLATE RTRIM"])
+    cols = [pk, f"u TEXT UNIQUE{ucoll}", "a INTEGER", "b TEXT"]
+    tail = ""
+    if rng.random() < 0.4:
+        tail = ", UNIQUE (a, b)"
+    return f"CREATE TABLE t ({', '.join(cols)}{tail})", has_pk
+
+
+def _unique_script(rng: random.Random, has_pk: bool, text_pk: bool) -> list[str]:
+    def idv(n: int) -> str:
+        return f"'k{n % 4}{'A' if n % 2 else 'a'}'" if text_pk else str(n)
+
+    stmts = []
+    n = 1
+    for _ in range(rng.randint(4, 7)):
+        kind = rng.randrange(8)
+        u = rng.choice(_UVALS)
+        a = rng.choice(["NULL", str(rng.randint(0, 2))])
+        b = rng.choice(["NULL", "'p'", "'q'"])
+        vals = f"({idv(n)}, {u}, {a}, {b})"
+        n += 1
+        if kind in (0, 1):
+            stmts.append(f"INSERT INTO t VALUES {vals}")
+        elif kind == 2:
+            v2 = f"({idv(n)}, {rng.choice(_UVALS)}, {a}, {b})"
+            n += 1
+            stmts.append(f"INSERT OR IGNORE INTO t VALUES {vals}, {v2}")
+        elif kind == 3:
+            v2 = f"({idv(n)}, {rng.choice(_UVALS)}, {a}, {b})"
+            n += 1
+            stmts.append(f"INSERT OR REPLACE INTO t VALUES {vals}, {v2}")
+        elif kind == 4 and has_pk:
+            tgt = rng.choice(["", "(id)", "(u)"])
+            stmts.append(
+                f"INSERT INTO t VALUES {vals} ON CONFLICT{tgt} DO NOTHING"
+            )
+        elif kind == 5 and has_pk:
+            # SET stays off every constraint column (engine reject scope)
+            tgt = rng.choice(["(id)", "(u)"])
+            stmts.append(
+                f"INSERT INTO t VALUES {vals} ON CONFLICT{tgt} "
+                f"DO UPDATE SET b = coalesce(excluded.b, t.b), "
+                f"a = coalesce(t.a, 0) + 1"
+            )
+        elif kind == 6:
+            stmts.append(
+                f"UPDATE t SET u = {rng.choice(_UVALS)} "
+                f"WHERE a = {rng.randint(0, 2)}"
+            )
+        else:
+            stmts.append(f"DELETE FROM t WHERE a = {rng.randint(0, 2)}")
+    return stmts
+
+
+@pytest.mark.parametrize("case", range(N_UNIQUE_CASES))
+def test_fuzzed_unique_constraints_match_sqlite(spark, tmp_path, case):
+    rng = random.Random(SEED + 2000 + case)
+    ddl, has_pk = _unique_schema(rng)
+    text_pk = "TEXT PRIMARY KEY" in ddl
+    stmts = _unique_script(rng, has_pk, text_pk)
+
+    conn = sqlite3.connect(":memory:")
+    conn.isolation_level = None
+    conn.executescript(ddl + ";")
+    store = SegmentStore(spark, str(tmp_path / "store"))
+    store.set_schema("uq8", ddl + ";")
+    store.provision(f"uqseg{case}", "uq8")
+
+    sq_raised, en_raised = _run_script_both(conn, store, f"uqseg{case}", stmts)
+    assert sq_raised == en_raised, (
+        f"\nddl: {ddl}\nscript: {stmts}\n"
+        f"sqlite raised: {sq_raised}, engine raised: {en_raised}"
+    )
+    q = "SELECT id, u, a, b FROM t ORDER BY coalesce(CAST(id AS TEXT),''), coalesce(u,''), coalesce(a,-1)"
+    expected = [tuple(row) for row in conn.execute(q).fetchall()]
+    got = [tuple(r.values()) for r in store.read(f"uqseg{case}", q)]
+    assert got == expected, (
+        f"\nddl: {ddl}\nscript: {stmts}\nsqlite: {expected}\nengine: {got}"
+    )

@@ -121,9 +121,42 @@ class TableSchema:
     # enforcement stays correctly OFF (the reference opens plain
     # connections; SQLite needs PRAGMA foreign_keys=ON)
     fks: list = field(default_factory=list)
+    # UNIQUE constraints (round 8): each entry is (cols, collations) in
+    # declaration order — column-level UNIQUE becomes a singleton entry.
+    # SQLite enforces these exactly like the pk index (probed: plain
+    # INSERT raises, OR IGNORE skips, OR REPLACE deletes conflicting rows
+    # across ALL constraints, UPDATE raises); ignoring them was a silent
+    # divergence until round 8.
+    uniques: list = field(default_factory=list)
+    # per-pk-column collations ("BINARY"/"NOCASE"/"RTRIM"), aligned with
+    # primary_key: a pk declared COLLATE NOCASE conflicts case-insensitively
+    # (probed; an index-clause COLLATE overrides the column's)
+    pk_collations: list = field(default_factory=list)
+    # column-level declared collations (col_lower -> non-BINARY name) —
+    # kept so later CREATE UNIQUE INDEX entries without an explicit
+    # COLLATE resolve to the column's (SQLite's rule)
+    collations: dict = field(default_factory=dict)
 
     def struct(self) -> T.StructType:
         return T.StructType([T.StructField(n, t, True) for n, t in self.fields])
+
+    def unique_constraints(self) -> list[tuple[list[str], list[str]]]:
+        """Every uniqueness constraint as (cols, collations) — the pk
+        first (SQLite's conflict-check order), then UNIQUEs in declaration
+        order."""
+        out = []
+        if self.primary_key:
+            colls = list(self.pk_collations) or ["BINARY"] * len(self.primary_key)
+            out.append((list(self.primary_key), colls))
+        out.extend((list(c), list(cl)) for c, cl in self.uniques)
+        return out
+
+    def has_extended_uniqueness(self) -> bool:
+        """True when conflict handling needs more than the binary pk fast
+        path: extra UNIQUE constraints, or a non-BINARY pk collation."""
+        return bool(self.uniques) or any(
+            c != "BINARY" for c in self.pk_collations
+        )
 
 
 @dataclass
@@ -135,6 +168,11 @@ class Schema:
     sql: str
     tables: dict[str, TableSchema] = field(default_factory=dict)
     seed_statements: list[str] = field(default_factory=list)
+    # schema-level CREATE UNIQUE INDEX names -> table (round 8): attached
+    # to the table's uniques at parse time; tracked so a write-path DROP
+    # INDEX of one can be rejected loudly (a per-segment drop of a
+    # schema-wide constraint is not representable)
+    unique_index_names: dict = field(default_factory=dict)
 
 
 _CREATE_RE = re.compile(
@@ -169,6 +207,45 @@ def _unquote(ident: str) -> str:
     if ident[:1] in "\"'`[":
         return ident[1:-1]
     return ident
+
+
+# SQLite's three built-in collations (datatype3.html §6; any other name is
+# "no such collation sequence" at DDL time — probed).  NOCASE folds ASCII
+# A-Z ONLY ('Ä' != 'ä' — probed), RTRIM ignores trailing 0x20 spaces ONLY
+# (tabs compare distinct — probed), so the folds below use an exact ASCII
+# translate / rstrip(' '), NOT lower()/rtrim-of-whitespace.
+_VALID_COLLATIONS = frozenset({"BINARY", "NOCASE", "RTRIM"})
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_NOCASE_TBL = str.maketrans(_ASCII_UPPER, _ASCII_LOWER)
+
+
+def _check_collation(name: str) -> str:
+    up = name.upper()
+    if up not in _VALID_COLLATIONS:
+        # SQLite's own error, verbatim
+        raise QueryRejected(f"no such collation sequence: {name}")
+    return up
+
+
+def _fold_value(v, collation: str):
+    """Collation-fold one Python value for conflict-key comparison.
+    Collations only affect text (SQLite: numeric compares ignore them)."""
+    if collation == "NOCASE" and isinstance(v, str):
+        return v.translate(_NOCASE_TBL)
+    if collation == "RTRIM" and isinstance(v, str):
+        return v.rstrip(" ")
+    return v
+
+
+def _fold_sql(col_sql: str, collation: str) -> str:
+    """The Spark-SQL expression computing the same fold as ``_fold_value``
+    (ASCII translate, not lower(), for exact SQLite NOCASE parity)."""
+    if collation == "NOCASE":
+        return f"translate({col_sql}, '{_ASCII_UPPER}', '{_ASCII_LOWER}')"
+    if collation == "RTRIM":
+        return f"rtrim({col_sql})"
+    return col_sql
 
 
 _FK_CLAUSE_WORDS = ("ON", "MATCH", "NOT", "DEFERRABLE")
@@ -334,6 +411,9 @@ def parse_create_table(stmt: str) -> TableSchema:
     integer_cols: set[str] = set()  # cols declared EXACTLY `INTEGER`
     col_decls: dict[str, dict] = {}
     fks: list = []
+    pk_entry_colls: list = []  # per-pk-entry explicit COLLATE (or None)
+    uniques_raw: list = []  # UNIQUE constraints: [(col, explicit_coll|None)]
+    collations: dict[str, str] = {}  # column-level COLLATE by col_lower
     for coldef in coldefs:
         sig = [t for t in coldef if t.kind not in ("space", "comment")]
         if not sig:
@@ -376,22 +456,35 @@ def parse_create_table(stmt: str) -> TableSchema:
                     fk["from"] = from_cols
                     fks.append(fk)
                 continue
-            if lead == "PRIMARY":
+            if lead in ("PRIMARY", "UNIQUE"):
                 m2 = re.search(r"\(([^)]*)\)", dialect.render(coldef))
                 if m2:
-                    # each entry may carry ASC/DESC/COLLATE x — indexing
-                    # hints, not part of the column name
-                    pk.extend(
-                        _unquote(
-                            re.sub(
-                                r"(?is)\s+(?:COLLATE\s+\w+|ASC|DESC)\s*$",
-                                "",
-                                c.strip(),
+                    # each entry may carry ASC/DESC/COLLATE x — ASC/DESC are
+                    # indexing hints, but a per-entry COLLATE changes the
+                    # CONSTRAINT's comparison (probed: PRIMARY KEY
+                    # (a COLLATE NOCASE) conflicts case-insensitively even
+                    # on a BINARY column) — capture it, don't discard it
+                    entries = []
+                    for c in m2.group(1).split(","):
+                        mcoll = re.search(r"(?is)\bCOLLATE\s+(\w+)", c)
+                        entries.append(
+                            (
+                                _unquote(
+                                    re.sub(
+                                        r"(?is)\s+(?:COLLATE\s+\w+|ASC|DESC)(?=\s|$)",
+                                        "",
+                                        c.strip(),
+                                    ).strip()
+                                ),
+                                _check_collation(mcoll.group(1)) if mcoll else None,
                             )
                         )
-                        for c in m2.group(1).split(",")
-                    )
-                    pk_from_table_constraint = True
+                    if lead == "PRIMARY":
+                        pk.extend(e[0] for e in entries)
+                        pk_entry_colls.extend(e[1] for e in entries)
+                        pk_from_table_constraint = True
+                    else:
+                        uniques_raw.append(entries)
             checks.extend(_parse_checks(coldef))
             continue
         col = _unquote(first.text)
@@ -433,6 +526,27 @@ def parse_create_table(stmt: str) -> TableSchema:
         col_pk_here = "PRIMARY" in bare_u and "KEY" in bare_u
         if col_pk_here:
             pk.append(col)
+            pk_entry_colls.append(None)  # resolves to the column collation
+        # column-level COLLATE (depth 0 — one inside a CHECK body is an
+        # expression collation, not the column's)
+        depth0 = 0
+        for i2, t2 in enumerate(sig):
+            if t2.kind == "op" and t2.text == "(":
+                depth0 += 1
+            elif t2.kind == "op" and t2.text == ")":
+                depth0 -= 1
+            elif (
+                depth0 == 0
+                and t2.kind == "word"
+                and t2.text.upper() == "COLLATE"
+                and i2 + 1 < len(sig)
+            ):
+                collations[col.lower()] = _check_collation(
+                    _unquote(sig[i2 + 1].text)
+                )
+                break
+        if re.search(r"\bUNIQUE\b", bare_u):
+            uniques_raw.append([(col, None)])
         if "AUTOINCREMENT" in bare_u:
             if without_rowid:
                 # SQLite's own error, verbatim
@@ -504,6 +618,16 @@ def parse_create_table(stmt: str) -> TableSchema:
         # omitted NULL raises "NOT NULL constraint failed: t.col")
         have = {c.lower() for c in not_null}
         not_null.extend(c for c in pk if c.lower() not in have)
+    # resolve constraint collations: an explicit index-clause COLLATE wins,
+    # else the column's declared collation, else BINARY (probed order)
+    def _resolve(c: str, explicit: str | None) -> str:
+        return explicit or collations.get(c.lower(), "BINARY")
+
+    pk_collations = [_resolve(c, e) for c, e in zip(pk, pk_entry_colls)]
+    uniques = [
+        ([c for c, _ in ent], [_resolve(c, e) for c, e in ent])
+        for ent in uniques_raw
+    ]
     return TableSchema(
         name=name,
         fields=fields,
@@ -515,6 +639,9 @@ def parse_create_table(stmt: str) -> TableSchema:
         without_rowid=without_rowid,
         col_decls=col_decls,
         fks=fks,
+        uniques=uniques,
+        pk_collations=pk_collations,
+        collations=collations,
     )
 
 
@@ -765,6 +892,68 @@ def _create_kind(stmt: str) -> str:
     return m.group("what").upper() if m else ""
 
 
+_CREATE_INDEX_RE = re.compile(
+    r"^\s*CREATE\s+(?:(?P<unique>UNIQUE)\s+)?INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<name>[\w\"\[\]`]+)\s+ON\s+(?P<table>[\w\"\[\]`]+)\s*"
+    r"\((?P<cols>[^)]*)\)\s*(?P<tail>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def parse_create_index(stmt: str):
+    """Parse CREATE [UNIQUE] INDEX → (name, table, unique, [(col,
+    explicit_collation|None)]).  A UNIQUE index is an enforceable
+    constraint (probed: it raises 'UNIQUE constraint failed: t.col'
+    exactly like a table-level UNIQUE), so the forms whose uniqueness
+    this engine cannot enforce are rejected LOUDLY: partial unique
+    indexes (WHERE ...) and expression entries.  Plain (non-unique)
+    indexes never reach this — Parquet stats + pruning replace them."""
+    m = _CREATE_INDEX_RE.match(stmt)
+    if not m:
+        raise QueryRejected(f"unsupported CREATE INDEX form: {stmt[:80]!r}")
+    unique = m.group("unique") is not None
+    tail = (m.group("tail") or "").strip()
+    entries = []
+    for c in m.group("cols").split(","):
+        mcoll = re.search(r"(?is)\bCOLLATE\s+(\w+)", c)
+        nm = re.sub(
+            r"(?is)\s+(?:COLLATE\s+\w+|ASC|DESC)(?=\s|$)", "", c.strip()
+        ).strip()
+        if unique and not re.match(r'^[\w"\[\]`]+$', nm):
+            raise QueryRejected(
+                f"UNIQUE INDEX expression entries are not supported: {c.strip()!r}"
+            )
+        entries.append(
+            (
+                _unquote(nm),
+                _check_collation(mcoll.group(1)) if mcoll else None,
+            )
+        )
+    # checked AFTER entries so an expression entry containing parens (the
+    # cols regex stops at the first ')') gets the expression diagnostic,
+    # not a bogus partial-index one
+    if unique and tail:
+        raise QueryRejected(
+            f"partial UNIQUE INDEX is not supported: {stmt[:80]!r}"
+        )
+    return _unquote(m.group("name")), _unquote(m.group("table")), unique, entries
+
+
+def _resolve_index_uniques(
+    ts: TableSchema, entries: list, stmt: str
+) -> tuple[list[str], list[str]]:
+    """Validate a unique index's entries against the table and resolve
+    each collation (explicit beats the column's, else BINARY)."""
+    declared = {n.lower() for n, _ in ts.fields}
+    cols, colls = [], []
+    for c, ecoll in entries:
+        if c.lower() not in declared:
+            raise QueryRejected(f"no such column: {c} in {stmt[:80]!r}")
+        cols.append(c)
+        colls.append(ecoll or ts.collations.get(c.lower(), "BINARY"))
+    return cols, colls
+
+
 def parse_schema_sql(schema_id: str, sql: str) -> Schema:
     """Parse a registered schema's DDL script: CREATE TABLE statements define
     tables; other DML (seed INSERTs, reference tests/wsgi:65-66) is kept and
@@ -772,6 +961,7 @@ def parse_schema_sql(schema_id: str, sql: str) -> Schema:
     replacing the reference's validate-by-executing-in-:memory:-SQLite
     (trough/sync.py:749-756)."""
     schema = Schema(id=schema_id, sql=sql)
+    unique_index_stmts: list[str] = []
     for stmt in dialect.split_statements(sql):
         kind = dialect.statement_type(stmt)
         if kind == "CREATE":
@@ -783,8 +973,14 @@ def parse_schema_sql(schema_id: str, sql: str) -> Schema:
                 parse_create_trigger(stmt)  # validate DDL at registration
                 schema.seed_statements.append(stmt)
             elif what in ("INDEX", "VIEW"):
-                # indexes are a no-op (Parquet stats + pruning replace them);
+                # plain indexes are a no-op (Parquet stats + pruning
+                # replace them); UNIQUE indexes are CONSTRAINTS — attached
+                # to the table after the loop (the table must parse first);
                 # views recorded and materialized per segment at provision
+                if what == "INDEX" and re.match(
+                    r"^\s*CREATE\s+UNIQUE\s", stmt, re.IGNORECASE
+                ):
+                    unique_index_stmts.append(stmt)
                 schema.seed_statements.append(stmt)
             else:
                 raise QueryRejected(f"invalid schema sql: {stmt[:80]!r}")
@@ -794,6 +990,15 @@ def parse_schema_sql(schema_id: str, sql: str) -> Schema:
             continue
         else:
             raise QueryRejected(f"invalid schema sql statement type {kind}: {stmt[:80]!r}")
+    for stmt in unique_index_stmts:
+        iname, tbl, _u, entries = parse_create_index(stmt)
+        by_lower = {t.lower(): t for t in schema.tables}
+        if tbl.lower() not in by_lower:
+            raise QueryRejected(f"no such table: {tbl} in {stmt[:80]!r}")
+        ts = schema.tables[by_lower[tbl.lower()]]
+        cols, colls = _resolve_index_uniques(ts, entries, stmt)
+        ts.uniques.append((cols, colls))
+        schema.unique_index_names[iname.lower()] = ts.name
     return schema
 
 
@@ -1283,11 +1488,30 @@ class SegmentStore:
         # the shared registered schema
         extra = info.get("extra_tables", {})
         if table in extra:
-            return _tableschema_from_json(extra[table])
-        schema = self.schema(info["schema"])
-        if table in schema.tables:
-            return schema.tables[table]
-        raise KeyError(f"no table {table!r} in segment {label!r}")
+            ts = _tableschema_from_json(extra[table])
+        else:
+            schema = self.schema(info["schema"])
+            if table not in schema.tables:
+                raise KeyError(f"no table {table!r} in segment {label!r}")
+            ts = schema.tables[table]
+        # segment-level CREATE UNIQUE INDEX constraints (round 8); skip any
+        # col-set the table already carries (an ALTER may have persisted a
+        # merged copy into extra_tables — merging again would duplicate)
+        have = {
+            tuple(sorted(c.lower() for c in ucols))
+            for ucols, _uc in ts.uniques
+        }
+        seg_u = [
+            (d["cols"], d["collations"])
+            for d in info.get("unique_indexes", {}).values()
+            if d["table"].lower() == table.lower()
+            and tuple(sorted(c.lower() for c in d["cols"])) not in have
+        ]
+        if seg_u:
+            import dataclasses
+
+            ts = dataclasses.replace(ts, uniques=list(ts.uniques) + seg_u)
+        return ts
 
     def _segment_tables(self, segment_id: str) -> list[str]:
         info = self._segment_info(segment_id)
@@ -1455,28 +1679,33 @@ class SegmentStore:
             if mc:
                 conflict = mc
                 body = body[: mc.start()]
+        target_idx: int | None = None
         if conflict is not None:
             if mode is not None:
                 raise QueryRejected(
                     "INSERT OR ... cannot be combined with ON CONFLICT"
                 )
-            if not ts.primary_key:
-                # SQLite: upsert without a uniqueness constraint is an error
-                raise QueryRejected(
-                    f"ON CONFLICT on table {table!r} with no PRIMARY KEY"
-                )
+            cons = ts.unique_constraints()
             cc = conflict.group("cc")
             if cc is not None:
+                # the target may name the pk OR any UNIQUE constraint
+                # (probed; unmatched targets get SQLite's verbatim error)
                 target = sorted(_unquote(c.strip()).lower() for c in cc.split(","))
-                if target != sorted(c.lower() for c in ts.primary_key):
+                for ci, (ucols, _ucolls) in enumerate(cons):
+                    if target == sorted(c.lower() for c in ucols):
+                        target_idx = ci
+                        break
+                else:
                     raise QueryRejected(
-                        "ON CONFLICT target must be the PRIMARY KEY "
-                        f"({', '.join(ts.primary_key)})"
+                        "ON CONFLICT clause does not match any PRIMARY KEY "
+                        "or UNIQUE constraint"
                     )
-            elif conflict.group("nothing") is None:
-                raise QueryRejected(
-                    "ON CONFLICT ... DO UPDATE requires an explicit conflict target"
-                )
+            # no explicit target = the SQLite-3.35 catch-all form: legal
+            # for DO NOTHING and DO UPDATE alike (probed); on a table with
+            # no uniqueness constraint at all the clause can never fire
+            # and the statement is a plain insert (probed)
+            if not cons:
+                conflict = None
         default_values = re.match(r"^DEFAULT\s+VALUES\s*$", body, re.IGNORECASE)
         if default_values is not None:
             cols = []
@@ -1529,14 +1758,50 @@ class SegmentStore:
                 rows.append(Row(**{n: _coerce(d.get(n), t) for n, t in ts.fields}))
             if conflict is not None:
                 self._flush_inserts(segment_id, pending)
-                df = self.spark.createDataFrame(rows, ts.struct())
-                if conflict.group("nothing"):
-                    self._upsert(segment_id, table, ts, df, "IGNORE")
-                else:
+                if conflict.group("nothing") is None:
                     sets = {
                         c.lower(): e
                         for c, e in _split_assignments(conflict.group("sets"))
                     }
+                else:
+                    sets = None
+                if ts.has_extended_uniqueness():
+                    # UNIQUE constraints / collations participate — probed
+                    # per-constraint semantics need the sequential path
+                    if sets is not None:
+                        declared = {n.lower() for n, _ in ts.fields}
+                        guard = (
+                            set(c.lower() for c in cons[target_idx][0])
+                            if target_idx is not None
+                            else {
+                                c.lower()
+                                for ucols, _uc in cons
+                                for c in ucols
+                            }
+                        )
+                        for c in sets:
+                            if c not in declared:
+                                raise QueryRejected(f"no such column: {c}")
+                            if c in guard:
+                                raise QueryRejected(
+                                    "updating the conflict-target key is "
+                                    "unsupported"
+                                )
+                    self._conflict_rows_sequential(
+                        segment_id,
+                        table,
+                        ts,
+                        rows,
+                        action="NOTHING" if sets is None else "UPDATE",
+                        target_idx=target_idx,
+                        sets=sets,
+                        where=conflict.group("where"),
+                    )
+                    return False
+                df = self.spark.createDataFrame(rows, ts.struct())
+                if sets is None:
+                    self._upsert(segment_id, table, ts, df, "IGNORE")
+                else:
                     keys = [
                         tuple(r[k] for k in ts.primary_key) for r in rows
                     ]
@@ -1556,9 +1821,9 @@ class SegmentStore:
                             conflict.group("where"),
                         )
                 return False
-            if mode is None or not ts.primary_key:
-                # SQLite: OR REPLACE/IGNORE without a pk/unique constraint is
-                # a plain insert — but OR IGNORE still SKIPS rows that
+            if mode is None or not ts.unique_constraints():
+                # SQLite: OR REPLACE/IGNORE without any pk/UNIQUE constraint
+                # is a plain insert — but OR IGNORE still SKIPS rows that
                 # violate CHECK/NOT NULL (probed)
                 if mode == "IGNORE" and (ts.checks or ts.not_null):
                     df = self.spark.createDataFrame(rows, ts.struct())
@@ -1626,7 +1891,7 @@ class SegmentStore:
             src = src.withColumn(n, F.lit(self._default_for(ts, n)))
         aligned = src.select([F.col(n).cast(t) for n, t in ts.fields])
         try:
-            if mode is None or not ts.primary_key:
+            if mode is None or not ts.unique_constraints():
                 if mode == "IGNORE":
                     aligned = self._drop_constraint_violations(ts, aligned)
                 else:
@@ -1667,6 +1932,16 @@ class SegmentStore:
             new = self._drop_constraint_violations(ts, new)
         else:
             self._assert_constraints(ts, new)
+        if ts.has_extended_uniqueness() or not ts.primary_key:
+            # UNIQUE constraints / non-BINARY pk collations participate in
+            # conflict resolution (probed: OR REPLACE deletes conflicting
+            # rows across ALL constraints; a pk-less table still resolves
+            # on its UNIQUEs) — the pk-only batch joins below cannot
+            # express that; take the sequential evolving-state path
+            self._conflict_rows_sequential(
+                segment_id, table, ts, new.collect(), action=mode
+            )
+            return
         existing = self._read_partition(segment_id, table)
         pk = ts.primary_key
         if mode == "REPLACE":
@@ -1694,6 +1969,135 @@ class SegmentStore:
             self._write_files(fresh, path, "append")
         else:  # pragma: no cover
             raise QueryRejected(f"unknown upsert mode {mode!r}")
+
+    def _conflict_rows_sequential(
+        self,
+        segment_id: str,
+        table: str,
+        ts: TableSchema,
+        rows: list[Row],
+        action: str,
+        target_idx: int | None = None,
+        sets: dict[str, str] | None = None,
+        where: str | None = None,
+    ) -> None:
+        """Sequential conflict resolution over the evolving table state
+        with EVERY declared uniqueness constraint participating (pk +
+        UNIQUEs, collation-folded) — the probed SQLite semantics the
+        binary-pk batch paths cannot express.  All rules below were probed
+        against live SQLite (round 8):
+
+        - ``REPLACE``: deletes every live row conflicting with the incoming
+          row on ANY constraint, then inserts (one row can delete several);
+        - ``IGNORE``: skips the incoming row on any conflict;
+        - ``NOTHING`` (upsert DO NOTHING): with a target, a conflict ON THE
+          TARGET skips the row (even if other constraints also conflict);
+          a conflict only on another constraint RAISES; without a target,
+          any conflict skips;
+        - ``UPDATE`` (upsert DO UPDATE): a conflict on the target (or, for
+          the SQLite-3.35 catch-all form without a target, the first
+          conflicting constraint in pk-first order) applies the SET over
+          the evolving state; a conflict only on another constraint
+          RAISES; the applied SET may change unique columns and must not
+          collide with a third row (re-checked against the live maps).
+
+        Driver-side sequential by necessity — the semantics are an
+        evolving-state scan (same category as
+        ``_update_with_conflict_mode``) — and bounded by the statement's
+        rows plus the one segment partition, which the store's model keeps
+        small (the reference runs the identical scan inside single-node
+        SQLite)."""
+        cons = ts.unique_constraints()
+        fields = [n for n, _ in ts.fields]
+        folded = [
+            (cols, [eff for _sql, eff in self._fold_cols(ts, cols, colls)])
+            for cols, colls in cons
+        ]
+
+        def keys_of(d: dict) -> list:
+            out = []
+            for cols, effs in folded:
+                k = tuple(
+                    _fold_value(d[c], e) for c, e in zip(cols, effs)
+                )
+                out.append(None if any(v is None for v in k) else k)
+            return out
+
+        live: dict[int, dict] = {}
+        maps: list[dict] = [dict() for _ in cons]
+        nid = 0
+
+        def add_row(d: dict) -> int:
+            nonlocal nid
+            rid = nid
+            nid += 1
+            live[rid] = d
+            for ci, k in enumerate(keys_of(d)):
+                if k is not None:
+                    maps[ci][k] = rid
+            return rid
+
+        def drop_row(rid: int) -> None:
+            d = live.pop(rid)
+            for ci, k in enumerate(keys_of(d)):
+                if k is not None and maps[ci].get(k) == rid:
+                    del maps[ci][k]
+
+        if os.path.isdir(self._partition_path(table, segment_id)):
+            for r0 in self._read_partition(segment_id, table).collect():
+                add_row({n: r0[n] for n in fields})
+        for r in rows:
+            d = {n: r[n] for n in fields}
+            ks = keys_of(d)
+            hits: list[tuple[int, int]] = []  # (constraint idx, row id)
+            for ci, k in enumerate(ks):
+                if k is not None and k in maps[ci]:
+                    hits.append((ci, maps[ci][k]))
+            if not hits:
+                add_row(d)
+                continue
+            if action == "REPLACE":
+                for rid in {rid for _ci, rid in hits}:
+                    drop_row(rid)
+                add_row(d)
+                continue
+            if action == "IGNORE":
+                continue
+            hit_cis = {ci for ci, _rid in hits}
+            if action == "NOTHING":
+                if target_idx is None or target_idx in hit_cis:
+                    continue
+                first_ci = min(hit_cis)
+                raise self._unique_error(table, cons[first_ci][0])
+            if action == "UPDATE":
+                eff_target = target_idx
+                if eff_target is None:
+                    eff_target = min(hit_cis)  # catch-all: first constraint
+                if eff_target not in hit_cis:
+                    first_ci = min(hit_cis)
+                    raise self._unique_error(table, cons[first_ci][0])
+                rid = dict(hits)[eff_target]
+                old = Row(**live[rid])
+                upd = self._upsert_row_update(ts, table, old, r, sets, where)
+                if upd is None:
+                    continue  # upsert WHERE false/NULL: row untouched
+                nd = {n: upd[n] for n in fields}
+                drop_row(rid)
+                # the SET may have moved unique keys — re-check vs live
+                for ci, k in enumerate(keys_of(nd)):
+                    if k is not None and k in maps[ci]:
+                        raise self._unique_error(table, cons[ci][0])
+                add_row(nd)
+                continue
+            raise QueryRejected(
+                f"unknown conflict action {action!r}"
+            )  # pragma: no cover
+        tuples = [
+            tuple(d[n] for n in fields) for d in live.values()
+        ]
+        out = self.spark.createDataFrame(tuples, ts.struct())
+        self._assert_constraints(ts, out)
+        self._overwrite_partition(segment_id, table, out)
 
     @staticmethod
     def _dedupe_last(df: DataFrame, keys: list[str]) -> DataFrame:
@@ -1866,6 +2270,12 @@ class SegmentStore:
                 out = out.unionByName(
                     fresh.select([F.col(n).cast(t) for n, t in ts.fields])
                 )
+            if ts.has_extended_uniqueness():
+                # MERGE keys on the pk only; with UNIQUE constraints /
+                # collations declared, verify the final state before it
+                # lands (round 8 — one aggregate job per constraint,
+                # extended tables only)
+                self._assert_state_unique(ts, table, out)
             self._overwrite_partition(segment_id, table, out)
         return {"matched": matched, "inserted": inserted}
 
@@ -2186,57 +2596,137 @@ class SegmentStore:
         return df.filter(f"NOT ({combined})")
 
     def _pk_error(self, table: str, ts: TableSchema) -> QueryRejected:
-        cols = ", ".join(f"{table}.{k}" for k in ts.primary_key)
-        return QueryRejected(f"UNIQUE constraint failed: {cols}")
+        return self._unique_error(table, ts.primary_key)
+
+    @staticmethod
+    def _unique_error(table: str, cols: list[str]) -> QueryRejected:
+        # SQLite's message format, verbatim, for pk and UNIQUE alike
+        named = ", ".join(f"{table}.{k}" for k in cols)
+        return QueryRejected(f"UNIQUE constraint failed: {named}")
+
+    def _fold_cols(self, ts: TableSchema, cols: list[str], colls: list[str]):
+        """(fold_sql_expr, python_folder) pairs per constraint column.
+        Folding applies to string-typed columns only (SQLite collations
+        affect text comparisons; numeric values compare numerically)."""
+        types = {n.lower(): t for n, t in ts.fields}
+        out = []
+        for c, coll in zip(cols, colls):
+            is_str = isinstance(types.get(c.lower()), T.StringType)
+            eff = coll if is_str else "BINARY"
+            out.append((_fold_sql(f"`{c}`", eff), eff))
+        return out
+
+    def _assert_state_unique(
+        self, ts: TableSchema, table: str, state: DataFrame
+    ) -> None:
+        """Raise if a final table state contains duplicate keys under any
+        declared uniqueness constraint (collation-folded) — the post-hoc
+        guard for bulk paths that compute a whole-partition rewrite."""
+        for ucols, ucolls in ts.unique_constraints():
+            folded = self._fold_cols(ts, ucols, ucolls)
+            dup = (
+                state.selectExpr(
+                    *[f"{sql} AS `{c}`" for c, (sql, _e) in zip(ucols, folded)]
+                )
+                .where(" AND ".join(f"`{k}` IS NOT NULL" for k in ucols))
+                .groupBy(*ucols)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise self._unique_error(table, ucols)
 
     def _assert_pk_unique_rows(
         self, segment_id: str, table: str, ts: TableSchema, rows: list[Row]
     ) -> None:
-        """SQLite raises on a duplicate PRIMARY KEY in a plain INSERT; so do
-        we (B15 parity — silently appending a dup was a fuzz-found gap).
-        Batch-internal dups are checked driver-side for free; the
-        vs-existing check is ONE pushdown-filtered scan of the single
-        segment partition, and only runs for tables that declare a pk."""
-        pk = ts.primary_key
-        if not pk:
+        """SQLite raises on a duplicate PRIMARY KEY or UNIQUE key in a
+        plain INSERT; so do we (B15 parity — silently appending a dup was
+        a fuzz-found gap; silently ignoring UNIQUE constraints entirely
+        was a round-8 probe find).  Batch-internal dups are checked
+        driver-side for free; the vs-existing check is ONE
+        pushdown-filtered scan of the single segment partition per
+        declared constraint (zero for constraint-free tables).  Keys are
+        collation-folded (NOCASE/RTRIM — probed ASCII-only / trailing
+        0x20 semantics)."""
+        cons = ts.unique_constraints()
+        if not cons:
             return
         idx = {n.lower(): i for i, (n, _) in enumerate(ts.fields)}
-        keys = [tuple(r[idx[k.lower()]] for k in pk) for r in rows]
-        # SQLite: NULL pk components never conflict (NULL != NULL)
-        keys = [k for k in keys if all(v is not None for v in k)]
-        if len(keys) != len(set(keys)):
-            raise self._pk_error(table, ts)
         path = self._partition_path(table, segment_id)
-        if not keys or not os.path.isdir(path):
-            return
-        existing = self._read_files(path, ts.struct()).select(*pk)
-        if len(pk) == 1:
-            hit = existing.filter(F.col(pk[0]).isin([k[0] for k in keys]))
-        else:
-            batch = self.spark.createDataFrame(
-                keys, T.StructType([T.StructField(k, dict((n.lower(), t) for n, t in ts.fields)[k.lower()], True) for k in pk])
+        existing = (
+            self._read_files(path, ts.struct()) if os.path.isdir(path) else None
+        )
+        for cols, colls in cons:
+            folded = self._fold_cols(ts, cols, colls)
+            keys = [
+                tuple(
+                    _fold_value(r[idx[c.lower()]], eff)
+                    for c, (_sql, eff) in zip(cols, folded)
+                )
+                for r in rows
+            ]
+            # SQLite: NULL key components never conflict (NULL != NULL)
+            keys = [k for k in keys if all(v is not None for v in k)]
+            if len(keys) != len(set(keys)):
+                raise self._unique_error(table, cols)
+            if not keys or existing is None:
+                continue
+            proj = existing.selectExpr(
+                *[f"{sql} AS `{c}`" for c, (sql, _e) in zip(cols, folded)]
             )
-            hit = existing.join(batch, pk, "left_semi")
-        if hit.limit(1).count() > 0:
-            raise self._pk_error(table, ts)
+            if len(cols) == 1:
+                hit = proj.filter(F.col(cols[0]).isin([k[0] for k in keys]))
+            else:
+                types = {n.lower(): t for n, t in ts.fields}
+                batch = self.spark.createDataFrame(
+                    keys,
+                    T.StructType(
+                        [
+                            T.StructField(c, types[c.lower()], True)
+                            for c in cols
+                        ]
+                    ),
+                )
+                hit = proj.join(batch, cols, "left_semi")
+            if hit.limit(1).count() > 0:
+                raise self._unique_error(table, cols)
 
     def _assert_pk_unique_df(
         self, segment_id: str, table: str, ts: TableSchema, new: DataFrame
     ) -> None:
-        """INSERT..SELECT flavor of the pk check: any pk appearing twice
-        across (new ∪ existing) is a violation — one aggregate job."""
-        pk = ts.primary_key
-        if not pk:
+        """INSERT..SELECT flavor of the uniqueness check: any key (pk or
+        UNIQUE, collation-folded) appearing twice across (new ∪ existing)
+        is a violation — one aggregate job per declared constraint."""
+        cons = ts.unique_constraints()
+        if not cons:
             return
-        side = new.select(*pk).where(
-            " AND ".join(f"{k} IS NOT NULL" for k in pk)
-        )
         path = self._partition_path(table, segment_id)
-        if os.path.isdir(path):
-            side = side.unionByName(self._read_files(path, ts.struct()).select(*pk))
-        dup = side.groupBy(*pk).count().filter(F.col("count") > 1).limit(1).count()
-        if dup:
-            raise self._pk_error(table, ts)
+        existing = (
+            self._read_files(path, ts.struct()) if os.path.isdir(path) else None
+        )
+        for cols, colls in cons:
+            folded = self._fold_cols(ts, cols, colls)
+            sel = [f"{sql} AS `{c}`" for c, (sql, _e) in zip(cols, folded)]
+            side = new.selectExpr(*sel)
+            if existing is not None:
+                side = side.unionByName(existing.selectExpr(*sel))
+            # NULL key components never conflict — filter them from BOTH
+            # sides (two coexisting NULL keys are legal, and groupBy would
+            # wrongly bucket them together)
+            side = side.where(
+                " AND ".join(f"`{k}` IS NOT NULL" for k in cols)
+            )
+            dup = (
+                side.groupBy(*cols)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise self._unique_error(table, cols)
 
     def _rewrite_partition(self, segment_id: str, stmt: str, kind: str) -> None:
         """UPDATE/DELETE = read-modify-overwrite of ONE segment partition —
@@ -2265,6 +2755,16 @@ class SegmentStore:
             umode = _update_mode(m)
             ts0 = self._table_schema(segment_id, table)
             if umode is not None:
+                if ts0.has_extended_uniqueness():
+                    # the position-visit model below resolves pk conflicts
+                    # only; folding UNIQUE constraints into the evolving
+                    # chase is undone work — reject LOUDLY rather than
+                    # silently diverge (round-8 UNIQUE support scope note)
+                    raise QueryRejected(
+                        "UPDATE OR IGNORE/REPLACE on a table with UNIQUE "
+                        "constraints or non-BINARY key collations is not "
+                        f"supported: {stmt[:80]!r}"
+                    )
                 # UPDATE OR IGNORE/REPLACE: SQLite applies rows
                 # SEQUENTIALLY in rowid order, resolving each row's pk
                 # conflict against the evolving table (probed: OR IGNORE
@@ -2298,19 +2798,31 @@ class SegmentStore:
                 ]
             )
             ts = self._table_schema(segment_id, table)
-            if ts.primary_key and set(sets) & {k.lower() for k in ts.primary_key}:
-                # SQLite raises when an UPDATE lands two rows on one pk
-                pk = ts.primary_key
+            for ucols, ucolls in ts.unique_constraints():
+                # SQLite raises when an UPDATE lands two rows on one pk or
+                # UNIQUE key (probed round 8) — checked only when the SET
+                # touches the constraint's columns, collation-folded
+                if not set(sets) & {k.lower() for k in ucols}:
+                    continue
+                folded = self._fold_cols(ts, ucols, ucolls)
                 dup = (
-                    out.where(" AND ".join(f"{k} IS NOT NULL" for k in pk))
-                    .groupBy(*pk)
+                    out.selectExpr(
+                        *[
+                            f"{sql} AS `{c}`"
+                            for c, (sql, _e) in zip(ucols, folded)
+                        ]
+                    )
+                    .where(" AND ".join(f"`{k}` IS NOT NULL" for k in ucols))
+                    .groupBy(*ucols)
                     .count()
                     .filter(F.col("count") > 1)
                     .limit(1)
                     .count()
                 )
                 if dup:
-                    raise self._pk_error(table, ts)
+                    raise self._unique_error(table, ucols)
+            if ts.primary_key and set(sets) & {k.lower() for k in ts.primary_key}:
+                pk = ts.primary_key
                 if (
                     ts.autoincrement_col
                     and len(pk) == 1
@@ -2759,6 +3271,17 @@ class SegmentStore:
         m = self._match_insert(stmt)
         table = _unquote(m.group("name"))
         trigs = self._triggers_for(segment_id, table, "INSERT")
+        if trigs and self._table_schema(
+            segment_id, table
+        ).has_extended_uniqueness():
+            # the triggered per-row conflict loop resolves on the binary pk
+            # only — reject LOUDLY rather than silently diverge (round-8
+            # UNIQUE support scope note)
+            raise QueryRejected(
+                "INSERT on a table with both triggers and UNIQUE "
+                "constraints or non-BINARY key collations is not "
+                f"supported: {stmt[:80]!r}"
+            )
         body = m.group("body")
         body_u = body.upper()
         mode = self._insert_mode(m)
@@ -3347,6 +3870,14 @@ class SegmentStore:
         if not trigs:
             self._rewrite_partition(segment_id, stmt, kind)
             return
+        if self._table_schema(segment_id, table).has_extended_uniqueness():
+            # per-row triggered rewrites skip the UNIQUE/collation dup
+            # checks — reject LOUDLY (round-8 UNIQUE support scope note)
+            raise QueryRejected(
+                f"{kind} on a table with both triggers and UNIQUE "
+                "constraints or non-BINARY key collations is not "
+                f"supported: {stmt[:80]!r}"
+            )
         pairs = self._affected_rows(segment_id, table, m.group("where"), sets, kind)
         if len(pairs) > 1 and self._bodies_observe_state(segment_id, trigs):
             # SQLite interleaves UPDATE/DELETE trigger firing per row
@@ -3502,7 +4033,50 @@ class SegmentStore:
     def _write_path_create(self, segment_id: str, stmt: str) -> None:
         what = _create_kind(stmt)
         if what == "INDEX":
-            return  # indexes → Parquet stats + pruning (SURVEY §2.B14)
+            if not re.match(r"^\s*CREATE\s+UNIQUE\s", stmt, re.IGNORECASE):
+                return  # plain indexes → Parquet stats + pruning (§2.B14)
+            # CREATE UNIQUE INDEX is a CONSTRAINT (probed: raises 'UNIQUE
+            # constraint failed: t.col' exactly like table-level UNIQUE)
+            iname, table, _u, entries = parse_create_index(stmt)
+            ts = self._table_schema(segment_id, table)
+            cols, colls = _resolve_index_uniques(ts, entries, stmt)
+            key = sorted(c.lower() for c in cols)
+            if any(
+                key == sorted(c.lower() for c in ucols)
+                for ucols, _uc in ts.unique_constraints()
+            ):
+                # already constrained (schema-level attach makes the seed
+                # replay of the same statement land here) — idempotent
+                return
+            # SQLite: creating a unique index over existing duplicate data
+            # fails with the constraint error (probed)
+            folded = self._fold_cols(ts, cols, colls)
+            if os.path.isdir(self._partition_path(table, segment_id)):
+                dup = (
+                    self._read_partition(segment_id, table)
+                    .selectExpr(
+                        *[
+                            f"{sql} AS `{c}`"
+                            for c, (sql, _e) in zip(cols, folded)
+                        ]
+                    )
+                    .where(" AND ".join(f"`{k}` IS NOT NULL" for k in cols))
+                    .groupBy(*cols)
+                    .count()
+                    .filter(F.col("count") > 1)
+                    .limit(1)
+                    .count()
+                )
+                if dup:
+                    raise self._unique_error(table, cols)
+            info = self._segment_info(segment_id)
+            info.setdefault("unique_indexes", {})[iname.lower()] = {
+                "table": ts.name,
+                "cols": cols,
+                "collations": colls,
+            }
+            self._save_meta()
+            return
         if what == "TRIGGER":
             tr = parse_create_trigger(stmt)
             info = self._segment_info(segment_id)
@@ -3567,6 +4141,15 @@ class SegmentStore:
             parts = body.split(None, 1)
             col = _unquote(parts[0])
             decl = parts[1] if len(parts) > 1 else ""
+            decl_bare = _strip_parens_and_strings(decl.upper())
+            if re.search(r"\bUNIQUE\b", decl_bare):
+                # SQLite's own error, verbatim
+                raise QueryRejected("Cannot add a UNIQUE column")
+            if re.search(r"\bPRIMARY\s+KEY\b", decl_bare):
+                raise QueryRejected("Cannot add a PRIMARY KEY column")
+            mcoll = re.search(r"\bCOLLATE\s+(\w+)", decl_bare)
+            if mcoll:
+                ts.collations[col.lower()] = _check_collation(mcoll.group(1))
             typ = sqlite_type_to_spark(decl)
             dv = _parse_default(list(dialect.tokenize(decl))) if decl else None
             if dv is not None:
@@ -3657,8 +4240,31 @@ class SegmentStore:
             stmt,
             re.IGNORECASE,
         )
+        im = re.match(
+            r"^\s*DROP\s+INDEX\s+(?:IF\s+EXISTS\s+)?(?P<name>[\w\"\[\]`]+)\s*$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if im:
+            iname = _unquote(im.group("name")).lower()
+            info = self._segment_info(segment_id)
+            if iname in info.get("unique_indexes", {}):
+                # segment-level unique index: dropping removes the
+                # constraint (SQLite)
+                info["unique_indexes"].pop(iname)
+                self._save_meta()
+                return
+            schema = self.schema(info["schema"])
+            if iname in schema.unique_index_names:
+                # a schema-wide constraint cannot be dropped per segment —
+                # loud, not a silent keep-enforcing divergence
+                raise QueryRejected(
+                    f"cannot DROP schema-level UNIQUE INDEX {iname!r} on "
+                    "the write path (it is part of the registered schema)"
+                )
+            return  # plain index drop: no-op like its create
         if not m:
-            return  # DROP INDEX etc: no-op
+            return  # other DROP forms: no-op
         table = _unquote(m.group("name"))
         info = self._segment_info(segment_id)
         info.get("extra_tables", {}).pop(table, None)
@@ -3812,6 +4418,32 @@ class SegmentStore:
             return ("absent",)
         return (st.st_ino, st.st_mtime_ns, st.st_size)
 
+    @staticmethod
+    def _collated(df: DataFrame, ts: TableSchema) -> DataFrame:
+        """Apply declared column collations to a READ-path frame: SQLite
+        uses the column's collation for bare ``=`` comparisons, GROUP BY,
+        DISTINCT and ORDER BY (probed: ``WHERE name = 'aLpHa'`` finds a
+        NOCASE row), so the registered view carries the matching Spark
+        collation — NOCASE → UTF8_LCASE, RTRIM → UTF8_BINARY_RTRIM —
+        and Catalyst applies it everywhere automatically (Spark-first:
+        no per-expression rewriting).  DIVERGENCE, same as the dialect's
+        explicit-COLLATE note: UTF8_LCASE folds full Unicode where SQLite
+        NOCASE folds ASCII only.  The WRITE path never sees these frames —
+        its conflict keys fold driver-side with exact ASCII semantics."""
+        if not ts.collations:
+            return df
+        mapping = {"NOCASE": "UTF8_LCASE", "RTRIM": "UTF8_BINARY_RTRIM"}
+        types = {n.lower(): t for n, t in ts.fields}
+        out, changed = [], False
+        for n in df.columns:
+            spark_coll = mapping.get(ts.collations.get(n.lower(), ""))
+            if spark_coll and isinstance(types.get(n.lower()), T.StringType):
+                out.append(F.collate(F.col(n), spark_coll).alias(n))
+                changed = True
+            else:
+                out.append(F.col(n))
+        return df.select(*out) if changed else df
+
     def read_df(self, segment_id: str, sql: str, as_of: str | None = None) -> DataFrame:
         """One SELECT against one segment → DataFrame.  The table views are
         partition-pruned scans of exactly one directory.
@@ -3843,7 +4475,10 @@ class SegmentStore:
             tables = self._segment_tables(segment_id)
 
             def read_tbl(t: str) -> DataFrame:
-                return self._read_partition(segment_id, t)
+                return self._collated(
+                    self._read_partition(segment_id, t),
+                    self._table_schema(segment_id, t),
+                )
 
         else:
             dest, manifest = self._snapshot_manifest(segment_id, as_of)
@@ -3854,8 +4489,12 @@ class SegmentStore:
                 ts = self._table_schema_from_info(info, t, segment_id)
                 path = f"{dest}/data/{t}"
                 if not os.path.isdir(path):
-                    return self.spark.createDataFrame([], ts.struct())
-                return self.spark.read.schema(ts.struct()).parquet(path)
+                    return self._collated(
+                        self.spark.createDataFrame([], ts.struct()), ts
+                    )
+                return self._collated(
+                    self.spark.read.schema(ts.struct()).parquet(path), ts
+                )
 
         # sqlite_master is always re-registered below (content-keyed), so
         # sweeping it here would drop + rebuild the catalog DataFrame on
@@ -3876,6 +4515,7 @@ class SegmentStore:
                     segment_id,
                     self._dir_fingerprint(self._partition_path(table, segment_id)),
                     tuple((n, t.simpleString()) for n, t in ts.fields),
+                    tuple(sorted(ts.collations.items())),
                 )
             else:
                 key = ("asof", object())  # snapshots: never cache-hit
@@ -4402,6 +5042,9 @@ def _tableschema_to_json(ts: TableSchema) -> dict:
         "without_rowid": ts.without_rowid,
         "col_decls": ts.col_decls,
         "fks": ts.fks,
+        "uniques": [[list(c), list(cl)] for c, cl in ts.uniques],
+        "pk_collations": ts.pk_collations,
+        "collations": ts.collations,
     }
 
 
@@ -4419,6 +5062,9 @@ def _tableschema_from_json(d: dict) -> TableSchema:
         without_rowid=d.get("without_rowid", False),
         col_decls=d.get("col_decls", {}),
         fks=d.get("fks", []),
+        uniques=[(list(c), list(cl)) for c, cl in d.get("uniques", [])],
+        pk_collations=d.get("pk_collations", []),
+        collations=d.get("collations", {}),
     )
 
 
