@@ -1313,3 +1313,109 @@ def test_fuzzed_unique_constraints_match_sqlite(spark, tmp_path, case):
     assert got == expected, (
         f"\nddl: {ddl}\nscript: {stmts}\nsqlite: {expected}\nengine: {got}"
     )
+
+
+# ---------------------------------------------------------------------------
+# round-8 campaign: RETURNING clauses across the write surface
+#
+# Each DML statement of a random write script (the same grammar as the
+# write campaign: plain/conflict-form INSERTs, UPDATE incl. OR modes,
+# DELETE) gets a random RETURNING clause — bare/qualified columns, rowid,
+# expressions, *, aliases.  Statements run ONE AT A TIME on both engines
+# (sqlite3 autocommit) so each statement's returned rows can be compared;
+# SQLite documents RETURNING output order as undefined, so rows compare as
+# sorted multisets.  Errors may legitimately occur (dup pk, CHECK) — both
+# engines must agree per statement, and final state must match.
+# ---------------------------------------------------------------------------
+N_RETURNING_CASES = int(os.environ.get("TROUGH_FUZZ_RETURNING", "8"))
+
+_RET_CLAUSES = [
+    "*",
+    "id",
+    "rowid",
+    "nums.id, nums.s",
+    "id, a*2 AS d",
+    "coalesce(a, 0) + coalesce(b, 0) AS t",
+    "upper(coalesce(s, '')) us, id",
+    "id + 1",
+    "a IS NOT NULL, id",
+    "min(id, 50), max(coalesce(a, 0), coalesce(b, 0)) AS mx",
+]
+
+
+def _returning_script(rng: random.Random) -> list[str]:
+    stmts = _write_script(rng)
+    out = []
+    for s in stmts:
+        up = s.upper()
+        if up.startswith("UPDATE OR"):
+            # UPDATE OR modes keep a plain clause (the chase path captures
+            # applied rows only)
+            clause = rng.choice(["id", "*", "id, a"])
+            out.append(f"{s} RETURNING {clause}")
+        elif rng.random() < 0.8:
+            out.append(f"{s} RETURNING {rng.choice(_RET_CLAUSES)}")
+        else:
+            out.append(s)
+    return out
+
+
+@pytest.mark.parametrize("case", range(N_RETURNING_CASES))
+def test_fuzzed_returning_matches_sqlite(spark, tmp_path, case):
+    rng = random.Random(SEED + 900 + case)
+    ddl = DDL
+    if rng.random() < 0.4:
+        ddl = DDL[:-1] + ", CHECK (b IS NULL OR b < 60))"
+    stmts = _returning_script(rng)
+
+    conn = sqlite3.connect(":memory:")
+    conn.execute(ddl)
+    conn.executemany("INSERT INTO nums VALUES (?, ?, ?, ?)", ROWS)
+    conn.commit()
+
+    store = SegmentStore(spark, str(tmp_path / "store"))
+    store.set_schema("nums_schema", ddl + ";")
+    store.provision(f"rseg{case}", "nums_schema")
+    seed = ";\n".join(
+        "INSERT INTO nums (id, a, b, s) VALUES (%s)"
+        % ", ".join(
+            "NULL" if v is None else (f"'{v}'" if isinstance(v, str) else str(v))
+            for v in r
+        )
+        for r in ROWS
+    )
+    store.write(f"rseg{case}", seed)
+
+    for i, s in enumerate(stmts):
+        sq_err, sq_rows = None, []
+        try:
+            cur = conn.execute(s)
+            if cur.description:
+                cols = [c[0] for c in cur.description]
+                sq_rows = [dict(zip(cols, r)) for r in cur.fetchall()]
+            conn.commit()
+        except sqlite3.Error as e:
+            sq_err = str(e)
+            conn.rollback()
+        en_err, en_rows = None, []
+        try:
+            en_rows = store.write(f"rseg{case}", s)
+        except Exception as e:
+            en_err = str(e)
+        assert (sq_err is None) == (en_err is None), (
+            f"\nstmt {i}: {s}\nsqlite: {sq_err!r}\nengine: {en_err!r}"
+        )
+        canon = lambda rows: sorted(  # noqa: E731
+            sorted((k, repr(v)) for k, v in dict(r).items()) for r in rows
+        )
+        assert canon(sq_rows) == canon(en_rows), (
+            f"\nstmt {i}: {s}\nsqlite: {sq_rows!r}\nengine: {en_rows!r}"
+        )
+
+    q = "SELECT id, a, b, s FROM nums ORDER BY id"
+    expected = [tuple(row) for row in conn.execute(q).fetchall()]
+    got = [
+        (r["id"], r["a"], r["b"], r["s"])
+        for r in store.read(f"rseg{case}", q)
+    ]
+    assert got == expected, f"\nscript: {stmts}\nsqlite: {expected}\nengine: {got}"

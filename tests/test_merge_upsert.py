@@ -72,12 +72,15 @@ def test_on_conflict_rejections(store):
             "INSERT INTO kv (k,v,cnt) VALUES (1,'x',1) "
             "ON CONFLICT (v) DO NOTHING;",
         )
-    with pytest.raises(QueryRejected):
-        store.write(
-            "seg",
-            "INSERT INTO kv (k,v,cnt) VALUES (1,'x',1) "
-            "ON CONFLICT DO UPDATE SET v='x';",
-        )
+    # the SQLite-3.35 catch-all form (no conflict target) is LEGAL for
+    # DO UPDATE and resolves pk-first (probed round 8; this was a reject
+    # before the UNIQUE-constraints work widened upsert-target support)
+    store.write(
+        "seg",
+        "INSERT INTO kv (k,v,cnt) VALUES (1,'x',1) "
+        "ON CONFLICT DO UPDATE SET v='x';",
+    )
+    assert _rows(store)[1] == ("x", 10)
 
 
 def test_merge_update_insert(store, spark):

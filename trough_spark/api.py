@@ -124,9 +124,13 @@ class SegmentManagerAPI:
 
     def write(self, segment_id: str, sql_script: str) -> tuple[int, str, str]:
         try:
-            self.store.write(segment_id, sql_script)
+            returned = self.store.write(segment_id, sql_script)
         except QueryRejected as e:
             return 400, str(e), TEXT
         except KeyError:
             return 404, "", TEXT
+        if returned:
+            # RETURNING rows (SQLite 3.35+) come back as the response body;
+            # scripts without one keep the reference's plain "OK"
+            return 200, json.dumps(returned, default=str), JSON
         return 200, "OK", TEXT

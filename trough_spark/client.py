@@ -103,11 +103,15 @@ class TroughClient:
 
     # -- write path (reference client.py:237-257) ----------------------------
 
-    def write(self, segment_id: str, sql_tmpl: str, values=(), schema_id: str = "default") -> None:
+    def write(
+        self, segment_id: str, sql_tmpl: str, values=(), schema_id: str = "default"
+    ) -> list[dict]:
+        """Returns the rows any RETURNING clauses produced (SQLite 3.35+;
+        empty list otherwise)."""
         from trough_spark.dialect import interpolate
 
         self._store.provision(segment_id, schema_id)
-        self._store.write(segment_id, interpolate(sql_tmpl, values))
+        return self._store.write(segment_id, interpolate(sql_tmpl, values))
 
     # -- registry / lifecycle (reference client.py:140-235) ------------------
 

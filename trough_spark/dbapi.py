@@ -51,10 +51,22 @@ class TroughCursor:
                 self._rows = [tuple(r[c] for c in cols) for r in collected]
                 self.rowcount = len(self._rows)
             else:
-                self._client.write(self._segment, query, parameters, schema_id=self._schema)
-                self.description = None
-                self._rows = []
-                self.rowcount = -1
+                returned = self._client.write(
+                    self._segment, query, parameters, schema_id=self._schema
+                )
+                if returned:
+                    # RETURNING rows are fetchable exactly like a SELECT's
+                    # (sqlite3 cursor semantics)
+                    cols = list(returned[0])
+                    self.description = [
+                        (c, None, None, None, None, None, None) for c in cols
+                    ]
+                    self._rows = [tuple(r[c] for c in cols) for r in returned]
+                    self.rowcount = len(self._rows)
+                else:
+                    self.description = None
+                    self._rows = []
+                    self.rowcount = -1
                 # the store records the last autoincrement id it actually
                 # assigned in this segment (sqlite3 lastrowid semantics:
                 # unchanged by statements that assign none)

@@ -221,7 +221,12 @@ class TroughShell:
                         self.emit(f"OK ({n} rows into {m.group(2)})")
                     else:
                         with open(rest.strip()) as infile:
-                            self.client.store.write(self.connections[0], infile.read())
+                            returned = self.client.store.write(
+                                self.connections[0], infile.read()
+                            )
+                        if returned:
+                            # RETURNING rows render like a SELECT's
+                            self.render(returned)
                         self.emit("OK")
                 except (OSError, QueryRejected) as e:
                     self.emit(f"error: {e}")

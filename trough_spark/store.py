@@ -861,6 +861,9 @@ def parse_create_trigger(stmt: str) -> Trigger:
                 )
         elif kind not in ("INSERT", "REPLACE", "UPDATE", "DELETE"):
             raise QueryRejected(f"unsupported trigger body statement: {b[:60]!r}")
+        elif _split_returning(b)[1] is not None:
+            # SQLite rejects this at CREATE TRIGGER time (probed), verbatim
+            raise QueryRejected("cannot use RETURNING in a trigger")
     return Trigger(
         name=_unquote(m.group("name")),
         timing=timing,
@@ -1144,6 +1147,148 @@ def _sub_new_old(text: str, new_row, old_row) -> str:
     return _map_outside_literals(text, run)
 
 
+def _split_returning(stmt: str) -> tuple[str, str | None]:
+    """Split a trailing top-level ``RETURNING`` clause off a DML statement
+    (SQLite 3.35+, lang_returning.html).  Literal-aware via the dialect
+    tokenizer — a quoted ``' RETURNING '`` never matches, and a RETURNING
+    inside parens (a subquery) is not top-level."""
+    toks = dialect.tokenize(stmt)
+    depth = 0
+    for i, t in enumerate(toks):
+        if t.kind == "op" and t.text == "(":
+            depth += 1
+        elif t.kind == "op" and t.text == ")":
+            depth -= 1
+        elif t.kind == "word" and depth == 0 and t.text.upper() == "RETURNING":
+            clause = dialect.render(toks[i + 1 :]).strip()
+            if not clause:
+                raise QueryRejected("RETURNING clause with no expressions")
+            return dialect.render(toks[:i]).rstrip(), clause
+    return stmt, None
+
+
+# words that can legally END an expression, so a trailing bare word after
+# them is NOT a column alias ("a IS NOT NULL", "x COLLATE NOCASE"); plus
+# value words that are themselves expression tails, never aliases
+_RET_NOT_ALIAS = frozenset({"null", "end", "true", "false"})
+_RET_ALIAS_BLOCKERS = frozenset({
+    "collate", "is", "not", "escape", "then", "else", "when", "case",
+    "and", "or", "in", "between", "like", "glob", "regexp", "match",
+    "distinct", "as",
+})
+_RET_AGGREGATES = frozenset({
+    "count", "total", "group_concat", "string_agg", "avg", "sum",
+})
+
+
+def _split_returning_items(clause: str) -> list[tuple[str, str | None]]:
+    """Parse a RETURNING clause into ``[(expr_src, alias|None)]``.
+
+    Top-level comma split via the tokenizer; an ``AS alias`` tail or a
+    trailing bare identifier (SQLite's result-column grammar) is the
+    alias.  The output column NAME of an unaliased expression is its
+    source text exactly as typed (probed: ``RETURNING id+1`` names the
+    column ``id+1``)."""
+    tokens = dialect.tokenize(clause)
+    parts: list[list] = [[]]
+    depth = 0
+    for t in tokens:
+        if t.kind == "op" and t.text == "(":
+            depth += 1
+        elif t.kind == "op" and t.text == ")":
+            depth -= 1
+        if t.kind == "op" and t.text == "," and depth == 0:
+            parts.append([])
+        else:
+            parts[-1].append(t)
+    items: list[tuple[str, str | None]] = []
+    for part in parts:
+        sig_idx = [
+            i for i, t in enumerate(part) if t.kind not in ("space", "comment")
+        ]
+        if not sig_idx:
+            raise QueryRejected("empty expression in RETURNING clause")
+        sig = [part[i] for i in sig_idx]
+        alias = None
+        end = len(part)  # cut point: tokens [0:end) form the expression
+        if (
+            len(sig) >= 3
+            and sig[-1].kind == "word"
+            and sig[-2].kind == "word"
+            and sig[-2].text.upper() == "AS"
+        ):
+            alias = _unquote(sig[-1].text)
+            end = sig_idx[-2]
+        elif (
+            len(sig) >= 2
+            and sig[-1].kind == "word"
+            and sig[-1].text.lower() not in _RET_NOT_ALIAS
+            and (
+                sig[-2].kind in ("word", "number", "string")
+                or (sig[-2].kind == "op" and sig[-2].text == ")")
+            )
+            and sig[-2].text.lower() not in _RET_ALIAS_BLOCKERS
+        ):
+            alias = _unquote(sig[-1].text)
+            end = sig_idx[-1]
+        items.append((dialect.render(part[:end]).strip(), alias))
+    return items
+
+
+def _assert_returning_expr(src: str) -> None:
+    """Reject RETURNING expression forms up front: subqueries (SQLite
+    evaluates them ONCE after the first affected row and caches — probed;
+    out of scope, rejected loudly rather than silently diverging) and
+    aggregate functions (SQLite's verbatim 'misuse of aggregate' error)."""
+    toks = [t for t in dialect.tokenize(src) if t.kind not in ("space", "comment")]
+    for j, t in enumerate(toks):
+        if t.kind != "word":
+            continue
+        up = t.text.upper()
+        if up in ("SELECT", "EXISTS"):
+            raise QueryRejected(
+                "subqueries in RETURNING are not supported (SQLite "
+                "evaluates them once after the first affected row and "
+                f"caches the value — out of scope): {src[:80]!r}"
+            )
+        low = t.text.lower()
+        calls = j + 1 < len(toks) and toks[j + 1].kind == "op" and toks[j + 1].text == "("
+        if calls and low in _RET_AGGREGATES:
+            raise QueryRejected(f"misuse of aggregate function {low}()")
+        if calls and low in ("min", "max"):
+            # single-argument min/max is the AGGREGATE form (probed:
+            # 'misuse of aggregate function min()'); 2+ args is scalar
+            depth, args, k = 0, 1, j + 1
+            while k < len(toks):
+                tk = toks[k]
+                if tk.kind == "op" and tk.text == "(":
+                    depth += 1
+                elif tk.kind == "op" and tk.text == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                elif tk.kind == "op" and tk.text == "," and depth == 1:
+                    args += 1
+                k += 1
+            if args == 1:
+                raise QueryRejected(f"misuse of aggregate function {low}()")
+
+
+class _RetCapture:
+    """Per-statement RETURNING accumulator.  Landing sites on the write
+    path call ``_ret_add`` with the final row images they commit; the
+    ``depth`` counter suppresses capture from trigger-body writes and from
+    inner helper dispatches that would double-count."""
+
+    __slots__ = ("table", "rows", "schema", "depth")
+
+    def __init__(self, table_lower: str):
+        self.table = table_lower
+        self.rows: list = []
+        self.schema: T.StructType | None = None
+        self.depth = 0
+
+
 class WriteLockError(RuntimeError):
     """Another process holds the segment's write lock (the reference's
     one-writer-per-segment rule, trough/write.py:55-57 / sync.py:130-145)."""
@@ -1325,6 +1470,7 @@ class SegmentStore:
         # soon as a second autoincremented table gets a high-water mark)
         self._last_auto: dict[str, int] = {}
         self._active_txn: _WriteTxn | None = None
+        self._ret: _RetCapture | None = None
         # names (lowercased) of triggers currently on the firing stack: body
         # DML fires OTHER tables' triggers (cascading), but a trigger already
         # firing never re-enters itself — probed live-SQLite semantics of the
@@ -1526,8 +1672,14 @@ class SegmentStore:
         (the statement batch ≡ the reference's one-transaction-per-POST,
         write.py:39); UPDATE/DELETE rewrite the single affected partition —
         faithful to the reference's file-grained mutation model
-        (SURVEY.md §2.B16)."""
-        stmts = dialect.assert_write_allowed(sql_script)
+        (SURVEY.md §2.B16).
+
+        Returns the rows produced by any ``RETURNING`` clauses in the
+        script (SQLite 3.35+), concatenated in statement order, as a list
+        of dicts — empty when no statement has one.  RETURNING inherently
+        materializes the affected rows driver-side; bounded by the one
+        segment partition like every write."""
+        raw_stmts = dialect.assert_write_allowed(sql_script)
         self._segment_info(segment_id)
         # pre-validation pass: reject unknown/unsupported statement forms
         # BEFORE any mutation; runtime failures mid-script roll back via
@@ -1537,18 +1689,28 @@ class SegmentStore:
             "INSERT", "UPDATE", "DELETE", "CREATE", "DROP", "ALTER",
             "BEGIN", "COMMIT", "END", "PRAGMA", "VACUUM", "ANALYZE", "REPLACE",
         }
-        for stmt in stmts:
+        stmts: list[tuple[str, str | None]] = []
+        for stmt in raw_stmts:
             kind = dialect.statement_type(stmt)
             if kind not in supported:
                 raise QueryRejected(f"unsupported write statement: {stmt[:80]!r}")
+            ret = None
+            if kind in ("INSERT", "REPLACE", "UPDATE", "DELETE"):
+                stmt, ret = _split_returning(stmt)
+                if ret is not None:
+                    for src, _alias in _split_returning_items(ret):
+                        if src != "*":
+                            _assert_returning_expr(src)
             if kind == "INSERT" or kind == "REPLACE":
                 self._match_insert(stmt)  # raises on unsupported INSERT form
+            stmts.append((stmt, ret))
         pending: dict[str, list[Row]] = {}
+        ret_out: list[dict] = []
         lock = self._file_lock(f"segment-{segment_id}")
         lock.__enter__()
         self._active_txn = _WriteTxn(self)
         try:
-            for stmt in stmts:
+            for stmt, ret in stmts:
                 # same connection-state substitution the read path does, so
                 # INSERT ... VALUES (last_insert_rowid()) works mid-script
                 # with the value as of the PREVIOUS statement (sqlite3
@@ -1557,41 +1719,14 @@ class SegmentStore:
                     stmt, self._last_auto.get(segment_id, 0)
                 )
                 kind = dialect.statement_type(stmt)
-                if kind in ("INSERT", "REPLACE"):
-                    if self._view_dml(segment_id, stmt, kind, pending):
-                        continue
-                    if self._insert_with_triggers(segment_id, stmt, pending):
-                        continue
-                    handled = self._execute_insert(segment_id, stmt, pending)
-                    if handled:
-                        continue
-                elif kind in ("UPDATE", "DELETE"):
-                    if self._view_dml(segment_id, stmt, kind, pending):
-                        continue
-                    self._flush_inserts(segment_id, pending)
-                    self._dml_with_triggers(segment_id, stmt, kind, pending)
-                elif kind == "CREATE":
-                    self._flush_inserts(segment_id, pending)
-                    self._write_path_create(segment_id, stmt)
-                elif kind == "DROP":
-                    self._flush_inserts(segment_id, pending)
-                    self._write_path_drop(segment_id, stmt)
-                elif kind == "ALTER":
-                    self._flush_inserts(segment_id, pending)
-                    self._write_path_alter(segment_id, stmt)
-                elif kind == "PRAGMA":
-                    # case_sensitive_like is honored (dialect.py LIKE note);
-                    # other pragmas are implicit no-ops like the reference's
-                    # per-connection tuning pragmas
-                    m = re.match(
-                        r"^\s*PRAGMA\s+case_sensitive_like\s*=\s*(\w+)", stmt, re.IGNORECASE
-                    )
-                    if m:
-                        dialect.set_case_sensitive_like(
-                            m.group(1).lower() in ("1", "on", "true", "yes")
-                        )
-                else:
-                    continue  # txn framing / other pragmas are implicit no-ops
+                if ret is not None:
+                    self._ret = self._ret_begin(segment_id, stmt, kind)
+                try:
+                    self._dispatch_write_stmt(segment_id, stmt, kind, pending)
+                    if ret is not None:
+                        ret_out.extend(self._eval_returning(segment_id, ret))
+                finally:
+                    self._ret = None
             self._flush_inserts(segment_id, pending)
         except BaseException:
             self._active_txn.rollback()
@@ -1601,6 +1736,225 @@ class SegmentStore:
         finally:
             self._active_txn = None
             lock.__exit__(None, None, None)
+        return ret_out
+
+    def _dispatch_write_stmt(
+        self, segment_id: str, stmt: str, kind: str, pending: dict
+    ) -> None:
+        """One write-script statement through the right execution path
+        (factored out of write() so the per-statement RETURNING capture
+        has a single post-dispatch evaluation point)."""
+        if kind in ("INSERT", "REPLACE"):
+            if self._view_dml(segment_id, stmt, kind, pending):
+                return
+            if self._insert_with_triggers(segment_id, stmt, pending):
+                return
+            self._execute_insert(segment_id, stmt, pending)
+        elif kind in ("UPDATE", "DELETE"):
+            if self._view_dml(segment_id, stmt, kind, pending):
+                return
+            self._flush_inserts(segment_id, pending)
+            self._dml_with_triggers(segment_id, stmt, kind, pending)
+        elif kind == "CREATE":
+            self._flush_inserts(segment_id, pending)
+            self._write_path_create(segment_id, stmt)
+        elif kind == "DROP":
+            self._flush_inserts(segment_id, pending)
+            self._write_path_drop(segment_id, stmt)
+        elif kind == "ALTER":
+            self._flush_inserts(segment_id, pending)
+            self._write_path_alter(segment_id, stmt)
+        elif kind == "PRAGMA":
+            # case_sensitive_like is honored (dialect.py LIKE note);
+            # other pragmas are implicit no-ops like the reference's
+            # per-connection tuning pragmas
+            m = re.match(
+                r"^\s*PRAGMA\s+case_sensitive_like\s*=\s*(\w+)", stmt, re.IGNORECASE
+            )
+            if m:
+                dialect.set_case_sensitive_like(
+                    m.group(1).lower() in ("1", "on", "true", "yes")
+                )
+        # txn framing / other pragmas are implicit no-ops
+
+    def _ret_begin(self, segment_id: str, stmt: str, kind: str) -> "_RetCapture":
+        """Resolve a RETURNING statement's target and open the capture.
+        View targets: INSERT returns the NEW rows and DELETE the OLD view
+        rows (both probed); UPDATE is rejected — SQLite returns NULL for
+        every column the SET didn't assign (probed quirk, out of scope)."""
+        if kind in ("INSERT", "REPLACE"):
+            tname = _unquote(self._match_insert(stmt).group("name"))
+        elif kind == "UPDATE":
+            m = _UPDATE_STMT_RE.match(stmt)
+            if not m:
+                raise QueryRejected(f"unsupported UPDATE form: {stmt[:80]!r}")
+            tname = _unquote(m.group("name"))
+        else:
+            m = _DELETE_STMT_RE.match(stmt)
+            if not m:
+                raise QueryRejected(f"unsupported DELETE form: {stmt[:80]!r}")
+            tname = _unquote(m.group("name"))
+        if kind == "UPDATE" and self._view_name_of(segment_id, tname) is not None:
+            raise QueryRejected(
+                "UPDATE ... RETURNING on a view is not supported (SQLite "
+                "returns NULL for columns the SET did not assign — probed "
+                f"quirk): {stmt[:80]!r}"
+            )
+        return _RetCapture(tname.lower())
+
+    def _ret_capturing(self, table: str) -> bool:
+        """True when the active statement's RETURNING clause targets
+        ``table`` and we're not inside a trigger body / inner dispatch."""
+        return (
+            self._ret is not None
+            and self._ret.depth == 0
+            and self._ret.table == table.lower()
+        )
+
+    def _ret_add(self, table: str, rows, schema: T.StructType | None = None) -> None:
+        """Record final row images for the active RETURNING clause (no-op
+        unless capturing for ``table``).  ``rows`` are Row/dict images in
+        the order the statement produced them."""
+        if not self._ret_capturing(table):
+            return
+        self._ret.rows.extend(rows)
+        if schema is not None and self._ret.schema is None:
+            self._ret.schema = schema
+
+    def _eval_returning(self, segment_id: str, clause: str) -> list[dict]:
+        """Evaluate the statement's RETURNING expressions over the captured
+        row images — one small Spark select over a driver-built DataFrame
+        (the shimmed dialect expressions run JVM-side; RETURNING output is
+        driver-bound by definition).  Output order follows the capture
+        (SQLite documents RETURNING order as undefined)."""
+        st = self._ret
+        schema = st.schema
+        ts = None
+        if schema is None:
+            ts = self._table_schema(segment_id, st.table)
+            schema = ts.struct()
+        colnames = [f.name for f in schema.fields]
+        # last_insert_rowid() in RETURNING sees the statement's own
+        # assignment (sqlite3: evaluated per returned row, post-insert)
+        clause = _sub_last_insert_rowid(
+            clause, self._last_auto.get(segment_id, 0)
+        )
+        rowid_alias = (
+            ts is not None
+            and ts.autoincrement_col is not None
+            and len(ts.primary_key or []) == 1
+            and ts.primary_key[0].lower() == ts.autoincrement_col.lower()
+        )
+
+        def fix_tokens(src: str) -> str:
+            toks = dialect.tokenize(src)
+            out = []
+            i = 0
+            lower_cols = {c.lower() for c in colnames}
+
+            def next_sig(j: int) -> int | None:
+                for k in range(j + 1, len(toks)):
+                    if toks[k].kind not in ("space", "comment"):
+                        return k
+                return None
+
+            while i < len(toks):
+                t = toks[i]
+                ni = next_sig(i)
+                nxt = toks[ni] if ni is not None else None
+                if (
+                    t.kind == "word"
+                    and nxt is not None
+                    and nxt.kind == "op"
+                    and nxt.text == "."
+                ):
+                    # qualified reference: strip a matching table qualifier
+                    ai = next_sig(ni)
+                    after = toks[ai] if ai is not None else None
+                    if _unquote(t.text).lower() == st.table:
+                        if after is not None and after.text == "*":
+                            raise QueryRejected(
+                                'RETURNING may not use "TABLE.*" wildcards'
+                            )
+                        i = ni + 1  # drop qualifier + dot
+                        continue
+                    raise QueryRejected(
+                        "no such column: "
+                        f"{_unquote(t.text)}."
+                        f"{_unquote(after.text) if after is not None else ''}"
+                    )
+                if (
+                    t.kind == "word"
+                    and t.text.lower() in ("rowid", "oid", "_rowid_")
+                    and t.text.lower() not in lower_cols
+                    and not (nxt is not None and nxt.text == "(")
+                ):
+                    if rowid_alias:
+                        out.append(dialect.Token("word", ts.primary_key[0]))
+                        i += 1
+                        continue
+                    if ts is not None and ts.without_rowid:
+                        raise QueryRejected("no such column: rowid")
+                    raise QueryRejected(
+                        "rowid in RETURNING on a table whose PRIMARY KEY is "
+                        "not an INTEGER rowid alias: the real rowid is not "
+                        "tracked by this engine — rejected loudly"
+                    )
+                out.append(t)
+                i += 1
+            return dialect.render(out)
+
+        sel: list[tuple[str, str]] = []  # (spark sql, output name)
+        for src, alias in _split_returning_items(clause):
+            if src == "*":
+                sel.extend((f"`{c}`", c) for c in colnames)
+                continue
+            fixed = fix_tokens(src)
+            name = alias or src
+            if alias is None:
+                # a result column that is a bare (possibly qualified, or
+                # rowid-aliased) column reference is NAMED by the column
+                # alone (probed: 't.id' names 'id', 'rowid' names 'id');
+                # other expressions keep their source text as the name
+                sig = [
+                    t
+                    for t in dialect.tokenize(fixed)
+                    if t.kind not in ("space", "comment")
+                ]
+                if len(sig) == 1 and sig[0].kind == "word":
+                    name = _unquote(sig[0].text)
+            sel.append((dialect.sqlite_to_spark(fixed), name))
+        if not st.rows:
+            return []
+        full = T.StructType(
+            [T.StructField("__trough_ord__", T.LongType(), False)]
+            + list(schema.fields)
+        )
+        tuples = []
+        for i, r in enumerate(st.rows):
+            d = r.asDict() if hasattr(r, "asDict") else dict(r)
+            low = {k.lower(): v for k, v in d.items()}
+            tuples.append(tuple([i] + [low.get(c.lower()) for c in colnames]))
+        df = self.spark.createDataFrame(tuples, full)
+        try:
+            out = (
+                df.select(
+                    F.col("__trough_ord__"),
+                    *[F.expr(sql).alias(f"_r{j}") for j, (sql, _n) in enumerate(sel)],
+                )
+                .sort("__trough_ord__")
+                .collect()
+            )
+        except Exception as e:  # unknown column etc. — loud, script rolls back
+            raise QueryRejected(f"invalid RETURNING expression: {e}") from None
+        return [
+            {
+                # booleans materialize as 0/1 (SQLite has no boolean type)
+                name: int(v) if isinstance(v := row[f"_r{j}"], bool) else v
+                for j, (_sql, name) in enumerate(sel)
+            }
+            for row in out
+        ]
 
     _INSERT_RE = re.compile(
         r"^\s*(?:INSERT\s+(?:OR\s+(?P<mode>REPLACE|IGNORE|ABORT|FAIL|ROLLBACK)\s+)?"
@@ -1798,6 +2152,34 @@ class SegmentStore:
                         where=conflict.group("where"),
                     )
                     return False
+                if self._ret_capturing(table):
+                    # RETURNING needs per-row outcomes (inserted / updated /
+                    # skipped) in statement order — the sequential resolver
+                    # produces exactly SQLite's semantics and captures as it
+                    # goes; the batch joins below cannot say which rows landed
+                    if sets is not None:
+                        # same guard the batch _upsert_update applies, so
+                        # adding RETURNING never widens what's accepted
+                        pk_lower = {k.lower() for k in ts.primary_key}
+                        for c in sets:
+                            if c not in {n.lower() for n, _ in ts.fields}:
+                                raise QueryRejected(f"no such column: {c}")
+                            if c in pk_lower:
+                                raise QueryRejected(
+                                    "updating the conflict-target key is "
+                                    "unsupported"
+                                )
+                    self._conflict_rows_sequential(
+                        segment_id,
+                        table,
+                        ts,
+                        rows,
+                        action="NOTHING" if sets is None else "UPDATE",
+                        target_idx=target_idx,
+                        sets=sets,
+                        where=conflict.group("where"),
+                    )
+                    return False
                 df = self.spark.createDataFrame(rows, ts.struct())
                 if sets is None:
                     self._upsert(segment_id, table, ts, df, "IGNORE")
@@ -1828,6 +2210,7 @@ class SegmentStore:
                 if mode == "IGNORE" and (ts.checks or ts.not_null):
                     df = self.spark.createDataFrame(rows, ts.struct())
                     rows = self._drop_constraint_violations(ts, df).collect()
+                self._ret_add(table, rows)
                 pending.setdefault(table, []).extend(rows)
                 return True
             self._flush_inserts(segment_id, pending)
@@ -1898,6 +2281,8 @@ class SegmentStore:
                     self._assert_constraints(ts, aligned)
                 if mode is None:
                     self._assert_pk_unique_df(segment_id, table, ts, aligned)
+                if self._ret_capturing(table):
+                    self._ret_add(table, aligned.collect())
                 path = self._partition_path(table, segment_id)
                 self._txn_before_write(table, segment_id)
                 self._write_files(aligned, path, "append")
@@ -1932,7 +2317,13 @@ class SegmentStore:
             new = self._drop_constraint_violations(ts, new)
         else:
             self._assert_constraints(ts, new)
-        if ts.has_extended_uniqueness() or not ts.primary_key:
+        if (
+            ts.has_extended_uniqueness()
+            or not ts.primary_key
+            # RETURNING needs per-row landed/skipped outcomes in statement
+            # order — the sequential resolver captures them as it resolves
+            or self._ret_capturing(table)
+        ):
             # UNIQUE constraints / non-BINARY pk collations participate in
             # conflict resolution (probed: OR REPLACE deletes conflicting
             # rows across ALL constraints; a pk-less table still resolves
@@ -2046,6 +2437,7 @@ class SegmentStore:
         if os.path.isdir(self._partition_path(table, segment_id)):
             for r0 in self._read_partition(segment_id, table).collect():
                 add_row({n: r0[n] for n in fields})
+        ret: list[dict] = []  # RETURNING images, statement order (skips omitted)
         for r in rows:
             d = {n: r[n] for n in fields}
             ks = keys_of(d)
@@ -2055,11 +2447,13 @@ class SegmentStore:
                     hits.append((ci, maps[ci][k]))
             if not hits:
                 add_row(d)
+                ret.append(d)
                 continue
             if action == "REPLACE":
                 for rid in {rid for _ci, rid in hits}:
                     drop_row(rid)
                 add_row(d)
+                ret.append(d)
                 continue
             if action == "IGNORE":
                 continue
@@ -2088,6 +2482,7 @@ class SegmentStore:
                     if k is not None and k in maps[ci]:
                         raise self._unique_error(table, cons[ci][0])
                 add_row(nd)
+                ret.append(nd)
                 continue
             raise QueryRejected(
                 f"unknown conflict action {action!r}"
@@ -2097,6 +2492,7 @@ class SegmentStore:
         ]
         out = self.spark.createDataFrame(tuples, ts.struct())
         self._assert_constraints(ts, out)
+        self._ret_add(table, ret)
         self._overwrite_partition(segment_id, table, out)
 
     @staticmethod
@@ -2739,6 +3135,14 @@ class SegmentStore:
             table = _unquote(m.group("name"))
             cond = m.group("where")
             df = self._read_partition(segment_id, table)
+            if self._ret_capturing(table):
+                # DELETE ... RETURNING yields the removed rows (pre-images)
+                self._ret_add(
+                    table,
+                    [old for old, _n in self._affected_rows(
+                        segment_id, table, cond, None, "DELETE"
+                    )],
+                )
             # DELETE removes rows whose predicate is TRUE; rows where it is
             # NULL survive (three-valued logic — a bare NOT(pred) filter
             # would drop them, found by the write-path fuzzer)
@@ -2841,6 +3245,16 @@ class SegmentStore:
             # already satisfy them, so checking the whole partition is
             # equivalent to checking the modified rows)
             self._assert_constraints(ts, out)
+            if self._ret_capturing(table):
+                # UPDATE ... RETURNING yields the post-update images of the
+                # rows the WHERE matched
+                self._ret_add(
+                    table,
+                    [new for _o, new in self._affected_rows(
+                        segment_id, table, m.group("where"),
+                        dict(assignments), "UPDATE",
+                    )],
+                )
         self._overwrite_partition(segment_id, table, out)
 
     def _upsert_update_sequential(
@@ -3049,6 +3463,7 @@ class SegmentStore:
                     del state[nkey]  # REPLACE: the collided-with row vanishes
                 del state[vkey]
                 state[nkey] = new
+                self._ret_add(table, [new])  # applied change (skips omitted)
             survivors = list(state.values())
         else:
             # non-rowid pk (or none): per-original-row application; reject
@@ -3061,6 +3476,7 @@ class SegmentStore:
                 if umode == "IGNORE" and self._row_violates(ts, new):
                     continue
                 news[i] = new
+                self._ret_add(table, [new])  # applied change (skips omitted)
             if pkcols:
                 orig_owner: dict[tuple, int] = {}
                 for i, r in enumerate(rows):
@@ -3240,6 +3656,19 @@ class SegmentStore:
         body writes table B fires B's triggers (cascading — live-SQLite
         recursive_triggers=OFF suppresses only self-re-entry, which
         _triggers_for handles via the firing stack)."""
+        if self._ret is not None:
+            # body writes never contribute to the statement's RETURNING
+            # (and RETURNING inside a body is rejected at CREATE TRIGGER)
+            self._ret.depth += 1
+            try:
+                return self._exec_trigger_stmt_inner(segment_id, stmt, pending)
+            finally:
+                self._ret.depth -= 1
+        return self._exec_trigger_stmt_inner(segment_id, stmt, pending)
+
+    def _exec_trigger_stmt_inner(
+        self, segment_id: str, stmt: str, pending: dict
+    ) -> None:
         kind = dialect.statement_type(stmt)
         if kind in ("INSERT", "REPLACE"):
             if self._view_dml(segment_id, stmt, kind, pending):
@@ -3481,7 +3910,16 @@ class SegmentStore:
             # earlier statements of this script (they'd otherwise sit in
             # the OUTER pending dict, invisible to the read fallback)
             self._flush_inserts(segment_id, pending)
-        self._execute_insert(segment_id, stmt, staged)
+        if self._ret is not None:
+            # materialization dispatch only — RETURNING captures per-row
+            # outcomes in the loops below, not the raw parsed rows
+            self._ret.depth += 1
+            try:
+                self._execute_insert(segment_id, stmt, staged)
+            finally:
+                self._ret.depth -= 1
+        else:
+            self._execute_insert(segment_id, stmt, staged)
         new_rows = staged.get(table, [])
         # NOTE: autoincrement ids are assigned before BEFORE triggers fire, so
         # NEW.<autoinc> is the final id even in BEFORE bodies (documented
@@ -3542,6 +3980,7 @@ class SegmentStore:
                     self._flush_inserts(segment_id, pending)
                     self._apply_row_change(segment_id, table, ts, current[k], r)
                     current[k] = r
+                    self._ret_add(table, [r])
                     self._fire_triggers(segment_id, trigs, "AFTER", pair, pending)
                     self._flush_inserts(segment_id, pending)
                     continue
@@ -3559,6 +3998,7 @@ class SegmentStore:
                         continue  # RAISE(IGNORE) in BEFORE UPDATE: skip
                     self._apply_row_change(segment_id, table, ts, old, updated)
                     current[k] = updated
+                    self._ret_add(table, [updated])
                     self._fire_triggers(segment_id, utrigs, "AFTER", upair, pending)
                     self._flush_inserts(segment_id, pending)
                     continue
@@ -3566,6 +4006,7 @@ class SegmentStore:
                 self._flush_inserts(segment_id, pending)
                 if keyed:
                     current[k] = r
+                self._ret_add(table, [r])
                 self._fire_triggers(segment_id, trigs, "AFTER", pair, pending)
                 self._flush_inserts(segment_id, pending)
             return True
@@ -3581,6 +4022,7 @@ class SegmentStore:
                     continue  # RAISE(IGNORE): skip this row's insert
                 pending.setdefault(table, []).append(r)
                 self._flush_inserts(segment_id, pending)
+                self._ret_add(table, [r])
                 self._fire_triggers(segment_id, trigs, "AFTER", pair, pending)
                 self._flush_inserts(segment_id, pending)
             return True
@@ -3591,6 +4033,7 @@ class SegmentStore:
             new_rows = [r for i, r in enumerate(new_rows) if i not in ignored]
             pairs = [p for i, p in enumerate(pairs) if i not in ignored]
         pending.setdefault(table, []).extend(new_rows)
+        self._ret_add(table, new_rows)
         self._flush_inserts(segment_id, pending)
         self._fire_triggers(segment_id, trigs, "AFTER", pairs, pending)
         self._flush_inserts(segment_id, pending)
@@ -3642,7 +4085,8 @@ class SegmentStore:
             # like a plain INSERT; the upsert clause is a hard SQLite error
             if self._ON_CONFLICT_RE.search(body):
                 raise QueryRejected(f"cannot UPSERT a view: {stmt[:80]!r}")
-            vcols = self.read_df(segment_id, f"SELECT * FROM {vname}").columns
+            vdf = self.read_df(segment_id, f"SELECT * FROM {vname}")
+            vcols = vdf.columns
             cols = (
                 [_unquote(c.strip()) for c in m.group("cols").split(",")]
                 if m.group("cols")
@@ -3665,6 +4109,9 @@ class SegmentStore:
                         raise QueryRejected(f"no such column: {vname}.{c}")
                     d[colmap[c.lower()]] = v
                 pairs.append((None, Row(**d)))
+            # INSERT ... RETURNING on a view returns the NEW row values
+            # regardless of what the INSTEAD OF body writes (probed)
+            self._ret_add(vname, [p[1] for p in pairs], schema=vdf.schema)
         else:
             where = m.group("where")
             mask = (
@@ -3675,6 +4122,9 @@ class SegmentStore:
             hit = self.read_df(segment_id, f"SELECT * FROM {vname}").filter(mask)
             if kind == "DELETE":
                 pairs = [(r, None) for r in hit.collect()]
+                # DELETE ... RETURNING on a view returns the OLD view rows
+                # (probed); UPDATE RETURNING is rejected in _ret_begin
+                self._ret_add(vname, [p[0] for p in pairs], schema=hit.schema)
             else:
                 view_cols_lc = {c.lower() for c in hit.columns}
                 for c in sets:
@@ -3934,6 +4384,7 @@ class SegmentStore:
                     continue  # RAISE(IGNORE): skip this row's change
                 self._flush_inserts(segment_id, pending)
                 self._apply_row_change(segment_id, table, ts, pair[0], pair[1])
+                self._ret_add(table, [pair[0] if kind == "DELETE" else pair[1]])
                 self._fire_triggers(segment_id, trigs, "AFTER", [pair], pending)
                 self._flush_inserts(segment_id, pending)
             return
@@ -3946,7 +4397,19 @@ class SegmentStore:
                 "RAISE(IGNORE) in a BEFORE UPDATE/DELETE trigger is not supported"
             )
         self._flush_inserts(segment_id, pending)
-        self._rewrite_partition(segment_id, stmt, kind)
+        self._ret_add(
+            table, [p[0] if kind == "DELETE" else p[1] for p in pairs]
+        )
+        if self._ret is not None:
+            # affected rows already captured from the pairs above — keep
+            # the rewrite from re-capturing them
+            self._ret.depth += 1
+            try:
+                self._rewrite_partition(segment_id, stmt, kind)
+            finally:
+                self._ret.depth -= 1
+        else:
+            self._rewrite_partition(segment_id, stmt, kind)
         self._fire_triggers(segment_id, trigs, "AFTER", pairs, pending)
         self._flush_inserts(segment_id, pending)
 
@@ -4629,11 +5092,17 @@ class SegmentStore:
     def read(self, segment_id: str, sql: str, values=(), as_of: str | None = None) -> list[dict]:
         """A2: rows as a JSON-ready list of {column: value} dicts
         (reference read.py:33-52) with A10/A11 parameter binding.
-        ``as_of`` routes the read to a named snapshot (time travel)."""
+        ``as_of`` routes the read to a named snapshot (time travel).
+        Boolean expression results materialize as 0/1 — SQLite has no
+        boolean type (sqlite3 returns INTEGER for comparisons); the
+        DataFrame surface (read_df) keeps Spark booleans."""
         bound = dialect.interpolate(sql, values)
         return [
-            r.asDict(recursive=True)
-            for r in self.read_df(segment_id, bound, as_of=as_of).collect()
+            {k: int(v) if isinstance(v, bool) else v for k, v in d.items()}
+            for d in (
+                r.asDict(recursive=True)
+                for r in self.read_df(segment_id, bound, as_of=as_of).collect()
+            )
         ]
 
     def table_df(self, table: str, reference_segment: str | None = None) -> DataFrame:
