@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
+from pyspark.sql.window import Window
 
 # deterministic little marker lists for the language-ID heuristic; real
 # pipelines swap in proper n-gram tables — the *shape* (map-side scoring,
@@ -729,6 +730,61 @@ def hashed_cosine_topk(
             .alias("cos_micro"),
         )
         .orderBy(F.desc("cos_micro"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def rrf_fuse(
+    ranked: list[tuple[DataFrame, str]],
+    k0: int = 60,
+    k: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of candidate
+    lists from heterogeneous retrievers — the standard hybrid-search
+    combiner (keyword BM25 + vector ANN) for RAG-style retrieval.
+
+    Each input is ``(df, score_col)`` with an ``id`` column; ranks are
+    assigned by (score desc, id asc) and each list contributes
+    ``round(1e9 / (k0 + rank))`` integer micro-units, so the fused score
+    is an integer sum — cross-engine deterministic (same IEEE
+    double-divide-then-round pattern as ``hashed_cosine_topk``).
+
+    Scale: inputs are top-k candidate lists, ALREADY bounded by the
+    retrievers that produced them (BM25 / ANN do the corpus-sized work);
+    fusion is O(sum of list sizes), so the un-partitioned rank windows
+    here run over k-row inputs, never the corpus.
+
+    Returns (id, rrf_micro, <score_col>_rank per input list — NULL when
+    the id is absent from that list), ordered by fused score.
+    """
+    from functools import reduce
+
+    parts = []
+    for j, (df, score_col) in enumerate(ranked):
+        w = Window.orderBy(F.desc(score_col), F.asc("id"))
+        parts.append(
+            df.select(
+                "id", F.row_number().over(w).cast("long").alias("r")
+            ).select(
+                "id",
+                "r",
+                F.round(
+                    F.lit(1e9) / (F.lit(float(k0)) + F.col("r").cast("double"))
+                )
+                .cast("bigint")
+                .alias("c"),
+                F.lit(j).alias("src"),
+            )
+        )
+    u = reduce(DataFrame.unionByName, parts)
+    aggs = [F.sum("c").alias("rrf_micro")] + [
+        F.max(F.when(F.col("src") == j, F.col("r"))).alias(f"{sc}_rank")
+        for j, (_df, sc) in enumerate(ranked)
+    ]
+    return (
+        u.groupBy("id")
+        .agg(*aggs)
+        .orderBy(F.desc("rrf_micro"), F.asc("id"))
         .limit(k)
     )
 

@@ -463,8 +463,8 @@ _BM25_B = 0.75
 # SQL literals interpolated via repr() of the exact Python doubles Spark uses
 # (F.lit(k1 + 1.0) etc.) so both engines parse bit-identical constants; the
 # e0 suffix forces DuckDB to read them as DOUBLE, not DECIMAL.
-_BM25_SQL = f"""
-    WITH base AS (
+_BM25_BODY = f"""
+    base AS (
       SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\\s+') AS toks
       FROM documents
     ),
@@ -493,10 +493,17 @@ _BM25_SQL = f"""
       JOIN dfreq USING (term)
       JOIN lens ON lens.id = tf.id
       CROSS JOIN stats
+    ),
+    bm25_scores AS (
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+             CAST(SUM(c) AS BIGINT) AS score_micro
+      FROM contrib GROUP BY id
     )
-    SELECT id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
-           CAST(SUM(c) AS BIGINT) AS score_micro
-    FROM contrib GROUP BY id
+"""
+
+_BM25_SQL = f"""
+    WITH {_BM25_BODY}
+    SELECT id, n_terms_hit, score_micro FROM bm25_scores
     ORDER BY score_micro DESC, id LIMIT 20
 """
 
@@ -754,10 +761,8 @@ def text_hashed_embedding(spark, sf_dir):
     return X.hashed_embedding(docs, "doc_id", "text", dims=64)
 
 
-@query(
-    "text_hashed_ann_topk",
-    oracle=r"""
-    WITH tok AS (
+_ANN_BODY = r"""
+    tok AS (
       SELECT doc_id AS id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
       FROM documents
     ),
@@ -778,12 +783,22 @@ def text_hashed_embedding(spark, sf_dir):
     dots AS (
       SELECT e.id, CAST(SUM(e.w * q.qw) AS BIGINT) AS dot
       FROM emb e JOIN qv q USING (dim) WHERE e.id != 0 GROUP BY e.id
+    ),
+    ann_scores AS (
+      SELECT d.id, d.dot, n.norm2,
+             CAST(ROUND(d.dot / sqrt(CAST(n.norm2 * qn.qnorm2 AS DOUBLE)) * 1000000.0)
+                  AS BIGINT) AS cos_micro
+      FROM dots d JOIN norms n USING (id), qn
     )
-    SELECT d.id, d.dot, n.norm2,
-           CAST(ROUND(d.dot / sqrt(CAST(n.norm2 * qn.qnorm2 AS DOUBLE)) * 1000000.0)
-                AS BIGINT) AS cos_micro
-    FROM dots d JOIN norms n USING (id), qn
-    ORDER BY cos_micro DESC, d.id ASC
+"""
+
+
+@query(
+    "text_hashed_ann_topk",
+    oracle=f"""
+    WITH {_ANN_BODY}
+    SELECT id, dot, norm2, cos_micro FROM ann_scores
+    ORDER BY cos_micro DESC, id ASC
     LIMIT 20
     """,
 )
@@ -795,6 +810,55 @@ def text_hashed_ann_topk(spark, sf_dir):
     docs = T(spark, sf_dir, "documents")
     emb = X.hashed_embedding(docs, "doc_id", "text", dims=64)
     return X.hashed_cosine_topk(emb, query_id=0, k=20)
+
+
+@query(
+    "text_hybrid_rrf",
+    oracle=f"""
+    WITH {_BM25_BODY},
+    {_ANN_BODY},
+    bmtop AS (
+      SELECT id, score_micro FROM bm25_scores
+      ORDER BY score_micro DESC, id LIMIT 50
+    ),
+    antop AS (
+      SELECT id, cos_micro FROM ann_scores
+      ORDER BY cos_micro DESC, id LIMIT 50
+    ),
+    bmr AS (
+      SELECT id, CAST(row_number() OVER (ORDER BY score_micro DESC, id) AS BIGINT) AS r
+      FROM bmtop
+    ),
+    anr AS (
+      SELECT id, CAST(row_number() OVER (ORDER BY cos_micro DESC, id) AS BIGINT) AS r
+      FROM antop
+    ),
+    u AS (
+      SELECT id, r, CAST(ROUND(1e9 / (60e0 + r)) AS BIGINT) AS c, 0 AS src FROM bmr
+      UNION ALL
+      SELECT id, r, CAST(ROUND(1e9 / (60e0 + r)) AS BIGINT) AS c, 1 AS src FROM anr
+    )
+    SELECT id, CAST(SUM(c) AS BIGINT) AS rrf_micro,
+           MAX(CASE WHEN src = 0 THEN r END) AS score_micro_rank,
+           MAX(CASE WHEN src = 1 THEN r END) AS cos_micro_rank
+    FROM u GROUP BY id
+    ORDER BY rrf_micro DESC, id LIMIT 20
+    """,
+)
+def text_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 keyword candidates + hashed-embedding ANN
+    candidates for doc 0, fused by reciprocal-rank fusion (k0=60) — the
+    standard RAG hybrid-search combiner.  The corpus-sized work happens in
+    the two retrievers (each already a measured query); fusion ranks two
+    50-row candidate lists and sums integer micro-contributions, so the
+    fused ordering is cross-engine exact."""
+    docs = T(spark, sf_dir, "documents")
+    bm = X.bm25_topk(
+        docs, "doc_id", "text", _BM25_TERMS, k1=_BM25_K1, b=_BM25_B, k=50
+    ).select("id", "score_micro")
+    emb = X.hashed_embedding(docs, "doc_id", "text", dims=64)
+    ann = X.hashed_cosine_topk(emb, query_id=0, k=50).select("id", "cos_micro")
+    return X.rrf_fuse([(bm, "score_micro"), (ann, "cos_micro")], k0=60, k=20)
 
 
 @query(
