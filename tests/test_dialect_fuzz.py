@@ -1419,3 +1419,97 @@ def test_fuzzed_returning_matches_sqlite(spark, tmp_path, case):
         for r in store.read(f"rseg{case}", q)
     ]
     assert got == expected, f"\nscript: {stmts}\nsqlite: {expected}\nengine: {got}"
+
+
+# ---------------------------------------------------------------------------
+# round-8 campaign: generated columns across the write surface
+#
+# The write-script grammar (plain/conflict-form INSERTs, UPDATE incl. OR
+# modes, DELETE — all naming base columns only) runs against a table
+# extended with one or two random generated columns (possibly chained,
+# occasionally CHECK-guarded).  Every write path must recompute them
+# identically to live SQLite; final state INCLUDING the generated values
+# is compared, plus per-script raise/no-raise.
+# ---------------------------------------------------------------------------
+N_GENERATED_CASES = int(os.environ.get("TROUGH_FUZZ_GENERATED", "6"))
+
+_GEN_EXPRS_1 = [
+    "a + b",
+    "a * 2",
+    "coalesce(a, 0) - coalesce(b, 0)",
+    "abs(b)",
+    "min(a, b)",
+    "max(a, 0)",
+    "length(s)",
+    "upper(s)",
+    "substr(s, 1, 2)",
+    "CASE WHEN a > 0 THEN a ELSE b END",
+    "a % 5",
+]
+_GEN_EXPRS_2 = ["g1 + 1", "g1 * 2", "coalesce(g1, -1)", "min(g1, a)"]
+
+
+@pytest.mark.parametrize("case", range(N_GENERATED_CASES))
+def test_fuzzed_generated_columns_match_sqlite(spark, tmp_path, case):
+    rng = random.Random(SEED + 1300 + case)
+    e1 = rng.choice(_GEN_EXPRS_1)
+    t1 = "TEXT" if e1 in ("upper(s)", "substr(s, 1, 2)") else "INTEGER"
+    cols = [f"g1 {t1} AS ({e1})"]
+    sel = "id, a, b, s, g1"
+    if rng.random() < 0.6:
+        pool2 = _GEN_EXPRS_2 + _GEN_EXPRS_1
+        if t1 == "TEXT":
+            # with a TEXT g1, min(g1, a) hits SQLite's cross-storage-class
+            # ordering and coalesce(g1, -1) its lossless-only INTEGER
+            # affinity (text stays text in an INTEGER column) — both are
+            # the documented SURVEY 7.4 dynamic-typing divergence, not
+            # this campaign's target; the arithmetic forms coerce like
+            # SQLite and stay in
+            pool2 = [
+                e for e in pool2
+                if e not in ("min(g1, a)", "coalesce(g1, -1)")
+            ]
+        e2 = rng.choice(pool2)
+        stored = " STORED" if rng.random() < 0.5 else ""
+        # declared type per expression shape: an untyped generated column
+        # keeps SQLite's dynamic result type, which the engine's declared-
+        # schema model doesn't reproduce (documented SURVEY 7.4 divergence)
+        t2 = "TEXT" if e2 in ("upper(s)", "substr(s, 1, 2)") else "INTEGER"
+        cols.append(f"g2 {t2} AS ({e2}){stored}")
+        sel += ", g2"
+    ddl = DDL[:-1] + ", " + ", ".join(cols) + ")"
+    if t1 == "INTEGER" and rng.random() < 0.3:
+        # numeric g1 only: a TEXT g1 hits SQLite's empty-string-vs-integer
+        # CHECK affinity corner, which is its own probe, not this campaign's
+        ddl = ddl[:-1] + ", CHECK (g1 IS NULL OR g1 > -1000))"
+    stmts = _write_script(rng)
+
+    conn = sqlite3.connect(":memory:")
+    conn.isolation_level = None
+    conn.execute(ddl)
+    conn.executemany("INSERT INTO nums (id, a, b, s) VALUES (?, ?, ?, ?)", ROWS)
+    conn.commit()
+
+    store = SegmentStore(spark, str(tmp_path / "store"))
+    store.set_schema("nums_schema", ddl + ";")
+    store.provision(f"gseg{case}", "nums_schema")
+    seed = ";\n".join(
+        "INSERT INTO nums (id, a, b, s) VALUES (%s)"
+        % ", ".join(
+            "NULL" if v is None else (f"'{v}'" if isinstance(v, str) else str(v))
+            for v in r
+        )
+        for r in ROWS
+    )
+    store.write(f"gseg{case}", seed)
+    sq_raised, en_raised = _run_script_both(conn, store, f"gseg{case}", stmts)
+    assert sq_raised == en_raised, (
+        f"\nddl: {ddl}\nscript: {stmts}\n"
+        f"sqlite raised: {sq_raised}, engine raised: {en_raised}"
+    )
+    q = f"SELECT {sel} FROM nums ORDER BY id"
+    expected = [tuple(row) for row in conn.execute(q).fetchall()]
+    got = [tuple(r.values()) for r in store.read(f"gseg{case}", q)]
+    assert got == expected, (
+        f"\nddl: {ddl}\nscript: {stmts}\nsqlite: {expected}\nengine: {got}"
+    )

@@ -136,6 +136,13 @@ class TableSchema:
     # kept so later CREATE UNIQUE INDEX entries without an explicit
     # COLLATE resolve to the column's (SQLite's rule)
     collations: dict = field(default_factory=dict)
+    # generated columns (round 8, SQLite 3.31 gencol.html): declaration-
+    # ordered {col -> (expr_sql, stored)}.  VIRTUAL and STORED both
+    # materialize in storage here — every base-column change goes through
+    # the write paths, which recompute, so read results are identical;
+    # the flag is kept for table_xinfo (hidden 2/3) and the ALTER rule
+    # (ADD COLUMN may only add VIRTUAL ones, SQLite's own restriction)
+    generated: dict = field(default_factory=dict)
 
     def struct(self) -> T.StructType:
         return T.StructType([T.StructField(n, t, True) for n, t in self.fields])
@@ -382,6 +389,63 @@ def _col_decl_info(coldef: list, name_tok) -> dict:
     return {"type": type_text, "dflt": dflt}
 
 
+_GEN_NONDETERMINISTIC = frozenset({
+    "random", "randomblob", "changes", "total_changes", "last_insert_rowid",
+})
+_GEN_AGGREGATES = frozenset({
+    "count", "total", "group_concat", "string_agg", "avg", "sum",
+})
+
+
+def _validate_generated_expr(col: str, expr: str) -> None:
+    """SQLite's generated-column expression rules with its verbatim errors
+    (all probed live): no subqueries, no aggregates (single-argument
+    min/max is the aggregate form), no non-deterministic functions, and no
+    bare CURRENT_* keywords (while datetime('now') is — probed — allowed)."""
+    toks = [
+        t for t in dialect.tokenize(expr) if t.kind not in ("space", "comment")
+    ]
+    for j, t in enumerate(toks):
+        if t.kind != "word":
+            continue
+        up = t.text.upper()
+        if up in ("SELECT", "EXISTS"):
+            raise QueryRejected("subqueries prohibited in generated columns")
+        if up in ("CURRENT_TIMESTAMP", "CURRENT_TIME", "CURRENT_DATE"):
+            raise QueryRejected(
+                "non-deterministic functions prohibited in generated columns"
+            )
+        low = t.text.lower()
+        calls = (
+            j + 1 < len(toks)
+            and toks[j + 1].kind == "op"
+            and toks[j + 1].text == "("
+        )
+        if not calls:
+            continue
+        if low in _GEN_NONDETERMINISTIC:
+            raise QueryRejected(
+                "non-deterministic functions prohibited in generated columns"
+            )
+        if low in _GEN_AGGREGATES:
+            raise QueryRejected(f"misuse of aggregate function {low}()")
+        if low in ("min", "max"):
+            depth, args, k = 0, 1, j + 1
+            while k < len(toks):
+                tk = toks[k]
+                if tk.kind == "op" and tk.text == "(":
+                    depth += 1
+                elif tk.kind == "op" and tk.text == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                elif tk.kind == "op" and tk.text == "," and depth == 1:
+                    args += 1
+                k += 1
+            if args == 1:
+                raise QueryRejected(f"misuse of aggregate function {low}()")
+
+
 def parse_create_table(stmt: str) -> TableSchema:
     m = _CREATE_RE.match(stmt)
     if not m:
@@ -414,6 +478,7 @@ def parse_create_table(stmt: str) -> TableSchema:
     pk_entry_colls: list = []  # per-pk-entry explicit COLLATE (or None)
     uniques_raw: list = []  # UNIQUE constraints: [(col, explicit_coll|None)]
     collations: dict[str, str] = {}  # column-level COLLATE by col_lower
+    generated: dict[str, tuple] = {}  # generated columns: col -> (expr, stored)
     for coldef in coldefs:
         sig = [t for t in coldef if t.kind not in ("space", "comment")]
         if not sig:
@@ -490,6 +555,56 @@ def parse_create_table(stmt: str) -> TableSchema:
         col = _unquote(first.text)
         decl = dialect.render(coldef[1:]) if len(coldef) > 1 else ""
         decl_u = decl.upper()
+        # generated column: [GENERATED ALWAYS] AS ( expr ) [VIRTUAL|STORED]
+        # at depth 0 (gencol.html) — extract the expr verbatim and the
+        # storage flag, then validate with SQLite's own errors (probed)
+        gen_expr, gen_stored = None, False
+        gen_as_idx = None
+        depth_g = 0
+        for i2, t2 in enumerate(coldef):
+            if t2.kind == "op" and t2.text == "(":
+                depth_g += 1
+            elif t2.kind == "op" and t2.text == ")":
+                depth_g -= 1
+            elif (
+                depth_g == 0
+                and t2 is not first
+                and t2.kind == "word"
+                and t2.text.upper() == "AS"
+            ):
+                j2 = i2 + 1
+                while j2 < len(coldef) and coldef[j2].kind in ("space", "comment"):
+                    j2 += 1
+                if j2 >= len(coldef) or coldef[j2].text != "(":
+                    raise QueryRejected(
+                        f"generated column {col!r} requires a "
+                        f"parenthesized expression"
+                    )
+                d2, k2 = 0, j2
+                while k2 < len(coldef):
+                    if coldef[k2].kind == "op" and coldef[k2].text == "(":
+                        d2 += 1
+                    elif coldef[k2].kind == "op" and coldef[k2].text == ")":
+                        d2 -= 1
+                        if d2 == 0:
+                            break
+                    k2 += 1
+                gen_as_idx = i2
+                gen_expr = dialect.render(coldef[j2 + 1 : k2]).strip()
+                tail2 = [
+                    t3
+                    for t3 in coldef[k2 + 1 :]
+                    if t3.kind not in ("space", "comment")
+                ]
+                gen_stored = bool(
+                    tail2
+                    and tail2[0].kind == "word"
+                    and tail2[0].text.upper() == "STORED"
+                )
+                _validate_generated_expr(col, gen_expr)
+                break
+        if gen_expr is not None:
+            generated[col] = (gen_expr, gen_stored)
         # constraint-keyword scans must ignore CHECK(...)/DEFAULT expression
         # bodies and string literals: live SQLite accepts a NULL into
         # "a INTEGER CHECK(b IS NOT NULL OR a > 0)" — the words NOT NULL
@@ -503,6 +618,10 @@ def parse_create_table(stmt: str) -> TableSchema:
             idx = decl_u.find(kw)
             if idx != -1:
                 cut = min(cut, idx)
+        if gen_as_idx is not None:
+            # the generated expression must not contribute type-affinity
+            # keywords (`price REAL AS (CAST(x AS INTEGER))` stays REAL)
+            cut = min(cut, len(dialect.render(coldef[1:gen_as_idx])))
         typ = sqlite_type_to_spark(decl[:cut])
         # rowid-alias rule (probed live, round 8): the declared type must be
         # EXACTLY the single word INTEGER (case-insensitive; a quoted
@@ -575,7 +694,15 @@ def parse_create_table(stmt: str) -> TableSchema:
         checks.extend(_parse_checks(coldef))
         dv = _parse_default(coldef[1:])
         if dv is not None:
+            if gen_expr is not None:
+                # SQLite's own error, verbatim
+                raise QueryRejected("cannot use DEFAULT on a generated column")
             defaults[col] = dv
+        if gen_expr is not None and col_pk_here:
+            # SQLite's own error, verbatim
+            raise QueryRejected(
+                "generated columns cannot be part of the PRIMARY KEY"
+            )
         col_decls[col.lower()] = _col_decl_info(coldef, first)
         # column-level REFERENCES (depth 0 — one inside a CHECK body must
         # not register)
@@ -628,6 +755,13 @@ def parse_create_table(stmt: str) -> TableSchema:
         ([c for c, _ in ent], [_resolve(c, e) for c, e in ent])
         for ent in uniques_raw
     ]
+    if generated:
+        gen_lower = {c.lower() for c in generated}
+        if any(c.lower() in gen_lower for c in pk):
+            # covers the table-constraint PRIMARY KEY (col...) form too
+            raise QueryRejected(
+                "generated columns cannot be part of the PRIMARY KEY"
+            )
     return TableSchema(
         name=name,
         fields=fields,
@@ -642,6 +776,7 @@ def parse_create_table(stmt: str) -> TableSchema:
         uniques=uniques,
         pk_collations=pk_collations,
         collations=collations,
+        generated=generated,
     )
 
 
@@ -2013,6 +2148,83 @@ class SegmentStore:
         except (_NotALiteral, QueryRejected):
             return self._eval_scalar(expr)
 
+    def _generated_order(self, ts: TableSchema) -> list[tuple[str, str]]:
+        """Generated columns in dependency order (an expr may reference
+        other generated columns — probed; a cycle raises SQLite's verbatim
+        'generated column loop on "x"' at first use, like SQLite does)."""
+        gen_lower = {c.lower(): c for c in ts.generated}
+        deps: dict[str, set] = {}
+        for c, (expr, _st) in ts.generated.items():
+            refs = {
+                gen_lower[t.text.lower()]
+                for t in dialect.tokenize(expr)
+                if t.kind == "word" and t.text.lower() in gen_lower
+            }
+            deps[c] = refs - {c}
+        out: list[str] = []
+        done: set = set()
+        visiting: set = set()
+
+        def visit(c: str) -> None:
+            if c in done:
+                return
+            if c in visiting:
+                raise QueryRejected(f'generated column loop on "{c}"')
+            visiting.add(c)
+            for d in deps[c]:
+                visit(d)
+            visiting.discard(c)
+            done.add(c)
+            out.append(c)
+
+        for c in ts.generated:
+            visit(c)
+        return [(c, ts.generated[c][0]) for c in out]
+
+    def _apply_generated_df(self, ts: TableSchema, df: DataFrame) -> DataFrame:
+        """(Re)compute every generated column from the base columns — one
+        chained withColumn per column in dependency order, all JVM-side
+        through the dialect shim; deterministic by the DDL-time validation,
+        so recomputing untouched rows is a no-op by value."""
+        if not ts.generated:
+            return df
+        types = {n.lower(): t for n, t in ts.fields}
+        for c, expr in self._generated_order(ts):
+            df = df.withColumn(
+                c,
+                F.expr(dialect.sqlite_to_spark(expr)).cast(types[c.lower()]),
+            )
+        return df
+
+    def _apply_generated_rows(self, ts: TableSchema, rows: list[Row]) -> list[Row]:
+        """Row-list variant for the driver-side write paths: one small
+        batch DataFrame round-trip, input order preserved via an ordinal."""
+        if not ts.generated or not rows:
+            return rows
+        full = T.StructType(
+            [T.StructField("__trough_ord__", T.LongType(), False)]
+            + list(ts.struct().fields)
+        )
+        df = self.spark.createDataFrame(
+            [tuple([i] + [r[n] for n, _t in ts.fields]) for i, r in enumerate(rows)],
+            full,
+        )
+        out = self._apply_generated_df(ts, df).sort("__trough_ord__").collect()
+        names = [n for n, _t in ts.fields]
+        return [Row(**{n: r[n] for n in names}) for r in out]
+
+    def _reject_generated_targets(
+        self, ts: TableSchema, cols, verb: str
+    ) -> None:
+        """SQLite's verbatim write-target errors for generated columns."""
+        gen_lower = {c.lower(): c for c in ts.generated}
+        for c in cols:
+            hit = gen_lower.get(_unquote(c).lower())
+            if hit is not None:
+                raise QueryRejected(
+                    f'cannot {verb} generated column "{hit}"'
+                )
+
     def _execute_insert(self, segment_id: str, stmt: str, pending: dict) -> bool:
         """Execute one INSERT.  Plain VALUES-inserts batch into ``pending``
         (returns True); upserts and INSERT..SELECT flush and run immediately."""
@@ -2020,10 +2232,15 @@ class SegmentStore:
         mode = self._insert_mode(m)
         table = _unquote(m.group("name"))
         ts = self._table_schema(segment_id, table)
-        declared = [n for n, _ in ts.fields]
-        cols = (
-            [_unquote(c) for c in m.group("cols").split(",")] if m.group("cols") else declared
-        )
+        gen_lower = {c.lower() for c in ts.generated}
+        # the implicit column list EXCLUDES generated columns (probed:
+        # unlisted-INSERT arity counts base columns only)
+        declared = [n for n, _ in ts.fields if n.lower() not in gen_lower]
+        if m.group("cols"):
+            cols = [_unquote(c) for c in m.group("cols").split(",")]
+            self._reject_generated_targets(ts, cols, "INSERT into")
+        else:
+            cols = declared
         body = m.group("body")
         # SQLite upsert clause (INSERT ... ON CONFLICT ... DO NOTHING /
         # DO UPDATE SET ...): peel it off the body before VALUES parsing
@@ -2110,6 +2327,9 @@ class SegmentStore:
                         self._hwm[key] = max(self._hwm[key], explicit)
                         self._last_auto[segment_id] = explicit
                 rows.append(Row(**{n: _coerce(d.get(n), t) for n, t in ts.fields}))
+            # generated columns computed from the base values BEFORE any
+            # constraint/conflict handling (CHECK/UNIQUE may reference them)
+            rows = self._apply_generated_rows(ts, rows)
             if conflict is not None:
                 self._flush_inserts(segment_id, pending)
                 if conflict.group("nothing") is None:
@@ -2117,6 +2337,7 @@ class SegmentStore:
                         c.lower(): e
                         for c, e in _split_assignments(conflict.group("sets"))
                     }
+                    self._reject_generated_targets(ts, list(sets), "UPDATE")
                 else:
                     sets = None
                 if ts.has_extended_uniqueness():
@@ -2272,7 +2493,13 @@ class SegmentStore:
         for n in missing:
             # declared DEFAULT if any, else NULL (SQLite semantics)
             src = src.withColumn(n, F.lit(self._default_for(ts, n)))
-        aligned = src.select([F.col(n).cast(t) for n, t in ts.fields])
+        for n, _t in ts.fields:
+            if n.lower() in gen_lower:
+                # placeholder; computed from the base columns right below
+                src = src.withColumn(n, F.lit(None))
+        aligned = self._apply_generated_df(
+            ts, src.select([F.col(n).cast(t) for n, t in ts.fields])
+        )
         try:
             if mode is None or not ts.unique_constraints():
                 if mode == "IGNORE":
@@ -2532,6 +2759,7 @@ class SegmentStore:
         """
         declared = {n.lower() for n, _ in ts.fields}
         pk_lower = {k.lower() for k in ts.primary_key}
+        self._reject_generated_targets(ts, list(sets), "UPDATE")
         for c in sets:
             if c not in declared:
                 raise QueryRejected(f"no such column: {c}")
@@ -2570,7 +2798,7 @@ class SegmentStore:
         inserts = new.join(
             existing.select(*ts.primary_key).distinct(), ts.primary_key, "left_anti"
         ).select([F.col(n).cast(t) for n, t in ts.fields])
-        out = updated.unionByName(inserts)
+        out = self._apply_generated_df(ts, updated.unionByName(inserts))
         self._assert_constraints(ts, out)
         self._overwrite_partition(segment_id, table, out)
 
@@ -2666,6 +2894,7 @@ class SegmentStore:
                 out = out.unionByName(
                     fresh.select([F.col(n).cast(t) for n, t in ts.fields])
                 )
+            out = self._apply_generated_df(ts, out)
             if ts.has_extended_uniqueness():
                 # MERGE keys on the pk only; with UNIQUE constraints /
                 # collations declared, verify the final state before it
@@ -3188,6 +3417,10 @@ class SegmentStore:
             # exactly that — all exprs reference the input df's columns, so
             # no assignment can observe another's result or flip the mask.
             sets = {}
+            ts = self._table_schema(segment_id, table)
+            self._reject_generated_targets(
+                ts, [c for c, _e in assignments], "UPDATE"
+            )
             for col, expr in assignments:
                 if col.lower() not in {c.lower() for c in df.columns}:
                     raise QueryRejected(f"no such column: {col}")
@@ -3201,7 +3434,9 @@ class SegmentStore:
                     for n in df.columns
                 ]
             )
-            ts = self._table_schema(segment_id, table)
+            # generated columns recompute from the post-update base values
+            # (identical for untouched rows — deterministic by DDL rule)
+            out = self._apply_generated_df(ts, out)
             for ucols, ucolls in ts.unique_constraints():
                 # SQLite raises when an UPDATE lands two rows on one pk or
                 # UNIQUE key (probed round 8) — checked only when the SET
@@ -3274,6 +3509,7 @@ class SegmentStore:
         VALUES list and the one segment partition."""
         declared = {n.lower() for n, _ in ts.fields}
         pk_lower = {k.lower() for k in ts.primary_key}
+        self._reject_generated_targets(ts, list(sets), "UPDATE")
         for c in sets:
             if c not in declared:
                 raise QueryRejected(f"no such column: {c}")
@@ -3348,6 +3584,7 @@ class SegmentStore:
         pkcols = list(ts.primary_key or [])
         declared = {n.lower() for n, _ in ts.fields}
         sets = {c.lower(): e for c, e in _split_assignments(m.group("sets"))}
+        self._reject_generated_targets(ts, list(sets), "UPDATE")
         for c in sets:
             if c not in declared:
                 raise QueryRejected(f"no such column: {c}")
@@ -3391,7 +3628,7 @@ class SegmentStore:
                     f"unsupported UPDATE SET expression: {e}"
                 ) from None
             newvals = dict(zip(names, vals))
-            return Row(
+            out_row = Row(
                 **{
                     n: _coerce(newvals[n.lower()], t)
                     if n.lower() in newvals
@@ -3399,6 +3636,9 @@ class SegmentStore:
                     for n, t in ts.fields
                 }
             )
+            if ts.generated:
+                out_row = self._apply_generated_rows(ts, [out_row])[0]
+            return out_row
 
         # the alias determination is LEXICAL (parse_create_table): a pk
         # declared INT/BIGINT is not the rowid, so it takes the
@@ -3822,6 +4062,7 @@ class SegmentStore:
             }
             declared0 = {n.lower() for n, _ in ts0.fields}
             pk_lower = {k.lower() for k in ts0.primary_key}
+            self._reject_generated_targets(ts0, list(sets), "UPDATE")
             for c in sets:
                 if c not in declared0:
                     raise QueryRejected(f"no such column: {c}")
@@ -4287,7 +4528,11 @@ class SegmentStore:
             n: _coerce(newvals[n.lower()], t) if n.lower() in newvals else old_row[n]
             for n, t in ts.fields
         }
-        return Row(**d)
+        row = Row(**d)
+        if ts.generated:
+            # recompute from the post-SET base values (one-row batch)
+            row = self._apply_generated_rows(ts, [row])[0]
+        return row
 
     def _dml_with_triggers(
         self, segment_id: str, stmt: str, kind: str, pending: dict
@@ -4308,6 +4553,10 @@ class SegmentStore:
                 raise QueryRejected(f"unsupported UPDATE form: {stmt[:80]!r}")
             table = _unquote(m.group("name"))
             sets = dict(_split_assignments(m.group("sets")))
+            if self._view_name_of(segment_id, table) is None:
+                self._reject_generated_targets(
+                    self._table_schema(segment_id, table), list(sets), "UPDATE"
+                )
             trigs = self._triggers_for(
                 segment_id, table, "UPDATE", set_cols=list(sets)
             )
@@ -4429,18 +4678,21 @@ class SegmentStore:
         ts = self._table_schema(segment_id, table)
         types = {n.lower(): t for n, t in ts.fields}
         lowered = {c.lower(): dialect.sqlite_to_spark(e) for c, e in sets.items()}
-        rows = hit.select(
+        post = hit.select(
             F.struct(*[F.col(n) for n in df.columns]).alias("_o"),
-            F.struct(
-                *[
-                    (
-                        F.expr(lowered[n.lower()]).cast(types[n.lower()])
-                        if n.lower() in lowered
-                        else F.col(n)
-                    ).alias(n)
-                    for n in df.columns
-                ]
-            ).alias("_n"),
+            *[
+                (
+                    F.expr(lowered[n.lower()]).cast(types[n.lower()])
+                    if n.lower() in lowered
+                    else F.col(n)
+                ).alias(n)
+                for n in df.columns
+            ],
+        )
+        # generated columns recompute from the post-update base values
+        post = self._apply_generated_df(ts, post)
+        rows = post.select(
+            "_o", F.struct(*[F.col(n) for n in df.columns]).alias("_n")
         ).collect()
         return [(r["_o"], r["_n"]) for r in rows]
 
@@ -4613,13 +4865,50 @@ class SegmentStore:
             mcoll = re.search(r"\bCOLLATE\s+(\w+)", decl_bare)
             if mcoll:
                 ts.collations[col.lower()] = _check_collation(mcoll.group(1))
-            typ = sqlite_type_to_spark(decl)
+            # ALTER ADD of a generated column: SQLite allows VIRTUAL only
+            # ('cannot add a STORED column', verbatim — probed); the engine
+            # stores the computed values, so the add is a backfill rewrite
+            gen_m = re.search(
+                r"(?is)\b(?:GENERATED\s+ALWAYS\s+)?AS\s*\(", decl
+            )
+            gen_expr2 = None
+            if gen_m:
+                d3, k3 = 0, decl.index("(", gen_m.start())
+                for k3 in range(decl.index("(", gen_m.start()), len(decl)):
+                    if decl[k3] == "(":
+                        d3 += 1
+                    elif decl[k3] == ")":
+                        d3 -= 1
+                        if d3 == 0:
+                            break
+                gen_expr2 = decl[decl.index("(", gen_m.start()) + 1 : k3].strip()
+                if re.search(r"(?is)\bSTORED\b", _strip_parens_and_strings(decl)):
+                    # SQLite's own error, verbatim
+                    raise QueryRejected("cannot add a STORED column")
+                _validate_generated_expr(col, gen_expr2)
+            typ = sqlite_type_to_spark(
+                decl[: gen_m.start()] if gen_m else decl
+            )
             dv = _parse_default(list(dialect.tokenize(decl))) if decl else None
             if dv is not None:
+                if gen_expr2 is not None:
+                    raise QueryRejected("cannot use DEFAULT on a generated column")
                 ts.defaults[col] = dv
             body_toks = list(dialect.tokenize(body))
             ts.col_decls[col.lower()] = _col_decl_info(body_toks, body_toks[0])
             ts.fields.append((col, typ))
+            if gen_expr2 is not None:
+                ts.generated[col] = (gen_expr2, False)
+                info.setdefault("extra_tables", {})[table] = _tableschema_to_json(ts)
+                self._save_meta()
+                if os.path.isdir(self._partition_path(table, segment_id)):
+                    # backfill: compute the new column over existing rows
+                    df = self._apply_generated_df(
+                        ts,
+                        self._read_partition(segment_id, table),
+                    )
+                    self._overwrite_partition(segment_id, table, df)
+                return
             if dv is not None and os.path.isdir(self._partition_path(table, segment_id)):
                 # SQLite: ADD COLUMN .. DEFAULT backfills EXISTING rows with
                 # the default value (one bounded partition rewrite, same
@@ -4810,8 +5099,12 @@ class SegmentStore:
             return self.spark.createDataFrame([], self._TABLE_INFO_SCHEMA)
         pk_pos = {c.lower(): i + 1 for i, c in enumerate(ts.primary_key)}
         nn = {c.lower() for c in ts.not_null}
+        gen = {c.lower() for c in ts.generated}
         rows = []
-        for cid, (name, _typ) in enumerate(ts.fields):
+        # generated columns are HIDDEN from table_info (probed — they show
+        # only in table_xinfo with hidden 2/3); cid numbering skips them
+        fields = [(n, t) for n, t in ts.fields if n.lower() not in gen]
+        for cid, (name, _typ) in enumerate(fields):
             decl = ts.col_decls.get(name.lower(), {})
             rows.append(
                 (
@@ -5514,6 +5807,7 @@ def _tableschema_to_json(ts: TableSchema) -> dict:
         "uniques": [[list(c), list(cl)] for c, cl in ts.uniques],
         "pk_collations": ts.pk_collations,
         "collations": ts.collations,
+        "generated": {c: list(v) for c, v in ts.generated.items()},
     }
 
 
@@ -5534,6 +5828,7 @@ def _tableschema_from_json(d: dict) -> TableSchema:
         uniques=[(list(c), list(cl)) for c, cl in d.get("uniques", [])],
         pk_collations=d.get("pk_collations", []),
         collations=d.get("collations", {}),
+        generated={c: tuple(v) for c, v in d.get("generated", {}).items()},
     )
 
 
