@@ -28,6 +28,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # (freshest evidence, lowest priority).
 _SAMPLE_PRIORITY = [
     # --- new in round 8: no driver evidence yet ---
+    "text_hybrid_rrf",
     "dedup_containment",
     "pipeline_url_dedup",
     "text_gopher_rules",

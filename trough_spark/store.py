@@ -143,6 +143,12 @@ class TableSchema:
     # the flag is kept for table_xinfo (hidden 2/3) and the ALTER rule
     # (ADD COLUMN may only add VIRTUAL ones, SQLite's own restriction)
     generated: dict = field(default_factory=dict)
+    # STRICT table flag (round 8, SQLite 3.37 stricttables.html): type
+    # names restricted to INT/INTEGER/REAL/TEXT/BLOB at DDL time and value
+    # storage enforced with SQLite's lossless-coercion rules + verbatim
+    # errors (probed); ANY columns are rejected loudly — a declared-schema
+    # engine has no untyped storage class
+    strict: bool = False
 
     def struct(self) -> T.StructType:
         return T.StructType([T.StructField(n, t, True) for n, t in self.fields])
@@ -465,6 +471,7 @@ def parse_create_table(stmt: str) -> TableSchema:
     coldefs, close_tok = dialect._find_call_args(tokens, open_tok)
     tail_u = dialect.render(tokens[close_tok + 1 :]).upper()
     without_rowid = "WITHOUT" in tail_u and "ROWID" in tail_u
+    strict_tbl = bool(re.search(r"\bSTRICT\b", tail_u))
     fields: list[tuple[str, T.DataType]] = []
     auto_col = None
     pk: list[str] = []
@@ -762,6 +769,27 @@ def parse_create_table(stmt: str) -> TableSchema:
             raise QueryRejected(
                 "generated columns cannot be part of the PRIMARY KEY"
             )
+    if strict_tbl:
+        # SQLite's STRICT DDL rules with its verbatim errors (probed)
+        for col, _typ in fields:
+            decl_type = col_decls.get(col.lower(), {}).get("type", "")
+            up = decl_type.strip().upper()
+            if not up:
+                raise QueryRejected(f"missing datatype for {name}.{col}")
+            if up == "ANY":
+                raise QueryRejected(
+                    f"ANY column {name}.{col} is not supported: this "
+                    "engine stores declared types (SURVEY 7.4) and has "
+                    "no untyped storage class — rejected loudly"
+                )
+            if up not in ("INT", "INTEGER", "REAL", "TEXT", "BLOB"):
+                raise QueryRejected(
+                    f'unknown datatype for {name}.{col}: "{decl_type.strip()}"'
+                )
+        # STRICT makes PRIMARY KEY columns NOT NULL (probed), same as
+        # WITHOUT ROWID
+        have_nn = {c.lower() for c in not_null}
+        not_null.extend(c for c in pk if c.lower() not in have_nn)
     return TableSchema(
         name=name,
         fields=fields,
@@ -777,6 +805,7 @@ def parse_create_table(stmt: str) -> TableSchema:
         pk_collations=pk_collations,
         collations=collations,
         generated=generated,
+        strict=strict_tbl,
     )
 
 
@@ -836,6 +865,31 @@ def _strip_parens_and_strings(s: str) -> str:
             depth = max(0, depth - 1)
         elif depth == 0:
             out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _strip_strings_only(s: str) -> str:
+    """Drop quoted literals/identifiers but KEEP parenthesized text — for
+    keyword scans that must see inside parens (a subquery's SELECT) while
+    ignoring string contents."""
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch in ("'", '"', "`"):
+            q = ch
+            i += 1
+            while i < n:
+                if s[i] == q:
+                    if i + 1 < n and s[i + 1] == q:
+                        i += 2
+                        continue
+                    break
+                i += 1
+            i += 1
+            continue
+        out.append(ch)
         i += 1
     return "".join(out)
 
@@ -1197,6 +1251,51 @@ _UPDATE_STMT_RE = re.compile(
 )
 
 
+def _update_parts(m: re.Match) -> tuple[str, str | None, str | None]:
+    """(sets, from|None, where|None) for an UPDATE statement match.
+
+    The statement regex splits on the FIRST ``WHERE`` textually, which may
+    sit inside a SET subquery; and a SQLite-3.33 ``FROM`` tail is swallowed
+    into the sets group entirely.  Re-join the tail and split it on the
+    first DEPTH-0 FROM / WHERE keywords via the tokenizer (parens and
+    string literals never match)."""
+    tail = m.group("sets")
+    if m.group("where") is not None:
+        tail += " WHERE " + m.group("where")
+    toks = dialect.tokenize(tail)
+    depth = 0
+    from_i = where_i = None
+    for i, t in enumerate(toks):
+        if t.kind == "op" and t.text == "(":
+            depth += 1
+        elif t.kind == "op" and t.text == ")":
+            depth -= 1
+        elif t.kind == "word" and depth == 0:
+            up = t.text.upper()
+            if up == "FROM" and from_i is None and where_i is None:
+                from_i = i
+            elif up == "WHERE" and where_i is None:
+                where_i = i
+                break
+    end_sets = from_i if from_i is not None else (
+        where_i if where_i is not None else len(toks)
+    )
+    sets_text = dialect.render(toks[:end_sets]).strip()
+    from_text = (
+        dialect.render(
+            toks[from_i + 1 : where_i if where_i is not None else len(toks)]
+        ).strip()
+        if from_i is not None
+        else None
+    )
+    where_text = (
+        dialect.render(toks[where_i + 1 :]).strip()
+        if where_i is not None
+        else None
+    )
+    return sets_text, from_text, where_text
+
+
 def _update_mode(m: re.Match) -> str | None:
     """UPDATE OR IGNORE/REPLACE; ABORT/FAIL/ROLLBACK normalize to None
     (they converge under the all-or-nothing script transaction, same
@@ -1407,6 +1506,70 @@ def _assert_returning_expr(src: str) -> None:
                 k += 1
             if args == 1:
                 raise QueryRejected(f"misuse of aggregate function {low}()")
+
+
+_STRICT_NUMERIC_RE = re.compile(
+    r"^\s*[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?\s*$"
+)
+
+
+def _strict_coerce_row(ts: TableSchema, table: str, d: dict) -> dict:
+    """SQLite STRICT storage enforcement for one row of Python values
+    (stricttables.html §3, all probed live): lossless coercions apply
+    ('12' -> 12 into INTEGER, 2.0 -> 2, numbers render as text into TEXT),
+    everything else raises SQLite's verbatim
+    'cannot store X value in TYPE column t.c'."""
+    decls = {
+        c: ts.col_decls.get(c.lower(), {}).get("type", "").strip().upper()
+        for c in d
+    }
+
+    def err(col: str, vtype: str, decl: str):
+        return QueryRejected(
+            f"cannot store {vtype} value in {decl} column {table}.{col}"
+        )
+
+    out = dict(d)
+    for col, v in d.items():
+        decl = decls[col]
+        if v is None or decl in ("", "ANY"):
+            continue
+        if isinstance(v, bool):
+            v = int(v)
+        if isinstance(v, (bytes, bytearray)):
+            if decl != "BLOB":
+                raise err(col, "BLOB", decl)
+            continue
+        if decl == "BLOB":
+            vt = (
+                "INT" if isinstance(v, int)
+                else "REAL" if isinstance(v, float) else "TEXT"
+            )
+            raise err(col, vt, decl)
+        if isinstance(v, int):
+            out[col] = str(v) if decl == "TEXT" else v
+            continue
+        if isinstance(v, float):
+            if decl in ("INT", "INTEGER"):
+                if v != v or v in (float("inf"), float("-inf")) or not float(v).is_integer():
+                    raise err(col, "REAL", decl)
+                out[col] = int(v)
+            elif decl == "TEXT":
+                out[col] = str(v)
+            continue
+        # str
+        if decl == "TEXT":
+            continue
+        if not _STRICT_NUMERIC_RE.match(v):
+            raise err(col, "TEXT", decl)
+        num = float(v)
+        if decl in ("INT", "INTEGER"):
+            if not num.is_integer():
+                raise err(col, "REAL", decl)
+            out[col] = int(num)
+        else:  # REAL
+            out[col] = num
+    return out
 
 
 class _RetCapture:
@@ -2213,6 +2376,72 @@ class SegmentStore:
         names = [n for n, _t in ts.fields]
         return [Row(**{n: r[n] for n in names}) for r in out]
 
+    def _strict_check_df(
+        self, ts: TableSchema, table: str, df: DataFrame, cols=None
+    ) -> None:
+        """STRICT storage enforcement over a DataFrame whose columns carry
+        their NATURAL (pre-cast) types — type-level rejects cost nothing,
+        value-level ones (numeric strings, integral reals) are one filter
+        job over the checked rows (strict tables only)."""
+        if not ts.strict:
+            return
+        decls = {
+            n.lower(): ts.col_decls.get(n.lower(), {}).get("type", "")
+            .strip().upper()
+            for n, _t in ts.fields
+        }
+        schema = {f.name.lower(): f.dataType for f in df.schema.fields}
+        conds = []  # (violating-condition SQL, vtype, decl, col)
+        for n in (cols if cols is not None else [f.name for f in df.schema.fields]):
+            decl = decls.get(n.lower(), "")
+            typ = schema.get(n.lower())
+            if decl in ("", "ANY") or typ is None or isinstance(typ, T.NullType):
+                continue  # all-NULL fill columns: NULL is always storable
+            is_num = isinstance(
+                typ, (T.IntegerType, T.LongType, T.ShortType, T.ByteType,
+                      T.BooleanType)
+            )
+            is_real = isinstance(typ, (T.DoubleType, T.FloatType, T.DecimalType))
+            is_str = isinstance(typ, T.StringType)
+            is_bin = isinstance(typ, T.BinaryType)
+            if decl == "BLOB":
+                if not is_bin:
+                    vt = "INT" if is_num else "REAL" if is_real else "TEXT"
+                    raise QueryRejected(
+                        f"cannot store {vt} value in BLOB column {table}.{n}"
+                    )
+                continue
+            if is_bin:
+                raise QueryRejected(
+                    f"cannot store BLOB value in {decl} column {table}.{n}"
+                )
+            if decl == "TEXT":
+                continue
+            num_re = r"^\s*[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?\s*$"
+            c = F.col(n)
+            if is_real and decl in ("INT", "INTEGER"):
+                conds.append(
+                    (c.isNotNull() & (c != F.floor(c)), "REAL", decl, n)
+                )
+            elif is_str:
+                conds.append(
+                    (c.isNotNull() & ~c.rlike(num_re), "TEXT", decl, n)
+                )
+                if decl in ("INT", "INTEGER"):
+                    d = c.cast("double")
+                    conds.append(
+                        (
+                            c.isNotNull() & c.rlike(num_re)
+                            & (d != F.floor(d)),
+                            "REAL", decl, n,
+                        )
+                    )
+        for cond, vtype, decl, n in conds:
+            if df.filter(cond).limit(1).count():
+                raise QueryRejected(
+                    f"cannot store {vtype} value in {decl} column {table}.{n}"
+                )
+
     def _reject_generated_targets(
         self, ts: TableSchema, cols, verb: str
     ) -> None:
@@ -2326,6 +2555,10 @@ class SegmentStore:
                         self._init_hwm(key, table, ts)
                         self._hwm[key] = max(self._hwm[key], explicit)
                         self._last_auto[segment_id] = explicit
+                if ts.strict:
+                    # STRICT storage enforcement on the literal values
+                    # (lossless coercions applied, probed errors otherwise)
+                    d = _strict_coerce_row(ts, table, d)
                 rows.append(Row(**{n: _coerce(d.get(n), t) for n, t in ts.fields}))
             # generated columns computed from the base values BEFORE any
             # constraint/conflict handling (CHECK/UNIQUE may reference them)
@@ -2497,6 +2730,7 @@ class SegmentStore:
             if n.lower() in gen_lower:
                 # placeholder; computed from the base columns right below
                 src = src.withColumn(n, F.lit(None))
+        self._strict_check_df(ts, table, src)  # natural types, pre-cast
         aligned = self._apply_generated_df(
             ts, src.select([F.col(n).cast(t) for n, t in ts.fields])
         )
@@ -2787,6 +3021,14 @@ class SegmentStore:
         mask = F.col("_exc__hit").isNotNull()
         if where:
             mask = mask & F.expr(rw(where))
+        if ts.strict and sets:
+            # natural (pre-coercion) SET values of the conflicting rows
+            self._strict_check_df(
+                ts, table,
+                joined.filter(mask).select(
+                    *[F.expr(rw(e)).alias(c) for c, e in sets.items()]
+                ),
+            )
         updated = joined.select(
             [
                 F.when(mask, F.expr(rw(sets[n.lower()]))).otherwise(F.col(n)).alias(n)
@@ -3364,22 +3606,49 @@ class SegmentStore:
             table = _unquote(m.group("name"))
             cond = m.group("where")
             df = self._read_partition(segment_id, table)
+            has_subquery = cond and re.search(
+                r"(?i)\bSELECT\b", _strip_strings_only(cond)
+            )
             if self._ret_capturing(table):
                 # DELETE ... RETURNING yields the removed rows (pre-images)
-                self._ret_add(
-                    table,
-                    [old for old, _n in self._affected_rows(
-                        segment_id, table, cond, None, "DELETE"
-                    )],
-                )
+                if has_subquery:
+                    self._ret_add(
+                        table,
+                        self.read_df(
+                            segment_id,
+                            f'SELECT * FROM "{table}" WHERE ({cond})',
+                        ).collect(),
+                    )
+                else:
+                    self._ret_add(
+                        table,
+                        [old for old, _n in self._affected_rows(
+                            segment_id, table, cond, None, "DELETE"
+                        )],
+                    )
             # DELETE removes rows whose predicate is TRUE; rows where it is
             # NULL survive (three-valued logic — a bare NOT(pred) filter
             # would drop them, found by the write-path fuzzer)
-            out = (
-                df.filter(f"NOT coalesce(({dialect.sqlite_to_spark(cond)}), false)")
-                if cond
-                else df.limit(0)
-            )
+            if has_subquery:
+                # a WHERE subquery reads OTHER tables of the segment: route
+                # the survivor scan through the read path (all segment
+                # tables registered; the subquery sees pre-delete state
+                # like SQLite); type-clean 3VL via CASE
+                types = {n.lower(): t for n, t in
+                         self._table_schema(segment_id, table).fields}
+                out = self.read_df(
+                    segment_id,
+                    f'SELECT * FROM "{table}" '
+                    f"WHERE CASE WHEN ({cond}) THEN 0 ELSE 1 END = 1",
+                ).select([F.col(n).cast(types[n.lower()]) for n in df.columns])
+            else:
+                out = (
+                    df.filter(
+                        f"NOT coalesce(({dialect.sqlite_to_spark(cond)}), false)"
+                    )
+                    if cond
+                    else df.limit(0)
+                )
         else:
             m = _UPDATE_STMT_RE.match(stmt)
             if not m:
@@ -3410,8 +3679,9 @@ class SegmentStore:
                 )
                 return
             df = self._read_partition(segment_id, table)
-            cond = dialect.sqlite_to_spark(m.group("where")) if m.group("where") else "true"
-            assignments = _split_assignments(m.group("sets"))
+            sets_text, from_text, where_text = _update_parts(m)
+            cond = dialect.sqlite_to_spark(where_text) if where_text else "true"
+            assignments = _split_assignments(sets_text)
             # SQLite evaluates the WHERE and every SET expression against the
             # PRE-update row (sqlite3 UPDATE docs); a single select() gives
             # exactly that — all exprs reference the input df's columns, so
@@ -3425,15 +3695,61 @@ class SegmentStore:
                 if col.lower() not in {c.lower() for c in df.columns}:
                     raise QueryRejected(f"no such column: {col}")
                 sets[col.lower()] = dialect.sqlite_to_spark(expr)
-            mask = F.expr(cond)
-            out = df.select(
-                [
-                    F.when(mask, F.expr(sets[n.lower()])).otherwise(F.col(n)).alias(n)
-                    if n.lower() in sets
-                    else F.col(n)
-                    for n in df.columns
-                ]
+            raw_sets = {c.lower(): e for c, e in assignments}
+            has_subquery = re.search(
+                r"(?i)\bSELECT\b",
+                _strip_strings_only(sets_text + " " + (where_text or "")),
             )
+            if from_text is not None:
+                out = self._update_from_join(
+                    segment_id, table, ts, df, assignments,
+                    from_text, where_text,
+                )
+            elif has_subquery:
+                # SET/WHERE subqueries read OTHER tables of the segment —
+                # evaluate the whole post-image through the read path (all
+                # segment tables registered), SQLite-dialect in, one scan
+                # out; subqueries see pre-update state like SQLite (pending
+                # rows were flushed by the caller)
+                w = where_text
+                # CASE WHEN handles the 3VL mask (NULL predicate -> ELSE,
+                # i.e. the row keeps its value); with no WHERE every row
+                # takes the SET expression directly
+                projs = ", ".join(
+                    (
+                        f'CASE WHEN ({w}) THEN ({raw_sets[n.lower()]}) '
+                        f'ELSE "{n}" END AS "{n}"'
+                        if w
+                        else f'({raw_sets[n.lower()]}) AS "{n}"'
+                    )
+                    if n.lower() in raw_sets
+                    else f'"{n}"'
+                    for n in df.columns
+                )
+                types = {n.lower(): t for n, t in ts.fields}
+                nat = self.read_df(segment_id, f'SELECT {projs} FROM "{table}"')
+                self._strict_check_df(ts, table, nat, cols=list(raw_sets))
+                out = nat.select(
+                    [F.col(n).cast(types[n.lower()]) for n in df.columns]
+                )
+            else:
+                mask = F.expr(cond)
+                if ts.strict and sets:
+                    # natural (pre-coercion) SET values of the matched rows
+                    self._strict_check_df(
+                        ts, table,
+                        df.filter(mask).select(
+                            *[F.expr(e).alias(c) for c, e in sets.items()]
+                        ),
+                    )
+                out = df.select(
+                    [
+                        F.when(mask, F.expr(sets[n.lower()])).otherwise(F.col(n)).alias(n)
+                        if n.lower() in sets
+                        else F.col(n)
+                        for n in df.columns
+                    ]
+                )
             # generated columns recompute from the post-update base values
             # (identical for untouched rows — deterministic by DDL rule)
             out = self._apply_generated_df(ts, out)
@@ -3480,17 +3796,128 @@ class SegmentStore:
             # already satisfy them, so checking the whole partition is
             # equivalent to checking the modified rows)
             self._assert_constraints(ts, out)
-            if self._ret_capturing(table):
+            if self._ret_capturing(table) and from_text is None:
                 # UPDATE ... RETURNING yields the post-update images of the
-                # rows the WHERE matched
-                self._ret_add(
-                    table,
-                    [new for _o, new in self._affected_rows(
-                        segment_id, table, m.group("where"),
-                        dict(assignments), "UPDATE",
-                    )],
-                )
+                # rows the WHERE matched (the FROM path captures inside
+                # _update_from_join, where the join decides the matches)
+                if has_subquery:
+                    # post-images through the read path, filtered to the
+                    # matched rows (subqueries can't bind against the bare
+                    # partition scan _affected_rows uses)
+                    w2 = where_text
+                    flt = f"({w2})" if w2 else "1"
+                    projs2 = ", ".join(
+                        f'({raw_sets[n.lower()]}) AS "{n}"'
+                        if n.lower() in raw_sets
+                        else f'"{n}"'
+                        for n in df.columns
+                    )
+                    self._ret_add(
+                        table,
+                        self.read_df(
+                            segment_id,
+                            f'SELECT {projs2} FROM "{table}" WHERE {flt}',
+                        ).collect(),
+                    )
+                else:
+                    self._ret_add(
+                        table,
+                        [new for _o, new in self._affected_rows(
+                            segment_id, table, where_text,
+                            dict(assignments), "UPDATE",
+                        )],
+                    )
         self._overwrite_partition(segment_id, table, out)
+
+    def _update_from_join(
+        self,
+        segment_id: str,
+        table: str,
+        ts: TableSchema,
+        df: DataFrame,
+        assignments: list[tuple[str, str]],
+        from_text: str,
+        where: str | None,
+    ) -> DataFrame:
+        """``UPDATE t SET ... FROM <relations> WHERE ...`` (SQLite 3.33,
+        lang_update.html §2) as one declarative join: the read path
+        evaluates, per matching target row, every SET expression against
+        (target row × FROM product) — subqueries, aliases and comma-joins
+        in FROM come for free — and the result joins back onto the
+        partition by PRIMARY KEY.  Unmatched rows are untouched (probed).
+
+        When several FROM rows match one target row SQLite documents the
+        outcome as unpredictable; this engine picks the greatest SET-value
+        tuple (deterministic, and any choice is conforming).  A pk-less
+        target has no stable row identity for the join-back — rejected
+        loudly (SQLite uses the rowid, which this engine does not track)."""
+        if not ts.primary_key:
+            raise QueryRejected(
+                f"UPDATE ... FROM on table {table!r} with no PRIMARY KEY "
+                "is not supported (no stable row identity for the "
+                "join-back; SQLite uses the rowid)"
+            )
+        pk = ts.primary_key
+        pk_sel = ", ".join(
+            f"{table}.{k} AS __pk_{j}" for j, k in enumerate(pk)
+        )
+        set_sel = ", ".join(
+            f"({expr}) AS __set_{i}" for i, (_c, expr) in enumerate(assignments)
+        )
+        sql = f"SELECT {pk_sel}, {set_sel} FROM {table}, {from_text}"
+        if where:
+            sql += f" WHERE {where}"
+        matched = self.read_df(segment_id, sql)
+        if matched.where(
+            " OR ".join(f"__pk_{j} IS NULL" for j in range(len(pk)))
+        ).limit(1).count():
+            # SQLite would update such a row via its rowid; this engine's
+            # pk join-back cannot identify it — reject loudly rather than
+            # silently skip (same row-identity rule as the trigger paths)
+            raise QueryRejected(
+                f"UPDATE ... FROM matched a row of {table!r} with NULL "
+                "PRIMARY KEY components — no stable row identity for the "
+                "join-back"
+            )
+        picked = matched.groupBy(
+            *[F.col(f"__pk_{j}") for j in range(len(pk))]
+        ).agg(
+            F.max(
+                F.struct(*[F.col(f"__set_{i}") for i in range(len(assignments))])
+            ).alias("__s")
+        )
+        joined = df.join(
+            picked,
+            [df[k] == picked[f"__pk_{j}"] for j, k in enumerate(pk)],
+            "left",
+        )
+        types = {n.lower(): t for n, t in ts.fields}
+        lowered = {c.lower(): i for i, (c, _e) in enumerate(assignments)}
+        hit = picked["__s"].isNotNull()
+        out = joined.select(
+            [
+                F.when(
+                    hit,
+                    picked["__s"][f"__set_{lowered[n.lower()]}"].cast(
+                        types[n.lower()]
+                    ),
+                )
+                .otherwise(df[n])
+                .alias(n)
+                if n.lower() in lowered
+                else df[n]
+                for n in df.columns
+            ]
+        )
+        if self._ret_capturing(table):
+            post = self._apply_generated_df(ts, out)
+            keys = picked.select(
+                *[F.col(f"__pk_{j}").alias(k) for j, k in enumerate(pk)]
+            )
+            self._ret_add(
+                table, post.join(F.broadcast(keys), pk, "left_semi").collect()
+            )
+        return out
 
     def _upsert_update_sequential(
         self,
@@ -3583,7 +4010,8 @@ class SegmentStore:
         identity via unique sentinel keys (they must not collapse)."""
         pkcols = list(ts.primary_key or [])
         declared = {n.lower() for n, _ in ts.fields}
-        sets = {c.lower(): e for c, e in _split_assignments(m.group("sets"))}
+        sets_text_cm, _from_cm, where_cm = _update_parts(m)
+        sets = {c.lower(): e for c, e in _split_assignments(sets_text_cm)}
         self._reject_generated_targets(ts, list(sets), "UPDATE")
         for c in sets:
             if c not in declared:
@@ -3597,7 +4025,7 @@ class SegmentStore:
             # no pk => pk conflicts impossible; OR REPLACE == plain, and
             # OR IGNORE only differs when a constraint could reject a row
             return self._rewrite_partition(segment_id, stripped, "UPDATE")
-        where = m.group("where")
+        where = where_cm
         mask = (
             f"coalesce(({dialect.sqlite_to_spark(where)}), false)"
             if where
@@ -3628,6 +4056,13 @@ class SegmentStore:
                     f"unsupported UPDATE SET expression: {e}"
                 ) from None
             newvals = dict(zip(names, vals))
+            if ts.strict:
+                newvals = _strict_coerce_row(
+                    ts, table,
+                    {n: newvals[n.lower()] for n, _t in ts.fields
+                     if n.lower() in newvals},
+                )
+                newvals = {k.lower(): v for k, v in newvals.items()}
             out_row = Row(
                 **{
                     n: _coerce(newvals[n.lower()], t)
@@ -4312,7 +4747,12 @@ class SegmentStore:
         # visible (same flush rule as INSERT..SELECT materialization)
         self._flush_inserts(segment_id, pending)
         if kind == "UPDATE":
-            sets = dict(_split_assignments(m.group("sets")))
+            v_sets_text, v_from, v_where = _update_parts(m)
+            if v_from is not None:
+                raise QueryRejected(
+                    f"UPDATE ... FROM on a view is not supported: {stmt[:80]!r}"
+                )
+            sets = dict(_split_assignments(v_sets_text))
             trigs = self._triggers_for(segment_id, vname, "UPDATE", set_cols=list(sets))
         else:
             trigs = self._triggers_for(segment_id, vname, "INSERT" if kind == "REPLACE" else kind)
@@ -4354,7 +4794,9 @@ class SegmentStore:
             # regardless of what the INSTEAD OF body writes (probed)
             self._ret_add(vname, [p[1] for p in pairs], schema=vdf.schema)
         else:
-            where = m.group("where")
+            # the UPDATE regex may split WHERE inside a SET subquery — use
+            # the token-aware parts for UPDATE; the DELETE regex is anchored
+            where = v_where if kind == "UPDATE" else m.group("where")
             mask = (
                 f"coalesce(({dialect.sqlite_to_spark(where)}), false)"
                 if where
@@ -4528,6 +4970,8 @@ class SegmentStore:
             n: _coerce(newvals[n.lower()], t) if n.lower() in newvals else old_row[n]
             for n, t in ts.fields
         }
+        if ts.strict:
+            d = _strict_coerce_row(ts, table, d)
         row = Row(**d)
         if ts.generated:
             # recompute from the post-SET base values (one-row batch)
@@ -4552,7 +4996,8 @@ class SegmentStore:
             if not m:
                 raise QueryRejected(f"unsupported UPDATE form: {stmt[:80]!r}")
             table = _unquote(m.group("name"))
-            sets = dict(_split_assignments(m.group("sets")))
+            sets_text, from_text, upd_where = _update_parts(m)
+            sets = dict(_split_assignments(sets_text))
             if self._view_name_of(segment_id, table) is None:
                 self._reject_generated_targets(
                     self._table_schema(segment_id, table), list(sets), "UPDATE"
@@ -4560,6 +5005,19 @@ class SegmentStore:
             trigs = self._triggers_for(
                 segment_id, table, "UPDATE", set_cols=list(sets)
             )
+            if from_text is not None:
+                # UPDATE ... FROM (SQLite 3.33): the join-update path; the
+                # trigger/OR-mode interplays are rejected loudly below
+                if trigs:
+                    raise QueryRejected(
+                        "UPDATE ... FROM on a table with UPDATE triggers "
+                        f"is not supported: {stmt[:80]!r}"
+                    )
+                if _update_mode(m) is not None:
+                    raise QueryRejected(
+                        "UPDATE OR IGNORE/REPLACE ... FROM is not "
+                        f"supported: {stmt[:80]!r}"
+                    )
             if trigs and _update_mode(m) is not None:
                 raise QueryRejected(
                     "UPDATE OR IGNORE/REPLACE on a table with UPDATE "
@@ -4577,7 +5035,11 @@ class SegmentStore:
                 "constraints or non-BINARY key collations is not "
                 f"supported: {stmt[:80]!r}"
             )
-        pairs = self._affected_rows(segment_id, table, m.group("where"), sets, kind)
+        pairs = self._affected_rows(
+            segment_id, table,
+            upd_where if kind == "UPDATE" else m.group("where"),
+            sets, kind,
+        )
         if len(pairs) > 1 and self._bodies_observe_state(segment_id, trigs):
             # SQLite interleaves UPDATE/DELETE trigger firing per row
             # (probed: an AFTER UPDATE body's SUM(x) sees partially-updated
@@ -4857,6 +5319,21 @@ class SegmentStore:
             col = _unquote(parts[0])
             decl = parts[1] if len(parts) > 1 else ""
             decl_bare = _strip_parens_and_strings(decl.upper())
+            if ts.strict:
+                # STRICT tables restrict ADD COLUMN types too (probed DDL
+                # rule, SQLite's verbatim errors)
+                head = decl.split()[0].strip().upper() if decl.split() else ""
+                if not head:
+                    raise QueryRejected(f"missing datatype for {table}.{col}")
+                if head == "ANY":
+                    raise QueryRejected(
+                        f"ANY column {table}.{col} is not supported: this "
+                        "engine stores declared types (SURVEY 7.4)"
+                    )
+                if head not in ("INT", "INTEGER", "REAL", "TEXT", "BLOB"):
+                    raise QueryRejected(
+                        f'unknown datatype for {table}.{col}: "{head}"'
+                    )
             if re.search(r"\bUNIQUE\b", decl_bare):
                 # SQLite's own error, verbatim
                 raise QueryRejected("Cannot add a UNIQUE column")
@@ -5808,6 +6285,7 @@ def _tableschema_to_json(ts: TableSchema) -> dict:
         "pk_collations": ts.pk_collations,
         "collations": ts.collations,
         "generated": {c: list(v) for c, v in ts.generated.items()},
+        "strict": ts.strict,
     }
 
 
@@ -5829,6 +6307,7 @@ def _tableschema_from_json(d: dict) -> TableSchema:
         pk_collations=d.get("pk_collations", []),
         collations=d.get("collations", {}),
         generated={c: tuple(v) for c, v in d.get("generated", {}).items()},
+        strict=d.get("strict", False),
     )
 
 
