@@ -28,6 +28,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # (freshest evidence, lowest priority).
 _SAMPLE_PRIORITY = [
     # --- new in round 8: no driver evidence yet ---
+    "pipeline_near_dedup",
+    "dedup_source_matrix",
+    "text_pmi_cooccurrence",
+    "text_c4_filters",
     "text_hybrid_rrf",
     "dedup_containment",
     "pipeline_url_dedup",

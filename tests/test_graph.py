@@ -88,3 +88,38 @@ def test_star_cc_matches_propagation_on_long_chain(spark):
     assert star == prop
     assert all(c == 0 for i, c in star if i <= 39)
     assert (49, 45) in star and (44, 44) in star
+
+
+def test_keep_best_prefers_high_score_then_min_id(spark):
+    # cluster {0,1,2}: scores 5, 9, 9 -> keep 1 (highest score, lowest id
+    # among the tie); singleton {3} keeps itself
+    comp = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 3)], "id bigint, comp bigint"
+    )
+    scored = spark.createDataFrame(
+        [(0, 5), (1, 9), (2, 9), (3, 1)], "doc_id bigint, score int"
+    )
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["keep_id"], r["cluster_size"], r["is_kept"])
+        for r in G.keep_best(
+            scored, comp, id_col="doc_id", score_col="score"
+        ).collect()
+    }
+    assert out == {
+        0: (0, 1, 3, 0),
+        1: (0, 1, 3, 1),
+        2: (0, 1, 3, 0),
+        3: (3, 3, 1, 1),
+    }
+
+
+def test_keep_best_vs_keep_canonical_disagree_when_best_is_not_min(spark):
+    # the point of the operator: canonical (min id) keeps 0, best keeps 2
+    from trough_spark.operators import graph as G2
+
+    comp = spark.createDataFrame([(0, 0), (1, 0), (2, 0)], "id bigint, comp bigint")
+    scored = spark.createDataFrame(
+        [(0, 10), (1, 20), (2, 30)], "doc_id bigint, score int"
+    )
+    best = G2.keep_best(scored, comp, id_col="doc_id", score_col="score")
+    assert {r["doc_id"] for r in best.collect() if r["is_kept"] == 1} == {2}

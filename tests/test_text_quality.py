@@ -226,3 +226,68 @@ def test_bigram_logprob_short_docs_excluded(spark):
     )
     out = bigram_logprob(df, "doc_id", "text").collect()
     assert [r["id"] for r in out] == [3]
+
+
+def test_c4_filters_flags(spark):
+    from trough_spark.operators import text as X
+
+    good = (
+        "This is a perfectly reasonable first sentence of prose.\n"
+        "Here is another line with more than five words in it.\n"
+        'And a third good line that ends with a quote."'
+    )
+    bad = "click here\nlorem ipsum dolor { javascript:void privacy policy"
+    df = spark.createDataFrame([(1, good), (2, bad)], "doc_id bigint, text string")
+    out = {r["id"]: r.asDict() for r in X.c4_filters(df, "doc_id", "text").collect()}
+    g, b = out[1], out[2]
+    assert g["pass_c4"] and g["n_good_lines"] == 3 and g["n_sentences"] >= 2
+    assert not b["pass_c4"]
+    assert not b["rule_no_lorem"] and not b["rule_no_brace"]
+    assert not b["rule_no_javascript"] and not b["rule_no_policy"]
+    assert not b["rule_good_lines"] and not b["rule_min_sentences"]
+
+
+def test_c4_filters_map_only_plan(spark):
+    from trough_spark.operators import text as X
+
+    df = spark.createDataFrame([(1, "a.")], "doc_id bigint, text string")
+    plan = X.c4_filters(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_pmi_lift_exact_and_df_gated(spark):
+    from trough_spark.operators import text as X
+
+    # "alpha beta" co-occur in all 4 docs; "alpha" alone in none ->
+    # lift = n_pair * N / (df1 * df2) = 4*4/(4*4) = 1.0 -> 1_000_000 ppm.
+    # "gamma" appears once (df=1 < min_df) -> never in any pair.
+    docs = [
+        (1, "alpha beta gamma"),
+        (2, "alpha beta"),
+        (3, "alpha beta"),
+        (4, "alpha beta delta"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    rows = X.pmi_cooccurrence(
+        df, "doc_id", "text", min_df=2, max_df_ppm=1_000_000, min_pair=2, top_k=10
+    ).collect()
+    got = {(r["t1"], r["t2"]): r for r in rows}
+    assert ("alpha", "gamma") not in got and ("beta", "gamma") not in got
+    ab = got[("alpha", "beta")]
+    assert (ab["n_pair"], ab["df1"], ab["df2"], ab["n_docs"]) == (4, 4, 4, 4)
+    assert ab["lift_ppm"] == 1_000_000
+
+
+def test_pmi_over_represented_pair_ranks_first(spark):
+    from trough_spark.operators import text as X
+
+    # "new york" always together (2 docs of 8); "the" everywhere ->
+    # lift(new,york) = 2*8/(2*2) = 4.0; lift(the,x) = 1.0
+    docs = [(i, "the filler word%d" % i) for i in range(6)]
+    docs += [(6, "the new york"), (7, "the new york")]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    rows = X.pmi_cooccurrence(
+        df, "doc_id", "text", min_df=2, max_df_ppm=1_000_000, min_pair=2, top_k=3
+    ).collect()
+    assert (rows[0]["t1"], rows[0]["t2"]) == ("new", "york")
+    assert rows[0]["lift_ppm"] == 4_000_000

@@ -120,6 +120,52 @@ def keep_canonical(
     )
 
 
+def keep_best(
+    scored: DataFrame,
+    components: DataFrame,
+    id_col: str = "id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware retention from a component labeling: the kept doc per
+    cluster is the one with the HIGHEST integer ``score_col`` (ties broken
+    to the smallest id) — what production curation does (FineWeb /
+    RefinedWeb keep the best-quality member, not the smallest id, which
+    `keep_canonical` models).
+
+    ``scored`` must carry one row per node: (id_col, score_col) with an
+    INTEGER score.  Exactness: the arg-max runs on the composite key
+    ``score * 1e10 - id`` (same device as pipeline_url_dedup), exact in a
+    long for score < 9e8 and id < 1e10 — no float ordering anywhere.
+
+    Scale: one id-keyed join (scored x components) + ONE partial-aggregable
+    groupBy on the cluster label (max_by collapses each cluster map-side)
+    + a join back on the label.  No window sort, no per-cluster shuffle of
+    document bodies.
+
+    Returns (id_col, cluster_id, keep_id, cluster_size, is_kept).
+    """
+    lab = components.select(
+        F.col("id").alias(id_col), F.col("comp").alias("cluster_id")
+    )
+    joined = scored.select(id_col, score_col).join(lab, id_col)
+    best = joined.groupBy("cluster_id").agg(
+        F.expr(f"max_by({id_col}, {score_col} * 10000000000 - {id_col})").alias(
+            "keep_id"
+        ),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )
+    return (
+        lab.join(best, "cluster_id")
+        .select(
+            id_col,
+            "cluster_id",
+            "keep_id",
+            "cluster_size",
+            F.when(F.col(id_col) == F.col("keep_id"), 1).otherwise(0).alias("is_kept"),
+        )
+    )
+
+
 def connected_components_star(
     nodes: DataFrame,
     edges: DataFrame,

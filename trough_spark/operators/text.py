@@ -1059,3 +1059,161 @@ def bigram_logprob(df, id_col: str, text_col: str):
             ),
         )
     )
+
+
+def pmi_cooccurrence(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 2,
+    max_df_ppm: int = 900_000,
+    min_pair: int = 2,
+    top_k: int = 100,
+) -> DataFrame:
+    """Document-level pointwise-mutual-information co-occurrence: the
+    ``top_k`` token pairs most over-represented in the same documents —
+    the collocation/topic-structure probe (named entities, template
+    phrases, and topical clusters surface at the top; a corpus whose top
+    pairs are boilerplate navigation is telling you something).
+
+    PMI = ln(P(x,y) / (P(x) P(y))) over document incidence.  ln is
+    monotone, so ranking by PMI == ranking by the exact integer lift
+    ``n_pair * n_docs * 1e6 // (df_x * df_y)`` (ppm of the independence
+    expectation) — the emitted score, computed entirely in BIGINT floor
+    division so it is bit-identical across engines (no float log ever
+    feeds an ordering).  Overflow bound: n_pair * n_docs * 1e6 must fit a
+    long — fine to ~3e6 docs; beyond that the same ratio computes in
+    decimal(38,0), noted as the scale-up switch.
+
+    Scale shape: explode to DISTINCT (id, token) incidence pairs; ONE
+    groupBy on token for document frequencies; the df gate bounds the
+    per-document self-join fan-out (tokens in > ``max_df_ppm`` ppm of the
+    corpus — stopword-class — and tokens below ``min_df`` never enter pair
+    generation: the standard PMI support filter, and the quadratic-blowup
+    guard, since a doc with k kept tokens emits k*(k-1)/2 pairs).  The cap
+    is a CORPUS FRACTION computed in-plan (``df * 1e6 <= max_df_ppm *
+    n_docs``, exact integers), not an absolute count, so the same query is
+    meaningful at sf0.001 and at 100 TB without retuning.  One groupBy
+    shuffle on the (t1, t2) pair key; marginals ride along with the
+    incidence rows; final top-k is TakeOrderedAndProject (partition heaps,
+    k-row driver merge — no global sort).
+
+    Returns (t1, t2, n_pair, df1, df2, n_docs, lift_ppm) — the top_k pairs
+    by (lift_ppm DESC, t1, t2); (t1, t2) is unique so the order is total.
+
+    The reference has no text-analysis surface (SQLite delegation,
+    /root/reference/trough/read.py:66); extension operator per SURVEY §2.D.
+    """
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .distinct()
+    )
+    docfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df_"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    gated = (
+        docfreq.crossJoin(F.broadcast(n_docs))
+        .where(
+            (F.col("df_") >= min_df)
+            & (
+                F.col("df_").cast("bigint") * F.lit(1_000_000)
+                <= F.lit(max_df_ppm) * F.col("n_docs").cast("bigint")
+            )
+        )
+        .select("tok", "df_")
+    )
+    kept = toks.join(gated, "tok")
+    a = kept.select("id", F.col("tok").alias("t1"), F.col("df_").alias("df1"))
+    b = kept.select("id", F.col("tok").alias("t2"), F.col("df_").alias("df2"))
+    pairs = (
+        a.join(b, "id")
+        .where(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pair"),
+            F.min("df1").cast("bigint").alias("df1"),
+            F.min("df2").cast("bigint").alias("df2"),
+        )
+        .where(F.col("n_pair") >= min_pair)
+    )
+    scored = pairs.crossJoin(F.broadcast(n_docs)).select(
+        "t1",
+        "t2",
+        "n_pair",
+        "df1",
+        "df2",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.expr(
+            "CAST(n_pair * n_docs * 1000000 DIV (df1 * df2) AS BIGINT)"
+        ).alias("lift_ppm"),
+    )
+    return scored.orderBy(
+        F.col("lift_ppm").desc(), F.col("t1"), F.col("t2")
+    ).limit(top_k)
+
+
+def c4_filters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """C4-style page-level heuristic filters (Raffel et al. 2020 §2.2),
+    the companion pass to ``gopher_rules`` — C4's signals are line- and
+    marker-shaped where Gopher's are word-distribution-shaped:
+
+    - ``rule_good_lines``: >= 3 "retained" lines, where a line is retained
+      if it has >= 5 whitespace words AND ends in terminal punctuation
+      (``. ! ? "``) — C4 drops other lines; a page with < 3 survivors is
+      dropped.
+    - ``rule_min_sentences``: >= 3 sentence-terminal marks (``[.!?]``) in
+      the raw text (C4 keeps pages with >= 3 sentences).
+    - ``rule_no_lorem``: no ``lorem ipsum`` (case-insensitive).
+    - ``rule_no_brace``: no ``{`` anywhere (code/JS leak marker).
+    - ``rule_no_javascript``: no line mentioning ``javascript``.
+    - ``rule_no_policy``: none of C4's policy markers (``terms of use``,
+      ``privacy policy``, ``cookie policy``, ``uses cookies``).
+
+    ``pass_c4`` is the conjunction.  Every count is integer and every test
+    an integer comparison (house determinism pattern, see gopher_rules) —
+    hash-stable across engines.  Pure map over each row, no shuffle; at
+    100 TB this fuses into the scan with the other quality gates.
+
+    Reference has no quality surface (/root/reference/trough/read.py:66);
+    extension operator per SURVEY §2.D.
+    """
+    text = F.col(text_col)
+    low = F.lower(text)
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines).cast("int")
+    good_line = lambda l: (  # noqa: E731 — inline predicate, used twice
+        F.size(F.split(F.trim(l), r"\s+")) >= 5
+    ) & l.rlike(r'[.!?"]\s*$')
+    n_good_lines = F.size(F.filter(lines, good_line)).cast("int")
+    n_sentences = (F.size(F.split(text, r"[.!?]")) - 1).cast("int")
+    has_lorem = low.contains("lorem ipsum")
+    has_brace = text.contains("{")
+    n_js_lines = F.size(
+        F.filter(lines, lambda l: F.lower(l).contains("javascript"))
+    ).cast("int")
+    has_policy = (
+        low.contains("terms of use")
+        | low.contains("privacy policy")
+        | low.contains("cookie policy")
+        | low.contains("uses cookies")
+    )
+    out = df.select(
+        F.col(id_col).alias("id"),
+        n_lines.alias("n_lines"),
+        n_good_lines.alias("n_good_lines"),
+        n_sentences.alias("n_sentences"),
+        (n_good_lines >= 3).alias("rule_good_lines"),
+        (n_sentences >= 3).alias("rule_min_sentences"),
+        (~has_lorem).alias("rule_no_lorem"),
+        (~has_brace).alias("rule_no_brace"),
+        (n_js_lines == 0).alias("rule_no_javascript"),
+        (~has_policy).alias("rule_no_policy"),
+    )
+    passed = F.lit(True)
+    for c in out.columns:
+        if c.startswith("rule_"):
+            passed = passed & F.col(c)
+    return out.withColumn("pass_c4", passed)

@@ -519,3 +519,41 @@ def dedup_chunk_rewrite(spark, sf_dir):
     """Exact-chunk keep-first dedup with rewrite (Lee et al. 2022 shape) —
     the remove side of exact-substring dedup over the documents corpus."""
     return D.chunk_dedup_rewrite(T(spark, sf_dir, "documents"), "doc_id", "text", chunk=20)
+
+
+@query(
+    "dedup_source_matrix",
+    oracle=f"""
+    WITH {_LSH_PAIRS_CTE}
+    SELECT least(d1.source, d2.source) AS source_a,
+           greatest(d1.source, d2.source) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs p
+    JOIN documents d1 ON d1.doc_id = p.id1
+    JOIN documents d2 ON d2.doc_id = p.id2
+    GROUP BY 1, 2
+    """,
+)
+def dedup_source_matrix(spark, sf_dir):
+    """Cross-source near-duplication matrix: MinHash-LSH candidate pairs
+    rolled up by (source, source) — the corpus diagnostic that tells you
+    WHICH feeds mirror each other (two crawls of the same host, a dataset
+    repackaged under a new name) before you spend the full dedup pass.
+
+    Scale: the pair list is the expensive artifact and it already exists
+    (banded equi-join); this adds two id-keyed joins to attach sources —
+    at 100 TB the (doc_id -> source) projection is a slim two-column scan,
+    and the output is |sources|^2 rows, tiny.  least/greatest canonicalizes
+    the unordered pair so A~B and B~A land in one cell."""
+    docs = T(spark, sf_dir, "documents")
+    sig_vec = D.minhash_signature_vector(docs, "doc_id", "text", num_perm=8, n=3)
+    pairs = D.minhash_lsh_candidates_wide(sig_vec, num_perm=8, rows_per_band=2)
+    src = docs.select("doc_id", "source")
+    labeled = (
+        pairs.join(src.select(F.col("doc_id").alias("id1"), F.col("source").alias("s1")), "id1")
+        .join(src.select(F.col("doc_id").alias("id2"), F.col("source").alias("s2")), "id2")
+    )
+    return labeled.groupBy(
+        F.least("s1", "s2").alias("source_a"),
+        F.greatest("s1", "s2").alias("source_b"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))

@@ -228,3 +228,52 @@ def pipeline_url_dedup(spark, sf_dir):
         ).alias("keep_id"),
         F.max("n_chars").alias("keep_chars"),
     )
+
+
+@query(
+    "pipeline_near_dedup",
+    oracle=rf"""
+    WITH RECURSIVE {_LSH_PAIRS_CTE},
+    edges AS (
+      SELECT id1 AS a, id2 AS b FROM pairs
+      UNION ALL
+      SELECT id2 AS a, id1 AS b FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.id = e.b
+    ),
+    comp AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+    best AS (
+      SELECT c.cluster_id,
+             arg_max(d.doc_id, d.n_chars * 10000000000 - d.doc_id) AS keep_id,
+             CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+      GROUP BY 1
+    )
+    SELECT c.doc_id, c.cluster_id, b.keep_id, b.cluster_size,
+           CASE WHEN c.doc_id = b.keep_id THEN 1 ELSE 0 END AS is_kept
+    FROM comp c JOIN best b USING (cluster_id)
+    """,
+)
+def pipeline_near_dedup(spark, sf_dir):
+    """Quality-aware near-dedup, end to end: MinHash-LSH candidate pairs →
+    connected-component closure → keep the HIGHEST-QUALITY member of each
+    cluster (longest document, ties to smallest id) — the retention rule
+    production pipelines actually use (FineWeb/RefinedWeb keep the best
+    member, not the smallest id; `dedup_connected_components` models the
+    min-id variant).  Exactness: the arg-max runs on the integer composite
+    ``n_chars * 1e10 - doc_id`` (graph.keep_best), no float ordering.
+
+    Scale: the LSH pair join is the data-sized stage (banded equi-join on
+    2-row band hashes); the closure iterates over edge-touching nodes only;
+    keep_best adds ONE partial-aggregable groupBy on the cluster label plus
+    id-keyed joins — document bodies are never shuffled past signing."""
+    docs = T(spark, sf_dir, "documents")
+    sig_vec = D.minhash_signature_vector(docs, "doc_id", "text", num_perm=8, n=3)
+    pairs = D.minhash_lsh_candidates_wide(sig_vec, num_perm=8, rows_per_band=2)
+    comp = G.connected_components(docs.select("doc_id"), pairs, id_col="doc_id")
+    return G.keep_best(
+        docs.select("doc_id", "n_chars"), comp, id_col="doc_id", score_col="n_chars"
+    )

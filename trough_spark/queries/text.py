@@ -1018,3 +1018,87 @@ def text_bigram_logprob(spark, sf_dir):
     """CCNet-style interpolated bigram LM quality score
     (operators/text.py:bigram_logprob) — all shuffles term/bigram-keyed."""
     return X.bigram_logprob(T(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_pmi_cooccurrence",
+    oracle=r"""
+    WITH inc AS (
+      SELECT DISTINCT id, tok FROM (
+        SELECT doc_id AS id,
+               UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        FROM documents
+      ) WHERE tok != ''
+    ),
+    docfreq AS (SELECT tok, COUNT(*) AS df_ FROM inc GROUP BY tok),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    kept AS (
+      SELECT inc.id, inc.tok, d.df_
+      FROM inc JOIN docfreq d USING (tok) CROSS JOIN nd
+      WHERE d.df_ >= 2 AND d.df_ * 1000000 <= 900000 * nd.n_docs
+    ),
+    pr AS (
+      SELECT a.tok AS t1, b.tok AS t2,
+             CAST(COUNT(*) AS BIGINT) AS n_pair,
+             CAST(MIN(a.df_) AS BIGINT) AS df1,
+             CAST(MIN(b.df_) AS BIGINT) AS df2
+      FROM kept a JOIN kept b ON a.id = b.id AND a.tok < b.tok
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    )
+    SELECT t1, t2, n_pair, df1, df2, nd.n_docs,
+           CAST(n_pair * nd.n_docs * 1000000 // (df1 * df2) AS BIGINT) AS lift_ppm
+    FROM pr CROSS JOIN nd
+    ORDER BY lift_ppm DESC, t1, t2
+    LIMIT 100
+    """,
+)
+def text_pmi_cooccurrence(spark, sf_dir):
+    """Top-100 document-level PMI collocations, ranked by the exact integer
+    lift (ppm of the independence expectation) so no float log ever feeds
+    an ordering (operators/text.py:pmi_cooccurrence).  Scale: df-gated pair
+    generation, one (t1, t2) shuffle, TakeOrderedAndProject top-k."""
+    return X.pmi_cooccurrence(
+        T(spark, sf_dir, "documents"), "doc_id", "text",
+        min_df=2, max_df_ppm=900_000, min_pair=2, top_k=100,
+    )
+
+
+@query(
+    "text_c4_filters",
+    oracle=r"""
+    WITH feats AS (
+      SELECT doc_id AS id,
+        CAST(len(string_split(text, chr(10))) AS INT) AS n_lines,
+        CAST(len(list_filter(string_split(text, chr(10)),
+                 l -> len(string_split_regex(trim(l), '\s+')) >= 5
+                      AND regexp_matches(l, '[.!?"]\s*$'))) AS INT) AS n_good_lines,
+        CAST(len(string_split_regex(text, '[.!?]')) - 1 AS INT) AS n_sentences,
+        contains(lower(text), 'lorem ipsum') AS has_lorem,
+        contains(text, '{') AS has_brace,
+        CAST(len(list_filter(string_split(text, chr(10)),
+                 l -> contains(lower(l), 'javascript'))) AS INT) AS n_js_lines,
+        (contains(lower(text), 'terms of use')
+         OR contains(lower(text), 'privacy policy')
+         OR contains(lower(text), 'cookie policy')
+         OR contains(lower(text), 'uses cookies')) AS has_policy
+      FROM documents
+    )
+    SELECT id, n_lines, n_good_lines, n_sentences,
+      n_good_lines >= 3 AS rule_good_lines,
+      n_sentences >= 3 AS rule_min_sentences,
+      NOT has_lorem AS rule_no_lorem,
+      NOT has_brace AS rule_no_brace,
+      n_js_lines = 0 AS rule_no_javascript,
+      NOT has_policy AS rule_no_policy,
+      (n_good_lines >= 3) AND (n_sentences >= 3) AND NOT has_lorem
+        AND NOT has_brace AND (n_js_lines = 0) AND NOT has_policy AS pass_c4
+    FROM feats
+    """,
+)
+def text_c4_filters(spark, sf_dir):
+    """C4-style page filters (retained-line count, sentence minimum,
+    lorem-ipsum / brace / javascript / policy markers) — map-only integer
+    arithmetic, the line-shaped companion to text_gopher_rules
+    (operators/text.py:c4_filters)."""
+    return X.c4_filters(T(spark, sf_dir, "documents"), "doc_id", "text")
