@@ -508,3 +508,53 @@ def test_ngram_novelty_scales_linearly(spark):
     print(f"ratios: 4x/1x = {t4 / t1:.2f} (ideal 4), 16x/1x = {t16 / t1:.2f} (ideal 16)")
     assert (n1, n4, n16) == (base, 4 * base, 16 * base)
     assert t16 <= max(t1, 0.5) * 16 * 2.5, (t1, t16)
+
+
+def test_near_dedup_keep_best_scales_linearly(spark):
+    """Eleventh measured family: the FULL quality-aware near-dedup path
+    (sign → LSH pairs → connected-component closure → keep-best) at
+    1x/4x/16x dissimilar corpora.  The claim in numbers: signing is the
+    data-sized term; the closure iterates only over edge-touching docs (a
+    sliver, ~constant per replica); keep_best adds one partial-aggregable
+    groupBy on the cluster label — so end-to-end wall tracks corpus size
+    ~linearly even though the path contains an iterative algorithm."""
+    import time
+
+    from trough_spark.operators.dedup import (
+        minhash_lsh_candidates_wide,
+        minhash_signature_vector,
+    )
+    from trough_spark.operators.graph import connected_components, keep_best
+
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents").select(
+        "doc_id", "text", F.length("text").cast("int").alias("n_chars")
+    )
+    docs.count()  # page cache
+
+    def run(k: int) -> tuple[float, int, int]:
+        d = _blowup(docs, k).withColumn("n_chars", F.length("text").cast("int"))
+        t0 = time.perf_counter()
+        sig = minhash_signature_vector(d, "doc_id", "text", num_perm=8, n=3)
+        pairs = minhash_lsh_candidates_wide(sig, num_perm=8, rows_per_band=2)
+        comp = connected_components(d.select("doc_id"), pairs, id_col="doc_id")
+        out = keep_best(
+            d.select("doc_id", "n_chars"), comp, id_col="doc_id", score_col="n_chars"
+        )
+        row = out.agg(
+            F.count(F.lit(1)).alias("rows"), F.sum("is_kept").alias("kept")
+        ).collect()[0]
+        return time.perf_counter() - t0, row["rows"], row["kept"]
+
+    run(1)  # codegen + CC-loop warm-up
+    t1, r1, k1 = run(1)
+    t4, r4, k4 = run(4)
+    t16, r16, k16 = run(16)
+    print(
+        f"\nnear-dedup: 1x {t1:.2f}s {r1} rows/{k1} kept, "
+        f"4x {t4:.2f}s {r4}/{k4}, 16x {t16:.2f}s {r16}/{k16}"
+    )
+    print(f"ratios: 4x/1x = {t4 / t1:.2f} (ideal 4), 16x/1x = {t16 / t1:.2f} (ideal 16)")
+    # every doc gets a verdict; exactly one keeper per cluster
+    assert (r1, r4, r16) == (r1, 4 * r1, 16 * r1)
+    assert r1 // 2 <= k1 <= r1 and k4 <= r4 and k16 <= r16
+    assert t16 <= max(t1, 0.5) * 16 * 2.5, (t1, t16)
