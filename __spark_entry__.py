@@ -28,6 +28,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # (freshest evidence, lowest priority).
 _SAMPLE_PRIORITY = [
     # --- new in round 8: no driver evidence yet ---
+    "events_rate_anomaly",
+    "vec_bq_hamming_topk",
     "pipeline_near_dedup",
     "dedup_source_matrix",
     "text_pmi_cooccurrence",

@@ -110,3 +110,39 @@ def test_semantic_dedup_drops_near_copy_keeps_distinct(spark):
     assert got[7][1] == 1                      # 45-degree vector survives 0.95
     # all inputs accounted for
     assert set(got) == {0, 1, 5, 6, 7}
+
+
+def test_binary_quantize_known_bits(spark):
+    from trough_spark.operators.vectors import binary_quantize
+
+    # dims 0 and 2 positive in the low half; dim 32 positive in the high half
+    vec = [0.0] * 64
+    vec[0] = 1.0
+    vec[2] = 0.5
+    vec[1] = -3.0
+    vec[32] = 2.0
+    df = spark.createDataFrame(
+        [(7, vec)], "vec_id bigint, embedding array<float>"
+    )
+    row = binary_quantize(df, "vec_id", "embedding").collect()[0]
+    assert row["code_lo"] == (1 << 0) + (1 << 2)
+    assert row["code_hi"] == (1 << 0)
+
+
+def test_bq_hamming_identical_vector_ranks_first(spark):
+    from trough_spark.operators.vectors import bq_hamming_topk
+
+    import random
+
+    rng = random.Random(11)
+    base = [rng.uniform(-1, 1) for _ in range(64)]
+    flipped = list(base)
+    flipped[5] = -flipped[5] if flipped[5] != 0 else 1.0  # one sign flip
+    rows = [(0, base), (50, list(base)), (51, flipped)]
+    # noise vectors far from base
+    for i in range(52, 60):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(64)]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = bq_hamming_topk(df, "vec_id", "embedding", n_queries=1, k=3).collect()
+    assert out[0]["neighbor_id"] == 50 and out[0]["hamming"] == 0
+    assert out[1]["neighbor_id"] == 51 and out[1]["hamming"] == 1

@@ -159,3 +159,91 @@ def multigrain_rollup(
         "n_events",
         F.col("_sum").cast("double").alias("total_value"),
     )
+
+
+def rate_anomaly(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    trailing: int = 24,
+    k: int = 3,
+) -> DataFrame:
+    """Per-stream rate-spike detection: for every (event_type, hour), flag
+    hours whose count deviates from the trailing ``trailing``-hour window
+    by more than ``k`` standard deviations — the ingest-monitoring pass a
+    training-data pipeline runs over its event firehose (a feed going
+    silent or 10x-ing is the thing you want to catch before it poisons a
+    snapshot).
+
+    Exactness (house pattern): the z-test is algebraically cleared of
+    division and sqrt —
+
+        z^2 >= k^2   <=>   (W*c - S)^2 >= k^2 * (W*Q - S^2)
+
+    with W the window size, S/Q the trailing sum and sum-of-squares; both
+    sides are exact BIGINT products, so the flag is bit-identical across
+    engines.  ``z2_ppm`` = 1e6*(W*c-S)^2 // (W*Q-S^2) is emitted for
+    ranking (NULL when the trailing window has zero variance; the flag
+    then degrades to ANY deviation).  Long-overflow bound: hourly counts
+    to ~6e4 per type; beyond that the same ratio computes in
+    decimal(38,0) — the scale-up switch, as in pmi_cooccurrence.
+
+    Scale: ONE data-sized shuffle (the (type, hour) partial-agg groupBy —
+    the count collapses map-side); the dense hour spine is types x hours
+    (tiny, broadcast), and the trailing window partitions by type over
+    already-hourly rows.  Missing hours COUNT AS ZERO via the spine —
+    a silent feed is an anomaly, which windowing only observed hours
+    would never see.
+
+    Extension operator per SURVEY §2.D (reference has no analytics
+    surface, /root/reference/trough/read.py:66).
+    """
+    h = F.date_trunc("hour", F.col(ts_col))
+    hourly = events.groupBy(
+        F.col(type_col).alias("event_type"), h.alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    bounds = events.agg(
+        F.date_trunc("hour", F.min(ts_col)).alias("h0"),
+        F.date_trunc("hour", F.max(ts_col)).alias("h1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    types = events.select(F.col(type_col).alias("event_type")).distinct()
+    dense = (
+        types.crossJoin(F.broadcast(spine))
+        .join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type", "h", F.coalesce("n", F.lit(0)).cast("bigint").alias("c")
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-trailing, -1)
+    )
+    W = F.lit(trailing).cast("bigint")
+    stats = dense.select(
+        "event_type",
+        "h",
+        "c",
+        F.sum("c").over(w).alias("s_w"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("q_w"),
+        F.count("c").over(w).alias("n_w"),
+    ).where(F.col("n_w") == trailing)
+    num = (W * F.col("c") - F.col("s_w")) * (W * F.col("c") - F.col("s_w"))
+    den = W * F.col("q_w") - F.col("s_w") * F.col("s_w")
+    return stats.select(
+        "event_type",
+        F.col("h").alias("hour_start"),
+        F.col("c").alias("n_events"),
+        F.col("s_w").cast("bigint").alias("s_w"),
+        F.col("q_w").cast("bigint").alias("q_w"),
+        F.when(den > 0, F.expr(
+            f"CAST((1000000 * ({trailing} * c - s_w) * ({trailing} * c - s_w)) "
+            f"DIV ({trailing} * q_w - s_w * s_w) AS BIGINT)"
+        )).alias("z2_ppm"),
+        F.when(den > 0, num >= F.lit(k * k) * den)
+        .otherwise(W * F.col("c") != F.col("s_w"))
+        .alias("is_anomaly"),
+    )

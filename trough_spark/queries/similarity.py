@@ -786,3 +786,41 @@ def vec_ivfpq_search(spark, sf_dir):
         m=4,
         dim=64,
     )
+
+
+@query(
+    "vec_bq_hamming_topk",
+    oracle="""
+    WITH codes AS (
+      SELECT vec_id,
+             CAST(list_sum(list_transform(range(0, 32),
+               i -> CASE WHEN embedding[i + 1] > 0.0
+                         THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS lo,
+             CAST(list_sum(list_transform(range(0, 32),
+               i -> CASE WHEN embedding[i + 33] > 0.0
+                         THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS hi
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, lo AS qlo, hi AS qhi FROM codes WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             CAST(bit_count(xor(c.lo, q.qlo)) + bit_count(xor(c.hi, q.qhi)) AS INT)
+               AS hamming
+      FROM codes c JOIN q ON c.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, hamming, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY hamming, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 20
+    """,
+)
+def vec_bq_hamming_topk(spark, sf_dir):
+    """Binary-quantization first-stage retrieval: 64 sign bits per vector
+    (two 32-bit codes), Hamming-ranked top-20 per query — 32x smaller than
+    float32 and pure popcount, the cheapest billion-scale first pass
+    (operators/vectors.py:bq_hamming_topk).  Engine-exact: the only float
+    op is the sign test."""
+    return _V.bq_hamming_topk(
+        T(spark, sf_dir, "embeddings"), "vec_id", "embedding", n_queries=10, k=20
+    )

@@ -117,3 +117,54 @@ def events_multigrain_rollup(spark, sf_dir):
     return multigrain_rollup(
         T(spark, sf_dir, "events"), "ts", "value", grains=("minute", "hour", "day")
     )
+
+
+@query(
+    "events_rate_anomaly",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+      FROM events
+    ),
+    spine AS (
+      SELECT UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    dense AS (
+      SELECT t.event_type, s.h, COALESCE(hh.n, 0::BIGINT) AS c
+      FROM types t CROSS JOIN spine s
+      LEFT JOIN hourly hh ON hh.event_type = t.event_type AND hh.h = s.h
+    ),
+    win AS (
+      SELECT event_type, h, c,
+             SUM(c) OVER w AS s_w,
+             SUM(c * c) OVER w AS q_w,
+             COUNT(*) OVER w AS n_w
+      FROM dense
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, h AS hour_start, c AS n_events,
+           CAST(s_w AS BIGINT) AS s_w, CAST(q_w AS BIGINT) AS q_w,
+           CASE WHEN 24 * q_w - s_w * s_w > 0
+                THEN CAST(1000000 * (24 * c - s_w) * (24 * c - s_w)
+                          // (24 * q_w - s_w * s_w) AS BIGINT) END AS z2_ppm,
+           CASE WHEN 24 * q_w - s_w * s_w > 0
+                THEN (24 * c - s_w) * (24 * c - s_w) >= 9 * (24 * q_w - s_w * s_w)
+                ELSE 24 * c != s_w END AS is_anomaly
+    FROM win WHERE n_w = 24
+    """,
+)
+def events_rate_anomaly(spark, sf_dir):
+    """Hourly rate-spike detection per event_type over a dense hour spine
+    (silent feeds count as zero): trailing-24h z-test cleared of division
+    and sqrt so every comparison is an exact BIGINT product
+    (operators/temporal.py:rate_anomaly)."""
+    return TP.rate_anomaly(
+        T(spark, sf_dir, "events"), ts_col="ts", type_col="event_type",
+        trailing=24, k=3,
+    )
