@@ -146,3 +146,27 @@ def test_bq_hamming_identical_vector_ranks_first(spark):
     out = bq_hamming_topk(df, "vec_id", "embedding", n_queries=1, k=3).collect()
     assert out[0]["neighbor_id"] == 50 and out[0]["hamming"] == 0
     assert out[1]["neighbor_id"] == 51 and out[1]["hamming"] == 1
+
+
+def test_bq_rescore_reorders_candidates_by_exact_cosine(spark):
+    from trough_spark.operators.vectors import bq_rescore_topk
+
+    import random
+
+    rng = random.Random(23)
+    base = [rng.uniform(-1, 1) for _ in range(64)]
+    # same sign pattern as base but scaled differently per half -> hamming 0
+    # yet lower cosine than an exact copy
+    samesign = [x * (0.2 if i < 32 else 2.0) for i, x in enumerate(base)]
+    rows = [(0, base), (50, list(base)), (51, samesign)]
+    for i in range(52, 70):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(64)]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = bq_rescore_topk(
+        df, "vec_id", "embedding", n_queries=1, n_candidates=10, k=3
+    ).collect()
+    # the exact copy outranks the same-sign-different-scale vector even
+    # though both are hamming 0
+    assert out[0]["neighbor_id"] == 50 and out[0]["cosine_sim"] == 1.0
+    assert out[0]["hamming"] == 0 and out[1]["neighbor_id"] == 51
+    assert out[1]["cosine_sim"] < 1.0

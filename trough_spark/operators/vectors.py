@@ -674,3 +674,55 @@ def bq_hamming_topk(
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
     )
+
+
+def bq_rescore_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_queries: int = 10,
+    n_candidates: int = 50,
+    k: int = 5,
+) -> DataFrame:
+    """The full binary-quantization retrieval pipeline: Hamming-popcount
+    first stage over 16-byte codes selects ``n_candidates`` per query,
+    then ONLY those candidates are rescored with exact float cosine and
+    re-ranked to ``k`` — the two-stage shape every production BQ deployment
+    runs (scan cheap, rescore tiny).
+
+    Cost model at 100 TB: stage 1 touches codes only (corpus x queries
+    popcounts, no vector shuffle); stage 2 fetches ``n_candidates x
+    n_queries`` float vectors by id — the expensive representation is read
+    for a candidate sliver, never the corpus.  Determinism: candidate cut
+    ties break on (hamming, id); rescore rounds to 6 decimals before
+    ranking (house cosine rule, operators/similarity.py).
+
+    Returns (query_id, neighbor_id, hamming, cosine_sim, rnk), rnk <= k.
+    """
+    from pyspark.sql import Window
+
+    from trough_spark.operators.similarity import dot, norm
+
+    cand = bq_hamming_topk(
+        df, id_col, vec_col, n_queries=n_queries, k=n_candidates
+    ).select("query_id", "neighbor_id", "hamming")
+    q = df.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+    ).withColumn("qn", norm(F.col("qv")))
+    c = df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).withColumn("cn", norm(F.col("cv")))
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .withColumn(
+            "cosine_sim",
+            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6),
+        )
+        .select("query_id", "neighbor_id", "hamming", "cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)

@@ -824,3 +824,58 @@ def vec_bq_hamming_topk(spark, sf_dir):
     return _V.bq_hamming_topk(
         T(spark, sf_dir, "embeddings"), "vec_id", "embedding", n_queries=10, k=20
     )
+
+
+@query(
+    "vec_bq_rescore_topk",
+    oracle=f"""
+    WITH codes AS (
+      SELECT vec_id,
+             CAST(list_sum(list_transform(range(0, 32),
+               i -> CASE WHEN embedding[i + 1] > 0.0
+                         THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS lo,
+             CAST(list_sum(list_transform(range(0, 32),
+               i -> CASE WHEN embedding[i + 33] > 0.0
+                         THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS hi
+      FROM embeddings
+    ),
+    qc AS (SELECT vec_id AS query_id, lo AS qlo, hi AS qhi FROM codes WHERE vec_id < 10),
+    ham AS (
+      SELECT qc.query_id, c.vec_id AS neighbor_id,
+             CAST(bit_count(xor(c.lo, qc.qlo)) + bit_count(xor(c.hi, qc.qhi)) AS INT)
+               AS hamming
+      FROM codes c JOIN qc ON c.vec_id != qc.query_id
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id, hamming FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY hamming, neighbor_id) AS hrnk
+        FROM ham
+      ) WHERE hrnk <= 50
+    ),
+    {_COS_CTE}
+    SELECT query_id, neighbor_id, hamming, cosine_sim, rnk FROM (
+      SELECT cand.query_id, cand.neighbor_id, cand.hamming,
+             ROUND(list_dot_product(q.e, c.e) /
+                   (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))), 6)
+               AS cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY cand.query_id
+                                ORDER BY ROUND(list_dot_product(q.e, c.e) /
+                                  (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))), 6) DESC,
+                                cand.neighbor_id) AS rnk
+      FROM cand
+      JOIN v q ON q.vec_id = cand.query_id
+      JOIN v c ON c.vec_id = cand.neighbor_id
+    ) WHERE rnk <= 5
+    """,
+)
+def vec_bq_rescore_topk(spark, sf_dir):
+    """Two-stage BQ retrieval end to end: Hamming candidates over 16-byte
+    codes, exact float-cosine rescore of the candidate sliver only — the
+    production shape where the corpus is scanned as codes and the float
+    vectors are fetched for ~50 rows per query
+    (operators/vectors.py:bq_rescore_topk)."""
+    return _V.bq_rescore_topk(
+        T(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        n_queries=10, n_candidates=50, k=5,
+    )
