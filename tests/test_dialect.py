@@ -244,3 +244,74 @@ def test_bare_extreme_columns_tie_consistency(spark):
     assert sorted((r["m"], r["name"]) for r in rows) == [
         (3, "c"), (4, "a"), (4, "b"),
     ]
+
+
+class TestWindowFilterRewrite:
+    """agg FILTER (WHERE ...) OVER — CASE rewrite + the probed min/max
+    sliding-frame ignore (see _rewrite_window_filter docstring)."""
+
+    def test_sum_over_rewrites_to_case(self):
+        from trough_spark.dialect import _rewrite_window_filter
+
+        out = _rewrite_window_filter(
+            "SELECT sum(b) FILTER (WHERE a > 1) OVER (ORDER BY a) FROM t"
+        )
+        assert "CASE WHEN a > 1 THEN b END" in out and "FILTER" not in out
+
+    def test_count_star_counts_literal_one(self):
+        from trough_spark.dialect import _rewrite_window_filter
+
+        out = _rewrite_window_filter(
+            "SELECT count(*) FILTER (WHERE b = 1) OVER (ORDER BY a) FROM t"
+        )
+        assert "count(CASE WHEN b = 1 THEN 1 END)" in out
+
+    def test_grouped_filter_untouched(self):
+        from trough_spark.dialect import _rewrite_window_filter
+
+        sql = "SELECT sum(b) FILTER (WHERE a > 1) AS s FROM t"
+        assert _rewrite_window_filter(sql) == sql
+
+    def test_distinct_stays_outside_case(self):
+        from trough_spark.dialect import _rewrite_window_filter
+
+        out = _rewrite_window_filter(
+            "SELECT count(DISTINCT b) FILTER (WHERE a < 3) OVER (PARTITION BY c) FROM t"
+        )
+        assert "count(DISTINCT CASE WHEN a < 3 THEN b END)" in out
+
+    def test_minmax_sliding_frame_drops_filter(self):
+        from trough_spark.dialect import _rewrite_window_filter
+
+        out = _rewrite_window_filter(
+            "SELECT max(b) FILTER (WHERE s = 'x') OVER "
+            "(ORDER BY a ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t"
+        )
+        assert "max(b) OVER" in out and "CASE" not in out and "FILTER" not in out
+
+    def test_minmax_unbounded_start_keeps_filter(self):
+        from trough_spark.dialect import _rewrite_window_filter
+
+        out = _rewrite_window_filter(
+            "SELECT min(b) FILTER (WHERE s = 'x') OVER "
+            "(ORDER BY a ROWS UNBOUNDED PRECEDING) FROM t"
+        )
+        assert "CASE WHEN s = 'x' THEN b END" in out
+
+    def test_minmax_named_window_rejected(self):
+        import pytest as _pytest
+
+        from trough_spark.dialect import QueryRejected, _rewrite_window_filter
+
+        with _pytest.raises(QueryRejected):
+            _rewrite_window_filter(
+                "SELECT max(b) FILTER (WHERE s='x') OVER w FROM t WINDOW w AS (ORDER BY a)"
+            )
+
+    def test_group_concat_separator_preserved(self):
+        from trough_spark.dialect import _rewrite_window_filter
+
+        out = _rewrite_window_filter(
+            "SELECT group_concat(b, ';') FILTER (WHERE a > 0) OVER (ORDER BY a) FROM t"
+        )
+        assert "group_concat(CASE WHEN a > 0 THEN b END, ';')" in out

@@ -191,6 +191,32 @@ QUERIES = [
     "SELECT likelihood(price > 2, 0.5) AS v FROM items ORDER BY id",
     "SELECT likely(qty IS NULL) AS a, unlikely(qty IS NULL) AS b "
     "FROM items ORDER BY id",
+    # round-8: aggregate FILTER clause — grouped (native Spark path) and
+    # windowed (shim rewrites to the CASE form; Spark rejects window FILTER)
+    "SELECT sum(price) FILTER (WHERE qty = 10) AS s, "
+    "count(*) FILTER (WHERE name IS NOT NULL) AS c FROM items",
+    "SELECT id, sum(qty) FILTER (WHERE price > 2) OVER (ORDER BY id) AS s "
+    "FROM items ORDER BY id",
+    "SELECT id, count(*) FILTER (WHERE qty IS NULL) OVER (ORDER BY id) AS c "
+    "FROM items ORDER BY id",
+    "SELECT id, count(qty) FILTER (WHERE price < 4) "
+    "OVER (PARTITION BY qty IS NULL ORDER BY id) AS c FROM items ORDER BY id",
+    # probed quirk: min/max over a SLIDING frame start silently IGNORE the
+    # filter in SQLite (the shim drops it to match); an UNBOUNDED
+    # PRECEDING start honors it
+    "SELECT id, max(price) FILTER (WHERE name LIKE 'a%') "
+    "OVER (ORDER BY id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS m "
+    "FROM items ORDER BY id",
+    "SELECT id, max(price) FILTER (WHERE name LIKE 'a%') "
+    "OVER (ORDER BY id) AS m FROM items ORDER BY id",
+    "SELECT id, min(price) FILTER (WHERE qty = 10) "
+    "OVER (ORDER BY id ROWS UNBOUNDED PRECEDING) AS m FROM items ORDER BY id",
+    "SELECT id, min(qty) FILTER (WHERE price > 2) "
+    "OVER (ORDER BY id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS m "
+    "FROM items ORDER BY id",
+    "SELECT id, avg(qty) FILTER (WHERE qty > 2) OVER (ORDER BY id) AS a "
+    "FROM items ORDER BY id",
+    "SELECT count(DISTINCT qty) FILTER (WHERE price >= 1) AS c FROM items",
 ]
 
 DDL = (

@@ -1362,10 +1362,157 @@ def _rewrite_operators(sql: str) -> str:
     return render(out)
 
 
+def _frame_start_slides(wdef: list[Token]) -> bool:
+    """True iff a window definition's frame START is anything other than
+    UNBOUNDED PRECEDING (the implicit default has an unbounded start and
+    returns False).  ``wdef`` is the significant-token list of the inline
+    OVER (...) body."""
+    for idx, tk in enumerate(wdef):
+        if tk.kind == "word" and tk.text.upper() in ("ROWS", "RANGE", "GROUPS"):
+            rest = wdef[idx + 1 :]
+            if not rest:
+                return False
+            words = [x.text.upper() for x in rest]
+            if words[0] == "BETWEEN":
+                start = words[1:3]
+            else:
+                start = words[0:2]
+            return start[:2] != ["UNBOUNDED", "PRECEDING"]
+    return False
+
+
+def _rewrite_window_filter(sql: str) -> str:
+    """``agg(x) FILTER (WHERE cond) OVER ...`` → ``agg(CASE WHEN cond THEN
+    x END) OVER ...``.
+
+    Spark executes FILTER on *grouped* aggregates natively (those pass
+    through untouched) but rejects it on window functions ("Window
+    aggregate function with filter predicate is not supported yet"); the
+    CASE form is exactly equivalent because every aggregate ignores NULL
+    inputs.  Special cases: ``count(*)`` counts a literal 1 instead (no
+    column to NULL out), ``group_concat(x, sep)`` wraps only the value
+    argument, and a leading DISTINCT stays outside the CASE (NULL joins
+    the distinct set but is then ignored, so the result is unchanged).
+    Only the window form is rewritten — a FILTER not followed by OVER is
+    left for Spark's native path.  Probed against live SQLite in
+    tests/test_sqlite_differential.py.
+
+    BUG-COMPATIBILITY (probed live on SQLite 3.40.1, the reference's
+    engine): MIN/MAX window aggregates apply the FILTER clause ONLY when
+    the frame start is UNBOUNDED PRECEDING (explicit or the implicit
+    default); for any sliding start (N PRECEDING, CURRENT ROW,
+    N FOLLOWING — ROWS, RANGE, or GROUPS alike) SQLite SILENTLY IGNORES
+    the filter (probe: max(b) FILTER (WHERE s='x') OVER (ORDER BY a ROWS
+    BETWEEN 1 PRECEDING AND CURRENT ROW) returns the unfiltered running
+    max; the same query with UNBOUNDED PRECEDING start returns the
+    filtered one).  SQLite's sliding min/max path re-scans the frame
+    without consulting the filter.  The shim reproduces this: for MIN/MAX
+    over a sliding-start inline frame the FILTER clause is DROPPED, house
+    probed-semantics style.  A MIN/MAX FILTER over a NAMED window (OVER w)
+    is rejected loudly — the frame is not visible at rewrite time, so
+    fidelity cannot be decided.
+    """
+    tokens = tokenize(sql)
+    sig = _significant(tokens)
+
+    def _next_sig(idx: int) -> int | None:
+        for s in sig:
+            if s > idx:
+                return s
+        return None
+
+    out: list[str] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if t.kind == "word" and t.text.upper() in _AGG_WORDS:
+            j = _next_sig(i)
+            if j is not None and tokens[j].kind == "op" and tokens[j].text == "(":
+                try:
+                    args, close_idx = _find_call_args(tokens, j)
+                except QueryRejected:
+                    out.append(t.text)
+                    i += 1
+                    continue
+                k = _next_sig(close_idx)
+                if (
+                    k is not None
+                    and tokens[k].kind == "word"
+                    and tokens[k].text.upper() == "FILTER"
+                ):
+                    op = _next_sig(k)
+                    if op is not None and tokens[op].kind == "op" and tokens[op].text == "(":
+                        fargs, fclose = _find_call_args(tokens, op)
+                        over = _next_sig(fclose)
+                        cond_toks = fargs[0] if fargs else []
+                        cs = [x for x in cond_toks if x.kind not in ("space", "comment")]
+                        if (
+                            over is not None
+                            and tokens[over].kind == "word"
+                            and tokens[over].text.upper() == "OVER"
+                            and cs
+                            and cs[0].kind == "word"
+                            and cs[0].text.upper() == "WHERE"
+                        ):
+                            if t.text.upper() in ("MIN", "MAX"):
+                                wopen = _next_sig(over)
+                                if not (
+                                    wopen is not None
+                                    and tokens[wopen].kind == "op"
+                                    and tokens[wopen].text == "("
+                                ):
+                                    raise QueryRejected(
+                                        "MIN/MAX FILTER over a named window is "
+                                        "not supported (frame start decides "
+                                        "whether SQLite honors the filter)"
+                                    )
+                                wargs, _wclose = _find_call_args(tokens, wopen)
+                                wdef = [
+                                    x
+                                    for a in wargs
+                                    for x in a
+                                    if x.kind not in ("space", "comment")
+                                ]
+                                if _frame_start_slides(wdef):
+                                    # SQLite silently ignores the filter on
+                                    # sliding-start min/max — reproduce it
+                                    raw = [render(a).strip() for a in args]
+                                    out.append(f"{t.text}({', '.join(raw)})")
+                                    i = fclose + 1
+                                    continue
+                            cond = render(cond_toks).strip()[5:].strip()  # drop WHERE
+                            # recurse for a window-filtered agg nested in
+                            # the arguments (not valid SQLite, but cheap)
+                            raw = [
+                                _rewrite_window_filter(render(a).strip()) for a in args
+                            ]
+                            fn = t.text
+                            if len(raw) == 1 and raw[0] == "*":
+                                body = f"CASE WHEN {cond} THEN 1 END"
+                            else:
+                                first = raw[0]
+                                prefix = ""
+                                m_d = re.match(r"(?is)^\s*DISTINCT\s+(.*)$", first)
+                                if m_d:
+                                    prefix, first = "DISTINCT ", m_d.group(1)
+                                body = f"{prefix}CASE WHEN {cond} THEN {first} END"
+                                if len(raw) > 1:
+                                    body += ", " + ", ".join(raw[1:])
+                            out.append(f"{fn}({body})")
+                            i = fclose + 1  # drop the FILTER clause, keep OVER
+                            continue
+        out.append(t.text)
+        i += 1
+    return "".join(out)
+
+
 def sqlite_to_spark(sql: str) -> str:
     """Translate one SQLite SELECT (or expression-bearing statement) into
     Spark SQL."""
-    return _rewrite_functions(_rewrite_operators(_rewrite_bare_extreme_columns(sql)))
+    return _rewrite_functions(
+        _rewrite_operators(_rewrite_bare_extreme_columns(_rewrite_window_filter(sql)))
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -314,3 +314,44 @@ def b12_dialect_shim_roundtrip2(spark, sf_dir):
         "ORDER BY p_partkey LIMIT 10, 20"
     )
     return spark.sql(sqlite_to_spark(sqlite_sql))
+
+
+@query(
+    "b12_shim_window_filter",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(SUM(o_custkey) FILTER (WHERE o_orderstatus = 'O')
+                OVER (ORDER BY o_orderkey) AS BIGINT) AS s,
+           COUNT(*) FILTER (WHERE lower(o_orderpriority) LIKE '1%')
+                OVER (ORDER BY o_orderkey) AS c,
+           -- NO filter on the max: the source query's sliding-start
+           -- min/max FILTER is silently ignored by SQLite (probed,
+           -- dialect._rewrite_window_filter docstring) and the shim
+           -- reproduces that, so the expected result is the unfiltered max
+           MAX(o_custkey) OVER (ORDER BY o_orderkey
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS m
+    FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey
+    """,
+)
+def b12_shim_window_filter(spark, sf_dir):
+    """SQLite's aggregate FILTER clause through the dialect shim, under the
+    driver gate: grouped/unbounded-window FILTER runs natively or via the
+    CASE rewrite (Spark rejects window FILTER), and the probed SQLite
+    quirk — min/max over a SLIDING frame start silently ignore their
+    FILTER — is reproduced bug-compatibly (the oracle's max is
+    unfiltered on purpose)."""
+    from trough_spark.dialect import sqlite_to_spark
+    from trough_spark.tables import register_views
+
+    register_views(spark, sf_dir, ["orders"])
+    sqlite_sql = (
+        "SELECT o_orderkey, "
+        "sum(o_custkey) FILTER (WHERE o_orderstatus = 'O') "
+        "OVER (ORDER BY o_orderkey) AS s, "
+        "count(*) FILTER (WHERE o_orderpriority LIKE '1%') "
+        "OVER (ORDER BY o_orderkey) AS c, "
+        "max(o_custkey) FILTER (WHERE o_orderstatus = 'F') "
+        "OVER (ORDER BY o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS m "
+        "FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey"
+    )
+    return spark.sql(sqlite_to_spark(sqlite_sql))
