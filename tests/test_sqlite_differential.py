@@ -217,6 +217,25 @@ QUERIES = [
     "SELECT id, avg(qty) FILTER (WHERE qty > 2) OVER (ORDER BY id) AS a "
     "FROM items ORDER BY id",
     "SELECT count(DISTINCT qty) FILTER (WHERE price >= 1) AS c FROM items",
+    # round-8: SQLite math functions (enabled in this stdlib build) — log()
+    # one-arg is BASE-10 (the shim must NOT pass it to Spark's natural
+    # log), mod() always returns REAL, trunc() is numeric (date-only in
+    # Spark), pow/pi/degrees/sqrt agree natively
+    "SELECT sqrt(price) AS a, pow(2, qty) AS b FROM items WHERE id = 3",
+    "SELECT log(100.0) AS a, log(2, 8) AS b, log10(price) AS c, ln(price) AS d "
+    "FROM items WHERE id = 3",
+    "SELECT mod(qty, 3) AS a, mod(-7, 3) AS b FROM items WHERE id = 1",
+    "SELECT trunc(price) AS a, trunc(-price) AS b FROM items WHERE id = 1",
+    # floor/ceil VALUES agree; the return storage class is a documented
+    # dynamic-typing divergence (SQLite preserves REAL, Spark yields
+    # BIGINT — dialect.py header), so the pin casts to INTEGER
+    "SELECT CAST(floor(price) AS INTEGER) AS a, CAST(ceil(price) AS INTEGER) AS b, "
+    "CAST(ceiling(price) AS INTEGER) AS c FROM items WHERE id = 2",
+    "SELECT degrees(pi()) AS a, radians(180.0) AS b, sin(0.0) AS c, "
+    "atan2(1.0, 1.0) AS d FROM items WHERE id = 1",
+    "SELECT exp(0.0) AS a, log2(8.0) AS b, sinh(0.0) AS c, asinh(0.0) AS d "
+    "FROM items WHERE id = 1",
+    "SELECT iif(qty > 5, 'big', 'small') AS v FROM items ORDER BY id",
 ]
 
 DDL = (

@@ -45,7 +45,10 @@ Covered rewrites (SURVEY.md §2.B):
 KNOWN DIVERGENCES from dynamic typing (fundamental, documented): mixed-type
 comparisons (1 = '1' is 0 in SQLite, true here), json_extract scalar
 results come back as TEXT, json_array over mixed-type arguments coerces to
-one Spark type.
+one Spark type, and floor()/ceil()/ceiling() return SQLite's input-
+preserving dynamic type (REAL in → REAL out, INTEGER in → INTEGER out)
+but Spark's static BIGINT — values agree, the storage class differs
+(probed: floor(1.25) is 1.0 REAL in SQLite, 1 BIGINT here).
 """
 
 from __future__ import annotations
@@ -699,6 +702,10 @@ _FN_REWRITES: dict[str, object] = {
     "trunc": lambda a: (
         f"CAST(CAST({a[0]} AS BIGINT) AS DOUBLE)" if len(a) == 1 else None
     ),
+    # SQLite math mod() always returns REAL (C fmod — mod(7,3) is 1.0,
+    # probed); Spark's % keeps the integer type.  Same trunc-toward-zero
+    # sign behavior in both, so only the type needs forcing.
+    "mod": lambda a: f"CAST(({a[0]}) % ({a[1]}) AS DOUBLE)",
     "json_extract": lambda a: f"get_json_object({a[0]}, {a[1]})",
     # SQLite 3.32+: iif(cond, a, b) — Spark spells it if()
     "iif": lambda a: f"if({', '.join(a)})",
