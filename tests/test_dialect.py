@@ -315,3 +315,62 @@ class TestWindowFilterRewrite:
             "SELECT group_concat(b, ';') FILTER (WHERE a > 0) OVER (ORDER BY a) FROM t"
         )
         assert "group_concat(CASE WHEN a > 0 THEN b END, ';')" in out
+
+
+class TestJsonEachRewrite:
+    """json_each table-valued rewrite shapes (live-SQLite parity is in
+    test_sqlite_differential; these pin the token surgery)."""
+
+    def test_from_sole_source_no_lateral(self):
+        from trough_spark.dialect import _rewrite_json_each
+
+        out = _rewrite_json_each("SELECT key FROM json_each('[1]')")
+        assert "LATERAL" not in out and "variant_explode" in out
+        assert out.rstrip().endswith("AS json_each")
+
+    def test_comma_source_gets_lateral_and_alias(self):
+        from trough_spark.dialect import _rewrite_json_each
+
+        out = _rewrite_json_each("SELECT je.key FROM t, json_each(t.j) je")
+        assert ", LATERAL (" in out and out.rstrip().endswith("AS je")
+
+    def test_as_alias(self):
+        from trough_spark.dialect import _rewrite_json_each
+
+        out = _rewrite_json_each("SELECT x.key FROM t, json_each(t.j) AS x WHERE 1")
+        assert "AS x WHERE 1" in out
+
+    def test_alias_not_stolen_from_keyword(self):
+        from trough_spark.dialect import _rewrite_json_each
+
+        out = _rewrite_json_each("SELECT key FROM t, json_each(t.j) WHERE t.id = 1")
+        assert "AS json_each WHERE" in out
+
+    def test_path_form_prefixes(self):
+        from trough_spark.dialect import _rewrite_json_each
+
+        out = _rewrite_json_each("SELECT key FROM json_each(j, '$.a')")
+        assert "get_json_object(j, '$.a')" in out
+        assert "'$.a'" in out and "'$.a['" in out  # path column + fullkey prefix
+
+    def test_expression_position_untouched(self):
+        from trough_spark.dialect import _rewrite_json_each
+
+        sql = "SELECT json_each('[1]') FROM t"
+        assert _rewrite_json_each(sql) == sql
+
+    def test_json_tree_rejected(self):
+        import pytest as _pytest
+
+        from trough_spark.dialect import QueryRejected, _rewrite_json_each
+
+        with _pytest.raises(QueryRejected):
+            _rewrite_json_each("SELECT key FROM json_tree('{\"a\": 1}')")
+
+    def test_nonliteral_path_rejected(self):
+        import pytest as _pytest
+
+        from trough_spark.dialect import QueryRejected, _rewrite_json_each
+
+        with _pytest.raises(QueryRejected):
+            _rewrite_json_each("SELECT key FROM json_each(j, p)")

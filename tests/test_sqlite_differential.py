@@ -236,6 +236,24 @@ QUERIES = [
     "SELECT exp(0.0) AS a, log2(8.0) AS b, sinh(0.0) AS c, asinh(0.0) AS d "
     "FROM items WHERE id = 1",
     "SELECT iif(qty > 5, 'big', 'small') AS v FROM items ORDER BY id",
+    # round-8: json_each table-valued function (variant_explode rewrite).
+    # key/value/atom are CAST to TEXT: SQLite returns them dynamically
+    # typed, the engine as TEXT (the documented json-family divergence) —
+    # the VALUES must agree
+    "SELECT CAST(key AS TEXT) AS k, CAST(value AS TEXT) AS v, type, "
+    "CAST(atom AS TEXT) AS a, fullkey, path "
+    "FROM json_each('[3, \"x\", null, 4.5, true, {\"a\": 1, \"z\": 2}, [7]]') "
+    "ORDER BY fullkey",
+    "SELECT CAST(key AS TEXT) AS k, CAST(value AS TEXT) AS v, type "
+    "FROM json_each('{\"b\": 1, \"a\": \"t\"}') ORDER BY k",
+    "SELECT CAST(key AS TEXT) AS k, CAST(value AS TEXT) AS v, type, fullkey, path "
+    "FROM json_each('{\"a\": [5, 6]}', '$.a') ORDER BY fullkey",
+    "SELECT CAST(key AS TEXT) AS k, CAST(value AS TEXT) AS v, type, fullkey "
+    "FROM json_each('42')",
+    "SELECT i.id, CAST(je.key AS TEXT) AS k, CAST(je.value AS TEXT) AS v, je.type "
+    "FROM items i, json_each('[' || i.id || ', \"tag\"]') je "
+    "ORDER BY i.id, je.fullkey",
+    "SELECT count(*) AS n FROM items i, json_each('[1, 2, 3]')",
 ]
 
 DDL = (

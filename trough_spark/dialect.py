@@ -1369,6 +1369,169 @@ def _rewrite_operators(sql: str) -> str:
     return render(out)
 
 
+_JSON_EACH_STOP = {
+    "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "UNION", "INTERSECT",
+    "EXCEPT", "JOIN", "ON", "LEFT", "RIGHT", "INNER", "CROSS", "FULL",
+    "NATURAL", "USING", "WINDOW", "OFFSET",
+}
+
+
+def _json_each_subquery(e: str, pfx: str) -> str:
+    """The SELECT body replacing one ``json_each`` table reference.
+
+    Column contract probed live (SQLite 3.40): key (array index / object
+    key / NULL for a scalar root), value (dynamic in SQLite — TEXT here,
+    the documented json-family divergence; booleans '1'/'0', nested
+    containers re-extracted from the ORIGINAL text via get_json_object so
+    insertion order survives where the variant encoding would sort keys),
+    type ('integer' 'real' 'text' 'true' 'false' 'null' 'object' 'array'),
+    atom (value for scalars, NULL for containers), id (opaque ordinal —
+    SQLite documents its ids as meaningless implementation detail), parent
+    (NULL for json_each), fullkey, path.
+
+    A scalar root is wrapped as a one-element array so variant_explode
+    (which yields zero rows for scalars) produces SQLite's single row;
+    key/fullkey are then forced back to the scalar-root shape.  NULL input
+    yields zero rows in both engines (probed).
+    """
+    c = f"left(ltrim({e}), 1) IN ('[', '{{')"
+    wrapped = f"CASE WHEN {c} THEN {e} ELSE '[' || ({e}) || ']' END"
+    sv = "schema_of_variant(v.value)"
+    is_container = (
+        f"(left({sv}, 5) = 'ARRAY' OR left({sv}, 6) = 'OBJECT' "
+        f"OR left({sv}, 6) = 'STRUCT' OR left({sv}, 3) = 'MAP')"
+    )
+    fullkey = (
+        f"CASE WHEN NOT ({c}) THEN '{pfx}' "
+        f"WHEN v.key IS NULL THEN '{pfx}[' || CAST(v.pos AS STRING) || ']' "
+        f"ELSE '{pfx}.' || v.key END"
+    )
+    scalar_text = (
+        f"CASE WHEN {sv} = 'VOID' THEN NULL "
+        f"WHEN {sv} = 'BOOLEAN' THEN IF(CAST(v.value AS BOOLEAN), '1', '0') "
+        f"ELSE CAST(v.value AS STRING) END"
+    )
+    value = (
+        f"CASE WHEN {is_container} THEN get_json_object({e}, {fullkey}) "
+        f"ELSE {scalar_text} END"
+    )
+    typ = (
+        f"CASE WHEN {sv} = 'VOID' THEN 'null' "
+        f"WHEN {sv} = 'BOOLEAN' THEN IF(CAST(v.value AS BOOLEAN), 'true', 'false') "
+        f"WHEN {sv} = 'STRING' THEN 'text' "
+        f"WHEN left({sv}, 5) = 'ARRAY' THEN 'array' "
+        f"WHEN {is_container} THEN 'object' "
+        f"WHEN {sv} IN ('BIGINT', 'INT', 'SMALLINT', 'TINYINT') THEN 'integer' "
+        f"ELSE 'real' END"
+    )
+    key = (
+        f"CASE WHEN NOT ({c}) THEN NULL "
+        f"WHEN v.key IS NULL THEN CAST(v.pos AS STRING) ELSE v.key END"
+    )
+    atom = f"CASE WHEN {is_container} THEN NULL ELSE {scalar_text} END"
+    return (
+        f"(SELECT {key} AS key, {value} AS value, {typ} AS type, "
+        f"{atom} AS atom, v.pos + 1 AS id, CAST(NULL AS INT) AS parent, "
+        f"{fullkey} AS fullkey, '{pfx}' AS path "
+        f"FROM variant_explode(parse_json({wrapped})) v)"
+    )
+
+
+def _rewrite_json_each(sql: str) -> str:
+    """Rewrite SQLite's ``json_each`` table-valued function in FROM
+    position into a (LATERAL) subquery over Spark's variant_explode.
+
+    ``FROM t, json_each(t.j) je`` → ``FROM t, LATERAL (SELECT ...) AS je``;
+    a leading ``FROM json_each(...)`` needs no LATERAL; a missing alias
+    defaults to ``json_each`` (SQLite addresses the unaliased table by its
+    function name).  The 2-arg path form roots the iteration at
+    ``get_json_object(expr, path)`` with SQLite's fullkey/path prefixes
+    (probed: fullkey '$.a[0]', path '$.a'); the path must be a string
+    literal, and a path addressing a bare scalar fails loudly at parse
+    time where SQLite would emit one row (documented corner).
+    ``json_tree`` (recursive descent) is rejected loudly.
+    """
+    tokens = tokenize(sql)
+    sig = _significant(tokens)
+
+    def _next_sig(idx: int) -> int | None:
+        for s in sig:
+            if s > idx:
+                return s
+        return None
+
+    def _prev_sig(idx: int) -> int | None:
+        prev = None
+        for s in sig:
+            if s >= idx:
+                return prev
+            prev = s
+        return prev
+
+    out: list[str] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if t.kind == "word" and t.text.lower() == "json_tree":
+            j = _next_sig(i)
+            if j is not None and tokens[j].kind == "op" and tokens[j].text == "(":
+                p = _prev_sig(i)
+                if p is not None and (
+                    tokens[p].text == ","
+                    or tokens[p].text.upper() in ("FROM", "JOIN")
+                ):
+                    raise QueryRejected(
+                        "json_tree (recursive descent) is not supported; "
+                        "json_each covers one level"
+                    )
+        if t.kind == "word" and t.text.lower() == "json_each":
+            j = _next_sig(i)
+            p = _prev_sig(i)
+            in_from = p is not None and (
+                tokens[p].text == "," or tokens[p].text.upper() in ("FROM", "JOIN")
+            )
+            if in_from and j is not None and tokens[j].kind == "op" and tokens[j].text == "(":
+                args, close_idx = _find_call_args(tokens, j)
+                raw = [render(a).strip() for a in args]
+                if not raw or len(raw) > 2:
+                    raise QueryRejected("json_each takes 1 or 2 arguments")
+                if len(raw) == 2:
+                    pm = re.match(r"^'((?:[^']|'')*)'$", raw[1].strip())
+                    if not pm:
+                        raise QueryRejected(
+                            "json_each path argument must be a string literal"
+                        )
+                    pfx = pm.group(1)
+                    e = f"get_json_object({raw[0]}, '{pfx}')"
+                else:
+                    pfx = "$"
+                    e = f"({raw[0]})"
+                # optional alias after the call
+                alias = "json_each"
+                k = _next_sig(close_idx)
+                consumed_to = close_idx
+                if k is not None and tokens[k].kind == "word":
+                    up = tokens[k].text.upper()
+                    if up == "AS":
+                        k2 = _next_sig(k)
+                        if k2 is not None and tokens[k2].kind == "word":
+                            alias = _strip_ident(tokens[k2].text)
+                            consumed_to = k2
+                    elif up not in _JSON_EACH_STOP:
+                        alias = _strip_ident(tokens[k].text)
+                        consumed_to = k
+                lateral = "" if tokens[p].text.upper() == "FROM" else "LATERAL "
+                out.append(
+                    f"{lateral}{_json_each_subquery(e, pfx)} AS {alias}"
+                )
+                i = consumed_to + 1
+                continue
+        out.append(t.text)
+        i += 1
+    return "".join(out)
+
+
 def _frame_start_slides(wdef: list[Token]) -> bool:
     """True iff a window definition's frame START is anything other than
     UNBOUNDED PRECEDING (the implicit default has an unbounded start and
@@ -1518,7 +1681,11 @@ def sqlite_to_spark(sql: str) -> str:
     """Translate one SQLite SELECT (or expression-bearing statement) into
     Spark SQL."""
     return _rewrite_functions(
-        _rewrite_operators(_rewrite_bare_extreme_columns(_rewrite_window_filter(sql)))
+        _rewrite_operators(
+            _rewrite_bare_extreme_columns(
+                _rewrite_window_filter(_rewrite_json_each(sql))
+            )
+        )
     )
 
 

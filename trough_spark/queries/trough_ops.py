@@ -355,3 +355,43 @@ def b12_shim_window_filter(spark, sf_dir):
         "FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey"
     )
     return spark.sql(sqlite_to_spark(sqlite_sql))
+
+
+@query(
+    "b12_shim_json_each",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey <= 50
+    )
+    SELECT o_orderkey, t.k.key AS key, t.k.value AS value,
+           t.k.type AS type, t.k.fullkey AS fullkey
+    FROM o, UNNEST([
+      {'key': '0', 'value': CAST(o_orderkey AS VARCHAR),
+       'type': 'integer', 'fullkey': '$[0]'},
+      {'key': '1', 'value': o_orderstatus, 'type': 'text', 'fullkey': '$[1]'},
+      {'key': '2', 'value': CAST(NULL AS VARCHAR), 'type': 'null',
+       'fullkey': '$[2]'}
+    ]) AS t(k)
+    ORDER BY o_orderkey, fullkey
+    """,
+)
+def b12_shim_json_each(spark, sf_dir):
+    """SQLite's json_each table-valued function through the dialect shim,
+    under the driver gate: a per-row JSON document is exploded by the
+    variant_explode rewrite (dialect._rewrite_json_each) with SQLite's
+    probed column contract; the oracle states the expected rows directly
+    (key '0' integer, key '1' text, key '2' null per order).  key/value
+    are CAST to TEXT in the source query — the documented dynamic-typing
+    divergence of the json family."""
+    from trough_spark.dialect import sqlite_to_spark
+    from trough_spark.tables import register_views
+
+    register_views(spark, sf_dir, ["orders"])
+    sqlite_sql = (
+        "SELECT o.o_orderkey, CAST(je.key AS TEXT) AS key, "
+        "CAST(je.value AS TEXT) AS value, je.type, je.fullkey "
+        "FROM orders o, json_each('[' || o.o_orderkey || ', \"' || o.o_orderstatus || '\", null]') je "
+        "WHERE o.o_orderkey <= 50 "
+        "ORDER BY o.o_orderkey, je.fullkey"
+    )
+    return spark.sql(sqlite_to_spark(sqlite_sql))
