@@ -522,3 +522,25 @@ def test_interleave_order_stable_under_repartition(spark):
         map(tuple, SA.interleave_order(df.repartition(17), "k", "g", n_ranges=11).collect())
     )
     assert a == b
+
+
+def test_cluster_split_never_splits_a_near_dup_pair(spark):
+    """The leakage guarantee: both endpoints of every LSH candidate pair
+    land in the same split (they share a cluster label by construction)."""
+    from trough_spark.operators import dedup as D
+    from trough_spark.queries import QUERIES, load_all
+    from trough_spark.tables import load_table
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    assigned = QUERIES["sample_cluster_split"](spark, sf)
+    docs = load_table(spark, sf, "documents")
+    sig = D.minhash_signature_vector(docs, "doc_id", "text", num_perm=8, n=3)
+    pairs = D.minhash_lsh_candidates_wide(sig, num_perm=8, rows_per_band=2)
+    a = assigned.select(F.col("doc_id").alias("id1"), F.col("split").alias("s1"))
+    b = assigned.select(F.col("doc_id").alias("id2"), F.col("split").alias("s2"))
+    straddlers = pairs.join(a, "id1").join(b, "id2").where(F.col("s1") != F.col("s2"))
+    assert pairs.count() > 0
+    assert straddlers.count() == 0
+    # and it is a real split: more than one label in use
+    assert assigned.select("split").distinct().count() >= 2

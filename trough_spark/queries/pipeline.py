@@ -277,3 +277,54 @@ def pipeline_near_dedup(spark, sf_dir):
     return G.keep_best(
         docs.select("doc_id", "n_chars"), comp, id_col="doc_id", score_col="n_chars"
     )
+
+
+def _cluster_split_case() -> str:
+    from trough_spark.queries.sampling import _sql_hash
+
+    h = _sql_hash("cluster_id", "split")
+    clauses = "".join(
+        f"WHEN {h} < {bound} THEN '{name}' "
+        for name, bound in SA.split_bounds(_SPLIT_WEIGHTS)
+    )
+    last = list(_SPLIT_WEIGHTS)[-1]
+    return f"CASE {clauses}ELSE '{last}' END"
+
+
+@query(
+    "sample_cluster_split",
+    oracle=rf"""
+    WITH RECURSIVE {_LSH_PAIRS_CTE},
+    edges AS (
+      SELECT id1 AS a, id2 AS b FROM pairs
+      UNION ALL
+      SELECT id2 AS a, id1 AS b FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.id = e.b
+    ),
+    comp AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id)
+    SELECT doc_id, cluster_id, {_cluster_split_case()} AS split
+    FROM comp
+    """,
+)
+def sample_cluster_split(spark, sf_dir):
+    """Leakage-safe train/val/test split: the split hash is keyed on the
+    NEAR-DUP CLUSTER label, not the document id, so every member of a
+    near-duplicate family lands in the same split — the guard against the
+    classic eval contamination where a test document's near-copy sits in
+    train (hash_split on doc_id gives exactly that failure; this query is
+    its cluster-closed replacement).
+
+    Scale: the LSH pair join prices the pass (already the dedup cost);
+    the split itself stays a pure map over (doc_id, cluster_id)."""
+    docs = T(spark, sf_dir, "documents")
+    sig_vec = D.minhash_signature_vector(docs, "doc_id", "text", num_perm=8, n=3)
+    pairs = D.minhash_lsh_candidates_wide(sig_vec, num_perm=8, rows_per_band=2)
+    comp = G.connected_components(docs.select("doc_id"), pairs, id_col="doc_id")
+    labeled = comp.select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )
+    return SA.hash_split(labeled, "cluster_id", _SPLIT_WEIGHTS)
