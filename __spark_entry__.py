@@ -29,6 +29,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _SAMPLE_PRIORITY = [
     # --- new in round 8: no driver evidence yet ---
     "events_rate_anomaly",
+    "text_ccnet_bucket",
     "sample_cluster_split",
     "b12_shim_json_each",
     "b12_shim_window_filter",

@@ -1217,3 +1217,41 @@ def c4_filters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         if c.startswith("rule_"):
             passed = passed & F.col(c)
     return out.withColumn("pass_c4", passed)
+
+
+def ccnet_buckets(
+    df: DataFrame, id_col: str, text_col: str, lang_col: str
+) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020): per-language
+    head/middle/tail thirds by language-model score — the standard
+    pretraining-corpus triage (train on head+middle, drop or downsample
+    tail).  The LM here is the corpus's own unigram model
+    (``unigram_logprob``, quantize-then-sum exact); ranking runs on the
+    rounded score with the doc id as the total-order tie-break, so the
+    NTILE boundary is engine-exact.
+
+    Scale: the LM scoring is the cost (term-keyed shuffles, see
+    unigram_logprob); bucketing adds ONE per-language window — at 100 TB
+    that exchange is on the language key, the same partitioning the
+    multilingual sampling operators already use.
+
+    Returns (id, lang, n_tokens, mean_logprob, bucket 'head'|'middle'|'tail').
+    """
+    from pyspark.sql.window import Window
+
+    lp = unigram_logprob(df, id_col, text_col)
+    langs = df.select(F.col(id_col).alias("id"), F.col(lang_col).alias("lang"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("mean_logprob").desc(), F.col("id")
+    )
+    t = F.ntile(3).over(w)
+    return (
+        lp.join(langs, "id")
+        .select(
+            "id",
+            "lang",
+            "n_tokens",
+            "mean_logprob",
+            F.when(t == 1, "head").when(t == 2, "middle").otherwise("tail").alias("bucket"),
+        )
+    )

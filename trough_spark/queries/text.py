@@ -1102,3 +1102,51 @@ def text_c4_filters(spark, sf_dir):
     arithmetic, the line-shaped companion to text_gopher_rules
     (operators/text.py:c4_filters)."""
     return X.c4_filters(T(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_ccnet_bucket",
+    oracle=r"""
+    WITH tk AS (
+      SELECT id, tok FROM (
+        SELECT doc_id AS id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ),
+    tf AS (SELECT id, tok, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+    cnt AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS total FROM tk),
+    q AS (
+      SELECT tok,
+             CAST(ROUND(log10(CAST(cnt AS DOUBLE) / total) * 1000000, 0) AS BIGINT)
+               AS qlog
+      FROM cnt CROSS JOIN tot
+    ),
+    lp AS (
+      SELECT tf.id,
+             CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+             ROUND(CAST(SUM(tf.tf * q.qlog) AS DOUBLE) /
+                   CAST(SUM(tf.tf) AS BIGINT) / 1000000.0, 4) AS mean_logprob
+      FROM tf JOIN q ON q.tok = tf.tok
+      GROUP BY tf.id
+    ),
+    ranked AS (
+      SELECT lp.id, d.lang, lp.n_tokens, lp.mean_logprob,
+             NTILE(3) OVER (PARTITION BY d.lang
+                            ORDER BY lp.mean_logprob DESC, lp.id) AS t
+      FROM lp JOIN documents d ON d.doc_id = lp.id
+    )
+    SELECT id, lang, n_tokens, mean_logprob,
+           CASE WHEN t = 1 THEN 'head' WHEN t = 2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM ranked
+    """,
+)
+def text_ccnet_bucket(spark, sf_dir):
+    """CCNet head/middle/tail triage: per-language LM-score thirds with a
+    doc-id tie-break so the NTILE boundary is engine-exact
+    (operators/text.py:ccnet_buckets)."""
+    return X.ccnet_buckets(
+        T(spark, sf_dir, "documents"), "doc_id", "text", "lang"
+    )
