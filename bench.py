@@ -133,6 +133,18 @@ EXTRA = [
     "sample_interleave_lang",
     "text_token_entropy",
     "text_bigram_logprob",
+    # round 8, second session
+    "pipeline_near_dedup",
+    "dedup_source_matrix",
+    "text_pmi_cooccurrence",
+    "text_c4_filters",
+    "events_rate_anomaly",
+    "vec_bq_hamming_topk",
+    "vec_bq_rescore_topk",
+    "b12_shim_window_filter",
+    "b12_shim_json_each",
+    "sample_cluster_split",
+    "text_ccnet_bucket",
 ]
 
 
