@@ -374,3 +374,25 @@ class TestJsonEachRewrite:
 
         with _pytest.raises(QueryRejected):
             _rewrite_json_each("SELECT key FROM json_each(j, p)")
+
+    def test_total_window_wraps_over_clause(self):
+        from trough_spark.dialect import sqlite_to_spark
+
+        out = sqlite_to_spark("SELECT total(a) OVER (ORDER BY id) FROM t")
+        assert "coalesce(sum(" in out and "OVER (ORDER BY id), 0e0d)" in out
+
+    def test_total_window_filter_case_wrapped(self):
+        from trough_spark.dialect import sqlite_to_spark
+
+        out = sqlite_to_spark(
+            "SELECT total(a) FILTER (WHERE b > 0) OVER "
+            "(ORDER BY id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) FROM t"
+        )
+        assert "CASE WHEN b > 0 THEN a END" in out
+        assert "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 0e0d)" in out
+
+    def test_total_scalar_mapping_unchanged(self):
+        from trough_spark.dialect import sqlite_to_spark
+
+        out = sqlite_to_spark("SELECT total(a) FROM t")
+        assert "coalesce(sum(CAST(a AS DOUBLE)), 0.0d)" in out

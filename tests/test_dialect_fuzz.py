@@ -123,9 +123,36 @@ def _pred(rng: random.Random, depth: int) -> str:
     return f"{_expr(rng, depth - 1)} {op} {_expr(rng, depth - 1)}"
 
 
+def _filter_grid() -> list[str]:
+    """Deterministic aggregate-FILTER grid: every fn x frame-start class x
+    a predicate, so the probed min/max sliding-start filter-ignore and the
+    CASE rewrite are exercised on EVERY campaign run (the random draws hit
+    them too rarely to rely on)."""
+    out = []
+    preds = ["b > 0", "a IS NULL", "id % 2 = 0"]
+    starts = ["UNBOUNDED PRECEDING", "2 PRECEDING"]
+    for i, fn in enumerate(["sum", "min", "max", "count", "avg", "total"]):
+        for j, start in enumerate(starts):
+            p = preds[(i + j) % len(preds)]
+            out.append(
+                f"SELECT id, {fn}(a) FILTER (WHERE {p}) "
+                f"OVER (ORDER BY id ROWS BETWEEN {start} AND CURRENT ROW) AS c0 "
+                f"FROM nums ORDER BY id"
+            )
+    out.append(
+        "SELECT id, count(*) FILTER (WHERE b > 0) OVER "
+        "(PARTITION BY (a IS NULL) ORDER BY id) AS c0 FROM nums ORDER BY id"
+    )
+    out.append(
+        "SELECT sum(a) FILTER (WHERE b > 0) AS c0, "
+        "count(*) FILTER (WHERE a IS NULL) AS c1 FROM nums"
+    )
+    return out
+
+
 def _queries() -> list[str]:
     rng = random.Random(SEED)
-    out = []
+    out = _filter_grid()
     for _ in range(N_QUERIES):
         shape = rng.random()
         if shape < 0.15:
@@ -194,6 +221,12 @@ def _queries() -> list[str]:
                 fn = f"{rng.choice(['sum', 'min', 'max', 'count'])}({inner})"
                 start = rng.choice(["UNBOUNDED PRECEDING", f"{rng.randint(1, 3)} PRECEDING"])
                 over = f"ORDER BY id ROWS BETWEEN {start} AND CURRENT ROW"
+                if rng.random() < 0.5:
+                    # aggregate FILTER clause: exercises the CASE rewrite
+                    # (unbounded starts) AND the probed min/max
+                    # sliding-start filter-ignore bug-compat drop — the
+                    # differential against live SQLite decides both
+                    fn += f" FILTER (WHERE {_pred(rng, 1)})"
             part = "PARTITION BY (b > 0) " if rng.random() < 0.3 else ""
             out.append(f"SELECT id, {fn} OVER ({part}{over}) AS c0 FROM nums ORDER BY id")
             continue

@@ -254,6 +254,12 @@ QUERIES = [
     "FROM items i, json_each('[' || i.id || ', \"tag\"]') je "
     "ORDER BY i.id, je.fullkey",
     "SELECT count(*) AS n FROM items i, json_each('[1, 2, 3]')",
+    # total() as a window function (wholesale rewrite — the scalar mapping
+    # would strand the OVER clause), with and without FILTER
+    "SELECT id, total(qty) OVER (ORDER BY id) AS t FROM items ORDER BY id",
+    "SELECT id, total(qty) FILTER (WHERE price > 2) OVER "
+    "(ORDER BY id ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS t "
+    "FROM items ORDER BY id",
 ]
 
 DDL = (

@@ -1606,6 +1606,56 @@ def _rewrite_window_filter(sql: str) -> str:
                     i += 1
                     continue
                 k = _next_sig(close_idx)
+                if t.text.upper() == "TOTAL":
+                    # total() as a WINDOW function needs wholesale handling:
+                    # the scalar mapping (coalesce(sum(..), 0.0)) would
+                    # strand the OVER clause on the coalesce.  Rewrite
+                    # total(x) [FILTER (WHERE c)] OVER w →
+                    # coalesce(sum(CAST([CASE] AS DOUBLE)) OVER w, 0.0d) —
+                    # total respects its filter at every frame start
+                    # (probed; only min/max have the sliding-start ignore).
+                    inner = render(args[0]).strip() if args else "NULL"
+                    after = k
+                    if (
+                        after is not None
+                        and tokens[after].kind == "word"
+                        and tokens[after].text.upper() == "FILTER"
+                    ):
+                        fop = _next_sig(after)
+                        if fop is not None and tokens[fop].text == "(":
+                            fargs, fclose2 = _find_call_args(tokens, fop)
+                            cond_txt = render(fargs[0]).strip() if fargs else ""
+                            if cond_txt.upper().startswith("WHERE"):
+                                inner = (
+                                    f"CASE WHEN {cond_txt[5:].strip()} "
+                                    f"THEN {inner} END"
+                                )
+                                after = _next_sig(fclose2)
+                    if (
+                        after is not None
+                        and tokens[after].kind == "word"
+                        and tokens[after].text.upper() == "OVER"
+                    ):
+                        wtok = _next_sig(after)
+                        if wtok is not None and tokens[wtok].text == "(":
+                            _wargs, wclose = _find_call_args(tokens, wtok)
+                            wdef = render(tokens[wtok : wclose + 1])
+                        elif wtok is not None and tokens[wtok].kind == "word":
+                            wdef = tokens[wtok].text
+                            wclose = wtok
+                        else:
+                            out.append(t.text)
+                            i += 1
+                            continue
+                        # 0e0, not 0.0d: this pass's output is re-tokenized
+                        # by the later passes and the d-suffix literal does
+                        # not survive the round-trip
+                        out.append(
+                            f"coalesce(sum(CAST({inner} AS DOUBLE)) "
+                            f"OVER {wdef}, 0e0)"
+                        )
+                        i = wclose + 1
+                        continue
                 if (
                     k is not None
                     and tokens[k].kind == "word"
