@@ -260,6 +260,17 @@ QUERIES = [
     "SELECT id, total(qty) FILTER (WHERE price > 2) OVER "
     "(ORDER BY id ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS t "
     "FROM items ORDER BY id",
+    # round-8: RIGHT / FULL OUTER JOIN (SQLite 3.39+, present in this
+    # stdlib build; Spark native) — self-joins with non-matching sides
+    "SELECT x.id AS xi, y.id AS yi FROM "
+    "(SELECT id FROM items WHERE id <= 4) x RIGHT JOIN "
+    "(SELECT id FROM items WHERE id >= 3) y ON x.id = y.id ORDER BY y.id",
+    "SELECT x.id AS xi, y.id AS yi, x.nm AS xn FROM "
+    "(SELECT id, name AS nm FROM items WHERE id <= 3) x FULL OUTER JOIN "
+    "(SELECT id FROM items WHERE id >= 5) y ON x.id = y.id",
+    "SELECT count(*) AS n, count(x.id) AS nx FROM "
+    "(SELECT id FROM items WHERE qty = 10) x "
+    "FULL JOIN items y ON x.id = y.id",
 ]
 
 DDL = (
