@@ -23,63 +23,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver samples a prefix of the registry when it can't run everything,
 # so order queries by how much a fresh correctness row is worth: first the
-# 30 queries whose latest driver evidence is round 5 (VERDICT r7 item 3),
-# then the round-6-evidence block, then the round-7-green prefix
-# (freshest evidence, lowest priority).
+# round-9 additions (no evidence yet) and the queries whose SEMANTICS the
+# round-9 dialect work touched (group_concat NULL-over-empty guard,
+# json_each container/relative-path extraction, grouped FILTER folding,
+# string-literal respelling — all need fresh rows), then the block whose
+# latest driver evidence is round 6 (oldest), then round-7, then the
+# round-8-green prefix (freshest evidence, lowest priority).
 _SAMPLE_PRIORITY = [
-    # --- new in round 8: no driver evidence yet ---
-    "events_rate_anomaly",
-    "text_ccnet_bucket",
-    "sample_cluster_split",
+    # --- new in round 9: no driver evidence yet ---
+    "sample_repeat_upsample",
+    "dedup_cross_decontaminate",
+    "b12_shim_literal_escape",
+    "text_bpe_train",
+    # --- round-9 dialect changes touch these code paths: re-evidence ---
     "b12_shim_json_each",
     "b12_shim_window_filter",
-    "vec_bq_rescore_topk",
-    "vec_bq_hamming_topk",
-    "pipeline_near_dedup",
-    "dedup_source_matrix",
-    "text_pmi_cooccurrence",
-    "text_c4_filters",
-    "text_hybrid_rrf",
-    "dedup_containment",
-    "pipeline_url_dedup",
-    "text_gopher_rules",
-    "text_ngram_novelty",
-    "sample_interleave_lang",
-    "text_token_entropy",
-    "text_bigram_logprob",
-    # --- latest evidence: round 5 (oldest -> highest priority) ---
-    "pack_sequences",
-    "sample_mix_rebalance",
-    "text_token_count",
-    "text_quality_features",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_tfidf_top_terms",
-    "text_top_terms",
-    "text_bpe_token_count",
-    "text_boilerplate_ratio",
-    "text_contamination",
-    "text_unigram_logprob",
-    "text_repetition_ratio",
-    "text_source_rollup",
-    "text_pii_scrub",
-    "text_chunk_windows",
-    "text_bm25_search",
-    "text_surt_canonicalize",
-    "text_outlier_mad",
-    "text_quality_ntile",
-    "text_hashed_ann_topk",
-    "pipeline_curation",
-    "b3_projection_expressions",
-    "b4_filter_predicates",
-    "b5_join_outer_semi_anti",
-    "b6_agg_pricing_summary",
     "b6_group_concat_distinct",
-    "vec_pq_adc_topk",
-    "vec_ivfpq_search",
-    "sketch_source_overlap",
-    # --- latest evidence: round 6 ---
-    "dedup_minhash_verify",
+    "b12_scalar_functions",
+    "b12_dialect_shim_roundtrip2",
+    "b12_dialect_shim_roundtrip",
+    # --- latest evidence: round 6 (oldest -> highest priority) ---
     "dedup_chunk_rewrite",
     "multimodal_frame_sample",
     "stream_session_window_native",
@@ -98,7 +61,6 @@ _SAMPLE_PRIORITY = [
     "b9_order_limit_offset",
     "b10_set_ops",
     "b11_subqueries_cte",
-    "b12_scalar_functions",
     "b12_datetime_functions",
     "b12_json_functions",
     "b5_theta_cross_join",
@@ -128,8 +90,7 @@ _SAMPLE_PRIORITY = [
     "vec_pq_recall",
     "events_attribution_touch",
     "stream_dedup_ids",
-    "b12_dialect_shim_roundtrip2",
-    # --- latest evidence: round 7 (freshest, lowest priority) ---
+    # --- latest evidence: round 7 ---
     "sample_temperature_lang",
     "sample_dsir_weights",
     "sample_weighted_es",
@@ -145,7 +106,6 @@ _SAMPLE_PRIORITY = [
     "a12_fanout_regex",
     "a12_cross_segment_global",
     "asof_join_last_signup",
-    "b12_dialect_shim_roundtrip",
     "events_multigrain_rollup",
     "interval_join_sessions",
     "sim_incremental_ann",
@@ -180,6 +140,54 @@ _SAMPLE_PRIORITY = [
     "multimodal_resize",
     "sample_hash_split",
     "sample_stratified",
+    # --- latest evidence: round 8 (freshest, lowest priority) ---
+    "events_rate_anomaly",
+    "text_ccnet_bucket",
+    "sample_cluster_split",
+    "vec_bq_rescore_topk",
+    "vec_bq_hamming_topk",
+    "pipeline_near_dedup",
+    "dedup_source_matrix",
+    "text_pmi_cooccurrence",
+    "text_c4_filters",
+    "text_hybrid_rrf",
+    "dedup_containment",
+    "pipeline_url_dedup",
+    "text_gopher_rules",
+    "text_ngram_novelty",
+    "sample_interleave_lang",
+    "text_token_entropy",
+    "text_bigram_logprob",
+    "pack_sequences",
+    "sample_mix_rebalance",
+    "text_token_count",
+    "text_quality_features",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_tfidf_top_terms",
+    "text_top_terms",
+    "text_bpe_token_count",
+    "text_boilerplate_ratio",
+    "text_contamination",
+    "text_unigram_logprob",
+    "text_repetition_ratio",
+    "text_source_rollup",
+    "text_pii_scrub",
+    "text_chunk_windows",
+    "text_bm25_search",
+    "text_surt_canonicalize",
+    "text_outlier_mad",
+    "text_quality_ntile",
+    "text_hashed_ann_topk",
+    "pipeline_curation",
+    "b3_projection_expressions",
+    "b4_filter_predicates",
+    "b5_join_outer_semi_anti",
+    "b6_agg_pricing_summary",
+    "vec_pq_adc_topk",
+    "vec_ivfpq_search",
+    "sketch_source_overlap",
+    "dedup_minhash_verify",
 ]
 
 

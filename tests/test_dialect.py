@@ -109,7 +109,12 @@ def test_double_quoted_identifiers():
 
 def test_nested_function_rewrites():
     out = dialect.sqlite_to_spark("SELECT ifnull(group_concat(a), printf('%d', 0)) FROM t")
-    assert "coalesce(concat_ws(',', collect_list(a)), format_string('%d', 0))" in out
+    # round 9: group_concat gained the count-guard (NULL over zero non-NULL
+    # values, like SQLite) — the concat_ws stays inside it
+    assert (
+        "coalesce(CASE WHEN count(a) = 0 THEN NULL "
+        "ELSE concat_ws(',', collect_list(a)) END, format_string('%d', 0))" in out
+    )
 
 
 def test_identity_args_do_not_block_outer_rewrites():
@@ -314,7 +319,37 @@ class TestWindowFilterRewrite:
         out = _rewrite_window_filter(
             "SELECT group_concat(b, ';') FILTER (WHERE a > 0) OVER (ORDER BY a) FROM t"
         )
-        assert "group_concat(CASE WHEN a > 0 THEN b END, ';')" in out
+        # round 9: the window form is handled wholesale here (the scalar
+        # mapping would strand OVER on concat_ws), with the count guard
+        # reproducing SQLite's NULL over a no-non-NULL-value frame
+        assert (
+            "concat_ws(';', collect_list(CASE WHEN a > 0 THEN b END) "
+            "OVER (ORDER BY a))" in out
+        )
+        assert "CASE WHEN count(CASE WHEN a > 0 THEN b END) OVER (ORDER BY a) = 0" in out
+
+    def test_grouped_filter_on_wrapped_aggregates_folds(self):
+        """ADVICE r8: grouped (non-window) FILTER on total / group_concat /
+        string_agg must fold to the CASE form here — left alone, the later
+        function rewrite would strand FILTER on a non-aggregate wrapper."""
+        from trough_spark.dialect import _rewrite_window_filter, sqlite_to_spark
+
+        out = _rewrite_window_filter(
+            "SELECT total(v) FILTER (WHERE v > 1) FROM t GROUP BY g"
+        )
+        assert "total(CASE WHEN v > 1 THEN v END)" in out
+        assert "FILTER" not in out.upper()
+        out = _rewrite_window_filter(
+            "SELECT group_concat(v, '|') FILTER (WHERE v < 3) FROM t"
+        )
+        assert "group_concat(CASE WHEN v < 3 THEN v END, '|')" in out
+        # end to end: the folded call then rewrites cleanly
+        full = sqlite_to_spark("SELECT total(v) FILTER (WHERE v > 1) AS t1 FROM t")
+        assert "FILTER" not in full.upper()
+        assert "coalesce(sum(CAST(CASE WHEN v > 1 THEN v END AS DOUBLE)), 0.0d)" in full
+        # plain aggregates keep Spark's native grouped-FILTER path
+        native = _rewrite_window_filter("SELECT sum(v) FILTER (WHERE v > 1) FROM t")
+        assert "FILTER" in native.upper()
 
 
 class TestJsonEachRewrite:

@@ -340,6 +340,84 @@ def _strftime_queries() -> list[str]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# backslash-literal + LIKE/ESCAPE fuzzing (round 9): SQLite string literals
+# have NO escape character and its LIKE ESCAPE char may precede ANY
+# character; the shim respells literals for Spark's parser and re-encodes
+# literal ESCAPE patterns — every generated case runs against live SQLite
+# ---------------------------------------------------------------------------
+_LIT_ALPHA = list("ab\\%_Xq'")
+
+
+def _rand_lit(rng: random.Random, lo: int = 0, hi: int = 6) -> str:
+    return "".join(rng.choice(_LIT_ALPHA) for _ in range(rng.randint(lo, hi)))
+
+
+def _enc_lit(s: str) -> str:
+    """SQLite spelling: quotes doubled, backslashes raw."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _dangling_escape(pat: str, esc: str) -> bool:
+    i = 0
+    while i < len(pat):
+        if pat[i] == esc:
+            if i + 1 >= len(pat):
+                return True
+            i += 2
+        else:
+            i += 1
+    return False
+
+
+def _literal_queries() -> list[str]:
+    rng = random.Random(SEED + 3)
+    out = []
+    for _ in range(N_QUERIES):
+        kind = rng.randrange(5)
+        if kind == 0:
+            s = _enc_lit(_rand_lit(rng))
+            out.append(f"SELECT {s} AS v, length({s}) AS n")
+        elif kind == 1:
+            s, p = _enc_lit(_rand_lit(rng)), _enc_lit(_rand_lit(rng))
+            out.append(f"SELECT CASE WHEN {s} LIKE {p} THEN 1 ELSE 0 END AS v")
+        elif kind == 2:
+            esc = rng.choice(["\\", "X"])
+            while True:
+                pat = _rand_lit(rng)
+                if not _dangling_escape(pat, esc):
+                    break
+            s = _enc_lit(_rand_lit(rng))
+            out.append(
+                f"SELECT CASE WHEN {s} LIKE {_enc_lit(pat)} "
+                f"ESCAPE {_enc_lit(esc)} THEN 1 ELSE 0 END AS v"
+            )
+        elif kind == 3:
+            a = _enc_lit(_rand_lit(rng))
+            b = _enc_lit(_rand_lit(rng, 1, 3))
+            c = _enc_lit(_rand_lit(rng))
+            out.append(f"SELECT replace({a}, {b}, {c}) AS v")
+        else:
+            gl = "".join(
+                rng.choice(list("ab\\*?q")) for _ in range(rng.randint(0, 6))
+            )
+            s = _enc_lit(_rand_lit(rng))
+            out.append(
+                f"SELECT CASE WHEN {s} GLOB {_enc_lit(gl)} THEN 1 ELSE 0 END AS v"
+            )
+    return out
+
+
+@pytest.mark.parametrize("sql", _literal_queries())
+def test_fuzzed_backslash_literals_match_sqlite(engines, sql):
+    conn, store = engines
+    expected = [tuple(row) for row in conn.execute(sql).fetchall()]
+    got = store.read("fuzzseg", sql)
+    keys = ["v"] if len(expected[0]) == 1 else ["v", "n"]
+    got_rows = [tuple(r[k] for k in keys) for r in got]
+    assert got_rows == expected, f"\nsql: {sql!r}\nsqlite: {expected}\nengine: {got_rows}"
+
+
 @pytest.mark.parametrize("sql", _strftime_queries())
 def test_fuzzed_strftime_matches_sqlite(engines, sql):
     conn, store = engines

@@ -326,3 +326,49 @@ def test_train_order_window_is_keys_first(spark):
     keyed = train_order(docs.select("doc_id"), "doc_id", n_shards=4, salt="e0")
     for r in keyed.collect():
         assert rows[r["doc_id"]][:2] == (r["shard"], r["pos"])
+
+
+def test_repeat_upsample_is_map_only(spark):
+    """repeat_upsample must stay shuffle-free: floor/coin/explode are all
+    per-row — the materialized training list is corpus x weight rows with
+    no exchange anywhere (round 9)."""
+    df = spark.range(500).select(
+        F.col("id"), (F.lit(1.0) + (F.col("id") % 4) * F.lit(0.5)).alias("w")
+    )
+    out = SA.repeat_upsample(df, "id", F.col("w"))
+    assert _exchanges(out) == 0
+    rows = out.groupBy("id").count().collect()
+    by_id = {r["id"]: r["count"] for r in rows}
+    # floor(w) <= copies <= ceil(w), and integral weights are exact
+    for i, n in by_id.items():
+        w = 1.0 + (i % 4) * 0.5
+        assert int(w) <= n <= -(-int(w * 2) // 2), (i, w, n)
+        if w == int(w):
+            assert n == int(w)
+
+
+def test_cross_decontaminate_broadcasts_reference(spark):
+    """cross_corpus_near_dup with the default broadcast flag must plan a
+    BroadcastHashJoin for the band join (the 100 TB corpus side never
+    shuffles for candidate generation) and agree with the self-join LSH
+    pair list restricted to cross pairs (round 9)."""
+    from trough_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} x{i % 5} y{i % 3} common tail tokens here", ) for i in range(40)],
+        "id int, text string",
+    )
+    sig = D.minhash_signature_vector(docs, "id", "text", num_perm=8, n=3)
+    corpus, ref = sig.filter("id >= 10"), sig.filter("id < 10")
+    out = D.cross_corpus_near_dup(corpus, ref)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    got = {r["id"] for r in out.filter("is_hit = 1").collect()}
+    pairs = D.minhash_lsh_candidates_wide(sig, num_perm=8, rows_per_band=2)
+    expected = {
+        r["hi"]
+        for r in pairs.selectExpr(
+            "greatest(id1, id2) AS hi", "least(id1, id2) AS lo"
+        ).filter("lo < 10 AND hi >= 10").collect()
+    }
+    assert got == expected

@@ -558,3 +558,37 @@ def test_near_dedup_keep_best_scales_linearly(spark):
     assert (r1, r4, r16) == (r1, 4 * r1, 16 * r1)
     assert r1 // 2 <= k1 <= r1 and k4 <= r4 and k16 <= r16
     assert t16 <= max(t1, 0.5) * 16 * 2.5, (t1, t16)
+
+
+def test_cross_decontaminate_scales_linearly(spark):
+    """12th measured family (round 9): cross-corpus near-dup subtraction.
+    The reference side is FIXED (benchmark-sized, broadcast) while the
+    corpus side blows up 1x/4x/16x — wall time must track the corpus scan
+    ~linearly because the band join never shuffles the corpus (broadcast
+    hash join) and the only data-sized exchange is (id, ref_id) collision
+    pairs."""
+    from trough_spark.operators.dedup import cross_corpus_near_dup
+
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents").select("doc_id", "text")
+    docs.count()
+    spark.range(0, 64, 1, 32).mapInPandas(lambda it: it, "id long").count()
+    ref_sig = minhash_signature_vector(
+        docs.filter(F.col("doc_id") < 500), "doc_id", "text", num_perm=8, n=3
+    ).localCheckpoint()
+
+    def run(k: int) -> tuple[float, int]:
+        corpus = _blowup(docs.filter(F.col("doc_id") >= 500), k)
+        sig = minhash_signature_vector(corpus, "doc_id", "text", num_perm=8, n=3)
+        out = cross_corpus_near_dup(sig, ref_sig)
+        t0 = time.perf_counter()
+        n = out.count()
+        return time.perf_counter() - t0, n
+
+    run(1)  # codegen warm-up
+    t1, n1 = run(1)
+    t4, n4 = run(4)
+    t16, n16 = run(16)
+    print(f"\ncross-decon: 1x {t1:.2f}s/{n1} rows, 4x {t4:.2f}s/{n4}, 16x {t16:.2f}s/{n16}")
+    print(f"ratios: 4x/1x = {t4 / t1:.2f} (ideal 4), 16x/1x = {t16 / t1:.2f} (ideal 16)")
+    assert n4 == 4 * n1 and n16 == 16 * n1  # one output row per corpus doc
+    assert t16 <= max(t1, 0.5) * 16 * 2.5, (t1, t16)

@@ -271,6 +271,61 @@ QUERIES = [
     "SELECT count(*) AS n, count(x.id) AS nx FROM "
     "(SELECT id FROM items WHERE qty = 10) x "
     "FULL JOIN items y ON x.id = y.id",
+    # round-9: string-literal respelling — SQLite literals have NO escape
+    # character (backslash is an ordinary byte), Spark's parser processes
+    # C-style escapes; _escape_string_literals doubles them so the VALUES
+    # agree
+    r"SELECT 'a\b' AS v, length('a\b') AS n",
+    r"SELECT replace('a\b\c', '\', '/') AS v",
+    r"SELECT count(*) AS n FROM items WHERE 'a\b' LIKE 'a\b'",
+    r"SELECT count(*) AS n FROM items WHERE 'ab' LIKE 'a\b'",
+    r"SELECT count(*) AS n FROM items WHERE 'a\b' GLOB 'a\b'",
+    r"SELECT count(*) AS n FROM items WHERE name REGEXP '\w+'",
+    # round-9: LIKE ... ESCAPE — SQLite's escape char may precede ANY
+    # character; the shim re-encodes literal patterns into Spark's
+    # narrower backslash-escape spelling and drops the clause
+    r"SELECT count(*) AS n FROM items WHERE 'ab' LIKE 'a\b' ESCAPE '\'",
+    "SELECT count(*) AS n FROM items WHERE 'a%b' LIKE 'aX%b' ESCAPE 'X'",
+    "SELECT count(*) AS n FROM items WHERE 'azb' LIKE 'aX%b' ESCAPE 'X'",
+    "SELECT count(*) AS n FROM items WHERE 'aXb' LIKE 'aXXb' ESCAPE 'X'",
+    "SELECT count(*) AS n FROM items WHERE 'a%b' LIKE 'aXb' ESCAPE 'X'",
+    # round-9 (ADVICE r8 medium): 2-arg json_each whose children are
+    # containers — value must be the subtree text, re-extracted relative
+    # to the iteration root, not the full document
+    "SELECT CAST(key AS TEXT) AS k, CAST(value AS TEXT) AS v, type, "
+    "CAST(atom AS TEXT) AS a, fullkey, path "
+    "FROM json_each('{\"a\": [[1,2],{\"b\":[3]},\"s\"]}', '$.a') "
+    "ORDER BY fullkey",
+    # round-9 (ADVICE r8 low): non-identifier object keys — fullkey gets
+    # SQLite's quoted-segment rendering and container values still extract
+    "SELECT CAST(key AS TEXT) AS k, CAST(value AS TEXT) AS v, fullkey "
+    "FROM json_each('{\"a b\": {\"c d\":[1,2]}, \"x.y\": [5], "
+    "\"Cap9\": 1, \"_u\": 2, \"\": 9}') ORDER BY k",
+    "SELECT CAST(value AS TEXT) AS v, fullkey "
+    "FROM json_each('{\"q\\\"t\": [1]}') ORDER BY fullkey",
+    # round-9 (ADVICE r8 low): grouped (non-window) FILTER on aggregates
+    # whose rewrites wrap the call — total / group_concat fold to CASE;
+    # zero-match group_concat is NULL, zero-match total is 0.0
+    "SELECT total(price) FILTER (WHERE qty = 10) AS t, "
+    "group_concat(id, '|') FILTER (WHERE price < 3) AS gc FROM items",
+    "SELECT total(price) FILTER (WHERE qty = 99) AS t, "
+    "group_concat(id) FILTER (WHERE qty = 99) AS gc FROM items",
+    "SELECT qty, group_concat(name, '/') FILTER (WHERE price > 2) AS gc "
+    "FROM items GROUP BY qty ORDER BY qty NULLS FIRST",
+    # round-9: group_concat over zero non-NULL values is NULL, not ''
+    "SELECT group_concat(name) AS gc FROM items WHERE name IS NULL",
+    # round-9: group_concat as a WINDOW function (wholesale rewrite — the
+    # scalar mapping would strand OVER on concat_ws), incl. a frame whose
+    # prefix holds no non-NULL value (→ NULL) and a windowed FILTER
+    "SELECT id, group_concat(name, '|') OVER (ORDER BY id) AS gc "
+    "FROM items ORDER BY id",
+    "SELECT id, group_concat(name, '+') OVER "
+    "(ORDER BY (name IS NOT NULL), id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gc "
+    "FROM items ORDER BY id",
+    "SELECT id, group_concat(name, '+') FILTER (WHERE price > 2) OVER "
+    "(ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gc "
+    "FROM items ORDER BY id",
 ]
 
 DDL = (

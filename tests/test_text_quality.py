@@ -291,3 +291,23 @@ def test_pmi_over_represented_pair_ranks_first(spark):
     ).collect()
     assert (rows[0]["t1"], rows[0]["t2"]) == ("new", "york")
     assert rows[0]["lift_ppm"] == 4_000_000
+
+
+def test_bpe_train_merges_semantics(spark):
+    """Handcrafted corpus pinning the BPE rules: pair counts weight by word
+    frequency, merges apply left-to-right non-overlapping ('aaaa' yields
+    two 'aa' symbols, not three pairs), later rounds count MERGED symbols,
+    and ties break (count DESC, left ASC, right ASC) — round 9."""
+    from trough_spark.operators.text import bpe_train_merges
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa ab"), (2, "aaaa ab ab")],
+        "doc_id int, text string",
+    )
+    out = bpe_train_merges(docs, "doc_id", "text", n_merges=2)
+    rows = [tuple(r) for r in out.orderBy("merge_rank").collect()]
+    # 'aaaa' x3 contributes 3 adjacent (a,a) pairs each = 9; (a,b) = 3.
+    assert rows[0] == (1, "a", "a", "aa", 9)
+    # after the merge each 'aaaa' is [aa, aa] -> (aa,aa) x3 = 3; (a,b) x3 = 3;
+    # tie at 3 breaks lexicographically: 'a','b' < 'aa','aa'
+    assert rows[1] == (2, "a", "b", "ab", 3)

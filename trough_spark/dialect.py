@@ -110,6 +110,29 @@ def render(tokens: list[Token]) -> str:
     return "".join(t.text for t in tokens)
 
 
+def _escape_string_literals(sql: str) -> str:
+    """Respell user string literals from SQLite to Spark.
+
+    SQLite string literals have NO escape character (a backslash is an
+    ordinary byte; only '' doubles a quote); Spark's default parser
+    processes C-style backslash escapes, so ``'a\\b'`` silently means
+    ``a<backspace>`` there.  Double every backslash inside each string
+    token so the Spark-parsed VALUE equals the SQLite value.  This pass
+    runs FIRST, before any rewrite injects shim-generated literals (which
+    intentionally use Spark spelling and must not be re-escaped); later
+    passes that parse literal CONTENT (the GLOB pattern decode, the
+    LIKE-pattern fixup) therefore read Spark spelling and decode
+    accordingly.
+    """
+    if "\\" not in sql:
+        return sql
+    tokens = tokenize(sql)
+    for t in tokens:
+        if t.kind == "string" and "\\" in t.text:
+            t.text = t.text.replace("\\", "\\\\")
+    return render(tokens)
+
+
 def _significant(tokens: list[Token]):
     """Indices of non-space/comment tokens."""
     return [i for i, t in enumerate(tokens) if t.kind not in ("space", "comment")]
@@ -588,8 +611,14 @@ def _null_strict_extreme(fn: str, args: list[str]) -> str:
 
 _FN_REWRITES: dict[str, object] = {
     **SQL_EXPANSIONS,
+    # count(x) = 0 guard: SQLite group_concat over zero non-NULL values is
+    # NULL, concat_ws alone would say '' (probed; '' is reachable only via
+    # genuinely-empty-string inputs, so nullif would be wrong).  count
+    # composes with a leading DISTINCT in a[0] unchanged.
     "group_concat": lambda a: (
-        f"concat_ws({a[1] if len(a) > 1 else chr(39) + ',' + chr(39)}, collect_list({a[0]}))"
+        f"CASE WHEN count({a[0]}) = 0 THEN NULL ELSE concat_ws("
+        f"{a[1] if len(a) > 1 else chr(39) + ',' + chr(39)}, "
+        f"collect_list({a[0]})) END"
     ),
     "total": lambda a: f"coalesce(sum(CAST({a[0]} AS DOUBLE)), 0.0d)",
     "printf": lambda a: f"format_string({', '.join(a)})",
@@ -660,8 +689,12 @@ _FN_REWRITES: dict[str, object] = {
     # concat skips NULLs (returns '' when all args are NULL) — concat_ws('')
     # has exactly those semantics; Spark's own concat would return NULL.
     "concat": lambda a: f"concat_ws('', {', '.join(a)})",
-    # string_agg(x, sep) is the 3.44 alias for 2-arg group_concat
-    "string_agg": lambda a: f"concat_ws({a[1]}, collect_list({a[0]}))",
+    # string_agg(x, sep) is the 3.44 alias for 2-arg group_concat (same
+    # NULL-over-zero-non-NULL-values guard as group_concat above)
+    "string_agg": lambda a: (
+        f"CASE WHEN count({a[0]}) = 0 THEN NULL "
+        f"ELSE concat_ws({a[1]}, collect_list({a[0]})) END"
+    ),
     "unixepoch": lambda a: (
         "unix_seconds(current_timestamp())"
         if not a or (len(a) == 1 and a[0].strip().lower() == "'now'")
@@ -915,7 +948,7 @@ def _rewrite_limit_comma(tokens: list[Token]) -> None:
             tokens[sig[p]].kind, tokens[sig[p]].text = "comment", ""
 
 
-_AGG_WORDS = {"COUNT", "SUM", "AVG", "TOTAL", "GROUP_CONCAT", "MIN", "MAX"}
+_AGG_WORDS = {"COUNT", "SUM", "AVG", "TOTAL", "GROUP_CONCAT", "STRING_AGG", "MIN", "MAX"}
 _SELECT_END_WORDS = {"UNION", "INTERSECT", "EXCEPT"}
 _GROUPBY_END_WORDS = {"HAVING", "ORDER", "LIMIT", "WINDOW", "OFFSET"}
 
@@ -1295,6 +1328,88 @@ def _rewrite_operators(sql: str) -> str:
                 return True
 
             if up == "LIKE" and not _is_call(i):
+                # SQLite LIKE has NO default escape character (backslash is
+                # an ordinary char unless an explicit ESCAPE clause names
+                # one); Spark's LIKE defaults to backslash-escape.  For a
+                # LITERAL pattern with no ESCAPE clause, double the
+                # backslashes at VALUE level (text level: the literal pass
+                # already doubled once for the parser, so 2 chars -> 4) so
+                # Spark matches them literally like SQLite does.  KNOWN
+                # DIVERGENCE (documented): a NON-literal pattern expression
+                # containing backslashes keeps Spark's escape reading.
+                n = sigset.get(i)
+                if n is not None and n + 1 < len(sig):
+                    pat_tok = tokens[sig[n + 1]]
+                    nxt_is_escape = (
+                        n + 2 < len(sig)
+                        and tokens[sig[n + 2]].kind == "word"
+                        and tokens[sig[n + 2]].text.upper() == "ESCAPE"
+                    )
+                    if (
+                        pat_tok.kind == "string"
+                        and not nxt_is_escape
+                        and "\\" in pat_tok.text
+                    ):
+                        pat_tok.text = pat_tok.text.replace("\\\\", "\\\\\\\\")
+                    elif pat_tok.kind == "string" and nxt_is_escape:
+                        # SQLite's ESCAPE char may precede ANY character
+                        # (the char is taken literally); Spark only allows
+                        # its escape before % _ or the escape itself.  For
+                        # the literal-pattern + literal-escape form (the
+                        # only statically decidable one), re-encode the
+                        # pattern into Spark's canonical backslash-escape
+                        # spelling and DROP the ESCAPE clause.  A pattern
+                        # ending in a dangling escape matches nothing in
+                        # SQLite (probed) and no Spark pattern spells
+                        # "never matches" — rejected loudly.  Non-literal
+                        # pattern/escape expressions pass through with
+                        # Spark's narrower escape rule (documented).
+                        esc_tok = (
+                            tokens[sig[n + 3]] if n + 3 < len(sig) else None
+                        )
+                        if esc_tok is not None and esc_tok.kind == "string":
+                            decode = lambda s: (
+                                s[1:-1].replace("''", "'").replace("\\\\", "\\")
+                            )
+                            pat_val = decode(pat_tok.text)
+                            esc_val = decode(esc_tok.text)
+                            if len(esc_val) == 1:
+                                parts: list[str] = []
+                                ci = 0
+                                while ci < len(pat_val):
+                                    ch = pat_val[ci]
+                                    if ch == esc_val:
+                                        if ci + 1 >= len(pat_val):
+                                            raise QueryRejected(
+                                                "LIKE pattern ends in a "
+                                                "dangling ESCAPE character "
+                                                "(matches nothing in SQLite; "
+                                                "no Spark pattern spells that)"
+                                            )
+                                        lit = pat_val[ci + 1]
+                                        parts.append(
+                                            "\\" + lit if lit in "%_\\" else lit
+                                        )
+                                        ci += 2
+                                        continue
+                                    if ch == "\\":
+                                        parts.append("\\\\")
+                                    else:
+                                        parts.append(ch)
+                                    ci += 1
+                                new_val = "".join(parts)
+                                pat_tok.text = (
+                                    "'"
+                                    + new_val.replace("\\", "\\\\").replace(
+                                        "'", "''"
+                                    )
+                                    + "'"
+                                )
+                                # swallow the ESCAPE clause
+                                tokens[sig[n + 2]].kind = "space"
+                                tokens[sig[n + 2]].text = " "
+                                esc_tok.kind = "space"
+                                esc_tok.text = " "
                 out.append(Token("word", "LIKE" if case_sensitive_like else "ILIKE"))
                 continue
             if up == "REGEXP" and not _is_call(i):
@@ -1306,7 +1421,15 @@ def _rewrite_operators(sql: str) -> str:
                 if n is not None and n + 1 < len(sig):
                     pat_tok = tokens[sig[n + 1]]
                     if pat_tok.kind == "string":
-                        pat = pat_tok.text[1:-1].replace("''", "'")
+                        # _escape_string_literals already respelled the
+                        # literal for Spark (backslashes doubled); decode
+                        # both that and the '' quote doubling to recover
+                        # the SQLite pattern VALUE before compiling it.
+                        pat = (
+                            pat_tok.text[1:-1]
+                            .replace("''", "'")
+                            .replace("\\\\", "\\")
+                        )
                         regex = glob_to_regex(pat).replace("'", "''").replace("\\", "\\\\")
                         pat_tok.kind = "string"
                         pat_tok.text = f"'{regex}'"
@@ -1382,8 +1505,9 @@ def _json_each_subquery(e: str, pfx: str) -> str:
     Column contract probed live (SQLite 3.40): key (array index / object
     key / NULL for a scalar root), value (dynamic in SQLite — TEXT here,
     the documented json-family divergence; booleans '1'/'0', nested
-    containers re-extracted from the ORIGINAL text via get_json_object so
-    insertion order survives where the variant encoding would sort keys),
+    containers re-extracted from the iteration-root TEXT ``e`` via
+    get_json_object with a root-relative bracket path so insertion order
+    survives where the variant encoding would sort keys),
     type ('integer' 'real' 'text' 'true' 'false' 'null' 'object' 'array'),
     atom (value for scalars, NULL for containers), id (opaque ordinal —
     SQLite documents its ids as meaningless implementation detail), parent
@@ -1401,18 +1525,55 @@ def _json_each_subquery(e: str, pfx: str) -> str:
         f"(left({sv}, 5) = 'ARRAY' OR left({sv}, 6) = 'OBJECT' "
         f"OR left({sv}, 6) = 'STRUCT' OR left({sv}, 3) = 'MAP')"
     )
+    # fullkey reproduces SQLite's path rendering (probed 3.40.1): an object
+    # key is appended bare only when it matches [A-Za-z][A-Za-z0-9]* (a
+    # leading underscore or any underscore/digit-first form IS quoted);
+    # otherwise it is double-quoted with JSON string escaping of the
+    # DECODED key (backslash, quote, \b \t \n \f \r, other control chars
+    # as \u00xx).  KNOWN DIVERGENCE (documented): live SQLite echoes the
+    # key's SOURCE spelling, so a key written 'é' in the document text
+    # stays escaped in SQLite's fullkey while the shim emits the decoded
+    # character; the two agree whenever the document spells keys raw.
+    key_ident = "v.key RLIKE '^[A-Za-z][A-Za-z0-9]*$'"
+    key_esc = (
+        "array_join(transform(filter(split(v.key, ''), _c -> _c != ''), "
+        "_c -> CASE WHEN _c = '\\\\' THEN '\\\\\\\\' "
+        "WHEN _c = '\"' THEN '\\\\\"' "
+        "WHEN ascii(_c) = 8 THEN '\\\\b' "
+        "WHEN ascii(_c) = 9 THEN '\\\\t' "
+        "WHEN ascii(_c) = 10 THEN '\\\\n' "
+        "WHEN ascii(_c) = 12 THEN '\\\\f' "
+        "WHEN ascii(_c) = 13 THEN '\\\\r' "
+        "WHEN ascii(_c) < 32 THEN "
+        "concat('\\\\u', lpad(lower(hex(ascii(_c))), 4, '0')) "
+        "ELSE _c END), '')"
+    )
     fullkey = (
         f"CASE WHEN NOT ({c}) THEN '{pfx}' "
         f"WHEN v.key IS NULL THEN '{pfx}[' || CAST(v.pos AS STRING) || ']' "
-        f"ELSE '{pfx}.' || v.key END"
+        f"WHEN {key_ident} THEN '{pfx}.' || v.key "
+        f"ELSE '{pfx}.\"' || {key_esc} || '\"' END"
     )
     scalar_text = (
         f"CASE WHEN {sv} = 'VOID' THEN NULL "
         f"WHEN {sv} = 'BOOLEAN' THEN IF(CAST(v.value AS BOOLEAN), '1', '0') "
         f"ELSE CAST(v.value AS STRING) END"
     )
+    # Container children re-extract from the ITERATION ROOT ``e`` with a
+    # path RELATIVE to it ($[pos] for array elements, $['key'] for object
+    # members) — never the full-document fullkey, which is rooted at the
+    # original expression and returns NULL against the 2-arg sub-document
+    # (ADVICE r8).  The bracket form survives keys Spark's dotted path
+    # can't express (spaces, dots, brackets); the one corner left NULL —
+    # documented loudly — is a key containing a single quote, which
+    # Spark's JSON-path grammar cannot spell (probed: $['q\'t'] → NULL).
+    relpath = (
+        "CASE WHEN v.key IS NULL "
+        "THEN concat('$[', CAST(v.pos AS STRING), ']') "
+        "ELSE concat('$[''', v.key, ''']') END"
+    )
     value = (
-        f"CASE WHEN {is_container} THEN get_json_object({e}, {fullkey}) "
+        f"CASE WHEN {is_container} THEN get_json_object({e}, {relpath}) "
         f"ELSE {scalar_text} END"
     )
     typ = (
@@ -1563,9 +1724,12 @@ def _rewrite_window_filter(sql: str) -> str:
     column to NULL out), ``group_concat(x, sep)`` wraps only the value
     argument, and a leading DISTINCT stays outside the CASE (NULL joins
     the distinct set but is then ignored, so the result is unchanged).
-    Only the window form is rewritten — a FILTER not followed by OVER is
-    left for Spark's native path.  Probed against live SQLite in
-    tests/test_sqlite_differential.py.
+    A FILTER not followed by OVER is left for Spark's native grouped
+    path, EXCEPT on total / group_concat / string_agg, whose function
+    rewrites wrap the aggregate call (coalesce(sum(..)) / concat_ws(..,
+    collect_list(..))) and would strand the FILTER on a non-aggregate
+    expression — those fold into the CASE form here too (ADVICE r8).
+    Probed against live SQLite in tests/test_sqlite_differential.py.
 
     BUG-COMPATIBILITY (probed live on SQLite 3.40.1, the reference's
     engine): MIN/MAX window aggregates apply the FILTER clause ONLY when
@@ -1606,14 +1770,22 @@ def _rewrite_window_filter(sql: str) -> str:
                     i += 1
                     continue
                 k = _next_sig(close_idx)
-                if t.text.upper() == "TOTAL":
-                    # total() as a WINDOW function needs wholesale handling:
-                    # the scalar mapping (coalesce(sum(..), 0.0)) would
-                    # strand the OVER clause on the coalesce.  Rewrite
+                if t.text.upper() in ("TOTAL", "GROUP_CONCAT", "STRING_AGG"):
+                    # These aggregates as WINDOW functions need wholesale
+                    # handling: their scalar mappings WRAP the call
+                    # (coalesce(sum(..), 0.0) / concat_ws(.., collect_list))
+                    # and would strand the OVER clause on the wrapper.
                     # total(x) [FILTER (WHERE c)] OVER w →
-                    # coalesce(sum(CAST([CASE] AS DOUBLE)) OVER w, 0.0d) —
-                    # total respects its filter at every frame start
-                    # (probed; only min/max have the sliding-start ignore).
+                    #   coalesce(sum(CAST([CASE] AS DOUBLE)) OVER w, 0e0);
+                    # group_concat(x[, sep]) [FILTER (WHERE c)] OVER w →
+                    #   CASE WHEN count([CASE]) OVER w = 0 THEN NULL
+                    #        ELSE concat_ws(sep, collect_list([CASE]) OVER w)
+                    #   END — the count guard reproduces SQLite's NULL over
+                    # a frame with no non-NULL value (probed: the first row
+                    # of an ORDER BY frame whose value is NULL gets NULL,
+                    # not '').  Both respect their filter at every frame
+                    # start (probed; only min/max have the sliding-start
+                    # ignore).
                     inner = render(args[0]).strip() if args else "NULL"
                     after = k
                     if (
@@ -1647,13 +1819,26 @@ def _rewrite_window_filter(sql: str) -> str:
                             out.append(t.text)
                             i += 1
                             continue
-                        # 0e0, not 0.0d: this pass's output is re-tokenized
-                        # by the later passes and the d-suffix literal does
-                        # not survive the round-trip
-                        out.append(
-                            f"coalesce(sum(CAST({inner} AS DOUBLE)) "
-                            f"OVER {wdef}, 0e0)"
-                        )
+                        if t.text.upper() == "TOTAL":
+                            # 0e0, not 0.0d: this pass's output is
+                            # re-tokenized by the later passes and the
+                            # d-suffix literal does not survive the
+                            # round-trip
+                            out.append(
+                                f"coalesce(sum(CAST({inner} AS DOUBLE)) "
+                                f"OVER {wdef}, 0e0)"
+                            )
+                        else:
+                            sep = (
+                                render(args[1]).strip()
+                                if len(args) > 1
+                                else "','"
+                            )
+                            out.append(
+                                f"CASE WHEN count({inner}) OVER {wdef} = 0 "
+                                f"THEN NULL ELSE concat_ws({sep}, "
+                                f"collect_list({inner}) OVER {wdef}) END"
+                            )
                         i = wclose + 1
                         continue
                 if (
@@ -1667,14 +1852,47 @@ def _rewrite_window_filter(sql: str) -> str:
                         over = _next_sig(fclose)
                         cond_toks = fargs[0] if fargs else []
                         cs = [x for x in cond_toks if x.kind not in ("space", "comment")]
-                        if (
+                        has_where = bool(
+                            cs and cs[0].kind == "word" and cs[0].text.upper() == "WHERE"
+                        )
+                        has_over = (
                             over is not None
                             and tokens[over].kind == "word"
                             and tokens[over].text.upper() == "OVER"
-                            and cs
-                            and cs[0].kind == "word"
-                            and cs[0].text.upper() == "WHERE"
+                        )
+                        if (
+                            has_where
+                            and not has_over
+                            and t.text.upper() in ("TOTAL", "GROUP_CONCAT", "STRING_AGG")
                         ):
+                            # GROUPED (non-window) FILTER on an aggregate
+                            # whose _FN_REWRITES mapping WRAPS the call
+                            # (total → coalesce(sum(..), 0e0), group_concat
+                            # / string_agg → concat_ws(.., collect_list(..)))
+                            # must fold into the CASE form here: left for
+                            # Spark's native grouped-FILTER path, the later
+                            # function rewrite would strand FILTER on a
+                            # non-aggregate expression — an analysis error
+                            # on SQL SQLite accepts (ADVICE r8).  Equivalent
+                            # because sum/collect_list ignore NULLs; the
+                            # empty-match total() still coalesces to 0.0.
+                            cond = render(cond_toks).strip()[5:].strip()
+                            raw = [
+                                _rewrite_window_filter(render(a).strip())
+                                for a in args
+                            ]
+                            first = raw[0] if raw else "NULL"
+                            prefix = ""
+                            m_d = re.match(r"(?is)^\s*DISTINCT\s+(.*)$", first)
+                            if m_d:
+                                prefix, first = "DISTINCT ", m_d.group(1)
+                            body = f"{prefix}CASE WHEN {cond} THEN {first} END"
+                            if len(raw) > 1:
+                                body += ", " + ", ".join(raw[1:])
+                            out.append(f"{t.text}({body})")
+                            i = fclose + 1  # drop the folded FILTER clause
+                            continue
+                        if has_over and has_where:
                             if t.text.upper() in ("MIN", "MAX"):
                                 wopen = _next_sig(over)
                                 if not (
@@ -1733,7 +1951,9 @@ def sqlite_to_spark(sql: str) -> str:
     return _rewrite_functions(
         _rewrite_operators(
             _rewrite_bare_extreme_columns(
-                _rewrite_window_filter(_rewrite_json_each(sql))
+                _rewrite_window_filter(
+                    _rewrite_json_each(_escape_string_literals(sql))
+                )
             )
         )
     )

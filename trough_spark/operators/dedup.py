@@ -292,7 +292,15 @@ def minhash_lsh_candidates(
     near-constant content (which is usually exact-dup territory anyway).
     ``max_bucket_size=None`` (default) is lossless.
     """
-    banded = (
+    return _banded_pairs(minhash_bands(signatures, rows_per_band), max_bucket_size)
+
+
+def minhash_bands(signatures: DataFrame, rows_per_band: int = 2) -> DataFrame:
+    """(id, perm, minhash) → (id, band, band_hash): hash each band of
+    ``rows_per_band`` consecutive permutations.  Shared by the self-join
+    LSH path and the cross-corpus subtraction path; one partial-aggregable
+    groupBy whose shuffle carries (id, band, minhash) longs only."""
+    return (
         signatures.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
         .groupBy("id", "band")
         .agg(
@@ -309,7 +317,6 @@ def minhash_lsh_candidates(
             ).alias("band_hash")
         )
     )
-    return _banded_pairs(banded, max_bucket_size)
 
 
 def _banded_pairs(banded: DataFrame, max_bucket_size: int | None) -> DataFrame:
@@ -784,5 +791,59 @@ def chunk_dedup_rewrite(
                     f"concat_ws(' ', transform(kept, i -> concat_ws(' ', slice(toks, i * {chunk} + 1, {chunk}))))"
                 )
             ).alias("kept_hash"),
+        )
+    )
+
+
+def cross_corpus_near_dup(
+    corpus_sig_vec: DataFrame,
+    reference_sig_vec: DataFrame,
+    num_perm: int = 8,
+    rows_per_band: int = 2,
+    broadcast_reference: bool = True,
+) -> DataFrame:
+    """Cross-corpus near-dup subtraction: flag every CORPUS doc whose
+    MinHash signature collides (in >= 1 LSH band) with ANY REFERENCE doc —
+    the doc-level decontamination step that removes training documents
+    near-duplicating a benchmark/eval set (vs. `text.contamination`, which
+    scores shingle overlap, and the self-join LSH paths, which pair a
+    corpus with itself).
+
+    Inputs are ``minhash_signature_vector`` outputs so one text scan can
+    feed both sides (compute signatures over the union, then filter — see
+    pipeline_cross_decontaminate).  Returns one row per corpus doc:
+    (id, n_ref_matches, is_hit) with is_hit = 1 iff any reference collision.
+
+    Scale: band hashes are map-side on both sides; with
+    ``broadcast_reference=True`` (the normal case — reference sets are
+    benchmark-sized, millions of band rows at most) the band join is a
+    BROADCAST hash join, so the 100 TB corpus side never shuffles for
+    candidate generation.  The only data-sized shuffle is the
+    count-distinct groupBy carrying (id, ref_id) pairs for actual
+    collisions.  A corpus-sized reference degrades gracefully: drop the
+    broadcast flag and the join becomes a sort-merge on the compact
+    (band, band_hash) key, same shape as the self-join path.
+    """
+    bands_c = _bands_from_vector(corpus_sig_vec, num_perm, rows_per_band)
+    bands_r = _bands_from_vector(reference_sig_vec, num_perm, rows_per_band)
+    if broadcast_reference:
+        bands_r = F.broadcast(bands_r)
+    hits = (
+        bands_c.alias("c")
+        .join(
+            bands_r.alias("r"),
+            (F.col("c.band") == F.col("r.band"))
+            & (F.col("c.band_hash") == F.col("r.band_hash")),
+        )
+        .groupBy(F.col("c.id").alias("id"))
+        .agg(F.count_distinct(F.col("r.id")).alias("n_ref_matches"))
+    )
+    return (
+        corpus_sig_vec.select("id")
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_ref_matches"), F.lit(0)).alias("n_ref_matches"),
+            F.when(F.col("n_ref_matches").isNotNull(), 1).otherwise(0).alias("is_hit"),
         )
     )

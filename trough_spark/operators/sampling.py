@@ -866,3 +866,53 @@ def interleave_order(
         return order
     out = base.join(order, on=key_name, how="inner")
     return out.select(*df.columns, rnd_col, pos_col)
+
+
+def repeat_upsample(
+    df: DataFrame,
+    key,
+    weight: Column,
+    salt: str = "repeat",
+    order_salt: str = "repeat_order",
+) -> DataFrame:
+    """Materialize a repeat-upsampled training list: each row appears
+    floor(weight) or ceil(weight) times, the fractional part resolved by a
+    deterministic per-key hash coin (P[extra] = frac(weight)) — the
+    "repeat epochs" step that turns mixture weights > 1 into an actual
+    training sequence (multi-epoch upsampling of high-quality sources,
+    standard since Llama/Gopher data recipes; contrast `mix_rebalance`,
+    which only RESIZES groups downward/upward by sampling, and
+    `temperature_sample`, which computes the weights).
+
+    Returns one row per materialized instance: every ``df`` column plus
+    (n_epochs, epoch, order_key) — order_key is a per-instance hash usable
+    as a global shuffle position (epoch copies of one doc land far apart,
+    the property curriculum schedules want).
+
+    Exactness: the coin is portable (md5-derived), so the oracle
+    reproduces instance counts bit-for-bit; expected total per group is
+    sum(weight) with per-key deviation only from the hash coin.
+
+    Scale: ENTIRELY map-side — no shuffle, no window, no driver state.
+    floor/frac/coin/explode(sequence) are per-row expressions; the output
+    is corpus_size x mean(weight) rows whose ordering column is consumed
+    by whatever writes or sorts downstream (train_order / a sorted write).
+    Weights below 1 degrade to hash_sample (0 or 1 copies, P = weight).
+    """
+    key_col = F.col(key) if isinstance(key, str) else key
+    base = df.withColumn("_ru_w", weight.cast("double"))
+    lo = F.floor(F.col("_ru_w")).cast("bigint")
+    frac = F.col("_ru_w") - lo
+    coin = _key_hash(key_col, salt) < (frac * HASH_SPACE).cast("bigint")
+    n_epochs = (lo + F.when(coin, 1).otherwise(0)).alias("n_epochs")
+    with_n = base.withColumn("n_epochs", n_epochs).drop("_ru_w")
+    exploded = with_n.filter(F.col("n_epochs") > 0).withColumn(
+        "epoch", F.explode(F.expr("sequence(1, n_epochs)"))
+    )
+    return exploded.withColumn(
+        "order_key",
+        _key_hash(
+            F.concat(key_col.cast("string"), F.lit("#"), F.col("epoch").cast("string")),
+            order_salt,
+        ),
+    )

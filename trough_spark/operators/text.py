@@ -1255,3 +1255,108 @@ def ccnet_buckets(
             F.when(t == 1, "head").when(t == 2, "middle").otherwise("tail").alias("bucket"),
         )
     )
+
+
+# BPE merge training: symbols are packed as \x01sym\x02 runs inside one
+# string so "apply one merge" is a plain left-to-right replace() — the
+# non-overlapping left-to-right scan of replace IS the BPE merge rule
+# ("aaaa" + merge(a,a) -> "aa","aa"), and the delimiters make symbol
+# boundaries unambiguous without arrays-of-arrays plumbing.  The same
+# representation drives the DuckDB oracle (queries/text.py), so training
+# is auditable bit-for-bit.
+_BPE_SOH = "\x01"
+_BPE_STX = "\x02"
+
+
+def _bpe_syms(packed):
+    """Recover the symbol array from a packed string."""
+    return F.filter(
+        F.split(F.replace(packed, F.lit(_BPE_SOH), F.lit("")), _BPE_STX),
+        lambda s: s != "",
+    )
+
+
+def bpe_train_merges(
+    df: DataFrame, id_col: str, text_col: str, n_merges: int = 3
+) -> DataFrame:
+    """Byte-pair-encoding merge training over the corpus: learn the first
+    ``n_merges`` merges (the tokenizer-induction step a training-data
+    pipeline runs before token accounting; `bpe_ish_tokens` above only
+    APPLIES a fixed regex — this TRAINS the vocabulary).
+
+    Returns (merge_rank, left_sym, right_sym, merged, pair_count), one row
+    per learned merge, tie-broken deterministically (count DESC, then
+    left/right symbol ASC) so the result is engine-reproducible.
+
+    Scale: the corpus-sized work happens ONCE — the word-count groupBy
+    (shuffle carries (word, count)).  Every merge iteration then runs on
+    the DISTINCT-WORD table (vocabulary-sized, millions of rows at 100 TB,
+    not corpus-sized): one pair-count partial aggregate + a 1-row argmax
+    collect per merge, with `localCheckpoint` truncating lineage per round
+    (the kmeans_train pattern — without it iteration N replans all N
+    replaces).  This is how single-node BPE trainers scale too (HF
+    tokenizers train on word counts); the distributed win is the word
+    count itself plus vocab-parallel pair counting.
+
+    Assumes symbols never contain the \\x01/\\x02 delimiters (true for any
+    whitespace-tokenized text corpus; control characters in tokens would
+    corrupt symbol boundaries — documented, not checked row-wise).
+    """
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    words = (
+        df.select(F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    packed0 = F.concat_ws(
+        "",
+        F.transform(
+            F.filter(F.split(F.col("w"), ""), lambda c: c != ""),
+            lambda c: F.concat(F.lit(_BPE_SOH), c, F.lit(_BPE_STX)),
+        ),
+    )
+    vocab = words.select("cnt", packed0.alias("packed")).localCheckpoint(eager=True)
+    merges: list[tuple] = []
+    for rank in range(1, n_merges + 1):
+        syms = _bpe_syms(F.col("packed"))
+        pairs = (
+            vocab.select("cnt", syms.alias("syms"))
+            .filter(F.size("syms") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda i: F.struct(
+                            F.element_at(F.col("syms"), i).alias("l"),
+                            F.element_at(F.col("syms"), i + 1).alias("r"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("pair_count"))
+        )
+        best = (
+            pairs.orderBy(F.col("pair_count").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, c = best[0]["l"], best[0]["r"], int(best[0]["pair_count"])
+        merges.append((rank, l, r, l + r, c))
+        vocab = vocab.withColumn(
+            "packed",
+            F.replace(
+                F.col("packed"),
+                F.lit(_BPE_SOH + l + _BPE_STX + _BPE_SOH + r + _BPE_STX),
+                F.lit(_BPE_SOH + l + r + _BPE_STX),
+            ),
+        ).localCheckpoint(eager=True)
+    return df.sparkSession.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string, merged string, pair_count bigint",
+    )

@@ -557,3 +557,50 @@ def dedup_source_matrix(spark, sf_dir):
         F.least("s1", "s2").alias("source_a"),
         F.greatest("s1", "s2").alias("source_b"),
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+
+
+@query(
+    "dedup_cross_decontaminate",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    {_MINHASH_CTE},
+    minh AS (SELECT id, perm, MIN(h) AS minhash FROM hashed GROUP BY 1, 2),
+    bands AS (
+      SELECT id, perm // 2 AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm)) AS band_hash
+      FROM minh GROUP BY id, perm // 2
+    ),
+    hits AS (
+      SELECT c.id, CAST(COUNT(DISTINCT r.id) AS BIGINT) AS n_ref_matches
+      FROM bands c
+      JOIN bands r ON c.band = r.band AND c.band_hash = r.band_hash
+      WHERE c.id >= 50 AND r.id < 50
+      GROUP BY c.id
+    )
+    SELECT d.doc_id,
+           COALESCE(h.n_ref_matches, 0) AS n_ref_matches,
+           CASE WHEN h.id IS NULL THEN 0 ELSE 1 END AS is_hit
+    FROM documents d LEFT JOIN hits h ON h.id = d.doc_id
+    WHERE d.doc_id >= 50
+    """,
+)
+def dedup_cross_decontaminate(spark, sf_dir):
+    """Doc-level decontamination by cross-corpus near-dup: flag every
+    training doc (id >= 50) whose MinHash signature LSH-collides with any
+    held-out/benchmark doc (id < 50) — the near-duplicate complement of
+    `text_contamination`'s shingle-overlap score (a paraphrased benchmark
+    leaks past exact shingles but still collides in minhash bands).
+
+    Scale: ONE text scan computes signatures for both sides (filtered
+    after signing); reference band rows are BROADCAST (benchmark-sized),
+    so the corpus side never shuffles for candidate generation — the only
+    data-sized exchange is (id, ref_id) int pairs for actual collisions.
+    Reference corpus/eval-set use: the reference engine delegates all
+    querying to SQLite (trough/read.py:66) and has no dedup surface; this
+    is §2.D extension coverage."""
+    docs = T(spark, sf_dir, "documents")
+    sig = D.minhash_signature_vector(docs, "doc_id", "text", num_perm=8, n=3)
+    corpus = sig.filter(F.col("id") >= 50)
+    ref = sig.filter(F.col("id") < 50)
+    out = D.cross_corpus_near_dup(corpus, ref, num_perm=8, rows_per_band=2)
+    return out.select(F.col("id").alias("doc_id"), "n_ref_matches", "is_hit")

@@ -606,3 +606,42 @@ def sample_interleave_lang(spark, sf_dir):
     sorts (see operators/sampling.py:interleave_order)."""
     d = T(spark, sf_dir, "documents").select("doc_id", "lang")
     return SA.interleave_order(d, "doc_id", "lang")
+
+
+@query(
+    "sample_repeat_upsample",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             1.0 + (CAST(substr(source, 4) AS INT) % 4) * 0.5 AS w
+      FROM documents
+    ),
+    coin AS (
+      SELECT doc_id, source,
+             CAST(FLOOR(w) AS BIGINT)
+             + CASE WHEN {_sql_hash("doc_id", "repeat")}
+                         < CAST((w - FLOOR(w)) * {SA.HASH_SPACE} AS BIGINT)
+                    THEN 1 ELSE 0 END AS n_epochs
+      FROM base
+    )
+    SELECT c.doc_id, c.source, c.n_epochs, t.epoch,
+           CAST(('0x' || substr(md5(
+             CAST(c.doc_id AS VARCHAR) || '#' || CAST(t.epoch AS VARCHAR)
+             || ':repeat_order'), 1, 15)) AS BIGINT) AS order_key
+    FROM coin c, UNNEST(generate_series(1, c.n_epochs)) AS t(epoch)
+    WHERE c.n_epochs > 0
+    """,
+)
+def sample_repeat_upsample(spark, sf_dir):
+    """Repeat-epoch upsampling: per-source mixture weights in [1.0, 2.5]
+    (derived deterministically from the source id) materialized into an
+    actual training list — floor(w) guaranteed copies plus a portable
+    hash coin for the fractional epoch, each instance stamped with a
+    global shuffle key so the copies spread across the schedule.
+
+    Scale: entirely map-side (`operators/sampling.py repeat_upsample`) —
+    no shuffle, no window; output size = corpus x mean(weight)."""
+    docs = T(spark, sf_dir, "documents")
+    w = F.lit(1.0) + (F.substring("source", 4, 10).cast("int") % 4) * F.lit(0.5)
+    out = SA.repeat_upsample(docs.select("doc_id", "source"), "doc_id", w)
+    return out.select("doc_id", "source", "n_epochs", "epoch", "order_key")

@@ -1150,3 +1150,64 @@ def text_ccnet_bucket(spark, sf_dir):
     return X.ccnet_buckets(
         T(spark, sf_dir, "documents"), "doc_id", "text", "lang"
     )
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """DuckDB CTE chain reproducing `bpe_train_merges` bit-for-bit: the
+    same packed \\x01sym\\x02 representation, the same left-to-right
+    replace() merge rule, the same (count DESC, l, r) tie-break —
+    iterations unrolled as v_k / p_k / b_k CTE triples."""
+    parts = [
+        r"""
+    w0 AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+            FROM documents) u
+      WHERE length(w) > 0 GROUP BY w
+    ),
+    v1 AS (
+      SELECT cnt,
+             array_to_string(list_transform(
+               list_filter(string_split(w, ''), c -> c != ''),
+               c -> chr(1) || c || chr(2)), '') AS packed
+      FROM w0
+    )"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(f"""
+    p{k} AS (
+      SELECT syms[i] AS l, syms[i + 1] AS r, CAST(SUM(cnt) AS BIGINT) AS pair_count
+      FROM (SELECT cnt,
+                   list_filter(string_split(replace(packed, chr(1), ''), chr(2)),
+                               s -> s != '') AS syms
+            FROM v{k}) x,
+           UNNEST(generate_series(1, len(syms) - 1)) AS t(i)
+      WHERE len(syms) >= 2
+      GROUP BY 1, 2
+    ),
+    b{k} AS (
+      SELECT {k} AS merge_rank, l AS left_sym, r AS right_sym,
+             l || r AS merged, pair_count
+      FROM p{k} ORDER BY pair_count DESC, l, r LIMIT 1
+    )""")
+        if k < n_merges:
+            parts.append(f"""
+    v{k + 1} AS (
+      SELECT v.cnt,
+             replace(v.packed,
+                     chr(1) || b.left_sym || chr(2) || chr(1) || b.right_sym || chr(2),
+                     chr(1) || b.merged || chr(2)) AS packed
+      FROM v{k} v CROSS JOIN b{k} b
+    )""")
+    union = " UNION ALL ".join(f"SELECT * FROM b{k}" for k in range(1, n_merges + 1))
+    return "WITH " + ",".join(parts) + f" {union}"
+
+
+@query("text_bpe_train", oracle=_bpe_oracle(3))
+def text_bpe_train(spark, sf_dir):
+    """Train the first 3 BPE merges on the corpus (tokenizer induction —
+    `text_bpe_token_count` applies a FIXED regex; this LEARNS the
+    vocabulary).  Corpus-sized work is the one word-count shuffle; each
+    merge iterates on the distinct-word table (vocabulary-sized) with a
+    1-row argmax collect, the sanctioned kmeans_train iterative shape."""
+    return X.bpe_train_merges(T(spark, sf_dir, "documents"), "doc_id", "text", n_merges=3)

@@ -395,3 +395,40 @@ def b12_shim_json_each(spark, sf_dir):
         "ORDER BY o.o_orderkey, je.fullkey"
     )
     return spark.sql(sqlite_to_spark(sqlite_sql))
+
+
+@query(
+    "b12_shim_literal_escape",
+    oracle=r"""
+    SELECT o_orderkey,
+           'c:\dir\' || o_orderstatus AS p,
+           CAST(3 AS BIGINT) AS n,
+           CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS m1,
+           CASE WHEN o_orderpriority LIKE '1-%' THEN 1 ELSE 0 END AS m2
+    FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey
+    """,
+)
+def b12_shim_literal_escape(spark, sf_dir):
+    """Backslash string literals and LIKE ... ESCAPE through the dialect
+    shim, under the driver gate (round 9): SQLite literals have NO escape
+    character (the shim respells them for Spark's parser), a backslash in
+    a literal LIKE pattern is an ORDINARY character (value-level
+    re-doubling), and an explicit ESCAPE char may precede any character
+    (the pattern is re-encoded to Spark's narrower escape grammar and the
+    clause dropped).  The oracle states the expected rows directly —
+    DuckDB literals are already escape-free, and its LIKE needs none of
+    the shim's fix-ups for the plain '1-%' equivalent."""
+    from trough_spark.dialect import sqlite_to_spark
+    from trough_spark.tables import register_views
+
+    register_views(spark, sf_dir, ["orders"])
+    sqlite_sql = (
+        "SELECT o_orderkey, 'c:\\dir\\' || o_orderstatus AS p, "
+        "CAST(length('a\\b') AS BIGINT) AS n, "
+        "CASE WHEN ('c:\\dir\\' || o_orderstatus) LIKE 'c:\\dir\\O' "
+        "THEN 1 ELSE 0 END AS m1, "
+        "CASE WHEN o_orderpriority LIKE '1X-%' ESCAPE 'X' "
+        "THEN 1 ELSE 0 END AS m2 "
+        "FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey"
+    )
+    return spark.sql(sqlite_to_spark(sqlite_sql))
