@@ -35,6 +35,7 @@ _SAMPLE_PRIORITY = [
     "dedup_cross_decontaminate",
     "b12_shim_literal_escape",
     "text_bpe_train",
+    "text_bpe_segment",
     # --- round-9 dialect changes touch these code paths: re-evidence ---
     "b12_shim_json_each",
     "b12_shim_window_filter",

@@ -372,3 +372,22 @@ def test_cross_decontaminate_broadcasts_reference(spark):
         ).filter("lo < 10 AND hi >= 10").collect()
     }
     assert got == expected
+
+
+def test_bpe_segment_apply_is_map_only(spark):
+    """bpe_segment_counts (the APPLY step, merges already trained) must be
+    shuffle-free: packing, k replaces, and the token count are all per-row
+    string expressions (round 9)."""
+    from trough_spark.operators.text import bpe_segment_counts
+
+    docs = spark.createDataFrame(
+        [(1, "aa ab ba"), (2, "abab aabb")], "doc_id int, text string"
+    )
+    out = bpe_segment_counts(docs, "doc_id", "text", [("a", "a"), ("a", "b")])
+    assert _exchanges(out) == 0
+    rows = {r["id"]: (r["n_words"], r["n_bpe_tokens"]) for r in out.collect()}
+    # "aa ab ba": [aa][ab][b a] -> 1+1+2 = 4 symbols after merges
+    assert rows[1] == (3, 4)
+    # "abab aabb": a,b,a,b -> ab,ab (2); a,a,b,b -> aa,b,b -> (merge ab needs
+    # adjacent a,b: aa|b|b has none) 3 -> total 5
+    assert rows[2] == (2, 5)

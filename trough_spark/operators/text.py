@@ -1360,3 +1360,48 @@ def bpe_train_merges(
         merges,
         "merge_rank int, left_sym string, right_sym string, merged string, pair_count bigint",
     )
+
+
+def bpe_segment_counts(
+    df: DataFrame, id_col: str, text_col: str, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Apply a trained BPE merge list (rank order) and count the resulting
+    tokens per document — the accounting step after `bpe_train_merges`
+    (true token budgets under YOUR tokenizer, not a whitespace proxy).
+
+    Returns (id, n_words, n_bpe_tokens).  ENTIRELY map-side: the document
+    text packs into the \\x01sym\\x02 representation with an \\x03 word
+    separator (merges never cross words), each merge is one left-to-right
+    replace, and the token count is the surviving \\x02 count — no
+    shuffle, no UDF, whole-stage-codegen string ops.
+    """
+    words = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda w: w != ""
+    )
+    packed = F.concat_ws(
+        "\x03",
+        F.transform(
+            words,
+            lambda w: F.concat_ws(
+                "",
+                F.transform(
+                    F.filter(F.split(w, ""), lambda c: c != ""),
+                    lambda c: F.concat(F.lit(_BPE_SOH), c, F.lit(_BPE_STX)),
+                ),
+            ),
+        ),
+    )
+    out = df.select(F.col(id_col).alias("id"), F.size(words).alias("n_words"), packed.alias("_p"))
+    for left, right in merges:
+        out = out.withColumn(
+            "_p",
+            F.replace(
+                F.col("_p"),
+                F.lit(_BPE_SOH + left + _BPE_STX + _BPE_SOH + right + _BPE_STX),
+                F.lit(_BPE_SOH + left + right + _BPE_STX),
+            ),
+        )
+    n_tokens = (
+        F.length("_p") - F.length(F.replace(F.col("_p"), F.lit(_BPE_STX), F.lit("")))
+    ).cast("bigint")
+    return out.select("id", "n_words", n_tokens.alias("n_bpe_tokens"))

@@ -1211,3 +1211,56 @@ def text_bpe_train(spark, sf_dir):
     merge iterates on the distinct-word table (vocabulary-sized) with a
     1-row argmax collect, the sanctioned kmeans_train iterative shape."""
     return X.bpe_train_merges(T(spark, sf_dir, "documents"), "doc_id", "text", n_merges=3)
+
+
+def _bpe_segment_oracle(n_merges: int) -> str:
+    """Train CTEs from `_bpe_oracle` + map-side application to documents:
+    pack doc text (chr(3) word separator), apply the learned merges in
+    rank order, count surviving chr(2) symbol terminators."""
+    train = _bpe_oracle(n_merges)
+    train_with = train[: train.rindex(" SELECT * FROM b1")]
+    apply_ctes = [f"""
+    d1 AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                  w -> w != '')) AS INT) AS n_words,
+             array_to_string(list_transform(
+               list_filter(string_split_regex(trim(lower(text)), '\\s+'), w -> w != ''),
+               w -> array_to_string(list_transform(
+                      list_filter(string_split(w, ''), c -> c != ''),
+                      c -> chr(1) || c || chr(2)), '')), chr(3)) AS packed
+      FROM documents
+    )"""]
+    for k in range(1, n_merges + 1):
+        apply_ctes.append(f"""
+    d{k + 1} AS (
+      SELECT d.doc_id, d.n_words,
+             replace(d.packed,
+                     chr(1) || b.left_sym || chr(2) || chr(1) || b.right_sym || chr(2),
+                     chr(1) || b.merged || chr(2)) AS packed
+      FROM d{k} d CROSS JOIN b{k} b
+    )""")
+    final = (
+        f"SELECT doc_id, n_words, CAST(length(packed) - "
+        f"length(replace(packed, chr(2), '')) AS BIGINT) AS n_bpe_tokens "
+        f"FROM d{n_merges + 1}"
+    )
+    return train_with + "," + ",".join(apply_ctes) + " " + final
+
+
+@query("text_bpe_segment", oracle=_bpe_segment_oracle(3))
+def text_bpe_segment(spark, sf_dir):
+    """Token accounting under the corpus's OWN trained tokenizer: train 3
+    BPE merges (`text_bpe_train`), then apply them map-side and count
+    per-doc BPE tokens — the budget number a `n^alpha` mixture or
+    `pack_sequences` actually needs.  Application is shuffle-free
+    (packed-string replaces); training cost is the one word-count shuffle
+    plus vocab-sized iterations."""
+    docs = T(spark, sf_dir, "documents")
+    trained = X.bpe_train_merges(docs, "doc_id", "text", n_merges=3)
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in trained.orderBy("merge_rank").collect()
+    ]
+    out = X.bpe_segment_counts(docs, "doc_id", "text", merges)
+    return out.select(F.col("id").alias("doc_id"), "n_words", "n_bpe_tokens")
