@@ -431,3 +431,28 @@ class TestJsonEachRewrite:
 
         out = sqlite_to_spark("SELECT total(a) FROM t")
         assert "coalesce(sum(CAST(a AS DOUBLE)), 0.0d)" in out
+
+
+class TestJsonPathTranslation:
+    """SQLite → Spark JSON-path grammar translation (round 9)."""
+
+    def test_quoted_segment_to_bracket(self):
+        from trough_spark.dialect import _sqlite_path_to_spark
+
+        assert _sqlite_path_to_spark('$."a b"') == "$[''a b'']"
+        assert _sqlite_path_to_spark('$."x.y"[0].c') == "$[''x.y''][0].c"
+        # no quotes: verbatim passthrough
+        assert _sqlite_path_to_spark("$.a[3].b") == "$.a[3].b"
+
+    def test_loud_rejects(self):
+        import pytest as _pytest
+
+        from trough_spark.dialect import QueryRejected, _sqlite_path_to_spark
+
+        with _pytest.raises(QueryRejected):
+            _sqlite_path_to_spark("$[#-1]")
+        with _pytest.raises(QueryRejected):
+            # literal inner text: a single quote is spelled '' there
+            _sqlite_path_to_spark('$."q\'\'t"')
+        with _pytest.raises(QueryRejected):
+            _sqlite_path_to_spark('$."unclosed')

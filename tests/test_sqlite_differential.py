@@ -303,6 +303,17 @@ QUERIES = [
     "\"Cap9\": 1, \"_u\": 2, \"\": 9}') ORDER BY k",
     "SELECT CAST(value AS TEXT) AS v, fullkey "
     "FROM json_each('{\"q\\\"t\": [1]}') ORDER BY fullkey",
+    # round-9: 2-arg path corners — a QUOTED path key (SQLite's $.\"a b\"
+    # translates to Spark's bracket subscript), a path addressing a bare
+    # scalar (one row, key NULL, fullkey = path — probed), a nested-index
+    # path, and a missing path (zero rows)
+    "SELECT CAST(key AS TEXT) AS k, CAST(value AS TEXT) AS v, fullkey, path "
+    "FROM json_each('{\"a b\": [1,2]}', '$.\"a b\"') ORDER BY fullkey",
+    "SELECT CAST(key AS TEXT) AS k, CAST(value AS TEXT) AS v, type, fullkey, "
+    "path FROM json_each('{\"a\": 5}', '$.a')",
+    "SELECT CAST(key AS TEXT) AS k, CAST(value AS TEXT) AS v, fullkey "
+    "FROM json_each('{\"a\":[[7,8],9]}', '$.a[0]') ORDER BY fullkey",
+    "SELECT CAST(key AS TEXT) AS k FROM json_each('{\"a\": [1]}', '$.missing')",
     # round-9 (ADVICE r8 low): grouped (non-window) FILTER on aggregates
     # whose rewrites wrap the call — total / group_concat fold to CASE;
     # zero-match group_concat is NULL, zero-match total is 0.0

@@ -1598,6 +1598,61 @@ def _json_each_subquery(e: str, pfx: str) -> str:
     )
 
 
+def _sqlite_path_to_spark(pfx: str) -> str:
+    """Translate a SQLite JSON path (as spelled inside its SQL literal)
+    into Spark's get_json_object grammar, returned ready to embed in a
+    single-quoted Spark literal.
+
+    SQLite quotes non-identifier object keys with double quotes
+    (``$."a b"``, ``\\"``-escaped); Spark's parser has no quoted-dot form
+    but accepts single-quoted bracket subscripts (``$['a b']``, probed).
+    Paths without quotes or ``#`` pass through verbatim (bare names and
+    ``[n]`` indexes mean the same thing in both grammars).  Loud rejects:
+    SQLite's ``#`` array-end index (no Spark spelling), quoted keys
+    containing a single quote (Spark's bracket form cannot escape one),
+    and any path that doesn't parse as $-rooted segments.
+    """
+    value = pfx.replace("''", "'").replace("\\\\", "\\")
+    if "#" in value:
+        raise QueryRejected(
+            "json_each path '#' (array-end index) is not supported"
+        )
+    if '"' not in value:
+        return pfx
+    if not value.startswith("$"):
+        raise QueryRejected(f"unsupported json path: {value!r}")
+    rest = value[1:]
+    out = ["$"]
+    seg_quoted = re.compile(r'^\."((?:[^"\\]|\\.)*)"')
+    seg_bare = re.compile(r"^\.([^.\[\]\"]+)")
+    seg_index = re.compile(r"^\[(\d+)\]")
+    while rest:
+        m = seg_quoted.match(rest)
+        if m:
+            key = m.group(1).replace('\\"', '"').replace("\\\\", "\\")
+            if "'" in key:
+                raise QueryRejected(
+                    "json_each path keys containing a single quote are not "
+                    "supported (Spark's bracket path cannot escape one)"
+                )
+            out.append(f"['{key}']")
+            rest = rest[m.end():]
+            continue
+        m = seg_bare.match(rest)
+        if m:
+            out.append(f".{m.group(1)}")
+            rest = rest[m.end():]
+            continue
+        m = seg_index.match(rest)
+        if m:
+            out.append(f"[{m.group(1)}]")
+            rest = rest[m.end():]
+            continue
+        raise QueryRejected(f"unsupported json path: {value!r}")
+    result = "".join(out)
+    return result.replace("\\", "\\\\").replace("'", "''")
+
+
 def _rewrite_json_each(sql: str) -> str:
     """Rewrite SQLite's ``json_each`` table-valued function in FROM
     position into a (LATERAL) subquery over Spark's variant_explode.
@@ -1606,11 +1661,17 @@ def _rewrite_json_each(sql: str) -> str:
     a leading ``FROM json_each(...)`` needs no LATERAL; a missing alias
     defaults to ``json_each`` (SQLite addresses the unaliased table by its
     function name).  The 2-arg path form roots the iteration at
-    ``get_json_object(expr, path)`` with SQLite's fullkey/path prefixes
-    (probed: fullkey '$.a[0]', path '$.a'); the path must be a string
-    literal, and a path addressing a bare scalar fails loudly at parse
-    time where SQLite would emit one row (documented corner).
-    ``json_tree`` (recursive descent) is rejected loudly.
+    ``get_json_object(expr, <spark path>)`` with SQLite's fullkey/path
+    prefixes kept in their ORIGINAL spelling (probed: fullkey '$.a[0]',
+    path '$.a'); the extraction path is translated to Spark's grammar —
+    SQLite's quoted segments ``$."a b"`` become bracket form ``$['a b']``
+    (round 9; Spark's parser rejects the quoted-dot form, which silently
+    yielded zero rows).  The path must be a string literal; a path
+    addressing a bare scalar emits SQLite's single row (key NULL,
+    fullkey = path — probed); SQLite's ``#`` array-end index and quoted
+    path keys containing a single quote are rejected loudly (Spark's path
+    grammar cannot spell them).  ``json_tree`` (recursive descent) is
+    rejected loudly.
     """
     tokens = tokenize(sql)
     sig = _significant(tokens)
@@ -1664,7 +1725,8 @@ def _rewrite_json_each(sql: str) -> str:
                             "json_each path argument must be a string literal"
                         )
                     pfx = pm.group(1)
-                    e = f"get_json_object({raw[0]}, '{pfx}')"
+                    spark_path = _sqlite_path_to_spark(pfx)
+                    e = f"get_json_object({raw[0]}, '{spark_path}')"
                 else:
                     pfx = "$"
                     e = f"({raw[0]})"
