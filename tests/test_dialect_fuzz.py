@@ -374,7 +374,22 @@ def _literal_queries() -> list[str]:
     rng = random.Random(SEED + 3)
     out = []
     for _ in range(N_QUERIES):
-        kind = rng.randrange(5)
+        kind = rng.randrange(7)
+        if kind == 5:  # function form, reversed operands
+            s, p = _enc_lit(_rand_lit(rng)), _enc_lit(_rand_lit(rng))
+            out.append(f"SELECT like({p}, {s}) AS v")
+            continue
+        if kind == 6:  # function form with ESCAPE
+            esc = rng.choice(["\\", "X"])
+            while True:
+                pat = _rand_lit(rng)
+                if not _dangling_escape(pat, esc):
+                    break
+            s = _enc_lit(_rand_lit(rng))
+            out.append(
+                f"SELECT like({_enc_lit(pat)}, {s}, {_enc_lit(esc)}) AS v"
+            )
+            continue
         if kind == 0:
             s = _enc_lit(_rand_lit(rng))
             out.append(f"SELECT {s} AS v, length({s}) AS n")

@@ -289,6 +289,12 @@ QUERIES = [
     "SELECT count(*) AS n FROM items WHERE 'azb' LIKE 'aX%b' ESCAPE 'X'",
     "SELECT count(*) AS n FROM items WHERE 'aXb' LIKE 'aXXb' ESCAPE 'X'",
     "SELECT count(*) AS n FROM items WHERE 'a%b' LIKE 'aXb' ESCAPE 'X'",
+    # round-9: the FUNCTION forms get the same literal treatment — note
+    # like(PATTERN, ITEM [, ESCAPE]) reverses the infix operand order
+    r"SELECT like('a\b', 'a\b') AS v, like('a\b', 'ab') AS v2",
+    r"SELECT like('aX%b', 'a%b', 'X') AS v, like('aX%b', 'azb', 'X') AS v2",
+    r"SELECT like('aXXb', 'aXb', 'X') AS v, like('%', NULL) AS v2",
+    r"SELECT glob('a\b*', 'a\bc') AS v, glob('a\b*', 'abc') AS v2",
     # round-9 (ADVICE r8 medium): 2-arg json_each whose children are
     # containers — value must be the subtree text, re-extracted relative
     # to the iteration root, not the full document

@@ -467,12 +467,58 @@ def _fn_datetime(args: list[str]) -> str:
     return base
 
 
+def _decode_literal(text: str) -> str:
+    """Spark-spelled single-quoted literal text → value ('' and \\\\ both
+    undone; valid after _escape_string_literals has run)."""
+    return text[1:-1].replace("''", "'").replace("\\\\", "\\")
+
+
+def _encode_literal(value: str) -> str:
+    """Value → Spark-spelled single-quoted literal text."""
+    return "'" + value.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
+def _like_escape_canon(pat_text: str, esc_text: str) -> str:
+    """Re-encode a literal SQLite ``LIKE pattern ESCAPE char`` pair into a
+    single Spark pattern literal (the ESCAPE clause is then dropped).
+
+    SQLite's escape char may precede ANY character (taken literally);
+    Spark only allows its backslash escape before % _ or itself, so each
+    escaped-literal char is emitted bare unless it needs Spark's escape.
+    A dangling trailing escape matches nothing in SQLite (probed) and has
+    no Spark spelling — rejected loudly.  Inputs/outputs are literal TEXT
+    in Spark spelling (backslashes doubled by _escape_string_literals).
+    """
+    pat_val = _decode_literal(pat_text)
+    esc_val = _decode_literal(esc_text)
+    if len(esc_val) != 1:
+        raise QueryRejected("ESCAPE expression must be a single character")
+    parts: list[str] = []
+    ci = 0
+    while ci < len(pat_val):
+        ch = pat_val[ci]
+        if ch == esc_val:
+            if ci + 1 >= len(pat_val):
+                raise QueryRejected(
+                    "LIKE pattern ends in a dangling ESCAPE character "
+                    "(matches nothing in SQLite; no Spark pattern spells that)"
+                )
+            lit = pat_val[ci + 1]
+            parts.append("\\" + lit if lit in "%_\\" else lit)
+            ci += 2
+            continue
+        parts.append("\\\\" if ch == "\\" else ch)
+        ci += 1
+    return _encode_literal("".join(parts))
+
+
 def _fn_glob(args: list[str]) -> str:
     # SQLite glob(pattern, item) returns 0/1, not a boolean; translate
-    # literal patterns to regex
+    # literal patterns to regex (decoding the Spark respelling first —
+    # _escape_string_literals already doubled literal backslashes)
     pat = args[0].strip()
     if pat.startswith("'") and pat.endswith("'"):
-        rx = glob_to_regex(pat[1:-1].replace("''", "'")).replace("'", "''").replace("\\", "\\\\")
+        rx = glob_to_regex(_decode_literal(pat)).replace("'", "''").replace("\\", "\\\\")
         return f"CAST({args[1]} RLIKE '{rx}' AS INT)"
     return f"CAST({args[1]} RLIKE {pat} AS INT)"
 
@@ -480,12 +526,26 @@ def _fn_glob(args: list[str]) -> str:
 def _fn_like(args: list[str]) -> str | None:
     # SQLite like(PATTERN, ITEM [, ESCAPE]) — note the reversed operand
     # order vs the infix form, the 0/1 integer result, and the default
-    # ASCII case folding (PRAGMA case_sensitive_like turns it off)
+    # ASCII case folding (PRAGMA case_sensitive_like turns it off).
+    # Literal patterns get the same value-level treatment as the infix
+    # form (round 9): no-ESCAPE patterns re-double backslashes (SQLite
+    # LIKE has no escape char, Spark's defaults to backslash); a literal
+    # ESCAPE pair is re-encoded to Spark's narrower escape grammar and
+    # the clause dropped.  Non-literal patterns pass through with Spark's
+    # escape reading (documented divergence, same as infix).
     if len(args) not in (2, 3):
         return None
     op = "LIKE" if case_sensitive_like else "ILIKE"
-    esc = f" ESCAPE {args[2]}" if len(args) == 3 else ""
-    return f"CAST(({args[1]} {op} {args[0]}{esc}) AS INT)"
+    pat = args[0].strip()
+    is_lit = pat.startswith("'") and pat.endswith("'")
+    if len(args) == 3:
+        esc = args[2].strip()
+        if is_lit and esc.startswith("'") and esc.endswith("'"):
+            return f"CAST(({args[1]} {op} {_like_escape_canon(pat, esc)}) AS INT)"
+        return f"CAST(({args[1]} {op} {args[0]} ESCAPE {args[2]}) AS INT)"
+    if is_lit and "\\" in pat:
+        pat = pat.replace("\\\\", "\\\\\\\\")
+    return f"CAST(({args[1]} {op} {pat}) AS INT)"
 
 
 def _fn_cast(args: list[str]) -> str | None:
@@ -1367,49 +1427,19 @@ def _rewrite_operators(sql: str) -> str:
                         esc_tok = (
                             tokens[sig[n + 3]] if n + 3 < len(sig) else None
                         )
-                        if esc_tok is not None and esc_tok.kind == "string":
-                            decode = lambda s: (
-                                s[1:-1].replace("''", "'").replace("\\\\", "\\")
+                        if (
+                            esc_tok is not None
+                            and esc_tok.kind == "string"
+                            and len(_decode_literal(esc_tok.text)) == 1
+                        ):
+                            pat_tok.text = _like_escape_canon(
+                                pat_tok.text, esc_tok.text
                             )
-                            pat_val = decode(pat_tok.text)
-                            esc_val = decode(esc_tok.text)
-                            if len(esc_val) == 1:
-                                parts: list[str] = []
-                                ci = 0
-                                while ci < len(pat_val):
-                                    ch = pat_val[ci]
-                                    if ch == esc_val:
-                                        if ci + 1 >= len(pat_val):
-                                            raise QueryRejected(
-                                                "LIKE pattern ends in a "
-                                                "dangling ESCAPE character "
-                                                "(matches nothing in SQLite; "
-                                                "no Spark pattern spells that)"
-                                            )
-                                        lit = pat_val[ci + 1]
-                                        parts.append(
-                                            "\\" + lit if lit in "%_\\" else lit
-                                        )
-                                        ci += 2
-                                        continue
-                                    if ch == "\\":
-                                        parts.append("\\\\")
-                                    else:
-                                        parts.append(ch)
-                                    ci += 1
-                                new_val = "".join(parts)
-                                pat_tok.text = (
-                                    "'"
-                                    + new_val.replace("\\", "\\\\").replace(
-                                        "'", "''"
-                                    )
-                                    + "'"
-                                )
-                                # swallow the ESCAPE clause
-                                tokens[sig[n + 2]].kind = "space"
-                                tokens[sig[n + 2]].text = " "
-                                esc_tok.kind = "space"
-                                esc_tok.text = " "
+                            # swallow the ESCAPE clause
+                            tokens[sig[n + 2]].kind = "space"
+                            tokens[sig[n + 2]].text = " "
+                            esc_tok.kind = "space"
+                            esc_tok.text = " "
                 out.append(Token("word", "LIKE" if case_sensitive_like else "ILIKE"))
                 continue
             if up == "REGEXP" and not _is_call(i):
