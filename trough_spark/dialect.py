@@ -512,6 +512,20 @@ def _like_escape_canon(pat_text: str, esc_text: str) -> str:
     return _encode_literal("".join(parts))
 
 
+def _fn_printf(args: list[str]) -> str:
+    """printf/format → format_string, with SQLite's OWN conversions (%q
+    quote-doubling, %Q quoted-or-NULL, %w ident-doubling — no Java
+    equivalent) rejected loudly instead of exploding inside codegen with
+    an UnknownFormatConversionException at run time."""
+    fmt = args[0].strip() if args else ""
+    if fmt.startswith("'") and fmt.endswith("'"):
+        if re.search(r"%[-+ 0#,!]*\d*(?:\.\d+)?[qQw]", _decode_literal(fmt)):
+            raise QueryRejected(
+                "printf %q/%Q/%w (SQLite quoting conversions) are not supported"
+            )
+    return f"format_string({', '.join(args)})"
+
+
 def _fn_glob(args: list[str]) -> str:
     # SQLite glob(pattern, item) returns 0/1, not a boolean; translate
     # literal patterns to regex (decoding the Spark respelling first —
@@ -681,8 +695,8 @@ _FN_REWRITES: dict[str, object] = {
         f"collect_list({a[0]})) END"
     ),
     "total": lambda a: f"coalesce(sum(CAST({a[0]} AS DOUBLE)), 0.0d)",
-    "printf": lambda a: f"format_string({', '.join(a)})",
-    "format": lambda a: f"format_string({', '.join(a)})",  # SQLite 3.38 alias
+    "printf": lambda a: _fn_printf(a),
+    "format": lambda a: _fn_printf(a),  # SQLite 3.38 alias
     # JSON family: Spark's get_json_object both validates and canonicalizes
     # (minified Jackson output == SQLite's json() canonical form).  KNOWN
     # DIVERGENCE (dynamic typing): extracted scalars come back as TEXT and
