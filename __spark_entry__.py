@@ -36,6 +36,7 @@ _SAMPLE_PRIORITY = [
     "b12_shim_literal_escape",
     "text_bpe_train",
     "text_bpe_segment",
+    "sample_length_batches",
     # --- round-9 dialect changes touch these code paths: re-evidence ---
     "b12_shim_json_each",
     "b12_shim_window_filter",

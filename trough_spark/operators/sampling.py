@@ -916,3 +916,68 @@ def repeat_upsample(
             order_salt,
         ),
     )
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    key,
+    len_col: str,
+    batch_size: int = 16,
+    salt: str = "lenbucket",
+    n_ranges: int = 32,
+) -> DataFrame:
+    """Length-bucketed "smart batching": band rows by length into
+    geometric (power-of-two) buckets, order each bucket by a
+    deterministic per-key hash (scan-order-independent), cut fixed-size
+    batches, and report each batch's PADDING WASTE — the tokens a
+    max-length-padded batch burns versus its content (the metric dynamic
+    batching exists to minimize; `pack_sequences` is the other strategy,
+    concatenation into fixed budgets).
+
+    Returns one row per batch: (bucket, batch_id, n_docs, max_len,
+    sum_len, waste) with waste = max_len * n_docs - sum_len.
+
+    Exactness: the bucket is integer bit-length arithmetic
+    (length(bin(n)) - 1 == floor(log2 n) with no float log), and the
+    in-bucket order key is the portable hash left-padded to fixed width
+    so string order equals numeric order — both reproducible in the
+    DuckDB oracle.
+
+    Scale: the per-bucket rank reuses `interleave_order`'s distributed
+    enumeration (range slices + per-slice offsets — NO one-task-per-bucket
+    window even though buckets are few and huge); the batch rollup is one
+    partial-aggregable groupBy on (bucket, batch_id).  Shuffled rows carry
+    (order-key string, bucket, length) — never document bodies.
+    """
+    key_col = F.col(key) if isinstance(key, str) else key
+    base = df.select(
+        key_col.cast("string").alias("_lb_id"),
+        F.col(len_col).cast("bigint").alias("_lb_len"),
+    ).where(F.col("_lb_len") >= 1)
+    bucket = (F.length(F.bin(F.col("_lb_len"))) - 1).cast("int")
+    ck = F.concat(
+        F.lpad(_key_hash(F.col("_lb_id"), salt).cast("string"), 19, "0"),
+        F.lit(":"),
+        F.col("_lb_id"),
+    )
+    keyed = base.select(
+        ck.alias("_lb_ck"), bucket.alias("bucket"), F.col("_lb_len")
+    )
+    ranked = interleave_order(
+        keyed, "_lb_ck", "bucket", rnd_col="_lb_rnd", n_ranges=n_ranges
+    )
+    return (
+        ranked.withColumn(
+            "batch_id",
+            F.expr(f"CAST((_lb_rnd - 1) DIV {int(batch_size)} AS BIGINT)"),
+        )
+        .groupBy("bucket", "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("_lb_len").alias("max_len"),
+            F.sum("_lb_len").alias("sum_len"),
+        )
+        .withColumn(
+            "waste", F.col("max_len") * F.col("n_docs") - F.col("sum_len")
+        )
+    )

@@ -645,3 +645,40 @@ def sample_repeat_upsample(spark, sf_dir):
     w = F.lit(1.0) + (F.substring("source", 4, 10).cast("int") % 4) * F.lit(0.5)
     out = SA.repeat_upsample(docs.select("doc_id", "source"), "doc_id", w)
     return out.select("doc_id", "source", "n_epochs", "epoch", "order_key")
+
+
+@query(
+    "sample_length_batches",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(doc_id AS VARCHAR) AS id,
+             CAST(n_chars AS BIGINT) AS n,
+             CAST(length(bin(CAST(n_chars AS BIGINT))) - 1 AS INT) AS bucket,
+             lpad(CAST({_sql_hash("doc_id", "lenbucket")} AS VARCHAR), 19, '0')
+               || ':' || CAST(doc_id AS VARCHAR) AS ck
+      FROM documents WHERE n_chars >= 1
+    ),
+    r AS (
+      SELECT bucket, n,
+             row_number() OVER (PARTITION BY bucket ORDER BY ck) AS rnd
+      FROM b
+    ),
+    g AS (
+      SELECT bucket, CAST((rnd - 1) // 16 AS BIGINT) AS batch_id, n FROM r
+    )
+    SELECT bucket, batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MAX(n) AS max_len,
+           SUM(n) AS sum_len,
+           MAX(n) * CAST(COUNT(*) AS BIGINT) - SUM(n) AS waste
+    FROM g GROUP BY 1, 2
+    """,
+)
+def sample_length_batches(spark, sf_dir):
+    """Length-bucketed smart batching over the documents table: power-of-
+    two length bands, hash-ordered in-bucket batches of 16, per-batch
+    padding waste.  The oracle's window is the semantic spec; the engine
+    computes the same ranks with `interleave_order`'s distributed
+    range-slice enumeration — no one-task-per-bucket sort."""
+    docs = T(spark, sf_dir, "documents")
+    return SA.length_bucket_batches(docs, "doc_id", "n_chars", batch_size=16)
