@@ -456,3 +456,18 @@ class TestJsonPathTranslation:
             _sqlite_path_to_spark('$."q\'\'t"')
         with _pytest.raises(QueryRejected):
             _sqlite_path_to_spark('$."unclosed')
+
+
+def test_printf_sqlite_conversions_rejected():
+    """%q/%Q/%w are SQLite-only quoting conversions — format_string would
+    explode inside codegen at run time; reject at parse time (round 9)."""
+    for bad in (
+        "SELECT printf('%q', s) FROM t",
+        "SELECT format('x%Qy', s) FROM t",
+        "SELECT printf('%w', s) FROM t",
+    ):
+        with pytest.raises(QueryRejected):
+            dialect.sqlite_to_spark(bad)
+    # standard conversions unaffected
+    out = dialect.sqlite_to_spark("SELECT printf('%05.2f-%s', x, s) FROM t")
+    assert "format_string('%05.2f-%s', x, s)" in out
