@@ -471,3 +471,15 @@ def test_printf_sqlite_conversions_rejected():
     # standard conversions unaffected
     out = dialect.sqlite_to_spark("SELECT printf('%05.2f-%s', x, s) FROM t")
     assert "format_string('%05.2f-%s', x, s)" in out
+
+
+def test_glob_non_literal_pattern_rejected():
+    """A non-literal GLOB pattern can't compile to a regex statically, and
+    falling through to RLIKE would silently read glob syntax as a regex —
+    wrong answers, not an error.  Loud reject, both forms (round 9)."""
+    with pytest.raises(QueryRejected):
+        dialect.sqlite_to_spark("SELECT * FROM t WHERE a GLOB b")
+    with pytest.raises(QueryRejected):
+        dialect.sqlite_to_spark("SELECT glob(b, a) FROM t")
+    # literal forms unaffected
+    assert "RLIKE" in dialect.sqlite_to_spark("SELECT * FROM t WHERE a GLOB 'x*'")

@@ -534,7 +534,12 @@ def _fn_glob(args: list[str]) -> str:
     if pat.startswith("'") and pat.endswith("'"):
         rx = glob_to_regex(_decode_literal(pat)).replace("'", "''").replace("\\", "\\\\")
         return f"CAST({args[1]} RLIKE '{rx}' AS INT)"
-    return f"CAST({args[1]} RLIKE {pat} AS INT)"
+    # same loud reject as the infix form: RLIKE on a glob string silently
+    # reads glob syntax as a regex (round 9)
+    raise QueryRejected(
+        "glob() with a non-literal pattern is not supported "
+        "(the glob-to-regex compile needs the pattern at translation time)"
+    )
 
 
 def _fn_like(args: list[str]) -> str | None:
@@ -1479,8 +1484,15 @@ def _rewrite_operators(sql: str) -> str:
                         pat_tok.text = f"'{regex}'"
                         out.append(Token("word", "RLIKE"))
                         continue
-                out.append(Token("word", "RLIKE"))
-                continue
+                # a NON-literal pattern can't be compiled statically, and
+                # passing it to RLIKE would silently read glob syntax as a
+                # regex (wrong answers, not an error) — reject loudly
+                # (round 9; previously fell through to bare RLIKE)
+                raise QueryRejected(
+                    "GLOB with a non-literal pattern is not supported "
+                    "(the glob-to-regex compile needs the pattern at "
+                    "translation time)"
+                )
             if up == "COLLATE":
                 # SQLite collation names → Spark 4 collations.  KNOWN
                 # DIVERGENCE: NOCASE folds ASCII only in SQLite, full
