@@ -669,8 +669,8 @@ def sample_repeat_upsample(spark, sf_dir):
     SELECT bucket, batch_id,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            MAX(n) AS max_len,
-           SUM(n) AS sum_len,
-           MAX(n) * CAST(COUNT(*) AS BIGINT) - SUM(n) AS waste
+           CAST(SUM(n) AS BIGINT) AS sum_len,
+           CAST(MAX(n) * CAST(COUNT(*) AS BIGINT) - SUM(n) AS BIGINT) AS waste
     FROM g GROUP BY 1, 2
     """,
 )
