@@ -145,6 +145,13 @@ EXTRA = [
     "b12_shim_json_each",
     "sample_cluster_split",
     "text_ccnet_bucket",
+    # round 9
+    "dedup_cross_decontaminate",
+    "sample_repeat_upsample",
+    "text_bpe_train",
+    "text_bpe_segment",
+    "sample_length_batches",
+    "b12_shim_literal_escape",
 ]
 
 
