@@ -37,6 +37,7 @@ _SAMPLE_PRIORITY = [
     "text_bpe_train",
     "text_bpe_segment",
     "sample_length_batches",
+    "pipeline_bpe_pack",
     # --- round-9 dialect changes touch these code paths: re-evidence ---
     "b12_shim_json_each",
     "b12_shim_window_filter",

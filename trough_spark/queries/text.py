@@ -1264,3 +1264,55 @@ def text_bpe_segment(spark, sf_dir):
     ]
     out = X.bpe_segment_counts(docs, "doc_id", "text", merges)
     return out.select(F.col("id").alias("doc_id"), "n_words", "n_bpe_tokens")
+
+
+def _bpe_pack_oracle(n_merges: int, budget: int) -> str:
+    """BPE segment-count CTEs + the pack_sequences window prefix-sum."""
+    seg = _bpe_segment_oracle(n_merges)
+    head = seg[: seg.rindex("SELECT doc_id, n_words,")].rstrip()
+    return head + f""",
+    counts AS (
+      SELECT doc_id,
+             CAST(length(packed) - length(replace(packed, chr(2), ''))
+                  AS BIGINT) AS n_tokens
+      FROM d{n_merges + 1}
+    ),
+    cum AS (
+      SELECT d.lang, c.doc_id, c.n_tokens,
+             COALESCE(SUM(c.n_tokens) OVER (PARTITION BY d.lang
+                       ORDER BY c.doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prev
+      FROM counts c JOIN documents d USING (doc_id)
+    )
+    SELECT lang, doc_id, n_tokens,
+           CAST(prev // {budget} AS BIGINT) AS bin_id,
+           CAST(prev - (prev // {budget}) * {budget} AS BIGINT) AS bin_offset
+    FROM cum
+    """
+
+
+@query("pipeline_bpe_pack", oracle=_bpe_pack_oracle(3, 256))
+def pipeline_bpe_pack(spark, sf_dir):
+    """Tokenizer-aware sequence packing end to end: train 3 BPE merges on
+    the corpus, count each document's tokens UNDER THAT TOKENIZER
+    (map-side packed-string replaces), and pack into 256-token bins per
+    language — the budget the training loader actually fills, not a
+    whitespace proxy.  Composition of text_bpe_train + text_bpe_segment +
+    pack_sequences; one window shuffle on the partition key after the
+    word-count shuffle, everything else map-side."""
+    from trough_spark.operators import sampling as SA
+
+    docs = T(spark, sf_dir, "documents")
+    trained = X.bpe_train_merges(docs, "doc_id", "text", n_merges=3)
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in trained.orderBy("merge_rank").collect()
+    ]
+    counts = X.bpe_segment_counts(docs, "doc_id", "text", merges).select(
+        F.col("id").alias("doc_id"), F.col("n_bpe_tokens").alias("n_tokens")
+    )
+    toks = counts.join(docs.select("doc_id", "lang"), "doc_id")
+    return SA.pack_sequences(
+        toks, "doc_id", "n_tokens", budget=256, partition_by="lang"
+    )
