@@ -592,3 +592,33 @@ def test_cross_decontaminate_scales_linearly(spark):
     print(f"ratios: 4x/1x = {t4 / t1:.2f} (ideal 4), 16x/1x = {t16 / t1:.2f} (ideal 16)")
     assert n4 == 4 * n1 and n16 == 16 * n1  # one output row per corpus doc
     assert t16 <= max(t1, 0.5) * 16 * 2.5, (t1, t16)
+
+
+def test_bpe_train_scales_with_word_count(spark):
+    """13th measured family (round 9): BPE merge training.  The corpus-
+    sized term is the ONE word-count shuffle; each merge then iterates on
+    the distinct-word table.  The dissimilar blow-up multiplies BOTH the
+    corpus and the vocabulary, so wall time should track ~linearly — the
+    claim the operator docstring makes (vocab-sized iterations, never
+    corpus² work)."""
+    from trough_spark.operators.text import bpe_train_merges
+
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents").select("doc_id", "text")
+    docs.count()
+    spark.range(0, 64, 1, 32).mapInPandas(lambda it: it, "id long").count()
+
+    def run(k: int) -> tuple[float, int]:
+        d = _blowup(docs, k)
+        t0 = time.perf_counter()
+        out = bpe_train_merges(d, "doc_id", "text", n_merges=2)
+        n = out.count()
+        return time.perf_counter() - t0, n
+
+    run(1)  # codegen warm-up
+    t1, n1 = run(1)
+    t4, n4 = run(4)
+    t16, n16 = run(16)
+    print(f"\nbpe-train: 1x {t1:.2f}s/{n1} merges, 4x {t4:.2f}s, 16x {t16:.2f}s")
+    print(f"ratios: 4x/1x = {t4 / t1:.2f} (ideal 4), 16x/1x = {t16 / t1:.2f} (ideal 16)")
+    assert n1 == n4 == n16 == 2
+    assert t16 <= max(t1, 0.5) * 16 * 2.5, (t1, t16)
