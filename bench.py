@@ -152,6 +152,7 @@ EXTRA = [
     "text_bpe_segment",
     "sample_length_batches",
     "b12_shim_literal_escape",
+    "pipeline_bpe_pack",
 ]
 
 
