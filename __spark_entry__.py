@@ -23,76 +23,33 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver samples a prefix of the registry when it can't run everything,
 # so order queries by how much a fresh correctness row is worth: first the
-# round-9 additions (no evidence yet) and the queries whose SEMANTICS the
-# round-9 dialect work touched (group_concat NULL-over-empty guard,
-# json_each container/relative-path extraction, grouped FILTER folding,
-# string-literal respelling — all need fresh rows), then the block whose
-# latest driver evidence is round 6 (oldest), then round-7, then the
-# round-8-green prefix (freshest evidence, lowest priority).
+# round-10 additions (no evidence yet), then the 10 queries whose latest
+# driver evidence is round 6 (the oldest anywhere in the registry — after
+# this round's run nothing should be older than r7), then the queries whose
+# SEMANTICS round-10 dialect work touched (printf %q/%Q/%w now implemented,
+# json_each key-corner guards, non-literal GLOB fallback), then the round-7
+# block, then round-8, then the round-9-green prefix (freshest, lowest
+# priority).
 _SAMPLE_PRIORITY = [
-    # --- new in round 9: no driver evidence yet ---
-    "sample_repeat_upsample",
-    "dedup_cross_decontaminate",
-    "b12_shim_literal_escape",
-    "text_bpe_train",
-    "text_bpe_segment",
-    "sample_length_batches",
-    "pipeline_bpe_pack",
-    # --- round-9 dialect changes touch these code paths: re-evidence ---
-    "b12_shim_json_each",
-    "b12_shim_window_filter",
-    "b6_group_concat_distinct",
+    # --- new in round 10: no driver evidence yet ---
+    # (names appended here as the round adds queries)
+    # --- latest evidence: round 6 (oldest -> highest priority) ---
+    "events_attribution_touch",
+    "sim_kmeans_train",
+    "sim_kmeans_update",
+    "sim_matryoshka_topk",
+    "sim_semantic_dedup",
+    "sim_srp_multiprobe_pairs",
+    "stream_dedup_ids",
+    "vec_pq_encode",
+    "vec_pq_recall",
+    "vec_quantization_error",
+    # --- round-10 dialect changes touch these code paths: re-evidence ---
     "b12_scalar_functions",
+    "b12_shim_json_each",
     "b12_dialect_shim_roundtrip2",
     "b12_dialect_shim_roundtrip",
-    # --- latest evidence: round 6 (oldest -> highest priority) ---
-    "dedup_chunk_rewrite",
-    "multimodal_frame_sample",
-    "stream_session_window_native",
-    "multimodal_phash",
-    "pack_sequences_sharded",
-    "sample_train_order",
-    "sample_bottom_k_per_group",
-    "sample_group_cap",
-    "text_html_strip",
-    "text_classifier_score",
-    "text_hashed_embedding",
-    "b5_join_multiway",
-    "b7_rollup",
-    "b8_window_functions",
-    "b9_topk_per_group",
-    "b9_order_limit_offset",
-    "b10_set_ops",
-    "b11_subqueries_cte",
-    "b12_datetime_functions",
-    "b12_json_functions",
-    "b5_theta_cross_join",
-    "b6_having",
-    "b8_range_frames",
-    "b8_groups_frames",
-    "b9_nulls_ordering",
-    "b11_exists_anti",
-    "b6_percentiles",
-    "b7_cube_grouping_sets",
-    "b6_pivot_priority",
-    "layout_zorder_key",
-    "sim_cosine_pairs",
-    "sim_ann_topk",
-    "sim_srp_buckets",
-    "sim_srp_bucketed_pairs",
-    "sim_ivf_topk",
-    "sim_ivf_recall",
-    "vec_quantize_int8",
-    "vec_quantization_error",
-    "sim_kmeans_update",
-    "sim_srp_multiprobe_pairs",
-    "sim_kmeans_train",
-    "sim_semantic_dedup",
-    "vec_pq_encode",
-    "sim_matryoshka_topk",
-    "vec_pq_recall",
-    "events_attribution_touch",
-    "stream_dedup_ids",
+    "b4_filter_predicates",
     # --- latest evidence: round 7 ---
     "sample_temperature_lang",
     "sample_dsir_weights",
@@ -184,13 +141,59 @@ _SAMPLE_PRIORITY = [
     "text_hashed_ann_topk",
     "pipeline_curation",
     "b3_projection_expressions",
-    "b4_filter_predicates",
     "b5_join_outer_semi_anti",
     "b6_agg_pricing_summary",
     "vec_pq_adc_topk",
     "vec_ivfpq_search",
     "sketch_source_overlap",
     "dedup_minhash_verify",
+    # --- latest evidence: round 9 (freshest, lowest priority) ---
+    "sample_repeat_upsample",
+    "dedup_cross_decontaminate",
+    "b12_shim_literal_escape",
+    "text_bpe_train",
+    "text_bpe_segment",
+    "sample_length_batches",
+    "pipeline_bpe_pack",
+    "b12_shim_window_filter",
+    "b6_group_concat_distinct",
+    "dedup_chunk_rewrite",
+    "multimodal_frame_sample",
+    "stream_session_window_native",
+    "multimodal_phash",
+    "pack_sequences_sharded",
+    "sample_train_order",
+    "sample_bottom_k_per_group",
+    "sample_group_cap",
+    "text_html_strip",
+    "text_classifier_score",
+    "text_hashed_embedding",
+    "b5_join_multiway",
+    "b7_rollup",
+    "b8_window_functions",
+    "b9_topk_per_group",
+    "b9_order_limit_offset",
+    "b10_set_ops",
+    "b11_subqueries_cte",
+    "b12_datetime_functions",
+    "b12_json_functions",
+    "b5_theta_cross_join",
+    "b6_having",
+    "b8_range_frames",
+    "b8_groups_frames",
+    "b9_nulls_ordering",
+    "b11_exists_anti",
+    "b6_percentiles",
+    "b7_cube_grouping_sets",
+    "b6_pivot_priority",
+    "layout_zorder_key",
+    "sim_cosine_pairs",
+    "sim_ann_topk",
+    "sim_srp_buckets",
+    "sim_srp_bucketed_pairs",
+    "sim_ivf_topk",
+    "sim_ivf_recall",
+    "vec_quantize_int8",
 ]
 
 

@@ -374,6 +374,29 @@ def test_cross_decontaminate_broadcasts_reference(spark):
     assert got == expected
 
 
+def test_cross_decontaminate_reports_short_docs(spark):
+    """Docs with fewer than n tokens get no minhash signature row (empty
+    shingle array -> explode drops them), so a spine built from the
+    signature table silently omits them.  With corpus_ids passed, the
+    report must emit (id, 0, 0) for every signature-less corpus doc —
+    matching the oracle's FROM documents LEFT JOIN hits shape (ADVICE r9,
+    medium)."""
+    from trough_spark.operators import dedup as D
+
+    rows = [(i, f"w{i % 7} x{i % 5} y{i % 3} common tail tokens here") for i in range(20)]
+    rows += [(100, "tiny"), (101, "two words"), (102, "")]  # < 3 tokens: no signature
+    docs = spark.createDataFrame(rows, "id int, text string")
+    sig = D.minhash_signature_vector(docs, "id", "text", num_perm=8, n=3)
+    corpus_sig, ref_sig = sig.filter("id >= 10"), sig.filter("id < 10")
+    assert corpus_sig.filter("id >= 100").count() == 0  # precondition: dropped
+    spine = docs.filter("id >= 10").select("id")
+    out = D.cross_corpus_near_dup(corpus_sig, ref_sig, corpus_ids=spine)
+    got = {r["id"]: (r["n_ref_matches"], r["is_hit"]) for r in out.collect()}
+    assert set(got) == {i for i in range(10, 20)} | {100, 101, 102}
+    for short_id in (100, 101, 102):
+        assert got[short_id] == (0, 0)
+
+
 def test_bpe_segment_apply_is_map_only(spark):
     """bpe_segment_counts (the APPLY step, merges already trained) must be
     shuffle-free: packing, k replaces, and the token count are all per-row

@@ -801,6 +801,7 @@ def cross_corpus_near_dup(
     num_perm: int = 8,
     rows_per_band: int = 2,
     broadcast_reference: bool = True,
+    corpus_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-corpus near-dup subtraction: flag every CORPUS doc whose
     MinHash signature collides (in >= 1 LSH band) with ANY REFERENCE doc —
@@ -823,6 +824,15 @@ def cross_corpus_near_dup(
     collisions.  A corpus-sized reference degrades gracefully: drop the
     broadcast flag and the join becomes a sort-merge on the compact
     (band, band_hash) key, same shape as the self-join path.
+
+    ``corpus_ids`` (optional, one ``id`` column): the FULL corpus doc-id
+    spine to report over.  ``minhash_signature_vector`` emits no row for
+    docs with fewer than n tokens (the empty shingle array is dropped by
+    explode), so a spine built from the signature table silently omits
+    short docs from the decontamination report.  Passing the corpus doc
+    list here emits (id, 0, 0) for signature-less docs — a short doc is
+    by construction not a near-dup of anything, but it must still appear
+    in the report (and match the oracle's FROM documents row set).
     """
     bands_c = _bands_from_vector(corpus_sig_vec, num_perm, rows_per_band)
     bands_r = _bands_from_vector(reference_sig_vec, num_perm, rows_per_band)
@@ -838,8 +848,9 @@ def cross_corpus_near_dup(
         .groupBy(F.col("c.id").alias("id"))
         .agg(F.count_distinct(F.col("r.id")).alias("n_ref_matches"))
     )
+    spine = corpus_ids.select("id") if corpus_ids is not None else corpus_sig_vec.select("id")
     return (
-        corpus_sig_vec.select("id")
+        spine
         .join(hits, "id", "left")
         .select(
             "id",

@@ -602,5 +602,11 @@ def dedup_cross_decontaminate(spark, sf_dir):
     sig = D.minhash_signature_vector(docs, "doc_id", "text", num_perm=8, n=3)
     corpus = sig.filter(F.col("id") >= 50)
     ref = sig.filter(F.col("id") < 50)
-    out = D.cross_corpus_near_dup(corpus, ref, num_perm=8, rows_per_band=2)
+    # Report over the FULL corpus doc list, not the signature table: docs
+    # shorter than n tokens have no signature row but must still appear
+    # as (id, 0, 0) — matching the oracle's FROM documents LEFT JOIN hits.
+    corpus_ids = docs.filter(F.col("doc_id") >= 50).select(F.col("doc_id").alias("id"))
+    out = D.cross_corpus_near_dup(
+        corpus, ref, num_perm=8, rows_per_band=2, corpus_ids=corpus_ids
+    )
     return out.select(F.col("id").alias("doc_id"), "n_ref_matches", "is_hit")
