@@ -32,7 +32,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # priority).
 _SAMPLE_PRIORITY = [
     # --- new in round 10: no driver evidence yet ---
-    # (names appended here as the round adds queries)
+    "b12_shim_json_tree",
     # --- latest evidence: round 6 (oldest -> highest priority) ---
     "events_attribution_touch",
     "sim_kmeans_train",

@@ -394,13 +394,30 @@ class TestJsonEachRewrite:
         sql = "SELECT json_each('[1]') FROM t"
         assert _rewrite_json_each(sql) == sql
 
-    def test_json_tree_rejected(self):
-        import pytest as _pytest
+    def test_json_tree_expands(self):
+        """json_tree in FROM position expands to the bounded-depth
+        recursive walk (round 10; was a loud reject in r9).  Runtime
+        parity pinned against live SQLite in test_sqlite_differential.py
+        and by the b12_shim_json_tree oracle."""
+        from trough_spark.dialect import _rewrite_json_each
 
-        from trough_spark.dialect import QueryRejected, _rewrite_json_each
+        out = _rewrite_json_each("SELECT key FROM json_tree('{\"a\": 1}')")
+        assert "UNION ALL" in out and "variant_explode" in out
+        assert out.rstrip().endswith("AS json_tree")
+        out = _rewrite_json_each(
+            "SELECT key FROM json_tree('{\"a\": {\"b\": 1}}', '$.a') jt"
+        )
+        assert "UNION ALL" in out and out.rstrip().endswith("AS jt")
 
-        with _pytest.raises(QueryRejected):
-            _rewrite_json_each("SELECT key FROM json_tree('{\"a\": 1}')")
+    def test_json_tree_root_parts(self):
+        from trough_spark.dialect import _path_root_parts
+
+        assert _path_root_parts("$") == ("$", None)
+        assert _path_root_parts("$.a") == ("$", "a")
+        assert _path_root_parts("$.a[1]") == ("$.a", None)
+        assert _path_root_parts('$."z w"') == ("$", "z w")
+        assert _path_root_parts('$.a."x\\"y"') == ("$.a", 'x"y')
+        assert _path_root_parts("$.a.b.c") == ("$.a.b", "c")
 
     def test_nonliteral_path_rejected(self):
         import pytest as _pytest
@@ -458,28 +475,71 @@ class TestJsonPathTranslation:
             _sqlite_path_to_spark('$."unclosed')
 
 
-def test_printf_sqlite_conversions_rejected():
-    """%q/%Q/%w are SQLite-only quoting conversions — format_string would
-    explode inside codegen at run time; reject at parse time (round 9)."""
+def test_printf_sqlite_conversions_rewritten():
+    """%q/%Q/%w are SQLite-only quoting conversions with no Java
+    equivalent; round 10 rewrites bare forms to native replace()/CASE
+    chains (round 9 rejected them loudly).  Semantics pinned against live
+    SQLite in test_sqlite_differential.py."""
+    out = dialect.sqlite_to_spark("SELECT printf('%q', s) FROM t")
+    assert "replace(CAST(s AS STRING), '''', '''''')" in out
+    assert "'(NULL)'" in out  # SQLite 3.40 renders NULL as (NULL) under %q
+    out = dialect.sqlite_to_spark("SELECT format('x%Qy', s) FROM t")
+    assert "concat(" in out and "'NULL'" in out  # %Q: bare NULL, outer quotes
+    assert "format_string('x'" in out or "'x'" in out
+    out = dialect.sqlite_to_spark("SELECT printf('%w', s) FROM t")
+    assert 'replace(CAST(s AS STRING), \'"\', \'""\')' in out
+    # %% must not be read as starting a conversion (ADVICE r9 false positive)
+    out = dialect.sqlite_to_spark("SELECT printf('100%%quality: %d', x) FROM t")
+    assert "format_string('100%%quality: %d', x)" in out
+    # mixed: standard conversions keep their args, in order, around the piece
+    out = dialect.sqlite_to_spark("SELECT printf('%d=%q;%s', a, b, c) FROM t")
+    assert "format_string('%d=', a)" in out
+    assert "replace(CAST(b AS STRING)" in out
+    assert "format_string(';%s', c)" in out
+    # * width in another conversion consumes its extra arg before the %q
+    out = dialect.sqlite_to_spark("SELECT printf('%*d %q', w, a, b) FROM t")
+    assert "format_string('%*d ', w, a)" in out
+    assert "replace(CAST(b AS STRING)" in out
+    # width/precision/flags ON q/Q/w still a loud (narrower) reject
     for bad in (
-        "SELECT printf('%q', s) FROM t",
-        "SELECT format('x%Qy', s) FROM t",
-        "SELECT printf('%w', s) FROM t",
+        "SELECT printf('%10q', s) FROM t",
+        "SELECT printf('%.2q', s) FROM t",
+        "SELECT printf('%-5Q', s) FROM t",
     ):
         with pytest.raises(QueryRejected):
             dialect.sqlite_to_spark(bad)
+    # the ignored ! flag is accepted (probed: '%!q' == '%q')
+    out = dialect.sqlite_to_spark("SELECT printf('%!q', s) FROM t")
+    assert "replace(CAST(s AS STRING)" in out
     # standard conversions unaffected
     out = dialect.sqlite_to_spark("SELECT printf('%05.2f-%s', x, s) FROM t")
     assert "format_string('%05.2f-%s', x, s)" in out
 
 
-def test_glob_non_literal_pattern_rejected():
-    """A non-literal GLOB pattern can't compile to a regex statically, and
-    falling through to RLIKE would silently read glob syntax as a regex —
-    wrong answers, not an error.  Loud reject, both forms (round 9)."""
+def test_glob_non_literal_pattern_fallback():
+    """A non-literal GLOB pattern can't compile to a regex statically;
+    round 10 rewrites both forms to the registered row-time compiler
+    (x RLIKE TROUGH_GLOB_REGEX(expr)) instead of the round-9 loud reject.
+    Runtime equivalence pinned against live SQLite in
+    test_sqlite_differential.py; the no-BatchEvalPython plan assertion for
+    LITERAL patterns lives in test_plans.py."""
+    out = dialect.sqlite_to_spark("SELECT * FROM t WHERE a GLOB b")
+    assert "RLIKE TROUGH_GLOB_REGEX(" in out
+    out = dialect.sqlite_to_spark("SELECT glob(b, a) FROM t")
+    assert "CAST(a RLIKE TROUGH_GLOB_REGEX(b) AS INT)" in out
+    # pattern extent: || chain, call, dotted name, parenthesized group
+    out = dialect.sqlite_to_spark(
+        "SELECT * FROM t WHERE a GLOB substr(b, 1, 2) || '*' AND c = 1"
+    )
+    assert "TROUGH_GLOB_REGEX( substr(b, 1, 2) || '*' )" in out
+    assert "AND c = 1" in out
+    out = dialect.sqlite_to_spark("SELECT * FROM t WHERE a NOT GLOB t.p ORDER BY a")
+    assert "NOT RLIKE TROUGH_GLOB_REGEX( t.p )" in out
+    # literal forms still compile statically (never the UDF)
+    out = dialect.sqlite_to_spark("SELECT * FROM t WHERE a GLOB 'x*'")
+    assert "RLIKE" in out and "TROUGH_GLOB_REGEX" not in out
+    # unsupported extent shapes keep the loud reject
     with pytest.raises(QueryRejected):
-        dialect.sqlite_to_spark("SELECT * FROM t WHERE a GLOB b")
-    with pytest.raises(QueryRejected):
-        dialect.sqlite_to_spark("SELECT glob(b, a) FROM t")
-    # literal forms unaffected
-    assert "RLIKE" in dialect.sqlite_to_spark("SELECT * FROM t WHERE a GLOB 'x*'")
+        dialect.sqlite_to_spark(
+            "SELECT * FROM t WHERE a GLOB CASE WHEN c THEN 'x' ELSE 'y' END"
+        )

@@ -224,6 +224,36 @@ def test_no_query_plans_cartesian_or_row_python(spark):
     assert not offenders, f"scale-hostile plan nodes: {offenders}"
 
 
+def test_literal_glob_stays_native_nonliteral_falls_back(spark):
+    """Literal GLOB patterns compile to RLIKE regex literals at translation
+    time and must never plan BatchEvalPython; non-literal patterns use the
+    registered TROUGH_GLOB_REGEX row-time compiler (round 10) and must
+    agree with the static translation on identical pattern values."""
+    from trough_spark import dialect
+    from trough_spark.functions import register_all
+
+    register_all(spark)
+    spark.createDataFrame(
+        [("apple", "a*"), ("banana", "a*"), ("cherry", "[cx]*"), ("axe", None)],
+        "name string, pat string",
+    ).createOrReplaceTempView("globt")
+    lit_sql = dialect.sqlite_to_spark("SELECT name FROM globt WHERE name GLOB 'a*'")
+    lit = spark.sql(lit_sql)
+    plan = lit._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "TROUGH_GLOB_REGEX" not in lit_sql
+    assert {r["name"] for r in lit.collect()} == {"apple", "axe"}
+    dyn = spark.sql(
+        dialect.sqlite_to_spark("SELECT name FROM globt WHERE name GLOB pat")
+    )
+    # 'axe' carries a NULL pattern -> NULL predicate -> excluded (as SQLite)
+    assert {r["name"] for r in dyn.collect()} == {"apple", "cherry"}
+    # function form returns 0/1/NULL like SQLite
+    vals = spark.sql(
+        dialect.sqlite_to_spark("SELECT glob(pat, name) AS v FROM globt")
+    ).collect()
+    assert sorted((r["v"] for r in vals), key=lambda v: (v is None, v)) == [0, 1, 1, None]
+
+
 def test_hashed_classifier_is_map_only(spark):
     """Classifier inference must stay a pure map — one projection, no
     explode, no shuffle, no Python eval (the 100 TB corpus-scoring claim)."""

@@ -24,6 +24,8 @@ ROWS = [
     (4, "apple tart", 2.5, 10, "2024-01-15 11:00:00"),
     (5, None, 0.0, 2, None),
     (6, "date", 4.75, 7, "2024-06-30 12:00:00"),
+    # quote-bearing text so %q/%Q/%w/quote() doubling is non-trivial (r10)
+    (7, "it's \"rum\" o'clock", 9.99, 3, "2024-07-04 00:00:00"),
 ]
 
 # every query must be a single SELECT both engines accept (after the shim)
@@ -343,6 +345,65 @@ QUERIES = [
     "SELECT id, group_concat(name, '+') FILTER (WHERE price > 2) OVER "
     "(ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gc "
     "FROM items ORDER BY id",
+    # round-10: printf %q/%Q/%w implemented natively (VERDICT r9 item 2) —
+    # quote-doubling, quoted-or-bare-NULL, double-quote doubling, NULL and
+    # non-string corners, %% escapes no longer false-positive the scan,
+    # * width in a neighbouring conversion, missing-argument NULL
+    "SELECT printf('%q', name) AS v FROM items ORDER BY id",
+    "SELECT printf('%Q', name) AS v FROM items ORDER BY id",
+    "SELECT printf('%w', name) AS v FROM items ORDER BY id",
+    "SELECT printf('%q', qty) AS v FROM items ORDER BY id",
+    "SELECT printf('%Q', qty) AS v FROM items ORDER BY id",
+    "SELECT printf('INSERT INTO t VALUES(%Q, %d)', name, id) AS v "
+    "FROM items ORDER BY id",
+    "SELECT printf('100%%quality: %d', qty) AS v FROM items WHERE id = 1",
+    "SELECT printf('%d=%q;%s', id, name, name) AS v FROM items WHERE id = 3",
+    "SELECT printf('%!q', name) AS v FROM items WHERE id = 1",
+    "SELECT format('[%w]', name) AS v FROM items ORDER BY id",
+    "SELECT printf('%q') AS v",
+    "SELECT printf('%Q') AS v",
+    "SELECT printf('a%%b%qc%%d', name) AS v FROM items WHERE id = 4",
+    # round-10: non-literal GLOB patterns via the row-time TROUGH_GLOB_REGEX
+    # fallback (VERDICT r9 item 5) — column patterns, derived patterns,
+    # NULL threading, NOT GLOB, function form
+    "SELECT id FROM items WHERE name GLOB name ORDER BY id",
+    "SELECT id FROM items WHERE name GLOB substr(name, 1, 2) || '*' ORDER BY id",
+    "SELECT id FROM items WHERE name NOT GLOB substr(name, 1, 1) || '*' ORDER BY id",
+    "SELECT glob(substr(name, 1, 1) || '*', name) AS v FROM items ORDER BY id",
+    "SELECT glob(name, NULL) AS v FROM items WHERE id = 1",
+    "SELECT glob(NULL, name) AS v FROM items WHERE id = 1",
+    "SELECT id FROM items WHERE name GLOB upper(substr(name, 1, 1)) || '*' "
+    "ORDER BY id",
+    # round-10: json_tree (VERDICT r9 item 3) — recursive walk incl. the
+    # root row, nested containers, quoted keys, 2-arg container/scalar
+    # roots, parent/child threading via fullkey (ids are opaque in BOTH
+    # engines and not compared)
+    "SELECT CAST(key AS TEXT) AS k, CAST(value AS TEXT) AS v, type, "
+    "CAST(atom AS TEXT) AS a, fullkey, path "
+    "FROM json_tree('{\"a\":[1,{\"b\":2}],\"c\":\"x\",\"z w\":true}') "
+    "ORDER BY fullkey",
+    "SELECT CAST(key AS TEXT) AS k, CAST(value AS TEXT) AS v, fullkey, path "
+    "FROM json_tree('{\"a\":[1,{\"b\":2}]}', '$.a') ORDER BY fullkey",
+    "SELECT CAST(key AS TEXT) AS k, CAST(value AS TEXT) AS v, type, fullkey, "
+    "path FROM json_tree('{\"c\":\"x\"}', '$.c')",
+    "SELECT CAST(key AS TEXT) AS k, type, fullkey FROM "
+    "json_tree('[[[[[\"deep\"]]]]]') ORDER BY fullkey",
+    "SELECT count(*) AS n FROM json_tree(NULL)",
+    "SELECT count(*) AS n FROM json_tree('{\"c\":1}', '$.nope')",
+    "SELECT CAST(key AS TEXT) AS k, CAST(value AS TEXT) AS v, fullkey "
+    "FROM json_tree('{\"e\":[],\"o\":{}}') ORDER BY fullkey",
+    "SELECT CAST(jt.value AS TEXT) AS v, jt.fullkey FROM items, "
+    "json_tree(json_object('n', items.id, 'nm', items.name)) jt "
+    "WHERE items.id <= 2 ORDER BY items.id, jt.fullkey",
+    # round-10: json_each 2-arg scalar corners fixed by the variant_get
+    # re-encoding — plain string target (was a crash), container-looking
+    # string (was silently iterated), JSON null at path (was zero rows)
+    "SELECT CAST(key AS TEXT) AS k, CAST(value AS TEXT) AS v, type, fullkey "
+    "FROM json_each('{\"c\":\"x\"}', '$.c')",
+    "SELECT CAST(key AS TEXT) AS k, CAST(value AS TEXT) AS v, type, fullkey "
+    "FROM json_each('{\"c\":\"[1]\"}', '$.c')",
+    "SELECT CAST(key AS TEXT) AS k, CAST(value AS TEXT) AS v, type, fullkey "
+    "FROM json_each('{\"c\":null}', '$.c')",
 ]
 
 DDL = (
@@ -375,7 +436,9 @@ def engines(spark, tmp_path_factory):
     placeholders = []
     for r in ROWS:
         vals = ", ".join(
-            "NULL" if v is None else (f"'{v}'" if isinstance(v, str) else str(v))
+            "NULL"
+            if v is None
+            else (f"""'{v.replace("'", "''")}'""" if isinstance(v, str) else str(v))
             for v in r
         )
         placeholders.append(f"INSERT INTO items (id, name, price, qty, ts) VALUES ({vals})")

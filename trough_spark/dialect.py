@@ -512,18 +512,104 @@ def _like_escape_canon(pat_text: str, esc_text: str) -> str:
     return _encode_literal("".join(parts))
 
 
+# %[flags][width][.precision]conversion — SQLite printf grammar
+# (sqlite3 printf.c; flags set probed: - + space 0 # , !).  '%' as a
+# conversion char is the %% escape and consumes no argument.
+_PRINTF_CONV = re.compile(
+    r"%(?P<flags>[-+ 0#,!]*)(?P<width>\*|\d+)?(?P<prec>\.(?:\*|\d+)?)?(?P<conv>[a-zA-Z%])"
+)
+
+
+def _printf_quote_piece(conv: str, arg: str) -> str:
+    """One %q/%Q/%w substitution as a native Spark expression.
+
+    Live-SQLite-probed corners (3.40.x, test_sqlite_differential.py):
+    %q/%w render NULL (and a missing argument) as the literal text
+    ``(NULL)``; %Q renders the bare word ``NULL``; non-string args are
+    stringified first (42 -> '42').  Float spelling divergence (SQLite
+    '1e+20' vs Spark '1.0E20') is shared with the existing %s path and
+    documented there.
+    """
+    s = f"CAST({arg} AS STRING)"
+    if conv == "q":
+        return f"CASE WHEN {arg} IS NULL THEN '(NULL)' ELSE replace({s}, '''', '''''') END"
+    if conv == "w":
+        return f"CASE WHEN {arg} IS NULL THEN '(NULL)' ELSE replace({s}, '\"', '\"\"') END"
+    # %Q: outer quotes added, NULL renders as the bare word NULL
+    return (
+        f"CASE WHEN {arg} IS NULL THEN 'NULL' "
+        f"ELSE concat('''', replace({s}, '''', ''''''), '''') END"
+    )
+
+
 def _fn_printf(args: list[str]) -> str:
-    """printf/format → format_string, with SQLite's OWN conversions (%q
-    quote-doubling, %Q quoted-or-NULL, %w ident-doubling — no Java
-    equivalent) rejected loudly instead of exploding inside codegen with
-    an UnknownFormatConversionException at run time."""
+    """printf/format → format_string, with SQLite's OWN quoting
+    conversions (%q quote-doubling, %Q quoted-or-NULL, %w double-quote
+    doubling — no Java equivalent) rewritten to native replace()/CASE
+    chains (round 10).  The format is split at each %q/%Q/%w into
+    format_string segments concat-ed with the quoting pieces, preserving
+    argument order (``*`` width/precision in OTHER conversions consumes
+    an extra argument and is accounted for).  Width/precision/flags ON a
+    q/Q/w conversion (e.g. %10q, %.2q) stay a loud reject — padding
+    interacts with quote-doubling inside SQLite's formatter and has no
+    compact native spelling.  %% escapes are tokenized, not regex-scanned,
+    so '100%%quality: %d' no longer false-positives (ADVICE r9)."""
     fmt = args[0].strip() if args else ""
-    if fmt.startswith("'") and fmt.endswith("'"):
-        if re.search(r"%[-+ 0#,!]*\d*(?:\.\d+)?[qQw]", _decode_literal(fmt)):
-            raise QueryRejected(
-                "printf %q/%Q/%w (SQLite quoting conversions) are not supported"
+    if not (fmt.startswith("'") and fmt.endswith("'")):
+        return f"format_string({', '.join(args)})"
+    fmt_val = _decode_literal(fmt)
+    if not any(
+        m.group("conv") in "qQw" for m in _PRINTF_CONV.finditer(fmt_val)
+    ):
+        return f"format_string({', '.join(args)})"
+
+    pieces: list[str] = []  # concat operands
+    seg_start = 0  # start of the current format segment in fmt_val
+    seg_args: list[str] = []  # args consumed by the current segment
+    arg_i = 1  # next unconsumed printf argument
+
+    def flush(seg_end: int) -> None:
+        seg = fmt_val[seg_start:seg_end]
+        if not seg:
+            return
+        if "%" in seg:
+            pieces.append(
+                f"format_string({', '.join([_encode_literal(seg), *seg_args])})"
             )
-    return f"format_string({', '.join(args)})"
+        else:
+            pieces.append(_encode_literal(seg))
+
+    for m in _PRINTF_CONV.finditer(fmt_val):
+        if m.start() < seg_start:
+            continue  # overlapped a region already consumed (can't happen: finditer is non-overlapping)
+        conv = m.group("conv")
+        if conv == "%":
+            continue  # %% stays in its segment, consumes nothing
+        stars = (m.group("width") == "*") + ((m.group("prec") or "") == ".*")
+        if conv in "qQw":
+            if m.group("flags").replace("!", "") or m.group("width") or m.group("prec"):
+                raise QueryRejected(
+                    "printf %q/%Q/%w with flags/width/precision is not supported "
+                    "(bare %q/%Q/%w are; SQLite pads after quote-doubling, "
+                    "which has no native Spark spelling)"
+                )
+            flush(m.start())
+            # missing argument: SQLite substitutes NULL (probed)
+            arg = args[arg_i] if arg_i < len(args) else "NULL"
+            arg_i += 1
+            pieces.append(_printf_quote_piece(conv, arg))
+            seg_start = m.end()
+            seg_args = []
+        else:
+            take = 1 + stars
+            seg_args.extend(args[arg_i : arg_i + take])
+            arg_i += take
+    flush(len(fmt_val))
+    if not pieces:
+        return "''"
+    if len(pieces) == 1:
+        return pieces[0]
+    return f"concat({', '.join(pieces)})"
 
 
 def _fn_glob(args: list[str]) -> str:
@@ -534,12 +620,10 @@ def _fn_glob(args: list[str]) -> str:
     if pat.startswith("'") and pat.endswith("'"):
         rx = glob_to_regex(_decode_literal(pat)).replace("'", "''").replace("\\", "\\\\")
         return f"CAST({args[1]} RLIKE '{rx}' AS INT)"
-    # same loud reject as the infix form: RLIKE on a glob string silently
-    # reads glob syntax as a regex (round 9)
-    raise QueryRejected(
-        "glob() with a non-literal pattern is not supported "
-        "(the glob-to-regex compile needs the pattern at translation time)"
-    )
+    # non-literal pattern (round 10): row-time glob-to-regex via the
+    # registered TROUGH_GLOB_REGEX UDF (functions.py), same fallback as the
+    # infix form; 0/1/NULL result shape preserved by the CAST
+    return f"CAST({args[1]} RLIKE TROUGH_GLOB_REGEX({args[0]}) AS INT)"
 
 
 def _fn_like(args: list[str]) -> str | None:
@@ -1328,6 +1412,95 @@ _EXPR_LEAD_KEYWORDS = {
 }
 
 
+#: words that cannot START an operand inside a GLOB pattern expression —
+#: hitting one means the extent scan ran past the pattern (unparseable here;
+#: falls back to the loud reject).  CASE is excluded from supported operands
+#: to keep the scanner small; NULL/params/identifiers/calls/parens are in.
+_EXT_STOP_WORDS = frozenset(
+    {
+        "AND", "OR", "NOT", "IN", "IS", "BETWEEN", "LIKE", "GLOB", "REGEXP",
+        "MATCH", "ESCAPE", "COLLATE", "ISNULL", "NOTNULL", "THEN", "ELSE",
+        "END", "WHEN", "CASE", "FROM", "WHERE", "GROUP", "ORDER", "LIMIT",
+        "OFFSET", "HAVING", "UNION", "INTERSECT", "EXCEPT", "SELECT", "AS",
+        "ON", "JOIN", "USING", "WINDOW",
+    }
+)
+#: operators binding TIGHTER than GLOB (sqlite expr grammar) — they extend
+#: the pattern expression; anything else ends it
+_EXT_CONNECT = frozenset({"||", "+", "-", "*", "/", "%", "&", "|"})
+
+
+def _balanced_close(tokens: list[Token], sig: list[int], open_n: int) -> int | None:
+    """sig-index of the ')' matching the '(' at sig-index open_n."""
+    depth = 0
+    for n in range(open_n, len(sig)):
+        t = tokens[sig[n]]
+        if t.kind == "op" and t.text == "(":
+            depth += 1
+        elif t.kind == "op" and t.text == ")":
+            depth -= 1
+            if depth == 0:
+                return n
+    return None
+
+
+def _pattern_extent(tokens: list[Token], sig: list[int], start_n: int) -> int | None:
+    """sig-index of the LAST token of the high-precedence expression that
+    starts at sig-index start_n (the RHS pattern of an infix GLOB), or None
+    if the shape isn't one the scanner supports.  Supported operands:
+    literals, params, NULL, (dotted) identifiers, function calls, and
+    parenthesized groups, connected by operators binding tighter than GLOB
+    (||, arithmetic, bitwise)."""
+    n = start_n
+    last: int | None = None
+    while True:
+        while (
+            n < len(sig)
+            and tokens[sig[n]].kind == "op"
+            and tokens[sig[n]].text in ("+", "-", "~")
+        ):
+            n += 1  # unary sign
+        if n >= len(sig):
+            return None
+        t = tokens[sig[n]]
+        if t.kind in ("string", "number", "param", "bquote", "dquote", "bracket"):
+            last = n
+            n += 1
+        elif t.kind == "word":
+            if t.text.upper() in _EXT_STOP_WORDS:
+                return None
+            last = n
+            n += 1
+            while (
+                n + 1 < len(sig)
+                and tokens[sig[n]].kind == "op"
+                and tokens[sig[n]].text == "."
+                and tokens[sig[n + 1]].kind in ("word", "bquote", "dquote", "bracket")
+            ):
+                last = n + 1
+                n += 2
+            if n < len(sig) and tokens[sig[n]].kind == "op" and tokens[sig[n]].text == "(":
+                close = _balanced_close(tokens, sig, n)
+                if close is None:
+                    return None
+                last = close
+                n = close + 1
+        elif t.kind == "op" and t.text == "(":
+            close = _balanced_close(tokens, sig, n)
+            if close is None:
+                return None
+            last = close
+            n = close + 1
+        else:
+            return None
+        if n < len(sig):
+            nt = tokens[sig[n]]
+            if nt.kind == "op" and nt.text in _EXT_CONNECT:
+                n += 1
+                continue
+        return last
+
+
 def _rewrite_operators(sql: str) -> str:
     tokens = tokenize(sql)
     _rewrite_cast_types(tokens)
@@ -1337,7 +1510,14 @@ def _rewrite_operators(sql: str) -> str:
     out: list[Token] = []
     sig = _significant(tokens)
     sigset = {i: n for n, i in enumerate(sig)}
+    # ')' insertions owed by the non-literal-GLOB wrap: token index -> count
+    # of closes to emit just before that token (trailing count for extents
+    # that run to end-of-statement)
+    close_before: dict[int, int] = {}
+    trailing_closes = 0
     for i, t in enumerate(tokens):
+        if i in close_before:
+            out.append(Token("op", ")" * close_before.pop(i)))
         if t.kind == "dquote":
             # SQLite double-quoted identifier → Spark backtick identifier
             inner = t.text[1:-1].replace('""', '"').replace("`", "``")
@@ -1484,14 +1664,28 @@ def _rewrite_operators(sql: str) -> str:
                         pat_tok.text = f"'{regex}'"
                         out.append(Token("word", "RLIKE"))
                         continue
-                # a NON-literal pattern can't be compiled statically, and
-                # passing it to RLIKE would silently read glob syntax as a
-                # regex (wrong answers, not an error) — reject loudly
-                # (round 9; previously fell through to bare RLIKE)
+                # NON-literal pattern (round 10): compile the glob to a
+                # regex AT ROW TIME via the registered TROUGH_GLOB_REGEX
+                # UDF (functions.py), keeping RLIKE's native evaluation:
+                #   x GLOB expr  ->  x RLIKE TROUGH_GLOB_REGEX(expr)
+                # NULL threading matches SQLite (NULL pattern -> NULL UDF
+                # result -> NULL RLIKE).  Literal patterns above never
+                # touch this path, so they stay fully codegen'd.  Shapes
+                # the extent scanner can't parse keep the loud reject.
+                if n is not None and n + 1 < len(sig):
+                    end_n = _pattern_extent(tokens, sig, n + 1)
+                    if end_n is not None:
+                        out.append(Token("word", "RLIKE TROUGH_GLOB_REGEX("))
+                        nxt = end_n + 1
+                        if nxt < len(sig):
+                            close_before[sig[nxt]] = close_before.get(sig[nxt], 0) + 1
+                        else:
+                            trailing_closes += 1
+                        continue
                 raise QueryRejected(
-                    "GLOB with a non-literal pattern is not supported "
-                    "(the glob-to-regex compile needs the pattern at "
-                    "translation time)"
+                    "GLOB with this non-literal pattern shape is not "
+                    "supported (the row-time glob fallback handles "
+                    "literal/identifier/call/paren pattern expressions)"
                 )
             if up == "COLLATE":
                 # SQLite collation names → Spark 4 collations.  KNOWN
@@ -1545,6 +1739,8 @@ def _rewrite_operators(sql: str) -> str:
                 out.append(Token("comment", "/*autoincrement*/"))
                 continue
         out.append(t)
+    if trailing_closes:
+        out.append(Token("op", ")" * trailing_closes))
     return render(out)
 
 
@@ -1654,6 +1850,204 @@ def _json_each_subquery(e: str, pfx: str) -> str:
     )
 
 
+#: maximum nesting depth (levels below the iteration root) the json_tree
+#: expansion unrolls; a deeper document raises loudly at run time instead of
+#: silently dropping rows
+_JSON_TREE_DEPTH = 8
+
+#: one SQLite-path component: .ident | ."quoted" | [n]
+_PATH_COMP_RE = re.compile(r'\."(?:[^"\\]|\\.)*"|\.[A-Za-z_][A-Za-z_0-9$]*|\[\d+\]')
+
+
+def _path_root_parts(pfx: str) -> tuple[str, str | None]:
+    """(parent path spelling, last object-key component or None) of a
+    SQLite JSON path — the json_tree root row's ``path`` and ``key``
+    (probed: root key is the final OBJECT key for container roots,
+    NULL for '$', array-index components, and scalar roots)."""
+    if pfx == "$":
+        return "$", None
+    comps = list(_PATH_COMP_RE.finditer(pfx))
+    if not comps:
+        return "$", None
+    last = comps[-1]
+    parent = pfx[: last.start()] or "$"
+    text = last.group()
+    if text.startswith("["):
+        return parent, None
+    if text.startswith('."'):
+        inner = text[2:-1]
+        return parent, inner.replace('\\"', '"').replace("\\\\", "\\")
+    return parent, text[1:]
+
+
+def _json_tree_level_exprs(v: str, e: str, fk_prev: str) -> dict[str, str]:
+    """Column expressions for one json_tree level: ``v`` the
+    variant_explode alias, ``e`` the PARENT's text expression (container
+    children re-extract from it with a parent-relative bracket path —
+    the ADVICE-r8 convention shared with _json_each_subquery), ``fk_prev``
+    the parent's fullkey expression."""
+    sv = f"schema_of_variant({v}.value)"
+    cont = (
+        f"(left({sv}, 5) = 'ARRAY' OR left({sv}, 6) = 'OBJECT' "
+        f"OR left({sv}, 6) = 'STRUCT' OR left({sv}, 3) = 'MAP')"
+    )
+    key_ident = f"{v}.key RLIKE '^[A-Za-z][A-Za-z0-9]*$'"
+    key_esc = (
+        f"array_join(transform(filter(split({v}.key, ''), _c -> _c != ''), "
+        "_c -> CASE WHEN _c = '\\\\' THEN '\\\\\\\\' "
+        "WHEN _c = '\"' THEN '\\\\\"' "
+        "WHEN ascii(_c) = 8 THEN '\\\\b' "
+        "WHEN ascii(_c) = 9 THEN '\\\\t' "
+        "WHEN ascii(_c) = 10 THEN '\\\\n' "
+        "WHEN ascii(_c) = 12 THEN '\\\\f' "
+        "WHEN ascii(_c) = 13 THEN '\\\\r' "
+        "WHEN ascii(_c) < 32 THEN "
+        "concat('\\\\u', lpad(lower(hex(ascii(_c))), 4, '0')) "
+        "ELSE _c END), '')"
+    )
+    fullkey = (
+        f"CASE WHEN {v}.key IS NULL "
+        f"THEN concat({fk_prev}, '[', CAST({v}.pos AS STRING), ']') "
+        f"WHEN {key_ident} THEN concat({fk_prev}, '.', {v}.key) "
+        f"ELSE concat({fk_prev}, '.\"', {key_esc}, '\"') END"
+    )
+    relpath = (
+        f"CASE WHEN {v}.key IS NULL "
+        f"THEN concat('$[', CAST({v}.pos AS STRING), ']') "
+        f"ELSE concat('$[''', {v}.key, ''']') END"
+    )
+    scalar_text = (
+        f"CASE WHEN {sv} = 'VOID' THEN NULL "
+        f"WHEN {sv} = 'BOOLEAN' THEN IF(CAST({v}.value AS BOOLEAN), '1', '0') "
+        f"ELSE CAST({v}.value AS STRING) END"
+    )
+    extract = f"get_json_object({e}, {relpath})"
+    typ = (
+        f"CASE WHEN {sv} = 'VOID' THEN 'null' "
+        f"WHEN {sv} = 'BOOLEAN' THEN IF(CAST({v}.value AS BOOLEAN), 'true', 'false') "
+        f"WHEN {sv} = 'STRING' THEN 'text' "
+        f"WHEN left({sv}, 5) = 'ARRAY' THEN 'array' "
+        f"WHEN {cont} THEN 'object' "
+        f"WHEN {sv} IN ('BIGINT', 'INT', 'SMALLINT', 'TINYINT') THEN 'integer' "
+        f"ELSE 'real' END"
+    )
+    return {
+        "cont": cont,
+        "key": f"CASE WHEN {v}.key IS NULL THEN CAST({v}.pos AS STRING) ELSE {v}.key END",
+        "value": f"CASE WHEN {cont} THEN {extract} ELSE {scalar_text} END",
+        "typ": typ,
+        "atom": f"CASE WHEN {cont} THEN NULL ELSE {scalar_text} END",
+        "fullkey": fullkey,
+        "extract": extract,
+        "scalar_text": scalar_text,
+    }
+
+
+def _json_tree_subquery(e: str, pfx: str) -> str:
+    """The SELECT body replacing one ``json_tree`` table reference: a
+    bounded-depth UNION ALL of level expansions — level 0 is the root row
+    json_tree adds over json_each, level k chains k variant_explode
+    laterals with parent-text/fullkey threading through intermediate
+    LATERAL selects.  Column contract probed live (SQLite 3.40,
+    test_sqlite_differential.py): the root row carries key = the final
+    object-key path component for CONTAINER roots (NULL for '$',
+    array-index components, and scalar roots), fullkey = the path as
+    given, path = the parent path; child rows mirror json_each with
+    parent/fullkey threaded.  id/parent are opaque ordinals in BOTH
+    engines (SQLite documents them as implementation detail) — here
+    xxhash64(fullkey), so parent-child joins are consistent but raw
+    values differ from SQLite's byte offsets.  Documented divergences
+    (shared with json_each): value/key/atom are always TEXT; a root
+    whose 2-arg path ends in an array index renders fullkey as given
+    while SQLite rewrites the index (probed: '$.a[1]' -> '$.a[0]');
+    whitespace-bearing documents are minified (get_json_object) exactly
+    as SQLite minifies.  Documents nesting deeper than _JSON_TREE_DEPTH
+    raise loudly (raise_error) instead of silently truncating.  NULL
+    input and missing 2-arg paths yield zero rows (probed).
+
+    Scale: the expansion is a pure per-row map (no shuffle, no Python) —
+    D passes over each document, bounded by the depth constant.
+    """
+    root_path, root_key = _path_root_parts(pfx)
+    enc = _encode_literal
+    cols = "key, value, type, atom, id, parent, fullkey, path"
+    selects: list[str] = []
+
+    # --- level 0: the root row ---
+    pv = "parse_json(r.e0)"
+    sv0 = f"schema_of_variant({pv})"
+    cont0 = (
+        f"(left({sv0}, 5) = 'ARRAY' OR left({sv0}, 6) = 'OBJECT' "
+        f"OR left({sv0}, 6) = 'STRUCT' OR left({sv0}, 3) = 'MAP')"
+    )
+    scalar0 = (
+        f"CASE WHEN {sv0} = 'VOID' THEN NULL "
+        f"WHEN {sv0} = 'BOOLEAN' THEN IF(CAST({pv} AS BOOLEAN), '1', '0') "
+        f"ELSE CAST({pv} AS STRING) END"
+    )
+    typ0 = (
+        f"CASE WHEN {sv0} = 'VOID' THEN 'null' "
+        f"WHEN {sv0} = 'BOOLEAN' THEN IF(CAST({pv} AS BOOLEAN), 'true', 'false') "
+        f"WHEN {sv0} = 'STRING' THEN 'text' "
+        f"WHEN left({sv0}, 5) = 'ARRAY' THEN 'array' "
+        f"WHEN {cont0} THEN 'object' "
+        f"WHEN {sv0} IN ('BIGINT', 'INT', 'SMALLINT', 'TINYINT') THEN 'integer' "
+        f"ELSE 'real' END"
+    )
+    key0 = (
+        f"CASE WHEN {cont0} THEN {enc(root_key)} ELSE CAST(NULL AS STRING) END"
+        if root_key is not None
+        else "CAST(NULL AS STRING)"
+    )
+    selects.append(
+        f"SELECT {key0} AS key, "
+        f"CASE WHEN {cont0} THEN get_json_object(r.e0, '$') ELSE {scalar0} END AS value, "
+        f"{typ0} AS type, "
+        f"CASE WHEN {cont0} THEN NULL ELSE {scalar0} END AS atom, "
+        f"xxhash64({enc(pfx)}) AS id, CAST(NULL AS BIGINT) AS parent, "
+        f"{enc(pfx)} AS fullkey, {enc(root_path)} AS path "
+        f"FROM (SELECT ({e}) AS e0) r WHERE r.e0 IS NOT NULL"
+    )
+
+    # --- levels 1..D: chained explode laterals; level k emits depth-k rows ---
+    for k in range(1, _JSON_TREE_DEPTH + 1):
+        froms = [f"(SELECT ({e}) AS e0, {enc(pfx)} AS fk0) r"]
+        for j in range(1, k + 1):
+            src_e = "r.e0" if j == 1 else f"c{j - 1}.e{j - 1}"
+            src_fk = "r.fk0" if j == 1 else f"c{j - 1}.fk{j - 1}"
+            froms.append(f"LATERAL variant_explode(parse_json({src_e})) v{j}")
+            if j < k:
+                lx = _json_tree_level_exprs(f"v{j}", src_e, src_fk)
+                froms.append(
+                    f"LATERAL (SELECT CASE WHEN {lx['cont']} "
+                    f"THEN {lx['extract']} END AS e{j}, "
+                    f"{lx['fullkey']} AS fk{j}) c{j}"
+                )
+        src_e = "r.e0" if k == 1 else f"c{k - 1}.e{k - 1}"
+        src_fk = "r.fk0" if k == 1 else f"c{k - 1}.fk{k - 1}"
+        lx = _json_tree_level_exprs(f"v{k}", src_e, src_fk)
+        # depth tripwire as a FILTER, not a projected column: a pruned-away
+        # value column (e.g. under count(*)) must still raise on overflow
+        guard = ""
+        if k == _JSON_TREE_DEPTH:
+            guard = (
+                f" WHERE CASE WHEN {lx['cont']} "
+                f"AND {lx['extract']} NOT IN ('[]', '{{}}') "
+                f"THEN CAST(raise_error('json_tree: document nesting exceeds "
+                f"the supported depth of {_JSON_TREE_DEPTH}') AS BOOLEAN) "
+                f"ELSE TRUE END"
+            )
+        selects.append(
+            f"SELECT {lx['key']} AS key, {lx['value']} AS value, {lx['typ']} AS type, "
+            f"{lx['atom']} AS atom, xxhash64({lx['fullkey']}) AS id, "
+            f"xxhash64({src_fk}) AS parent, {lx['fullkey']} AS fullkey, "
+            f"{src_fk} AS path "
+            f"FROM {', '.join(froms)}{guard}"
+        )
+    body = " UNION ALL ".join(selects)
+    return f"(SELECT {cols} FROM ({body}))"
+
+
 def _sqlite_path_to_spark(pfx: str) -> str:
     """Translate a SQLite JSON path (as spelled inside its SQL literal)
     into Spark's get_json_object grammar, returned ready to embed in a
@@ -1724,10 +2118,14 @@ def _rewrite_json_each(sql: str) -> str:
     (round 9; Spark's parser rejects the quoted-dot form, which silently
     yielded zero rows).  The path must be a string literal; a path
     addressing a bare scalar emits SQLite's single row (key NULL,
-    fullkey = path — probed); SQLite's ``#`` array-end index and quoted
-    path keys containing a single quote are rejected loudly (Spark's path
-    grammar cannot spell them).  ``json_tree`` (recursive descent) is
-    rejected loudly.
+    fullkey = path — probed), with string/null scalars re-encoded via
+    to_json(variant_get(..)) so quote-stripping can't crash the parse or
+    silently iterate container-looking strings, and a JSON null value at
+    the path emits its one 'null'-typed row (round 10; all probed);
+    SQLite's ``#`` array-end index and quoted path keys containing a
+    single quote are rejected loudly (Spark's path grammar cannot spell
+    them).  ``json_tree`` expands to the bounded-depth recursive walk
+    (round 10, _json_tree_subquery) with the same argument handling.
     """
     tokens = tokenize(sql)
     sig = _significant(tokens)
@@ -1751,19 +2149,8 @@ def _rewrite_json_each(sql: str) -> str:
     n = len(tokens)
     while i < n:
         t = tokens[i]
-        if t.kind == "word" and t.text.lower() == "json_tree":
-            j = _next_sig(i)
-            if j is not None and tokens[j].kind == "op" and tokens[j].text == "(":
-                p = _prev_sig(i)
-                if p is not None and (
-                    tokens[p].text == ","
-                    or tokens[p].text.upper() in ("FROM", "JOIN")
-                ):
-                    raise QueryRejected(
-                        "json_tree (recursive descent) is not supported; "
-                        "json_each covers one level"
-                    )
-        if t.kind == "word" and t.text.lower() == "json_each":
+        if t.kind == "word" and t.text.lower() in ("json_each", "json_tree"):
+            fn = t.text.lower()
             j = _next_sig(i)
             p = _prev_sig(i)
             in_from = p is not None and (
@@ -1773,21 +2160,44 @@ def _rewrite_json_each(sql: str) -> str:
                 args, close_idx = _find_call_args(tokens, j)
                 raw = [render(a).strip() for a in args]
                 if not raw or len(raw) > 2:
-                    raise QueryRejected("json_each takes 1 or 2 arguments")
+                    raise QueryRejected(f"{fn} takes 1 or 2 arguments")
                 if len(raw) == 2:
                     pm = re.match(r"^'((?:[^']|'')*)'$", raw[1].strip())
                     if not pm:
                         raise QueryRejected(
-                            "json_each path argument must be a string literal"
+                            f"{fn} path argument must be a string literal"
                         )
                     pfx = pm.group(1)
                     spark_path = _sqlite_path_to_spark(pfx)
-                    e = f"get_json_object({raw[0]}, '{spark_path}')"
+                    # The sub-document TEXT at the path.  get_json_object
+                    # alone is WRONG for scalar targets: it strips the
+                    # quotes off string values ('x', not '"x"'), which
+                    # crashed the downstream parse for plain strings and
+                    # silently iterated container-LOOKING strings
+                    # ('{"c":"[1]"}' $.c is the text scalar '[1]' in
+                    # SQLite, probed), and it returns SQL NULL for a JSON
+                    # null value (one scalar row in SQLite, not zero).
+                    # So: containers (variant-schema-checked) keep the
+                    # order-preserving get_json_object rendering; scalars
+                    # re-encode via to_json(variant_get(..)) — '"x"',
+                    # 'null' — and a missing path stays SQL NULL -> zero
+                    # rows (round 10; pinned in the differential suite).
+                    vge = f"variant_get(parse_json({raw[0]}), '{spark_path}')"
+                    sve = f"schema_of_variant({vge})"
+                    vcont = (
+                        f"(left({sve}, 5) = 'ARRAY' OR left({sve}, 6) = 'OBJECT' "
+                        f"OR left({sve}, 6) = 'STRUCT' OR left({sve}, 3) = 'MAP')"
+                    )
+                    e = (
+                        f"(CASE WHEN {vcont} "
+                        f"THEN get_json_object({raw[0]}, '{spark_path}') "
+                        f"ELSE to_json({vge}) END)"
+                    )
                 else:
                     pfx = "$"
                     e = f"({raw[0]})"
                 # optional alias after the call
-                alias = "json_each"
+                alias = fn
                 k = _next_sig(close_idx)
                 consumed_to = close_idx
                 if k is not None and tokens[k].kind == "word":
@@ -1801,9 +2211,8 @@ def _rewrite_json_each(sql: str) -> str:
                         alias = _strip_ident(tokens[k].text)
                         consumed_to = k
                 lateral = "" if tokens[p].text.upper() == "FROM" else "LATERAL "
-                out.append(
-                    f"{lateral}{_json_each_subquery(e, pfx)} AS {alias}"
-                )
+                body_fn = _json_tree_subquery if fn == "json_tree" else _json_each_subquery
+                out.append(f"{lateral}{body_fn(e, pfx)} AS {alias}")
                 i = consumed_to + 1
                 continue
         out.append(t.text)

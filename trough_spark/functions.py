@@ -141,3 +141,20 @@ def register_all(spark: SparkSession) -> None:
         return _json.dumps(lst)
 
     spark.udf.register("BUILDREDIRECTARRAY", _bra, "string")
+
+    def _glob_regex(pattern):
+        # row-time glob-to-regex compile for NON-LITERAL GLOB patterns
+        # (dialect.py rewrites `x GLOB expr` / `glob(expr, x)` to
+        # `x RLIKE TROUGH_GLOB_REGEX(expr)` when the pattern can't be
+        # compiled at translation time).  Reuses the property-tested
+        # translator, so literal and column-valued patterns share one
+        # semantics.  NULL pattern -> NULL regex -> NULL RLIKE, matching
+        # SQLite's NULL threading.  Literal patterns never reach this UDF,
+        # so the hot path stays codegen'd (asserted in test_plans).
+        if pattern is None:
+            return None
+        from trough_spark.dialect import glob_to_regex
+
+        return glob_to_regex(str(pattern))
+
+    spark.udf.register("TROUGH_GLOB_REGEX", _glob_regex, "string")

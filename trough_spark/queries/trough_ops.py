@@ -398,6 +398,59 @@ def b12_shim_json_each(spark, sf_dir):
 
 
 @query(
+    "b12_shim_json_tree",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey AS k, o_orderstatus AS s FROM orders WHERE o_orderkey <= 50
+    )
+    SELECT k AS o_orderkey, t.r.key AS key, t.r.value AS value,
+           t.r.type AS type, t.r.atom AS atom, t.r.fullkey AS fullkey,
+           t.r.path AS path
+    FROM o, UNNEST([
+      {'key': CAST(NULL AS VARCHAR),
+       'value': '{"k":' || k || ',"tags":["' || s || '",2]}',
+       'type': 'object', 'atom': CAST(NULL AS VARCHAR),
+       'fullkey': '$', 'path': '$'},
+      {'key': 'k', 'value': CAST(k AS VARCHAR), 'type': 'integer',
+       'atom': CAST(k AS VARCHAR), 'fullkey': '$.k', 'path': '$'},
+      {'key': 'tags', 'value': '["' || s || '",2]', 'type': 'array',
+       'atom': CAST(NULL AS VARCHAR), 'fullkey': '$.tags', 'path': '$'},
+      {'key': '0', 'value': s, 'type': 'text', 'atom': s,
+       'fullkey': '$.tags[0]', 'path': '$.tags'},
+      {'key': '1', 'value': '2', 'type': 'integer', 'atom': '2',
+       'fullkey': '$.tags[1]', 'path': '$.tags'}
+    ]) AS t(r)
+    ORDER BY o_orderkey, fullkey
+    """,
+)
+def b12_shim_json_tree(spark, sf_dir):
+    """SQLite's json_tree recursive walk through the dialect shim, under
+    the driver gate (round 10): each per-row document expands to the root
+    row PLUS every descendant with parent-text/fullkey threading
+    (dialect._json_tree_subquery, a bounded-depth UNION of level
+    expansions — the probed SQLite 3.40 column contract incl. the root
+    row's NULL key, container values minified, path = parent fullkey).
+    The oracle states the expected five rows per order directly.
+    key/value/atom are CAST to TEXT in the source query — the documented
+    dynamic-typing divergence of the json family; id/parent are opaque
+    ordinals in both engines and not compared."""
+    from trough_spark.dialect import sqlite_to_spark
+    from trough_spark.tables import register_views
+
+    register_views(spark, sf_dir, ["orders"])
+    sqlite_sql = (
+        "SELECT o.o_orderkey, CAST(jt.key AS TEXT) AS key, "
+        "CAST(jt.value AS TEXT) AS value, jt.type, "
+        "CAST(jt.atom AS TEXT) AS atom, jt.fullkey, jt.path "
+        'FROM orders o, json_tree(\'{"k":\' || o.o_orderkey || '
+        "',\"tags\":[\"' || o.o_orderstatus || '\",2]}') jt "
+        "WHERE o.o_orderkey <= 50 "
+        "ORDER BY o.o_orderkey, jt.fullkey"
+    )
+    return spark.sql(sqlite_to_spark(sqlite_sql))
+
+
+@query(
     "b12_shim_literal_escape",
     oracle=r"""
     SELECT o_orderkey,
