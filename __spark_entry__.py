@@ -33,6 +33,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _SAMPLE_PRIORITY = [
     # --- new in round 10: no driver evidence yet ---
     "b12_shim_json_tree",
+    "text_bpe_encode",
+    "pipeline_bpe_pack_ids",
     # --- latest evidence: round 6 (oldest -> highest priority) ---
     "events_attribution_touch",
     "sim_kmeans_train",

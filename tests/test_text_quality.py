@@ -311,3 +311,51 @@ def test_bpe_train_merges_semantics(spark):
     # after the merge each 'aaaa' is [aa, aa] -> (aa,aa) x3 = 3; (a,b) x3 = 3;
     # tie at 3 breaks lexicographically: 'a','b' < 'aa','aa'
     assert rows[1] == (2, "a", "b", "ab", 3)
+
+
+def test_bpe_vocab_and_encode_ids(spark):
+    """Vocabulary export and id encoding (round 10): chars id-assigned in
+    sorted order from 0, merges appended in rank order; encode maps the
+    merged symbol sequence through the vocab map-side (zero Exchange),
+    agrees with bpe_segment_counts on token counts, decodes back to the
+    lowered text, and unknown symbols become unk_id."""
+    from trough_spark.operators.text import (
+        bpe_encode_ids,
+        bpe_segment_counts,
+        bpe_train_merges,
+        bpe_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, "low low newer new")],
+        "doc_id int, text string",
+    )
+    trained = bpe_train_merges(docs, "doc_id", "text", n_merges=3)
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in trained.orderBy("merge_rank").collect()
+    ]
+    vrows = bpe_vocab(docs, "text", merges).collect()
+    chars = [r for r in vrows if r["kind"] == "char"]
+    mrows = [r for r in vrows if r["kind"] == "merge"]
+    assert [r["symbol"] for r in chars] == sorted(r["symbol"] for r in chars)
+    assert [r["token_id"] for r in vrows] == list(range(len(vrows)))
+    assert [r["symbol"] for r in mrows] == [left + right for left, right in merges]
+    vocab = {r["symbol"]: r["token_id"] for r in vrows}
+    enc = bpe_encode_ids(docs, "doc_id", "text", merges, vocab)
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+    inv = {v: k for k, v in vocab.items()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    seg = {
+        r["id"]: r["n_bpe_tokens"]
+        for r in bpe_segment_counts(docs, "doc_id", "text", merges).collect()
+    }
+    for r in enc.collect():
+        assert r["n_tokens"] == seg[r["id"]] == len(r["token_ids"])
+        assert "".join(inv[i] for i in r["token_ids"]) == texts[r["id"]].replace(" ", "")
+    # unknown symbol (char absent from a foreign vocab) -> unk_id
+    foreign = {k: v for k, v in vocab.items() if k != "t"}
+    unk = bpe_encode_ids(docs, "doc_id", "text", merges, foreign, unk_id=-7)
+    row = {r["id"]: r["token_ids"] for r in unk.collect()}
+    assert -7 in row[1] and -7 not in row[2]

@@ -121,6 +121,7 @@ def pack_sequences(
     budget: int,
     partition_by: str | None = None,
     order_by: str | None = None,
+    carry: list[str] | None = None,
 ) -> DataFrame:
     """Streaming first-fit sequence packing: in ``order_by`` order (default
     ``id_col``) within each ``partition_by`` group, documents fill bins of
@@ -131,6 +132,8 @@ def pack_sequences(
     - bin_id * budget.  A bin can exceed ``budget`` by at most one document
     (bounded overflow — the tokenizer-side bridge/truncate handles it).
     ONE window shuffle on the partition key; pure integer arithmetic.
+    ``carry`` columns (e.g. the token-id payload a loader shards out) pass
+    through the same window projection — no rejoin, no second shuffle.
     """
     ob = order_by or id_col
     pb = [partition_by] if partition_by else []
@@ -142,6 +145,7 @@ def pack_sequences(
         tokens_col,
         F.floor(prev / budget).cast("bigint").alias("bin_id"),
         (prev - F.floor(prev / budget) * budget).cast("bigint").alias("bin_offset"),
+        *(carry or []),
     )
 
 

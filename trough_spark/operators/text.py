@@ -1405,3 +1405,109 @@ def bpe_segment_counts(
         F.length("_p") - F.length(F.replace(F.col("_p"), F.lit(_BPE_STX), F.lit("")))
     ).cast("bigint")
     return out.select("id", "n_words", n_tokens.alias("n_bpe_tokens"))
+
+
+def bpe_vocab(
+    df: DataFrame, text_col: str, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Vocabulary export for a trained BPE tokenizer: base characters
+    (every distinct character of the whitespace-tokenized, lowered corpus,
+    id-assigned in sorted order starting at 0) followed by the merged
+    symbols in merge-rank order — the id table a training loader ships
+    alongside the token-id shards.
+
+    Returns (token_id int, symbol string, kind 'char'|'merge').
+
+    Scale: the corpus-sized work is one character-distinct (map-side
+    partial aggregation shuffling single characters); the id-assigning
+    window runs on the VOCABULARY (chars + merges — thousands of rows at
+    any corpus size), where its single-partition sort is free.
+    """
+    chars = (
+        df.select(F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"))
+        .filter(F.length("w") > 0)
+        .select(F.explode(F.filter(F.split(F.col("w"), ""), lambda c: c != "")).alias("symbol"))
+        .distinct()
+        .select("symbol", F.lit("char").alias("kind"), F.lit(0).alias("grp"), F.lit(0).alias("rnk"))
+    )
+    sess = df.sparkSession
+    merged = sess.createDataFrame(
+        [(left + right, "merge", 1, rank) for rank, (left, right) in enumerate(merges, start=1)],
+        "symbol string, kind string, grp int, rnk int",
+    )
+    w = Window.orderBy("grp", F.when(F.col("grp") == 0, F.col("symbol")), "rnk")
+    return (
+        chars.unionByName(merged)
+        .select((F.row_number().over(w) - 1).cast("int").alias("token_id"), "symbol", "kind")
+    )
+
+
+def bpe_encode_ids(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    unk_id: int = -1,
+) -> DataFrame:
+    """Encode documents to BPE token IDS — the array a training loader
+    actually consumes (`bpe_segment_counts` above only COUNTS tokens).
+
+    ``vocab`` maps symbol -> id (driver-side dict, vocabulary-sized —
+    collect `bpe_vocab`; the same bounded-small-side pattern as the
+    broadcast codebooks in vectors.py).  Symbols absent from the vocab
+    encode as ``unk_id``.
+
+    Returns (id, n_tokens bigint, token_ids array<int>).
+
+    Scale: ENTIRELY map-side, like the counting path — pack, replace per
+    merge, split out the symbol sequence, and map symbols through a
+    constant map literal (embedded in the plan, so every executor applies
+    it without a join or shuffle; at extreme vocab sizes the literal costs
+    plan bytes, never a shuffle).  Assumes symbols never contain the
+    \\x01/\\x02/\\x03 delimiters (same documented caveat as training).
+    """
+    words = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda w: w != ""
+    )
+    packed = F.concat_ws(
+        "\x03",
+        F.transform(
+            words,
+            lambda w: F.concat_ws(
+                "",
+                F.transform(
+                    F.filter(F.split(w, ""), lambda c: c != ""),
+                    lambda c: F.concat(F.lit(_BPE_SOH), c, F.lit(_BPE_STX)),
+                ),
+            ),
+        ),
+    )
+    out = df.select(F.col(id_col).alias("id"), packed.alias("_p"))
+    for left, right in merges:
+        out = out.withColumn(
+            "_p",
+            F.replace(
+                F.col("_p"),
+                F.lit(_BPE_SOH + left + _BPE_STX + _BPE_SOH + right + _BPE_STX),
+                F.lit(_BPE_SOH + left + right + _BPE_STX),
+            ),
+        )
+    syms = F.filter(
+        F.split(
+            F.replace(F.replace(F.col("_p"), F.lit(_BPE_SOH), F.lit("")), F.lit("\x03"), F.lit("")),
+            _BPE_STX,
+        ),
+        lambda s: s != "",
+    )
+    vmap = F.map_from_arrays(
+        F.lit(list(vocab.keys())), F.lit([int(v) for v in vocab.values()])
+    )
+    ids = F.transform(
+        syms, lambda s: F.coalesce(F.element_at(vmap, s), F.lit(int(unk_id))).cast("int")
+    )
+    return out.select(
+        "id",
+        F.size(ids).cast("bigint").alias("n_tokens"),
+        ids.alias("token_ids"),
+    )

@@ -1316,3 +1316,149 @@ def pipeline_bpe_pack(spark, sf_dir):
     return SA.pack_sequences(
         toks, "doc_id", "n_tokens", budget=256, partition_by="lang"
     )
+
+
+def _bpe_ids_ctes(n_merges: int) -> str:
+    """Train + apply CTEs (from `_bpe_segment_oracle`) extended with the
+    vocabulary id assignment (`bpe_vocab` twin: distinct corpus chars in
+    sorted order from 0, then merges in rank order) and the per-doc symbol
+    sequence — shared by the encode and pack-ids oracles."""
+    seg = _bpe_segment_oracle(n_merges)
+    head = seg[: seg.rindex("SELECT doc_id, n_words,")].rstrip()
+    merged_union = " UNION ALL ".join(
+        f"SELECT * FROM b{k}" for k in range(1, n_merges + 1)
+    )
+    return head + f""",
+    chars AS (
+      SELECT DISTINCT c AS symbol
+      FROM (SELECT unnest(list_filter(string_split(w, ''), c -> c != '')) AS c
+            FROM w0)
+    ),
+    char_ids AS (
+      SELECT symbol,
+             CAST(row_number() OVER (ORDER BY symbol) - 1 AS INT) AS token_id
+      FROM chars
+    ),
+    merge_ids AS (
+      SELECT m.merged AS symbol,
+             CAST((SELECT COUNT(*) FROM chars) + m.merge_rank - 1 AS INT)
+               AS token_id
+      FROM ({merged_union}) m
+    ),
+    vocab AS (SELECT * FROM char_ids UNION ALL SELECT * FROM merge_ids),
+    vmap AS (
+      SELECT map(list(symbol ORDER BY token_id),
+                 list(token_id ORDER BY token_id)) AS m
+      FROM vocab
+    ),
+    toks AS (
+      SELECT doc_id,
+             list_filter(
+               string_split(replace(replace(packed, chr(1), ''), chr(3), ''),
+                            chr(2)),
+               s -> s != '') AS syms
+      FROM d{n_merges + 1}
+    ),
+    enc AS (
+      SELECT t.doc_id,
+             CAST(len(t.syms) AS BIGINT) AS n_tokens,
+             array_to_string(
+               list_transform(t.syms,
+                 s -> CAST(coalesce(map_extract(v.m, s)[1], -1) AS VARCHAR)),
+               ',') AS token_ids
+      FROM toks t CROSS JOIN vmap v
+    )"""
+
+
+def _bpe_encode_oracle(n_merges: int) -> str:
+    return _bpe_ids_ctes(n_merges) + " SELECT doc_id, n_tokens, token_ids FROM enc"
+
+
+@query("text_bpe_encode", oracle=_bpe_encode_oracle(3))
+def text_bpe_encode(spark, sf_dir):
+    """Encode every document to BPE token IDS under the corpus's own
+    trained tokenizer: train 3 merges (`text_bpe_train`), export the
+    vocabulary (`bpe_vocab`: corpus chars sorted from id 0, merges in
+    rank order), and map each doc's merged symbol sequence through the
+    id table — the (id, token_ids) shard a training loader consumes,
+    where `text_bpe_segment` only produced counts.  token_ids is emitted
+    comma-joined for the hash gate.
+
+    Scale: training is the one word-count shuffle + vocab-sized
+    iterations; the vocab collect is vocabulary-sized (the broadcast-
+    codebook pattern); encoding is ENTIRELY map-side (packed-string
+    replaces + a constant map literal — zero Exchange, asserted in
+    test_plans)."""
+    docs = T(spark, sf_dir, "documents")
+    trained = X.bpe_train_merges(docs, "doc_id", "text", n_merges=3)
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in trained.orderBy("merge_rank").collect()
+    ]
+    vocab = {
+        r["symbol"]: r["token_id"]
+        for r in X.bpe_vocab(docs, "text", merges).collect()
+    }
+    enc = X.bpe_encode_ids(docs, "doc_id", "text", merges, vocab)
+    return enc.select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        F.concat_ws(
+            ",", F.transform("token_ids", lambda i: i.cast("string"))
+        ).alias("token_ids"),
+    )
+
+
+def _bpe_pack_ids_oracle(n_merges: int, budget: int) -> str:
+    return _bpe_ids_ctes(n_merges) + f""",
+    cum AS (
+      SELECT d.lang, e.doc_id, e.n_tokens, e.token_ids,
+             COALESCE(SUM(e.n_tokens) OVER (PARTITION BY d.lang
+                       ORDER BY e.doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prev
+      FROM enc e JOIN documents d USING (doc_id)
+    )
+    SELECT lang, doc_id, n_tokens,
+           CAST(prev // {budget} AS BIGINT) AS bin_id,
+           CAST(prev - (prev // {budget}) * {budget} AS BIGINT) AS bin_offset,
+           token_ids
+    FROM cum
+    """
+
+
+@query("pipeline_bpe_pack_ids", oracle=_bpe_pack_ids_oracle(3, 256))
+def pipeline_bpe_pack_ids(spark, sf_dir):
+    """The full tokenizer-to-loader pipeline with REAL token ids: train 3
+    BPE merges, encode every doc to ids (`text_bpe_encode`), and pack into
+    256-token bins per language with the id payload CARRIED through the
+    packing window (pack_sequences ``carry=`` — no rejoin, no second
+    shuffle).  This is `pipeline_bpe_pack` upgraded from token counts to
+    the actual (bin, offset, ids) shards a training loader writes.
+
+    Scale: one word-count shuffle (training), map-side encode, ONE window
+    shuffle on the partition key carrying (lang, doc_id, n_tokens, ids)."""
+    from trough_spark.operators import sampling as SA
+
+    docs = T(spark, sf_dir, "documents")
+    trained = X.bpe_train_merges(docs, "doc_id", "text", n_merges=3)
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in trained.orderBy("merge_rank").collect()
+    ]
+    vocab = {
+        r["symbol"]: r["token_id"]
+        for r in X.bpe_vocab(docs, "text", merges).collect()
+    }
+    enc = X.bpe_encode_ids(docs, "doc_id", "text", merges, vocab).select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        F.concat_ws(
+            ",", F.transform("token_ids", lambda i: i.cast("string"))
+        ).alias("token_ids"),
+    )
+    toks = enc.join(docs.select("doc_id", "lang"), "doc_id")
+    return SA.pack_sequences(
+        toks, "doc_id", "n_tokens", budget=256, partition_by="lang",
+        carry=["token_ids"],
+    )
