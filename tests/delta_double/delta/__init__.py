@@ -48,12 +48,16 @@ Documented deviations from delta-spark (this is a double, not a port):
   Remaining checkpoint deviations: no ``remove`` tombstones are retained
   (the double never vacuums, so reconciled state needs none), no
   multi-part checkpoints, no v2/sidecar format;
-- no concurrent-writer conflict detection beyond put-if-absent (O_EXCL)
-  on the commit file — which IS the protocol's mutual-exclusion
-  primitive on a POSIX filesystem; losing a version race retries at the
-  next version (pinned by the conformance suite), but semantic conflict
-  checking between the two transactions is not modeled (single-writer
-  store by design).
+- round 10: losing the commit-file put-if-absent race (O_EXCL — the
+  protocol's mutual-exclusion primitive) now runs LOGICAL conflict
+  detection before retrying, following delta-spark's
+  OptimisticTransaction classes: a transaction carrying removes
+  (overwrite / replaceWhere / merge rewrite) raises on ANY intervening
+  add/remove; a blind append raises only on an intervening metaData or
+  protocol change and otherwise retries-and-wins (the sanctioned
+  append-vs-append case).  The store remains single-writer (O_EXCL
+  lockfile), so this strictness guards the double's fidelity, not a
+  store code path.
 
 NOT installed in production; tests/conftest.py puts this directory on
 ``sys.path`` so ``import delta`` resolves here when delta-spark is absent.
@@ -80,7 +84,7 @@ class DeltaDoubleError(Exception):
 
 
 class _Snapshot:
-    __slots__ = ("schema", "partition_cols", "files", "metadata", "protocol")
+    __slots__ = ("schema", "partition_cols", "files", "metadata", "protocol", "version")
 
     def __init__(
         self,
@@ -89,12 +93,14 @@ class _Snapshot:
         files: dict,
         metadata: dict | None = None,
         protocol: dict | None = None,
+        version: int = -1,
     ):
         self.schema = schema
         self.partition_cols = partition_cols
         self.files = files  # rel path -> partitionValues dict
         self.metadata = metadata or {}  # raw metaData action payload
         self.protocol = protocol or dict(_PROTOCOL_ACTION["protocol"])
+        self.version = version  # newest commit replayed into this snapshot
 
 
 _SNAP_CACHE: dict[tuple, _Snapshot] = {}
@@ -221,7 +227,7 @@ def _replay(root: str) -> _Snapshot | None:
                     files.pop(action["remove"]["path"], None)
     if schema is None:
         raise DeltaDoubleError(f"delta log at {root!r} has no metaData action")
-    snap = _Snapshot(schema, pcols, files, metadata, protocol)
+    snap = _Snapshot(schema, pcols, files, metadata, protocol, version=last_version)
     _SNAP_CACHE[key] = snap
     return snap
 
@@ -311,16 +317,59 @@ def last_checkpoint_hint(root: str) -> dict | None:
         return None
 
 
-def _commit(root: str, actions: list[dict]) -> int:
+def _check_conflicts(root: str, actions: list[dict], read_version: int, next_version: int) -> None:
+    """Logical conflict detection between the transaction's snapshot read
+    (``read_version``) and the commits that landed since — real Delta's
+    OptimisticTransaction check (round 10; the round-9 double blindly won
+    the version retry, which could let a second overwrite silently clobber
+    a concurrent one).  Rules, following delta-spark's conflict classes:
+
+    - a txn carrying ``remove`` actions (overwrite / replaceWhere / merge
+      rewrites) conflicts with ANY intervening add/remove — the removes
+      were computed from files it read (ConcurrentWriteException /
+      ConcurrentDeleteDeleteException territory);
+    - a blind append only conflicts with an intervening ``metaData`` or
+      ``protocol`` change (MetadataChangedException / ProtocolChanged) —
+      append-vs-append is the protocol's sanctioned retry-and-win case.
+    """
+    ours_removes = any("remove" in a for a in actions)
+    for v in range(read_version + 1, next_version):
+        with open(os.path.join(_log_dir(root), f"{v:020d}.json")) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                theirs = json.loads(line)
+                if "metaData" in theirs or ("protocol" in theirs and v > 0):
+                    raise DeltaDoubleError(
+                        f"MetadataChangedException: the metadata of the Delta "
+                        f"table has been changed by a concurrent update "
+                        f"(commit {v} since read version {read_version})"
+                    )
+                if ours_removes and ("add" in theirs or "remove" in theirs):
+                    raise DeltaDoubleError(
+                        f"ConcurrentWriteException: a concurrent transaction "
+                        f"(commit {v}) has written data since read version "
+                        f"{read_version}; the files this transaction rewrites "
+                        f"are stale"
+                    )
+
+
+def _commit(root: str, actions: list[dict], read_version: int | None = None) -> int:
     """One atomic commit: the next ``%020d.json`` created with O_EXCL (the
     protocol's mutual-exclusion contract on a POSIX filesystem).  Commit 0
     leads with the ``protocol`` action; every CHECKPOINT_INTERVAL-th
-    version is followed by a checkpoint write (delta-spark's cadence)."""
+    version is followed by a checkpoint write (delta-spark's cadence).
+    With ``read_version`` set (the snapshot version the transaction was
+    computed from), losing the version race runs logical conflict
+    detection before retrying at the next version — `_check_conflicts`."""
     d = _log_dir(root)
     os.makedirs(d, exist_ok=True)
     while True:
         names = _log_files(root)
         version = int(names[-1][:20]) + 1 if names else 0
+        if read_version is not None and version != read_version + 1:
+            _check_conflicts(root, actions, read_version, version)
         path = os.path.join(d, f"{version:020d}.json")
         payload = "".join(
             json.dumps(a, separators=(",", ":")) + "\n"
@@ -476,7 +525,7 @@ def _delta_save(df, root: str, mode: str, pcols: list[str], options: dict) -> No
         for p in removes
     )
     actions.extend(adds)
-    _commit(root, actions)
+    _commit(root, actions, read_version=snap.version if snap is not None else -1)
 
 
 def read_snapshot_df(spark, root: str):

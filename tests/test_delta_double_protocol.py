@@ -479,6 +479,65 @@ def test_commit_version_race_retries_to_next_version(spark, tmp_path):
     } == {(1, "a"), (2, "b")}
 
 
+def test_concurrent_overwrite_conflict_raises(spark, tmp_path, monkeypatch):
+    """Real delta-spark's OptimisticTransaction: an OVERWRITE computed
+    from a stale snapshot must RAISE when another writer committed data
+    in between (its removes describe files it read) — the round-9 double
+    blindly retried and silently clobbered the concurrent write (round 10,
+    VERDICT r9 item 6).  The stale read is injected by pinning _replay to
+    the pre-race snapshot, exactly the two-writer interleave."""
+    import delta as dd
+
+    root = str(tmp_path / "ccw")
+    _seed(spark, root)  # version 0
+    stale = dd._replay(root)
+    assert stale.version == 0
+    # concurrent writer lands version 1 (an append carrying an add action)
+    spark.createDataFrame([(2, "b")], "k long, v string").write.format(
+        "delta"
+    ).mode("append").save(root)
+    monkeypatch.setattr(dd, "_replay", lambda r: stale)
+    with pytest.raises(DeltaDoubleError, match="ConcurrentWrite"):
+        spark.createDataFrame([(9, "z")], "k long, v string").write.format(
+            "delta"
+        ).mode("overwrite").save(root)
+    monkeypatch.undo()
+    # the concurrent writer's data survived — nothing was clobbered
+    assert {(r["k"], r["v"]) for r in read_snapshot_df(spark, root).collect()} == {
+        (1, "a"),
+        (2, "b"),
+    }
+
+
+def test_blind_append_vs_concurrent_commits(spark, tmp_path, monkeypatch):
+    """Real delta-spark's logical conflict classes for a BLIND APPEND from
+    a stale snapshot: append-vs-append retries and WINS (the protocol's
+    sanctioned case, already pinned by the race test), but an intervening
+    metaData change raises MetadataChangedException (round 10)."""
+    import delta as dd
+
+    root = str(tmp_path / "ccm")
+    _seed(spark, root)  # version 0
+    stale = dd._replay(root)
+    # append-vs-append from a stale snapshot: allowed, both rows land
+    monkeypatch.setattr(dd, "_replay", lambda r: stale)
+    spark.createDataFrame([(2, "b")], "k long, v string").write.format(
+        "delta"
+    ).mode("append").save(root)
+    monkeypatch.undo()
+    assert {r["k"] for r in read_snapshot_df(spark, root).collect()} == {1, 2}
+    # concurrent metadata change (overwriteSchema commit at version 2)
+    stale = dd._replay(root)
+    spark.createDataFrame([(3,)], "k long").write.format("delta").mode(
+        "overwrite"
+    ).option("overwriteSchema", "true").save(root)
+    monkeypatch.setattr(dd, "_replay", lambda r: stale)
+    with pytest.raises(DeltaDoubleError, match="MetadataChanged"):
+        spark.createDataFrame([(4, "d")], "k long, v string").write.format(
+            "delta"
+        ).mode("append").save(root)
+
+
 def test_golden_checkpoint_replay(spark, tmp_path):
     """The checkpoint READER pinned against a HAND-AUTHORED checkpoint
     parquet (built with plain pyarrow from PROTOCOL.md §Checkpoints, not by
