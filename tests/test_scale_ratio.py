@@ -622,3 +622,58 @@ def test_bpe_train_scales_with_word_count(spark):
     print(f"ratios: 4x/1x = {t4 / t1:.2f} (ideal 4), 16x/1x = {t16 / t1:.2f} (ideal 16)")
     assert n1 == n4 == n16 == 2
     assert t16 <= max(t1, 0.5) * 16 * 2.5, (t1, t16)
+
+
+def test_length_batches_scale_with_degenerate_distribution(spark):
+    """14th measured family (round 10, VERDICT r9 item 7): length-bucketed
+    smart batching under a DEGENERATE length distribution — 90% of the
+    corpus lands in ONE power-of-two bucket.  The operator's skew story
+    (interleave_order's range-slice enumeration instead of a
+    one-task-per-bucket window) is asserted structurally elsewhere; this
+    measures it: wall time must track ~linearly in corpus size even when
+    a single bucket holds nearly everything, and the giant bucket must
+    not serialize the job."""
+    from trough_spark.operators.sampling import length_bucket_batches
+
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents").select("doc_id")
+    docs.count()
+    spark.range(0, 64, 1, 32).mapInPandas(lambda it: it, "id long").count()
+
+    def with_lengths(d):
+        # 90% of ids -> lengths 520..919 (all bucket 9); the tail spreads
+        # over buckets 4..7
+        return d.select(
+            "doc_id",
+            F.when(
+                F.pmod("doc_id", 10) < 9, 520 + F.pmod("doc_id", 400)
+            ).otherwise(16 + F.pmod("doc_id", 7) * 30).alias("len"),
+        )
+
+    def run(k: int) -> tuple[float, int, int]:
+        d = with_lengths(_blowup(docs.withColumn("text", F.lit("x")), k).select("doc_id"))
+        out = length_bucket_batches(d, "doc_id", "len", batch_size=16)
+        t0 = time.perf_counter()
+        rows = out.agg(
+            F.count(F.lit(1)).alias("n_batches"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum(F.when(F.col("bucket") == 9, F.col("n_docs")).otherwise(0)).alias("big"),
+            F.min("waste").alias("min_waste"),
+        ).collect()[0]
+        dt = time.perf_counter() - t0
+        assert rows["min_waste"] >= 0
+        assert rows["big"] >= (rows["n_docs"] * 85) // 100  # degenerate indeed
+        return dt, rows["n_batches"], rows["n_docs"]
+
+    run(1)  # codegen warm-up
+    t1, b1, d1 = run(1)
+    t4, b4, d4 = run(4)
+    t16, b16, d16 = run(16)
+    print(
+        f"\nlength-batches: 1x {t1:.2f}s {b1} batches/{d1} docs, "
+        f"4x {t4:.2f}s {b4}/{d4}, 16x {t16:.2f}s {b16}/{d16}"
+    )
+    print(f"ratios: 4x/1x = {t4 / t1:.2f} (ideal 4), 16x/1x = {t16 / t1:.2f} (ideal 16)")
+    assert d4 == 4 * d1 and d16 == 16 * d1  # every doc batched at every scale
+    # batch count scales with docs (fixed batch_size), +/- per-bucket remainders
+    assert b16 >= 15 * b1 and b16 <= 17 * b1 + 8
+    assert t16 <= max(t1, 0.5) * 16 * 2.5, (t1, t16)
