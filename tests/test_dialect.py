@@ -543,3 +543,62 @@ def test_glob_non_literal_pattern_fallback():
         dialect.sqlite_to_spark(
             "SELECT * FROM t WHERE a GLOB CASE WHEN c THEN 'x' ELSE 'y' END"
         )
+
+
+def test_json_each_container_key_corners(spark):
+    """The runtime bracket re-extraction path for CONTAINER children
+    survives keys with spaces, dots, '['/']', and even backslashes
+    (probed round 10 — ADVICE r9 asked for this surface to be stated
+    accurately; the backslash suspicion turned out FALSE, only probe-
+    escaping artifacts).  The one true corner is a key containing a
+    single quote: its container value is NULL — the documented
+    divergence (SQLite returns the subtree text).  Scalar-valued members
+    are unaffected either way."""
+    import json as _json
+
+    doc = {
+        "a]b": {"x": 1},   # bracket key: WORKS
+        "a b": {"y": 2},   # space key: WORKS
+        "a\\b": {"z": 3},  # backslash key: WORKS (probed round 10)
+        "q't": {"w": 4},   # quote key: the documented NULL corner
+        "s\\c": 7,         # backslash key, SCALAR value: unaffected
+    }
+    doc_sql = _json.dumps(doc, separators=(",", ":")).replace("'", "''")
+    rows = spark.sql(
+        dialect.sqlite_to_spark(
+            f"SELECT CAST(key AS TEXT) AS k, CAST(value AS TEXT) AS v, "
+            f"CAST(atom AS TEXT) AS a FROM json_each('{doc_sql}')"
+        )
+    ).collect()
+    got = {r["k"]: (r["v"], r["a"]) for r in rows}
+    assert got["a]b"] == ('{"x":1}', None)
+    assert got["a b"] == ('{"y":2}', None)
+    assert got["a\\b"] == ('{"z":3}', None)
+    assert got["q't"] == (None, None)  # the documented corner
+    assert got["s\\c"] == ("7", "7")  # scalars never re-extract
+
+
+def test_like_concatenated_pattern_mixed_semantics(spark):
+    """A LIKE pattern built by CONCATENATION (literal || expr) gets the
+    value-level backslash re-doubling on its LITERAL part (so the literal
+    half reads as its SQLite VALUE under Spark's escape semantics —
+    correct), while the non-literal remainder keeps Spark's escape
+    reading — the documented 'non-literal pattern' divergence, extended
+    to the mixed literal||expr shape it previously didn't name (ADVICE
+    r9: pin the intended semantics)."""
+    spark.createDataFrame(
+        [("abc", "ab"), ("a%c", "zz"), ("c:\\dir", "c:"), ("c:x", "c:")],
+        "s string, p string",
+    ).createOrReplaceTempView("liket")
+    # escape-free concatenated pattern: both engines read it identically
+    out = spark.sql(
+        dialect.sqlite_to_spark("SELECT s FROM liket WHERE s LIKE p || '%'")
+    )
+    assert {r["s"] for r in out.collect()} == {"abc", "c:\\dir", "c:x"}
+    # the LITERAL half of a mixed pattern is value-corrected: the SQLite
+    # source 'c:\' (one backslash, an ordinary byte there) is re-doubled
+    # so Spark's escape reading yields the same one-backslash VALUE
+    t = dialect.sqlite_to_spark("SELECT s FROM liket WHERE s LIKE 'c:\\' || '%'")
+    assert "'c:\\\\\\\\'" in t  # spelled \\\\ -> Spark value c:\
+    out = spark.sql(t)
+    assert {r["s"] for r in out.collect()} == {"c:\\dir"}  # NOT the c:x row

@@ -404,6 +404,16 @@ QUERIES = [
     "FROM json_each('{\"c\":\"[1]\"}', '$.c')",
     "SELECT CAST(key AS TEXT) AS k, CAST(value AS TEXT) AS v, type, fullkey "
     "FROM json_each('{\"c\":null}', '$.c')",
+    # round-10 (ADVICE r9 low): CONCATENATED LIKE patterns — the literal
+    # half is value-corrected, the dynamic half keeps Spark's escape
+    # reading; escape-free concatenations must agree exactly
+    "SELECT id FROM items WHERE name LIKE substr(name, 1, 2) || '%' ORDER BY id",
+    "SELECT id FROM items WHERE name LIKE 'it''s' || '%' ORDER BY id",
+    "SELECT id FROM items WHERE name LIKE '%' || 'clock' ORDER BY id",
+    # round-10: json_extract with QUOTED path segments now translated
+    # (previously passed through verbatim and silently returned NULL)
+    "SELECT CAST(json_extract('{\"z w\": 5}', '$.\"z w\"') AS TEXT) AS v",
+    "SELECT CAST(json_extract('{\"a\":{\"b c\":[1,2]}}', '$.a.\"b c\"[1]') AS TEXT) AS v",
 ]
 
 DDL = (

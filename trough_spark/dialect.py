@@ -612,6 +612,23 @@ def _fn_printf(args: list[str]) -> str:
     return f"concat({', '.join(pieces)})"
 
 
+def _fn_json_extract(args: list[str]) -> str | None:
+    """json_extract(doc, path) → get_json_object with the path TRANSLATED
+    to Spark's grammar when it's a literal (round 10): SQLite's quoted
+    segments ``$."a b"`` become bracket form, matching the json_each path
+    handling — previously quoted paths passed through verbatim and Spark
+    silently returned NULL.  Non-literal paths pass through (documented
+    grammar divergence); multi-path json_extract (array result) is not
+    supported and keeps Spark's loud arity error."""
+    if len(args) != 2:
+        return None
+    p = args[1].strip()
+    pm = re.match(r"^'((?:[^']|'')*)'$", p)
+    if pm:
+        return f"get_json_object({args[0]}, '{_sqlite_path_to_spark(pm.group(1))}')"
+    return f"get_json_object({args[0]}, {args[1]})"
+
+
 def _fn_glob(args: list[str]) -> str:
     # SQLite glob(pattern, item) returns 0/1, not a boolean; translate
     # literal patterns to regex (decoding the Spark respelling first —
@@ -902,7 +919,7 @@ _FN_REWRITES: dict[str, object] = {
     # probed); Spark's % keeps the integer type.  Same trunc-toward-zero
     # sign behavior in both, so only the type needs forcing.
     "mod": lambda a: f"CAST(({a[0]}) % ({a[1]}) AS DOUBLE)",
-    "json_extract": lambda a: f"get_json_object({a[0]}, {a[1]})",
+    "json_extract": lambda a: _fn_json_extract(a),
     # SQLite 3.32+: iif(cond, a, b) — Spark spells it if()
     "iif": lambda a: f"if({', '.join(a)})",
     "json_array_length": lambda a: f"size(from_json({a[0]}, 'array<string>'))",
@@ -1816,9 +1833,14 @@ def _json_each_subquery(e: str, pfx: str) -> str:
     # members) — never the full-document fullkey, which is rooted at the
     # original expression and returns NULL against the 2-arg sub-document
     # (ADVICE r8).  The bracket form survives keys Spark's dotted path
-    # can't express (spaces, dots, brackets); the one corner left NULL —
-    # documented loudly — is a key containing a single quote, which
-    # Spark's JSON-path grammar cannot spell (probed: $['q\'t'] → NULL).
+    # can't express — spaces, dots, and (probed round 10, ADVICE r9 asked
+    # for the surface to be stated accurately) even '[', ']', and
+    # BACKSLASHES ride through get_json_object's lenient bracket parser.
+    # The one corner left NULL — documented loudly — is a key containing
+    # a single quote, which the bracket form cannot escape (probed:
+    # $['q\'t'] → NULL where SQLite returns the subtree text).
+    # Scalar-valued members are unaffected (their values come from the
+    # variant, not re-extraction).  Pinned in test_dialect.py.
     relpath = (
         "CASE WHEN v.key IS NULL "
         "THEN concat('$[', CAST(v.pos AS STRING), ']') "
@@ -1884,8 +1906,9 @@ def _json_tree_level_exprs(v: str, e: str, fk_prev: str) -> dict[str, str]:
     """Column expressions for one json_tree level: ``v`` the
     variant_explode alias, ``e`` the PARENT's text expression (container
     children re-extract from it with a parent-relative bracket path —
-    the ADVICE-r8 convention shared with _json_each_subquery), ``fk_prev``
-    the parent's fullkey expression."""
+    the ADVICE-r8 convention shared with _json_each_subquery, including
+    its documented single-quote key corner), ``fk_prev`` the parent's
+    fullkey expression."""
     sv = f"schema_of_variant({v}.value)"
     cont = (
         f"(left({sv}, 5) = 'ARRAY' OR left({sv}, 6) = 'OBJECT' "
@@ -1957,9 +1980,11 @@ def _json_tree_subquery(e: str, pfx: str) -> str:
     engines (SQLite documents them as implementation detail) — here
     xxhash64(fullkey), so parent-child joins are consistent but raw
     values differ from SQLite's byte offsets.  Documented divergences
-    (shared with json_each): value/key/atom are always TEXT; a root
-    whose 2-arg path ends in an array index renders fullkey as given
-    while SQLite rewrites the index (probed: '$.a[1]' -> '$.a[0]');
+    (shared with json_each): value/key/atom are always TEXT; a 2-arg
+    path CONTAINING an array index renders fullkey/path as given while
+    SQLite zeroes every index in the threaded rendering (probed:
+    '$.a[1]' -> '$.a[0]', '$.key[1].q7x' -> '$.key[0].q7x' — found by
+    fuzz campaign 10's wide sweep);
     whitespace-bearing documents are minified (get_json_object) exactly
     as SQLite minifies.  Documents nesting deeper than _JSON_TREE_DEPTH
     raise loudly (raise_error) instead of silently truncating.  NULL
