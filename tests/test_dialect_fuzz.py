@@ -651,6 +651,10 @@ def _trigger_ddl(rng: random.Random, n: int) -> list[str]:
                     f"WHEN {row}.id > {rng.randint(0, 5)} ",
                     f"WHEN {row}.a IS NOT NULL ",
                     f"WHEN coalesce({row}.b, 0) >= {rng.randint(-5, 5)} ",
+                    # round-10: subquery WHENs read LIVE state per row
+                    f"WHEN (SELECT COUNT(*) FROM audit) < {rng.randint(1, 6)} ",
+                    f"WHEN (SELECT coalesce(MAX(x), 0) FROM audit) <= "
+                    f"{rng.randint(0, 40)} ",
                 ]
             )
         body = rng.choice(
@@ -1781,3 +1785,197 @@ def test_fuzzed_json_family_matches_sqlite(engines, sql):
     expected = [tuple(row) for row in conn.execute(sql).fetchall()]
     got = [tuple(r.values()) for r in store.read("fuzzseg", sql)]
     assert got == expected, f"\nsql: {sql}\nsqlite: {expected}\nengine: {got}"
+
+
+# ---------------------------------------------------------------------------
+# round-10: subquery WHEN clauses / RAISE conditions read LIVE state
+# (previously a loud reject) — hand differentials pinning the per-row
+# evolving-state semantics against live SQLite; the random campaign above
+# also draws subquery WHENs now.
+# ---------------------------------------------------------------------------
+
+
+def _run_when_case(spark, tmp_path, tag: str, trigs: list[str], stmts: list[str]):
+    conn = sqlite3.connect(":memory:")
+    conn.isolation_level = None
+    conn.executescript(TRIG_DDL)
+    conn.executemany("INSERT INTO nums VALUES (?, ?, ?, ?)", ROWS)
+    conn.commit()
+    for t in trigs:
+        conn.execute(t)
+    conn.commit()
+    store = SegmentStore(spark, str(tmp_path / f"store_{tag}"))
+    store.set_schema(f"wsch_{tag}", TRIG_DDL + ";")
+    store.provision(f"wseg_{tag}", f"wsch_{tag}")
+    seed = ";\n".join(
+        "INSERT INTO nums (id, a, b, s) VALUES (%s)"
+        % ", ".join(
+            "NULL" if v is None else (f"'{v}'" if isinstance(v, str) else str(v))
+            for v in r
+        )
+        for r in ROWS
+    )
+    store.write(f"wseg_{tag}", seed)
+    store.write(f"wseg_{tag}", ";\n".join(trigs))
+    sq_raised, en_raised = _run_script_both(conn, store, f"wseg_{tag}", stmts)
+    assert sq_raised == en_raised
+    for q in (
+        "SELECT id, a, b, s FROM nums ORDER BY id",
+        "SELECT rid, tag, x FROM audit ORDER BY rid, tag, x",
+    ):
+        expected = [tuple(row) for row in conn.execute(q).fetchall()]
+        got = [tuple(r.values()) for r in store.read(f"wseg_{tag}", q)]
+        assert got == expected, (
+            f"\ntriggers: {trigs}\nscript: {stmts}\nq: {q}\n"
+            f"sqlite: {expected}\nengine: {got}"
+        )
+
+
+def test_subquery_when_sees_evolving_state(spark, tmp_path):
+    """A BEFORE-INSERT WHEN counting the audit table must see each prior
+    row's body INSERT: across a multi-row insert the count crosses the
+    threshold mid-statement and later rows stop firing — the per-row
+    live-state semantics SQLite implements and round 9 rejected loudly."""
+    trigs = [
+        "CREATE TRIGGER tw1 BEFORE INSERT ON nums FOR EACH ROW "
+        "WHEN (SELECT COUNT(*) FROM audit) < 2 "
+        "BEGIN INSERT INTO audit VALUES (NEW.id, 'w', NEW.a); END"
+    ]
+    stmts = [
+        "INSERT INTO nums (id, a, b, s) VALUES "
+        "(101, 1, 0, 'a'), (102, 2, 0, 'b'), (103, 3, 0, 'c'), (104, 4, 0, 'd')"
+    ]
+    _run_when_case(spark, tmp_path, "evolve", trigs, stmts)
+
+
+def test_subquery_when_reads_triggering_table(spark, tmp_path):
+    """The WHEN's subquery reads the TRIGGERING table itself mid
+    multi-row statement (AFTER insert: each fired row sees itself and
+    all prior rows already applied)."""
+    trigs = [
+        "CREATE TRIGGER tw2 AFTER INSERT ON nums FOR EACH ROW "
+        "WHEN (SELECT COUNT(*) FROM nums) % 2 = 0 "
+        "BEGIN INSERT INTO audit VALUES (NEW.id, 'even', NEW.a); END"
+    ]
+    stmts = [
+        "INSERT INTO nums (id, a, b, s) VALUES "
+        "(201, 1, 0, 'a'), (202, 2, 0, 'b'), (203, 3, 0, 'c')",
+        "DELETE FROM nums WHERE id = 202",
+        "INSERT INTO nums (id, a, b, s) VALUES (204, 4, 0, 'd')",
+    ]
+    _run_when_case(spark, tmp_path, "selftab", trigs, stmts)
+
+
+def test_subquery_raise_condition_live(spark, tmp_path):
+    """RAISE(...) WHERE (SELECT ...) evaluates against live state: the
+    IGNORE fires only once the body-maintained audit count crosses the
+    threshold, skipping that row's insert (BEFORE) while earlier rows
+    landed."""
+    trigs = [
+        "CREATE TRIGGER tw3 BEFORE INSERT ON nums FOR EACH ROW BEGIN "
+        "INSERT INTO audit VALUES (NEW.id, 'r', NEW.a); "
+        "SELECT RAISE(IGNORE) WHERE (SELECT COUNT(*) FROM audit) >= 3; "
+        "END"
+    ]
+    stmts = [
+        "INSERT INTO nums (id, a, b, s) VALUES "
+        "(301, 1, 0, 'a'), (302, 2, 0, 'b'), (303, 3, 0, 'c'), (304, 4, 0, 'd')"
+    ]
+    _run_when_case(spark, tmp_path, "raise", trigs, stmts)
+
+
+def test_subquery_when_on_update_and_delete(spark, tmp_path):
+    """Subquery WHENs on UPDATE and DELETE triggers, interleaved with
+    constant WHENs (the batched fast path must coexist with the live
+    path in one firing set)."""
+    trigs = [
+        "CREATE TRIGGER tw4 AFTER UPDATE ON nums FOR EACH ROW "
+        "WHEN (SELECT coalesce(MAX(x), 0) FROM audit) < 15 "
+        "BEGIN INSERT INTO audit VALUES (OLD.id, 'u', coalesce(NEW.a, 0) * 10); END",
+        "CREATE TRIGGER tw5 BEFORE DELETE ON nums FOR EACH ROW "
+        "WHEN OLD.id > 1 "
+        "BEGIN INSERT INTO audit VALUES (OLD.id, 'd', -1); END",
+    ]
+    stmts = [
+        "UPDATE nums SET a = coalesce(a, 0) + 1 WHERE id <= 3",
+        "DELETE FROM nums WHERE id IN (1, 2)",
+    ]
+    _run_when_case(spark, tmp_path, "updel", trigs, stmts)
+
+
+# ---------------------------------------------------------------------------
+# round-10: UPDATE ... FROM on TRIGGERED tables (previously a loud reject)
+# — the triggers fire per matched target row with the deterministic
+# greatest-tuple pick, batch path applies the exact pairs fired on.
+# ---------------------------------------------------------------------------
+
+
+def test_update_from_fires_triggers(spark, tmp_path):
+    """UPDATE..FROM with state-blind UPDATE triggers: every matched target
+    row fires OLD/NEW as a plain UPDATE would; unmatched rows are
+    untouched and fire nothing."""
+    trigs = [
+        "CREATE TRIGGER uf1 AFTER UPDATE ON nums FOR EACH ROW "
+        "BEGIN INSERT INTO audit VALUES (OLD.id, 'uf', "
+        "coalesce(NEW.a, -1) * 100 + coalesce(OLD.a, -1)); END",
+        "CREATE TRIGGER uf2 BEFORE UPDATE OF a ON nums FOR EACH ROW "
+        "WHEN NEW.a > 5 "
+        "BEGIN INSERT INTO audit VALUES (OLD.id, 'big', NEW.a); END",
+    ]
+    stmts = [
+        # one FROM match per target row (multi-match is SQLite-unpredictable)
+        "UPDATE nums SET a = f.v FROM "
+        "(SELECT 1 AS fid, 7 AS v UNION ALL SELECT 3, 2) f "
+        "WHERE nums.id = f.fid",
+        "UPDATE nums SET b = b + f.v, s = f.tag FROM "
+        "(SELECT 5 AS fid, 40 AS v, 'tagged' AS tag) f WHERE nums.id = f.fid",
+    ]
+    _run_when_case(spark, tmp_path, "updfrom", trigs, stmts)
+
+
+def test_update_from_triggers_state_observing_interleave(spark, tmp_path):
+    """UPDATE..FROM whose trigger body OBSERVES state (UPDATE on audit):
+    multi-row statements must interleave per target row in rowid order —
+    the same probed rule as plain UPDATE."""
+    trigs = [
+        "CREATE TRIGGER uf3 AFTER UPDATE ON nums FOR EACH ROW BEGIN "
+        "INSERT INTO audit VALUES (OLD.id, 'n', "
+        "(SELECT count(*) FROM audit)); END",
+    ]
+    stmts = [
+        "UPDATE nums SET a = f.v FROM "
+        "(SELECT 1 AS fid, 11 AS v UNION ALL SELECT 3, 13 "
+        "UNION ALL SELECT 5, 15) f WHERE nums.id = f.fid",
+    ]
+    _run_when_case(spark, tmp_path, "updfrom_obs", trigs, stmts)
+
+
+def test_update_from_with_subquery_when(spark, tmp_path):
+    """The two round-10 features composed: UPDATE..FROM on a triggered
+    table whose WHEN is a live-state subquery."""
+    trigs = [
+        "CREATE TRIGGER uf4 AFTER UPDATE ON nums FOR EACH ROW "
+        "WHEN (SELECT count(*) FROM audit) < 2 "
+        "BEGIN INSERT INTO audit VALUES (OLD.id, 'w', NEW.a); END",
+    ]
+    stmts = [
+        "UPDATE nums SET a = f.v FROM "
+        "(SELECT 1 AS fid, 21 AS v UNION ALL SELECT 2, 22 "
+        "UNION ALL SELECT 3, 23 UNION ALL SELECT 5, 25) f "
+        "WHERE nums.id = f.fid",
+    ]
+    _run_when_case(spark, tmp_path, "updfrom_when", trigs, stmts)
+
+
+def test_update_from_changing_pk_with_triggers(spark, tmp_path):
+    """UPDATE..FROM that moves the PRIMARY KEY itself: the pairs-apply
+    join-back must key on the OLD pk."""
+    trigs = [
+        "CREATE TRIGGER uf5 AFTER UPDATE ON nums FOR EACH ROW "
+        "BEGIN INSERT INTO audit VALUES (OLD.id, 'mv', NEW.id); END",
+    ]
+    stmts = [
+        "UPDATE nums SET id = f.nid FROM "
+        "(SELECT 2 AS fid, 92 AS nid) f WHERE nums.id = f.fid",
+    ]
+    _run_when_case(spark, tmp_path, "updfrom_pk", trigs, stmts)

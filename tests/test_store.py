@@ -556,25 +556,35 @@ def test_segment_id_charset_enforced(store, spark):
         store.append_dataframe("t", df)
 
 
-def test_trigger_when_subquery_rejected(store):
-    """WHEN / RAISE conditions are evaluated as per-row constants; a scalar
-    subquery reading live state cannot be — reject at registration (loud)
-    rather than silently evaluating against the wrong state."""
+def test_trigger_when_subquery_live(store):
+    """WHEN / RAISE conditions containing scalar subqueries read LIVE
+    table state per row (round 10 — registration previously rejected
+    them; differential parity pinned in test_dialect_fuzz).  The cap
+    trigger here admits exactly two rows of a three-row script."""
     store.set_schema("wq", "create table t (x INTEGER);")
     store.provision("seg_wq", "wq")
-    with pytest.raises(QueryRejected, match="WHEN"):
-        store.write(
-            "seg_wq",
-            "CREATE TRIGGER bad BEFORE INSERT ON t "
-            "WHEN (SELECT count(*) FROM t) >= 2 "
-            "BEGIN SELECT RAISE(ABORT, 'cap'); END",
-        )
-    with pytest.raises(QueryRejected, match="RAISE condition"):
-        store.write(
-            "seg_wq",
-            "CREATE TRIGGER bad2 BEFORE INSERT ON t BEGIN "
-            "SELECT RAISE(ABORT, 'cap') WHERE (SELECT count(*) FROM t) >= 2; END",
-        )
+    store.write(
+        "seg_wq",
+        "CREATE TRIGGER cap BEFORE INSERT ON t "
+        "WHEN (SELECT count(*) FROM t) >= 2 "
+        "BEGIN SELECT RAISE(IGNORE); END",
+    )
+    store.write(
+        "seg_wq",
+        "INSERT INTO t VALUES (1);\nINSERT INTO t VALUES (2);\n"
+        "INSERT INTO t VALUES (3)",
+    )
+    assert [r["x"] for r in store.read("seg_wq", "SELECT x FROM t ORDER BY x")] == [1, 2]
+    store.write(
+        "seg_wq",
+        "CREATE TRIGGER cap2 BEFORE INSERT ON t BEGIN "
+        "SELECT RAISE(ABORT, 'full') WHERE (SELECT count(*) FROM t) >= 3; END",
+    )
+    store.write("seg_wq", "DROP TRIGGER cap")
+    store.write("seg_wq", "INSERT INTO t VALUES (4)")
+    with pytest.raises(Exception, match="full"):
+        store.write("seg_wq", "INSERT INTO t VALUES (5)")
+    assert [r["x"] for r in store.read("seg_wq", "SELECT x FROM t ORDER BY x")] == [1, 2, 4]
 
 
 # -- round-8 point-read view cache (VERDICT r7 item 6) ------------------------

@@ -141,7 +141,7 @@ def test_update_from_multimatch_deterministic(spark, tmp_path):
     assert store.read("seg", "SELECT a FROM t") == [{"a": 9}]
 
 
-def test_update_from_rejects(spark, tmp_path):
+def test_update_from_rejects_and_triggered_path(spark, tmp_path):
     store = SegmentStore(spark, str(tmp_path / "rej"))
     store.set_schema(
         "s",
@@ -152,10 +152,16 @@ def test_update_from_rejects(spark, tmp_path):
     store.provision("seg", "s")
     store.write("seg", "INSERT INTO t VALUES (1, 10, 'x')")
     store.write("seg", "INSERT INTO nopk VALUES (1, 2)")
-    with pytest.raises(QueryRejected, match="UPDATE trigger"):
-        store.write(
-            "seg", "UPDATE t SET a = src.v FROM src WHERE t.id = src.id"
-        )
+    store.write("seg", "INSERT INTO src VALUES (1, 77, 'v')")
+    # UPDATE..FROM on a TRIGGERED table is supported since round 10: the
+    # update applies and the trigger fires per matched row (differential
+    # parity in test_dialect_fuzz)
+    store.write("seg", "UPDATE t SET a = src.v FROM src WHERE t.id = src.id")
+    assert store.read("seg", "SELECT a FROM t WHERE id = 1")[0]["a"] == 77
+    assert (
+        store.read("seg", "SELECT count(*) AS n FROM src WHERE w = 'log'")[0]["n"] == 1
+    )
+    # pk-less targets and OR-mode interplay stay loud rejects
     with pytest.raises(QueryRejected, match="no PRIMARY KEY"):
         store.write(
             "seg", "UPDATE nopk SET y = src.v FROM src WHERE nopk.x = src.id"

@@ -1026,14 +1026,10 @@ def parse_create_trigger(stmt: str) -> Trigger:
     if not body:
         raise QueryRejected(f"empty trigger body: {stmt[:80]!r}")
     when = m.group("when")
-    if when is not None and re.search(r"\bSELECT\b", when, re.IGNORECASE):
-        # WHEN is evaluated per row as a fully-substituted CONSTANT
-        # expression (zero-table SELECT); a scalar subquery reading live
-        # table state cannot be evaluated that way — reject LOUDLY instead
-        # of silently using pre-statement state (SQLite re-reads per row)
-        raise QueryRejected(
-            f"subqueries in trigger WHEN clauses are not supported: {when[:60]!r}"
-        )
+    # WHEN containing a scalar subquery is supported since round 10: it is
+    # evaluated PER ROW against live (mid-script, mid-statement) table
+    # state through the read path — see SegmentStore._eval_when_live and
+    # the _observes_state routing that forces the per-row interleave.
     for b in body:
         kind = dialect.statement_type(b)
         if kind == "SELECT":
@@ -1041,12 +1037,6 @@ def parse_create_trigger(stmt: str) -> Trigger:
             if not rm:
                 raise QueryRejected(
                     f"only SELECT RAISE(...) is supported in trigger bodies: {b[:60]!r}"
-                )
-            cond = rm.group("where")
-            if cond is not None and re.search(r"\bSELECT\b", cond, re.IGNORECASE):
-                raise QueryRejected(
-                    "subqueries in a RAISE condition are not supported "
-                    f"(evaluated as a per-row constant): {cond[:60]!r}"
                 )
         elif kind not in ("INSERT", "REPLACE", "UPDATE", "DELETE"):
             raise QueryRejected(f"unsupported trigger body statement: {b[:60]!r}")
@@ -3829,28 +3819,22 @@ class SegmentStore:
                     )
         self._overwrite_partition(segment_id, table, out)
 
-    def _update_from_join(
+    def _update_from_picked(
         self,
         segment_id: str,
         table: str,
         ts: TableSchema,
-        df: DataFrame,
         assignments: list[tuple[str, str]],
         from_text: str,
         where: str | None,
     ) -> DataFrame:
-        """``UPDATE t SET ... FROM <relations> WHERE ...`` (SQLite 3.33,
-        lang_update.html §2) as one declarative join: the read path
-        evaluates, per matching target row, every SET expression against
-        (target row × FROM product) — subqueries, aliases and comma-joins
-        in FROM come for free — and the result joins back onto the
-        partition by PRIMARY KEY.  Unmatched rows are untouched (probed).
-
-        When several FROM rows match one target row SQLite documents the
-        outcome as unpredictable; this engine picks the greatest SET-value
-        tuple (deterministic, and any choice is conforming).  A pk-less
-        target has no stable row identity for the join-back — rejected
-        loudly (SQLite uses the rowid, which this engine does not track)."""
+        """The matched-and-picked half of UPDATE ... FROM: per matching
+        target row, every SET expression evaluated against (target row ×
+        FROM product) through the read path, deduplicated to one
+        deterministic greatest SET-value tuple per PRIMARY KEY —
+        (__pk_0.., __s struct).  Shared by the trigger-free join rewrite
+        and the round-10 triggered-pairs path so both apply the identical
+        change."""
         if not ts.primary_key:
             raise QueryRejected(
                 f"UPDATE ... FROM on table {table!r} with no PRIMARY KEY "
@@ -3879,13 +3863,40 @@ class SegmentStore:
                 "PRIMARY KEY components — no stable row identity for the "
                 "join-back"
             )
-        picked = matched.groupBy(
+        return matched.groupBy(
             *[F.col(f"__pk_{j}") for j in range(len(pk))]
         ).agg(
             F.max(
                 F.struct(*[F.col(f"__set_{i}") for i in range(len(assignments))])
             ).alias("__s")
         )
+
+    def _update_from_join(
+        self,
+        segment_id: str,
+        table: str,
+        ts: TableSchema,
+        df: DataFrame,
+        assignments: list[tuple[str, str]],
+        from_text: str,
+        where: str | None,
+    ) -> DataFrame:
+        """``UPDATE t SET ... FROM <relations> WHERE ...`` (SQLite 3.33,
+        lang_update.html §2) as one declarative join: the read path
+        evaluates, per matching target row, every SET expression against
+        (target row × FROM product) — subqueries, aliases and comma-joins
+        in FROM come for free — and the result joins back onto the
+        partition by PRIMARY KEY.  Unmatched rows are untouched (probed).
+
+        When several FROM rows match one target row SQLite documents the
+        outcome as unpredictable; this engine picks the greatest SET-value
+        tuple (deterministic, and any choice is conforming).  A pk-less
+        target has no stable row identity for the join-back — rejected
+        loudly (SQLite uses the rowid, which this engine does not track)."""
+        picked = self._update_from_picked(
+            segment_id, table, ts, assignments, from_text, where
+        )
+        pk = ts.primary_key
         joined = df.join(
             picked,
             [df[k] == picked[f"__pk_{j}"] for j, k in enumerate(pk)],
@@ -4276,6 +4287,29 @@ class SegmentStore:
     def _eval_when(self, expr: str) -> bool:
         return self._eval_bools([expr])[0]
 
+    @staticmethod
+    def _has_subquery(expr: str | None) -> bool:
+        """Whether a WHEN / RAISE WHERE expression needs live-state
+        evaluation (conservative word match; a false positive merely takes
+        the slower-but-equivalent live path)."""
+        return expr is not None and re.search(r"\bSELECT\b", expr, re.IGNORECASE) is not None
+
+    def _eval_when_live(self, segment_id: str, expr: str, pending: dict) -> bool:
+        """Trigger WHEN / RAISE WHERE containing a scalar subquery: SQLite
+        re-evaluates it per row against LIVE table state (probed: a
+        BEFORE-INSERT WHEN's COUNT(*) sees 0,1,2 across a multi-row
+        insert), so the fully-substituted expression runs through the
+        segment read path after flushing pending rows (round 10 — was a
+        loud reject).  One driver-local job per row per trigger, bounded
+        by trough's small-segment trigger model like the rest of the
+        interleave machinery."""
+        self._flush_inserts(segment_id, pending)
+        row = self.read_df(
+            segment_id,
+            f"SELECT coalesce(CAST(({expr}) AS BOOLEAN), FALSE) AS v",
+        ).collect()[0]
+        return bool(row["v"])
+
     def _fire_triggers(
         self, segment_id: str, trigs: list[Trigger], timing: str, rows, pending
     ) -> set[int]:
@@ -4291,10 +4325,17 @@ class SegmentStore:
         fired = [t for t in trigs if t.timing == timing]
         if not fired:
             return set()
-        # WHEN verdicts batched up front (chunked zero-table SELECTs)
+        # WHEN verdicts batched up front (chunked zero-table SELECTs) —
+        # EXCEPT subquery-bearing WHENs, which must read live table state
+        # at each row's visit and evaluate lazily inside the row loop
         when_ok: dict[int, list[bool]] = {}
+        when_live: set[int] = set()
         for ti, tr in enumerate(fired):
-            if tr.when is not None:
+            if tr.when is None:
+                continue
+            if self._has_subquery(tr.when):
+                when_live.add(ti)
+            else:
                 when_ok[ti] = self._eval_bools(
                     [_sub_new_old(tr.when, nr, orow) for orow, nr in rows]
                 )
@@ -4309,6 +4350,10 @@ class SegmentStore:
                     continue
                 if tr.name.lower() in self._trigger_stack:
                     continue  # re-entry suppressed (recursive_triggers=OFF)
+                if ti in when_live and not self._eval_when_live(
+                    segment_id, _sub_new_old(tr.when, new_row, old_row), pending
+                ):
+                    continue
                 self._trigger_stack.append(tr.name.lower())
                 try:
                     for b in tr.body:
@@ -4358,8 +4403,16 @@ class SegmentStore:
         elif kind == "SELECT":
             m = _RAISE_RE.match(stmt)  # shape guaranteed by parse_create_trigger
             cond = m.group("where")
-            if cond is not None and not self._eval_when(cond):
-                return
+            if cond is not None:
+                # subquery-bearing RAISE conditions read live state
+                # (round 10), same contract as subquery WHEN clauses
+                ok = (
+                    self._eval_when_live(segment_id, cond, pending)
+                    if self._has_subquery(cond)
+                    else self._eval_when(cond)
+                )
+                if not ok:
+                    return
             if m.group("kind").upper() == "IGNORE":
                 raise _TriggerIgnore
             raise TriggerAbort(m.group("msg").replace("''", "'") if m.group("msg") else "")
@@ -4845,13 +4898,16 @@ class SegmentStore:
         return True
 
     def _bodies_observe_state(self, segment_id: str, trigs: list[Trigger]) -> bool:
-        """Whether any trigger body statement can observe current table
-        state — drives per-row interleaving on multi-row statements.
-        State-blind bodies (plain INSERT..VALUES into trigger-free tables,
-        RAISE statements) execute the same multiset of constant-substituted
-        operations either way, so batch-phase firing is observationally
-        identical for them."""
+        """Whether any trigger body statement — or a subquery-bearing WHEN
+        clause (round 10) — can observe current table state; drives
+        per-row interleaving on multi-row statements.  State-blind bodies
+        (plain INSERT..VALUES into trigger-free tables, RAISE statements)
+        execute the same multiset of constant-substituted operations
+        either way, so batch-phase firing is observationally identical
+        for them."""
         for tr in trigs:
+            if self._has_subquery(tr.when):
+                return True  # WHEN reads live state per row
             for b in tr.body:
                 k = dialect.statement_type(b)
                 if k in ("UPDATE", "DELETE"):
@@ -4989,7 +5045,7 @@ class SegmentStore:
             m = _DELETE_STMT_RE.match(stmt)
             if not m:
                 raise QueryRejected(f"unsupported DELETE form: {stmt[:80]!r}")
-            table, sets = _unquote(m.group("name")), None
+            table, sets, from_text = _unquote(m.group("name")), None, None
             trigs = self._triggers_for(segment_id, table, "DELETE")
         else:
             m = _UPDATE_STMT_RE.match(stmt)
@@ -5006,13 +5062,9 @@ class SegmentStore:
                 segment_id, table, "UPDATE", set_cols=list(sets)
             )
             if from_text is not None:
-                # UPDATE ... FROM (SQLite 3.33): the join-update path; the
-                # trigger/OR-mode interplays are rejected loudly below
-                if trigs:
-                    raise QueryRejected(
-                        "UPDATE ... FROM on a table with UPDATE triggers "
-                        f"is not supported: {stmt[:80]!r}"
-                    )
+                # UPDATE ... FROM (SQLite 3.33): triggers are supported
+                # since round 10 via the pairs path below (the OR-mode
+                # interplay stays a loud reject)
                 if _update_mode(m) is not None:
                     raise QueryRejected(
                         "UPDATE OR IGNORE/REPLACE ... FROM is not "
@@ -5035,11 +5087,17 @@ class SegmentStore:
                 "constraints or non-BINARY key collations is not "
                 f"supported: {stmt[:80]!r}"
             )
-        pairs = self._affected_rows(
-            segment_id, table,
-            upd_where if kind == "UPDATE" else m.group("where"),
-            sets, kind,
-        )
+        if kind == "UPDATE" and from_text is not None:
+            ts_f = self._table_schema(segment_id, table)
+            pairs = self._affected_rows_from(
+                segment_id, table, ts_f, sets, from_text, upd_where
+            )
+        else:
+            pairs = self._affected_rows(
+                segment_id, table,
+                upd_where if kind == "UPDATE" else m.group("where"),
+                sets, kind,
+            )
         if len(pairs) > 1 and self._bodies_observe_state(segment_id, trigs):
             # SQLite interleaves UPDATE/DELETE trigger firing per row
             # (probed: an AFTER UPDATE body's SUM(x) sees partially-updated
@@ -5111,7 +5169,15 @@ class SegmentStore:
         self._ret_add(
             table, [p[0] if kind == "DELETE" else p[1] for p in pairs]
         )
-        if self._ret is not None:
+        if kind == "UPDATE" and from_text is not None:
+            # triggered UPDATE..FROM: apply the exact pairs the triggers
+            # fired on (a statement re-run could see BEFORE-body writes
+            # to the FROM relations)
+            if pairs:
+                self._apply_update_pairs(
+                    segment_id, table, self._table_schema(segment_id, table), pairs
+                )
+        elif self._ret is not None:
             # affected rows already captured from the pairs above — keep
             # the rewrite from re-capturing them
             self._ret.depth += 1
@@ -5123,6 +5189,93 @@ class SegmentStore:
             self._rewrite_partition(segment_id, stmt, kind)
         self._fire_triggers(segment_id, trigs, "AFTER", pairs, pending)
         self._flush_inserts(segment_id, pending)
+
+    def _affected_rows_from(
+        self,
+        segment_id: str,
+        table: str,
+        ts: TableSchema,
+        sets: dict,
+        from_text: str,
+        where: str | None,
+    ) -> list[tuple]:
+        """(OLD, NEW) pairs for ``UPDATE ... FROM`` on a TRIGGERED table
+        (round 10 — previously a loud reject): the shared
+        `_update_from_picked` computation joined back to the current rows,
+        so trigger firing sees exactly the deterministic greatest-tuple
+        change `_apply_update_pairs` will apply."""
+        assignments = list(sets.items())
+        picked = self._update_from_picked(
+            segment_id, table, ts, assignments, from_text, where
+        )
+        df = self._read_partition(segment_id, table)
+        pk = ts.primary_key
+        joined = df.join(
+            picked,
+            [df[k] == picked[f"__pk_{j}"] for j, k in enumerate(pk)],
+            "inner",
+        )
+        types = {n.lower(): t for n, t in ts.fields}
+        lowered = {c.lower(): i for i, (c, _e) in enumerate(assignments)}
+        post = joined.select(
+            F.struct(*[df[n] for n in df.columns]).alias("_o"),
+            *[
+                (
+                    picked["__s"][f"__set_{lowered[n.lower()]}"].cast(
+                        types[n.lower()]
+                    )
+                    if n.lower() in lowered
+                    else df[n]
+                ).alias(n)
+                for n in df.columns
+            ],
+        )
+        post = self._apply_generated_df(ts, post)
+        rows = post.select(
+            "_o",
+            F.struct(*[F.col(n) for n in df.columns]).alias("_n"),
+        ).collect()
+        return [(r["_o"], r["_n"]) for r in rows]
+
+    def _apply_update_pairs(
+        self, segment_id: str, table: str, ts: TableSchema, pairs: list[tuple]
+    ) -> None:
+        """One join-back partition rewrite applying pre-computed (OLD, NEW)
+        update pairs by the OLD row's PRIMARY KEY — the apply step of the
+        triggered UPDATE..FROM batch path.  Applying the pairs themselves
+        (rather than re-running the join rewrite) closes the window where
+        a BEFORE body's write to a FROM relation would shift the re-joined
+        row set away from what the triggers fired on."""
+        from pyspark.sql import types as _T
+
+        pk = ts.primary_key
+        cols = [n for n, _t in ts.fields]
+        typ = {n.lower(): t for n, t in ts.fields}
+        schema = _T.StructType(
+            [_T.StructField(f"__pk_{j}", typ[k.lower()]) for j, k in enumerate(pk)]
+            + [_T.StructField(f"__n_{j}", t) for j, (_n, t) in enumerate(ts.fields)]
+        )
+        news = self.spark.createDataFrame(
+            [
+                tuple(p[0][k] for k in pk) + tuple(p[1][n] for n in cols)
+                for p in pairs
+            ],
+            schema,
+        ).withColumn("__hit", F.lit(True))
+        df = self._read_partition(segment_id, table)
+        joined = df.join(
+            news, [df[k] == news[f"__pk_{j}"] for j, k in enumerate(pk)], "left"
+        )
+        out = joined.select(
+            [
+                F.when(F.col("__hit"), news[f"__n_{j}"])
+                .otherwise(df[n])
+                .alias(n)
+                for j, n in enumerate(cols)
+            ]
+        )
+        self._assert_constraints(ts, out)
+        self._overwrite_partition(segment_id, table, out)
 
     def _affected_rows(
         self, segment_id: str, table: str, where: str | None, sets, kind: str
