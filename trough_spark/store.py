@@ -5008,8 +5008,18 @@ class SegmentStore:
                 _rewrite_upsert_refs(expr, table, declared), new_row, old_row
             )
 
-        if where is not None and not self._eval_when(bind(where)):
-            return None
+        if where is not None:
+            try:
+                ok = self._eval_when(bind(where))
+            except Exception as e:
+                # subqueries (reading other tables) in an upsert WHERE are
+                # evaluated as per-row constants here — reject loudly with
+                # the cause instead of leaking a raw analysis error
+                raise QueryRejected(
+                    f"unsupported DO UPDATE ... WHERE expression: {e}"
+                ) from None
+            if not ok:
+                return None
         names = list(sets)
         cols = ", ".join(
             f"({dialect.sqlite_to_spark(bind(sets[c]))}) AS v{j}"
