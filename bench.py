@@ -153,6 +153,10 @@ EXTRA = [
     "sample_length_batches",
     "b12_shim_literal_escape",
     "pipeline_bpe_pack",
+    # round 10
+    "b12_shim_json_tree",
+    "text_bpe_encode",
+    "pipeline_bpe_pack_ids",
 ]
 
 
