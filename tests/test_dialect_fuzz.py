@@ -1979,3 +1979,126 @@ def test_update_from_changing_pk_with_triggers(spark, tmp_path):
         "(SELECT 2 AS fid, 92 AS nid) f WHERE nums.id = f.fid",
     ]
     _run_when_case(spark, tmp_path, "updfrom_pk", trigs, stmts)
+
+
+# ---------------------------------------------------------------------------
+# round-10 campaign: triggers x UNIQUE constraints x conflict forms
+#
+# Round 10 closed the triggers-x-extended-uniqueness INSERT reject: the
+# per-row trigger conflict loop now tracks EVERY declared constraint
+# (collation-folded) like the untriggered sequential path.  This campaign
+# crosses the unique-constraints grammar with INSERT triggers and the
+# supported conflict forms, vs live SQLite.  Generator constraints mirror
+# the documented loud rejects: DO NOTHING/DO UPDATE targets stay on the
+# pk, no OR-IGNORE+ON-CONFLICT combos, trigger bodies never write t,
+# triggered UPDATE on unique tables excluded (still rejected), DELETE
+# included (allowed since round 10 — keys never move).
+# ---------------------------------------------------------------------------
+
+N_TRIG_UNIQUE_CASES = int(os.environ.get("TROUGH_FUZZ_TRIG_UNIQUE", "8"))
+
+
+def _trig_unique_ddl(rng: random.Random) -> str:
+    ucoll = rng.choice(["", " COLLATE NOCASE", " COLLATE RTRIM"])
+    tail = ", UNIQUE (a, b)" if rng.random() < 0.4 else ""
+    ddl = (
+        f"CREATE TABLE t (id INTEGER PRIMARY KEY, u TEXT UNIQUE{ucoll}, "
+        f"a INTEGER, b TEXT{tail});\n"
+        "CREATE TABLE log (tag TEXT, x INTEGER)"
+    )
+    trigs = []
+    for i in range(rng.randint(1, 2)):
+        timing = rng.choice(["BEFORE", "AFTER"])
+        when = ""
+        if rng.random() < 0.4:
+            when = rng.choice(
+                [
+                    "WHEN NEW.id > 1 ",
+                    "WHEN coalesce(NEW.a, 0) >= 1 ",
+                    "WHEN (SELECT COUNT(*) FROM log) < 6 ",
+                ]
+            )
+        body = rng.choice(
+            [
+                f"INSERT INTO log VALUES ('t{i}', NEW.id);",
+                f"INSERT INTO log VALUES ('t{i}', coalesce(NEW.a, -1));",
+                f"INSERT INTO log VALUES ('t{i}', (SELECT COUNT(*) FROM log));",
+            ]
+        )
+        trigs.append(
+            f"CREATE TRIGGER tq{i} {timing} INSERT ON t "
+            f"FOR EACH ROW {when}BEGIN {body} END"
+        )
+    if rng.random() < 0.5:
+        trigs.append(
+            "CREATE TRIGGER tqd BEFORE DELETE ON t FOR EACH ROW "
+            "BEGIN INSERT INTO log VALUES ('d', OLD.id); END"
+        )
+    return ddl, trigs
+
+
+def _trig_unique_script(rng: random.Random) -> list[str]:
+    stmts = []
+    n = 1
+    for _ in range(rng.randint(4, 7)):
+        kind = rng.randrange(7)
+        u = rng.choice(_UVALS)
+        a = rng.choice(["NULL", str(rng.randint(0, 2))])
+        b = rng.choice(["NULL", "'p'", "'q'"])
+        vals = f"({n}, {u}, {a}, {b})"
+        n += 1
+        if kind in (0, 1):
+            stmts.append(f"INSERT INTO t VALUES {vals}")
+        elif kind == 2:
+            v2 = f"({n}, {rng.choice(_UVALS)}, {a}, {b})"
+            n += 1
+            stmts.append(f"INSERT OR IGNORE INTO t VALUES {vals}, {v2}")
+        elif kind == 3:
+            v2 = f"({n}, {rng.choice(_UVALS)}, {a}, {b})"
+            n += 1
+            stmts.append(f"INSERT OR REPLACE INTO t VALUES {vals}, {v2}")
+        elif kind == 4:
+            tgt = rng.choice(["", "(id)"])
+            stmts.append(f"INSERT INTO t VALUES {vals} ON CONFLICT{tgt} DO NOTHING")
+        elif kind == 5:
+            stmts.append(
+                f"INSERT INTO t VALUES {vals} ON CONFLICT(id) "
+                f"DO UPDATE SET b = coalesce(excluded.b, t.b), "
+                f"a = coalesce(t.a, 0) + 1"
+            )
+        else:
+            stmts.append(f"DELETE FROM t WHERE a = {rng.randint(0, 2)}")
+    return stmts
+
+
+@pytest.mark.parametrize("case", range(N_TRIG_UNIQUE_CASES))
+def test_fuzzed_triggered_unique_matches_sqlite(spark, tmp_path, case):
+    rng = random.Random(SEED + 3000 + case)
+    ddl, trigs = _trig_unique_ddl(rng)
+    stmts = _trig_unique_script(rng)
+
+    conn = sqlite3.connect(":memory:")
+    conn.isolation_level = None
+    conn.executescript(ddl + ";")
+    for t in trigs:
+        conn.execute(t)
+    store = SegmentStore(spark, str(tmp_path / "store"))
+    store.set_schema("tq10", ddl + ";")
+    store.provision(f"tqseg{case}", "tq10")
+    store.write(f"tqseg{case}", ";\n".join(trigs))
+
+    sq_raised, en_raised = _run_script_both(conn, store, f"tqseg{case}", stmts)
+    assert sq_raised == en_raised, (
+        f"\nddl: {ddl}\ntrigs: {trigs}\nscript: {stmts}\n"
+        f"sqlite raised: {sq_raised}, engine raised: {en_raised}"
+    )
+    for q in (
+        "SELECT id, u, a, b FROM t ORDER BY id",
+        "SELECT tag, x FROM log ORDER BY tag, x",
+    ):
+        expected = [tuple(row) for row in conn.execute(q).fetchall()]
+        got = [tuple(r.values()) for r in store.read(f"tqseg{case}", q)]
+        assert got == expected, (
+            f"\nddl: {ddl}\ntrigs: {trigs}\nscript: {stmts}\nq: {q}\n"
+            f"sqlite: {expected}\nengine: {got}"
+        )

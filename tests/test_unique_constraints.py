@@ -280,18 +280,46 @@ def test_update_or_modes_rejected_with_unique(spark, tmp_path):
         store.write("seg", "UPDATE OR IGNORE t SET a = a + 1")
 
 
-def test_triggers_with_unique_rejected_loudly(spark, tmp_path):
+def test_triggers_with_unique_constraints(spark, tmp_path):
+    """Triggered INSERTs on UNIQUE-constrained tables (round 10 — was a
+    loud reject): plain inserts fire and enforce the UNIQUE at flush;
+    UNIQUE-only conflicts resolve per mode with the probed trigger
+    interplay (differential parity in test_dialect_fuzz).  Triggered
+    UPDATE on such tables and pk-less variants stay loud rejects."""
     store = SegmentStore(spark, str(tmp_path / "st"))
     store.set_schema(
         "s",
-        "CREATE TABLE t (a INTEGER PRIMARY KEY, b TEXT UNIQUE);\n"
+        "CREATE TABLE t (a INTEGER PRIMARY KEY, b TEXT UNIQUE, v INT);\n"
         "CREATE TABLE log (n INT);\n"
         "CREATE TRIGGER trg AFTER INSERT ON t BEGIN "
         "INSERT INTO log VALUES (NEW.a); END;",
     )
     store.provision("seg", "s")
+    store.write("seg", "INSERT INTO t VALUES (1,'x',10)")
+    store.write("seg", "INSERT INTO t VALUES (2,'y',20)")
+    assert sorted(r["n"] for r in store.read("seg", "SELECT n FROM log")) == [1, 2]
+    # plain dup on the UNIQUE raises (script rolls back, no log row)
+    with pytest.raises(Exception, match="UNIQUE"):
+        store.write("seg", "INSERT INTO t VALUES (9,'x',99)")
+    # OR REPLACE on the UNIQUE deletes the conflicting row silently and
+    # fires the INSERT triggers for the new row only (probed)
+    store.write("seg", "INSERT OR REPLACE INTO t VALUES (9,'x',99)")
+    assert {(r["a"], r["b"]) for r in store.read("seg", "SELECT a, b FROM t")} == {
+        (2, "y"),
+        (9, "x"),
+    }
+    assert sorted(r["n"] for r in store.read("seg", "SELECT n FROM log")) == [1, 2, 9]
+    # OR IGNORE on the UNIQUE fires BEFORE-only semantics (no AFTER log)
+    store.write("seg", "INSERT OR IGNORE INTO t VALUES (7,'y',70)")
+    assert sorted(r["a"] for r in store.read("seg", "SELECT a FROM t")) == [2, 9]
+    # triggered UPDATE on a UNIQUE-constrained table stays a loud reject
     with pytest.raises(QueryRejected, match="triggers and UNIQUE"):
-        store.write("seg", "INSERT INTO t VALUES (1,'x')")
+        store.write(
+            "seg",
+            "CREATE TRIGGER tu AFTER UPDATE ON t BEGIN "
+            "INSERT INTO log VALUES (-1); END;\n"
+            "UPDATE t SET v = 0 WHERE a = 2",
+        )
 
 
 def test_unique_fast_path_unchanged_for_binary_pk(spark, tmp_path):

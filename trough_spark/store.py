@@ -4428,16 +4428,18 @@ class SegmentStore:
         m = self._match_insert(stmt)
         table = _unquote(m.group("name"))
         trigs = self._triggers_for(segment_id, table, "INSERT")
-        if trigs and self._table_schema(
-            segment_id, table
-        ).has_extended_uniqueness():
-            # the triggered per-row conflict loop resolves on the binary pk
-            # only — reject LOUDLY rather than silently diverge (round-8
-            # UNIQUE support scope note)
+        if (
+            trigs
+            and self._table_schema(segment_id, table).has_extended_uniqueness()
+            and not self._table_schema(segment_id, table).primary_key
+        ):
+            # UNIQUE-constrained conflict resolution on a triggered table
+            # needs a pk for the per-row disk rewrites (round 10 closed the
+            # general triggers x UNIQUE reject; SQLite identifies rows by
+            # rowid, which this engine does not track)
             raise QueryRejected(
-                "INSERT on a table with both triggers and UNIQUE "
-                "constraints or non-BINARY key collations is not "
-                f"supported: {stmt[:80]!r}"
+                "INSERT on a pk-less table with both triggers and UNIQUE "
+                f"constraints is not supported: {stmt[:80]!r}"
             )
         body = m.group("body")
         body_u = body.upper()
@@ -4479,6 +4481,7 @@ class SegmentStore:
         # after BEFORE INSERT alone; non-conflicting rows insert and fire
         # AFTER INSERT.
         skip_unique = skip_constraints = replace_rows = False
+        do_nothing: str | None = None  # None | "any" (catch-all) | "pk" (targeted)
         do_update: tuple[dict, str | None] | None = None
         if mode == "IGNORE":
             if onc is not None:
@@ -4511,7 +4514,10 @@ class SegmentStore:
                         "ON CONFLICT target must be the PRIMARY KEY "
                         f"({', '.join(ts0.primary_key)})"
                     )
-            skip_unique = True
+            # probed (round 10): catch-all DO NOTHING skips on ANY
+            # constraint conflict; a pk-targeted DO NOTHING skips only on
+            # the pk and a UNIQUE-only conflict RAISES
+            do_nothing = "pk" if cc is not None else "any"
             cols_part = f" ({m.group('cols')})" if m.group("cols") else ""
             stmt = f"INSERT INTO {table}{cols_part} {body[: onc.start()]}"
             m = self._match_insert(stmt)
@@ -4570,7 +4576,11 @@ class SegmentStore:
                 f"{stmt[:80]!r}"
             )
         conflict_path = (
-            skip_unique or skip_constraints or replace_rows or do_update is not None
+            skip_unique
+            or skip_constraints
+            or replace_rows
+            or do_nothing is not None
+            or do_update is not None
         )
         if conflict_path and table.lower() in self._body_write_closure(
             segment_id, trigs
@@ -4656,24 +4666,53 @@ class SegmentStore:
         if conflict_path:
             # per-row conflict-resolving loop (probed order: BEFORE fires,
             # then the conflict check decides insert + AFTER vs the mode's
-            # resolution — silent skip, silent replace, or upsert-update)
+            # resolution — silent skip, silent replace, or upsert-update).
+            # Round 10: conflicts are tracked across EVERY declared
+            # uniqueness constraint (pk + UNIQUEs, collation-folded — the
+            # same maps machinery as the untriggered sequential path), not
+            # just the binary pk; NULL key components never conflict
+            # (probed; storing them would also collapse coexisting NULL-pk
+            # rows into one slot — round-8 ADVICE fix).
             ts = self._table_schema(segment_id, table)
             pkcols = list(ts.primary_key or [])
-            current: dict[tuple, Row] = {}
-            if pkcols:
-                # NULL pk components never conflict: rows carrying one keep
-                # their place on disk and stay OUT of the conflict dict —
-                # storing them would collapse coexisting NULL-pk rows into
-                # one slot (round-8 ADVICE fix)
-                if os.path.isdir(self._partition_path(table, segment_id)):
-                    for r0 in self._read_partition(segment_id, table).collect():
-                        k0 = tuple(r0[k] for k in pkcols)
-                        if all(v is not None for v in k0):
-                            current[k0] = r0
-                for r0 in pending.get(table, []):
-                    k0 = tuple(r0[k] for k in pkcols)
-                    if all(v is not None for v in k0):
-                        current[k0] = r0
+            cons = ts.unique_constraints()
+            folded = [
+                (cols, [eff for _s, eff in self._fold_cols(ts, cols, colls)])
+                for cols, colls in cons
+            ]
+
+            def _keys_of(r) -> list:
+                out = []
+                for cols, effs in folded:
+                    k = tuple(_fold_value(r[c], e) for c, e in zip(cols, effs))
+                    out.append(None if any(v is None for v in k) else k)
+                return out
+
+            live: dict[int, Row] = {}
+            maps: list[dict] = [dict() for _ in cons]
+            next_rid = 0
+
+            def _track(r) -> int:
+                nonlocal next_rid
+                rid = next_rid
+                next_rid += 1
+                live[rid] = r
+                for ci, k in enumerate(_keys_of(r)):
+                    if k is not None:
+                        maps[ci][k] = rid
+                return rid
+
+            def _untrack(rid) -> None:
+                r = live.pop(rid)
+                for ci, k in enumerate(_keys_of(r)):
+                    if k is not None and maps[ci].get(k) == rid:
+                        del maps[ci][k]
+
+            if os.path.isdir(self._partition_path(table, segment_id)):
+                for r0 in self._read_partition(segment_id, table).collect():
+                    _track(r0)
+            for r0 in pending.get(table, []):
+                _track(r0)
             utrigs = (
                 self._triggers_for(
                     segment_id, table, "UPDATE", set_cols=list(do_update[0])
@@ -4693,29 +4732,50 @@ class SegmentStore:
                 pair = [(None, r)]
                 if self._fire_triggers(segment_id, trigs, "BEFORE", pair, pending):
                     continue  # RAISE(IGNORE): skip this row's insert
-                k = tuple(r[c] for c in pkcols) if pkcols else None
-                # a NULL pk component never conflicts (matches the batch
-                # path's nullkey_rows rule; round-8 ADVICE fix)
-                keyed = bool(pkcols) and all(v is not None for v in k)
-                conflict = keyed and k in current
-                if conflict and (skip_unique or skip_constraints):
+                rk = _keys_of(r)
+                hits = [
+                    (ci, maps[ci][k])
+                    for ci, k in enumerate(rk)
+                    if k is not None and k in maps[ci]
+                ]
+                hit_cis = {ci for ci, _rid in hits}
+                if hits and (skip_unique or skip_constraints):
                     continue  # uniqueness conflict: no insert, no AFTER
+                if hits and do_nothing is not None:
+                    # catch-all: any conflict skips; pk-targeted: a pk
+                    # conflict skips, a UNIQUE-only conflict RAISES (probed)
+                    if do_nothing == "any" or 0 in hit_cis:
+                        continue
+                    first_ci = min(hit_cis)
+                    raise self._unique_error(table, cons[first_ci][0])
                 if skip_constraints and self._row_violates(ts, r):
                     continue  # OR IGNORE skips constraint violations too
-                if conflict and replace_rows:
-                    # silent delete of the old row (no DELETE triggers
-                    # under the pinned recursive_triggers=OFF), then the
-                    # new row lands and AFTER INSERT fires normally
+                if hits and replace_rows:
+                    # silent delete of EVERY conflicting row — one incoming
+                    # row can hit several constraints / rows (probed) — no
+                    # DELETE triggers under the pinned recursive_triggers=
+                    # OFF; then the new row lands and AFTER INSERT fires
                     self._flush_inserts(segment_id, pending)
-                    self._apply_row_change(segment_id, table, ts, current[k], r)
-                    current[k] = r
+                    hit_rids = sorted({rid for _ci, rid in hits})
+                    first_old = live[hit_rids[0]]
+                    for rid in hit_rids[1:]:
+                        self._apply_row_change(segment_id, table, ts, live[rid], None)
+                    self._apply_row_change(segment_id, table, ts, first_old, r)
+                    for rid in hit_rids:
+                        _untrack(rid)
+                    _track(r)
                     self._ret_add(table, [r])
                     self._fire_triggers(segment_id, trigs, "AFTER", pair, pending)
                     self._flush_inserts(segment_id, pending)
                     continue
-                if conflict and do_update is not None:
+                if hits and do_update is not None:
+                    if 0 not in hit_cis:
+                        # pk-targeted upsert; a UNIQUE-only conflict RAISES
+                        first_ci = min(hit_cis)
+                        raise self._unique_error(table, cons[first_ci][0])
                     sets, uwhere = do_update
-                    old = current[k]
+                    rid0 = dict(hits)[0]
+                    old = live[rid0]
                     updated = self._upsert_row_update(ts, table, old, r, sets, uwhere)
                     if updated is None:
                         continue  # upsert WHERE false: BEFORE fired, no change
@@ -4725,16 +4785,27 @@ class SegmentStore:
                         segment_id, utrigs, "BEFORE", upair, pending
                     ):
                         continue  # RAISE(IGNORE) in BEFORE UPDATE: skip
+                    # the SET may have moved UNIQUE keys — re-check against
+                    # the live maps minus the row being updated (probed:
+                    # colliding with a third row raises)
+                    _untrack(rid0)
+                    for ci, k in enumerate(_keys_of(updated)):
+                        if k is not None and k in maps[ci]:
+                            raise self._unique_error(table, cons[ci][0])
                     self._apply_row_change(segment_id, table, ts, old, updated)
-                    current[k] = updated
+                    _track(updated)
                     self._ret_add(table, [updated])
                     self._fire_triggers(segment_id, utrigs, "AFTER", upair, pending)
                     self._flush_inserts(segment_id, pending)
                     continue
+                if hits:
+                    # no resolving mode for this conflict: raise like a
+                    # plain insert (first conflicting constraint, pk-first)
+                    first_ci = min(hit_cis)
+                    raise self._unique_error(table, cons[first_ci][0])
                 pending.setdefault(table, []).append(r)
                 self._flush_inserts(segment_id, pending)
-                if keyed:
-                    current[k] = r
+                _track(r)
                 self._ret_add(table, [r])
                 self._fire_triggers(segment_id, trigs, "AFTER", pair, pending)
                 self._flush_inserts(segment_id, pending)
@@ -5089,9 +5160,11 @@ class SegmentStore:
         if not trigs:
             self._rewrite_partition(segment_id, stmt, kind)
             return
-        if self._table_schema(segment_id, table).has_extended_uniqueness():
-            # per-row triggered rewrites skip the UNIQUE/collation dup
-            # checks — reject LOUDLY (round-8 UNIQUE support scope note)
+        if kind == "UPDATE" and self._table_schema(segment_id, table).has_extended_uniqueness():
+            # per-row triggered UPDATE rewrites skip the UNIQUE/collation
+            # dup checks — reject LOUDLY (round-8 UNIQUE support scope
+            # note).  DELETE never moves a key and is allowed (round 10);
+            # triggered INSERTs track every constraint since round 10 too.
             raise QueryRejected(
                 f"{kind} on a table with both triggers and UNIQUE "
                 "constraints or non-BINARY key collations is not "
