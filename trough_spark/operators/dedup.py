@@ -70,6 +70,28 @@ def shingle_table(
     sh = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")).select(
         "id", F.explode(F.expr(_SHINGLE_EXPR.format(n=n, nm1=n - 1))).alias("shingle")
     )
+    if dedupe and max_doc_freq is not None:
+        # fused dedupe + doc-frequency cap on ONE shingle exchange
+        # (optimization round 10): sorting each shingle partition by id makes
+        # duplicate (id, shingle) pairs adjacent, so a lag(id) flag replaces
+        # the distinct's own (id, shingle) exchange + two aggregate stages;
+        # the df cap then counts the surviving rows per shingle in a second
+        # window over the SAME partitioning (no new exchange, no new sort —
+        # the (shingle, id) sort order satisfies both specs).  Downstream
+        # candidate self-joins still reuse the single shingle exchange.
+        # Row set is identical to distinct()+count-window (asserted in
+        # tests/test_plans.py::test_shingle_table_fused_dedupe_*).
+        from pyspark.sql.window import Window
+
+        w_dedup = Window.partitionBy("shingle").orderBy("id")
+        sh = (
+            sh.withColumn("_prev", F.lag("id").over(w_dedup))
+            .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col("id")))
+            .withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
+            .filter(F.col("_df") <= max_doc_freq)
+            .drop("_prev", "_df")
+        )
+        return sh
     if dedupe:
         sh = sh.distinct()
     if max_doc_freq is not None:
@@ -249,6 +271,10 @@ def minhash_signatures(
     # are bit-identical either way)
     if shingles is None:
         shingles = shingle_table(df, id_col, text_col, n, dedupe=False)
+    # single-expr strings keep the py4j round-trip count flat in num_perm —
+    # the Column-API form paid ~1 ms per operator call at build time
+    a_arr = ", ".join(str(a) for a in MINHASH_A)
+    b_arr = ", ".join(str(b) for b in MINHASH_B)
     sh = shingles.withColumn(
         "h31", portable_hash(F.col("shingle")) % MINHASH_PRIME
     )
@@ -258,12 +284,10 @@ def minhash_signatures(
         )
         .withColumn(
             "h",
-            (
-                F.element_at(F.array(*[F.lit(a) for a in MINHASH_A]), F.col("perm") + 1)
-                * F.col("h31")
-                + F.element_at(F.array(*[F.lit(b) for b in MINHASH_B]), F.col("perm") + 1)
-            )
-            % MINHASH_PRIME,
+            F.expr(
+                f"(element_at(array({a_arr}), perm + 1) * h31"
+                f" + element_at(array({b_arr}), perm + 1)) % {MINHASH_PRIME}"
+            ),
         )
         .groupBy("id", "perm")
         .agg(F.min("h").alias("minhash"))
@@ -365,17 +389,16 @@ def minhash_signature_vector(
     if shingles is None:
         shingles = shingle_table(df, id_col, text_col, n, dedupe=False)
     sh = shingles.withColumn("h31", portable_hash(F.col("shingle")) % MINHASH_PRIME)
+    # one expr string per aggregate (and one for the vector assembly): the
+    # Column-API form cost ~8 py4j round trips per permutation at build time
     aggs = [
-        F.min(
-            (F.lit(MINHASH_A[j]) * F.col("h31") + F.lit(MINHASH_B[j])) % MINHASH_PRIME
+        F.expr(
+            f"min(({MINHASH_A[j]} * h31 + {MINHASH_B[j]}) % {MINHASH_PRIME})"
         ).alias(f"_m{j}")
         for j in range(num_perm)
     ]
-    return (
-        sh.groupBy("id")
-        .agg(*aggs)
-        .select("id", F.array(*[F.col(f"_m{j}") for j in range(num_perm)]).alias("sig"))
-    )
+    sig = ", ".join(f"_m{j}" for j in range(num_perm))
+    return sh.groupBy("id").agg(*aggs).selectExpr("id", f"array({sig}) as sig")
 
 
 def minhash_lsh_candidates_wide(
@@ -405,28 +428,21 @@ def _bands_from_vector(
     md5 over a static slice of the signature vector, matching the long
     form's banding aggregate byte for byte."""
     n_bands = num_perm // rows_per_band
-    return sig_vec.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("sig")[bi * rows_per_band + r].cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for bi in range(n_bands)
-                ]
-            )
-        ).alias("_b"),
-    ).select("id", F.col("_b.band").alias("band"), F.col("_b.band_hash").alias("band_hash"))
+    structs = ", ".join(
+        "struct({bi} as band, md5(concat_ws(',', {parts})) as band_hash)".format(
+            bi=bi,
+            parts=", ".join(
+                f"cast(sig[{bi * rows_per_band + r}] as string)"
+                for r in range(rows_per_band)
+            ),
+        )
+        for bi in range(n_bands)
+    )
+    # one expr string for the whole banding select (the Column-API form cost
+    # ~10 py4j round trips per band at build time); values are byte-identical
+    return sig_vec.selectExpr(
+        "id", f"explode(array({structs})) as _b"
+    ).selectExpr("id", "_b.band as band", "_b.band_hash as band_hash")
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
@@ -449,19 +465,19 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
         .filter(F.length("tok") > 0)
         .withColumn("h", portable_hash(F.col("tok")))
     )
+    # expr strings throughout: the Column-API form paid ~6 py4j round trips
+    # per bit (x2: votes + fingerprint terms) at build time
     votes = tok.groupBy("id").agg(
         *[
-            F.sum(F.expr(f"(shiftright(h, {b}) & 1) * 2 - 1")).alias(f"_v{b}")
+            F.expr(f"sum((shiftright(h, {b}) & 1) * 2 - 1)").alias(f"_v{b}")
             for b in range(bits)
         ]
     )
-    fingerprint = None
-    for b in range(bits):
-        term = F.when(F.col(f"_v{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        fingerprint = term if fingerprint is None else fingerprint + term
-    return votes.select("id", fingerprint.alias("simhash"))
+    fingerprint = " + ".join(
+        f"(case when _v{b} > 0 then cast({1 << b} as bigint) else cast(0 as bigint) end)"
+        for b in range(bits)
+    )
+    return votes.selectExpr("id", f"({fingerprint}) as simhash")
 
 
 def simhash_pairs(

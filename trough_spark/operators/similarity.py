@@ -125,13 +125,11 @@ def cosine_pairs(
     with_blk = side.withColumn("blk", F.pmod(F.hash(F.col("id")), F.lit(nb)).cast("int"))
     # every row joins each block-pair group it participates in: key
     # (min(blk,j), max(blk,j)) for j in 0..nb-1 — nb distinct keys per row
-    group_keys = F.array(
-        *[
-            F.least(F.col("blk"), F.lit(j)) * nb + F.greatest(F.col("blk"), F.lit(j))
-            for j in range(nb)
-        ]
+    # (one expr string: the Column-API form cost ~6 py4j round trips per block)
+    group_keys = ", ".join(
+        f"least(blk, {j}) * {nb} + greatest(blk, {j})" for j in range(nb)
     )
-    replicated = with_blk.withColumn("g", F.explode(group_keys))
+    replicated = with_blk.withColumn("g", F.expr(f"explode(array({group_keys}))"))
 
     def score_block_pair(pdf):
         g = int(pdf["g"].iloc[0])

@@ -12,6 +12,7 @@ import pyspark.sql.functions as F
 from trough_spark.operators import dedup as D
 from trough_spark.queries import query
 from trough_spark.tables import load_table as T
+from trough_spark.tables import load_table_clustered as TC
 
 # shared oracle CTEs: tokenization + 3-gram shingles, mirroring
 # operators/dedup.py exactly
@@ -132,7 +133,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     # map-side band hashes → pair join; proven pair-identical to the
     # long-form path in tests/test_oracle.py
     sig_vec = D.minhash_signature_vector(
-        T(spark, sf_dir, "documents"), "doc_id", "text", num_perm=8, n=3
+        TC(spark, sf_dir, "documents", "doc_id"), "doc_id", "text", num_perm=8, n=3
     )
     return D.minhash_lsh_candidates_wide(sig_vec, num_perm=8, rows_per_band=2)
 
@@ -146,7 +147,9 @@ def dedup_minhash_lsh(spark, sf_dir):
     """,
 )
 def dedup_minhash_signatures(spark, sf_dir):
-    return D.minhash_signatures(T(spark, sf_dir, "documents"), "doc_id", "text", num_perm=8, n=3)
+    return D.minhash_signatures(
+        TC(spark, sf_dir, "documents", "doc_id"), "doc_id", "text", num_perm=8, n=3
+    )
 
 
 @query(
@@ -172,7 +175,7 @@ def dedup_minhash_signatures(spark, sf_dir):
     """,
 )
 def dedup_simhash(spark, sf_dir):
-    return D.simhash(T(spark, sf_dir, "documents"), "doc_id", "text", bits=32)
+    return D.simhash(TC(spark, sf_dir, "documents", "doc_id"), "doc_id", "text", bits=32)
 
 
 @query(
@@ -240,7 +243,7 @@ def dedup_connected_components(spark, sf_dir):
     make — A~B, B~C collapse to one canonical doc even without an A~C pair."""
     from trough_spark.operators import graph as G
 
-    docs = T(spark, sf_dir, "documents")
+    docs = TC(spark, sf_dir, "documents", "doc_id")
     sig_vec = D.minhash_signature_vector(docs, "doc_id", "text", num_perm=8, n=3)
     pairs = D.minhash_lsh_candidates_wide(sig_vec, num_perm=8, rows_per_band=2)
     comp = G.connected_components(
@@ -288,7 +291,7 @@ def dedup_simhash_pairs(spark, sf_dir):
     shared band → full recall), verify exact bit_count(xor) distance.  The
     cheapest near-dup join shape at corpus scale: one integer per doc."""
     return D.simhash_pairs(
-        T(spark, sf_dir, "documents"), "doc_id", "text",
+        TC(spark, sf_dir, "documents", "doc_id"), "doc_id", "text",
         bits=32, bands=4, max_hamming=3,
     )
 
@@ -315,7 +318,7 @@ def dedup_incremental(spark, sf_dir):
     against the existing corpus (doc_id < 450) — band join is new x corpus
     only, never corpus x corpus; at scale the historical band table is
     persisted and appended, so daily cost tracks the batch size."""
-    docs = T(spark, sf_dir, "documents")
+    docs = TC(spark, sf_dir, "documents", "doc_id")
     return D.incremental_lsh_candidates(
         docs.filter(F.col("doc_id") >= 450),
         docs.filter(F.col("doc_id") < 450),
@@ -353,7 +356,7 @@ def dedup_cc_star(spark, sf_dir):
     must (and do) agree with the recursive-CTE oracle."""
     from trough_spark.operators import graph as G
 
-    docs = T(spark, sf_dir, "documents")
+    docs = TC(spark, sf_dir, "documents", "doc_id")
     sig_vec = D.minhash_signature_vector(docs, "doc_id", "text", num_perm=8, n=3)
     pairs = D.minhash_lsh_candidates_wide(sig_vec, num_perm=8, rows_per_band=2)
     comp = G.connected_components_star(docs.select("doc_id"), pairs, id_col="doc_id")
@@ -469,7 +472,7 @@ def dedup_minhash_verify(spark, sf_dir):
     for every banded candidate pair — document bodies are never touched
     after signing, so verification is O(candidates x num_perm) longs
     regardless of document size."""
-    docs = T(spark, sf_dir, "documents")
+    docs = TC(spark, sf_dir, "documents", "doc_id")
     sig_vec = D.minhash_signature_vector(docs, "doc_id", "text", num_perm=8, n=3)
     cand = D.minhash_lsh_candidates_wide(sig_vec, num_perm=8, rows_per_band=2)
     return D.minhash_jaccard_estimate_wide(sig_vec, cand, num_perm=8)
@@ -545,7 +548,7 @@ def dedup_source_matrix(spark, sf_dir):
     at 100 TB the (doc_id -> source) projection is a slim two-column scan,
     and the output is |sources|^2 rows, tiny.  least/greatest canonicalizes
     the unordered pair so A~B and B~A land in one cell."""
-    docs = T(spark, sf_dir, "documents")
+    docs = TC(spark, sf_dir, "documents", "doc_id")
     sig_vec = D.minhash_signature_vector(docs, "doc_id", "text", num_perm=8, n=3)
     pairs = D.minhash_lsh_candidates_wide(sig_vec, num_perm=8, rows_per_band=2)
     src = docs.select("doc_id", "source")
@@ -598,7 +601,7 @@ def dedup_cross_decontaminate(spark, sf_dir):
     Reference corpus/eval-set use: the reference engine delegates all
     querying to SQLite (trough/read.py:66) and has no dedup surface; this
     is §2.D extension coverage."""
-    docs = T(spark, sf_dir, "documents")
+    docs = TC(spark, sf_dir, "documents", "doc_id")
     sig = D.minhash_signature_vector(docs, "doc_id", "text", num_perm=8, n=3)
     corpus = sig.filter(F.col("id") >= 50)
     ref = sig.filter(F.col("id") < 50)

@@ -11,6 +11,7 @@ import pyspark.sql.functions as F
 from trough_spark.operators import text as X
 from trough_spark.queries import query
 from trough_spark.tables import load_table as T
+from trough_spark.tables import load_table_clustered as TC
 
 _EN = "['the', 'and', 'of', 'to', 'a']"
 # BPE pattern for DuckDB SQL literal (single quotes doubled)
@@ -59,7 +60,9 @@ def text_token_count(spark, sf_dir):
     """,
 )
 def text_quality_features(spark, sf_dir):
-    return X.quality_features(T(spark, sf_dir, "documents"), "doc_id", "text")
+    # adaptive keyed repartition: map-only operator, the repartition just
+    # spreads the heavy per-row regex work when the scan is one row group
+    return X.quality_features(TC(spark, sf_dir, "documents", "doc_id"), "doc_id", "text")
 
 
 @query(

@@ -83,6 +83,77 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFra
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# ---------------------------------------------------------------------------
+# Adaptive scan-parallelism fix (optimization round 10, guide §2.5).
+#
+# Parquet scans parallelize across row groups, never within one: a table
+# shipped as a single file with one row group (exactly the driver testdata
+# layout) pins the whole scan STAGE — decode plus every map-side expression
+# (shingle md5s, token explodes, vote sums) and the partial aggregation — to
+# ONE core.  That is the guide's "one huge unsplittable file" input-skew
+# case; the fix is a repartition immediately after the read.
+#
+# Two things keep this from being a local[32] hack:
+#   * it fires only when the footer-derived row-group count cannot occupy
+#     the session's cores and the table is small enough that one shuffle of
+#     it is trivially cheap — at production scale (thousands of row groups)
+#     the loader stays a bare scan;
+#   * the caller names the first downstream clustering key, so the
+#     repartition is a HASH exchange that SATISFIES the downstream
+#     groupBy/window distribution — it replaces that exchange instead of
+#     adding one (measured: a blanket round-robin repartition here LOSES,
+#     the keyed form wins 1.3-2x on the map-heavy document operators).
+#
+# SPARK_GRAFT_SCAN_REPARTITION=off disables; an integer forces the count.
+# ---------------------------------------------------------------------------
+
+_CLUSTER_MAX_BYTES = 2 * 1024**3
+
+
+def _single_file_row_groups(path: str) -> int | None:
+    """Row-group count of a local parquet file, or None when unreadable."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    if st.st_size >= _CLUSTER_MAX_BYTES:
+        return None
+    key = ("rg", path, st.st_mtime_ns, st.st_size)
+    if key not in _DF_CACHE:
+        try:
+            import pyarrow.parquet as pq
+
+            _DF_CACHE[key] = pq.ParquetFile(path).metadata.num_row_groups
+        except Exception:
+            _DF_CACHE[key] = None
+    return _DF_CACHE[key]
+
+
+def load_table_clustered(
+    spark: SparkSession, sf_dir: str, name: str, *keys: str
+) -> DataFrame:
+    """``load_table`` plus the adaptive keyed repartition described above.
+
+    ``keys`` must be (a prefix-subset of) the first downstream clustering —
+    the groupBy or window partition key — so the exchange merges with it.
+    """
+    df = load_table(spark, sf_dir, name)
+    mode = os.environ.get("SPARK_GRAFT_SCAN_REPARTITION", "auto")
+    if mode == "off" or not keys:
+        return df
+    cores = spark.sparkContext.defaultParallelism
+    n = int(mode) if mode != "auto" else cores
+    if mode == "auto":
+        rg = _single_file_row_groups(f"{sf_dir}/{name}.parquet")
+        if rg is None or rg >= cores:
+            return df
+    fp = _load_fingerprint(spark, f"{sf_dir}/{name}.parquet") or (spark, sf_dir, name)
+    ck = ("clustered", fp, keys, n)
+    if ck not in _DF_CACHE:
+        _DF_CACHE[ck] = df.repartition(n, *keys)
+    return _DF_CACHE[ck]
+
+
 def register_views(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> None:
     """Register each table as a temp view so ``spark.sql`` queries see the
     same catalog names the DuckDB oracle uses."""
