@@ -12,6 +12,7 @@ import pyspark.sql.functions as F
 from trough_spark.operators import similarity as S
 from trough_spark.queries import query
 from trough_spark.tables import load_table as T
+from trough_spark.tables import load_table_clustered as TC
 
 _COS_CTE = """
     v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
