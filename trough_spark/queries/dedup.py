@@ -397,7 +397,7 @@ def dedup_span_coverage(spark, sf_dir):
     integer ppm of a doc's span positions that are duplicated — round-then-
     cast keeps the float bit-identical across engines."""
     return D.duplicated_span_coverage(
-        T(spark, sf_dir, "documents"), "doc_id", "text", n=8, min_doc_freq=2
+        TC(spark, sf_dir, "documents", "doc_id"), "doc_id", "text", n=8, min_doc_freq=2
     )
 
 

@@ -980,7 +980,7 @@ def text_token_entropy(spark, sf_dir):
     """Per-doc token entropy (vocabulary diversity / gibberish signal) via
     the quantize-then-BIGINT-sum house pattern
     (operators/text.py:token_entropy)."""
-    return X.token_entropy(T(spark, sf_dir, "documents"), "doc_id", "text")
+    return X.token_entropy(TC(spark, sf_dir, "documents", "doc_id"), "doc_id", "text")
 
 
 @query(
