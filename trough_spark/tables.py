@@ -154,6 +154,30 @@ def load_table_clustered(
     return _DF_CACHE[ck]
 
 
+def table_row_count(sf_dir: str, name: str) -> int | None:
+    """Exact row count of a table from its parquet footer, or None.
+
+    Driver-side metadata read (microseconds) — used to satisfy operator
+    scope guards (e.g. ``cosine_pairs``'s ``max_rows``) without running a
+    Spark count job per query build.  Only valid for the UNFILTERED table;
+    callers applying filters must still count.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    key = ("nrows", path, st.st_mtime_ns, st.st_size)
+    if key not in _DF_CACHE:
+        try:
+            import pyarrow.parquet as pq
+
+            _DF_CACHE[key] = pq.ParquetFile(path).metadata.num_rows
+        except Exception:
+            _DF_CACHE[key] = None
+    return _DF_CACHE[key]
+
+
 def register_views(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> None:
     """Register each table as a temp view so ``spark.sql`` queries see the
     same catalog names the DuckDB oracle uses."""
