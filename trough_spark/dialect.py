@@ -1902,38 +1902,18 @@ def _path_root_parts(pfx: str) -> tuple[str, str | None]:
     return parent, text[1:]
 
 
-def _json_tree_cont(sv: str) -> str:
-    """Container test over a BOUND schema_of_variant attribute."""
-    return (
+def _json_tree_level_exprs(v: str, e: str, fk_prev: str) -> dict[str, str]:
+    """Column expressions for one json_tree level: ``v`` the
+    variant_explode alias, ``e`` the PARENT's text expression (container
+    children re-extract from it with a parent-relative bracket path —
+    the ADVICE-r8 convention shared with _json_each_subquery, including
+    its documented single-quote key corner), ``fk_prev`` the parent's
+    fullkey expression."""
+    sv = f"schema_of_variant({v}.value)"
+    cont = (
         f"(left({sv}, 5) = 'ARRAY' OR left({sv}, 6) = 'OBJECT' "
         f"OR left({sv}, 6) = 'STRUCT' OR left({sv}, 3) = 'MAP')"
     )
-
-
-def _json_tree_scalar(sv: str, val: str) -> str:
-    return (
-        f"CASE WHEN {sv} = 'VOID' THEN NULL "
-        f"WHEN {sv} = 'BOOLEAN' THEN IF(CAST({val} AS BOOLEAN), '1', '0') "
-        f"ELSE CAST({val} AS STRING) END"
-    )
-
-
-def _json_tree_type(sv: str, val: str, cont: str) -> str:
-    return (
-        f"CASE WHEN {sv} = 'VOID' THEN 'null' "
-        f"WHEN {sv} = 'BOOLEAN' THEN IF(CAST({val} AS BOOLEAN), 'true', 'false') "
-        f"WHEN {sv} = 'STRING' THEN 'text' "
-        f"WHEN left({sv}, 5) = 'ARRAY' THEN 'array' "
-        f"WHEN {cont} THEN 'object' "
-        f"WHEN {sv} IN ('BIGINT', 'INT', 'SMALLINT', 'TINYINT') THEN 'integer' "
-        f"ELSE 'real' END"
-    )
-
-
-def _json_tree_fullkey(v: str, fk_prev: str) -> str:
-    """fullkey of child ``v`` under parent fullkey attribute ``fk_prev`` —
-    the ADVICE-r8 quoted-segment rendering, spelled ONCE per level (it
-    embeds the per-character JSON-string escape transform)."""
     key_ident = f"{v}.key RLIKE '^[A-Za-z][A-Za-z0-9]*$'"
     key_esc = (
         f"array_join(transform(filter(split({v}.key, ''), _c -> _c != ''), "
@@ -1948,23 +1928,42 @@ def _json_tree_fullkey(v: str, fk_prev: str) -> str:
         "concat('\\\\u', lpad(lower(hex(ascii(_c))), 4, '0')) "
         "ELSE _c END), '')"
     )
-    return (
+    fullkey = (
         f"CASE WHEN {v}.key IS NULL "
         f"THEN concat({fk_prev}, '[', CAST({v}.pos AS STRING), ']') "
         f"WHEN {key_ident} THEN concat({fk_prev}, '.', {v}.key) "
         f"ELSE concat({fk_prev}, '.\"', {key_esc}, '\"') END"
     )
-
-
-def _json_tree_relpath(v: str) -> str:
-    """Parent-relative extraction path for container children (the
-    ADVICE-r8 convention shared with _json_each_subquery, including its
-    documented single-quote key corner)."""
-    return (
+    relpath = (
         f"CASE WHEN {v}.key IS NULL "
         f"THEN concat('$[', CAST({v}.pos AS STRING), ']') "
-        f"ELSE concat('$[' || '''' || {v}.key || '''' || ']') END"
+        f"ELSE concat('$[''', {v}.key, ''']') END"
     )
+    scalar_text = (
+        f"CASE WHEN {sv} = 'VOID' THEN NULL "
+        f"WHEN {sv} = 'BOOLEAN' THEN IF(CAST({v}.value AS BOOLEAN), '1', '0') "
+        f"ELSE CAST({v}.value AS STRING) END"
+    )
+    extract = f"get_json_object({e}, {relpath})"
+    typ = (
+        f"CASE WHEN {sv} = 'VOID' THEN 'null' "
+        f"WHEN {sv} = 'BOOLEAN' THEN IF(CAST({v}.value AS BOOLEAN), 'true', 'false') "
+        f"WHEN {sv} = 'STRING' THEN 'text' "
+        f"WHEN left({sv}, 5) = 'ARRAY' THEN 'array' "
+        f"WHEN {cont} THEN 'object' "
+        f"WHEN {sv} IN ('BIGINT', 'INT', 'SMALLINT', 'TINYINT') THEN 'integer' "
+        f"ELSE 'real' END"
+    )
+    return {
+        "cont": cont,
+        "key": f"CASE WHEN {v}.key IS NULL THEN CAST({v}.pos AS STRING) ELSE {v}.key END",
+        "value": f"CASE WHEN {cont} THEN {extract} ELSE {scalar_text} END",
+        "typ": typ,
+        "atom": f"CASE WHEN {cont} THEN NULL ELSE {scalar_text} END",
+        "fullkey": fullkey,
+        "extract": extract,
+        "scalar_text": scalar_text,
+    }
 
 
 def _json_tree_subquery(e: str, pfx: str) -> str:
@@ -1993,27 +1992,33 @@ def _json_tree_subquery(e: str, pfx: str) -> str:
 
     Scale: the expansion is a pure per-row map (no shuffle, no Python) —
     D passes over each document, bounded by the depth constant.
-
-    Optimization round 10: every heavy subexpression (schema_of_variant,
-    the container re-extraction, the fullkey escape transform) is BOUND
-    ONCE per level in a LATERAL select and referenced as an attribute
-    afterwards.  The previous spelling repeated them inline — ~10 copies
-    per level, re-expanded through the level chain — producing a 56 KB
-    SQL text whose generated code janino recompiled on every execution
-    (expression ids differ per parse, so the codegen cache never hits):
-    ~31 s per bench run for 250 output rows.  Rows are identical (the
-    differential, fuzz and oracle suites pin them); the bound form is a
-    fraction of the text and executes in milliseconds.
     """
     root_path, root_key = _path_root_parts(pfx)
     enc = _encode_literal
     cols = "key, value, type, atom, id, parent, fullkey, path"
     selects: list[str] = []
 
-    # --- level 0: the root row (pv/sv bound once in laterals) ---
-    cont0 = _json_tree_cont("s0.sv")
-    scalar0 = _json_tree_scalar("s0.sv", "p0.pv")
-    typ0 = _json_tree_type("s0.sv", "p0.pv", cont0)
+    # --- level 0: the root row ---
+    pv = "parse_json(r.e0)"
+    sv0 = f"schema_of_variant({pv})"
+    cont0 = (
+        f"(left({sv0}, 5) = 'ARRAY' OR left({sv0}, 6) = 'OBJECT' "
+        f"OR left({sv0}, 6) = 'STRUCT' OR left({sv0}, 3) = 'MAP')"
+    )
+    scalar0 = (
+        f"CASE WHEN {sv0} = 'VOID' THEN NULL "
+        f"WHEN {sv0} = 'BOOLEAN' THEN IF(CAST({pv} AS BOOLEAN), '1', '0') "
+        f"ELSE CAST({pv} AS STRING) END"
+    )
+    typ0 = (
+        f"CASE WHEN {sv0} = 'VOID' THEN 'null' "
+        f"WHEN {sv0} = 'BOOLEAN' THEN IF(CAST({pv} AS BOOLEAN), 'true', 'false') "
+        f"WHEN {sv0} = 'STRING' THEN 'text' "
+        f"WHEN left({sv0}, 5) = 'ARRAY' THEN 'array' "
+        f"WHEN {cont0} THEN 'object' "
+        f"WHEN {sv0} IN ('BIGINT', 'INT', 'SMALLINT', 'TINYINT') THEN 'integer' "
+        f"ELSE 'real' END"
+    )
     key0 = (
         f"CASE WHEN {cont0} THEN {enc(root_key)} ELSE CAST(NULL AS STRING) END"
         if root_key is not None
@@ -2026,54 +2031,41 @@ def _json_tree_subquery(e: str, pfx: str) -> str:
         f"CASE WHEN {cont0} THEN NULL ELSE {scalar0} END AS atom, "
         f"xxhash64({enc(pfx)}) AS id, CAST(NULL AS BIGINT) AS parent, "
         f"{enc(pfx)} AS fullkey, {enc(root_path)} AS path "
-        f"FROM (SELECT ({e}) AS e0) r, "
-        f"LATERAL (SELECT parse_json(r.e0) AS pv) p0, "
-        f"LATERAL (SELECT schema_of_variant(p0.pv) AS sv) s0 "
-        f"WHERE r.e0 IS NOT NULL"
+        f"FROM (SELECT ({e}) AS e0) r WHERE r.e0 IS NOT NULL"
     )
 
-    # --- levels 1..D: chained explode laterals; level k emits depth-k rows.
-    # Per level: v{j} explodes the parent text, s{j} binds the child schema,
-    # c{j} binds (cont, ext = container text re-extracted from the parent,
-    # fk = threaded fullkey) — all later references are attribute reads.
+    # --- levels 1..D: chained explode laterals; level k emits depth-k rows ---
     for k in range(1, _JSON_TREE_DEPTH + 1):
         froms = [f"(SELECT ({e}) AS e0, {enc(pfx)} AS fk0) r"]
         for j in range(1, k + 1):
-            src_e = "r.e0" if j == 1 else f"c{j - 1}.ext"
-            src_fk = "r.fk0" if j == 1 else f"c{j - 1}.fk"
-            cont_j = _json_tree_cont(f"s{j}.sv")
+            src_e = "r.e0" if j == 1 else f"c{j - 1}.e{j - 1}"
+            src_fk = "r.fk0" if j == 1 else f"c{j - 1}.fk{j - 1}"
             froms.append(f"LATERAL variant_explode(parse_json({src_e})) v{j}")
-            froms.append(
-                f"LATERAL (SELECT schema_of_variant(v{j}.value) AS sv) s{j}"
-            )
-            froms.append(
-                f"LATERAL (SELECT {cont_j} AS cont, "
-                f"CASE WHEN {cont_j} "
-                f"THEN get_json_object({src_e}, {_json_tree_relpath(f'v{j}')}) END AS ext, "
-                f"{_json_tree_fullkey(f'v{j}', src_fk)} AS fk) c{j}"
-            )
-        src_fk = "r.fk0" if k == 1 else f"c{k - 1}.fk"
-        scalar_k = _json_tree_scalar(f"s{k}.sv", f"v{k}.value")
-        typ_k = _json_tree_type(f"s{k}.sv", f"v{k}.value", f"c{k}.cont")
+            if j < k:
+                lx = _json_tree_level_exprs(f"v{j}", src_e, src_fk)
+                froms.append(
+                    f"LATERAL (SELECT CASE WHEN {lx['cont']} "
+                    f"THEN {lx['extract']} END AS e{j}, "
+                    f"{lx['fullkey']} AS fk{j}) c{j}"
+                )
+        src_e = "r.e0" if k == 1 else f"c{k - 1}.e{k - 1}"
+        src_fk = "r.fk0" if k == 1 else f"c{k - 1}.fk{k - 1}"
+        lx = _json_tree_level_exprs(f"v{k}", src_e, src_fk)
         # depth tripwire as a FILTER, not a projected column: a pruned-away
         # value column (e.g. under count(*)) must still raise on overflow
         guard = ""
         if k == _JSON_TREE_DEPTH:
             guard = (
-                f" WHERE CASE WHEN c{k}.cont "
-                f"AND c{k}.ext NOT IN ('[]', '{{}}') "
+                f" WHERE CASE WHEN {lx['cont']} "
+                f"AND {lx['extract']} NOT IN ('[]', '{{}}') "
                 f"THEN CAST(raise_error('json_tree: document nesting exceeds "
                 f"the supported depth of {_JSON_TREE_DEPTH}') AS BOOLEAN) "
                 f"ELSE TRUE END"
             )
         selects.append(
-            f"SELECT CASE WHEN v{k}.key IS NULL THEN CAST(v{k}.pos AS STRING) "
-            f"ELSE v{k}.key END AS key, "
-            f"CASE WHEN c{k}.cont THEN c{k}.ext ELSE {scalar_k} END AS value, "
-            f"{typ_k} AS type, "
-            f"CASE WHEN c{k}.cont THEN NULL ELSE {scalar_k} END AS atom, "
-            f"xxhash64(c{k}.fk) AS id, "
-            f"xxhash64({src_fk}) AS parent, c{k}.fk AS fullkey, "
+            f"SELECT {lx['key']} AS key, {lx['value']} AS value, {lx['typ']} AS type, "
+            f"{lx['atom']} AS atom, xxhash64({lx['fullkey']}) AS id, "
+            f"xxhash64({src_fk}) AS parent, {lx['fullkey']} AS fullkey, "
             f"{src_fk} AS path "
             f"FROM {', '.join(froms)}{guard}"
         )

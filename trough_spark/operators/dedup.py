@@ -44,37 +44,6 @@ _SHINGLE_EXPR = (
 )
 
 
-def _shingle_select(view: str, id_col: str, text_col: str, n: int,
-                    dedupe: bool, max_doc_freq: int | None) -> str:
-    """SQL text for the exploded (id, shingle) table over ``view``.
-
-    Three reachable modes (same logic the Column-API form had):
-    raw (dedupe=False), distinct, and the FUSED dedupe + doc-frequency cap —
-    one shingle exchange: sorting each shingle partition by id makes
-    duplicate (id, shingle) pairs adjacent so a lag(id) flag replaces the
-    distinct's own exchange + two aggregate stages, and the df cap's count
-    window rides the SAME partitioning and sort.  Row set identical to
-    distinct()+count-window (oracle + test_jaccard_* pins).
-    """
-    base = (
-        f"SELECT id, explode({_SHINGLE_EXPR.format(n=n, nm1=n - 1)}) AS shingle "
-        f"FROM (SELECT `{id_col}` AS id, split(trim(lower(`{text_col}`)), '\\\\s+') AS toks "
-        f"FROM {view})"
-    )
-    if dedupe and max_doc_freq is not None:
-        return (
-            "SELECT id, shingle FROM ("
-            "  SELECT id, shingle, count(1) OVER (PARTITION BY shingle) AS _df FROM ("
-            "    SELECT id, shingle, lag(id) OVER (PARTITION BY shingle ORDER BY id) AS _prev"
-            f"    FROM ({base})"
-            "  ) WHERE _prev IS NULL OR _prev <> id"
-            f") WHERE _df <= {max_doc_freq}"
-        )
-    if dedupe:
-        return f"SELECT DISTINCT id, shingle FROM ({base})"
-    return base
-
-
 def shingle_table(
     df: DataFrame,
     id_col: str,
@@ -87,28 +56,36 @@ def shingle_table(
 
     ``max_doc_freq`` drops shingles appearing in more than that many docs
     ("stop shingles") — the standard cap that keeps the candidate join from
-    exploding on boilerplate at corpus scale.  Applied fused with the dedupe
-    on one shingle exchange (see ``_shingle_select``).
+    exploding on boilerplate at corpus scale.
 
     ``dedupe=False`` skips the distinct — a whole shuffle of the exploded
     shingle table.  Only valid for duplicate-insensitive consumers (MIN/MAX
     aggregates, e.g. minhash); anything that COUNTS shingles needs the
     distinct, so the doc-frequency cap requires it.
-
-    Built as one SQL text over a one-shot view — a handful of py4j round
-    trips instead of dozens (guide §4: the JVM boundary is also the plan
-    BUILD path); plan and rows are identical to the Column-API form.
     """
     if not dedupe and max_doc_freq is not None:
         # must survive python -O: with dedupe off the window would count
         # occurrences, not document frequencies, silently changing results
         raise ValueError("max_doc_freq counts need dedupe=True")
-    from trough_spark.operators._sqlbuild import temp_views
+    sh = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")).select(
+        "id", F.explode(F.expr(_SHINGLE_EXPR.format(n=n, nm1=n - 1))).alias("shingle")
+    )
+    if dedupe:
+        sh = sh.distinct()
+    if max_doc_freq is not None:
+        # doc-frequency cap as a WINDOW on shingle, not agg+join-back: one
+        # exchange by shingle that the downstream candidate self-join then
+        # reuses (same subtree -> ReusedExchange, already sorted for SMJ) —
+        # two fewer shuffles of the exploded table than the agg+join form
+        from pyspark.sql.window import Window
 
-    with temp_views(docs=df) as v:
-        return df.sparkSession.sql(
-            _shingle_select(v["docs"], id_col, text_col, n, dedupe, max_doc_freq)
+        w = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("_df", F.count(F.lit(1)).over(w))
+            .filter(F.col("_df") <= max_doc_freq)
+            .drop("_df")
         )
+    return sh
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -142,69 +119,42 @@ def ngram_jaccard_pairs(
     bounded regardless of corpus size.  Jaccard comes from integer
     intersection/size counts — deterministic across engines.
     """
+    sh = shingle_table(df, id_col, text_col, n, max_doc_freq)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     if prune_by_size:
         # size-ratio pruning inside the candidate join: jaccard <=
         # min(n1,n2)/max(n1,n2), so pairs with min < threshold*max can never
         # pass — lossless.  Pays off on length-heterogeneous corpora; on
         # uniform-length docs (this synthetic set) it prunes nothing and the
-        # extra broadcast attach costs ~45%, hence opt-in (Column-API path).
-        sh = shingle_table(df, id_col, text_col, n, max_doc_freq)
-        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+        # extra broadcast attach costs ~45%, hence opt-in.
         src = sh.join(F.broadcast(sizes), "id")
-        a, b = src.alias("a"), src.alias("b")
-        common = (
-            a.join(
-                b,
-                (F.col("a.shingle") == F.col("b.shingle"))
-                & (F.col("a.id") < F.col("b.id"))
-                & (F.col("a.n_sh") >= threshold * F.col("b.n_sh"))
-                & (F.col("b.n_sh") >= threshold * F.col("a.n_sh")),
-            )
-            .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
-            .agg(F.count(F.lit(1)).alias("n_common"))
+        extra = lambda a, b: (  # noqa: E731
+            (F.col("a.n_sh") >= threshold * F.col("b.n_sh"))
+            & (F.col("b.n_sh") >= threshold * F.col("a.n_sh"))
         )
-        s1 = sizes.select(F.col("id").alias("id1"), F.col("n_sh").alias("n1"))
-        s2 = sizes.select(F.col("id").alias("id2"), F.col("n_sh").alias("n2"))
-        return (
-            common.join(s1, "id1")
-            .join(s2, "id2")
-            .withColumn(
-                "jaccard", F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common"))
-            )
-            .filter(F.col("jaccard") >= threshold)
-            .select("id1", "id2", "n_common", "n1", "n2", F.round("jaccard", 6).alias("jaccard"))
+    else:
+        src = sh
+        extra = lambda a, b: F.lit(True)  # noqa: E731
+    a, b = src.alias("a"), src.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id"))
+            & extra(a, b),
         )
-    # common path: ONE SQL text (plan identical to the Column-API chain,
-    # ~4x less driver build latency — guide §4 applied to the build path)
-    from trough_spark.operators._sqlbuild import temp_views
-
-    with temp_views(docs=df) as v:
-        kept = _shingle_select(v["docs"], id_col, text_col, n, True, max_doc_freq)
-        return df.sparkSession.sql(
-            f"""
-            WITH kept AS ({kept}),
-            {_CANDIDATE_CTES}
-            SELECT id1, id2, n_common, n1, n2, round(jaccard, 6) AS jaccard FROM (
-              SELECT common.*, s1.n_sh AS n1, s2.n_sh AS n2,
-                     n_common / (s1.n_sh + s2.n_sh - n_common) AS jaccard
-              FROM common
-              JOIN sizes s1 ON s1.id = id1
-              JOIN sizes s2 ON s2.id = id2
-            ) WHERE jaccard >= {threshold!r}D
-            """
-        )
-
-
-# shared candidate-generation CTEs over a `kept` (id, shingle) CTE: per-doc
-# shingle-set sizes + doc-frequency-capped equi-join candidates
-_CANDIDATE_CTES = """
-            sizes AS (SELECT id, count(1) AS n_sh FROM kept GROUP BY id),
-            common AS (
-              SELECT a.id AS id1, b.id AS id2, count(1) AS n_common
-              FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.id < b.id
-              GROUP BY a.id, b.id
-            )
-"""
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s1 = sizes.select(F.col("id").alias("id1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col("id").alias("id2"), F.col("n_sh").alias("n2"))
+    return (
+        common.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn("jaccard", F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "n_common", "n1", "n2", F.round("jaccard", 6).alias("jaccard"))
+    )
 
 
 def ngram_containment_pairs(
@@ -232,25 +182,37 @@ def ngram_containment_pairs(
     bounded by ``max_doc_freq`` regardless of corpus size; the per-pair
     shuffle carries integer counts only.
     """
-    from trough_spark.operators._sqlbuild import temp_views
-
-    with temp_views(docs=df) as v:
-        kept = _shingle_select(v["docs"], id_col, text_col, n, True, max_doc_freq)
-        return df.sparkSession.sql(
-            f"""
-            WITH kept AS ({kept}),
-            {_CANDIDATE_CTES}
-            SELECT id1, id2, n_common, n1, n2,
-                   round(n_common / n1, 6) AS contain_1_in_2,
-                   round(n_common / n2, 6) AS contain_2_in_1
-            FROM (
-              SELECT common.*, s1.n_sh AS n1, s2.n_sh AS n2
-              FROM common
-              JOIN sizes s1 ON s1.id = id1
-              JOIN sizes s2 ON s2.id = id2
-            ) WHERE n_common / n1 >= {threshold!r}D OR n_common / n2 >= {threshold!r}D
-            """
+    sh = shingle_table(df, id_col, text_col, n, max_doc_freq)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
         )
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s1 = sizes.select(F.col("id").alias("id1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col("id").alias("id2"), F.col("n_sh").alias("n2"))
+    return (
+        common.join(s1, "id1")
+        .join(s2, "id2")
+        .filter(
+            (F.col("n_common") / F.col("n1") >= threshold)
+            | (F.col("n_common") / F.col("n2") >= threshold)
+        )
+        .select(
+            "id1",
+            "id2",
+            "n_common",
+            "n1",
+            "n2",
+            F.round(F.col("n_common") / F.col("n1"), 6).alias("contain_1_in_2"),
+            F.round(F.col("n_common") / F.col("n2"), 6).alias("contain_2_in_1"),
+        )
+    )
 
 
 # universal-hash family over a Mersenne-prime field: perm_j(h) =
@@ -287,10 +249,6 @@ def minhash_signatures(
     # are bit-identical either way)
     if shingles is None:
         shingles = shingle_table(df, id_col, text_col, n, dedupe=False)
-    # single-expr strings keep the py4j round-trip count flat in num_perm —
-    # the Column-API form paid ~1 ms per operator call at build time
-    a_arr = ", ".join(str(a) for a in MINHASH_A)
-    b_arr = ", ".join(str(b) for b in MINHASH_B)
     sh = shingles.withColumn(
         "h31", portable_hash(F.col("shingle")) % MINHASH_PRIME
     )
@@ -300,10 +258,12 @@ def minhash_signatures(
         )
         .withColumn(
             "h",
-            F.expr(
-                f"(element_at(array({a_arr}), perm + 1) * h31"
-                f" + element_at(array({b_arr}), perm + 1)) % {MINHASH_PRIME}"
-            ),
+            (
+                F.element_at(F.array(*[F.lit(a) for a in MINHASH_A]), F.col("perm") + 1)
+                * F.col("h31")
+                + F.element_at(F.array(*[F.lit(b) for b in MINHASH_B]), F.col("perm") + 1)
+            )
+            % MINHASH_PRIME,
         )
         .groupBy("id", "perm")
         .agg(F.min("h").alias("minhash"))
@@ -402,31 +362,20 @@ def minhash_signature_vector(
     remains for consumers of the relational layout (verify stage, oracle
     parity)."""
     assert num_perm <= len(MINHASH_A)
-    from trough_spark.operators._sqlbuild import temp_views
-
-    # ONE SQL text (guide §4 applied to the build path): same plan as the
-    # Column-API chain — map-side h31 + permuted mins as partial aggregates
-    mins = ", ".join(
-        f"min(({MINHASH_A[j]} * h31 + {MINHASH_B[j]}) % {MINHASH_PRIME}) AS _m{j}"
+    if shingles is None:
+        shingles = shingle_table(df, id_col, text_col, n, dedupe=False)
+    sh = shingles.withColumn("h31", portable_hash(F.col("shingle")) % MINHASH_PRIME)
+    aggs = [
+        F.min(
+            (F.lit(MINHASH_A[j]) * F.col("h31") + F.lit(MINHASH_B[j])) % MINHASH_PRIME
+        ).alias(f"_m{j}")
         for j in range(num_perm)
+    ]
+    return (
+        sh.groupBy("id")
+        .agg(*aggs)
+        .select("id", F.array(*[F.col(f"_m{j}") for j in range(num_perm)]).alias("sig"))
     )
-    sig = ", ".join(f"_m{j}" for j in range(num_perm))
-    sql = (
-        "SELECT id, array({sig}) AS sig FROM ("
-        "  SELECT id, {mins} FROM ("
-        "    SELECT id, CAST(conv(substr(md5(shingle), 1, 15), 16, 10) AS BIGINT)"
-        f"        % {MINHASH_PRIME} AS h31"
-        "    FROM ({src})"
-        "  ) GROUP BY id"
-        ")"
-    )
-    if shingles is not None:
-        with temp_views(sh=shingles) as v:
-            src = f"SELECT id, shingle FROM {v['sh']}"
-            return shingles.sparkSession.sql(sql.format(sig=sig, mins=mins, src=src))
-    with temp_views(docs=df) as v:
-        src = _shingle_select(v["docs"], id_col, text_col, n, False, None)
-        return df.sparkSession.sql(sql.format(sig=sig, mins=mins, src=src))
 
 
 def minhash_lsh_candidates_wide(
@@ -441,49 +390,12 @@ def minhash_lsh_candidates_wide(
     rows (vs num_perm signature rows + a banding shuffle in the long form).
     End to end (text → pairs) this path is one full shuffle shorter and
     never multiplies the shingle table by num_perm.  Pair semantics and the
-    hot-bucket cap are identical (same SQL the ``_banded_pairs`` tail built
-    via the Column API); the band hash matches the long form exactly (md5 of
-    comma-joined minhashes in permutation order).
-
-    Built as ONE SQL text over the signature view (guide §4 on the build
-    path) — plan and rows identical to the composed form."""
-    from trough_spark.operators._sqlbuild import temp_views
-
-    n_bands = num_perm // rows_per_band
-    structs = ", ".join(
-        "struct({bi} AS band, md5(concat_ws(',', {parts})) AS band_hash)".format(
-            bi=bi,
-            parts=", ".join(
-                f"cast(sig[{bi * rows_per_band + r}] as string)"
-                for r in range(rows_per_band)
-            ),
-        )
-        for bi in range(n_bands)
+    hot-bucket cap are identical (shared ``_banded_pairs`` tail); the band
+    hash matches the long form exactly (md5 of comma-joined minhashes in
+    permutation order)."""
+    return _banded_pairs(
+        _bands_from_vector(sig_vec, num_perm, rows_per_band), max_bucket_size
     )
-    src = "banded"
-    cap_cte = ""
-    if max_bucket_size is not None:
-        # bucket occupancy via a window on the SAME key as the join — the
-        # count reuses the join's hash partitioning, no extra shuffle stage
-        cap_cte = (
-            ", capped AS (SELECT id, band, band_hash FROM ("
-            "SELECT id, band, band_hash,"
-            " count(1) OVER (PARTITION BY band, band_hash) AS _n FROM banded"
-            f") WHERE _n <= {max_bucket_size})"
-        )
-        src = "capped"
-    with temp_views(sv=sig_vec) as v:
-        return sig_vec.sparkSession.sql(
-            f"""
-            WITH banded AS (
-              SELECT id, _b.band AS band, _b.band_hash AS band_hash
-              FROM (SELECT id, explode(array({structs})) AS _b FROM {v['sv']})
-            ){cap_cte}
-            SELECT DISTINCT a.id AS id1, b.id AS id2
-            FROM {src} a JOIN {src} b
-              ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id
-            """
-        )
 
 
 def _bands_from_vector(
@@ -493,21 +405,28 @@ def _bands_from_vector(
     md5 over a static slice of the signature vector, matching the long
     form's banding aggregate byte for byte."""
     n_bands = num_perm // rows_per_band
-    structs = ", ".join(
-        "struct({bi} as band, md5(concat_ws(',', {parts})) as band_hash)".format(
-            bi=bi,
-            parts=", ".join(
-                f"cast(sig[{bi * rows_per_band + r}] as string)"
-                for r in range(rows_per_band)
-            ),
-        )
-        for bi in range(n_bands)
-    )
-    # one expr string for the whole banding select (the Column-API form cost
-    # ~10 py4j round trips per band at build time); values are byte-identical
-    return sig_vec.selectExpr(
-        "id", f"explode(array({structs})) as _b"
-    ).selectExpr("id", "_b.band as band", "_b.band_hash as band_hash")
+    return sig_vec.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[bi * rows_per_band + r].cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select("id", F.col("_b.band").alias("band"), F.col("_b.band_hash").alias("band_hash"))
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
@@ -525,33 +444,24 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     assembles from the vote columns map-side.  Values are identical (same
     per-bit integer vote sums, same threshold; oracle unchanged).
     """
-    from trough_spark.operators._sqlbuild import temp_views
-
-    # ONE SQL text (guide §4 on the build path): all `bits` vote sums are
-    # map-side columns into one partial-aggregated groupBy(id), fingerprint
-    # assembled map-side — plan and rows identical to the composed form
-    votes = ", ".join(
-        f"sum((shiftright(h, {b}) & 1) * 2 - 1) AS _v{b}" for b in range(bits)
+    tok = (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .withColumn("h", portable_hash(F.col("tok")))
     )
-    fingerprint = " + ".join(
-        f"(case when _v{b} > 0 then cast({1 << b} as bigint) else cast(0 as bigint) end)"
-        for b in range(bits)
+    votes = tok.groupBy("id").agg(
+        *[
+            F.sum(F.expr(f"(shiftright(h, {b}) & 1) * 2 - 1")).alias(f"_v{b}")
+            for b in range(bits)
+        ]
     )
-    with temp_views(docs=df) as v:
-        return df.sparkSession.sql(
-            f"""
-            SELECT id, ({fingerprint}) AS simhash FROM (
-              SELECT id, {votes} FROM (
-                SELECT id, CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT) AS h
-                FROM (
-                  SELECT `{id_col}` AS id,
-                         explode(split(trim(lower(`{text_col}`)), '\\\\s+')) AS tok
-                  FROM {v['docs']}
-                ) WHERE length(tok) > 0
-              ) GROUP BY id
-            )
-            """
+    fingerprint = None
+    for b in range(bits):
+        term = F.when(F.col(f"_v{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
         )
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return votes.select("id", fingerprint.alias("simhash"))
 
 
 def simhash_pairs(

@@ -65,7 +65,6 @@ def cosine_pairs(
     n_blocks: int = 8,
     max_rows: int | None = 100_000,
     exact_baseline: bool = False,
-    known_count: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above ``threshold`` (exact).
 
@@ -112,11 +111,7 @@ def cosine_pairs(
 
     side = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if not exact_baseline and max_rows is not None:
-        # known_count: callers that already know the input cardinality (e.g.
-        # from parquet footer metadata of an unfiltered table scan) pass it
-        # here so the guard costs zero Spark jobs — the guard semantics are
-        # unchanged, only the count's source differs (optimization round 10)
-        n = known_count if known_count is not None else side.count()
+        n = side.count()
         if n > max_rows:
             raise ValueError(
                 f"cosine_pairs is O(n²/n_blocks): input has {n} rows > "
@@ -130,11 +125,13 @@ def cosine_pairs(
     with_blk = side.withColumn("blk", F.pmod(F.hash(F.col("id")), F.lit(nb)).cast("int"))
     # every row joins each block-pair group it participates in: key
     # (min(blk,j), max(blk,j)) for j in 0..nb-1 — nb distinct keys per row
-    # (one expr string: the Column-API form cost ~6 py4j round trips per block)
-    group_keys = ", ".join(
-        f"least(blk, {j}) * {nb} + greatest(blk, {j})" for j in range(nb)
+    group_keys = F.array(
+        *[
+            F.least(F.col("blk"), F.lit(j)) * nb + F.greatest(F.col("blk"), F.lit(j))
+            for j in range(nb)
+        ]
     )
-    replicated = with_blk.withColumn("g", F.expr(f"explode(array({group_keys}))"))
+    replicated = with_blk.withColumn("g", F.explode(group_keys))
 
     def score_block_pair(pdf):
         g = int(pdf["g"].iloc[0])

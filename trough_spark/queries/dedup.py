@@ -12,7 +12,6 @@ import pyspark.sql.functions as F
 from trough_spark.operators import dedup as D
 from trough_spark.queries import query
 from trough_spark.tables import load_table as T
-from trough_spark.tables import load_table_clustered as TC
 
 # shared oracle CTEs: tokenization + 3-gram shingles, mirroring
 # operators/dedup.py exactly
@@ -133,7 +132,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     # map-side band hashes → pair join; proven pair-identical to the
     # long-form path in tests/test_oracle.py
     sig_vec = D.minhash_signature_vector(
-        TC(spark, sf_dir, "documents", "doc_id"), "doc_id", "text", num_perm=8, n=3
+        T(spark, sf_dir, "documents"), "doc_id", "text", num_perm=8, n=3
     )
     return D.minhash_lsh_candidates_wide(sig_vec, num_perm=8, rows_per_band=2)
 
@@ -147,9 +146,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     """,
 )
 def dedup_minhash_signatures(spark, sf_dir):
-    return D.minhash_signatures(
-        TC(spark, sf_dir, "documents", "doc_id"), "doc_id", "text", num_perm=8, n=3
-    )
+    return D.minhash_signatures(T(spark, sf_dir, "documents"), "doc_id", "text", num_perm=8, n=3)
 
 
 @query(
@@ -175,7 +172,7 @@ def dedup_minhash_signatures(spark, sf_dir):
     """,
 )
 def dedup_simhash(spark, sf_dir):
-    return D.simhash(TC(spark, sf_dir, "documents", "doc_id"), "doc_id", "text", bits=32)
+    return D.simhash(T(spark, sf_dir, "documents"), "doc_id", "text", bits=32)
 
 
 @query(
@@ -243,7 +240,7 @@ def dedup_connected_components(spark, sf_dir):
     make — A~B, B~C collapse to one canonical doc even without an A~C pair."""
     from trough_spark.operators import graph as G
 
-    docs = TC(spark, sf_dir, "documents", "doc_id")
+    docs = T(spark, sf_dir, "documents")
     sig_vec = D.minhash_signature_vector(docs, "doc_id", "text", num_perm=8, n=3)
     pairs = D.minhash_lsh_candidates_wide(sig_vec, num_perm=8, rows_per_band=2)
     comp = G.connected_components(
@@ -291,7 +288,7 @@ def dedup_simhash_pairs(spark, sf_dir):
     shared band → full recall), verify exact bit_count(xor) distance.  The
     cheapest near-dup join shape at corpus scale: one integer per doc."""
     return D.simhash_pairs(
-        TC(spark, sf_dir, "documents", "doc_id"), "doc_id", "text",
+        T(spark, sf_dir, "documents"), "doc_id", "text",
         bits=32, bands=4, max_hamming=3,
     )
 
@@ -318,7 +315,7 @@ def dedup_incremental(spark, sf_dir):
     against the existing corpus (doc_id < 450) — band join is new x corpus
     only, never corpus x corpus; at scale the historical band table is
     persisted and appended, so daily cost tracks the batch size."""
-    docs = TC(spark, sf_dir, "documents", "doc_id")
+    docs = T(spark, sf_dir, "documents")
     return D.incremental_lsh_candidates(
         docs.filter(F.col("doc_id") >= 450),
         docs.filter(F.col("doc_id") < 450),
@@ -356,7 +353,7 @@ def dedup_cc_star(spark, sf_dir):
     must (and do) agree with the recursive-CTE oracle."""
     from trough_spark.operators import graph as G
 
-    docs = TC(spark, sf_dir, "documents", "doc_id")
+    docs = T(spark, sf_dir, "documents")
     sig_vec = D.minhash_signature_vector(docs, "doc_id", "text", num_perm=8, n=3)
     pairs = D.minhash_lsh_candidates_wide(sig_vec, num_perm=8, rows_per_band=2)
     comp = G.connected_components_star(docs.select("doc_id"), pairs, id_col="doc_id")
@@ -397,7 +394,7 @@ def dedup_span_coverage(spark, sf_dir):
     integer ppm of a doc's span positions that are duplicated — round-then-
     cast keeps the float bit-identical across engines."""
     return D.duplicated_span_coverage(
-        TC(spark, sf_dir, "documents", "doc_id"), "doc_id", "text", n=8, min_doc_freq=2
+        T(spark, sf_dir, "documents"), "doc_id", "text", n=8, min_doc_freq=2
     )
 
 
@@ -472,7 +469,7 @@ def dedup_minhash_verify(spark, sf_dir):
     for every banded candidate pair — document bodies are never touched
     after signing, so verification is O(candidates x num_perm) longs
     regardless of document size."""
-    docs = TC(spark, sf_dir, "documents", "doc_id")
+    docs = T(spark, sf_dir, "documents")
     sig_vec = D.minhash_signature_vector(docs, "doc_id", "text", num_perm=8, n=3)
     cand = D.minhash_lsh_candidates_wide(sig_vec, num_perm=8, rows_per_band=2)
     return D.minhash_jaccard_estimate_wide(sig_vec, cand, num_perm=8)
@@ -548,7 +545,7 @@ def dedup_source_matrix(spark, sf_dir):
     at 100 TB the (doc_id -> source) projection is a slim two-column scan,
     and the output is |sources|^2 rows, tiny.  least/greatest canonicalizes
     the unordered pair so A~B and B~A land in one cell."""
-    docs = TC(spark, sf_dir, "documents", "doc_id")
+    docs = T(spark, sf_dir, "documents")
     sig_vec = D.minhash_signature_vector(docs, "doc_id", "text", num_perm=8, n=3)
     pairs = D.minhash_lsh_candidates_wide(sig_vec, num_perm=8, rows_per_band=2)
     src = docs.select("doc_id", "source")
@@ -601,7 +598,7 @@ def dedup_cross_decontaminate(spark, sf_dir):
     Reference corpus/eval-set use: the reference engine delegates all
     querying to SQLite (trough/read.py:66) and has no dedup surface; this
     is §2.D extension coverage."""
-    docs = TC(spark, sf_dir, "documents", "doc_id")
+    docs = T(spark, sf_dir, "documents")
     sig = D.minhash_signature_vector(docs, "doc_id", "text", num_perm=8, n=3)
     corpus = sig.filter(F.col("id") >= 50)
     ref = sig.filter(F.col("id") < 50)

@@ -14,7 +14,6 @@ from pyspark.sql import Window
 
 from trough_spark.queries import query
 from trough_spark.tables import load_table as T
-from trough_spark.tables import load_table_clustered as TC
 
 DEC = "decimal(12,2)"  # exact for the 2-decimal synthetic money columns
 
@@ -123,11 +122,7 @@ def b5_join_multiway(spark, sf_dir):
     # (skew-split if a key is hot; AQE may still downgrade to broadcast at
     # tiny SFs where customer measures under the threshold — that's the
     # point of leaving the decision to the runtime).
-    # lineitem via the adaptive keyed repartition: at real layouts this is a
-    # bare scan; on a single-row-group file it pre-hashes by l_orderkey so the
-    # order-join SMJ requirement is already satisfied and the probe stage
-    # (decode + join) runs parallel instead of single-core
-    l, o = TC(spark, sf_dir, "lineitem", "l_orderkey"), T(spark, sf_dir, "orders")
+    l, o = T(spark, sf_dir, "lineitem"), T(spark, sf_dir, "orders")
     c, n, r = (T(spark, sf_dir, t) for t in ("customer", "nation", "region"))
     o = o.filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))

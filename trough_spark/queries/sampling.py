@@ -10,7 +10,6 @@ from trough_spark.operators import sampling as SA
 from trough_spark.operators import text as X
 from trough_spark.queries import query
 from trough_spark.tables import load_table as T
-from trough_spark.tables import load_table_clustered as TC
 
 _SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 _STRATA_FRACTIONS = {"en": 0.25, "zh": 0.5, "es": 0.5, "de": 0.5, "fr": 0.5}
@@ -412,7 +411,7 @@ def sample_dsir_weights(spark, sf_dir):
     tf-weighted mean per doc.  The data-sized shuffle carries (id, int
     bucket, count); bucket stats (1024 rows) broadcast back
     (operators/sampling.dsir_weights)."""
-    docs = TC(spark, sf_dir, "documents", "doc_id")
+    docs = T(spark, sf_dir, "documents")
     return SA.dsir_weights(
         docs, "doc_id", "text", target=F.col("lang") == "en", n_buckets=1024
     )
@@ -573,7 +572,7 @@ def pipeline_dsir_budget(spark, sf_dir):
     (one (id,bucket) shuffle + broadcast bucket stats) with budget_select
     (distributed prefix-sum, no single-reducer sort); the oracle chains
     the same CTEs into one window."""
-    docs = TC(spark, sf_dir, "documents", "doc_id")
+    docs = T(spark, sf_dir, "documents")
     scores = SA.dsir_weights(
         docs, "doc_id", "text", target=F.col("lang") == "en", n_buckets=1024
     ).select("id", "dsir_score")

@@ -12,8 +12,6 @@ import pyspark.sql.functions as F
 from trough_spark.operators import similarity as S
 from trough_spark.queries import query
 from trough_spark.tables import load_table as T
-from trough_spark.tables import load_table_clustered as TC
-from trough_spark.tables import table_row_count
 
 _COS_CTE = """
     v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -41,11 +39,8 @@ def sim_cosine_pairs(spark, sf_dir):
     # enforces its own O(n²) scope bound (max_rows guard, see cosine_pairs
     # docstring); at corpus scale the same measure runs per-LSH-bucket
     # (sim_srp_buckets below) or per-cluster (sim_semantic_dedup).
-    # The input is the unfiltered table, so the guard's cardinality comes
-    # from the parquet footer (driver metadata) instead of a Spark count job.
     return S.cosine_pairs(
-        T(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.4, dim=64,
-        known_count=table_row_count(sf_dir, "embeddings"),
+        T(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.4, dim=64
     )
 
 

@@ -12,7 +12,6 @@ from pyspark.sql import Window
 from trough_spark.queries import query
 from trough_spark.streaming import events as E
 from trough_spark.tables import load_table as T
-from trough_spark.tables import load_table_clustered as TC
 
 
 @query(
@@ -73,8 +72,7 @@ def stream_sessionization(spark, sf_dir):
     # on user_id serving both window specs.  The streaming path uses
     # session_window instead (state-bounded); both produce the same sessions
     # (asserted against each other in tests/test_streaming.py).
-    # adaptive keyed repartition merges with the user_id window exchange
-    e = TC(spark, sf_dir, "events", "user_id")
+    e = T(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
     flagged = e.withColumn(

@@ -8,7 +8,6 @@ import pyspark.sql.functions as F
 from trough_spark.operators import temporal as TP
 from trough_spark.queries import query
 from trough_spark.tables import load_table as T
-from trough_spark.tables import load_table_clustered as TC
 
 
 @query(

@@ -11,7 +11,6 @@ import pyspark.sql.functions as F
 from trough_spark.operators import text as X
 from trough_spark.queries import query
 from trough_spark.tables import load_table as T
-from trough_spark.tables import load_table_clustered as TC
 
 _EN = "['the', 'and', 'of', 'to', 'a']"
 # BPE pattern for DuckDB SQL literal (single quotes doubled)
@@ -60,9 +59,7 @@ def text_token_count(spark, sf_dir):
     """,
 )
 def text_quality_features(spark, sf_dir):
-    # adaptive keyed repartition: map-only operator, the repartition just
-    # spreads the heavy per-row regex work when the scan is one row group
-    return X.quality_features(TC(spark, sf_dir, "documents", "doc_id"), "doc_id", "text")
+    return X.quality_features(T(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 @query(
@@ -980,7 +977,7 @@ def text_token_entropy(spark, sf_dir):
     """Per-doc token entropy (vocabulary diversity / gibberish signal) via
     the quantize-then-BIGINT-sum house pattern
     (operators/text.py:token_entropy)."""
-    return X.token_entropy(TC(spark, sf_dir, "documents", "doc_id"), "doc_id", "text")
+    return X.token_entropy(T(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 @query(

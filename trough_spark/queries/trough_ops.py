@@ -79,27 +79,12 @@ def a12_fanout_regex(spark, sf_dir):
     # Spark-first: the regex filter prunes partitions and the per-segment
     # GROUP BY *is* the fan-out — plus a real global merge the reference
     # never had.
-    #
-    # Optimization round 10 (guide §8 "decide with small rows"): the
-    # reference evaluates the regex against the segment REGISTRY (16 names),
-    # never per data row — mirror that here.  segment_id is a pure function
-    # of l_orderkey % 16, so build the 16-row registry, regex-filter IT, and
-    # broadcast-join on the derivation key: the fact table's per-row work
-    # drops from regex + string-build to modulo + hash probe, while the
-    # regex still runs in Spark (once per registry row) and the emitted
-    # rows — including the segment_id strings — are identical.
-    l = T(spark, sf_dir, "lineitem")
-    registry = spark.range(16).select(
-        F.col("id").alias("seg_mod"),
-        F.concat(F.lit("seg"), F.lpad(F.col("id").cast("string"), 2, "0")).alias("segment_id"),
-    )
-    matched = registry.filter(regexp(F.lit("^seg0[0-5]$"), F.col("segment_id")))
+    l = T(spark, sf_dir, "lineitem").withColumn("segment_id", _segment())
     net = F.col("l_extendedprice").cast("decimal(12,2)") * (
         F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
     )
     return (
-        l.withColumn("seg_mod", F.col("l_orderkey") % 16)
-        .join(F.broadcast(matched), "seg_mod")
+        l.filter(regexp(F.lit("^seg0[0-5]$"), F.col("segment_id")))
         .groupBy("segment_id")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
