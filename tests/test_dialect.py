@@ -396,18 +396,33 @@ class TestJsonEachRewrite:
 
     def test_json_tree_expands(self):
         """json_tree in FROM position expands to the bounded-depth
-        recursive walk (round 10; was a loud reject in r9).  Runtime
-        parity pinned against live SQLite in test_sqlite_differential.py
-        and by the b12_shim_json_tree oracle."""
-        from trough_spark.dialect import _rewrite_json_each
+        recursive walk (round 10; was a loud reject in r9; round 11
+        restructured the union-of-level-chains into a single fork-chain —
+        O(depth) generates).  Runtime parity pinned against live SQLite
+        in test_sqlite_differential.py and by the b12_shim_json_tree
+        oracle."""
+        from trough_spark.dialect import _JSON_TREE_DEPTH, _rewrite_json_each
 
+        # last-relation position: the native LATERAL VIEW chain — one
+        # explode per level plus the final inline, no correlated subquery
         out = _rewrite_json_each("SELECT key FROM json_tree('{\"a\": 1}')")
-        assert "UNION ALL" in out and "variant_explode" in out
-        assert out.rstrip().endswith("AS json_tree")
+        assert out.count("LATERAL VIEW explode(") == _JSON_TREE_DEPTH + 1
+        assert "LATERAL VIEW inline(" in out and "UNION ALL" not in out
+        assert " json_tree AS key, value, type, atom," in out
         out = _rewrite_json_each(
-            "SELECT key FROM json_tree('{\"a\": {\"b\": 1}}', '$.a') jt"
+            "SELECT key FROM json_tree('{\"a\": {\"b\": 1}}', '$.a') jt WHERE 1"
         )
-        assert "UNION ALL" in out and out.rstrip().endswith("AS jt")
+        assert "LATERAL VIEW inline(" in out and " jt AS key," in out
+        # non-last position: falls back to the correlated-subquery
+        # fork-chain (D fork explodes + D child variant_explodes, single
+        # branch — no per-depth UNION re-exploding ancestors)
+        out = _rewrite_json_each(
+            "SELECT key FROM json_tree('{\"a\": 1}') jt, items i"
+        )
+        assert "variant_explode" in out
+        assert out.count("variant_explode") == _JSON_TREE_DEPTH
+        assert out.count("LATERAL explode(IF(") == _JSON_TREE_DEPTH
+        assert "UNION ALL" not in out and "AS jt" in out
 
     def test_json_tree_root_parts(self):
         from trough_spark.dialect import _path_root_parts
@@ -602,3 +617,49 @@ def test_like_concatenated_pattern_mixed_semantics(spark):
     assert "'c:\\\\\\\\'" in t  # spelled \\\\ -> Spark value c:\
     out = spark.sql(t)
     assert {r["s"] for r in out.collect()} == {"c:\\dir"}  # NOT the c:x row
+
+
+def test_json_tree_spliced_and_subquery_forms_agree(spark):
+    """Round-11 optimization: json_tree in last-relation position takes a
+    native LATERAL VIEW chain; any other position keeps the correlated
+    subquery fork-chain.  Both forms must emit identical row sets for the
+    same document — pinned here on the corner shapes (nested containers,
+    arrays of containers, non-identifier/escape-needing keys, empty
+    containers, scalar/NULL roots, 2-arg paths)."""
+    from trough_spark import dialect
+
+    docs = [
+        '{"a":[1,{"b":2}],"c":"x","z w":true}',
+        '[[[["deep"]]],{"k":[null,false,1.5]}]',
+        '{"q\\"uote":1,"tab\\tkey":[{}],"":{"inner":[]}}',
+        '{"e":[],"o":{}}',
+        '"scalar"',
+        "7",
+        "null",
+    ]
+    for doc, pfx in [(d, None) for d in docs] + [
+        ('{"a":[1,{"b":2}]}', "$.a"),
+        ('{"c":"x"}', "$.c"),
+        ('{"c":1}', "$.nope"),
+    ]:
+        lit = "'" + doc.replace("'", "''") + "'"
+        args = f"{lit}, '{pfx}'" if pfx else lit
+        # spliced: json_tree is the only relation
+        spliced_sql = dialect.sqlite_to_spark(
+            f"SELECT key, value, type, atom, id, parent, fullkey, path "
+            f"FROM json_tree({args}) ORDER BY fullkey"
+        )
+        assert "LATERAL VIEW inline(" in spliced_sql
+        # fallback: a trailing one-row relation forces the subquery form
+        fallback_sql = dialect.sqlite_to_spark(
+            f"SELECT jt.key, jt.value, jt.type, jt.atom, jt.id, jt.parent, "
+            f"jt.fullkey, jt.path "
+            f"FROM json_tree({args}) jt, (SELECT 1 AS one) d ORDER BY jt.fullkey"
+        )
+        assert "LATERAL VIEW inline(" not in fallback_sql
+        a = [tuple(r) for r in spark.sql(spliced_sql).collect()]
+        b = [tuple(r) for r in spark.sql(fallback_sql).collect()]
+        assert a == b, f"forms disagree for {doc!r} path={pfx!r}"
+        assert (doc == "null" and pfx is None and len(a) == 1) or (
+            pfx == "$.nope" and len(a) == 0
+        ) or len(a) > 0

@@ -1968,10 +1968,8 @@ def _json_tree_level_exprs(v: str, e: str, fk_prev: str) -> dict[str, str]:
 
 def _json_tree_subquery(e: str, pfx: str) -> str:
     """The SELECT body replacing one ``json_tree`` table reference: a
-    bounded-depth UNION ALL of level expansions — level 0 is the root row
-    json_tree adds over json_each, level k chains k variant_explode
-    laterals with parent-text/fullkey threading through intermediate
-    LATERAL selects.  Column contract probed live (SQLite 3.40,
+    SINGLE bounded-depth fork-chain of explode laterals (optimization
+    round 11).  Column contract probed live (SQLite 3.40,
     test_sqlite_differential.py): the root row carries key = the final
     object-key path component for CONTAINER roots (NULL for '$',
     array-index components, and scalar roots), fullkey = the path as
@@ -1990,15 +1988,29 @@ def _json_tree_subquery(e: str, pfx: str) -> str:
     raise loudly (raise_error) instead of silently truncating.  NULL
     input and missing 2-arg paths yield zero rows (probed).
 
+    Mechanism (round 11 restructure; rows identical to the previous
+    union-of-level-chains by construction, pinned by the differential,
+    fuzz-campaign and oracle suites): ONE chain of D levels threads a
+    per-row state tuple (the node's eight output columns + a ``done``
+    flag + the node's container text/fullkey).  At each level a live
+    container row FORKS via ``explode(array(0, 1))`` — arm 0 freezes the
+    node's own output row (done), arm 1 explodes its children; finished
+    rows ride a one-row ``'[0]'`` sentinel explode unchanged.  Every
+    node therefore reaches the single final SELECT exactly once.  The
+    previous shape spelled a separate SELECT per depth k re-exploding
+    all k ancestor levels — O(depth²) generates and ~56 KB of SQL whose
+    analysis/optimization/codegen dominated wall time (measured 94 s
+    cold for 255 rows at depth 8); the chain is O(depth) generates in
+    one branch.
+
     Scale: the expansion is a pure per-row map (no shuffle, no Python) —
     D passes over each document, bounded by the depth constant.
     """
     root_path, root_key = _path_root_parts(pfx)
     enc = _encode_literal
     cols = "key, value, type, atom, id, parent, fullkey, path"
-    selects: list[str] = []
 
-    # --- level 0: the root row ---
+    # --- level 0: the root row becomes the initial chain state ---
     pv = "parse_json(r.e0)"
     sv0 = f"schema_of_variant({pv})"
     cont0 = (
@@ -2024,53 +2036,262 @@ def _json_tree_subquery(e: str, pfx: str) -> str:
         if root_key is not None
         else "CAST(NULL AS STRING)"
     )
-    selects.append(
-        f"SELECT {key0} AS key, "
+    froms = [
+        f"(SELECT e0 FROM (SELECT ({e}) AS e0) WHERE e0 IS NOT NULL) r",
+        # initial state: the root row's output columns; done unless the
+        # root is a container with children to walk
+        f"LATERAL (SELECT {key0} AS key, "
         f"CASE WHEN {cont0} THEN get_json_object(r.e0, '$') ELSE {scalar0} END AS value, "
         f"{typ0} AS type, "
         f"CASE WHEN {cont0} THEN NULL ELSE {scalar0} END AS atom, "
         f"xxhash64({enc(pfx)}) AS id, CAST(NULL AS BIGINT) AS parent, "
-        f"{enc(pfx)} AS fullkey, {enc(root_path)} AS path "
-        f"FROM (SELECT ({e}) AS e0) r WHERE r.e0 IS NOT NULL"
-    )
+        f"{enc(pfx)} AS fullkey, {enc(root_path)} AS path, "
+        f"NOT {cont0} AS done, r.e0 AS e, {enc(pfx)} AS fk) c0",
+    ]
 
-    # --- levels 1..D: chained explode laterals; level k emits depth-k rows ---
-    for k in range(1, _JSON_TREE_DEPTH + 1):
-        froms = [f"(SELECT ({e}) AS e0, {enc(pfx)} AS fk0) r"]
-        for j in range(1, k + 1):
-            src_e = "r.e0" if j == 1 else f"c{j - 1}.e{j - 1}"
-            src_fk = "r.fk0" if j == 1 else f"c{j - 1}.fk{j - 1}"
-            froms.append(f"LATERAL variant_explode(parse_json({src_e})) v{j}")
-            if j < k:
-                lx = _json_tree_level_exprs(f"v{j}", src_e, src_fk)
-                froms.append(
-                    f"LATERAL (SELECT CASE WHEN {lx['cont']} "
-                    f"THEN {lx['extract']} END AS e{j}, "
-                    f"{lx['fullkey']} AS fk{j}) c{j}"
-                )
-        src_e = "r.e0" if k == 1 else f"c{k - 1}.e{k - 1}"
-        src_fk = "r.fk0" if k == 1 else f"c{k - 1}.fk{k - 1}"
-        lx = _json_tree_level_exprs(f"v{k}", src_e, src_fk)
-        # depth tripwire as a FILTER, not a projected column: a pruned-away
-        # value column (e.g. under count(*)) must still raise on overflow
-        guard = ""
-        if k == _JSON_TREE_DEPTH:
-            guard = (
-                f" WHERE CASE WHEN {lx['cont']} "
-                f"AND {lx['extract']} NOT IN ('[]', '{{}}') "
-                f"THEN CAST(raise_error('json_tree: document nesting exceeds "
-                f"the supported depth of {_JSON_TREE_DEPTH}') AS BOOLEAN) "
-                f"ELSE TRUE END"
-            )
-        selects.append(
-            f"SELECT {lx['key']} AS key, {lx['value']} AS value, {lx['typ']} AS type, "
-            f"{lx['atom']} AS atom, xxhash64({lx['fullkey']}) AS id, "
-            f"xxhash64({src_fk}) AS parent, {lx['fullkey']} AS fullkey, "
-            f"{src_fk} AS path "
-            f"FROM {', '.join(froms)}{guard}"
+    # --- levels 1..D: fork + child-explode + state project, one chain ---
+    for j in range(1, _JSON_TREE_DEPTH + 1):
+        p = f"c{j - 1}"
+        # arm 0: freeze the current node's own row; arm 1 (live containers
+        # only): explode its children.  Done rows ride the 1-row sentinel.
+        froms.append(f"LATERAL explode(IF({p}.done, array(0), array(0, 1))) f{j}")
+        froms.append(
+            f"LATERAL variant_explode(parse_json("
+            f"IF({p}.done OR f{j}.col = 0, '[0]', {p}.e))) v{j}"
         )
-    body = " UNION ALL ".join(selects)
+        lx = _json_tree_level_exprs(f"v{j}", f"{p}.e", f"{p}.fk")
+        x = f"(NOT {p}.done AND f{j}.col = 1)"
+        # bind the per-level heavyweights once: the child's fullkey (embeds
+        # the per-character escape transform) and its container re-extract
+        froms.append(
+            f"LATERAL (SELECT {lx['fullkey']} AS nfk, {lx['extract']} AS next, "
+            f"{lx['cont']} AS ncont) b{j}"
+        )
+        froms.append(
+            f"LATERAL (SELECT "
+            f"IF({x}, {lx['key']}, {p}.key) AS key, "
+            f"IF({x}, CASE WHEN b{j}.ncont THEN b{j}.next "
+            f"ELSE {lx['scalar_text']} END, {p}.value) AS value, "
+            f"IF({x}, {lx['typ']}, {p}.type) AS type, "
+            f"IF({x}, CASE WHEN b{j}.ncont THEN NULL "
+            f"ELSE {lx['scalar_text']} END, {p}.atom) AS atom, "
+            f"IF({x}, xxhash64(b{j}.nfk), {p}.id) AS id, "
+            f"IF({x}, xxhash64({p}.fk), {p}.parent) AS parent, "
+            f"IF({x}, b{j}.nfk, {p}.fullkey) AS fullkey, "
+            f"IF({x}, {p}.fk, {p}.path) AS path, "
+            f"IF({x}, NOT b{j}.ncont, TRUE) AS done, "
+            f"IF({x} AND b{j}.ncont, b{j}.next, CAST(NULL AS STRING)) AS e, "
+            f"IF({x}, b{j}.nfk, CAST(NULL AS STRING)) AS fk) c{j}"
+        )
+
+    last = f"c{_JSON_TREE_DEPTH}"
+    # depth tripwire as a FILTER, not a projected column: a pruned-away
+    # value column (e.g. under count(*)) must still raise on overflow.
+    # A not-done row at the end is a depth-D container node (never forked);
+    # it emits its own row, and raises iff it has children the chain can
+    # no longer walk.
+    guard = (
+        f" WHERE CASE WHEN NOT {last}.done "
+        f"AND {last}.e NOT IN ('[]', '{{}}') "
+        f"THEN CAST(raise_error('json_tree: document nesting exceeds "
+        f"the supported depth of {_JSON_TREE_DEPTH}') AS BOOLEAN) "
+        f"ELSE TRUE END"
+    )
+    body = (
+        f"SELECT {last}.key AS key, {last}.value AS value, {last}.type AS type, "
+        f"{last}.atom AS atom, {last}.id AS id, {last}.parent AS parent, "
+        f"{last}.fullkey AS fullkey, {last}.path AS path "
+        f"FROM {', '.join(froms)}{guard}"
+    )
     return f"(SELECT {cols} FROM ({body}))"
+
+
+def _json_tree_lateral_views(e: str, pfx: str, alias: str, uid: int) -> str:
+    """json_tree as a chain of native ``LATERAL VIEW`` generators — the
+    fast path used when the json_tree reference is the LAST relation in
+    its FROM clause (optimization round 11).
+
+    Same rows as :func:`_json_tree_subquery` by construction (the same
+    fork-chain walk), but spelled with zero correlated subqueries: each
+    level is ONE ``LATERAL VIEW explode(<state transition>)`` over an
+    array of state structs built with nested ``transform`` lambdas and
+    variant→map/array casts, and the output columns come from a final
+    ``LATERAL VIEW inline``.  Why it exists: a correlated LATERAL
+    *subquery* containing generators forces Spark's DecorrelateInnerQuery
+    into a domain join — a DISTINCT aggregate over the outer table's
+    correlated expression built BEFORE filter pushdown, so the walk ran
+    over the UNFILTERED outer table (measured on b12_shim_json_tree:
+    150k-order walk for 255 surviving rows, 94 s cold; this form plans as
+    a flat Generate chain the outer WHERE pushes straight through).
+
+    State struct fields (fixed names/types so array concat unifies):
+    done, key, value, type, atom, id, parent, fullkey, path, e (container
+    text, NULL once frozen), fk (the node's fullkey).
+    """
+    root_path, root_key = _path_root_parts(pfx)
+    enc = _encode_literal
+    q = f"_jt{uid}_"
+    D = _JSON_TREE_DEPTH
+
+    def cont(sv: str) -> str:
+        return (
+            f"(left({sv}, 5) = 'ARRAY' OR left({sv}, 6) = 'OBJECT' "
+            f"OR left({sv}, 6) = 'STRUCT' OR left({sv}, 3) = 'MAP')"
+        )
+
+    def scalar(sv: str, v: str) -> str:
+        return (
+            f"CASE WHEN {sv} = 'VOID' THEN NULL "
+            f"WHEN {sv} = 'BOOLEAN' THEN IF(CAST({v} AS BOOLEAN), '1', '0') "
+            f"ELSE CAST({v} AS STRING) END"
+        )
+
+    def typ(sv: str, v: str) -> str:
+        return (
+            f"CASE WHEN {sv} = 'VOID' THEN 'null' "
+            f"WHEN {sv} = 'BOOLEAN' THEN IF(CAST({v} AS BOOLEAN), 'true', 'false') "
+            f"WHEN {sv} = 'STRING' THEN 'text' "
+            f"WHEN left({sv}, 5) = 'ARRAY' THEN 'array' "
+            f"WHEN {cont(sv)} THEN 'object' "
+            f"WHEN {sv} IN ('BIGINT', 'INT', 'SMALLINT', 'TINYINT') THEN 'integer' "
+            f"ELSE 'real' END"
+        )
+
+    # per-character JSON-string escape of an object key (shared rendering
+    # with _json_tree_level_exprs)
+    def key_esc(k: str) -> str:
+        return (
+            f"array_join(transform(filter(split({k}, ''), _c -> _c != ''), "
+            "_c -> CASE WHEN _c = '\\\\' THEN '\\\\\\\\' "
+            "WHEN _c = '\"' THEN '\\\\\"' "
+            "WHEN ascii(_c) = 8 THEN '\\\\b' "
+            "WHEN ascii(_c) = 9 THEN '\\\\t' "
+            "WHEN ascii(_c) = 10 THEN '\\\\n' "
+            "WHEN ascii(_c) = 12 THEN '\\\\f' "
+            "WHEN ascii(_c) = 13 THEN '\\\\r' "
+            "WHEN ascii(_c) < 32 THEN "
+            "concat('\\\\u', lpad(lower(hex(ascii(_c))), 4, '0')) "
+            "ELSE _c END), '')"
+        )
+
+    # --- root state: one-element (or empty, for NULL docs) struct array ---
+    sv0, pv0 = "_t.sv", "parse_json(_t.e0)"
+    cont0 = cont(sv0)
+    key0 = (
+        f"CASE WHEN {cont0} THEN {enc(root_key)} ELSE CAST(NULL AS STRING) END"
+        if root_key is not None
+        else "CAST(NULL AS STRING)"
+    )
+    root_struct = (
+        f"named_struct('done', NOT {cont0}, "
+        f"'key', {key0}, "
+        f"'value', CASE WHEN {cont0} THEN get_json_object(_t.e0, '$') "
+        f"ELSE {scalar(sv0, pv0)} END, "
+        f"'type', {typ(sv0, pv0)}, "
+        f"'atom', CASE WHEN {cont0} THEN CAST(NULL AS STRING) "
+        f"ELSE {scalar(sv0, pv0)} END, "
+        f"'id', xxhash64({enc(pfx)}), 'parent', CAST(NULL AS BIGINT), "
+        f"'fullkey', {enc(pfx)}, 'path', {enc(root_path)}, "
+        f"'e', _t.e0, 'fk', {enc(pfx)})"
+    )
+    root_arr = (
+        f"transform(transform(filter(array(({e})), _x -> _x IS NOT NULL), "
+        f"_x -> struct(_x AS e0, schema_of_variant(parse_json(_x)) AS sv)), "
+        f"_t -> {root_struct})"
+    )
+    views = [f"LATERAL VIEW explode({root_arr}) {q}t0 AS {q}s0"]
+
+    # --- levels 1..D: freeze-self + explode-children transition ---
+    for j in range(1, D + 1):
+        s = f"{q}s{j - 1}"
+        # coalesce: a live container whose text could not be re-extracted
+        # (e.g. the get_json_object empty-key corner) has e = NULL; its
+        # children are lost either way (matching the subquery form), but
+        # transform(NULL) would NULL the whole transition array and drop
+        # the node's OWN frozen row with it
+        pj = f"parse_json(coalesce({s}.e, '[]'))"
+        freeze = (
+            f"named_struct('done', true, 'key', {s}.key, 'value', {s}.value, "
+            f"'type', {s}.type, 'atom', {s}.atom, 'id', {s}.id, "
+            f"'parent', {s}.parent, 'fullkey', {s}.fullkey, 'path', {s}.path, "
+            f"'e', CAST(NULL AS STRING), 'fk', CAST(NULL AS STRING))"
+        )
+        # children as (k, v, p) triples: array children carry a position,
+        # object children a key — mirroring variant_explode's columns
+        raw_children = (
+            f"CASE WHEN left(schema_of_variant({pj}), 5) = 'ARRAY' "
+            f"THEN transform(cast({pj} AS array<variant>), "
+            f"(_cv, _i) -> struct(CAST(NULL AS STRING) AS k, _cv AS v, _i AS p)) "
+            f"ELSE transform(map_entries(cast({pj} AS map<string, variant>)), "
+            f"_kv -> struct(_kv.key AS k, _kv.value AS v, CAST(NULL AS INT) AS p)) END"
+        )
+        key_ident = "_c.k RLIKE '^[A-Za-z][A-Za-z0-9]*$'"
+        nfk = (
+            f"CASE WHEN _c.k IS NULL "
+            f"THEN concat({s}.fk, '[', CAST(_c.p AS STRING), ']') "
+            f"WHEN {key_ident} THEN concat({s}.fk, '.', _c.k) "
+            f"ELSE concat({s}.fk, '.\"', {key_esc('_c.k')}, '\"') END"
+        )
+        relpath = (
+            f"CASE WHEN _c.k IS NULL THEN concat('$[', CAST(_c.p AS STRING), ']') "
+            f"ELSE concat('$[''', _c.k, ''']') END"
+        )
+        # bind the per-child heavyweights once (sv, fullkey, re-extract)
+        mid = (
+            f"transform({raw_children}, _c -> struct(_c.v AS v, "
+            f"schema_of_variant(_c.v) AS sv, "
+            f"CASE WHEN _c.k IS NULL THEN CAST(_c.p AS STRING) ELSE _c.k END AS kd, "
+            f"{nfk} AS nfk, get_json_object({s}.e, {relpath}) AS ext))"
+        )
+        mcont = cont("_m.sv")
+        child_struct = (
+            f"named_struct('done', NOT {mcont}, "
+            f"'key', _m.kd, "
+            f"'value', CASE WHEN {mcont} THEN _m.ext ELSE {scalar('_m.sv', '_m.v')} END, "
+            f"'type', {typ('_m.sv', '_m.v')}, "
+            f"'atom', CASE WHEN {mcont} THEN CAST(NULL AS STRING) "
+            f"ELSE {scalar('_m.sv', '_m.v')} END, "
+            f"'id', xxhash64(_m.nfk), 'parent', xxhash64({s}.fk), "
+            f"'fullkey', _m.nfk, 'path', {s}.fk, "
+            f"'e', IF({mcont}, _m.ext, CAST(NULL AS STRING)), 'fk', _m.nfk)"
+        )
+        # array_prepend, not concat(array(..), ..): the later shim pass
+        # rewrites concat() to SQLite's concat_ws('') semantics, which
+        # cannot take arrays
+        transition = (
+            f"CASE WHEN {s}.done THEN array({s}) "
+            f"ELSE array_prepend(transform({mid}, _m -> {child_struct}), "
+            f"{freeze}) END"
+        )
+        views.append(f"LATERAL VIEW explode({transition}) {q}t{j} AS {q}s{j}")
+
+    # --- output columns + depth tripwire (raise survives column pruning:
+    # the generator's input CASE is evaluated before any field is read) ---
+    last = f"{q}s{D}"
+    out_type = (
+        "array<struct<key:string,value:string,type:string,atom:string,"
+        "id:bigint,parent:bigint,fullkey:string,path:string>>"
+    )
+    final = (
+        f"CASE WHEN NOT {last}.done AND {last}.e NOT IN ('[]', '{{}}') "
+        f"THEN CAST(raise_error('json_tree: document nesting exceeds "
+        f"the supported depth of {D}') AS {out_type}) "
+        f"ELSE array(named_struct('key', {last}.key, 'value', {last}.value, "
+        f"'type', {last}.type, 'atom', {last}.atom, 'id', {last}.id, "
+        f"'parent', {last}.parent, 'fullkey', {last}.fullkey, "
+        f"'path', {last}.path)) END"
+    )
+    views.append(
+        f"LATERAL VIEW inline({final}) {alias} "
+        f"AS key, value, type, atom, id, parent, fullkey, path"
+    )
+    return " ".join(views)
+
+
+_FROM_TAIL_WORDS = {
+    "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "WINDOW",
+    "UNION", "EXCEPT", "INTERSECT", "MINUS", "OFFSET",
+}
 
 
 def _sqlite_path_to_spark(pfx: str) -> str:
@@ -2172,6 +2393,7 @@ def _rewrite_json_each(sql: str) -> str:
     out: list[str] = []
     i = 0
     n = len(tokens)
+    n_spliced = 0
     while i < n:
         t = tokens[i]
         if t.kind == "word" and t.text.lower() in ("json_each", "json_tree"):
@@ -2235,7 +2457,36 @@ def _rewrite_json_each(sql: str) -> str:
                     elif up not in _JSON_EACH_STOP:
                         alias = _strip_ident(tokens[k].text)
                         consumed_to = k
-                lateral = "" if tokens[p].text.upper() == "FROM" else "LATERAL "
+                # json_tree as the LAST relation of its FROM clause takes
+                # the native LATERAL VIEW chain (no correlated subquery →
+                # no decorrelation domain join over the unfiltered outer
+                # table); any other position falls back to the subquery
+                # form.  LATERAL VIEWs attach after the final relation
+                # without a comma, so the separator (or a lone FROM's
+                # dummy base) is patched in.
+                nxt = _next_sig(consumed_to)
+                is_last_relation = nxt is None or (
+                    tokens[nxt].kind == "word"
+                    and tokens[nxt].text.upper() in _FROM_TAIL_WORDS
+                ) or tokens[nxt].text in (")", ";")
+                prev_txt = tokens[p].text.upper()
+                splice_ok = fn == "json_tree" and is_last_relation and prev_txt in (",", "FROM")
+                if splice_ok and prev_txt == ",":
+                    bi = len(out) - 1
+                    while bi >= 0 and out[bi].strip() == "":
+                        bi -= 1
+                    if bi >= 0 and out[bi] == ",":
+                        out[bi] = " "  # the relation-separator comma
+                    else:
+                        splice_ok = False
+                if splice_ok:
+                    if prev_txt == "FROM":
+                        out.append(f"(SELECT 1 AS _jt{n_spliced}_one) _jt{n_spliced}_base ")
+                    out.append(_json_tree_lateral_views(e, pfx, alias, n_spliced))
+                    n_spliced += 1
+                    i = consumed_to + 1
+                    continue
+                lateral = "" if prev_txt == "FROM" else "LATERAL "
                 body_fn = _json_tree_subquery if fn == "json_tree" else _json_each_subquery
                 out.append(f"{lateral}{body_fn(e, pfx)} AS {alias}")
                 i = consumed_to + 1

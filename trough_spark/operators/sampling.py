@@ -705,7 +705,7 @@ def budget_select(
         .orderBy(F.desc("_bs_score"), F.col(key_name).asc())
         .rowsBetween(W.unboundedPreceding, -1)
     )
-    kept = (
+    kept_full = (
         ranged.join(F.broadcast(offsets), "_bs_pid")
         .withColumn(
             cum_col,
@@ -713,10 +713,26 @@ def budget_select(
             + F.coalesce(F.sum("_bs_cost").over(in_w), F.lit(0)),
         )
         .where(F.col(cum_col) < F.lit(budget))
-        .select(key_name, cum_col)
     )
     if df.columns == [key_name]:
-        return kept  # nothing to reattach: skip the self-join
+        return kept_full.select(key_name, cum_col)  # nothing to reattach
+    if (
+        isinstance(cost, str)
+        and isinstance(score, str)
+        and set(df.columns) == {key_name, cost, score}
+    ):
+        # Slim input (key/cost/score only, the common pipeline shape):
+        # every output column is already IN the checkpointed ranged frame,
+        # so reconstruct from it instead of joining ``base`` back —
+        # which re-planned the caller's whole upstream (measured on
+        # pipeline_dsir_budget: the full DSIR scoring pipeline executed
+        # TWICE, once for the prefix-sum and once for the join-back;
+        # optimization round 11, guide §2.4 "remove shuffles outright").
+        colmap = {key_name: key_name, cost: "_bs_cost", score: "_bs_score"}
+        return kept_full.select(
+            *[F.col(colmap[c]).alias(c) for c in df.columns], cum_col
+        )
+    kept = kept_full.select(key_name, cum_col)
     out = base.join(kept, on=key_name, how="inner")
     return out.select(*df.columns, cum_col)
 
@@ -756,11 +772,27 @@ def budget_select_per_group(
         .orderBy(F.desc("_bs_score"), F.col(key_name).asc())
         .rowsBetween(W.unboundedPreceding, -1)
     )
-    kept = (
-        proj.withColumn(cum_col, F.coalesce(F.sum("_bs_cost").over(w), F.lit(0)))
-        .where(F.col(cum_col) < F.lit(budget))
-        .select(key_name, cum_col)
-    )
+    kept_full = proj.withColumn(
+        cum_col, F.coalesce(F.sum("_bs_cost").over(w), F.lit(0))
+    ).where(F.col(cum_col) < F.lit(budget))
+    if (
+        isinstance(cost, str)
+        and isinstance(score, str)
+        and set(df.columns) == {key_name, group_col, cost, score}
+    ):
+        # slim input: reconstruct from the windowed projection instead of
+        # re-planning the caller's upstream for the join-back (same move
+        # as budget_select; optimization round 11)
+        colmap = {
+            key_name: key_name,
+            group_col: group_col,
+            cost: "_bs_cost",
+            score: "_bs_score",
+        }
+        return kept_full.select(
+            *[F.col(colmap[c]).alias(c) for c in df.columns], cum_col
+        )
+    kept = kept_full.select(key_name, cum_col)
     out = base.join(kept, on=key_name, how="inner")
     return out.select(*df.columns, cum_col)
 

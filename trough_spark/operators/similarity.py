@@ -65,6 +65,7 @@ def cosine_pairs(
     n_blocks: int = 8,
     max_rows: int | None = 100_000,
     exact_baseline: bool = False,
+    known_count: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above ``threshold`` (exact).
 
@@ -111,7 +112,11 @@ def cosine_pairs(
 
     side = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if not exact_baseline and max_rows is not None:
-        n = side.count()
+        # known_count: callers that already know the input cardinality (e.g.
+        # from parquet footer metadata of an unfiltered table scan) pass it
+        # here so the guard costs zero Spark jobs — the guard semantics are
+        # unchanged, only the count's source differs (optimization round 10)
+        n = known_count if known_count is not None else side.count()
         if n > max_rows:
             raise ValueError(
                 f"cosine_pairs is O(n²/n_blocks): input has {n} rows > "

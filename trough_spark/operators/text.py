@@ -123,7 +123,13 @@ def tf_idf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .filter(F.length("term") > 0)
     )
     term_counts = tok.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tc"))
-    doc_lens = tok.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    # doc length = sum of the doc's term counts — derived from term_counts
+    # instead of a second groupBy over ``tok``, which re-scanned and
+    # re-exploded the whole corpus (optimization round 11; the plan had
+    # two identical Scan+Generate subtrees, and at 100 TB the extra
+    # tokenize pass is a full corpus read).  Integer-identical by
+    # definition: count(tokens per doc) == sum(per-term counts per doc).
+    doc_lens = term_counts.groupBy("id").agg(F.sum("tc").alias("dl"))
     doc_freq = term_counts.groupBy("term").agg(F.count(F.lit(1)).alias("df_"))
     n_docs = (
         df.select(F.col(id_col).alias("id"))

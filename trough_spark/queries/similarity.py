@@ -39,8 +39,13 @@ def sim_cosine_pairs(spark, sf_dir):
     # enforces its own O(n²) scope bound (max_rows guard, see cosine_pairs
     # docstring); at corpus scale the same measure runs per-LSH-bucket
     # (sim_srp_buckets below) or per-cluster (sim_semantic_dedup).
+    # The input is the unfiltered table, so the guard's cardinality comes
+    # from the parquet footer (driver metadata) instead of a Spark count job.
+    from trough_spark.tables import table_row_count
+
     return S.cosine_pairs(
-        T(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.4, dim=64
+        T(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.4, dim=64,
+        known_count=table_row_count(sf_dir, "embeddings"),
     )
 
 

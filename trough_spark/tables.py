@@ -48,6 +48,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def table_row_count(sf_dir: str, name: str) -> int | None:
+    """Exact row count of a table from its parquet footer, or None.
+
+    Driver-side metadata read (microseconds) — satisfies operator scope
+    guards (e.g. ``cosine_pairs``'s ``max_rows``) without running a Spark
+    count job per query build (optimization round 11, guide §6 metadata;
+    re-applied from round 10 in isolation after the bundled changes that
+    regressed were reverted).  Only valid for the UNFILTERED table;
+    callers applying filters must still count.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return None
+
+
 def register_views(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> None:
     """Register each table as a temp view so ``spark.sql`` queries see the
     same catalog names the DuckDB oracle uses."""
