@@ -30,7 +30,24 @@ ROWS = [
 ]
 DDL = "CREATE TABLE nums (id INTEGER PRIMARY KEY, a INTEGER, b INTEGER, s TEXT)"
 
-N_QUERIES = int(os.environ.get("TROUGH_FUZZ_N", "60"))
+# CI-sized vs wide-sweep split (round 11, VERDICT item 7): the write-
+# script fuzz families cost 20-90 s PER CASE (each runs a multi-statement
+# trigger/constraint script through the store on Spark), which grew the
+# default suite past the driver's verify budget (cut off at ~31% in
+# VERIFY_r10).  Defaults below are the CI-sized prefixes of the SAME
+# seeded case streams; TROUGH_SUITE_WIDE=1 restores the historical wide
+# sweeps, and each family's explicit TROUGH_FUZZ_* env always wins.
+_WIDE = os.environ.get("TROUGH_SUITE_WIDE") == "1"
+
+
+def _n(env: str, wide: int, ci: int) -> int:
+    v = os.environ.get(env)
+    if v is not None:
+        return int(v)
+    return wide if _WIDE else ci
+
+
+N_QUERIES = _n("TROUGH_FUZZ_N", 60, 24)
 SEED = int(os.environ.get("TROUGH_FUZZ_SEED", "20260814"))
 
 
@@ -445,7 +462,7 @@ def test_fuzzed_strftime_matches_sqlite(engines, sql):
 # write-path fuzzing: random INSERT/UPDATE/DELETE scripts executed by real
 # SQLite and by store.write, final table states compared
 # ---------------------------------------------------------------------------
-N_WRITE_CASES = int(os.environ.get("TROUGH_FUZZ_WRITES", "6"))
+N_WRITE_CASES = _n("TROUGH_FUZZ_WRITES", 6, 2)
 
 
 def _write_script(rng: random.Random) -> list[str]:
@@ -601,7 +618,7 @@ def test_fuzzed_write_script_matches_sqlite(spark, tmp_path, case):
 # SQLite fires them natively, the store fires them via _fire_triggers; final
 # states of BOTH tables compared (the audit table exists only via triggers)
 # ---------------------------------------------------------------------------
-N_TRIGGER_CASES = int(os.environ.get("TROUGH_FUZZ_TRIGGERS", "6"))
+N_TRIGGER_CASES = _n("TROUGH_FUZZ_TRIGGERS", 6, 2)
 
 TRIG_DDL = (
     DDL
@@ -852,7 +869,7 @@ def test_fuzzed_triggers_match_sqlite(spark, tmp_path, case):
 # state-blind -> batched firing, with raise-outcome comparison throughout.
 # ---------------------------------------------------------------------------
 
-N_INTERLEAVE_CASES = int(os.environ.get("TROUGH_FUZZ_INTERLEAVE", "6"))
+N_INTERLEAVE_CASES = _n("TROUGH_FUZZ_INTERLEAVE", 6, 2)
 
 
 def _observing_trigger_ddl(rng: random.Random, n: int) -> list[str]:
@@ -1014,7 +1031,7 @@ def test_fuzzed_interleave_triggers_match_sqlite(spark, tmp_path, case):
         )
 
 
-N_CONFLICT_CASES = int(os.environ.get("TROUGH_FUZZ_CONFLICT", "6"))
+N_CONFLICT_CASES = _n("TROUGH_FUZZ_CONFLICT", 6, 2)
 
 
 def _conflict_script(rng: random.Random) -> list[str]:
@@ -1139,7 +1156,7 @@ def test_fuzzed_conflict_forms_on_triggers_match_sqlite(spark, tmp_path, case):
 # pk to NULL (SQLite: "datatype mismatch" even under OR IGNORE — probed
 # round 8, previously a silent divergence).
 
-N_UPDATE_OR_CASES = int(os.environ.get("TROUGH_FUZZ_UPDATE_OR", "8"))
+N_UPDATE_OR_CASES = _n("TROUGH_FUZZ_UPDATE_OR", 8, 2)
 
 
 def _pk_seed_rows(rng: random.Random) -> list[tuple]:
@@ -1350,7 +1367,7 @@ def test_update_or_mode_matching_trigger_rejects_loudly(spark, tmp_path):
 # constantly.  (UPDATE OR modes and triggers are excluded: documented loud
 # rejects on extended-uniqueness tables.)
 
-N_UNIQUE_CASES = int(os.environ.get("TROUGH_FUZZ_UNIQUE", "10"))
+N_UNIQUE_CASES = _n("TROUGH_FUZZ_UNIQUE", 10, 3)
 
 _UVALS = ["'A'", "'a'", "'Xy'", "'xY'", "'b '", "'b  '", "'b'", "'z'", "NULL"]
 
@@ -1457,7 +1474,7 @@ def test_fuzzed_unique_constraints_match_sqlite(spark, tmp_path, case):
 # sorted multisets.  Errors may legitimately occur (dup pk, CHECK) — both
 # engines must agree per statement, and final state must match.
 # ---------------------------------------------------------------------------
-N_RETURNING_CASES = int(os.environ.get("TROUGH_FUZZ_RETURNING", "8"))
+N_RETURNING_CASES = _n("TROUGH_FUZZ_RETURNING", 8, 2)
 
 _RET_CLAUSES = [
     "*",
@@ -1561,7 +1578,7 @@ def test_fuzzed_returning_matches_sqlite(spark, tmp_path, case):
 # identically to live SQLite; final state INCLUDING the generated values
 # is compared, plus per-script raise/no-raise.
 # ---------------------------------------------------------------------------
-N_GENERATED_CASES = int(os.environ.get("TROUGH_FUZZ_GENERATED", "6"))
+N_GENERATED_CASES = _n("TROUGH_FUZZ_GENERATED", 6, 2)
 
 _GEN_EXPRS_1 = [
     "a + b",
@@ -1670,7 +1687,7 @@ def test_fuzzed_generated_columns_match_sqlite(spark, tmp_path, case):
 # - no duplicate keys, ASCII only, floats on .5 steps.
 # ---------------------------------------------------------------------------
 
-N_JSON_CASES = int(os.environ.get("TROUGH_FUZZ_JSON", "14"))
+N_JSON_CASES = _n("TROUGH_FUZZ_JSON", 14, 8)
 
 _J_SAFE_KEYS = ["a", "b2", "key", "Zz", "q7x", "m"]
 _J_NASTY_KEYS = ["k 1", "a.b", "x-y", "_lead", "0num", "100%", "sp  sp"]
@@ -1995,7 +2012,7 @@ def test_update_from_changing_pk_with_triggers(spark, tmp_path):
 # included (allowed since round 10 — keys never move).
 # ---------------------------------------------------------------------------
 
-N_TRIG_UNIQUE_CASES = int(os.environ.get("TROUGH_FUZZ_TRIG_UNIQUE", "8"))
+N_TRIG_UNIQUE_CASES = _n("TROUGH_FUZZ_TRIG_UNIQUE", 8, 2)
 
 
 def _trig_unique_ddl(rng: random.Random) -> str:

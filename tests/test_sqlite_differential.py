@@ -14,8 +14,20 @@ import sqlite3
 
 import pytest
 
+import os
+
 from trough_spark.sources.sqlite import import_sqlite_segment
 from trough_spark.store import SegmentStore
+
+# The five heaviest differential singles (44-101 s each: long multi-
+# statement trigger/constraint scripts through the store) run in the wide
+# sweep only — their features keep 2-case CI coverage in the dialect fuzz
+# families (round 11, VERDICT item 7).
+_wide_only = pytest.mark.skipif(
+    os.environ.get("TROUGH_SUITE_WIDE") != "1",
+    reason="set TROUGH_SUITE_WIDE=1 for the wide differential sweep",
+)
+
 
 ROWS = [
     (1, "Apple", 3.5, 10, "2024-01-15 10:30:00"),
@@ -783,6 +795,7 @@ def _expect_same_error(conn, store, script, match):
         store.write("cseg", script)
 
 
+@_wide_only
 def test_check_and_not_null_constraints_match_sqlite(check_engines):
     """CHECK / NOT NULL enforcement (probed semantics): violations raise
     SQLite's exact message (named constraint -> name, else expression
@@ -1367,6 +1380,7 @@ def test_or_abort_fail_rollback_and_rowvalue_update(def_engines):
     assert got == expected and len(expected) == 3, f"{got} vs {expected}"
 
 
+@_wide_only
 def test_or_ignore_on_triggered_table_matches_sqlite(spark, tmp_path):
     """Round-7 (VERDICT r6 item 6): OR IGNORE × triggers implemented with
     the probed firing — BEFORE fires for EVERY row; a pk-conflicting or
@@ -1418,6 +1432,7 @@ def test_or_ignore_on_triggered_table_matches_sqlite(spark, tmp_path):
     conn.close()
 
 
+@_wide_only
 def test_or_replace_and_do_update_on_triggered_table_matches_sqlite(
     spark, tmp_path
 ):
@@ -1548,6 +1563,7 @@ def test_instead_of_conflict_forms_match_sqlite(iof_engines):
         )
 
 
+@_wide_only
 def test_update_or_ignore_replace_matches_sqlite(spark, tmp_path):
     """Round-7: UPDATE OR IGNORE / OR REPLACE with SQLite's probed
     two-pass position-visit model — incl. the surprising dense-id chase
@@ -1956,6 +1972,7 @@ def test_autoincrement_requires_integer_primary_key(spark, tmp_path):
         store.set_schema("ai_schema", ddl + ";")
 
 
+@_wide_only
 def test_without_rowid_semantics_match_sqlite(spark, tmp_path):
     """Round-8 probes for WITHOUT ROWID tables: the pk is the btree key —
     every pk column is implicitly NOT NULL (explicit NULL and omission
